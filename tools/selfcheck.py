@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Self-check harness mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Reads each <verifyOutDir>/<name> parquet (Spark result) and runs the
+matching oracle SQL from oracle_sql.json in DuckDB against the parquet
+tables in <sfDir>. Compares row count, column names, and values
+(columns sorted by name, rows sorted canonically).
+"""
+import sys, os, json, glob
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(repr(v))
+        out.append('|'.join(vals))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for tbl in ['region','nation','customer','supplier','part','orders',
+                'lineitem','events','documents','embeddings']:
+        p = f'{sf_dir}/{tbl}.parquet'
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f'{out_dir}/{name}/*.parquet')
+        if not spark_files:
+            print(f'FAIL {name}: no spark output')
+            n_fail += 1
+            continue
+        try:
+            s = con.sql(f"SELECT * FROM read_parquet({spark_files!r})")
+            scols, srows = s.columns, s.fetchall()
+            d = con.sql(sql)
+            dcols, drows = d.columns, d.fetchall()
+        except Exception as e:
+            print(f'FAIL {name}: {e}')
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f'FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}')
+            n_fail += 1
+            continue
+        cs, cd = canon(srows, scols), canon(drows, dcols)
+        if cs != cd:
+            diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+            print(f'FAIL {name}: rows spark={len(cs)} duck={len(cd)} first-diffs={diff}')
+            n_fail += 1
+        else:
+            print(f'PASS {name} ({len(cs)} rows)')
+            n_pass += 1
+    print(f'== {n_pass} pass, {n_fail} fail ==')
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == '__main__':
+    main()
