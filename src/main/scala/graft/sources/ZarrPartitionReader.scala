@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.util.concurrent.{Executors, Future => JFuture}
+
+import graft.zarr._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+/** Executor-side reader: one [[ZarrInputPartition]] = one contiguous range
+  * of chunk ordinals over the scan geometry's grid.
+  *
+  * Pipeline per chunk (mirrors `zarr_data_stream.rs:829-916`):
+  *  1. raw bytes of the *predicate* columns arrive (prefetched while the
+  *     previous chunk was being consumed — the reference's IO/compute
+  *     pipelining, `zarr_data_stream.rs:647-711`);
+  *  2. decode them, evaluate the pushed filters with any-row semantics —
+  *     no match → the whole chunk is skipped without reading the
+  *     remaining columns;
+  *  3. otherwise fetch+decode the remaining columns (filter/projection
+  *     column sharing: predicate columns are reused for output,
+  *     `zarr_data_stream.rs:877-895`) and emit one ColumnarBatch.
+  *
+  * Coordinate (1-D) chunks are cached for the reader's lifetime: in a 2-D
+  * grid the same `lat` chunk is needed by every chunk in its row — the
+  * cache removes O(grid) redundant reads.
+  */
+final case class ZarrReaderFactory(
+    store: ZarrStore,
+    metaJsons: Seq[(String, String)],
+    outputNames: Seq[String],
+    filters: Seq[Filter])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new ZarrPartitionReader(this, p.asInstanceOf[ZarrInputPartition])
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val col = createColumnarReader(p)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+      override def next(): Boolean = {
+        while (!rows.hasNext) {
+          if (!col.next()) return false
+          rows = col.get().rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = col.close()
+    }
+  }
+}
+
+final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val metas: Seq[ZarrArrayMeta] =
+    f.metaJsons.map { case (n, j) => ZarrMeta.parse(n, j) }
+  private val geometry = ScanGeometry.resolve(metas)
+  private val roleOf: Map[String, ColumnRole] =
+    metas.map(_.name).zip(geometry.roles).toMap
+
+  private val predicateNames: Seq[String] =
+    f.filters.flatMap(ChunkFilter.references).distinct.filter(roleOf.contains)
+  private val nonPredicateOutput: Seq[String] =
+    f.outputNames.filterNot(predicateNames.contains)
+  /** Names to fetch in phase 1 (predicate) and phase 2 (rest). */
+  private val phase1 = if (f.filters.nonEmpty) predicateNames else f.outputNames
+  private val phase2 = if (f.filters.nonEmpty) nonPredicateOutput else Seq.empty
+
+  // coordinate chunks are tiny and shared across target chunks → cache
+  private val coordCache = new java.util.HashMap[String, ChunkColumn]()
+
+  private val io = Executors.newSingleThreadExecutor { r =>
+    val t = new Thread(r, "zarr-prefetch"); t.setDaemon(true); t
+  }
+
+  private var ord: Long = part.lo
+  private var inflight: JFuture[Map[String, Option[Array[Byte]]]] =
+    if (part.lo < part.hi) submitFetch(part.lo, phase1) else null
+  private var current: ColumnarBatch = null
+
+  private def chunkKeyFor(name: String, idx: Array[Int]): String = {
+    val m = roleOf(name) match { case DataCol(mm) => mm; case CoordCol(mm, _) => mm }
+    roleOf(name) match {
+      case DataCol(_) => m.chunkKey(idx)
+      case CoordCol(_, dim) => m.chunkKey(Array(idx(dim)))
+    }
+  }
+
+  /** Fetch raw bytes for `names` of chunk `o` on the IO thread. Cached
+    * coordinate chunks are not re-fetched. */
+  private def submitFetch(o: Long, names: Seq[String]): JFuture[Map[String, Option[Array[Byte]]]] = {
+    val idx = geometry.chunkIndex(o)
+    val toFetch = names.filter { n =>
+      roleOf(n) match {
+        case CoordCol(_, dim) => !coordCache.containsKey(s"$n/${idx(dim)}")
+        case _ => true
+      }
+    }
+    val keys = toFetch.map(n => n -> chunkKeyFor(n, idx))
+    io.submit(() => keys.map { case (n, k) => n -> f.store.readChunk(n, k) }.toMap)
+  }
+
+  private def decoded(
+      name: String, idx: Array[Int],
+      raw: Map[String, Option[Array[Byte]]]): ChunkColumn = {
+    val meta = metas.find(_.name == name).get
+    roleOf(name) match {
+      case CoordCol(_, dim) =>
+        val key = s"$name/${idx(dim)}"
+        val cached = coordCache.get(key)
+        if (cached != null) cached
+        else {
+          val c = ChunkColumn.decode(meta, raw(name))
+          coordCache.put(key, c)
+          c
+        }
+      case DataCol(_) => ChunkColumn.decode(meta, raw(name))
+    }
+  }
+
+  override def next(): Boolean = {
+    while (ord < part.hi) {
+      val o = ord
+      val idx = geometry.chunkIndex(o)
+      val extent = geometry.chunkExtent(idx)
+      val nRows = extent.product
+      val raw1 = inflight.get()
+      // pipeline: start fetching the NEXT chunk's phase-1 columns while we
+      // decode/filter/emit this one
+      ord += 1
+      inflight = if (ord < part.hi) submitFetch(ord, phase1) else null
+
+      val phase1Cols: Map[String, (ChunkColumn, Array[Int])] =
+        phase1.map { n =>
+          val role = roleOf(n)
+          n -> (decoded(n, idx, raw1), ChunkColumn.mapping(role, geometry.targetChunk, extent))
+        }.toMap
+
+      val passes = f.filters.isEmpty ||
+        ChunkFilter.anyRowMatches(f.filters, phase1Cols, nRows)
+      if (passes) {
+        val phase2Cols: Map[String, (ChunkColumn, Array[Int])] =
+          if (phase2.isEmpty) Map.empty
+          else {
+            val raw2 = submitFetch(o, phase2).get()
+            phase2.map { n =>
+              val role = roleOf(n)
+              n -> (decoded(n, idx, raw2), ChunkColumn.mapping(role, geometry.targetChunk, extent))
+            }.toMap
+          }
+        val all = phase1Cols ++ phase2Cols
+        val vectors: Array[ColumnVector] = f.outputNames.map { n =>
+          val meta = metas.find(_.name == n).get
+          val vec = new OnHeapColumnVector(nRows, meta.dataType.sparkType)
+          val (c, mapping) = all(n)
+          c.writeTo(vec, mapping, nRows)
+          vec: ColumnVector
+        }.toArray
+        current = new ColumnarBatch(vectors, nRows)
+        return true
+      }
+      // chunk skipped: loop to the next ordinal
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = {
+    io.shutdownNow()
+    if (current != null) { current.close(); current = null }
+  }
+}

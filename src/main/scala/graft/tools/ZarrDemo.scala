@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.zarr.{ZarrStore, ZarrWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Smoke-drive of the zarr DSv2 connector through its public surface:
+  * writes the reference's canonical lat/lon/data fixture, reads it back
+  * with `spark.read.format("zarr")`, runs the reference's flagship
+  * filtered query (`table_provider.rs:417-423`) and the CTE join, and
+  * prints the physical plan so pushdowns are visible.
+  */
+object ZarrDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = Files.createTempDirectory("zarr-demo").toString + "/latlon"
+    ZarrWriter.writeLatLonStore(ZarrStore(dir))
+    println(s"=== store: $dir")
+
+    val df = spark.read.format("zarr").load(dir)
+    println("=== schema: " + df.schema.simpleString)
+    println("=== count(*): " + df.count())
+
+    val q = df.filter(col("lat") < lit(38.1) && col("lon") > lit(-116.9))
+      .select("lat", "lon", "data")
+    q.explain("formatted")
+    println("=== flagship WHERE query:")
+    q.collect().sortBy(_.getDouble(2)).foreach(r =>
+      println(f"  lat=${r.getDouble(0)}%.1f lon=${r.getDouble(1)}%.1f data=${r.getDouble(2)}%.1f"))
+
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW z USING zarr OPTIONS (path '$dir')")
+    val join = spark.sql(
+      """WITH d1 AS (SELECT lat, lon, data FROM z),
+        |     d2 AS (SELECT lat, lon, data * 2 AS data2 FROM z)
+        |SELECT count(*) AS n, sum(d2.data2 - 2 * d1.data) AS zero
+        |FROM d1 JOIN d2 ON d1.lat = d2.lat AND d1.lon = d2.lon""".stripMargin)
+    println("=== CTE self-join: " + join.collect().mkString)
+
+    spark.stop()
+  }
+}

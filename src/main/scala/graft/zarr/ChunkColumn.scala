@@ -1,0 +1,238 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.execution.vectorized.WritableColumnVector
+import org.apache.spark.sql.types.Decimal
+
+/** One decoded (or fill-synthesized) chunk of one array.
+  *
+  * Values live in *source element space* — the row-major flat index into
+  * the stored chunk buffer (Zarr stores edge chunks at full `chunk_shape`,
+  * padded with fill; the valid-extent subset is selected by the caller's
+  * `mapping`, mirroring the reference's edge-truncation read path,
+  * `zarr_data_stream.rs:335-372`).
+  *
+  * Two consumers:
+  *  - [[writeTo]] bulk-copies mapped values into a Spark columnar vector
+  *    (the hot path);
+  *  - [[get]] boxes a single value (chunk-skip filter evaluation only).
+  */
+sealed trait ChunkColumn {
+  def zt: ZarrType
+  def get(elem: Int): Any
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit
+}
+
+/** Fixed-width primitives over the decoded chunk buffer. */
+final class PrimColumn(val zt: ZarrType, buf0: Array[Byte], order: ByteOrder)
+    extends ChunkColumn {
+  private val buf = ByteBuffer.wrap(buf0).order(order)
+
+  def get(elem: Int): Any = zt match {
+    case ZarrType.Bool => buf.get(elem) != 0
+    case ZarrType.Int8 => buf.get(elem)
+    case ZarrType.Int16 => buf.getShort(elem * 2)
+    case ZarrType.Int32 => buf.getInt(elem * 4)
+    case ZarrType.Int64 => buf.getLong(elem * 8)
+    case ZarrType.UInt8 => (buf.get(elem) & 0xff).toShort
+    case ZarrType.UInt16 => buf.getShort(elem * 2) & 0xffff
+    case ZarrType.UInt32 => buf.getInt(elem * 4) & 0xffffffffL
+    case ZarrType.UInt64 =>
+      new java.math.BigDecimal(java.lang.Long.toUnsignedString(buf.getLong(elem * 8)))
+    case ZarrType.Float32 => buf.getFloat(elem * 4)
+    case ZarrType.Float64 => buf.getDouble(elem * 8)
+    case ZarrType.Str => throw new ZarrException("string in PrimColumn")
+  }
+
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit = {
+    var r = 0
+    zt match {
+      case ZarrType.Bool =>
+        while (r < nRows) { vec.putBoolean(r, buf.get(m(mapping, r)) != 0); r += 1 }
+      case ZarrType.Int8 =>
+        while (r < nRows) { vec.putByte(r, buf.get(m(mapping, r))); r += 1 }
+      case ZarrType.Int16 =>
+        while (r < nRows) { vec.putShort(r, buf.getShort(m(mapping, r) * 2)); r += 1 }
+      case ZarrType.Int32 =>
+        while (r < nRows) { vec.putInt(r, buf.getInt(m(mapping, r) * 4)); r += 1 }
+      case ZarrType.Int64 =>
+        while (r < nRows) { vec.putLong(r, buf.getLong(m(mapping, r) * 8)); r += 1 }
+      case ZarrType.UInt8 =>
+        while (r < nRows) { vec.putShort(r, (buf.get(m(mapping, r)) & 0xff).toShort); r += 1 }
+      case ZarrType.UInt16 =>
+        while (r < nRows) { vec.putInt(r, buf.getShort(m(mapping, r) * 2) & 0xffff); r += 1 }
+      case ZarrType.UInt32 =>
+        while (r < nRows) { vec.putLong(r, buf.getInt(m(mapping, r) * 4) & 0xffffffffL); r += 1 }
+      case ZarrType.UInt64 =>
+        while (r < nRows) {
+          val v = Decimal(new java.math.BigDecimal(
+            java.lang.Long.toUnsignedString(buf.getLong(m(mapping, r) * 8))))
+          vec.putDecimal(r, v, 20); r += 1
+        }
+      case ZarrType.Float32 =>
+        while (r < nRows) { vec.putFloat(r, buf.getFloat(m(mapping, r) * 4)); r += 1 }
+      case ZarrType.Float64 =>
+        while (r < nRows) { vec.putDouble(r, buf.getDouble(m(mapping, r) * 8)); r += 1 }
+      case ZarrType.Str => throw new ZarrException("string in PrimColumn")
+    }
+  }
+
+  @inline private def m(mapping: Array[Int], r: Int): Int =
+    if (mapping eq null) r else mapping(r)
+}
+
+/** Variable-length UTF-8 strings (`vlen-utf8` array→bytes codec). */
+final class StrColumn(values: Array[String]) extends ChunkColumn {
+  val zt: ZarrType = ZarrType.Str
+  def get(elem: Int): Any = values(elem)
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit = {
+    var r = 0
+    while (r < nRows) {
+      val b = values(if (mapping eq null) r else mapping(r)).getBytes(StandardCharsets.UTF_8)
+      vec.putByteArray(r, b)
+      r += 1
+    }
+  }
+}
+
+/** Missing chunk: every element is the array's fill value (reference
+  * `zarr_data_stream.rs:388-398`). */
+final class FillColumn(val zt: ZarrType, fill: Any) extends ChunkColumn {
+  def get(elem: Int): Any = fill
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit = {
+    var r = 0
+    zt match {
+      case ZarrType.Bool =>
+        val v = fill.asInstanceOf[Boolean]
+        while (r < nRows) { vec.putBoolean(r, v); r += 1 }
+      case ZarrType.Int8 =>
+        val v = fill.asInstanceOf[Byte]
+        while (r < nRows) { vec.putByte(r, v); r += 1 }
+      case ZarrType.Int16 | ZarrType.UInt8 =>
+        val v = fill.asInstanceOf[Short]
+        while (r < nRows) { vec.putShort(r, v); r += 1 }
+      case ZarrType.Int32 | ZarrType.UInt16 =>
+        val v = fill.asInstanceOf[Int]
+        while (r < nRows) { vec.putInt(r, v); r += 1 }
+      case ZarrType.Int64 | ZarrType.UInt32 =>
+        val v = fill.asInstanceOf[Long]
+        while (r < nRows) { vec.putLong(r, v); r += 1 }
+      case ZarrType.UInt64 =>
+        val v = Decimal(fill.asInstanceOf[java.math.BigDecimal])
+        while (r < nRows) { vec.putDecimal(r, v, 20); r += 1 }
+      case ZarrType.Float32 =>
+        val v = fill.asInstanceOf[Float]
+        while (r < nRows) { vec.putFloat(r, v); r += 1 }
+      case ZarrType.Float64 =>
+        val v = fill.asInstanceOf[Double]
+        while (r < nRows) { vec.putDouble(r, v); r += 1 }
+      case ZarrType.Str =>
+        val b = fill.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+        while (r < nRows) { vec.putByteArray(r, b); r += 1 }
+    }
+  }
+}
+
+object ChunkColumn {
+
+  /** Decode raw chunk-object bytes (or synthesize fill for a missing
+    * chunk) into a [[ChunkColumn]]. */
+  def decode(meta: ZarrArrayMeta, raw: Option[Array[Byte]]): ChunkColumn =
+    raw match {
+      case None => new FillColumn(meta.dataType, meta.fillValue)
+      case Some(bytes) =>
+        // bytes→bytes codecs are applied in reverse on decode
+        val ts = if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1
+        val plain = Codecs.bytesCodecs(meta.codecs, ts).reverse
+          .foldLeft(bytes)((b, c) => c.decode(b))
+        if (meta.dataType == ZarrType.Str) {
+          if (!Codecs.isVlenUtf8(meta.codecs))
+            throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")
+          new StrColumn(decodeVlenUtf8(plain))
+        } else
+          new PrimColumn(meta.dataType, plain, Codecs.endianness(meta.codecs))
+    }
+
+  /** numcodecs VLenUTF8 layout: u32-LE item count, then per item a u32-LE
+    * byte length followed by the UTF-8 bytes. */
+  def decodeVlenUtf8(b: Array[Byte]): Array[String] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val s = new String(b, bb.position(), len, StandardCharsets.UTF_8)
+      bb.position(bb.position() + len)
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  def encodeVlenUtf8(values: Array[String]): Array[Byte] = {
+    val bufs = values.map(_.getBytes(StandardCharsets.UTF_8))
+    val total = 4 + bufs.map(_.length + 4).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(values.length)
+    bufs.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
+  /** Row→source-element mappings for one target chunk.
+    *
+    * Output rows enumerate the chunk's valid extent row-major
+    * (`zarr_data_stream.rs:239-242`). For a data column the source is the
+    * full-`chunk_shape` stored buffer; for a coordinate column the source
+    * is its own 1-D chunk and the mapping realizes the broadcast
+    * (`broadcast_if_coord`, `zarr_data_stream.rs:243-281`).
+    *
+    * Returns null for the identity mapping (interior data chunk).
+    */
+  def mapping(role: ColumnRole, targetChunk: Array[Int], extent: Array[Int]): Array[Int] = {
+    val ndim = extent.length
+    val nRows = extent.product
+    role match {
+      case DataCol(_) =>
+        if (java.util.Arrays.equals(targetChunk, extent)) null // identity
+        else {
+          val out = new Array[Int](nRows)
+          // strides over the stored (full chunk_shape) buffer
+          val stride = new Array[Int](ndim)
+          var acc = 1
+          var d = ndim - 1
+          while (d >= 0) { stride(d) = acc; acc *= targetChunk(d); d -= 1 }
+          fillMapping(out, extent, (idx: Array[Int]) => {
+            var e = 0; var k = 0
+            while (k < ndim) { e += idx(k) * stride(k); k += 1 }
+            e
+          })
+          out
+        }
+      case CoordCol(_, dim) =>
+        val out = new Array[Int](nRows)
+        fillMapping(out, extent, (idx: Array[Int]) => idx(dim))
+        out
+    }
+  }
+
+  private def fillMapping(out: Array[Int], extent: Array[Int], f: Array[Int] => Int): Unit = {
+    val ndim = extent.length
+    val idx = new Array[Int](ndim)
+    var r = 0
+    val n = out.length
+    while (r < n) {
+      out(r) = f(idx)
+      // row-major increment
+      var d = ndim - 1
+      var carry = true
+      while (carry && d >= 0) {
+        idx(d) += 1
+        if (idx(d) == extent(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      r += 1
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.zarr
+
+import org.apache.spark.sql.sources._
+
+/** Chunk-granularity predicate evaluation for chunk skipping.
+  *
+  * Mirrors the reference's inexact pushdown (`table_provider.rs:91-96` +
+  * any-row semantics `filter.rs:61-83`): the pushed filters are evaluated
+  * against the decoded predicate columns of a chunk; if NO row satisfies
+  * the conjunction the whole chunk is skipped, otherwise all rows are
+  * emitted and Spark's residual `Filter` node does the exact row
+  * filtering.
+  *
+  * Unsupported predicates evaluate to `true` (conservative: never skip a
+  * chunk we can't reason about). Values are never null at read time
+  * (SURVEY §1.3), so IsNull=false / IsNotNull=true.
+  */
+object ChunkFilter {
+
+  /** Column names a filter tree references. */
+  def references(f: Filter): Seq[String] = f.references.toSeq
+
+  /** Can this filter be used for chunk skipping? (all leaves understood) */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | EqualNullSafe(_, _) | GreaterThan(_, _) |
+        GreaterThanOrEqual(_, _) | LessThan(_, _) | LessThanOrEqual(_, _) |
+        In(_, _) | IsNull(_) | IsNotNull(_) |
+        StringStartsWith(_, _) | StringEndsWith(_, _) | StringContains(_, _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  /** True iff at least one row of the chunk satisfies all `filters`.
+    * `cols` maps column name → (decoded chunk column, row→elem mapping or
+    * null for identity). */
+  def anyRowMatches(
+      filters: Seq[Filter],
+      cols: Map[String, (ChunkColumn, Array[Int])],
+      nRows: Int): Boolean = {
+    if (filters.isEmpty) return true
+    var r = 0
+    while (r < nRows) {
+      var all = true
+      var i = 0
+      while (all && i < filters.length) {
+        if (!eval(filters(i), cols, r)) all = false
+        i += 1
+      }
+      if (all) return true
+      r += 1
+    }
+    false
+  }
+
+  private def value(cols: Map[String, (ChunkColumn, Array[Int])], name: String, r: Int): Any = {
+    val (c, mapping) = cols(name)
+    c.get(if (mapping eq null) r else mapping(r))
+  }
+
+  private def eval(f: Filter, cols: Map[String, (ChunkColumn, Array[Int])], r: Int): Boolean =
+    f match {
+      case EqualTo(a, v) => cmp(value(cols, a, r), v) == 0
+      case EqualNullSafe(a, v) => cmp(value(cols, a, r), v) == 0
+      case GreaterThan(a, v) => cmp(value(cols, a, r), v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(value(cols, a, r), v) >= 0
+      case LessThan(a, v) => cmp(value(cols, a, r), v) < 0
+      case LessThanOrEqual(a, v) => cmp(value(cols, a, r), v) <= 0
+      case In(a, vs) => { val x = value(cols, a, r); vs.exists(v => cmp(x, v) == 0) }
+      case IsNull(_) => false
+      case IsNotNull(_) => true
+      case StringStartsWith(a, p) => value(cols, a, r).toString.startsWith(p)
+      case StringEndsWith(a, p) => value(cols, a, r).toString.endsWith(p)
+      case StringContains(a, p) => value(cols, a, r).toString.contains(p)
+      case And(l, rr) => eval(l, cols, r) && eval(rr, cols, r)
+      case Or(l, rr) => eval(l, cols, r) || eval(rr, cols, r)
+      case Not(c) => !eval(c, cols, r)
+      case _ => true // unknown leaf: cannot exclude the chunk
+    }
+
+  /** Numeric-widening comparison between a chunk value and a literal. */
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+    case (a: java.math.BigDecimal, b) => a.compareTo(toBigDec(b))
+    case (a, b: java.math.BigDecimal) => toBigDec(a).compareTo(b)
+    case (a: Number, b: Number) =>
+      (a, b) match {
+        case (x1: java.lang.Float, _) => java.lang.Double.compare(x1.doubleValue(), b.doubleValue())
+        case (x1: java.lang.Double, _) => java.lang.Double.compare(x1.doubleValue(), b.doubleValue())
+        case (_, y1: java.lang.Float) => java.lang.Double.compare(a.doubleValue(), y1.doubleValue())
+        case (_, y1: java.lang.Double) => java.lang.Double.compare(a.doubleValue(), y1.doubleValue())
+        case _ => java.lang.Long.compare(a.longValue(), b.longValue())
+      }
+    case (a, b) => if (a == b) 0 else 1 // incomparable: only equality meaningful
+  }
+
+  private def toBigDec(v: Any): java.math.BigDecimal = v match {
+    case d: java.math.BigDecimal => d
+    case d: scala.math.BigDecimal => d.bigDecimal
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case n: Number => new java.math.BigDecimal(n.toString)
+    case other => new java.math.BigDecimal(other.toString)
+  }
+}

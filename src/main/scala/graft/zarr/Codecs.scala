@@ -1,0 +1,270 @@
+package graft.zarr
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{CRC32C, Deflater, GZIPInputStream, GZIPOutputStream}
+
+/** Zarr v3 codec chain (reference delegates this to the `zarrs` crate —
+  * `zarr_data_stream.rs:383-387`; reimplemented on the JVM per SURVEY §7.4
+  * risk #1, using only Spark-classpath libraries: java.util.zip, lz4-java,
+  * zstd-jni).
+  *
+  * A v3 codec list is ordered array→bytes→bytes...; decoding applies the
+  * bytes→bytes codecs in reverse, then interprets the final buffer via the
+  * array→bytes codec ("bytes" with endianness, or "vlen-utf8").
+  */
+object Codecs {
+
+  /** Reversible bytes→bytes transform. */
+  sealed trait BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte]
+    def decode(enc: Array[Byte]): Array[Byte]
+  }
+
+  final case class Gzip(level: Int = 5) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val gz = new GZIPOutputStream(bos) { this.`def`.setLevel(level) }
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val in = new GZIPInputStream(new java.io.ByteArrayInputStream(enc))
+      in.readAllBytes()
+    }
+  }
+
+  final case class Zstd(level: Int = 3) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(raw, level)
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(enc)
+      com.github.luben.zstd.Zstd.decompress(enc, n.toInt)
+    }
+  }
+
+  /** CRC32C checksum codec: 4-byte little-endian checksum appended. */
+  case object Crc32c extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val c = new CRC32C(); c.update(raw)
+      val out = java.util.Arrays.copyOf(raw, raw.length + 4)
+      ByteBuffer.wrap(out, raw.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(c.getValue.toInt)
+      out
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val body = java.util.Arrays.copyOf(enc, enc.length - 4)
+      val want = ByteBuffer.wrap(enc, enc.length - 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val c = new CRC32C(); c.update(body)
+      if (c.getValue.toInt != want) throw new ZarrException("crc32c mismatch")
+      body
+    }
+  }
+
+  /** Blosc v1 container (the codec every reference fixture uses —
+    * `lib.rs:159-168` blosc-LZ4 level 5). Pure-JVM implementation of the
+    * public c-blosc format: 16-byte header, optional byte-shuffle filter,
+    * per-block compression with LZ4/Zstd inner codecs.
+    *
+    * Subset note: the decoder handles `memcpy` chunks and one split per
+    * block (what this encoder emits); multi-split foreign buffers are not
+    * supported.
+    */
+  final case class Blosc(
+      cname: String = "lz4",
+      clevel: Int = 5,
+      shuffle: Int = Blosc.SHUFFLE,
+      typesize: Int = 8,
+      blocksize: Int = 0) extends BytesCodec {
+
+    private val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+
+    private def compressorCode: Int = cname match {
+      case "lz4" | "lz4hc" => 1
+      case "zstd" => 4
+      case other => throw new ZarrException(s"Unsupported blosc cname: $other")
+    }
+
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val n = raw.length
+      val ts = math.max(1, typesize)
+      val doShuffle = shuffle == Blosc.SHUFFLE && ts > 1 && n % ts == 0
+      val body = if (doShuffle) Blosc.byteShuffle(raw, ts) else raw
+      val bs0 = if (blocksize > 0) blocksize else math.min(math.max(n, 1), 256 * 1024)
+      val bs = if (doShuffle) math.max(ts, bs0 - bs0 % ts) else bs0
+      val nblocks = if (n == 0) 0 else (n + bs - 1) / bs
+
+      val blocks = new Array[Array[Byte]](nblocks)
+      var compressedTotal = 0
+      var i = 0
+      while (i < nblocks) {
+        val off = i * bs
+        val len = math.min(bs, n - off)
+        val comp = compressorCode match {
+          case 1 =>
+            val c = lz4.fastCompressor()
+            val out = new Array[Byte](c.maxCompressedLength(len))
+            val m = c.compress(body, off, len, out, 0)
+            java.util.Arrays.copyOf(out, m)
+          case 4 =>
+            com.github.luben.zstd.Zstd.compress(
+              java.util.Arrays.copyOfRange(body, off, off + len), clevel)
+        }
+        // store raw if compression didn't help (csize == block len marker)
+        blocks(i) = if (comp.length >= len)
+          java.util.Arrays.copyOfRange(body, off, off + len) else comp
+        compressedTotal += blocks(i).length + 4
+        i += 1
+      }
+
+      val headerLen = 16 + 4 * nblocks
+      val cbytes = headerLen + compressedTotal
+      if (cbytes >= n + 16) {
+        // incompressible: memcpy form
+        val out = ByteBuffer.allocate(16 + n).order(ByteOrder.LITTLE_ENDIAN)
+        out.put(2.toByte).put(1.toByte)
+          .put((Blosc.MEMCPYED | (if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0)
+            | (compressorCode << 5)).toByte)
+          .put(ts.toByte)
+          .putInt(n).putInt(bs).putInt(16 + n)
+        out.put(body)
+        return out.array()
+      }
+      val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(2.toByte).put(1.toByte)
+        .put(((if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0) | (compressorCode << 5)).toByte)
+        .put(ts.toByte)
+        .putInt(n).putInt(bs).putInt(cbytes)
+      var pos = headerLen
+      i = 0
+      while (i < nblocks) { out.putInt(pos); pos += 4 + blocks(i).length; i += 1 }
+      i = 0
+      pos = headerLen
+      while (i < nblocks) {
+        val blkOff = i * bs
+        val blkLen = math.min(bs, n - blkOff)
+        val stored = blocks(i)
+        out.putInt(if (stored.length >= blkLen) blkLen else stored.length)
+        out.put(stored)
+        i += 1
+      }
+      out.array()
+    }
+
+    def decode(enc: Array[Byte]): Array[Byte] = Blosc.decode(enc)
+  }
+
+  object Blosc {
+    val NOSHUFFLE = 0
+    val SHUFFLE = 1
+    val BITSHUFFLE = 2
+    private val DOSHUFFLE_FLAG = 0x1
+    private val MEMCPYED = 0x2
+    private val DOBITSHUFFLE_FLAG = 0x4
+
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.wrap(enc).order(ByteOrder.LITTLE_ENDIAN)
+      /* version */ bb.get(); /* versionlz */ bb.get()
+      val flags = bb.get() & 0xff
+      val typesize = bb.get() & 0xff
+      val nbytes = bb.getInt
+      val blocksize = bb.getInt
+      /* cbytes */ bb.getInt
+      if ((flags & DOBITSHUFFLE_FLAG) != 0)
+        throw new ZarrException("blosc bitshuffle not supported")
+      val shuffled = (flags & DOSHUFFLE_FLAG) != 0
+      val compressor = (flags >> 5) & 0x7
+
+      val body = new Array[Byte](nbytes)
+      if ((flags & MEMCPYED) != 0) {
+        bb.get(body)
+      } else {
+        val nblocks = if (nbytes == 0) 0 else (nbytes + blocksize - 1) / blocksize
+        val bstarts = new Array[Int](nblocks)
+        var i = 0
+        while (i < nblocks) { bstarts(i) = bb.getInt; i += 1 }
+        val lz4dec = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
+        i = 0
+        while (i < nblocks) {
+          val off = i * blocksize
+          val neblock = math.min(blocksize, nbytes - off)
+          val b = ByteBuffer.wrap(enc, bstarts(i), enc.length - bstarts(i))
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val csize = b.getInt
+          val dataOff = bstarts(i) + 4
+          if (csize == neblock) { // stored uncompressed
+            System.arraycopy(enc, dataOff, body, off, neblock)
+          } else compressor match {
+            case 1 => lz4dec.decompress(enc, dataOff, csize, body, off, neblock)
+            case 4 =>
+              val out = com.github.luben.zstd.Zstd.decompress(
+                java.util.Arrays.copyOfRange(enc, dataOff, dataOff + csize), neblock)
+              System.arraycopy(out, 0, body, off, neblock)
+            case other => throw new ZarrException(s"blosc compressor $other not supported")
+          }
+          i += 1
+        }
+      }
+      if (shuffled && typesize > 1 && nbytes % typesize == 0)
+        byteUnshuffle(body, typesize)
+      else body
+    }
+
+    /** out[j*n + i] = in[i*ts + j] — the blosc byte-shuffle filter. */
+    def byteShuffle(in: Array[Byte], ts: Int): Array[Byte] = {
+      val n = in.length / ts
+      val out = new Array[Byte](in.length)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < ts) { out(j * n + i) = in(i * ts + j); j += 1 }
+        i += 1
+      }
+      out
+    }
+
+    def byteUnshuffle(in: Array[Byte], ts: Int): Array[Byte] = {
+      val n = in.length / ts
+      val out = new Array[Byte](in.length)
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < ts) { out(i * ts + j) = in(j * n + i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resolve the bytes→bytes portion of a codec spec list. */
+  def bytesCodecs(specs: Seq[CodecSpec], typesize: Int): Seq[BytesCodec] =
+    specs.collect {
+      case CodecSpec("gzip", cfg) =>
+        Gzip(cfg.get("level").map(_.asInt(5)).getOrElse(5))
+      case CodecSpec("zstd", cfg) =>
+        Zstd(cfg.get("level").map(_.asInt(3)).getOrElse(3))
+      case CodecSpec("crc32c", _) => Crc32c
+      case CodecSpec("blosc", cfg) =>
+        Blosc(
+          cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4"),
+          clevel = cfg.get("clevel").map(_.asInt(5)).getOrElse(5),
+          shuffle = cfg.get("shuffle").map(_.asText("shuffle")).getOrElse("shuffle") match {
+            case "noshuffle" => Blosc.NOSHUFFLE
+            case "bitshuffle" => Blosc.BITSHUFFLE
+            case _ => Blosc.SHUFFLE
+          },
+          typesize = cfg.get("typesize").map(_.asInt(typesize)).getOrElse(typesize),
+          blocksize = cfg.get("blocksize").map(_.asInt(0)).getOrElse(0))
+    }
+
+  /** Endianness of the array→bytes "bytes" codec (default little). */
+  def endianness(specs: Seq[CodecSpec]): ByteOrder =
+    specs.collectFirst { case CodecSpec("bytes", cfg) =>
+      if (cfg.get("endian").exists(_.asText("little") == "big")) ByteOrder.BIG_ENDIAN
+      else ByteOrder.LITTLE_ENDIAN
+    }.getOrElse(ByteOrder.LITTLE_ENDIAN)
+
+  def isVlenUtf8(specs: Seq[CodecSpec]): Boolean =
+    specs.exists(_.name == "vlen-utf8")
+}

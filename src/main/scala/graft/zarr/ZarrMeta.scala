@@ -1,0 +1,174 @@
+package graft.zarr
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+/** Zarr v3 array metadata (`zarr.json`) model + parser.
+  *
+  * Mirrors the fields the reference consumes
+  * (`/root/reference/crates/arrow-zarr/src/table/config.rs:239-253`,
+  * `zarr_store_opener/zarr_data_stream.rs:123-142`): shape, data_type,
+  * chunk_grid, chunk_key_encoding, fill_value, codecs, dimension_names.
+  * Only Zarr v3 (`zarr_format: 3`, `node_type: "array"`) is accepted,
+  * matching `config.rs:242-247`.
+  */
+final case class ZarrArrayMeta(
+    name: String,
+    shape: Array[Long],
+    dataType: ZarrType,
+    chunkShape: Array[Int],
+    chunkKeySeparator: String,
+    fillValue: Any, // boxed value in the JVM type of `dataType`
+    codecs: Seq[CodecSpec],
+    dimensionNames: Option[Seq[String]],
+    /** Raw zarr.json text — shipped to executors (Jackson nodes in
+      * `codecs` are not reliably serializable) and re-parsed there. */
+    sourceJson: String = "") {
+
+  def ndim: Int = shape.length
+
+  /** Number of chunks along each dimension. */
+  def gridShape: Array[Int] =
+    shape.zip(chunkShape).map { case (s, c) => ((s + c - 1) / c).toInt }
+
+  def numElements: Long = shape.product
+
+  /** A coordinate is a 1-D array whose single dimension name equals its own
+    * array name (reference: `zarr_data_stream.rs:108-215`). */
+  def isCoordinate: Boolean =
+    ndim == 1 && dimensionNames.exists(d => d.length == 1 && d.head == name)
+
+  /** Storage key of chunk `idx` relative to the array root (v3 "default"
+    * chunk key encoding: `c<sep>i0<sep>i1...`). */
+  def chunkKey(idx: Array[Int]): String =
+    (Seq("c") ++ idx.map(_.toString)).mkString(chunkKeySeparator)
+
+  /** Valid extent of chunk `idx` along each dim (edge chunks truncated;
+    * reference: `zarr_data_stream.rs:577-594`). */
+  def chunkExtent(idx: Array[Int]): Array[Int] = {
+    val out = new Array[Int](ndim)
+    var d = 0
+    while (d < ndim) {
+      val start = idx(d).toLong * chunkShape(d)
+      out(d) = math.min(chunkShape(d).toLong, shape(d) - start).toInt
+      d += 1
+    }
+    out
+  }
+}
+
+/** Supported Zarr v3 primitive types and their Spark SQL mapping
+  * (reference type table: `config.rs:261-282`; SURVEY §1.4 documents the
+  * unsigned widenings — Spark has no unsigned integers). */
+sealed abstract class ZarrType(val zarrName: String, val sparkType: DataType, val byteWidth: Int)
+object ZarrType {
+  case object Bool extends ZarrType("bool", BooleanType, 1)
+  case object Int8 extends ZarrType("int8", ByteType, 1)
+  case object Int16 extends ZarrType("int16", ShortType, 2)
+  case object Int32 extends ZarrType("int32", IntegerType, 4)
+  case object Int64 extends ZarrType("int64", LongType, 8)
+  case object UInt8 extends ZarrType("uint8", ShortType, 1)
+  case object UInt16 extends ZarrType("uint16", IntegerType, 2)
+  case object UInt32 extends ZarrType("uint32", LongType, 4)
+  case object UInt64 extends ZarrType("uint64", DecimalType(20, 0), 8)
+  case object Float32 extends ZarrType("float32", FloatType, 4)
+  case object Float64 extends ZarrType("float64", DoubleType, 8)
+  case object Str extends ZarrType("string", StringType, -1)
+
+  val all: Seq[ZarrType] = Seq(Bool, Int8, Int16, Int32, Int64,
+    UInt8, UInt16, UInt32, UInt64, Float32, Float64, Str)
+
+  def fromName(n: String): ZarrType =
+    all.find(_.zarrName == n).getOrElse(
+      throw new ZarrException(s"Unsupported type: $n"))
+}
+
+final case class CodecSpec(name: String, config: Map[String, JsonNode])
+
+class ZarrException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
+object ZarrMeta {
+  private val mapper = new ObjectMapper()
+
+  def parse(arrayName: String, json: String): ZarrArrayMeta = {
+    val root = mapper.readTree(json)
+    if (root.path("zarr_format").asInt(-1) != 3)
+      throw new ZarrException("Only Zarr v3 metadata is supported")
+    if (root.path("node_type").asText("") != "array")
+      throw new ZarrException(s"Not an array node: $arrayName")
+
+    val shape = iter(root.path("shape")).map(_.asLong()).toArray
+    if (shape.length < 1 || shape.length > 3)
+      throw new ZarrException(
+        s"Only 1-3 dimensional arrays are supported, got ${shape.length} for $arrayName")
+
+    val dtype = ZarrType.fromName(root.path("data_type").asText(""))
+
+    val grid = root.path("chunk_grid")
+    if (grid.path("name").asText("") != "regular")
+      throw new ZarrException(s"Unsupported chunk grid: ${grid.path("name").asText("")}")
+    val chunkShape = iter(grid.path("configuration").path("chunk_shape"))
+      .map(_.asInt()).toArray
+    if (chunkShape.length != shape.length)
+      throw new ZarrException(s"chunk_shape rank != shape rank for $arrayName")
+
+    val keyEnc = root.path("chunk_key_encoding")
+    val sep = keyEnc.path("name").asText("default") match {
+      case "default" =>
+        val s = keyEnc.path("configuration").path("separator")
+        if (s.isMissingNode) "/" else s.asText("/")
+      case other => throw new ZarrException(s"Unsupported chunk_key_encoding: $other")
+    }
+
+    val fill = parseFill(root.path("fill_value"), dtype)
+
+    val codecs = iter(root.path("codecs")).map { c =>
+      val cfg = c.path("configuration")
+      val m = if (cfg.isObject) {
+        val b = Map.newBuilder[String, JsonNode]
+        cfg.fields().forEachRemaining(e => b += (e.getKey -> e.getValue))
+        b.result()
+      } else Map.empty[String, JsonNode]
+      CodecSpec(c.path("name").asText(""), m)
+    }.toSeq
+
+    val dimNames = {
+      val dn = root.path("dimension_names")
+      if (dn.isArray) Some(iter(dn).map(_.asText()).toSeq) else None
+    }
+
+    ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs, dimNames, json)
+  }
+
+  private def iter(n: JsonNode): Iterator[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    n.elements().asScala
+  }
+
+  /** fill_value per the v3 spec: bool, number, string; floats also accept
+    * "NaN"/"Infinity"/"-Infinity" strings. */
+  private def parseFill(n: JsonNode, t: ZarrType): Any = t match {
+    case ZarrType.Bool => java.lang.Boolean.valueOf(n.asBoolean(false))
+    case ZarrType.Int8 => java.lang.Byte.valueOf(n.asInt(0).toByte)
+    case ZarrType.Int16 | ZarrType.UInt8 => java.lang.Short.valueOf(n.asInt(0).toShort)
+    case ZarrType.Int32 | ZarrType.UInt16 => java.lang.Integer.valueOf(n.asInt(0))
+    case ZarrType.Int64 | ZarrType.UInt32 => java.lang.Long.valueOf(n.asLong(0L))
+    case ZarrType.UInt64 =>
+      // may exceed Long.MaxValue; keep as unsigned via BigDecimal
+      if (n.isNumber) new java.math.BigDecimal(n.asText("0"))
+      else java.math.BigDecimal.ZERO
+    case ZarrType.Float32 => java.lang.Float.valueOf(floatish(n).toFloat)
+    case ZarrType.Float64 => java.lang.Double.valueOf(floatish(n))
+    case ZarrType.Str => n.asText("")
+  }
+
+  private def floatish(n: JsonNode): Double =
+    if (n.isNumber) n.asDouble()
+    else n.asText("") match {
+      case "NaN" => Double.NaN
+      case "Infinity" => Double.PositiveInfinity
+      case "-Infinity" => Double.NegativeInfinity
+      case other => throw new ZarrException(s"Bad float fill_value: $other")
+    }
+}

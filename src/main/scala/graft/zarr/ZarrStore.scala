@@ -1,0 +1,82 @@
+package graft.zarr
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** A Zarr store root. Backed by the Hadoop FileSystem abstraction so the
+  * same code path serves `file://`, `hdfs://` and `s3a://` (the reference's
+  * local/S3 split lives at `table/config.rs:120-136`; Hadoop FS collapses
+  * it). Instances are cheap value objects — the FileSystem handle is
+  * resolved lazily per JVM (executor-side safe; Hadoop caches FS clients).
+  *
+  * `hadoopConfPairs` carries the driver's `spark.hadoop.*` overrides to
+  * executors (credentials, endpoints) without relying on Spark internals.
+  */
+final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] = Nil)
+    extends Serializable {
+
+  @transient private lazy val conf: Configuration = {
+    val c = new Configuration()
+    hadoopConfPairs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  @transient private lazy val rootPath = new Path(root)
+  @transient private lazy val fs: FileSystem = rootPath.getFileSystem(conf)
+
+  /** Array names directly under the root that carry a `zarr.json`
+    * (mirrors schema-inference listing, `config.rs:201-258`). Sorted for a
+    * deterministic schema. */
+  def listArrays(): Seq[String] = {
+    if (!fs.exists(rootPath)) throw new ZarrException(s"No such store: $root")
+    val arrays = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(rootPath, s"$n/zarr.json")))
+      .sorted
+    if (arrays.isEmpty)
+      throw new ZarrException(s"No Zarr v3 arrays found under store: $root")
+    arrays
+  }
+
+  def readMeta(arrayName: String): ZarrArrayMeta = {
+    val p = new Path(rootPath, s"$arrayName/zarr.json")
+    val in = fs.open(p)
+    try ZarrMeta.parse(arrayName, new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Raw chunk object bytes, or None when absent (absent != error:
+    * fill-value semantics, `zarr_data_stream.rs:388-398`). */
+  def readChunk(arrayName: String, key: String): Option[Array[Byte]] = {
+    val p = new Path(rootPath, s"$arrayName/$key")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(in.readAllBytes()) finally in.close()
+    }
+  }
+
+  // ---- write side (fixtures + DSv2 SupportsWrite) ----
+
+  def writeMeta(arrayName: String, json: String): Unit = {
+    val p = new Path(rootPath, s"$arrayName/zarr.json")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def writeChunk(arrayName: String, key: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(rootPath, s"$arrayName/$key")
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def writeStoreRootMeta(): Unit = {
+    val out = fs.create(new Path(rootPath, "zarr.json"), true)
+    try out.write("""{"zarr_format":3,"node_type":"group"}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def delete(): Unit = if (fs.exists(rootPath)) fs.delete(rootPath, true)
+}
