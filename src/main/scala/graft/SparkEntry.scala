@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.TextOps.defs ++
+      _root_.graft.queries.Dedup.defs ++
+      _root_.graft.queries.Similarity.defs ++
+      _root_.graft.operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline.
+  *
+  * Media (image/audio/video) is carried as an opaque `binary` payload
+  * column plus typed metadata, and "decoded" per partition with
+  * `Dataset.mapPartitions` — the Scala analog of `mapInPandas`: the
+  * executor streams batches of blobs through a decode function without
+  * ever collecting to the driver.
+  *
+  * ==== STUB ====
+  * No image/audio libraries exist in this container, so [[decodeStub]]
+  * is a DETERMINISTIC FAKE decoder (dimensions and features derived
+  * arithmetically from the payload bytes). The Spark-side plumbing —
+  * binary schema, typed Encoders, partition-wise batch iteration, output
+  * schema — is real and oracle-tested; swapping `decodeStub` for a JNI/
+  * JavaCV decoder changes no query shape.
+  */
+object Multimodal {
+
+  /** Opaque media blob + typed metadata. */
+  final case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (fake, deterministic — see STUB note). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      n_bytes: Long,
+      byte_sum: Long)
+
+  /** STUB decode: byte statistics in lieu of pixel decode. Pure and
+    * per-element — safe to run inside `mapPartitions` on executors. */
+  def decodeStub(blob: MediaBlob): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    val p = blob.payload
+    while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+    MediaFeatures(
+      doc_id = blob.doc_id,
+      media_type = blob.media_type,
+      width = (p.length % 640) + 16,
+      height = ((p.length * 7) % 480) + 16,
+      n_frames = (p.length % 16) + 1,
+      n_bytes = p.length.toLong,
+      byte_sum = sum)
+  }
+
+  /** The operator: blobs → features, executed partition-wise. */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(decodeStub))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q41_multimodal",
+      // the oracle replays the deterministic fake decode in SQL; text is
+      // ASCII so per-char codepoints == payload bytes
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_sum(list_transform(generate_series(1, length(text)),
+        |      i -> ascii(substr(text, i, 1)))) AS byte_sum
+        |  FROM documents)
+        |SELECT doc_id, 'image' AS media_type,
+        |  (n % 640) + 16 AS width,
+        |  ((n * 7) % 480) + 16 AS height,
+        |  (n % 16) + 1 AS n_frames,
+        |  n AS n_bytes,
+        |  byte_sum,
+        |  round(byte_sum * 1.0 / n, 4) AS mean_byte
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), lit("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaBlob]
+      extractFeatures(blobs).toDF()
+        .withColumn("mean_byte", round(col("byte_sum") * 1.0 / col("n_bytes"), 4))
+        .orderBy("doc_id")
+    })
+}

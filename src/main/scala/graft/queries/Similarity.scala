@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (vec_id, embedding float[64],
+  * label).
+  *
+  * Cosine is computed by one deterministic formula in both engines —
+  * elementwise double products summed left-to-right, rounded at the
+  * output — so the DuckDB oracle hash-matches.
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k (q38) broadcasts the small query set and linearly
+  *    scans the corpus — no shuffle of the corpus side at all; the per-
+  *    partition TopK (window + filter) keeps only k rows per query;
+  *  - the all-pairs verifier (q39) exists as a correctness oracle; at
+  *    scale you run q40 instead;
+  *  - random-hyperplane LSH (q40) buckets the corpus ONCE (narrow
+  *    projection), then candidates come from an equi join on the bucket
+  *    key — the classic ANN recall/cost trade.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Sum of elementwise double products of two 64-dim float vectors —
+    * identical fold order in Spark and DuckDB. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS double) * CAST(y AS double)), " +
+      "CAST(0 AS double), (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String =
+    s"sqrt(aggregate(transform($a, x -> CAST(x AS double) * CAST(x AS double)), " +
+      "CAST(0 AS double), (acc, v) -> acc + v))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))"
+
+  private def duckNorm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> (x::DOUBLE) * (x::DOUBLE))))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-k: the exact ANN baseline ----
+    QueryDef.sql(
+      "q38_cosine_topk",
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(${duckDot("q.qv", "e.embedding")} /
+         |          (${duckNorm("q.qv")} * ${duckNorm("e.embedding")}), 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id != q.qid
+         |), ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(
+            expr(dotExpr("qv", "embedding")) /
+              (expr(normExpr("qv")) * expr(normExpr("embedding"))), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    },
+
+    // ---- embedding-cosine near-duplicate pairs (all-pairs verifier) ----
+    QueryDef.sql(
+      "q39_embed_neardup",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(${duckDot("a.embedding", "b.embedding")} /
+         |        (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}), 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckDot("a.embedding", "b.embedding")} /
+         |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.3
+         |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val cos = expr(dotExpr("ea", "eb")) / (expr(normExpr("ea")) * expr(normExpr("eb")))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .where(cos >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(cos, 6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- LSH-bucketed ANN: 4 md5-derived random hyperplanes → 16
+    //      buckets; top-5 within the query's bucket ----
+    QueryDef.sql(
+      "q40_ann_lsh",
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    array_to_string(list_transform(generate_series(0, 3), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, 64), j ->
+         |        (embedding[j]::DOUBLE) *
+         |        (2 * ((instr('0123456789abcdef',
+         |                     substr(md5(p::VARCHAR || '-' || j::VARCHAR), 1, 1)) - 1) % 2) - 1)
+         |      )) > 0 THEN '1' ELSE '0' END), '') AS bucket
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.qid, c.vec_id,
+         |    round(${duckDot("q.qv", "c.embedding")} /
+         |          (${duckNorm("q.qv")} * ${duckNorm("c.embedding")}), 6) AS cos
+         |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.qid
+         |), ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val signExpr =
+        """array_join(transform(sequence(0, 3), p ->
+          |  CASE WHEN aggregate(zip_with(embedding, sequence(1, 64), (x, j) ->
+          |    CAST(x AS double) *
+          |    (2 * ((instr('0123456789abcdef',
+          |                 substr(md5(concat(cast(p AS string), '-', cast(j AS string))), 1, 1)) - 1) % 2) - 1)),
+          |    CAST(0 AS double), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '')""".stripMargin
+      val b = emb(s, dir).select(col("vec_id"), col("embedding"), expr(signExpr).as("bucket"))
+      val q = b.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
+      val scored = broadcast(q)
+        .join(b.withColumnRenamed("bucket", "cbucket"),
+          col("cbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(
+            expr(dotExpr("qv", "embedding")) /
+              (expr(normExpr("qv")) * expr(normExpr("embedding"))), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
+    })
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Every operator is a deterministic, engine-agnostic formula so the
+  * DuckDB oracle can replicate it exactly (md5 is the only hash both
+  * engines share). All plans are narrow (no shuffle except the final
+  * ORDER BY; aggregations are partial+final) — at 100 TB these run as a
+  * single scan-project pipeline per document partition.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting: whitespace + a BPE-ish word/punct regex ----
+    QueryDef.sql(
+      "q30_token_count",
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens,
+        |  length(text) AS n_chars2
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)"))
+          .as("bpe_tokens"),
+        length(col("text")).as("n_chars2"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: length / punctuation / stopword ratios ----
+    QueryDef.sql(
+      "q31_quality",
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|that)\b')) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(n_punct * 1.0 / n_words, 4) AS punct_ratio,
+        |  round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+        |  round(n * 1.0 / n_words, 4) AS avg_word_len,
+        |  CASE WHEN n_words BETWEEN 20 AND 1000
+        |        AND n_stop * 1.0 / n_words >= 0.01 THEN 1 ELSE 0 END AS quality_ok
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n"),
+        size(split(col("text"), " ", -1)).as("n_words"),
+        size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("n_punct"),
+        size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is|that)\\\\b', 0)"))
+          .as("n_stop"))
+        .select(
+          col("doc_id"),
+          round(col("n_punct") * 1.0 / col("n_words"), 4).as("punct_ratio"),
+          round(col("n_stop") * 1.0 / col("n_words"), 4).as("stop_ratio"),
+          round(col("n") * 1.0 / col("n_words"), 4).as("avg_word_len"),
+          when(col("n_words").between(20, 1000) &&
+            col("n_stop") * 1.0 / col("n_words") >= 0.01, 1).otherwise(0).as("quality_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language ID: marker-token + script heuristic (deterministic
+    //      n-gram-style scorer; the synthetic corpus is English word-salad,
+    //      so the oracle checks the FORMULA, not the planted label) ----
+    QueryDef.sql(
+      "q32_lang_id",
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\b(the|of|and|is|to)\b')) AS en_hits,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_hits,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|es|y)\b')) AS es_hits,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|est|et)\b')) AS fr_hits,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk_chars
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN cjk_chars > 0 THEN 'zh'
+        |       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |       WHEN es_hits >= fr_hits THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  en_hits, de_hits, es_hits, fr_hits, cjk_chars
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def hits(pat: String) =
+        size(expr(s"regexp_extract_all(lower(text), '\\\\b($pat)\\\\b', 0)"))
+      docs(s, dir).select(
+        col("doc_id"),
+        hits("the|of|and|is|to").as("en_hits"),
+        hits("der|die|das|und|ist").as("de_hits"),
+        hits("el|la|los|es|y").as("es_hits"),
+        hits("le|la|les|est|et").as("fr_hits"),
+        size(expr("regexp_extract_all(text, '[\\\\u4e00-\\\\u9fff]', 0)")).as("cjk_chars"))
+        .select(
+          col("doc_id"),
+          when(col("cjk_chars") > 0, "zh")
+            .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+              col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+            .when(col("es_hits") >= col("fr_hits"), "es")
+            .otherwise("fr").as("pred_lang"),
+          col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"), col("cjk_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprinting: content hash of the normalized text
+    //      + an order-insensitive vocabulary fingerprint ----
+    QueryDef.sql(
+      "q33_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(trim(text))) AS content_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS vocab_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("content_fp"),
+        md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))
+          .as("vocab_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact deduplication: hash-groupBy on the content fingerprint.
+    //      Map-side partial agg makes this one shuffle of (hash → count);
+    //      at 100 TB this is THE cheapest dedup and runs first. ----
+    QueryDef.sql(
+      "q34_dedup_exact",
+      """WITH fp AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents)
+        |SELECT content_fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM fp GROUP BY content_fp
+        |ORDER BY content_fp""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("content_fp"))
+        .groupBy("content_fp")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_fp")
+    })
+}
