@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.load(s, dir, "embeddings")
+  }
 
   /** Sum of elementwise double products of two 64-dim float vectors —
     * identical fold order in Spark and DuckDB. */
@@ -61,14 +63,12 @@ object Similarity {
          |  FROM scored)
          |SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= 5
          |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
-      val e = emb(s, dir)
+      val e = emb(s, dir).withColumn("nrm", expr("norm_f32(embedding)"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(
-            expr(dotExpr("qv", "embedding")) /
-              (expr(normExpr("qv")) * expr(normExpr("embedding"))), 6).as("cos"))
+          round(expr("dot_f32(qv, embedding)") / (col("qn") * col("nrm")), 6).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -85,10 +85,10 @@ object Similarity {
          |WHERE ${duckDot("a.embedding", "b.embedding")} /
          |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
-      val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val cos = expr(dotExpr("ea", "eb")) / (expr(normExpr("ea")) * expr(normExpr("eb")))
+      val e = emb(s, dir).withColumn("nrm", expr("norm_f32(embedding)"))
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val cos = expr("dot_f32(ea, eb)") / (col("na") * col("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .where(cos >= 0.3)
         .select(col("vec_a"), col("vec_b"), round(cos, 6).as("cos"))
@@ -135,9 +135,8 @@ object Similarity {
         .join(b.withColumnRenamed("bucket", "cbucket"),
           col("cbucket") === col("bucket") && col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          round(
-            expr(dotExpr("qv", "embedding")) /
-              (expr(normExpr("qv")) * expr(normExpr("embedding"))), 6).as("cos"))
+          round(expr("dot_f32(qv, embedding)") /
+            (expr("norm_f32(qv)") * expr("norm_f32(embedding)")), 6).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)

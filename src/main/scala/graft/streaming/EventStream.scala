@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is strictly bounded (`Boundedness::Bounded`,
+  * `scanner.rs:54`) — streaming is a capability the Spark build adds on
+  * top: the same event-analytics queries run incrementally with
+  * watermarks bounding state.
+  *
+  * Scale notes: all stateful ops key by `user_id`/`event_type`, so state
+  * shards across executors with the shuffle; watermarks bound state size
+  * (without one, a 100 TB backfill would accumulate unbounded window
+  * state).
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long, n_events: Int, total_value: Double,
+      started: Timestamp, ended: Timestamp)
+
+  final case class SessionState(n: Int, total: Double, start: Long, last: Long)
+
+  /** File-based stream of the events table (new parquet files appearing
+    * under the directory are picked up incrementally). */
+  def fromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    // events.parquet is a single file; stream its parent directory with a
+    // glob filter so the file source sees a directory basePath
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Tumbling 1-hour windowed aggregate with a 2-hour watermark for late
+    * data — the streaming analog of batch q22_events_window. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window (1 hour every 15 min) per event type. */
+  def slidingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Exactly-once style dedup on event_id within the watermark horizon. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  /** Custom state: sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState + event-time timeout. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.start, t))
+                case Some(s) =>
+                  closed ::= Session(uid, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

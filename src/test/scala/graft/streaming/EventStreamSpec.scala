@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("event-stream-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("hourly windowed aggregate over a MemoryStream matches hand computation") {
+    val sp = spark
+    implicit val sq = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[EventStream.Event]
+    in.addData(
+      EventStream.Event(1, ts(5), 1, "click", 1.0),
+      EventStream.Event(2, ts(20), 1, "click", 2.0),
+      EventStream.Event(3, ts(65), 2, "view", 10.0),
+      EventStream.Event(4, ts(70), 2, "click", 4.0))
+    val q = EventStream.hourlyByType(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hourly")
+      .select(col("hour_start").cast("long"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set((0L, "click", 2L, 3.0), (3600L, "view", 1L, 10.0), (3600L, "click", 1L, 4.0)))
+  }
+
+  test("streaming hourly agg over the events file == batch aggregation") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.fromFiles(spark, dir)
+    val q = EventStream.hourlyByType(stream)
+      .writeStream.format("memory").queryName("hourly_file")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly_file")
+      .select(col("hour_start").cast("long").as("h"), col("event_type"), col("n"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("tsn", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(date_trunc("hour", col("tsn")).cast("long").as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("sessionization groups events by 30-min inactivity gap") {
+    val sp = spark
+    implicit val sq = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[EventStream.Event]
+    // user 1: events at 0,10,20 (one session), then 90,95 (second session)
+    // user 2: single event at 15
+    in.addData(
+      EventStream.Event(1, ts(1), 1, "a", 1.0),
+      EventStream.Event(2, ts(10), 1, "a", 1.0),
+      EventStream.Event(3, ts(20), 1, "a", 1.0),
+      EventStream.Event(4, ts(90), 1, "a", 5.0),
+      EventStream.Event(5, ts(95), 1, "a", 5.0),
+      EventStream.Event(6, ts(15), 2, "b", 7.0))
+    val out = EventStream.sessionize(in.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // within one batch, user 1's first session closes when the 90-min
+    // event arrives (gap > 30 min)
+    val rows = spark.table("sessions")
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows.contains((1L, 3, 3.0)), s"got $rows")
+  }
+}
