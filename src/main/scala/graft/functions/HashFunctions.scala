@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the dedup signature computations. Each is the
+  * exact arithmetic of the corresponding oracle SQL (see
+  * `graft.queries.Dedup`) — md5 hex in, deterministic signature out —
+  * but as one tight Java loop instead of ~1k Catalyst lambda
+  * invocations per row.
+  */
+object HashOps {
+
+  /** 64-bit SimHash from per-word md5 hex strings: bit b sums
+    * `2*((hexdigit(h[b/4]) >> (b%4)) & 1) - 1` over words; output is the
+    * 64-char '0'/'1' string (bit 0 first) — identical to the oracle's
+    * `list_transform(generate_series(0,63), ...)` formula. */
+  def simhash64(hs: ArrayData): UTF8String = {
+    val n = hs.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getUTF8String(i).getBytes // 32 ascii hex chars
+      var b = 0
+      while (b < 64) {
+        val c = h(b >> 2)
+        val digit = if (c <= '9') c - '0' else c - 'a' + 10
+        acc(b) += 2 * ((digit >> (b & 3)) & 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var b = 0
+    while (b < 64) { out(b) = if (acc(b) > 0) '1' else '0'; b += 1 }
+    UTF8String.fromBytes(out)
+  }
+
+  /** 16-slot rotation MinHash over per-shingle md5 hex strings: slot i is
+    * `min over shingles of substr(md5(x)||md5(x), i+1, 16)` — identical
+    * to the oracle (the doubling is done internally). */
+  def minhash16(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    val mins = new Array[String](16)
+    var i = 0
+    while (i < n) {
+      val h32 = hs.getUTF8String(i).toString
+      val h = h32 + h32
+      var j = 0
+      while (j < 16) {
+        val sub = h.substring(j, j + 16)
+        if (mins(j) == null || sub.compareTo(mins(j)) < 0) mins(j) = sub
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+  }
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: UTF8String, b: UTF8String): Int = {
+    val x = a.getBytes
+    val y = b.getBytes
+    val n = math.min(x.length, y.length)
+    var d = 0
+    var i = 0
+    while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    HashOps.simhash64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.simhash64($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HammingDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.HashOps.hamming($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHash16(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    HashOps.minhash16(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.minhash16($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -108,5 +108,17 @@ object VectorFunctions {
       FunctionIdentifier("norm_f32"),
       new ExpressionInfo(classOf[NormF32].getName, "norm_f32"),
       (children: Seq[Expression]) => NormF32(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head))
+    reg.registerFunction(
+      FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[HammingDist].getName, "hamming64"),
+      (children: Seq[Expression]) => HammingDist(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+      (children: Seq[Expression]) => MinHash16(children.head))
   }
 }

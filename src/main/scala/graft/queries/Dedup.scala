@@ -12,19 +12,26 @@ import org.apache.spark.sql.functions._
   * counterpart).
   *
   * Scale design (100 TB):
-  *  - the O(n²) verifier (q35) is *blocked* by `source` — at scale you
-  *    never all-pairs the corpus; you block (or LSH) first;
-  *  - MinHash-LSH (q36) is the scale path: signatures are one narrow
-  *    projection (no shuffle), candidates come from an equi shuffle join
-  *    on (band, band_hash) — skew-safe because a band bucket only holds
-  *    genuine near-dups plus rare collisions;
+  *  - q35 computes pairwise Jaccard through an *inverted index*
+  *    (explode shingles → equi join on the shingle → count common per pair):
+  *    cost is proportional to real overlap, not to n², and the shingle
+  *    join shuffles by shingle hash — the classic sparse-similarity
+  *    pattern. Blocking by `source` additionally bounds any hot shingle.
+  *  - MinHash-LSH (q36) is the sub-linear path: one narrow projection
+  *    computes 16-slot signatures, candidates come from an equi join on
+  *    (band, band_hash) — a bucket only holds genuine near-dups plus
+  *    rare collisions, so the join never explodes;
   *  - SimHash (q37) gives a second, cheaper signature family: 64-bit
-  *    fingerprints, 4×16-bit band join, Hamming verify.
+  *    fingerprints, 4×16-bit band join, Hamming verify. Each word is
+  *    md5-hashed ONCE and all 64 bits are derived from the cached hex
+  *    (not 64 hashes/word).
   */
 object Dedup {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.load(s, dir, "documents")
+  }
 
   /** Word 3-gram shingle set (distinct), as a Column over `text`.
     * Matches the oracle's
@@ -39,7 +46,10 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- n-gram Jaccard near-dup pairs, blocked by source ----
+    // ---- n-gram Jaccard near-dup pairs via inverted index, blocked by
+    //      source. The oracle states the same semantics in its dense
+    //      (all-pairs) form — results are identical because every pair
+    //      with jaccard >= 0.5 shares at least one shingle. ----
     QueryDef.sql(
       "q35_ngram_jaccard",
       s"""WITH s AS (
@@ -52,28 +62,38 @@ object Dedup {
          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
          |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = docs(s, dir).select(col("doc_id"), col("source"), expr(shinglesExpr).as("sh"))
-      val a = sh.as("a")
-      val b = sh.as("b")
-      val j = size(array_intersect(col("a.sh"), col("b.sh"))) * 1.0 /
-        size(array_union(col("a.sh"), col("b.sh")))
-      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-        .where(j >= 0.5)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          round(j, 4).as("jaccard"))
+      val sized = docs(s, dir)
+        .select(col("doc_id"), col("source"), expr(shinglesExpr).as("sh"))
+        .select(col("doc_id"), col("source"), col("sh"), size(col("sh")).as("sz"))
+      val ex = sized.select(col("doc_id"), col("source"), col("sz"),
+        explode(col("sh")).as("shingle")).persist()
+      val a = ex.as("a")
+      val b = ex.as("b")
+      val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sz").as("sa"), col("b.sz").as("sb"))
+        .agg(count(lit(1)).as("c"))
+      val j = col("c") * 1.0 / (col("sa") + col("sb") - col("c"))
+      common.where(j >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
-    // ---- MinHash + banded LSH: 16 hashes, 4 bands × 4 rows ----
+    // ---- MinHash + banded LSH: 16 rotation-sliced views of one md5 per
+    //      shingle, 4 bands × 4 rows ----
     QueryDef.sql(
       "q36_minhash_lsh",
       s"""WITH s AS (
          |  SELECT doc_id, $shingleSql AS sh FROM documents
+         |), hs AS (
+         |  SELECT doc_id, sh, list_transform(sh, x -> md5(x) || md5(x)) AS hh FROM s
          |), sig AS (
          |  SELECT doc_id, sh,
          |    list_transform(generate_series(0, 15),
-         |      i -> list_min(list_transform(sh, x -> substr(md5(i::VARCHAR || '|' || x), 1, 15)))) AS sg
-         |  FROM s
+         |      i -> list_min(list_transform(hh, h -> substr(h, i + 1, 16)))) AS sg
+         |  FROM hs
          |), bands AS (
          |  SELECT doc_id, sh, j AS band,
          |    md5(sg[4*j+1] || sg[4*j+2] || sg[4*j+3] || sg[4*j+4]) AS bh
@@ -89,45 +109,52 @@ object Dedup {
          |WHERE len(list_intersect(sha, shb)) * 1.0 /
          |      len(list_distinct(list_concat(sha, shb))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh"))
-      val sig = sh.withColumn("sg", expr(
-        "transform(sequence(0, 15), " +
-          "i -> array_min(transform(sh, x -> substr(md5(concat(cast(i AS string), '|', x)), 1, 15))))"))
-      val bands = sig.select(
-        col("doc_id"), col("sh"),
-        explode(expr(
-          """transform(sequence(0, 3), j -> named_struct(
-            |  'band', j,
-            |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
-            |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
-          .as("b"))
-        .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
+      // materialize the shingle table once — it feeds the band builder and
+      // both candidate-verify joins (at scale this is a persisted signature
+      // table, not a recomputation per subtree)
+      val shingled = docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist()
+      // bands carry ONLY (doc_id, band, bh): the LSH join shuffles ~50
+      // bytes/row, not the shingle arrays; candidate pairs are rare, so
+      // their shingles are fetched afterwards via two joins
+      val bands = shingled
+        .withColumn("sg", expr("minhash16(transform(sh, x -> md5(x)))"))
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, 3), j -> named_struct(
+              |  'band', j,
+              |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
+              |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
+            .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
       val a = bands.as("a")
       val b = bands.as("b")
       val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh").as("sha"), col("b.sh").as("shb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      val withSh = cand
+        .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       val j = size(array_intersect(col("sha"), col("shb"))) * 1.0 /
         size(array_union(col("sha"), col("shb")))
-      cand.where(j >= 0.5)
+      withSh.where(j >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(j, 4).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
-    // ---- SimHash: 64-bit signed-sum fingerprint over words, banded
-    //      4×16-bit LSH join, Hamming-distance verify ≤ 6 ----
+    // ---- SimHash: 64-bit signed-sum fingerprint over words (one md5 per
+    //      word), banded 4×16-bit LSH join, Hamming verify ≤ 6 ----
     QueryDef.sql(
       "q37_simhash",
       """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  SELECT doc_id, list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+        |  FROM documents
         |), bits AS (
         |  SELECT doc_id,
         |    list_transform(generate_series(0, 63), b ->
-        |      CASE WHEN list_sum(list_transform(ws, w ->
-        |        2 * (((instr('0123456789abcdef', substr(md5(w), (b // 4) + 1, 1)) - 1) >> (b % 4)) & 1) - 1
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        2 * (((instr('0123456789abcdef', substr(h, (b // 4) + 1, 1)) - 1) >> (b % 4)) & 1) - 1
         |      )) > 0 THEN '1' ELSE '0' END) AS bl
         |  FROM w
         |), sh AS (
@@ -145,13 +172,8 @@ object Dedup {
         |FROM cand
         |WHERE len(list_filter(generate_series(1, 64), i -> substr(ha, i, 1) != substr(hb, i, 1))) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val w = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val sh = w.select(col("doc_id"), expr(
-        """array_join(transform(sequence(0, 63), b ->
-          |  CASE WHEN aggregate(ws, 0, (acc, w) -> acc +
-          |    2 * (shiftright(instr('0123456789abcdef', substr(md5(w), (b div 4) + 1, 1)) - 1,
-          |                    b % 4) & 1) - 1
-          |  ) > 0 THEN '1' ELSE '0' END), '')""".stripMargin).as("simhash"))
+      val sh = docs(s, dir).select(col("doc_id"),
+        expr("simhash64(transform(split(text, ' '), w -> md5(w)))").as("simhash"))
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), j -> named_struct(" +
@@ -165,8 +187,7 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.simhash").as("ha"), col("b.simhash").as("hb"))
         .distinct()
-      val hamming = expr(
-        "size(filter(sequence(1, 64), i -> substring(ha, i, 1) != substring(hb, i, 1)))")
+      val hamming = expr("hamming64(ha, hb)")
       cand.where(hamming <= 6)
         .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
         .orderBy("doc_a", "doc_b")
