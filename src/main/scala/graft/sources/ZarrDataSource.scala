@@ -56,29 +56,39 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val store = storeFor(options)
-    val metas = store.listArrays().map(store.readMeta)
-    val inferred = ZarrDataSource.schemaOf(metas)
-    // a user-supplied schema is a column selection + type assertion
-    // (reference `table_provider.rs:147-163`)
-    val effective =
-      if (schema == null || schema.isEmpty || schema == inferred) inferred
-      else {
-        val byName = inferred.fields.map(f => f.name -> f).toMap
-        schema.fields.foreach { f =>
-          byName.get(f.name) match {
-            case None =>
-              throw new ZarrException(s"Column ${f.name} not found in zarr store")
-            case Some(inf) if inf.dataType != f.dataType =>
-              throw new ZarrException(
-                s"Column ${f.name}: requested type ${f.dataType.sql} does not match " +
-                  s"stored type ${inf.dataType.sql}")
-            case _ => ()
-          }
-        }
-        StructType(schema.fields.map(f => byName(f.name)))
+    // a missing/empty store with a caller-supplied schema is a WRITE
+    // target (df.write.format("zarr").save(path))
+    val metas =
+      try store.listArrays().map(store.readMeta)
+      catch {
+        case _: ZarrException if schema != null && schema.nonEmpty => Seq.empty[ZarrArrayMeta]
       }
-    val selected = effective.fields.map(_.name).toSet
-    new ZarrTable(store, effective, metas.filter(m => selected(m.name)))
+    if (metas.isEmpty) return new ZarrTable(store, schema, Seq.empty)
+    val inferred = ZarrDataSource.schemaOf(metas)
+    // a user-supplied schema is a column selection + type assertion for
+    // READS (reference `table_provider.rs:147-163`) — but the same entry
+    // point also serves schema-changing OVERWRITE writes, so a mismatch
+    // is only an error if the table is then scanned (validated lazily in
+    // newScanBuilder)
+    if (schema == null || schema.isEmpty || schema == inferred)
+      return new ZarrTable(store, inferred, metas)
+    val byName = inferred.fields.map(f => f.name -> f).toMap
+    val mismatch: Option[String] = schema.fields.iterator.flatMap { f =>
+      byName.get(f.name) match {
+        case None => Some(s"Column ${f.name} not found in zarr store")
+        case Some(inf) if inf.dataType != f.dataType =>
+          Some(s"Column ${f.name}: requested type ${f.dataType.sql} does not match " +
+            s"stored type ${inf.dataType.sql}")
+        case _ => None
+      }
+    }.take(1).toSeq.headOption
+    mismatch match {
+      case Some(err) => new ZarrTable(store, schema, metas, Some(err))
+      case None =>
+        val effective = StructType(schema.fields.map(f => byName(f.name)))
+        val selected = effective.fields.map(_.name).toSet
+        new ZarrTable(store, effective, metas.filter(m => selected(m.name)))
+    }
   }
 }
 
@@ -87,14 +97,27 @@ object ZarrDataSource {
     StructType(metas.map(m => StructField(m.name, m.dataType.sparkType, nullable = true)))
 }
 
-class ZarrTable(store: ZarrStore, tableSchema: StructType, metas: Seq[ZarrArrayMeta])
-    extends Table with SupportsRead {
+class ZarrTable(
+    store: ZarrStore, tableSchema: StructType, metas: Seq[ZarrArrayMeta],
+    schemaError: Option[String] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"zarr:${store.root}"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    schemaError.foreach(e => throw new ZarrException(e))
     new ZarrScanBuilder(store, tableSchema, metas, options)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ZarrWriteBuilder(store, info)
 }
 
 class ZarrScanBuilder(

@@ -44,6 +44,19 @@ object ZarrDemo {
         |FROM d1 JOIN d2 ON d1.lat = d2.lat AND d1.lon = d2.lon""".stripMargin)
     println("=== CTE self-join: " + join.collect().mkString)
 
+    // write path: DataFrame -> zarr store -> read back
+    val outStore = Files.createTempDirectory("zarr-demo-w").toString + "/written"
+    spark.range(0, 1000)
+      .selectExpr("id", "cast(id * 0.5 as double) AS half", "concat('n', id) AS name")
+      .coalesce(1)
+      .write.format("zarr").mode("append")
+      .option("chunk_size", "128").option("codec", "blosc")
+      .save(outStore)
+    val back = spark.read.format("zarr").load(outStore)
+    println("=== written store schema: " + back.schema.simpleString)
+    println("=== written rows: " + back.count() +
+      ", checksum: " + back.agg(sum(col("half"))).collect()(0).getDouble(0))
+
     spark.stop()
   }
 }

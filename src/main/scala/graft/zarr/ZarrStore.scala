@@ -79,4 +79,20 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   }
 
   def delete(): Unit = if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+  /** Metadata-only move of a chunk object (commit-time re-keying). */
+  def rename(fromKey: String, toKey: String): Unit = {
+    val to = new Path(rootPath, toKey)
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(new Path(rootPath, fromKey), to))
+      throw new ZarrException(s"rename failed: $fromKey -> $toKey")
+  }
+
+  /** Remove leftover staging directories (`<array>/c.part<N>/`). */
+  def cleanStaging(arrayName: String): Unit = {
+    val dir = new Path(rootPath, arrayName)
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("c.part"))
+        .foreach(st => fs.delete(st.getPath, true))
+  }
 }

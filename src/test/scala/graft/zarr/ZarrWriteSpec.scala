@@ -1,0 +1,125 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import graft.sources.ZarrWriteSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 write-path tests: df.write.format("zarr") → read back.
+  * (The reference has no public write path; this is the SURVEY §7 stretch
+  * / north-star extension.) */
+class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zarr-write-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-write").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("roundtrip: single partition, mixed types, blosc") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 100)
+      .map(i => (i.toLong, i * 1.5, s"row$i", i % 2 == 0))
+      .toDF("id", "x", "name", "flag")
+      .coalesce(1)
+    df.write.format("zarr").mode("append").option("chunk_size", "16").save(s"$base/rt")
+
+    val back = spark.read.format("zarr").load(s"$base/rt")
+    assert(back.count() == 100)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("flag", "id", "name", "x"))
+    val rows = back.orderBy("id").collect()
+    assert(rows(42).getAs[Long]("id") == 42L)
+    assert(rows(42).getAs[Double]("x") == 63.0)
+    assert(rows(42).getAs[String]("name") == "row42")
+    assert(rows(42).getAs[Boolean]("flag") == true)
+  }
+
+  test("staged multi-partition write renames to correct global order") {
+    val sp = spark; import sp.implicits._
+    // 3 partitions × 20 rows each, chunk_size 10 → alignment holds (20 % 10 == 0)
+    val df = ZarrWriteSupport.alignForWrite(
+      (0 until 60).map(i => (i.toLong, i * 2.0)).toDF("id", "v"), 20)
+    df.write.format("zarr").mode("overwrite")
+      .option("chunk_size", "10").save(s"$base/multi")
+    val back = spark.read.format("zarr").load(s"$base/multi")
+      .orderBy("id").collect()
+    assert(back.length == 60)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("id") == i.toLong)
+      assert(r.getAs[Double]("v") == i * 2.0)
+    }
+  }
+
+  test("fast path: rows_per_partition avoids staging entirely") {
+    val sp = spark; import sp.implicits._
+    val df = ZarrWriteSupport.alignForWrite(
+      (0 until 50).map(i => (i.toLong, s"s$i")).toDF("id", "s"), 20)
+    df.write.format("zarr").mode("overwrite")
+      .option("chunk_size", "10").option("rows_per_partition", "20")
+      .save(s"$base/fast")
+    // no staging dirs should remain
+    val idDir = new java.io.File(s"$base/fast/id")
+    assert(!idDir.listFiles().exists(_.getName.startsWith("c.part")))
+    val back = spark.read.format("zarr").load(s"$base/fast").orderBy("id").collect()
+    assert(back.length == 50)
+    assert(back(49).getAs[String]("s") == "s49")
+  }
+
+  test("misaligned partitions fail with a clear error") {
+    val sp = spark; import sp.implicits._
+    // 3 partitions of 7/7/7ish rows with chunk_size 10 → violation
+    val df = (0 until 21).map(i => Tuple1(i.toLong)).toDF("id").repartition(3)
+    val e = intercept[Exception] {
+      df.write.format("zarr").mode("overwrite")
+        .option("chunk_size", "10").save(s"$base/bad")
+    }
+    assert(e.getMessage.contains("alignment") ||
+      e.getCause != null && e.getCause.getMessage.contains("alignment"))
+  }
+
+  test("overwrite replaces prior content") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/ow"
+    (0 until 30).map(i => Tuple1(i.toLong)).toDF("a").coalesce(1)
+      .write.format("zarr").mode("append").option("chunk_size", "8").save(p)
+    (0 until 5).map(i => Tuple1(i * 10.0)).toDF("b").coalesce(1)
+      .write.format("zarr").mode("overwrite").option("chunk_size", "8").save(p)
+    val back = spark.read.format("zarr").load(p)
+    assert(back.columns.toSeq == Seq("b"))
+    assert(back.count() == 5)
+  }
+
+  test("unsupported type fails fast") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(Tuple1(Array(1, 2, 3))).toDF("arr").coalesce(1)
+    val e = intercept[Exception] {
+      df.write.format("zarr").mode("overwrite").save(s"$base/unsup")
+    }
+    assert(e.getMessage.contains("zarr") || e.getCause != null)
+  }
+
+  test("write then filter pushdown on the written store") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/pushdown"
+    (0 until 1000).map(i => (i.toLong, i % 50))
+      .toDF("id", "bucket").coalesce(1)
+      .write.format("zarr").mode("append")
+      .option("chunk_size", "100").option("codec", "zstd").save(p)
+    val got = spark.read.format("zarr").load(p)
+      .filter(col("id") >= 990).select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (990L until 1000L).toSeq)
+  }
+}
