@@ -22,7 +22,14 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     c
   }
   @transient private lazy val rootPath = new Path(root)
-  @transient private lazy val fs: FileSystem = rootPath.getFileSystem(conf)
+  @transient private lazy val fs: FileSystem = {
+    val f = rootPath.getFileSystem(conf)
+    // chunk integrity is covered by the zarr codec chain (crc32c codec);
+    // Hadoop's local .crc sidecar files only add IO + rename hazards
+    f.setVerifyChecksum(false)
+    f.setWriteChecksum(false)
+    f
+  }
 
   /** Array names directly under the root that carry a `zarr.json`
     * (mirrors schema-inference listing, `config.rs:201-258`). Sorted for a
