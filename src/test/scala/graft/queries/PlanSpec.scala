@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality guards: these assertions encode the 100 TB
+  * design intent (SURVEY §4 / builder notes) so a regression in plan
+  * shape fails CI even while results stay correct.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema: only the referenced columns
+    assert(!p.contains("l_comment"), "scan must not read unreferenced columns")
+  }
+
+  test("q04: dimension join is broadcast, fact side not shuffled by join") {
+    val p = plan("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q05: star join uses broadcast for all dimension tables") {
+    val p = plan("q05_multi_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q07_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), "global sort must not appear for order+limit")
+  }
+
+  test("q01: aggregation is partial (map-side) + final") {
+    val p = plan("q01_agg")
+    assert(p.contains("partial_"), s"expected partial aggregation\n$p")
+  }
+
+  test("q11/q12: EXISTS / NOT EXISTS plan as semi/anti joins") {
+    assert(plan("q11_semi_join").contains("LeftSemi"), "left semi expected")
+    assert(plan("q12_anti_join").contains("LeftAnti"), "left anti expected")
+  }
+
+  test("q38: ANN brute force broadcasts the query side") {
+    val p = plan("q38_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // AQE finalizes codegen stages only on execution
+    val df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the final plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+  }
+}
