@@ -245,6 +245,35 @@ class ZarrConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latlon.count() == 64)
   }
 
+  test("3-D data with three 1-D coordinates broadcasts to the full grid") {
+    val dir = s"$storeDir/cube"
+    val store = ZarrStore(dir)
+    store.writeStoreRootMeta()
+    // 4x3x2 cube, chunks 2x2x2 (edge chunks on dims 1,2)
+    ZarrWriter.writeArray(store, "t", ZarrType.Float64, Seq(4), Seq(2),
+      (0 until 4).map(_ * 10.0), Some(Seq("t")), ZarrWriter.CodecChain.gzip)
+    ZarrWriter.writeArray(store, "y", ZarrType.Float64, Seq(3), Seq(2),
+      (0 until 3).map(_ * 1.0), Some(Seq("y")), ZarrWriter.CodecChain.gzip)
+    ZarrWriter.writeArray(store, "x", ZarrType.Float64, Seq(2), Seq(2),
+      (0 until 2).map(_ * 0.1), Some(Seq("x")), ZarrWriter.CodecChain.gzip)
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(4, 3, 2), Seq(2, 2, 2),
+      (0 until 24).map(_.toDouble), Some(Seq("t", "y", "x")), ZarrWriter.CodecChain.gzip)
+    val rows = read(dir).select("t", "y", "x", "v").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 24)
+    rows.foreach { case (t, y, x, v) =>
+      // v enumerated row-major over (t, y, x)
+      val vi = v.toInt
+      assert(t == (vi / 6) * 10.0, s"t for $v")
+      assert(y == ((vi / 2) % 3) * 1.0, s"y for $v")
+      assert(math.abs(x - (vi % 2) * 0.1) < 1e-9, s"x for $v")
+    }
+    // filter on one coordinate prunes via chunk skip and stays exact
+    val f = read(dir).filter(col("t") === 20.0 && col("x") > 0.05)
+      .select("v").collect().map(_.getDouble(0)).sorted
+    assert(f.sameElements(Array(13.0, 15.0, 17.0)))
+  }
+
   test("explain shows pushed filters reach the scan") {
     val plan = latlon.filter(col("lat") < 38.1).queryExecution.executedPlan.toString
     assert(plan.contains("ZarrScan") || plan.contains("BatchScan"))
