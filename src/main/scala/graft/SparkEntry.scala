@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Extras.defs ++
       _root_.graft.queries.TextOps.defs ++
       _root_.graft.queries.Dedup.defs ++
       _root_.graft.queries.Similarity.defs ++

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2B scalar-function families (json / math / array)
+  * plus a skew-handling join pattern. */
+object Extras {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- JSON extraction over the events props column ----
+    QueryDef.sql(
+      "q25_json",
+      """SELECT json_extract_string(props, '$.k') AS k,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY CAST(k AS INT)""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(get_json_object(col("props"), "$.k").as("k"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("k").cast("int"))
+    },
+
+    // ---- math scalar functions ----
+    QueryDef.sql(
+      "q26_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 4) AS root,
+        |  round(pow(l_discount + 1, 3), 6) AS cubed,
+        |  round(ln(l_extendedprice), 6) AS logp,
+        |  CAST(ceil(l_quantity / 7) AS BIGINT) AS bucket,
+        |  abs(l_quantity - 25) AS dist25
+        |FROM lineitem
+        |WHERE l_quantity > 47
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 47)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 4).as("root"),
+          round(pow(col("l_discount") + 1, 3), 6).as("cubed"),
+          round(log(col("l_extendedprice")), 6).as("logp"),
+          ceil(col("l_quantity") / 7).cast("long").as("bucket"),
+          abs(col("l_quantity") - 25).as("dist25"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- array functions over the embedding column ----
+    QueryDef.sql(
+      "q27_array_funcs",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS head_sum,
+        |  round(list_max(list_transform(embedding, x -> x::DOUBLE)), 6) AS vmax,
+        |  round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS vmin
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(expr(
+            "aggregate(slice(embedding, 1, 8), CAST(0 AS double), (a, x) -> a + CAST(x AS double))"),
+            6).as("head_sum"),
+          round(expr("CAST(array_max(embedding) AS double)"), 6).as("vmax"),
+          round(expr("CAST(array_min(embedding) AS double)"), 6).as("vmin"))
+        .orderBy("vec_id")
+    },
+
+    // ---- skew-handling: salted aggregation-join. The salt spreads a hot
+    //      key across 8 shuffle partitions before the final combine; the
+    //      oracle states the logically-identical unsalted form. ----
+    QueryDef.sql(
+      "q28_salted_agg",
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      // two-phase salted aggregation: (key, salt) partial -> key final;
+      // result identical, hot keys spread 8-ways in the first shuffle
+      t(s, dir, "orders")
+        .withColumn("salt", pmod(col("o_orderkey"), lit(8)))
+        .groupBy(col("o_custkey"), col("salt"))
+        .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("ps"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("pn")).as("n_orders"), round(sum(col("ps")), 2).as("spend"))
+        .orderBy("o_custkey")
+    })
+}
