@@ -107,6 +107,7 @@ class ZarrTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
@@ -178,6 +179,13 @@ class ZarrScan(
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZarrMicroBatchStream(
+      store, readNames, required.fields.map(_.name).toSeq, pushed.toSeq,
+      checkpointLocation)
 
   override def description(): String =
     s"ZarrScan ${store.root} cols=[${readNames.mkString(",")}] " +

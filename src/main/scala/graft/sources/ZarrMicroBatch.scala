@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.zarr._
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+
+/** Streaming read of a Zarr store that GROWS along its first dimension
+  * (the common append pattern for time-series arrays: shape[0] advances,
+  * chunk grid otherwise fixed).
+  *
+  * The reference is strictly bounded (`Boundedness::Bounded`,
+  * `scanner.rs:54`); this extends the same scan machinery to Structured
+  * Streaming: an offset is the number of *complete target chunks*
+  * currently present per live `zarr.json` metadata, and each micro-batch
+  * is a contiguous range of chunk ordinals — chunk ordinals are stable
+  * under dim-0 growth because the row-major grid suffix (dims 1..n) is
+  * fixed.
+  *
+  *   spark.readStream.format("zarr").load(path)
+  */
+final case class ZarrOffset(chunks: Long) extends Offset {
+  override def json(): String = chunks.toString
+}
+
+class ZarrMicroBatchStream(
+    store: ZarrStore,
+    arrayNames: Seq[String],
+    outputNames: Seq[String],
+    pushed: Seq[Filter],
+    checkpointLocation: String)
+    extends MicroBatchStream {
+
+  private def currentGeometry(): (ScanGeometry, Seq[(String, String)]) = {
+    val metas = arrayNames.map(store.readMeta)
+    (ScanGeometry.resolve(metas), metas.map(m => m.name -> m.sourceJson))
+  }
+
+  @volatile private var planned: Seq[(String, String)] = Seq.empty
+
+  override def initialOffset(): Offset = ZarrOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val (g, _) = currentGeometry()
+    ZarrOffset(g.numChunks)
+  }
+
+  override def deserializeOffset(json: String): Offset = ZarrOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[ZarrOffset].chunks
+    val hi = end.asInstanceOf[ZarrOffset].chunks
+    val (_, metaJsons) = currentGeometry()
+    planned = metaJsons
+    if (hi <= lo) Array.empty
+    else {
+      // one partition per up-to-64-chunk range within the new window
+      val n = math.max(1, math.min(hi - lo, 32L)).toInt
+      val per = math.max(1L, (hi - lo + n - 1) / n)
+      (0 until n).iterator
+        .map(i => (lo + i * per, math.min(hi, lo + (i + 1) * per)))
+        .filter { case (a, b) => b > a }
+        .map { case (a, b) => ZarrInputPartition(a, b): InputPartition }
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrReaderFactory(store, planned, outputNames, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

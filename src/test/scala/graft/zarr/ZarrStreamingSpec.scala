@@ -1,0 +1,79 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming zarr source: a store appended along dim 0 is consumed
+  * incrementally (offset = complete-chunk count). */
+class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zarr-streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-stream").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeSeries(dir: String, n: Int): Unit = {
+    val store = ZarrStore(dir)
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(n), Seq(4),
+      (0 until n).map(_ * 1.0), None, ZarrWriter.CodecChain.gzip)
+  }
+
+  test("micro-batch stream picks up appended chunks exactly once") {
+    val dir = s"$base/grow"
+    val ckpt = s"$base/ckpt"
+    writeSeries(dir, 12) // 3 chunks of 4
+
+    val outDir = s"$base/out"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    runOnce()
+    val first = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(first.length == 12)
+    assert(first.sameElements((0 until 12).map(_ * 1.0)))
+
+    // append: extend shape to 20 (5 chunks), write the 2 new chunks
+    writeSeries(dir, 20)
+    runOnce()
+    val all = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(all.length == 20, s"expected 20 rows after growth, got ${all.length}")
+    assert(all.sameElements((0 until 20).map(_ * 1.0)))
+  }
+
+  test("streaming aggregation over a zarr store") {
+    val dir = s"$base/agg"
+    writeSeries(dir, 16)
+    val q = spark.readStream.format("zarr").load(dir)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .writeStream.format("memory").queryName("zagg")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("zagg").collect()(0)
+    assert(r.getLong(0) == 16 && r.getDouble(1) == (0 until 16).map(_ * 1.0).sum)
+  }
+}
