@@ -125,6 +125,35 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     }
   }
 
+  /** Decoded chunks awaiting emission: (per-column data, rows). Small
+    * chunks are coalesced into one ColumnarBatch of up to
+    * [[targetBatchRows]] rows — the reference emits one batch per chunk
+    * (`zarr_data_stream.rs:239-242`), which for its own bench layout
+    * (8×8 chunks = 64-row batches) pays per-batch operator overhead 64×
+    * more often than needed. */
+  private val targetBatchRows = 4096
+  private val pending =
+    scala.collection.mutable.ArrayBuffer.empty[(Map[String, (ChunkColumn, Array[Int])], Int)]
+  private var pendingRows = 0
+
+  private def emitPending(): ColumnarBatch = {
+    val total = pendingRows
+    val vectors: Array[ColumnVector] = f.outputNames.map { n =>
+      val meta = metas.find(_.name == n).get
+      val vec = new OnHeapColumnVector(total, meta.dataType.sparkType)
+      var off = 0
+      pending.foreach { case (cols, nRows) =>
+        val (c, mapping) = cols(n)
+        c.writeTo(vec, mapping, nRows, off)
+        off += nRows
+      }
+      vec: ColumnVector
+    }.toArray
+    pending.clear()
+    pendingRows = 0
+    new ColumnarBatch(vectors, total)
+  }
+
   override def next(): Boolean = {
     while (ord < part.hi) {
       val o = ord
@@ -155,18 +184,18 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
               n -> (decoded(n, idx, raw2), ChunkColumn.mapping(role, geometry.targetChunk, extent))
             }.toMap
           }
-        val all = phase1Cols ++ phase2Cols
-        val vectors: Array[ColumnVector] = f.outputNames.map { n =>
-          val meta = metas.find(_.name == n).get
-          val vec = new OnHeapColumnVector(nRows, meta.dataType.sparkType)
-          val (c, mapping) = all(n)
-          c.writeTo(vec, mapping, nRows)
-          vec: ColumnVector
-        }.toArray
-        current = new ColumnarBatch(vectors, nRows)
-        return true
+        pending += ((phase1Cols ++ phase2Cols, nRows))
+        pendingRows += nRows
+        if (pendingRows >= targetBatchRows) {
+          current = emitPending()
+          return true
+        }
       }
-      // chunk skipped: loop to the next ordinal
+      // chunk skipped or batch not yet full: continue
+    }
+    if (pendingRows > 0) {
+      current = emitPending()
+      return true
     }
     false
   }

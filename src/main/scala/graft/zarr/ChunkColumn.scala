@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.Decimal
 sealed trait ChunkColumn {
   def zt: ZarrType
   def get(elem: Int): Any
-  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit
+  /** Write mapped values into `vec` rows [off, off+nRows). */
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit
 }
 
 /** Fixed-width primitives over the decoded chunk buffer. */
@@ -46,35 +47,35 @@ final class PrimColumn(val zt: ZarrType, buf0: Array[Byte], order: ByteOrder)
     case ZarrType.Str => throw new ZarrException("string in PrimColumn")
   }
 
-  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit = {
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit = {
     var r = 0
     zt match {
       case ZarrType.Bool =>
-        while (r < nRows) { vec.putBoolean(r, buf.get(m(mapping, r)) != 0); r += 1 }
+        while (r < nRows) { vec.putBoolean(off + r, buf.get(m(mapping, r)) != 0); r += 1 }
       case ZarrType.Int8 =>
-        while (r < nRows) { vec.putByte(r, buf.get(m(mapping, r))); r += 1 }
+        while (r < nRows) { vec.putByte(off + r, buf.get(m(mapping, r))); r += 1 }
       case ZarrType.Int16 =>
-        while (r < nRows) { vec.putShort(r, buf.getShort(m(mapping, r) * 2)); r += 1 }
+        while (r < nRows) { vec.putShort(off + r, buf.getShort(m(mapping, r) * 2)); r += 1 }
       case ZarrType.Int32 =>
-        while (r < nRows) { vec.putInt(r, buf.getInt(m(mapping, r) * 4)); r += 1 }
+        while (r < nRows) { vec.putInt(off + r, buf.getInt(m(mapping, r) * 4)); r += 1 }
       case ZarrType.Int64 =>
-        while (r < nRows) { vec.putLong(r, buf.getLong(m(mapping, r) * 8)); r += 1 }
+        while (r < nRows) { vec.putLong(off + r, buf.getLong(m(mapping, r) * 8)); r += 1 }
       case ZarrType.UInt8 =>
-        while (r < nRows) { vec.putShort(r, (buf.get(m(mapping, r)) & 0xff).toShort); r += 1 }
+        while (r < nRows) { vec.putShort(off + r, (buf.get(m(mapping, r)) & 0xff).toShort); r += 1 }
       case ZarrType.UInt16 =>
-        while (r < nRows) { vec.putInt(r, buf.getShort(m(mapping, r) * 2) & 0xffff); r += 1 }
+        while (r < nRows) { vec.putInt(off + r, buf.getShort(m(mapping, r) * 2) & 0xffff); r += 1 }
       case ZarrType.UInt32 =>
-        while (r < nRows) { vec.putLong(r, buf.getInt(m(mapping, r) * 4) & 0xffffffffL); r += 1 }
+        while (r < nRows) { vec.putLong(off + r, buf.getInt(m(mapping, r) * 4) & 0xffffffffL); r += 1 }
       case ZarrType.UInt64 =>
         while (r < nRows) {
           val v = Decimal(new java.math.BigDecimal(
             java.lang.Long.toUnsignedString(buf.getLong(m(mapping, r) * 8))))
-          vec.putDecimal(r, v, 20); r += 1
+          vec.putDecimal(off + r, v, 20); r += 1
         }
       case ZarrType.Float32 =>
-        while (r < nRows) { vec.putFloat(r, buf.getFloat(m(mapping, r) * 4)); r += 1 }
+        while (r < nRows) { vec.putFloat(off + r, buf.getFloat(m(mapping, r) * 4)); r += 1 }
       case ZarrType.Float64 =>
-        while (r < nRows) { vec.putDouble(r, buf.getDouble(m(mapping, r) * 8)); r += 1 }
+        while (r < nRows) { vec.putDouble(off + r, buf.getDouble(m(mapping, r) * 8)); r += 1 }
       case ZarrType.Str => throw new ZarrException("string in PrimColumn")
     }
   }
@@ -87,11 +88,11 @@ final class PrimColumn(val zt: ZarrType, buf0: Array[Byte], order: ByteOrder)
 final class StrColumn(values: Array[String]) extends ChunkColumn {
   val zt: ZarrType = ZarrType.Str
   def get(elem: Int): Any = values(elem)
-  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit = {
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit = {
     var r = 0
     while (r < nRows) {
       val b = values(if (mapping eq null) r else mapping(r)).getBytes(StandardCharsets.UTF_8)
-      vec.putByteArray(r, b)
+      vec.putByteArray(off + r, b)
       r += 1
     }
   }
@@ -101,36 +102,36 @@ final class StrColumn(values: Array[String]) extends ChunkColumn {
   * `zarr_data_stream.rs:388-398`). */
 final class FillColumn(val zt: ZarrType, fill: Any) extends ChunkColumn {
   def get(elem: Int): Any = fill
-  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int): Unit = {
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit = {
     var r = 0
     zt match {
       case ZarrType.Bool =>
         val v = fill.asInstanceOf[Boolean]
-        while (r < nRows) { vec.putBoolean(r, v); r += 1 }
+        while (r < nRows) { vec.putBoolean(off + r, v); r += 1 }
       case ZarrType.Int8 =>
         val v = fill.asInstanceOf[Byte]
-        while (r < nRows) { vec.putByte(r, v); r += 1 }
+        while (r < nRows) { vec.putByte(off + r, v); r += 1 }
       case ZarrType.Int16 | ZarrType.UInt8 =>
         val v = fill.asInstanceOf[Short]
-        while (r < nRows) { vec.putShort(r, v); r += 1 }
+        while (r < nRows) { vec.putShort(off + r, v); r += 1 }
       case ZarrType.Int32 | ZarrType.UInt16 =>
         val v = fill.asInstanceOf[Int]
-        while (r < nRows) { vec.putInt(r, v); r += 1 }
+        while (r < nRows) { vec.putInt(off + r, v); r += 1 }
       case ZarrType.Int64 | ZarrType.UInt32 =>
         val v = fill.asInstanceOf[Long]
-        while (r < nRows) { vec.putLong(r, v); r += 1 }
+        while (r < nRows) { vec.putLong(off + r, v); r += 1 }
       case ZarrType.UInt64 =>
         val v = Decimal(fill.asInstanceOf[java.math.BigDecimal])
-        while (r < nRows) { vec.putDecimal(r, v, 20); r += 1 }
+        while (r < nRows) { vec.putDecimal(off + r, v, 20); r += 1 }
       case ZarrType.Float32 =>
         val v = fill.asInstanceOf[Float]
-        while (r < nRows) { vec.putFloat(r, v); r += 1 }
+        while (r < nRows) { vec.putFloat(off + r, v); r += 1 }
       case ZarrType.Float64 =>
         val v = fill.asInstanceOf[Double]
-        while (r < nRows) { vec.putDouble(r, v); r += 1 }
+        while (r < nRows) { vec.putDouble(off + r, v); r += 1 }
       case ZarrType.Str =>
         val b = fill.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
-        while (r < nRows) { vec.putByteArray(r, b); r += 1 }
+        while (r < nRows) { vec.putByteArray(off + r, b); r += 1 }
     }
   }
 }
