@@ -29,16 +29,6 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
   }
 
-  /** Sum of elementwise double products of two 64-dim float vectors —
-    * identical fold order in Spark and DuckDB. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS double) * CAST(y AS double)), " +
-      "CAST(0 AS double), (acc, v) -> acc + v)"
-
-  private def normExpr(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> CAST(x AS double) * CAST(x AS double)), " +
-      "CAST(0 AS double), (acc, v) -> acc + v))"
-
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))"
 
