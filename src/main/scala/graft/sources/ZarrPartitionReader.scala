@@ -80,10 +80,24 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     val t = new Thread(r, "zarr-prefetch"); t.setDaemon(true); t
   }
 
+  /** Sliding prefetch window: up to [[prefetchDepth]] chunks' phase-1
+    * bytes are in flight at once (the reference pipelines exactly one
+    * chunk ahead, `zarr_data_stream.rs:647-711`; a deeper window hides
+    * object-store latency when chunks are small). IO stays on one
+    * dedicated thread, so depth bounds memory, not thread count. */
+  private val prefetchDepth = 4
+  private val inflightQ =
+    new java.util.ArrayDeque[JFuture[Map[String, Option[Array[Byte]]]]]()
+  private var nextToSubmit: Long = part.lo
   private var ord: Long = part.lo
-  private var inflight: JFuture[Map[String, Option[Array[Byte]]]] =
-    if (part.lo < part.hi) submitFetch(part.lo, phase1) else null
   private var current: ColumnarBatch = null
+
+  private def topUpPrefetch(): Unit =
+    while (inflightQ.size() < prefetchDepth && nextToSubmit < part.hi) {
+      inflightQ.addLast(submitFetch(nextToSubmit, phase1))
+      nextToSubmit += 1
+    }
+  topUpPrefetch()
 
   private def chunkKeyFor(name: String, idx: Array[Int]): String = {
     val m = roleOf(name) match { case DataCol(mm) => mm; case CoordCol(mm, _) => mm }
@@ -160,11 +174,10 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       val idx = geometry.chunkIndex(o)
       val extent = geometry.chunkExtent(idx)
       val nRows = extent.product
-      val raw1 = inflight.get()
-      // pipeline: start fetching the NEXT chunk's phase-1 columns while we
-      // decode/filter/emit this one
+      val raw1 = inflightQ.pollFirst().get()
       ord += 1
-      inflight = if (ord < part.hi) submitFetch(ord, phase1) else null
+      // keep the window full while we decode/filter/emit this chunk
+      topUpPrefetch()
 
       val phase1Cols: Map[String, (ChunkColumn, Array[Int])] =
         phase1.map { n =>

@@ -1,0 +1,68 @@
+package graft.tools
+
+import graft.zarr.{ZarrStore, ZarrType, ZarrWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scan-throughput comparison: the same 4-column float64 dataset stored
+  * as (a) a Zarr v3 store with realistic 256k-element chunks and (b)
+  * parquet, scanned via `sum(all columns)` through the noop-free agg
+  * path. Reports rows/s for full scan, projected scan (1 of 4 cols) and
+  * filtered scan. */
+object ScanBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val n = 8 * 1024 * 1024 // 8M rows x 4 doubles = 256 MB raw
+    val zarrDir = "target/scan-bench-zarr"
+    val pqDir = "target/scan-bench-parquet"
+
+    if (!new java.io.File(s"$zarrDir/c0/zarr.json").exists()) {
+      System.err.println("[scan-bench] building stores (one-time)...")
+      val store = ZarrStore(zarrDir)
+      store.writeStoreRootMeta()
+      (0 until 4).foreach { c =>
+        ZarrWriter.writeArray(store, s"c$c", ZarrType.Float64,
+          Seq(n.toLong), Seq(256 * 1024),
+          new IndexedSeq[Any] {
+            def length: Int = n
+            def apply(i: Int): Any = (i * (c + 1)).toDouble
+          },
+          None, ZarrWriter.CodecChain.bloscLz4)
+      }
+      spark.range(0, n).select(
+        ($"id" * 1.0).as("c0"), ($"id" * 2.0).as("c1"),
+        ($"id" * 3.0).as("c2"), ($"id" * 4.0).as("c3"))
+        .write.mode("overwrite").parquet(pqDir)
+      System.err.println("[scan-bench] stores built")
+    }
+
+    def time(name: String)(f: => Unit): Double = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scan-bench] $name: $s%.2f s (${n / s / 1e6}%.1f M rows/s)")
+      s
+    }
+
+    val z = spark.read.format("zarr").load(zarrDir)
+    val p = spark.read.parquet(pqDir)
+    val r = Map(
+      "zarr_full" -> time("zarr full scan")(z.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect()),
+      "pq_full" -> time("parquet full scan")(p.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect()),
+      "zarr_proj" -> time("zarr 1-col projection")(z.agg(sum($"c2")).collect()),
+      "pq_proj" -> time("parquet 1-col projection")(p.agg(sum($"c2")).collect()),
+      "zarr_filter" -> time("zarr filtered")(z.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()),
+      "pq_filter" -> time("parquet filtered")(p.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()))
+    println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${
+      r.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
+    spark.stop()
+  }
+}
