@@ -58,6 +58,26 @@ object Multimodal {
     blobs.mapPartitions(_.map(decodeStub))
   }
 
+  /** One sampled frame of a video-like payload (STUB: the "frame" is a
+    * byte slice; a real decoder would emit pixel buffers). */
+  final case class Frame(doc_id: Long, k: Int, frame_idx: Int, frame_off: Long, frame_len: Int)
+
+  /** Frame sampling: each blob yields 4 evenly-spaced frame references —
+    * the flatMap shape (1 row in, N rows out per media item) of a
+    * frame-extraction pipeline. */
+  def sampleFrames(blobs: Dataset[MediaBlob]): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap { b =>
+      val nBytes = b.payload.length.toLong
+      val nFrames = (b.payload.length % 16) + 1
+      (0 until 4).map { k =>
+        val idx = k * nFrames / 4
+        Frame(b.doc_id, k, idx, (idx.toLong * 997L) % math.max(nBytes, 1L),
+          math.min(64L, nBytes).toInt)
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "q41_multimodal",
@@ -84,5 +104,25 @@ object Multimodal {
       extractFeatures(blobs).toDF()
         .withColumn("mean_byte", round(col("byte_sum") * 1.0 / col("n_bytes"), 4))
         .orderBy("doc_id")
+    },
+
+    QueryDef.sql(
+      "q43_frame_sample",
+      """WITH f AS (SELECT doc_id, length(text) AS n FROM documents)
+        |SELECT doc_id, k,
+        |  (k * ((n % 16) + 1)) // 4 AS frame_idx,
+        |  (((k * ((n % 16) + 1)) // 4) * 997) % greatest(n, 1) AS frame_off,
+        |  least(64, n) AS frame_len
+        |FROM f, range(0, 4) t(k)
+        |ORDER BY doc_id, k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blobs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), lit("video").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[MediaBlob]
+      sampleFrames(blobs).toDF()
+        .select(col("doc_id"), col("k"), col("frame_idx"), col("frame_off"),
+          col("frame_len"))
+        .orderBy("doc_id", "k")
     })
 }

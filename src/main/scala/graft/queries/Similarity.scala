@@ -131,5 +131,72 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .orderBy("qid", "rk")
+    },
+
+    // ---- IVF-style ANN: label-partitioned coarse quantizer. Centroids
+    //      are per-position averages (rounded BEFORE any comparison so
+    //      both engines rank identically); each query probes its 2
+    //      nearest centroids and ranks only those partitions' vectors.
+    //      At scale the centroid table is broadcast and each query
+    //      touches nprobe/nlist of the corpus. ----
+    QueryDef.sql(
+      "q42_ivf_ann",
+      s"""WITH pos AS (
+         |  SELECT label, j, round(avg(embedding[j]::DOUBLE), 6) AS m
+         |  FROM embeddings, generate_series(1, 64) t(j)
+         |  GROUP BY label, j
+         |), cent AS (
+         |  SELECT label, list(m ORDER BY j) AS cv FROM pos GROUP BY label
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+         |), qc AS (
+         |  SELECT q.qid, c.label,
+         |    row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      round(list_sum(list_transform(generate_series(1, 64),
+         |        i -> (q.qv[i]::DOUBLE) * cv[i])), 6) DESC, c.label) AS crk
+         |  FROM q, cent c
+         |), probes AS (
+         |  SELECT qid, label FROM qc WHERE crk <= 2
+         |), scored AS (
+         |  SELECT p.qid, e.vec_id,
+         |    round(${duckDot("q.qv", "e.embedding")} /
+         |          (${duckNorm("q.qv")} * ${duckNorm("e.embedding")}), 6) AS cos
+         |  FROM probes p
+         |  JOIN q ON q.qid = p.qid
+         |  JOIN embeddings e ON e.label = p.label AND e.vec_id != p.qid
+         |), ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      // per-position centroid means, rounded to 6dp pre-comparison
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qcW = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("label"))
+      val probes = broadcast(q).join(broadcast(cent))
+        .select(col("qid"), col("qv"), col("label"),
+          round(expr(
+            "aggregate(zip_with(qv, cv, (x, c) -> CAST(x AS double) * c), " +
+              "CAST(0 AS double), (acc, v) -> acc + v)"), 6).as("cscore"))
+        .withColumn("crk", row_number().over(qcW))
+        .filter(col("crk") <= 2)
+        .select(col("qid"), col("qv"), col("label").as("plabel"))
+      val scored = broadcast(probes)
+        .join(e.withColumn("nrm", expr("norm_f32(embedding)")),
+          col("label") === col("plabel") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(expr("dot_f32(qv, embedding)") /
+            (expr("norm_f32(qv)") * col("nrm")), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
     })
 }
