@@ -18,9 +18,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // contract: outDir/<name>.parquet (a directory of part files —
+        // readable by pandas/pyarrow/duckdb globs); also expose the
+        // bare-name alias for glob styles without the extension
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        val alias = Paths.get(s"$outDir/$name")
+        Files.deleteIfExists(alias)
+        Files.createSymbolicLink(alias, Paths.get(s"$name.parquet"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
