@@ -59,6 +59,35 @@ object HashOps {
     }
     new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
   }
+  /** Distinct word 3-gram shingles — the exact arithmetic of
+    * `array_distinct(transform(sequence(1, greatest(n-2, 1)),
+    *   i -> concat_ws(' ', slice(words, i, 3))))`
+    * with `words = split(text, ' ', -1)`, as one pass. */
+  def shingles3(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    val count = math.max(n - 2, 1)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var i = 0
+    while (i < count) {
+      val hi = math.min(i + 3, n)
+      val sb = new java.lang.StringBuilder(64)
+      var j = i
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: UTF8String, b: UTF8String): Int = {
     val x = a.getBytes
@@ -91,6 +120,16 @@ case class HammingDist(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (x, y) => s"graft.functions.HashOps.hamming($x, $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+case class Shingles3(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    HashOps.shingles3(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.shingles3($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class MinHash16(child: Expression) extends UnaryExpression with Serializable {

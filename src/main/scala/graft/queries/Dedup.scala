@@ -33,12 +33,11 @@ object Dedup {
     Tables.load(s, dir, "documents")
   }
 
-  /** Word 3-gram shingle set (distinct), as a Column over `text`.
-    * Matches the oracle's
+  /** Word 3-gram shingle set (distinct), as a Column over `text` — the
+    * native [[graft.functions.Shingles3]] kernel, value-identical to the
+    * oracle's
     * `list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)), i -> w[i:i+2]))`. */
-  private val shinglesExpr =
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+  private val shinglesExpr = "shingles3(text)"
 
   private val shingleSql =
     """list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
