@@ -128,10 +128,25 @@ class ZarrScanBuilder(
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT pushdown (the reference accepts and ignores limit,
+    * `table_provider.rs:103` — here a pushed limit stops each partition
+    * after `limit` rows, and partition planning shrinks to the chunks
+    * that can possibly be needed). Partial: Spark keeps its own global
+    * limit above the scan. */
+  override def pushLimit(l: Int): Boolean = {
+    // only safe without filters: a chunk-skipping scan cannot know how
+    // many chunks satisfy the predicate
+    if (pushed.isEmpty) { limit = l; true } else false
+  }
+
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -149,7 +164,7 @@ class ZarrScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ZarrScan(store, metas, required, pushed, options)
+    new ZarrScan(store, metas, required, pushed, options, limit)
 }
 
 class ZarrScan(
@@ -157,7 +172,8 @@ class ZarrScan(
     metas: Seq[ZarrArrayMeta],
     required: StructType,
     pushed: Array[Filter],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   private val byName = metas.map(m => m.name -> m).toMap
@@ -189,10 +205,17 @@ class ZarrScan(
 
   override def description(): String =
     s"ZarrScan ${store.root} cols=[${readNames.mkString(",")}] " +
-      s"pushed=[${pushed.mkString(",")}]"
+      s"pushed=[${pushed.mkString(",")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = geometry.numChunks
+    // a pushed limit bounds how many chunks can possibly contribute rows
+    val total =
+      if (limit < 0) geometry.numChunks
+      else {
+        val rowsPerChunk = math.max(1L, geometry.targetChunk.map(_.toLong).product)
+        math.min(geometry.numChunks, (limit + rowsPerChunk - 1) / rowsPerChunk)
+      }
     val requested = Option(options.get("partitions")).map(_.toInt)
     val default =
       try math.max(2 * SparkSession.active.sparkContext.defaultParallelism, 1)
@@ -205,7 +228,7 @@ class ZarrScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val metaJsons = readNames.map(n => n -> byName(n).sourceJson)
-    ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq, pushed.toSeq)
+    ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq, pushed.toSeq, limit)
   }
 
   /** Exact row count from array shapes — strictly better than the

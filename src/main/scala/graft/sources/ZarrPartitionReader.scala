@@ -31,7 +31,8 @@ final case class ZarrReaderFactory(
     store: ZarrStore,
     metaJsons: Seq[(String, String)],
     outputNames: Seq[String],
-    filters: Seq[Filter])
+    filters: Seq[Filter],
+    limit: Int = -1)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -168,7 +169,14 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     new ColumnarBatch(vectors, total)
   }
 
+  private var emitted = 0L
+
   override def next(): Boolean = {
+    if (f.limit >= 0 && emitted >= f.limit) {
+      // per-partition limit satisfied; remaining chunks never fetched
+      if (pendingRows > 0) { current = emitPending(); return true }
+      return false
+    }
     while (ord < part.hi) {
       val o = ord
       val idx = geometry.chunkIndex(o)
@@ -199,7 +207,9 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
           }
         pending += ((phase1Cols ++ phase2Cols, nRows))
         pendingRows += nRows
-        if (pendingRows >= targetBatchRows) {
+        emitted += nRows
+        if (pendingRows >= targetBatchRows ||
+            (f.limit >= 0 && emitted >= f.limit)) {
           current = emitPending()
           return true
         }

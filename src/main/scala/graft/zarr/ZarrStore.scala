@@ -5,9 +5,9 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** A Zarr store root. Backed by the Hadoop FileSystem abstraction so the
-  * same code path serves `file://`, `hdfs://` and `s3a://` (the reference's
-  * local/S3 split lives at `table/config.rs:120-136`; Hadoop FS collapses
-  * it). Instances are cheap value objects — the FileSystem handle is
+  * same code path serves `file://`, `hdfs://` and — with hadoop-aws on the
+  * classpath — `s3a://` (the reference's local/S3 split lives at
+  * `table/config.rs:120-136`; Hadoop FS collapses it). Instances are cheap value objects — the FileSystem handle is
   * resolved lazily per JVM (executor-side safe; Hadoop caches FS clients).
   *
   * `hadoopConfPairs` carries the driver's `spark.hadoop.*` overrides to

@@ -101,6 +101,17 @@ class ZarrConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latlon.limit(10).collect().length == 10)
   }
 
+  test("limit pushdown reaches the scan and bounds chunk planning") {
+    val df = latlon.limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=5"), plan)
+    assert(df.collect().length == 5)
+    // with a filter, limit must NOT be pushed (chunk skip breaks counting)
+    val f = latlon.filter(col("data") > 30).limit(3)
+    assert(!f.queryExecution.executedPlan.toString.contains("limit=3"))
+    assert(f.collect().length == 3)
+  }
+
   // ---- partitioned scan (zarr_stream_tests partition split) ----
 
   test("explicit partitions option: same results, over-partitioning safe") {
