@@ -73,6 +73,26 @@ object Extras {
         .orderBy("vec_id")
     },
 
+    // ---- sketches: HyperLogLog++ approximate distinct counts. No DuckDB
+    //      oracle (sketch implementations differ across engines) → the
+    //      driver records a rows-only check; the spec-level guard is the
+    //      relative-error assertion inside the query itself. ----
+    QueryDef.rowsOnly("q29_approx_distinct") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("ex_parts"),
+        countDistinct(col("l_orderkey")).as("ex_orders"))
+      approx.crossJoin(exact)
+        .select(col("apx_parts"), col("ex_parts"), col("apx_orders"), col("ex_orders"),
+          (abs(col("apx_parts") - col("ex_parts")) * 1.0 / col("ex_parts") < 0.05)
+            .as("parts_within_5pct"),
+          (abs(col("apx_orders") - col("ex_orders")) * 1.0 / col("ex_orders") < 0.05)
+            .as("orders_within_5pct"))
+    },
+
     // ---- skew-handling: salted aggregation-join. The salt spreads a hot
     //      key across 8 shuffle partitions before the final combine; the
     //      oracle states the logically-identical unsalted form. ----
