@@ -95,19 +95,67 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
 }
 
 class ZarrBatchWrite(
-    store: ZarrStore, schema: StructType, chunkSize: Int, codec: String,
+    store: ZarrStore, schema: StructType, chunkSize0: Int, codec0: String,
     rowsPerPartition: Long, truncate: Boolean)
     extends BatchWrite {
 
   // validate types up front, driver-side
   schema.fields.foreach(f => ZarrWriteSupport.zarrTypeFor(f.dataType))
+
+  /** True append: when the target store already exists (and this is not
+    * an overwrite), new rows EXTEND every array along dim 0. The existing
+    * schema, chunk size and codec chain win over the options; the
+    * existing row count must be a whole number of chunks (a partial last
+    * chunk would need a read-modify-write — rejected with a clear
+    * error). */
+  private val appendState: (Long, Int, String) =
+    if (truncate) (0L, chunkSize0, codec0)
+    else {
+      val existing =
+        try store.listArrays().map(store.readMeta) catch { case _: ZarrException => Seq.empty }
+      if (existing.isEmpty) (0L, chunkSize0, codec0)
+      else {
+        val byName = existing.map(m => m.name -> m).toMap
+        schema.fields.foreach { f =>
+          val m = byName.getOrElse(f.name, throw new ZarrException(
+            s"append: column ${f.name} not present in existing store ${store.root}"))
+          if (m.dataType.sparkType != f.dataType)
+            throw new ZarrException(
+              s"append: column ${f.name} type ${f.dataType.sql} != stored ${m.dataType.sparkType.sql}")
+          if (m.ndim != 1)
+            throw new ZarrException(s"append: array ${f.name} is not 1-D")
+        }
+        if (byName.size != schema.fields.length)
+          throw new ZarrException(
+            s"append: store has arrays ${existing.map(_.name).mkString(",")} but " +
+              s"dataframe has columns ${schema.fieldNames.mkString(",")}")
+        val m0 = byName(schema.fields.head.name)
+        val cs = m0.chunkShape(0)
+        if (m0.shape(0) % cs != 0)
+          throw new ZarrException(
+            s"append: existing row count ${m0.shape(0)} is not a multiple of " +
+              s"chunk_size $cs (partial last chunk); rewrite with mode(overwrite)")
+        val cname = m0.codecs.map(_.name) match {
+          case ns if ns.contains("blosc") => "blosc"
+          case ns if ns.contains("gzip") => "gzip"
+          case ns if ns.contains("zstd") => "zstd"
+          case _ => "none"
+        }
+        (m0.shape(0), cs, cname)
+      }
+    }
+  private val baseRows: Long = appendState._1
+  private val chunkSize: Int = appendState._2
+  private val codec: String = appendState._3
+  private val baseChunks: Long = baseRows / chunkSize
+
   if (rowsPerPartition > 0 && rowsPerPartition % chunkSize != 0)
     throw new ZarrException(
       s"rows_per_partition ($rowsPerPartition) must be a multiple of chunk_size ($chunkSize)")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) store.delete()
-    ZarrWriterFactory(store, schema.json, chunkSize, codec, rowsPerPartition)
+    ZarrWriterFactory(store, schema.json, chunkSize, codec, rowsPerPartition, baseChunks)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,7 +179,7 @@ class ZarrBatchWrite(
             s"zarr write alignment violated: partition ${c.partitionId} has ${c.rows} rows " +
               s"(not a multiple of chunk_size=$chunkSize); use ZarrWriteSupport.alignForWrite")
       }
-      var nextChunk = 0L
+      var nextChunk = baseChunks
       nonEmpty.foreach { c =>
         val nChunks = ((c.rows + chunkSize - 1) / chunkSize).toInt
         schema.fields.foreach { f =>
@@ -145,7 +193,7 @@ class ZarrBatchWrite(
       }
       schema.fields.foreach(f => store.cleanStaging(f.name))
     }
-    val total = counts.map(_.rows).sum
+    val total = baseRows + counts.map(_.rows).sum
     store.writeStoreRootMeta()
     schema.fields.foreach { f =>
       val zt = ZarrWriteSupport.zarrTypeFor(f.dataType)
@@ -162,9 +210,8 @@ class ZarrBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // stores are directories of independent chunk files; abort removes
-    // the partial output wholesale
-    store.delete()
+    if (baseRows == 0L) store.delete() // fresh store: remove partial output
+    else schema.fields.foreach(f => store.cleanStaging(f.name)) // append: keep base data
   }
 }
 
@@ -172,19 +219,19 @@ final case class ZarrCommit(partitionId: Int, rows: Long) extends WriterCommitMe
 
 final case class ZarrWriterFactory(
     store: ZarrStore, schemaJson: String, chunkSize: Int, codec: String,
-    rowsPerPartition: Long)
+    rowsPerPartition: Long, baseChunks: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(store,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      chunkSize, codec, partitionId, rowsPerPartition)
+      chunkSize, codec, partitionId, rowsPerPartition, baseChunks)
 }
 
 /** Buffers `chunk_size` rows per column, then encodes+writes one chunk
   * file per column. Memory bound: chunk_size × row width. */
 final class ZarrDataWriter(
     store: ZarrStore, schema: StructType, chunkSize: Int, codec: String,
-    partitionId: Int, rowsPerPartition: Long)
+    partitionId: Int, rowsPerPartition: Long, baseChunks: Long)
     extends DataWriter[InternalRow] {
 
   private val ncols = schema.fields.length
@@ -239,7 +286,7 @@ final class ZarrDataWriter(
         .foldLeft(raw)((b, cc) => cc.encode(b))
       val key =
         if (rowsPerPartition > 0)
-          s"c/${partitionId * (rowsPerPartition / chunkSize) + localChunk}"
+          s"c/${baseChunks + partitionId * (rowsPerPartition / chunkSize) + localChunk}"
         else s"c.part$partitionId/$localChunk"
       store.writeChunk(schema.fields(c).name, key, enc)
       buf(c).clear()

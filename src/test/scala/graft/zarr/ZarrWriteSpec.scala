@@ -102,6 +102,44 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 5)
   }
 
+  test("append extends an existing store along dim 0") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/app"
+    (0 until 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1)
+      .write.format("zarr").mode("append").option("chunk_size", "10").save(pth)
+    // second append continues at chunk 2 and preserves earlier data
+    (20 until 35).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    val back = spark.read.format("zarr").load(pth).orderBy("id").collect()
+    assert(back.length == 35)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("id") == i.toLong && r.getAs[Double]("v") == i * 1.0)
+    }
+    // third append with a partial existing last chunk (35 % 10 != 0) errors
+    val e = intercept[Exception] {
+      (35 until 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1)
+        .write.format("zarr").mode("append").save(pth)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("append")), msgs(e).mkString(" | "))
+  }
+
+  test("append with mismatched schema errors clearly") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/appbad"
+    (0 until 10).map(i => Tuple1(i.toLong)).toDF("a").coalesce(1)
+      .write.format("zarr").mode("append").option("chunk_size", "5").save(pth)
+    val e = intercept[Exception] {
+      (0 until 10).map(i => Tuple1(i * 1.0)).toDF("b").coalesce(1)
+        .write.format("zarr").mode("append").save(pth)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("append") || m.contains("not present")),
+      msgs(e).mkString(" | "))
+  }
+
   test("unsupported type fails fast") {
     val sp = spark; import sp.implicits._
     val df = Seq(Tuple1(Array(1, 2, 3))).toDF("arr").coalesce(1)
