@@ -64,6 +64,30 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.sameElements((0 until 20).map(_ * 1.0)))
   }
 
+  test("end-to-end: DSv2 append writes feed the streaming source") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$base/pipe"
+    val ckpt = s"$base/pipe-ckpt"
+    val outDir = s"$base/pipe-out"
+    def appendRows(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (i.toLong, i * 2.0)).toDF("id", "v").coalesce(1)
+        .write.format("zarr").mode("append").option("chunk_size", "10").save(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    appendRows(0, 20); drain()
+    appendRows(20, 50); drain()
+    val got = spark.read.parquet(outDir).orderBy("id").collect()
+    assert(got.length == 50)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("id") == i.toLong && r.getAs[Double]("v") == i * 2.0)
+    }
+  }
+
   test("streaming aggregation over a zarr store") {
     val dir = s"$base/agg"
     writeSeries(dir, 16)
