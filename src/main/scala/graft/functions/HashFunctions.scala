@@ -88,6 +88,51 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (MOSS-style): Rabin-Karp rolling hash over
+    * k=8-char windows (base 31, mod 1e9+7), then the minimum of each
+    * sliding window of w=4 hashes, distinct. Arithmetic matches the
+    * oracle's direct-sum formula exactly (the rolling update is
+    * algebraically identical mod M). */
+  def winnow(text: UTF8String): ArrayData = {
+    val t = text.toString
+    val n = t.length
+    val K = 8
+    val W = 4
+    val B = 31L
+    val M = 1000000007L
+    if (n < K + W - 1) return new GenericArrayData(Array.empty[Any])
+    val nh = n - K + 1
+    val hs = new Array[Long](nh)
+    // B^(K-1) mod M
+    var bk = 1L
+    var p = 0
+    while (p < K - 1) { bk = bk * B % M; p += 1 }
+    var h = 0L
+    var i = 0
+    while (i < K) { h = (h * B + t.charAt(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nh) {
+      h = ((h - t.charAt(i - 1) * bk % M + M) % M * B + t.charAt(i + K - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var q = 0
+    while (q + W <= nh) {
+      var m = hs(q)
+      var j = 1
+      while (j < W) { if (hs(q + j) < m) m = hs(q + j); j += 1 }
+      seen.add(m)
+      q += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: UTF8String, b: UTF8String): Int = {
     val x = a.getBytes
@@ -120,6 +165,17 @@ case class HammingDist(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (x, y) => s"graft.functions.HashOps.hamming($x, $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+case class Winnow(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    HashOps.winnow(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.winnow($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class Shingles3(child: Expression) extends UnaryExpression with Serializable {

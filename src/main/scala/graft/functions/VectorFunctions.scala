@@ -117,6 +117,10 @@ object VectorFunctions {
       new ExpressionInfo(classOf[HammingDist].getName, "hamming64"),
       (children: Seq[Expression]) => HammingDist(children(0), children(1)))
     reg.registerFunction(
+      FunctionIdentifier("winnow64"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow64"),
+      (children: Seq[Expression]) => Winnow(children.head))
+    reg.registerFunction(
       FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (children: Seq[Expression]) => Shingles3(children.head))

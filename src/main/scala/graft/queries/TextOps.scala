@@ -128,6 +128,41 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // ---- winnowing fingerprints: Rabin-Karp rolling hash (k=8, base 31,
+    //      mod 1e9+7) + sliding-window-of-4 minima, distinct — the
+    //      MOSS-style rolling-hash document fingerprint. The native
+    //      `winnow64` kernel uses the O(n) rolling update; the oracle
+    //      states the O(n·k) direct sum (algebraically identical). ----
+    QueryDef.sql(
+      "q44_winnow_fingerprint",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text) - 7), i ->
+        |      list_sum(list_transform(generate_series(0, 7), j ->
+        |        ascii(substr(text, i + j, 1)) * (31 ** (7 - j))))::BIGINT % 1000000007) AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(hs) - 3), p ->
+        |      list_min(hs[p:p+3]))) AS fps
+        |  FROM h)
+        |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
+        |  list_max(fps) AS fp_max,
+        |  list_sum(fps)::BIGINT % 1000000007 AS fp_digest
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      docs(s, dir)
+        .select(col("doc_id"), expr("winnow64(text)").as("fps"))
+        .select(
+          col("doc_id"),
+          size(col("fps")).as("n_fp"),
+          expr("array_min(fps)").as("fp_min"),
+          expr("array_max(fps)").as("fp_max"),
+          expr("aggregate(fps, CAST(0 AS bigint), (a, x) -> a + x) % 1000000007")
+            .as("fp_digest"))
+        .orderBy("doc_id")
+    },
+
     // ---- exact deduplication: hash-groupBy on the content fingerprint.
     //      Map-side partial agg makes this one shuffle of (hash → count);
     //      at 100 TB this is THE cheapest dedup and runs first. ----
