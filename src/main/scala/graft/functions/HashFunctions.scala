@@ -88,6 +88,30 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** md5 hex (lowercase) of every element — value-identical to
+    * `transform(arr, x -> md5(x))` without per-element lambda dispatch. */
+  def md5Array(arr: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    val hex = "0123456789abcdef".toCharArray
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val cs = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        cs(2 * j) = hex((d(j) >> 4) & 0xf)
+        cs(2 * j + 1) = hex(d(j) & 0xf)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(new String(cs))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints (MOSS-style): Rabin-Karp rolling hash over
     * k=8-char windows (base 31, mod 1e9+7), then the minimum of each
     * sliding window of w=4 hashes, distinct. Arithmetic matches the
@@ -165,6 +189,16 @@ case class HammingDist(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (x, y) => s"graft.functions.HashOps.hamming($x, $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+case class Md5Array(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    HashOps.md5Array(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.md5Array($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class Winnow(child: Expression) extends UnaryExpression with Serializable {

@@ -117,6 +117,10 @@ object VectorFunctions {
       new ExpressionInfo(classOf[HammingDist].getName, "hamming64"),
       (children: Seq[Expression]) => HammingDist(children(0), children(1)))
     reg.registerFunction(
+      FunctionIdentifier("md5_array"),
+      new ExpressionInfo(classOf[Md5Array].getName, "md5_array"),
+      (children: Seq[Expression]) => Md5Array(children.head))
+    reg.registerFunction(
       FunctionIdentifier("winnow64"),
       new ExpressionInfo(classOf[Winnow].getName, "winnow64"),
       (children: Seq[Expression]) => Winnow(children.head))

@@ -116,7 +116,7 @@ object Dedup {
       // bytes/row, not the shingle arrays; candidate pairs are rare, so
       // their shingles are fetched afterwards via two joins
       val bands = shingled
-        .withColumn("sg", expr("minhash16(transform(sh, x -> md5(x)))"))
+        .withColumn("sg", expr("minhash16(md5_array(sh))"))
         .select(col("doc_id"),
           explode(expr(
             """transform(sequence(0, 3), j -> named_struct(
@@ -172,7 +172,7 @@ object Dedup {
         |WHERE len(list_filter(generate_series(1, 64), i -> substr(ha, i, 1) != substr(hb, i, 1))) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       val sh = docs(s, dir).select(col("doc_id"),
-        expr("simhash64(transform(split(text, ' '), w -> md5(w)))").as("simhash"))
+        expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), j -> named_struct(" +

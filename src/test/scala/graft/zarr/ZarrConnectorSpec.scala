@@ -285,6 +285,22 @@ class ZarrConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.sameElements(Array(13.0, 15.0, 17.0)))
   }
 
+  test("string filters (startswith/contains/in) push into chunk skip") {
+    val dir = s"$storeDir/strfilter"
+    val store = ZarrStore(dir)
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "name", ZarrType.Str, Seq(12), Seq(4),
+      (0 until 12).map(i => s"cat${i / 4}_item$i"), None,
+      ZarrWriter.CodecChain.gzip, fillJson = "\"\"")
+    ZarrWriter.writeArray(store, "n", ZarrType.Int64, Seq(12), Seq(4),
+      (0 until 12).map(_.toLong), None, ZarrWriter.CodecChain.gzip)
+    val df = read(dir)
+    assert(df.filter(col("name").startsWith("cat1")).count() == 4)
+    assert(df.filter(col("name").contains("item7")).count() == 1)
+    assert(df.filter(col("name").isin("cat0_item0", "cat2_item11", "nope"))
+      .collect().map(_.getAs[Long]("n")).sorted.sameElements(Array(0L, 11L)))
+  }
+
   test("explain shows pushed filters reach the scan") {
     val plan = latlon.filter(col("lat") < 38.1).queryExecution.executedPlan.toString
     assert(plan.contains("ZarrScan") || plan.contains("BatchScan"))
