@@ -25,7 +25,12 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name.parquet")
         val alias = Paths.get(s"$outDir/$name")
-        Files.deleteIfExists(alias)
+        // a stale alias may be a plain directory from an older layout
+        if (Files.isDirectory(alias) && !Files.isSymbolicLink(alias)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(alias).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        } else Files.deleteIfExists(alias)
         Files.createSymbolicLink(alias, Paths.get(s"$name.parquet"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
