@@ -174,7 +174,8 @@ class ZarrScan(
     pushed: Array[Filter],
     options: CaseInsensitiveStringMap,
     limit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private val byName = metas.map(m => m.name -> m).toMap
 
@@ -228,7 +229,23 @@ class ZarrScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val metaJsons = readNames.map(n => n -> byName(n).sourceJson)
-    ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq, pushed.toSeq, limit)
+    ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq,
+      (pushed ++ runtimeFilters).toSeq, limit)
+  }
+
+  /** Runtime (join-derived) filters — e.g. a broadcast join's IN-set on
+    * a coordinate — feed the same chunk-skip machinery as static pushed
+    * filters: dynamic pruning for array stores. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val names = metas.map(_.name).toSet
+    runtimeFilters = filters.filter(f =>
+      ChunkFilter.supported(f) && ChunkFilter.references(f).forall(names))
   }
 
   /** Exact row count from array shapes — strictly better than the

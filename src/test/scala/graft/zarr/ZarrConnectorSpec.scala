@@ -301,6 +301,15 @@ class ZarrConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getAs[Long]("n")).sorted.sameElements(Array(0L, 11L)))
   }
 
+  test("broadcast join against the zarr table stays correct (runtime filtering path)") {
+    val sp = spark
+    import sp.implicits._
+    val keys = Seq(38.0, 38.3).toDF("k")
+    val joined = latlon.join(org.apache.spark.sql.functions.broadcast(keys),
+      col("lat") === col("k"))
+    assert(joined.count() == 16) // 2 lat rows x 8 lon
+  }
+
   test("explain shows pushed filters reach the scan") {
     val plan = latlon.filter(col("lat") < 38.1).queryExecution.executedPlan.toString
     assert(plan.contains("ZarrScan") || plan.contains("BatchScan"))
