@@ -108,11 +108,16 @@ class ZarrBatchWrite(
     * existing row count must be a whole number of chunks (a partial last
     * chunk would need a read-modify-write — rejected with a clear
     * error). */
-  private val appendState: (Long, Int, String) =
+  private var existingMetas: Seq[ZarrArrayMeta] = Seq.empty
+
+  private val appendState: (Long, Int, String) = {
+    existingMetas =
+      if (truncate) Seq.empty
+      else try store.listArrays().map(store.readMeta)
+      catch { case _: ZarrException => Seq.empty }
     if (truncate) (0L, chunkSize0, codec0)
     else {
-      val existing =
-        try store.listArrays().map(store.readMeta) catch { case _: ZarrException => Seq.empty }
+      val existing = existingMetas
       if (existing.isEmpty) (0L, chunkSize0, codec0)
       else {
         val byName = existing.map(m => m.name -> m).toMap
@@ -144,6 +149,7 @@ class ZarrBatchWrite(
         (m0.shape(0), cs, cname)
       }
     }
+  }
   private val baseRows: Long = appendState._1
   private val chunkSize: Int = appendState._2
   private val codec: String = appendState._3
@@ -195,17 +201,24 @@ class ZarrBatchWrite(
     }
     val total = baseRows + counts.map(_.rows).sum
     store.writeStoreRootMeta()
+    val prior = existingMetas.map(m => m.name -> m).toMap
     schema.fields.foreach { f =>
-      val zt = ZarrWriteSupport.zarrTypeFor(f.dataType)
-      val fill = zt match {
-        case ZarrType.Str => "\"\""
-        case ZarrType.Bool => "false"
-        case ZarrType.Float32 | ZarrType.Float64 => "0.0"
-        case _ => "0"
+      prior.get(f.name) match {
+        case Some(m) if baseRows > 0 =>
+          // append: only shape[0] changes; codecs/fill/dims preserved
+          store.writeMeta(f.name, ZarrMeta.withShape0(m.sourceJson, total))
+        case _ =>
+          val zt = ZarrWriteSupport.zarrTypeFor(f.dataType)
+          val fill = zt match {
+            case ZarrType.Str => "\"\""
+            case ZarrType.Bool => "false"
+            case ZarrType.Float32 | ZarrType.Float64 => "0.0"
+            case _ => "0"
+          }
+          store.writeMeta(f.name, ZarrMeta.parse(f.name, ZarrWriter.metaJson(
+            zt, Seq(total), Seq(chunkSize), fill, None,
+            ZarrWriteSupport.chainFor(codec))).sourceJson)
       }
-      store.writeMeta(f.name, ZarrMeta.parse(f.name, ZarrWriter.metaJson(
-        zt, Seq(total), Seq(chunkSize), fill, None,
-        ZarrWriteSupport.chainFor(codec))).sourceJson)
     }
   }
 
@@ -245,6 +258,10 @@ final class ZarrDataWriter(
   override def write(row: InternalRow): Unit = {
     var c = 0
     while (c < ncols) {
+      if (row.isNullAt(c))
+        throw new ZarrException(
+          s"zarr arrays cannot store NULL (column ${schema.fields(c).name}); " +
+            "coalesce/filter nulls before writing")
       val v = schema.fields(c).dataType match {
         case StringType => row.getUTF8String(c).toString
         case d: DecimalType => row.getDecimal(c, d.precision, d.scale).toJavaBigDecimal

@@ -91,6 +91,22 @@ class ZarrException(msg: String, cause: Throwable = null)
 object ZarrMeta {
   private val mapper = new ObjectMapper()
 
+  /** Rewrite only `shape[0]` of an existing zarr.json (appends must
+    * preserve every other stored property — codecs, fill_value,
+    * dimension_names — verbatim). */
+  def withShape0(json: String, n: Long): String = {
+    val root = mapper.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val shape = root.withArray("shape")
+    val rest = new Array[Long](shape.size())
+    var i = 0
+    while (i < rest.length) { rest(i) = shape.get(i).asLong(); i += 1 }
+    shape.removeAll()
+    shape.add(n)
+    i = 1
+    while (i < rest.length) { shape.add(rest(i)); i += 1 }
+    mapper.writeValueAsString(root)
+  }
+
   def parse(arrayName: String, json: String): ZarrArrayMeta = {
     val root = mapper.readTree(json)
     if (root.path("zarr_format").asInt(-1) != 3)

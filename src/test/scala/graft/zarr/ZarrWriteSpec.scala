@@ -125,6 +125,35 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("append")), msgs(e).mkString(" | "))
   }
 
+  test("append preserves the store's original fill value and codecs") {
+    val pth = s"$base/appfill"
+    // store created externally with a non-default fill value
+    val store = ZarrStore(pth)
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(10), Seq(5),
+      (0 until 10).map(_ * 1.0), None, ZarrWriter.CodecChain.gzip, fillJson = "-77.5")
+    val sp = spark; import sp.implicits._
+    (10 until 20).map(i => Tuple1(i * 1.0)).toDF("v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    val meta = ZarrStore(pth).readMeta("v")
+    assert(meta.shape(0) == 20)
+    assert(meta.fillValue == -77.5d, s"fill clobbered: ${meta.fillValue}")
+    assert(meta.codecs.exists(_.name == "gzip"), meta.codecs.map(_.name))
+    val back = spark.read.format("zarr").load(pth).orderBy("v").collect()
+    assert(back.length == 20 && back.last.getDouble(0) == 19.0)
+  }
+
+  test("null values are rejected with a clear error") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a"), (2L, null)).toDF("id", "s").coalesce(1)
+    val e = intercept[Exception] {
+      df.write.format("zarr").mode("overwrite").save(s"$base/nulls")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL")), msgs(e).mkString(" | "))
+  }
+
   test("append with mismatched schema errors clearly") {
     val sp = spark; import sp.implicits._
     val pth = s"$base/appbad"
