@@ -94,7 +94,7 @@ object Multimodal {
         |  (n % 16) + 1 AS n_frames,
         |  n AS n_bytes,
         |  byte_sum,
-        |  round(byte_sum * 1.0 / n, 4) AS mean_byte
+        |  (byte_sum * 10000) // greatest(n, 1) AS mean_byte_e4
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val blobs = Tables.load(s, dir, "documents")
@@ -102,7 +102,10 @@ object Multimodal {
           encode(col("text"), "UTF-8").as("payload"))
         .as[MediaBlob]
       extractFeatures(blobs).toDF()
-        .withColumn("mean_byte", round(col("byte_sum") * 1.0 / col("n_bytes"), 4))
+        // mean as a ×10⁴ integer: round(double) is not bit-identical
+        // across engines (Spark HALF_UP vs DuckDB's nearest-double), so
+        // the derived stat is computed in exact integer arithmetic
+        .withColumn("mean_byte_e4", expr("byte_sum * 10000L DIV greatest(n_bytes, 1L)"))
         .orderBy("doc_id")
     },
 

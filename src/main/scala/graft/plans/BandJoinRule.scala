@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types._
 
 /** Band-join optimization: rewrites an inner theta join whose condition
   * contains a *band* predicate
@@ -32,9 +32,28 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   */
 object BandJoinRule extends Rule[LogicalPlan] {
 
-  /** band: a - b ∈ [-c2, c1), both literals, c1 + c2 > 0. */
+  /** band: a - b ∈ [-c2, c1), both literals, c1 >= 0, c2 >= 0, c1 + c2 > 0.
+    * (Non-negative bounds are required for the {-1,0,1} candidate-bucket
+    * set to be complete: with a negative bound, |a-b| can exceed the
+    * bucket width w = c1+c2 and matches would be silently dropped.) */
   private case class Band(a: Expression, b: Expression, c1: Double, c2: Double) {
     def width: Double = c1 + c2
+  }
+
+  /** Double-based floor(x/w) bucketing is only exact while the key is
+    * exactly representable as a double. Integral keys wider than 32 bits
+    * (and decimals wider than a double mantissa) near 2^53 would land in
+    * the wrong bucket — for those we either use exact integer arithmetic
+    * (whole-number bounds) or skip the rewrite. */
+  private def doubleExact(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | FloatType | DoubleType => true
+    case d: DecimalType => d.precision <= 15
+    case _ => false // LongType, wide decimals
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
   }
 
   private def litVal(e: Expression): Option[Double] = e match {
@@ -83,19 +102,39 @@ object BandJoinRule extends Rule[LogicalPlan] {
         (_, (ua, ub, c1)) <- uppers.iterator
         (_, (la, lb, c2)) <- lowers.iterator
         if sameRef(ua, la) && sameRef(ub, lb)
-        if c1 + c2 > 0
+        if c1 >= 0 && c2 >= 0 && c1 + c2 > 0
         // a strictly from one side, b strictly from the other
         if (ua.references.subsetOf(left.outputSet) && ub.references.subsetOf(right.outputSet)) ||
           (ua.references.subsetOf(right.outputSet) && ub.references.subsetOf(left.outputSet))
         if ua.dataType.isInstanceOf[NumericType] && ub.dataType.isInstanceOf[NumericType]
+        // bucketing must be exact: either pure long arithmetic applies
+        // (integral keys, whole-number bounds) or every key value is
+        // exactly representable as a double
+        if (integral(ua.dataType) && integral(ub.dataType) &&
+          c1.isWhole && c2.isWhole && c1 + c2 < 9e18) ||
+          (doubleExact(ua.dataType) && doubleExact(ub.dataType))
       } yield Band(ua, ub, c1, c2)).buffered.headOption
 
       band match {
         case None => j
         case Some(bd) =>
-          val w = Literal(bd.width, DoubleType)
+          // exact floor(x/w): pure-long arithmetic whenever the keys are
+          // integral and the bounds whole (a 64-bit key cast to double
+          // would mis-bucket past 2^53); double division otherwise (keys
+          // already exactly double-representable per the match guard)
+          val exactLong = integral(bd.a.dataType) && integral(bd.b.dataType) &&
+            bd.c1.isWhole && bd.c2.isWhole
           def bucket(x: Expression): Expression =
-            Cast(Floor(Divide(Cast(x, DoubleType), w)), LongType)
+            if (exactLong) {
+              val xl = Cast(x, LongType)
+              val wl = Literal(bd.width.toLong, LongType)
+              val q = new IntegralDivide(xl, wl)
+              val r = Remainder(xl, wl)
+              If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+            } else {
+              val w = Literal(bd.width, DoubleType)
+              Cast(Floor(Divide(Cast(x, DoubleType), w)), LongType)
+            }
 
           val aOnLeft = bd.a.references.subsetOf(left.outputSet)
           val (aSide, bSide) = if (aOnLeft) (left, right) else (right, left)
@@ -104,10 +143,18 @@ object BandJoinRule extends Rule[LogicalPlan] {
           val aKey = Alias(bucket(bd.a), "__band_bucket_a")()
           val aProj = Project(aSide.output :+ aKey, aSide)
 
-          // b side: explode to candidate buckets {bucket(b)-1, bucket(b), bucket(b)+1}
+          // b side: explode to candidate buckets bucket(b) + k. With exact
+          // long bucketing k ∈ {-1,0,1} is provably complete; on the
+          // double path rounding in x/w near bucket boundaries can shift
+          // a bucket by one more, so widen to k ∈ {-2..2} (the ANDed
+          // original predicate discards false positives either way).
           val bBucket = bucket(bd.b)
-          val candidates = CreateArray(Seq(
-            Subtract(bBucket, Literal(1L)), bBucket, Add(bBucket, Literal(1L))))
+          val ks: Seq[Long] = if (exactLong) Seq(-1L, 0L, 1L) else Seq(-2L, -1L, 0L, 1L, 2L)
+          val candidates = CreateArray(ks.map {
+            case 0L => bBucket
+            case k if k < 0 => Subtract(bBucket, Literal(-k))
+            case k => Add(bBucket, Literal(k))
+          })
           val gOut = AttributeReference("__band_bucket_b", LongType, nullable = true)()
           val bGen = Generate(Explode(candidates), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(gOut), child = bSide)

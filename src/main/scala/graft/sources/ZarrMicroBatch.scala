@@ -42,7 +42,13 @@ class ZarrMicroBatchStream(
 
   override def latestOffset(): Offset = {
     val (g, _) = currentGeometry()
-    ZarrOffset(g.numChunks)
+    // only COMPLETE dim-0 chunk slabs are committed: a partial trailing
+    // chunk must not advance the offset, or rows later appended into that
+    // same chunk ordinal would be permanently skipped (its ordinal would
+    // already be below the committed watermark)
+    val completeDim0 = g.targetShape(0) / g.targetChunk(0) // floor
+    val fixedGrid = (1 until g.ndim).map(d => g.gridShape(d).toLong).product
+    ZarrOffset(completeDim0 * fixedGrid)
   }
 
   override def deserializeOffset(json: String): Offset = ZarrOffset(json.toLong)

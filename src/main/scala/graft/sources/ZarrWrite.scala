@@ -159,21 +159,48 @@ class ZarrBatchWrite(
     throw new ZarrException(
       s"rows_per_partition ($rowsPerPartition) must be a multiple of chunk_size ($chunkSize)")
 
+  /** Per-column zarr.json the writers derive the codec chain, chunk-key
+    * separator and stored element type from. On append this is the EXACT
+    * existing metadata document (a name-mapped default chain would
+    * silently drop a crc32c stage, lose codec configuration, or write
+    * '/'-keys into a '.'-separated store); on fresh writes it is the
+    * document the commit will persist. */
+  private val colMetaJsons: Seq[String] = schema.fields.toSeq.map { f =>
+    existingMetas.find(_.name == f.name) match {
+      case Some(m) if baseRows > 0 =>
+        ZarrBatchWrite.validateEncodable(m, store.root)
+        m.sourceJson
+      case _ =>
+        val zt = ZarrWriteSupport.zarrTypeFor(f.dataType)
+        ZarrWriter.metaJson(zt, Seq(chunkSize.toLong), Seq(chunkSize),
+          ZarrBatchWrite.defaultFillJson(zt), None, ZarrWriteSupport.chainFor(codec))
+    }
+  }
+  private def colMetas: Seq[ZarrArrayMeta] =
+    schema.fields.toSeq.zip(colMetaJsons).map { case (f, j) => ZarrMeta.parse(f.name, j) }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) store.delete()
-    ZarrWriterFactory(store, schema.json, chunkSize, codec, rowsPerPartition, baseChunks)
+    ZarrWriterFactory(store, schema.json, chunkSize, colMetaJsons, rowsPerPartition, baseChunks)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val counts = messages.map(_.asInstanceOf[ZarrCommit]).sortBy(_.partitionId)
     val nonEmpty = counts.filter(_.rows > 0)
+    val metasNow = colMetas
     if (rowsPerPartition > 0) {
-      // fast path: tasks wrote final chunk keys; just check the contract
-      nonEmpty.dropRight(1).foreach { c =>
+      // fast path: tasks wrote final chunk keys derived from their
+      // partition id, so EVERY partition before the last data-bearing one
+      // must be exactly full — an empty or short middle partition would
+      // leave holes in the chunk index space while shape[0] covers them,
+      // and the holes would silently read back as fill values
+      val lastData = counts.reverseIterator.find(_.rows > 0).map(_.partitionId).getOrElse(-1)
+      counts.filter(_.partitionId < lastData).foreach { c =>
         if (c.rows != rowsPerPartition)
           throw new ZarrException(
             s"zarr write alignment violated: partition ${c.partitionId} has ${c.rows} rows, " +
-              s"expected rows_per_partition=$rowsPerPartition; use ZarrWriteSupport.alignForWrite")
+              s"expected rows_per_partition=$rowsPerPartition (every partition before the " +
+              "last data-bearing one must be exactly full); use ZarrWriteSupport.alignForWrite")
       }
     } else {
       // staged path: sequential metadata-only renames assign global chunk
@@ -188,11 +215,11 @@ class ZarrBatchWrite(
       var nextChunk = baseChunks
       nonEmpty.foreach { c =>
         val nChunks = ((c.rows + chunkSize - 1) / chunkSize).toInt
-        schema.fields.foreach { f =>
+        schema.fields.zip(metasNow).foreach { case (f, m) =>
           (0 until nChunks).foreach { j =>
             store.rename(
               s"${f.name}/c.part${c.partitionId}/$j",
-              s"${f.name}/c/${nextChunk + j}")
+              s"${f.name}/" + Seq("c", (nextChunk + j).toString).mkString(m.chunkKeySeparator))
           }
         }
         nextChunk += nChunks
@@ -201,24 +228,11 @@ class ZarrBatchWrite(
     }
     val total = baseRows + counts.map(_.rows).sum
     store.writeStoreRootMeta()
-    val prior = existingMetas.map(m => m.name -> m).toMap
-    schema.fields.foreach { f =>
-      prior.get(f.name) match {
-        case Some(m) if baseRows > 0 =>
-          // append: only shape[0] changes; codecs/fill/dims preserved
-          store.writeMeta(f.name, ZarrMeta.withShape0(m.sourceJson, total))
-        case _ =>
-          val zt = ZarrWriteSupport.zarrTypeFor(f.dataType)
-          val fill = zt match {
-            case ZarrType.Str => "\"\""
-            case ZarrType.Bool => "false"
-            case ZarrType.Float32 | ZarrType.Float64 => "0.0"
-            case _ => "0"
-          }
-          store.writeMeta(f.name, ZarrMeta.parse(f.name, ZarrWriter.metaJson(
-            zt, Seq(total), Seq(chunkSize), fill, None,
-            ZarrWriteSupport.chainFor(codec))).sourceJson)
-      }
+    // the persisted zarr.json is the SAME document the writers derived
+    // their codec chain / separator / element type from, with shape[0]
+    // set to the final row count
+    schema.fields.zip(colMetaJsons).foreach { case (f, json) =>
+      store.writeMeta(f.name, ZarrMeta.withShape0(json, total))
     }
   }
 
@@ -228,28 +242,75 @@ class ZarrBatchWrite(
   }
 }
 
+object ZarrBatchWrite {
+  def defaultFillJson(zt: ZarrType): String = zt match {
+    case ZarrType.Str => "\"\""
+    case ZarrType.Bool => "false"
+    case ZarrType.Float32 | ZarrType.Float64 => "0.0"
+    case _ => "0"
+  }
+
+  private val encodableBytesCodecs = Set("gzip", "zstd", "crc32c", "blosc")
+
+  /** Append must reproduce the existing codec chain EXACTLY — reject
+    * anything this writer cannot encode, with a clear error, rather than
+    * writing chunks that will not decode (or decode wrongly) later. */
+  def validateEncodable(m: ZarrArrayMeta, root: String): Unit = {
+    m.codecs.foreach {
+      case CodecSpec("bytes", _) | CodecSpec("vlen-utf8", _) => () // array→bytes
+      case CodecSpec("blosc", cfg) =>
+        val cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4")
+        if (cname != "lz4" && cname != "lz4hc" && cname != "zstd")
+          throw new ZarrException(
+            s"append: array ${m.name} in $root uses blosc cname '$cname' " +
+              "which this writer cannot encode (supported: lz4, lz4hc, zstd)")
+        if (cfg.get("shuffle").exists(_.asText("") == "bitshuffle"))
+          throw new ZarrException(
+            s"append: array ${m.name} in $root uses blosc bitshuffle " +
+              "which this writer cannot encode")
+      case CodecSpec(name, _) if encodableBytesCodecs(name) => ()
+      case CodecSpec(name, _) =>
+        throw new ZarrException(
+          s"append: array ${m.name} in $root uses codec '$name' " +
+            s"which this writer cannot encode (supported: bytes, vlen-utf8, " +
+            s"${encodableBytesCodecs.toSeq.sorted.mkString(", ")})")
+    }
+  }
+}
+
 final case class ZarrCommit(partitionId: Int, rows: Long) extends WriterCommitMessage
 
 final case class ZarrWriterFactory(
-    store: ZarrStore, schemaJson: String, chunkSize: Int, codec: String,
+    store: ZarrStore, schemaJson: String, chunkSize: Int, colMetaJsons: Seq[String],
     rowsPerPartition: Long, baseChunks: Long)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(store,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      chunkSize, codec, partitionId, rowsPerPartition, baseChunks)
+      chunkSize, colMetaJsons, partitionId, rowsPerPartition, baseChunks)
 }
 
 /** Buffers `chunk_size` rows per column, then encodes+writes one chunk
-  * file per column. Memory bound: chunk_size × row width. */
+  * file per column. Memory bound: chunk_size × row width.
+  *
+  * Codec chain, endianness, chunk-key separator and stored element type
+  * all come from the per-column zarr.json (`colMetaJsons`) — on append
+  * that is the store's EXISTING metadata, so e.g. a crc32c stage or a
+  * '.'-separated key layout is reproduced exactly. */
 final class ZarrDataWriter(
-    store: ZarrStore, schema: StructType, chunkSize: Int, codec: String,
+    store: ZarrStore, schema: StructType, chunkSize: Int, colMetaJsons: Seq[String],
     partitionId: Int, rowsPerPartition: Long, baseChunks: Long)
     extends DataWriter[InternalRow] {
 
   private val ncols = schema.fields.length
-  private val zts = schema.fields.map(f => ZarrWriteSupport.zarrTypeFor(f.dataType))
-  private val chain = ZarrWriteSupport.chainFor(codec)
+  private val colMetas: Array[ZarrArrayMeta] =
+    schema.fields.zip(colMetaJsons).map { case (f, j) => ZarrMeta.parse(f.name, j) }
+  // stored element type (NOT re-derived from the Spark type: uint8/int16
+  // both surface as ShortType but have different widths on disk)
+  private val zts: Array[ZarrType] = colMetas.map(_.dataType)
+  private val colChains: Array[Seq[Codecs.BytesCodec]] = colMetas.map(m =>
+    Codecs.bytesCodecs(m.codecs, if (m.dataType.byteWidth > 0) m.dataType.byteWidth else 1))
+  private val colOrders: Array[java.nio.ByteOrder] = colMetas.map(m => Codecs.endianness(m.codecs))
   private val buf = Array.fill(ncols)(new scala.collection.mutable.ArrayBuffer[Any](chunkSize))
   private var rowsInChunk = 0
   private var localChunk = 0
@@ -295,16 +356,13 @@ final class ZarrDataWriter(
         case _ => 0L
       }
       while (vals.length < chunkSize) vals += fill
-      val raw = ZarrDataWriter.encode(zt, vals.toSeq)
-      val enc = Codecs.bytesCodecs(
-        ZarrMeta.parse("x", ZarrWriter.metaJson(zt, Seq(chunkSize), Seq(chunkSize),
-          if (zt == ZarrType.Str) "\"\"" else "0", None, chain)).codecs,
-        if (zt.byteWidth > 0) zt.byteWidth else 1)
-        .foldLeft(raw)((b, cc) => cc.encode(b))
+      val raw = ZarrDataWriter.encode(zt, vals.toSeq, colOrders(c))
+      val enc = colChains(c).foldLeft(raw)((b, cc) => cc.encode(b))
       val key =
-        if (rowsPerPartition > 0)
-          s"c/${baseChunks + partitionId * (rowsPerPartition / chunkSize) + localChunk}"
-        else s"c.part$partitionId/$localChunk"
+        if (rowsPerPartition > 0) {
+          val ord = baseChunks + partitionId * (rowsPerPartition / chunkSize) + localChunk
+          Seq("c", ord.toString).mkString(colMetas(c).chunkKeySeparator)
+        } else s"c.part$partitionId/$localChunk"
       store.writeChunk(schema.fields(c).name, key, enc)
       buf(c).clear()
       c += 1
@@ -323,11 +381,12 @@ final class ZarrDataWriter(
 }
 
 object ZarrDataWriter {
-  def encode(zt: ZarrType, vals: Seq[Any]): Array[Byte] = {
-    import java.nio.{ByteBuffer, ByteOrder}
+  def encode(zt: ZarrType, vals: Seq[Any],
+      order: java.nio.ByteOrder = java.nio.ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+    import java.nio.ByteBuffer
     if (zt == ZarrType.Str)
       return ChunkColumn.encodeVlenUtf8(vals.map(v => if (v == null) "" else v.toString).toArray)
-    val bb = ByteBuffer.allocate(vals.length * zt.byteWidth).order(ByteOrder.LITTLE_ENDIAN)
+    val bb = ByteBuffer.allocate(vals.length * zt.byteWidth).order(order)
     zt match {
       case ZarrType.Bool => vals.foreach(v => bb.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
       case ZarrType.Int8 => vals.foreach(v => bb.put(v.asInstanceOf[Byte]))
@@ -336,6 +395,11 @@ object ZarrDataWriter {
       case ZarrType.Int64 => vals.foreach(v => bb.putLong(v.asInstanceOf[Long]))
       case ZarrType.Float32 => vals.foreach(v => bb.putFloat(v.asInstanceOf[Float]))
       case ZarrType.Float64 => vals.foreach(v => bb.putDouble(v.asInstanceOf[Double]))
+      // unsigned: Spark carries the widened signed value; the low bytes
+      // are the exact unsigned representation
+      case ZarrType.UInt8 => vals.foreach(v => bb.put(v.asInstanceOf[Short].toByte))
+      case ZarrType.UInt16 => vals.foreach(v => bb.putShort(v.asInstanceOf[Int].toShort))
+      case ZarrType.UInt32 => vals.foreach(v => bb.putInt(v.asInstanceOf[Long].toInt))
       case ZarrType.UInt64 => vals.foreach { v =>
         bb.putLong(v.asInstanceOf[java.math.BigDecimal].toBigInteger.longValue())
       }

@@ -67,9 +67,13 @@ object Codecs {
     * public c-blosc format: 16-byte header, optional byte-shuffle filter,
     * per-block compression with LZ4/Zstd inner codecs.
     *
-    * Subset note: the decoder handles `memcpy` chunks and one split per
-    * block (what this encoder emits); multi-split foreign buffers are not
-    * supported.
+    * Split interop (c-blosc ≥ 1.11 / zarr-python's numcodecs): full
+    * blocks are split into `typesize` independently compressed
+    * sub-streams (one per shuffle lane) unless header flag bit 4
+    * (DONT_SPLIT) is set. This encoder emits one stream per block and
+    * SETS the flag; the decoder honors the flag and decodes both
+    * layouts, so chunks written by stock zarr-python (lz4+shuffle →
+    * split) read correctly.
     */
   final case class Blosc(
       cname: String = "lz4",
@@ -124,7 +128,8 @@ object Codecs {
         // incompressible: memcpy form
         val out = ByteBuffer.allocate(16 + n).order(ByteOrder.LITTLE_ENDIAN)
         out.put(2.toByte).put(1.toByte)
-          .put((Blosc.MEMCPYED | (if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0)
+          .put((Blosc.MEMCPYED | Blosc.DONT_SPLIT_FLAG
+            | (if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0)
             | (compressorCode << 5)).toByte)
           .put(ts.toByte)
           .putInt(n).putInt(bs).putInt(16 + n)
@@ -132,8 +137,11 @@ object Codecs {
         return out.array()
       }
       val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
+      // DONT_SPLIT declares the one-stream-per-block layout this encoder
+      // emits, so c-blosc ≥ 1.11 decoders (zarrs, numcodecs) read it back
       out.put(2.toByte).put(1.toByte)
-        .put(((if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0) | (compressorCode << 5)).toByte)
+        .put((Blosc.DONT_SPLIT_FLAG | (if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0)
+          | (compressorCode << 5)).toByte)
         .put(ts.toByte)
         .putInt(n).putInt(bs).putInt(cbytes)
       var pos = headerLen
@@ -162,6 +170,9 @@ object Codecs {
     private val DOSHUFFLE_FLAG = 0x1
     private val MEMCPYED = 0x2
     private val DOBITSHUFFLE_FLAG = 0x4
+    private val DONT_SPLIT_FLAG = 0x10
+    /** c-blosc MAX_SPLITS: blocks are lane-split only for typesize ≤ 16. */
+    private val MAX_SPLITS = 16
 
     def decode(enc: Array[Byte]): Array[Byte] = {
       val bb = ByteBuffer.wrap(enc).order(ByteOrder.LITTLE_ENDIAN)
@@ -180,6 +191,7 @@ object Codecs {
       if ((flags & MEMCPYED) != 0) {
         bb.get(body)
       } else {
+        val dontSplit = (flags & DONT_SPLIT_FLAG) != 0
         val nblocks = if (nbytes == 0) 0 else (nbytes + blocksize - 1) / blocksize
         val bstarts = new Array[Int](nblocks)
         var i = 0
@@ -188,20 +200,37 @@ object Codecs {
         i = 0
         while (i < nblocks) {
           val off = i * blocksize
-          val neblock = math.min(blocksize, nbytes - off)
-          val b = ByteBuffer.wrap(enc, bstarts(i), enc.length - bstarts(i))
-            .order(ByteOrder.LITTLE_ENDIAN)
-          val csize = b.getInt
-          val dataOff = bstarts(i) + 4
-          if (csize == neblock) { // stored uncompressed
-            System.arraycopy(enc, dataOff, body, off, neblock)
-          } else compressor match {
-            case 1 => lz4dec.decompress(enc, dataOff, csize, body, off, neblock)
-            case 4 =>
-              val out = com.github.luben.zstd.Zstd.decompress(
-                java.util.Arrays.copyOfRange(enc, dataOff, dataOff + csize), neblock)
-              System.arraycopy(out, 0, body, off, neblock)
-            case other => throw new ZarrException(s"blosc compressor $other not supported")
+          val bsize = math.min(blocksize, nbytes - off)
+          // c-blosc ≥ 1.11: a full block is `typesize` independently
+          // compressed lane sub-streams unless the DONT_SPLIT header flag
+          // is set; leftover (partial trailing) blocks are never split.
+          // The shuffled block layout is lane-major, so split outputs
+          // concatenate contiguously.
+          val leftover = bsize < blocksize
+          val nsplits =
+            if (!dontSplit && !leftover && typesize > 1 && typesize <= MAX_SPLITS &&
+              bsize % typesize == 0) typesize
+            else 1
+          val neblock = bsize / nsplits
+          var src = bstarts(i)
+          var dst = off
+          var j = 0
+          while (j < nsplits) {
+            val csize = ByteBuffer.wrap(enc, src, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+            src += 4
+            if (csize == neblock) { // stored uncompressed
+              System.arraycopy(enc, src, body, dst, neblock)
+            } else compressor match {
+              case 1 => lz4dec.decompress(enc, src, csize, body, dst, neblock)
+              case 4 =>
+                val out = com.github.luben.zstd.Zstd.decompress(
+                  java.util.Arrays.copyOfRange(enc, src, src + csize), neblock)
+                System.arraycopy(out, 0, body, dst, neblock)
+              case other => throw new ZarrException(s"blosc compressor $other not supported")
+            }
+            src += csize
+            dst += neblock
+            j += 1
           }
           i += 1
         }

@@ -35,7 +35,8 @@ object ZarrWriter {
       chunkShape: Seq[Int],
       fillJson: String,
       dimensionNames: Option[Seq[String]],
-      chain: CodecChain): String = {
+      chain: CodecChain,
+      separator: String = "/"): String = {
     val arrayBytesCodec =
       if (dtype == ZarrType.Str) """{"name":"vlen-utf8"}"""
       else """{"name":"bytes","configuration":{"endian":"little"}}"""
@@ -50,7 +51,7 @@ object ZarrWriter {
        |  "shape": [${shape.mkString(",")}],
        |  "data_type": "${dtype.zarrName}",
        |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunkShape.mkString(",")}]}},
-       |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+       |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "$separator"}},
        |  "fill_value": $fillJson,
        |  "codecs": [$codecs]$dims
        |}""".stripMargin
@@ -69,10 +70,12 @@ object ZarrWriter {
       dimensionNames: Option[Seq[String]] = None,
       chain: CodecChain = CodecChain.bloscLz4,
       fillJson: String = "0.0",
-      skipChunks: Set[Seq[Int]] = Set.empty): Unit = {
+      skipChunks: Set[Seq[Int]] = Set.empty,
+      separator: String = "/"): Unit = {
     require(values.length == shape.product,
       s"values ${values.length} != shape ${shape.product}")
-    val meta = ZarrMeta.parse(name, metaJson(dtype, shape, chunkShape, fillJson, dimensionNames, chain))
+    val meta = ZarrMeta.parse(name,
+      metaJson(dtype, shape, chunkShape, fillJson, dimensionNames, chain, separator))
     store.writeMeta(name, meta.sourceJson)
 
     val ndim = shape.length

@@ -56,6 +56,47 @@ class BandJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expected)
   }
 
+  test("negative bound (a >= b - (-5)) is not mis-bucketed") {
+    // band [5, 10): |a-b| exceeds w = c1+c2 = 5, so the {-1,0,1} bucket
+    // rewrite would drop rows — the rule must decline (ADVICE r1 #3)
+    spark.range(0, 200).selectExpr("id AS v").createOrReplaceTempView("nbnd")
+    val got = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM nbnd t1 JOIN nbnd t2
+        |ON t1.v < t2.v + 10 AND t1.v >= t2.v - (-5)""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val vs = 0L until 200L
+    val expected = (for { a <- vs; b <- vs; if a < b + 10 && a >= b + 5 } yield (a, b)).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("long keys beyond 2^53 bucket exactly") {
+    // double-based floor(x/w) collapses consecutive longs here; the rule
+    // must use exact integer arithmetic (ADVICE r1 #3)
+    val base = 9007199254740992L // 2^53
+    spark.range(0, 40).selectExpr(s"id + ${base}L AS v").createOrReplaceTempView("bigv")
+    val df = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM bigv t1 JOIN bigv t2
+        |ON t1.v < t2.v + 1 AND t1.v >= t2.v - 1""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val vs = (0L until 40L).map(_ + base)
+    val expected = (for { a <- vs; b <- vs; if a < b + 1 && a >= b - 1 } yield (a, b)).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("fractional-bound double keys stay exact (widened candidates)") {
+    spark.range(0, 500).selectExpr("cast(id AS double) * 0.25 AS v")
+      .createOrReplaceTempView("fracs")
+    val df = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM fracs t1 JOIN fracs t2
+        |ON t1.v < t2.v + 0.75D AND t1.v >= t2.v - 0.5D""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val vs = (0 until 500).map(_ * 0.25)
+    val expected = (for { a <- vs; b <- vs; if a < b + 0.75 && a >= b - 0.5 } yield (a, b)).sorted
+    assert(got.toSeq == expected)
+  }
+
   test("non-band theta joins are left untouched") {
     val p = spark.sql(
       """SELECT count(*) FROM nums t1 JOIN nums t2 ON t1.v > t2.v * 2""".stripMargin)

@@ -69,6 +69,73 @@ class CodecsSpec extends AnyFunSuite {
     assert(c.decode(enc).sameElements(b))
   }
 
+  /** Simulates stock c-blosc ≥ 1.11 output (what zarr-python/numcodecs
+    * writes for lz4+shuffle): byte-shuffled body, each FULL block split
+    * into `typesize` independently-compressed lane streams (csize-prefixed),
+    * leftover block unsplit, DONT_SPLIT flag clear. */
+  private def encodeSplitBlosc(raw: Array[Byte], typesize: Int, blocksize: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(raw.length % typesize == 0 && blocksize % typesize == 0)
+    val n = raw.length
+    val body = Codecs.Blosc.byteShuffle(raw, typesize)
+    val nblocks = (n + blocksize - 1) / blocksize
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
+    val blocks = (0 until nblocks).map { i =>
+      val off = i * blocksize
+      val bsize = math.min(blocksize, n - off)
+      val nsplits = if (bsize == blocksize && typesize > 1 && typesize <= 16) typesize else 1
+      val neblock = bsize / nsplits
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until nsplits).foreach { j =>
+        val srcOff = off + j * neblock
+        val out = new Array[Byte](lz4.maxCompressedLength(neblock))
+        val m = lz4.compress(body, srcOff, neblock, out, 0)
+        val (stored, csize) =
+          if (m >= neblock) (java.util.Arrays.copyOfRange(body, srcOff, srcOff + neblock), neblock)
+          else (java.util.Arrays.copyOf(out, m), m)
+        bos.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(csize).array())
+        bos.write(stored)
+      }
+      bos.toByteArray
+    }
+    val headerLen = 16 + 4 * nblocks
+    val total = headerLen + blocks.map(_.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(2.toByte).put(1.toByte)
+      .put((0x1 /* DOSHUFFLE */ | (1 << 5) /* lz4 */).toByte) // DONT_SPLIT clear
+      .put(typesize.toByte)
+      .putInt(n).putInt(blocksize).putInt(total)
+    var pos = headerLen
+    blocks.foreach { b => bb.putInt(pos); pos += b.length }
+    blocks.foreach(bb.put)
+    bb.array()
+  }
+
+  test("multi-split blosc buffers (stock c-blosc layout) decode correctly (ADVICE r1 #5)") {
+    val n = 800 // 100 longs
+    val bb = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 100).foreach(i => bb.putLong(i.toLong * 3 - 50))
+    val raw = bb.array()
+    // single full block; blocks + leftover; many small blocks
+    Seq(800, 256, 64).foreach { blocksize =>
+      val enc = encodeSplitBlosc(raw, 8, blocksize)
+      val got = Codecs.Blosc.decode(enc)
+      assert(got.sameElements(raw), s"blocksize=$blocksize")
+    }
+    // typesize 4 lanes too
+    val enc4 = encodeSplitBlosc(raw, 4, 400)
+    assert(Codecs.Blosc.decode(enc4).sameElements(raw))
+  }
+
+  test("our encoder sets DONT_SPLIT so c-blosc readers parse the layout") {
+    val bb = java.nio.ByteBuffer.allocate(512).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 64).foreach(i => bb.putLong(i.toLong))
+    val raw = bb.array()
+    val enc = Codecs.Blosc(cname = "lz4", typesize = 8).encode(raw)
+    assert((enc(2) & 0x10) != 0, "DONT_SPLIT flag must be set on single-stream blocks")
+    assert(Codecs.Blosc.decode(enc).sameElements(raw))
+  }
+
   test("byte shuffle/unshuffle inverse") {
     forAll2(Gen.choose(1, 64), Gen.choose(1, 200)) { (ts: Int, n: Int) =>
       val b = Array.tabulate[Byte](ts * n)(i => (i * 31).toByte)

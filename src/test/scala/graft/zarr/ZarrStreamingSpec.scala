@@ -64,6 +64,30 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.sameElements((0 until 20).map(_ * 1.0)))
   }
 
+  test("partial trailing chunk is not consumed until complete (ADVICE r1 #4)") {
+    val dir = s"$base/partial"
+    val ckpt = s"$base/partial-ckpt"
+    val outDir = s"$base/partial-out"
+    writeSeries(dir, 10) // chunk 4: two complete chunks + a partial (2 rows)
+    def drain(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    val first = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(first.length == 8, s"partial chunk must be excluded, got ${first.length} rows")
+    assert(first.sameElements((0 until 8).map(_ * 1.0)))
+    // grow the store so the third chunk becomes complete (plus a fourth)
+    writeSeries(dir, 16)
+    drain()
+    val all = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(all.length == 16, s"expected 16 rows after growth, got ${all.length}")
+    assert(all.sameElements((0 until 16).map(_ * 1.0)))
+  }
+
   test("end-to-end: DSv2 append writes feed the streaming source") {
     val sp = spark; import sp.implicits._
     val dir = s"$base/pipe"

@@ -143,6 +143,97 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.length == 20 && back.last.getDouble(0) == 19.0)
   }
 
+  test("fast path rejects an empty middle partition (ADVICE r1 #1)") {
+    val sp = spark
+    // partitions 0 and 2 hold 10 rows each, partition 1 is empty — its
+    // chunk-index slots would be silent fill-value holes
+    val rdd = sp.sparkContext.parallelize(0 until 30, 3)
+      .mapPartitionsWithIndex { case (idx, it) => if (idx == 1) Iterator.empty else it }
+      .map(i => org.apache.spark.sql.Row(i.toLong))
+    val df = sp.createDataFrame(rdd,
+      new org.apache.spark.sql.types.StructType().add("id", "long"))
+    val e = intercept[Exception] {
+      df.write.format("zarr").mode("overwrite")
+        .option("chunk_size", "10").option("rows_per_partition", "10")
+        .save(s"$base/hole")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("alignment")), msgs(e).mkString(" | "))
+  }
+
+  test("fast path accepts trailing empty partitions") {
+    val sp = spark
+    val rdd = sp.sparkContext.parallelize(0 until 30, 3)
+      .mapPartitionsWithIndex { case (idx, it) => if (idx == 2) Iterator.empty else it }
+      .map(i => org.apache.spark.sql.Row(i.toLong))
+    val df = sp.createDataFrame(rdd,
+      new org.apache.spark.sql.types.StructType().add("id", "long"))
+    df.write.format("zarr").mode("overwrite")
+      .option("chunk_size", "10").option("rows_per_partition", "10")
+      .save(s"$base/trail")
+    val got = spark.read.format("zarr").load(s"$base/trail")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 20L))
+  }
+
+  test("append reproduces the exact codec chain incl. crc32c (ADVICE r1 #2)") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/appcrc"
+    val store = ZarrStore(pth)
+    store.writeStoreRootMeta()
+    val chain = ZarrWriter.CodecChain(Seq("gzip" -> """{"level":5}""", "crc32c" -> ""))
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(10), Seq(5),
+      (0 until 10).map(_ * 1.0), None, chain)
+    (10 until 20).map(i => Tuple1(i * 1.0)).toDF("v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    // pre-fix, appended chunks lacked the crc32c trailer → reads threw
+    val back = spark.read.format("zarr").load(pth)
+      .collect().map(_.getDouble(0)).sorted
+    assert(back.toSeq == (0 until 20).map(_ * 1.0))
+    val meta = ZarrStore(pth).readMeta("v")
+    assert(meta.codecs.map(_.name).toSet == Set("bytes", "gzip", "crc32c"))
+  }
+
+  test("append honors a '.' chunk-key separator (ADVICE r1 #2)") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/appdot"
+    val store = ZarrStore(pth)
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "v", ZarrType.Int64, Seq(8), Seq(4),
+      (0L until 8L).toIndexedSeq, None, ZarrWriter.CodecChain.gzip,
+      fillJson = "0", separator = ".")
+    (8L until 16L).map(Tuple1(_)).toDF("v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    // pre-fix, appended chunks were keyed c/2,c/3 — invisible to a
+    // '.'-separated reader, silently reading back as fill values
+    val back = spark.read.format("zarr").load(pth)
+      .collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == (0L until 16L))
+    assert(new java.io.File(s"$pth/v/c.3").exists(), "appended chunk must use '.' keys")
+  }
+
+  test("append to an un-encodable codec chain fails with a clear error") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/appunk"
+    val store = ZarrStore(pth)
+    store.writeStoreRootMeta()
+    store.writeMeta("v",
+      """{"zarr_format":3,"node_type":"array","shape":[10],"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[5]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zlib"}]}"""
+        .stripMargin)
+    val e = intercept[Exception] {
+      (10 until 20).map(i => Tuple1(i * 1.0)).toDF("v").coalesce(1)
+        .write.format("zarr").mode("append").save(pth)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot encode")), msgs(e).mkString(" | "))
+  }
+
   test("null values are rejected with a clear error") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a"), (2L, null)).toDF("id", "s").coalesce(1)

@@ -12,15 +12,15 @@ import duckdb
 
 
 def canon(rows, cols):
+    # NOTE: floats are compared EXACTLY (repr), matching the driver's
+    # value-hash — a 1-ulp round() divergence between Spark and DuckDB is
+    # a real failure there, so it must be one here too.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-            vals.append(repr(v))
+            vals.append(repr(r[i]))
         out.append('|'.join(vals))
     out.sort()
     return out
