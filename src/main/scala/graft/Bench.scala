@@ -19,23 +19,34 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup at the smallest SF: pays one-time codegen/classload
-    // costs (Dataset encoders, janino, noop sink) outside the timings
-    Seq("q01_agg", "q41_multimodal").foreach { q =>
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+    // untimed warmup of EVERY query at the smallest SF: pays one-time
+    // codegen/classload costs (Dataset encoders, janino, noop sink)
+    // outside the timings, so round-over-round deltas mean something
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
+    // median of 3 timed runs per query: single-shot local[32] timings are
+    // noisy by construction (JIT, GC, page cache)
+    val runs = 3
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop any table the query persisted so runs don't cross-feed
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN (q38-q40)
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
+  *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   */
 object SparkEntry {
 
@@ -20,7 +21,8 @@ object SparkEntry {
       _root_.graft.queries.TextOps.defs ++
       _root_.graft.queries.Dedup.defs ++
       _root_.graft.queries.Similarity.defs ++
-      _root_.graft.operators.Multimodal.defs
+      _root_.graft.operators.Multimodal.defs ++
+      _root_.graft.operators.AsOfJoin.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,10 +19,13 @@ import org.apache.spark.sql.functions._
   *   2. shuffle ONCE by key, sort each key group by
   *      (time, side, tiebreak) — right rows sort before left rows at
   *      equal time, so "at or before" is inclusive;
-  *   3. `last(payload, ignoreNulls = true)` over an unbounded-preceding
-  *      row frame carries the latest right payload forward onto every
-  *      subsequent left row;
-  *   4. keep the left rows.
+  *   3. `last(rightStruct, ignoreNulls = true)` over an unbounded-
+  *      preceding row frame carries the latest right row forward onto
+  *      every subsequent left row — the whole payload travels as ONE
+  *      struct so a matched right row whose payload field is genuinely
+  *      NULL is preserved atomically (per-column carries would skip the
+  *      null and tear the row, mixing fields from different right rows);
+  *   4. keep the left rows and unpack the carried struct.
   *
   * Cost: one shuffle + sort of |L| + |R| rows, the same plan shape as a
   * sort-merge join — this survives 100 TB where per-row range probes do
@@ -57,35 +61,78 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
-    val rightTypes = right.select(payload.map(col): _*).schema
 
+    // the right row travels as ONE struct (payload + tie-break cols), so
+    // carry-forward is atomic: a matched right row with a NULL payload
+    // field stays null instead of falling back to an older right row.
     val tieCols = rightTieBreak.filterNot(payload.contains)
+    val rrowCols = payload ++ tieCols
+    val rrowType = right.select(struct(rrowCols.map(col): _*)).schema.head.dataType
+
     val l2 = left.select(
-      Seq(
-        col(leftKey).as("__k"),
-        col(leftTime).as("__t"),
-        lit(1).as("__side"),
-        struct(leftCols.map(col): _*).as("__lrow")) ++
-        payload.map(p => lit(null).cast(rightTypes(p).dataType).as(p)) ++
-        tieCols.map(p => lit(null).cast(right.select(col(p)).schema.head.dataType).as(p)): _*)
+      col(leftKey).as("__k"),
+      col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      struct(leftCols.map(col): _*).as("__lrow"),
+      lit(null).cast(rrowType).as("__rrow"))
     val r2 = right.select(
-      Seq(
-        col(rightKey).as("__k"),
-        col(rightTime).as("__t"),
-        lit(0).as("__side"),
-        lit(null).cast(lrowType).as("__lrow")) ++
-        payload.map(col) ++ tieCols.map(col): _*)
+      col(rightKey).as("__k"),
+      col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(lrowType).as("__lrow"),
+      struct(rrowCols.map(col): _*).as("__rrow"))
 
     val order: Seq[Column] =
-      Seq(col("__t").asc, col("__side").asc) ++ rightTieBreak.map(col(_).asc)
+      Seq(col("__t").asc, col("__side").asc) ++
+        rightTieBreak.map(tc => col("__rrow").getField(tc).asc)
     val w = Window.partitionBy(col("__k")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l2.unionByName(r2)
-      .select(col("*") +: payload.map(p =>
-        last(col(p), ignoreNulls = true).over(w).as(s"__m_$p")): _*)
+      .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(leftCols.map(c => col("__lrow").getField(c).as(c)) ++
-        payload.map(p => col(s"__m_$p").as(p)): _*)
+        payload.map(p => col("__m").getField(p).as(p)): _*)
   }
+
+  /** q45: each click event joined to the latest prior-or-equal purchase by
+    * the same user. DuckDB has a native `ASOF JOIN` — a perfect oracle.
+    * The right side is pre-deduplicated per (user_id, ts) so that equal-
+    * time ties cannot make either engine's pick nondeterministic. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q45_asof_join",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, round(value, 2) AS value
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id,
+        |    round(max(value), 2) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts, c.value,
+        |  p.p_event_id, p.p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
+      // ts is a raw nanosecond long (Tables.load); DuckDB reads the same
+      // parquet at µs precision, so the OUTPUT time is epoch-µs in both
+      // engines (the join itself compares each engine's native precision;
+      // no same-user click/purchase pair shares a µs, so truncation
+      // cannot flip a match)
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value"), 2).as("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"),
+          round(max(col("value")), 2).as("p_value"))
+      leftOuter(clicks, purchases,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "ts",
+        payload = Seq("p_event_id", "p_value"))
+        .withColumn("ts", expr("ts div 1000"))
+        .orderBy("event_id")
+    })
 }

@@ -93,8 +93,8 @@ object Multimodal {
         |  ((n * 7) % 480) + 16 AS height,
         |  (n % 16) + 1 AS n_frames,
         |  n AS n_bytes,
-        |  byte_sum,
-        |  (byte_sum * 10000) // greatest(n, 1) AS mean_byte_e4
+        |  byte_sum::BIGINT AS byte_sum,
+        |  ((byte_sum * 10000) // greatest(n, 1))::BIGINT AS mean_byte_e4
         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val blobs = Tables.load(s, dir, "documents")

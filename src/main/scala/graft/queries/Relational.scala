@@ -314,9 +314,11 @@ object Relational {
       val c1 = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
         .filter(col("c_custkey") % 12 === 0).as("t1")
       val c2 = t(s, dir, "customer").select(col("c_acctbal").as("bal2")).as("t2")
-      // the modulo filter shrinks t1 ~12x; broadcast it so the band join is
-      // a broadcast nested-loop instead of a cartesian shuffle
-      broadcast(c1)
+      // no broadcast hint: t1 is ~8% of the table — broadcasting a fixed
+      // fraction of a fact table OOMs executors at 100 TB. BandJoinRule
+      // (GraftExtensions) rewrites the band predicate into a bucketed equi
+      // join, and AQE then picks the physical strategy from actual sizes.
+      c1
         .join(c2, col("bal2") >= col("c_acctbal") - 10 && col("bal2") < col("c_acctbal") + 10)
         .groupBy(col("c_custkey").as("custkey"))
         .agg(count(lit(1)).as("n_close"))

@@ -65,7 +65,24 @@ object Similarity {
         .orderBy("qid", "rk")
     },
 
-    // ---- embedding-cosine near-duplicate pairs (all-pairs verifier) ----
+    // ---- embedding-cosine near-duplicate pairs (exact, tiled) ----
+    //
+    // An exact threshold join at cos >= 0.3 cannot be LSH-pruned on this
+    // data: measured at sf0.01, the qualifying pairs sit right at the
+    // threshold (median cos 0.326), and every random-hyperplane family
+    // set reaching 100% recall generates MORE candidate pairs than
+    // all-pairs (16 families x 2 bits = 4x all-pairs). So the O(n^2)
+    // compute is inherent — what must NOT be O(n^2) is the plan's memory
+    // and communication shape. The naive `a.vec_id < b.vec_id` non-equi
+    // join plans as BroadcastNestedLoopJoin (whole corpus broadcast →
+    // executor OOM at scale). Instead: classic TILED self-join — assign
+    // each vector a block (vec_id mod B), enumerate the B*(B+1)/2
+    // unordered block pairs as tiles, route each side to its tiles with a
+    // broadcast of the tiny tile table, and join the two sides on the
+    // tile id — a plain shuffle equi join. Each task scores one
+    // (n/B)x(n/B) tile; shuffle volume is n*(B+1)/2 rows; no broadcast
+    // of the corpus, no nested loop. For approximate-but-cheap near-dup
+    // at scale, q40 (LSH) / q42 (IVF) are the recall/cost trade.
     QueryDef.sql(
       "q39_embed_neardup",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -75,13 +92,29 @@ object Similarity {
          |WHERE ${duckDot("a.embedding", "b.embedding")} /
          |      (${duckNorm("a.embedding")} * ${duckNorm("b.embedding")}) >= 0.3
          |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val nBlocks = 8
+      val tiles = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+        yield (i * nBlocks + j, i, j)).toDF("tid", "bi", "bj")
       val e = emb(s, dir).withColumn("nrm", expr("norm_f32(embedding)"))
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+      val aSide = e.join(broadcast(tiles), col("blk") === col("bi"))
+        .select(col("tid"), col("bi"), col("bj"),
+          col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na"))
+      val bSide = e.join(broadcast(tiles), col("blk") === col("bj"))
+        .select(col("tid").as("tidb"),
+          col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb"))
+      // dot_f32 sums elementwise products left-to-right: symmetric in its
+      // arguments, so cos is order-independent and least/greatest is safe
       val cos = expr("dot_f32(ea, eb)") / (col("na") * col("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      aSide.join(bSide, col("tid") === col("tidb"))
+        // diagonal tiles (bi==bj) see both orders of a pair: keep one;
+        // off-diagonal tiles see each cross-block pair exactly once
+        .where(col("bi") < col("bj") || col("ida") < col("idb"))
         .where(cos >= 0.3)
-        .select(col("vec_a"), col("vec_b"), round(cos, 6).as("cos"))
+        .select(least(col("ida"), col("idb")).as("vec_a"),
+          greatest(col("ida"), col("idb")).as("vec_b"),
+          round(cos, 6).as("cos"))
         .orderBy("vec_a", "vec_b")
     },
 

@@ -54,13 +54,18 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   }
 
   /** Raw chunk object bytes, or None when absent (absent != error:
-    * fill-value semantics, `zarr_data_stream.rs:388-398`). */
+    * fill-value semantics, `zarr_data_stream.rs:388-398`). Absence is
+    * detected by catching FileNotFoundException from open() rather than a
+    * prior exists() probe: on object stores exists() is a HEAD request,
+    * and paying HEAD+GET per chunk per column doubles latency on the
+    * hottest path in the engine. */
   def readChunk(arrayName: String, key: String): Option[Array[Byte]] = {
     val p = new Path(rootPath, s"$arrayName/$key")
-    if (!fs.exists(p)) None
-    else {
+    try {
       val in = fs.open(p)
       try Some(in.readAllBytes()) finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
     }
   }
 

@@ -20,6 +20,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("plan-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,6 +69,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q38: ANN brute force broadcasts the query side") {
     val p = plan("q38_cosine_topk")
     assert(p.contains("Broadcast"), p)
+  }
+
+  test("q16: band rewrite yields a hash join — no BNLJ, no broadcast of the modulo side") {
+    val p = plan("q16_theta_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the BandJoinRule bucketization must be in effect (equi join on bucket)
+    assert(p.contains("__band_bucket") || p.contains("HashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
+  test("q39: tiled all-pairs join is an equi join — no nested loop, no corpus broadcast") {
+    val p = plan("q39_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q45: as-of join plans as one shuffle + window, no join operator") {
+    val p = plan("q45_asof_join")
+    assert(!p.contains("Join"), s"as-of must be union+window, not a join\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {
