@@ -47,8 +47,10 @@ object BandJoinRule extends Rule[LogicalPlan] {
     * (whole-number bounds) or skip the rewrite. */
   private def doubleExact(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | FloatType | DoubleType => true
-    case d: DecimalType => d.precision <= 15
-    case _ => false // LongType, wide decimals
+    // decimals: only scale 0 (whole numbers ≤ 10^15 < 2^53) are truly
+    // exact as doubles — e.g. decimal 0.1 is not, despite precision ≤ 15
+    case d: DecimalType => d.precision <= 15 && d.scale == 0
+    case _ => false // LongType, wide/fractional decimals
   }
 
   private def integral(dt: DataType): Boolean = dt match {
@@ -145,11 +147,14 @@ object BandJoinRule extends Rule[LogicalPlan] {
 
           // b side: explode to candidate buckets bucket(b) + k. With exact
           // long bucketing k ∈ {-1,0,1} is provably complete; on the
-          // double path rounding in x/w near bucket boundaries can shift
-          // a bucket by one more, so widen to k ∈ {-2..2} (the ANDed
-          // original predicate discards false positives either way).
+          // double path floor(x/w) can err by ±1 on EACH side
+          // independently (true bucket difference is in {-1,0,1}), so the
+          // worst case is ±3 — widen to k ∈ {-3..3}. The ANDed original
+          // predicate discards false positives either way; the only cost
+          // is a slightly larger explode.
           val bBucket = bucket(bd.b)
-          val ks: Seq[Long] = if (exactLong) Seq(-1L, 0L, 1L) else Seq(-2L, -1L, 0L, 1L, 2L)
+          val ks: Seq[Long] =
+            if (exactLong) Seq(-1L, 0L, 1L) else (-3L to 3L)
           val candidates = CreateArray(ks.map {
             case 0L => bBucket
             case k if k < 0 => Subtract(bBucket, Literal(-k))

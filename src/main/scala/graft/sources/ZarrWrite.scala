@@ -48,7 +48,14 @@ object ZarrWriteSupport {
 
   /** Repartition `df` so every partition except the last holds exactly
     * `rowsPerPartition` rows (which must be a multiple of the write
-    * `chunk_size`). Row order is preserved. */
+    * `chunk_size`). Row order is preserved.
+    *
+    * NOT for the hot path: this helper costs an extra `count()` pass, a
+    * `zipWithIndex` (its own job), a full shuffle, and an in-memory
+    * per-partition sort. It exists to let callers opt into the aligned
+    * fast write path (chunks land at final keys, no commit-time renames)
+    * when their data is not already partition-aligned; pipelines that
+    * control their partitioning should align upstream instead. */
   def alignForWrite(
       df: org.apache.spark.sql.DataFrame,
       rowsPerPartition: Int): org.apache.spark.sql.DataFrame = {
@@ -342,19 +349,13 @@ final class ZarrDataWriter(
     while (c < ncols) {
       val zt = zts(c)
       val vals = buf(c)
-      // pad edge chunk to full chunk_shape with fill (Zarr v3 stores full
-      // chunks; the reader truncates via array shape)
-      val fill: Any = zt match {
-        case ZarrType.Str => ""
-        case ZarrType.Bool => false
-        case ZarrType.Float32 => 0.0f
-        case ZarrType.Float64 => 0.0d
-        case ZarrType.Int8 => 0.toByte
-        case ZarrType.Int16 | ZarrType.UInt8 => 0.toShort
-        case ZarrType.Int32 | ZarrType.UInt16 => 0
-        case ZarrType.UInt64 => java.math.BigDecimal.ZERO
-        case _ => 0L
-      }
+      // pad edge chunk to full chunk_shape with the array's declared
+      // fill_value (Zarr v3 stores full chunks; the reader truncates via
+      // array shape) — a conforming writer pads with fill_value, not
+      // zero, so appends to a non-zero-fill store stay interoperable.
+      // ZarrMeta.parseFill boxes the value in the same JVM type this
+      // buffer carries for every ZarrType.
+      val fill: Any = colMetas(c).fillValue
       while (vals.length < chunkSize) vals += fill
       val raw = ZarrDataWriter.encode(zt, vals.toSeq, colOrders(c))
       val enc = colChains(c).foldLeft(raw)((b, cc) => cc.encode(b))

