@@ -12,6 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN (q38-q40)
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
+  *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
+  *    contamination, stratified sampling (q46-q49)
   */
 object SparkEntry {
 
@@ -22,7 +24,8 @@ object SparkEntry {
       _root_.graft.queries.Dedup.defs ++
       _root_.graft.queries.Similarity.defs ++
       _root_.graft.operators.Multimodal.defs ++
-      _root_.graft.operators.AsOfJoin.defs
+      _root_.graft.operators.AsOfJoin.defs ++
+      _root_.graft.queries.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

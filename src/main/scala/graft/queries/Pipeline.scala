@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the round-2 set: repetition-
+  * based quality signals, batch sessionization, cross-split contamination
+  * detection, and deterministic stratified sampling.
+  *
+  * Scale notes (100 TB):
+  *  - q46/q49 are pure scan-project/filter — no shuffle at all; repetition
+  *    signals are per-row array expressions inside whole-stage codegen;
+  *  - q47 is the batch twin of streaming sessionization
+  *    ([[graft.streaming.EventStream.sessionize]]): one shuffle by
+  *    user_id feeds BOTH window passes (lag + running sum share the
+  *    partitioning/sort), plus one for the per-session aggregate —
+  *    2 exchanges total, verified in PlanSpec;
+  *  - q48 is an inverted-index equi join on 4-grams (the q35 shape):
+  *    grams are deduped per doc before the join, the test split is a
+  *    small fraction of the corpus, and cost scales with true overlap,
+  *    never all-pairs.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Gopher-style repetition signals: duplicate-word fraction,
+    //      duplicate-bigram fraction, mean word length ----
+    QueryDef.sql(
+      "q46_repetition",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), b AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i] || ' ' || ws[i + 1]) AS bg
+        |  FROM w)
+        |SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 4) AS dup_word_frac,
+        |  CASE WHEN len(bg) > 0
+        |    THEN round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 4)
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4)
+        |    AS mean_word_len
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        // bigrams without a 1-past-end guard: zip the array with itself
+        // shifted by one — empty when size(ws) < 2
+        .withColumn("bg", expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+            "(a, b) -> concat(a, ' ', b))"))
+        .select(
+          col("doc_id"),
+          size(col("ws")).as("n_words"),
+          round(lit(1.0) - size(array_distinct(col("ws"))) * lit(1.0) / size(col("ws")), 4)
+            .as("dup_word_frac"),
+          when(size(col("bg")) > 0,
+            round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")), 4))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"),
+          round(expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) /
+            size(col("ws")), 4).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- batch sessionization: 30-minute inactivity gap, the batch twin
+    //      of the streaming flatMapGroupsWithState sessionizer ----
+    QueryDef.sql(
+      "q47_sessionize",
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM d)
+        |SELECT user_id, sess_seq::BIGINT AS sess_seq, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS sess_start, epoch_us(max(ts)) AS sess_end
+        |FROM s GROUP BY user_id, sess_seq
+        |ORDER BY user_id, sess_seq""".stripMargin) { (s, dir) =>
+      // ts is a raw nanosecond long; 30 min = 1.8e12 ns. The window
+      // order (ts, event_id) is total per user, so session numbering is
+      // deterministic in both engines.
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
+        .withColumn("sess_seq", sum(col("new_sess")).over(wc))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("min(ts) div 1000").as("sess_start"),
+          expr("max(ts) div 1000").as("sess_end"))
+        .orderBy("user_id", "sess_seq")
+    },
+
+    // ---- train/test contamination: 4-gram overlap between the held-out
+    //      split (source = 'src0') and the rest of the corpus ----
+    QueryDef.sql(
+      "q48_contamination",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws) - 3, 0)),
+        |      i -> array_to_string(ws[i:i+3], ' ')))) AS gram
+        |  FROM d)
+        |SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc, count(*) AS n_shared
+        |FROM g t JOIN g tr ON t.gram = tr.gram
+        |  AND t.source = 'src0' AND tr.source != 'src0'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(
+            "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws) - 3), " +
+              "i -> array_join(slice(ws, i, 4), ' ')) " +
+              "ELSE array_remove(array(''), '') END"))).as("gram"))
+      val test = grams.filter(col("source") === "src0")
+        .select(col("doc_id").as("test_doc"), col("gram"))
+      val train = grams.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_doc"), col("gram"))
+      test.join(train, "gram")
+        .groupBy(col("test_doc"), col("train_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("test_doc", "train_doc")
+    },
+
+    // ---- deterministic stratified sampling: md5-bucketed per-language
+    //      rates (en 50%, others 12.5%) — a pure filter, no shuffle, and
+    //      reproducible across engines and runs (no RNG) ----
+    QueryDef.sql(
+      "q49_stratified_sample",
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (instr('0123456789abcdef',
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+        |      < (CASE WHEN lang = 'en' THEN 8 ELSE 2 END)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .where(expr(
+          "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)" +
+            " < (CASE WHEN lang = 'en' THEN 8 ELSE 2 END)"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    })
+}

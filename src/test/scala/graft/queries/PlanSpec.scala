@@ -93,6 +93,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q46/q49: per-document signals and sampling stay shuffle-light") {
+    // q46 is scan-project (+1 range exchange for the total ORDER BY);
+    // q49 is scan-filter-project
+    val p46 = plan("q46_repetition")
+    assert("Exchange".r.findAllIn(p46).length <= 1, p46)
+    val p49 = plan("q49_stratified_sample")
+    assert("Exchange".r.findAllIn(p49).length <= 1, p49)
+  }
+
+  test("q47: both session windows share one user_id shuffle") {
+    val p = plan("q47_sessionize")
+    // 1 hash exchange (windows) + 1 (session agg) + at most 1 range (sort)
+    assert("Exchange".r.findAllIn(p).length <= 3, p)
+    assert(!p.contains("Join"), "sessionization must not join")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
