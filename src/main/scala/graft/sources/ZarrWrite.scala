@@ -97,13 +97,14 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
       Option(info.options.get("chunk_size")).map(_.toInt).getOrElse(65536),
       Option(info.options.get("codec")).getOrElse("blosc"),
       Option(info.options.get("rows_per_partition")).map(_.toLong).getOrElse(0L),
-      doTruncate)
+      doTruncate,
+      Option(info.options.get("inner_chunk_size")).map(_.toInt).getOrElse(0))
   }
 }
 
 class ZarrBatchWrite(
     store: ZarrStore, schema: StructType, chunkSize0: Int, codec0: String,
-    rowsPerPartition: Long, truncate: Boolean)
+    rowsPerPartition: Long, truncate: Boolean, innerChunkSize: Int = 0)
     extends BatchWrite {
 
   // validate types up front, driver-side
@@ -165,6 +166,9 @@ class ZarrBatchWrite(
   if (rowsPerPartition > 0 && rowsPerPartition % chunkSize != 0)
     throw new ZarrException(
       s"rows_per_partition ($rowsPerPartition) must be a multiple of chunk_size ($chunkSize)")
+  if (innerChunkSize > 0 && chunkSize % innerChunkSize != 0)
+    throw new ZarrException(
+      s"inner_chunk_size ($innerChunkSize) must divide chunk_size ($chunkSize)")
 
   /** Per-column zarr.json the writers derive the codec chain, chunk-key
     * separator and stored element type from. On append this is the EXACT
@@ -179,8 +183,13 @@ class ZarrBatchWrite(
         m.sourceJson
       case _ =>
         val zt = ZarrWriteSupport.zarrTypeFor(f.dataType)
+        val chain0 = ZarrWriteSupport.chainFor(codec)
+        // inner_chunk_size > 0 → each stored chunk object is a shard of
+        // inner chunks (sharding_indexed); ignored on append (existing
+        // metadata wins)
+        val chain = if (innerChunkSize > 0) chain0.sharded(Seq(innerChunkSize)) else chain0
         ZarrWriter.metaJson(zt, Seq(chunkSize.toLong), Seq(chunkSize),
-          ZarrBatchWrite.defaultFillJson(zt), None, ZarrWriteSupport.chainFor(codec))
+          ZarrBatchWrite.defaultFillJson(zt), None, chain)
     }
   }
   private def colMetas: Seq[ZarrArrayMeta] =
@@ -262,24 +271,37 @@ object ZarrBatchWrite {
   /** Append must reproduce the existing codec chain EXACTLY — reject
     * anything this writer cannot encode, with a clear error, rather than
     * writing chunks that will not decode (or decode wrongly) later. */
-  def validateEncodable(m: ZarrArrayMeta, root: String): Unit = {
-    m.codecs.foreach {
-      case CodecSpec("bytes", _) | CodecSpec("vlen-utf8", _) => () // array→bytes
+  def validateEncodable(m: ZarrArrayMeta, root: String): Unit =
+    validateCodecList(m.codecs, m.name, root)
+
+  private def validateCodecList(codecs: Seq[CodecSpec], name: String, root: String): Unit = {
+    codecs.foreach {
+      case CodecSpec("bytes", cfg) =>
+        if (cfg.get("endian").exists(_.asText("little") == "big"))
+          throw new ZarrException(
+            s"append: array $name in $root uses big-endian bytes codec " +
+              "which this writer cannot encode")
+      case CodecSpec("vlen-utf8", _) => () // array→bytes
       case CodecSpec("blosc", cfg) =>
         val cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4")
         if (cname != "lz4" && cname != "lz4hc" && cname != "zstd")
           throw new ZarrException(
-            s"append: array ${m.name} in $root uses blosc cname '$cname' " +
+            s"append: array $name in $root uses blosc cname '$cname' " +
               "which this writer cannot encode (supported: lz4, lz4hc, zstd)")
         if (cfg.get("shuffle").exists(_.asText("") == "bitshuffle"))
           throw new ZarrException(
-            s"append: array ${m.name} in $root uses blosc bitshuffle " +
+            s"append: array $name in $root uses blosc bitshuffle " +
               "which this writer cannot encode")
-      case CodecSpec(name, _) if encodableBytesCodecs(name) => ()
-      case CodecSpec(name, _) =>
+      case CodecSpec("sharding_indexed", cfg) =>
+        // the inner chain must be encodable too (Sharding.specOf also
+        // rejects variable-size index codecs)
+        val spec = Sharding.specOf(Seq(CodecSpec("sharding_indexed", cfg))).get
+        validateCodecList(spec.innerCodecs, name, root)
+      case CodecSpec(name0, _) if encodableBytesCodecs(name0) => ()
+      case CodecSpec(name0, _) =>
         throw new ZarrException(
-          s"append: array ${m.name} in $root uses codec '$name' " +
-            s"which this writer cannot encode (supported: bytes, vlen-utf8, " +
+          s"append: array $name in $root uses codec '$name0' " +
+            s"which this writer cannot encode (supported: bytes, vlen-utf8, sharding_indexed, " +
             s"${encodableBytesCodecs.toSeq.sorted.mkString(", ")})")
     }
   }
@@ -318,6 +340,9 @@ final class ZarrDataWriter(
   private val colChains: Array[Seq[Codecs.BytesCodec]] = colMetas.map(m =>
     Codecs.bytesCodecs(m.codecs, if (m.dataType.byteWidth > 0) m.dataType.byteWidth else 1))
   private val colOrders: Array[java.nio.ByteOrder] = colMetas.map(m => Codecs.endianness(m.codecs))
+  // sharded columns: the buffered chunk becomes one shard object
+  private val colShards: Array[Option[Sharding.Spec]] =
+    colMetas.map(m => Sharding.specOf(m.codecs))
   private val buf = Array.fill(ncols)(new scala.collection.mutable.ArrayBuffer[Any](chunkSize))
   private var rowsInChunk = 0
   private var localChunk = 0
@@ -357,8 +382,13 @@ final class ZarrDataWriter(
       // buffer carries for every ZarrType.
       val fill: Any = colMetas(c).fillValue
       while (vals.length < chunkSize) vals += fill
-      val raw = ZarrDataWriter.encode(zt, vals.toSeq, colOrders(c))
-      val enc = colChains(c).foldLeft(raw)((b, cc) => cc.encode(b))
+      val enc = colShards(c) match {
+        case Some(sp) =>
+          Sharding.encode(zt, Seq(chunkSize), sp, vals.toIndexedSeq)
+        case None =>
+          val raw = ZarrDataWriter.encode(zt, vals.toSeq, colOrders(c))
+          colChains(c).foldLeft(raw)((b, cc) => cc.encode(b))
+      }
       val key =
         if (rowsPerPartition > 0) {
           val ord = baseChunks + partitionId * (rowsPerPartition / chunkSize) + localChunk

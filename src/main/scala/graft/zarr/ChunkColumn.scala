@@ -144,16 +144,23 @@ object ChunkColumn {
     raw match {
       case None => new FillColumn(meta.dataType, meta.fillValue)
       case Some(bytes) =>
-        // bytes→bytes codecs are applied in reverse on decode
-        val ts = if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1
-        val plain = Codecs.bytesCodecs(meta.codecs, ts).reverse
-          .foldLeft(bytes)((b, c) => c.decode(b))
-        if (meta.dataType == ZarrType.Str) {
-          if (!Codecs.isVlenUtf8(meta.codecs))
-            throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")
-          new StrColumn(decodeVlenUtf8(plain))
-        } else
-          new PrimColumn(meta.dataType, plain, Codecs.endianness(meta.codecs))
+        Sharding.specOf(meta.codecs) match {
+          case Some(spec) =>
+            // sharded array: the stored object packs inner chunks with a
+            // binary index; reassemble the outer chunk's row-major buffer
+            Sharding.decode(meta, spec, bytes)
+          case None =>
+            // bytes→bytes codecs are applied in reverse on decode
+            val ts = if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1
+            val plain = Codecs.bytesCodecs(meta.codecs, ts).reverse
+              .foldLeft(bytes)((b, c) => c.decode(b))
+            if (meta.dataType == ZarrType.Str) {
+              if (!Codecs.isVlenUtf8(meta.codecs))
+                throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")
+              new StrColumn(decodeVlenUtf8(plain))
+            } else
+              new PrimColumn(meta.dataType, plain, Codecs.endianness(meta.codecs))
+        }
     }
 
   /** numcodecs VLenUTF8 layout: u32-LE item count, then per item a u32-LE

@@ -139,15 +139,7 @@ object ZarrMeta {
 
     val fill = parseFill(root.path("fill_value"), dtype)
 
-    val codecs = iter(root.path("codecs")).map { c =>
-      val cfg = c.path("configuration")
-      val m = if (cfg.isObject) {
-        val b = Map.newBuilder[String, JsonNode]
-        cfg.fields().forEachRemaining(e => b += (e.getKey -> e.getValue))
-        b.result()
-      } else Map.empty[String, JsonNode]
-      CodecSpec(c.path("name").asText(""), m)
-    }.toSeq
+    val codecs = codecSpecs(root.path("codecs"))
 
     val dimNames = {
       val dn = root.path("dimension_names")
@@ -161,6 +153,19 @@ object ZarrMeta {
     import scala.jdk.CollectionConverters._
     n.elements().asScala
   }
+
+  /** Parse a JSON codec list into [[CodecSpec]]s (also used for the
+    * nested lists inside `sharding_indexed` configuration). */
+  def codecSpecs(node: JsonNode): Seq[CodecSpec] =
+    iter(node).map { c =>
+      val cfg = c.path("configuration")
+      val m = if (cfg.isObject) {
+        val b = Map.newBuilder[String, JsonNode]
+        cfg.fields().forEachRemaining(e => b += (e.getKey -> e.getValue))
+        b.result()
+      } else Map.empty[String, JsonNode]
+      CodecSpec(c.path("name").asText(""), m)
+    }.toSeq
 
   /** fill_value per the v3 spec: bool, number, string; floats also accept
     * "NaN"/"Infinity"/"-Infinity" strings. */

@@ -10,8 +10,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object ZarrWriter {
 
-  /** bytes→bytes codec chain to apply on write, as (name, jsonConfig). */
-  final case class CodecChain(specs: Seq[(String, String)]) {
+  /** bytes→bytes codec chain to apply on write, as (name, jsonConfig).
+    * With `innerChunk` set, the whole chain (array→bytes + these codecs)
+    * nests INSIDE a `sharding_indexed` codec whose inner chunk shape is
+    * `innerChunk` — the stored object becomes a shard. */
+  final case class CodecChain(
+      specs: Seq[(String, String)],
+      innerChunk: Option[Seq[Int]] = None) {
     def json: String = {
       val bb = specs.map { case (n, cfg) =>
         if (cfg.isEmpty) s"""{"name":"$n"}"""
@@ -19,6 +24,7 @@ object ZarrWriter {
       }
       bb.mkString(",")
     }
+    def sharded(inner: Seq[Int]): CodecChain = copy(innerChunk = Some(inner))
   }
   object CodecChain {
     val raw = CodecChain(Nil)
@@ -40,8 +46,19 @@ object ZarrWriter {
     val arrayBytesCodec =
       if (dtype == ZarrType.Str) """{"name":"vlen-utf8"}"""
       else """{"name":"bytes","configuration":{"endian":"little"}}"""
-    val codecs = (Seq(arrayBytesCodec) ++ (if (chain.json.isEmpty) Nil else Seq(chain.json)))
+    val flatChain = (Seq(arrayBytesCodec) ++ (if (chain.json.isEmpty) Nil else Seq(chain.json)))
       .mkString(",")
+    // sharded: the full chain nests inside sharding_indexed, which is
+    // then the array's only top-level codec
+    val codecs = chain.innerChunk match {
+      case Some(inner) =>
+        s"""{"name":"sharding_indexed","configuration":{""" +
+          s""""chunk_shape":[${inner.mkString(",")}],""" +
+          s""""codecs":[$flatChain],""" +
+          s""""index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],""" +
+          s""""index_location":"end"}}"""
+      case None => flatChain
+    }
     val dims = dimensionNames
       .map(ns => s""","dimension_names":[${ns.map(n => s""""$n"""").mkString(",")}]""")
       .getOrElse("")
@@ -80,6 +97,7 @@ object ZarrWriter {
 
     val ndim = shape.length
     val grid = meta.gridShape
+    val shardSpec = Sharding.specOf(meta.codecs)
     val codecList = Codecs.bytesCodecs(meta.codecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
 
@@ -94,8 +112,11 @@ object ZarrWriter {
 
       if (!skipChunks(idx.toSeq)) {
         val chunkVals = extractChunk(values, shape.toArray, chunkShape.toArray, idx, meta.fillValue)
-        val raw = encodeArray(dtype, chunkVals)
-        val enc = codecList.foldLeft(raw)((b, c) => c.encode(b))
+        val enc = shardSpec match {
+          case Some(sp) => Sharding.encode(dtype, chunkShape, sp, chunkVals)
+          case None =>
+            codecList.foldLeft(encodeArray(dtype, chunkVals))((b, c) => c.encode(b))
+        }
         store.writeChunk(name, meta.chunkKey(idx), enc)
       }
       ord += 1
@@ -138,7 +159,7 @@ object ZarrWriter {
     out
   }
 
-  private def encodeArray(dtype: ZarrType, vals: Array[Any]): Array[Byte] = {
+  private[zarr] def encodeArray(dtype: ZarrType, vals: Array[Any]): Array[Byte] = {
     if (dtype == ZarrType.Str)
       return ChunkColumn.encodeVlenUtf8(vals.map(_.toString))
     val bb = ByteBuffer.allocate(vals.length * dtype.byteWidth)

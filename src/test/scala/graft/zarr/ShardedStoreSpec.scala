@@ -1,0 +1,206 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Zarr v3 `sharding_indexed` codec: inner-chunks-in-one-object layout
+  * (the store shape large deployments actually use). Covers roundtrip
+  * through both writers, absent inner chunks → fill, string arrays,
+  * nested codec chains, index at start, and corruption detection. */
+class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sharded-store-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-shard").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def readAll(dir: String): Array[org.apache.spark.sql.Row] =
+    spark.read.format("zarr").load(dir).orderBy("lat", "lon").collect()
+
+  test("2-D sharded store reads identically to its unsharded twin") {
+    val plain = ZarrStore(s"$base/latlon-plain")
+    val sharded = ZarrStore(s"$base/latlon-sharded")
+    ZarrWriter.writeLatLonStore(plain, ZarrWriter.CodecChain.bloscLz4)
+    // data 8x8, outer chunks 4x4, inner chunks 2x2 (4 inner per shard);
+    // 1-D coords 8 long, outer chunk 4, inner 2
+    sharded.writeStoreRootMeta()
+    ZarrWriter.writeArray(sharded, "lat", ZarrType.Float64, Seq(8), Seq(4),
+      (0 until 8).map(i => 38.0 + i * 0.1), Some(Seq("lat")),
+      ZarrWriter.CodecChain.bloscLz4.sharded(Seq(2)))
+    ZarrWriter.writeArray(sharded, "lon", ZarrType.Float64, Seq(8), Seq(4),
+      (0 until 8).map(i => -117.0 + i * 0.1), Some(Seq("lon")),
+      ZarrWriter.CodecChain.bloscLz4.sharded(Seq(2)))
+    ZarrWriter.writeArray(sharded, "data", ZarrType.Float64, Seq(8, 8), Seq(4, 4),
+      (0 until 64).map(_.toDouble), Some(Seq("lat", "lon")),
+      ZarrWriter.CodecChain.bloscLz4.sharded(Seq(2, 2)))
+
+    val a = readAll(s"$base/latlon-plain")
+    val b = readAll(s"$base/latlon-sharded")
+    assert(a.length == 64 && b.length == 64)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("sharded store: the stored object count shrinks, values do not change") {
+    // 1-D 64 elements: plain chunks of 4 = 16 objects; sharded outer 16 /
+    // inner 4 = 4 objects holding the same 16 logical chunks
+    val st = ZarrStore(s"$base/objcount")
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "v", ZarrType.Int64, Seq(64), Seq(16),
+      (0 until 64).map(_.toLong), None,
+      ZarrWriter.CodecChain.raw.sharded(Seq(4)), fillJson = "0")
+    val chunkDir = new java.io.File(s"$base/objcount/v/c")
+    assert(chunkDir.listFiles().length == 4, "4 shards expected")
+    val got = spark.read.format("zarr").load(s"$base/objcount")
+      .orderBy("v").collect().map(_.getLong(0))
+    assert(got.toSeq == (0L until 64L))
+  }
+
+  test("absent inner chunks decode to the fill value") {
+    val st = ZarrStore(s"$base/fillinner")
+    st.writeStoreRootMeta()
+    val metaJson = ZarrWriter.metaJson(ZarrType.Float64, Seq(8), Seq(8), "42.5", None,
+      ZarrWriter.CodecChain.raw.sharded(Seq(2)))
+    st.writeMeta("v", metaJson)
+    val meta = ZarrMeta.parse("v", metaJson)
+    val spec = Sharding.specOf(meta.codecs).get
+    // shard covers 8 elements as 4 inner chunks of 2; skip inner 1 and 3
+    val shard = Sharding.encode(ZarrType.Float64, Seq(8), spec,
+      (0 until 8).map(_.toDouble), skipInner = Set(1, 3))
+    st.writeChunk("v", "c/0", shard)
+    val got = spark.read.format("zarr").load(s"$base/fillinner")
+      .collect().map(_.getDouble(0)).sorted
+    val want = Seq(0.0, 1.0, 4.0, 5.0) ++ Seq.fill(4)(42.5)
+    assert(got.toSeq == want.sorted)
+  }
+
+  test("string array shards roundtrip (vlen-utf8 inner)") {
+    val st = ZarrStore(s"$base/strshard")
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "s", ZarrType.Str, Seq(12), Seq(6),
+      (0 until 12).map(i => s"value-$i"), None,
+      ZarrWriter.CodecChain.gzip.sharded(Seq(3)), fillJson = "\"\"")
+    val got = spark.read.format("zarr").load(s"$base/strshard")
+      .collect().map(_.getString(0)).sorted
+    assert(got.toSeq == (0 until 12).map(i => s"value-$i").sorted)
+  }
+
+  test("inner chain with crc32c + zstd decodes and detects index corruption") {
+    val st = ZarrStore(s"$base/crcshard")
+    st.writeStoreRootMeta()
+    val chain = ZarrWriter.CodecChain(Seq("zstd" -> """{"level":3}""", "crc32c" -> ""))
+      .sharded(Seq(4))
+    ZarrWriter.writeArray(st, "v", ZarrType.Int32, Seq(16), Seq(8),
+      (0 until 16).map(i => i * 3), None, chain, fillJson = "0")
+    val got = spark.read.format("zarr").load(s"$base/crcshard")
+      .collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == (0 until 16).map(_ * 3))
+
+    // flip a byte inside the shard INDEX (last 4 bytes are its crc32c;
+    // corrupt an offset byte before them) → crc32c mismatch on read
+    val key = "c/0"
+    val bytes = st.readChunk("v", key).get
+    bytes(bytes.length - 8) = (bytes(bytes.length - 8) ^ 0x1).toByte
+    st.writeChunk("v", key, bytes)
+    val err = intercept[Exception] {
+      spark.read.format("zarr").load(s"$base/crcshard").collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(err).exists(m => m != null && m.contains("crc32c")),
+      s"expected crc32c failure, got: $err")
+  }
+
+  test("index_location start parses and decodes") {
+    val st = ZarrStore(s"$base/idxstart")
+    st.writeStoreRootMeta()
+    val metaJson =
+      s"""{
+         |  "zarr_format": 3, "node_type": "array",
+         |  "shape": [8], "data_type": "int64",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": 0,
+         |  "codecs": [{"name":"sharding_indexed","configuration":{
+         |    "chunk_shape":[2],
+         |    "codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+         |    "index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+         |    "index_location":"start"}}]
+         |}""".stripMargin
+    st.writeMeta("v", metaJson)
+    val meta = ZarrMeta.parse("v", metaJson)
+    val spec = Sharding.specOf(meta.codecs).get
+    assert(!spec.indexAtEnd)
+    st.writeChunk("v", "c/0",
+      Sharding.encode(ZarrType.Int64, Seq(8), spec, (10L until 18L).toIndexedSeq))
+    val got = spark.read.format("zarr").load(s"$base/idxstart")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (10L until 18L))
+  }
+
+  test("DSv2 write with inner_chunk_size produces a sharded store and reads back") {
+    val sp = spark; import sp.implicits._
+    val url = s"$base/dsv2-sharded"
+    val df = (0 until 96).map(i => (i.toLong, i * 0.25)).toDF("id", "x").coalesce(1)
+    df.write.format("zarr").mode("overwrite")
+      .option("chunk_size", "32").option("inner_chunk_size", "8").save(url)
+
+    // metadata declares sharding; stored objects = ceil(96/32) = 3 shards
+    val meta = ZarrStore(url).readMeta("id")
+    assert(Sharding.specOf(meta.codecs).isDefined, meta.sourceJson)
+    assert(Sharding.specOf(meta.codecs).get.innerShape == Seq(8))
+
+    val back = spark.read.format("zarr").load(url).orderBy("id").collect()
+    assert(back.length == 96)
+    assert(back(50).getLong(0) == 50L && back(50).getDouble(1) == 12.5)
+  }
+
+  test("append to a sharded store preserves the sharding layout") {
+    val sp = spark; import sp.implicits._
+    val url = s"$base/dsv2-append"
+    (0 until 32).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)
+      .write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").option("inner_chunk_size", "4").save(url)
+    (32 until 48).map(i => (i.toLong, s"r$i")).toDF("id", "s").coalesce(1)
+      .write.format("zarr").mode("append").save(url)
+
+    val meta = ZarrStore(url).readMeta("s")
+    assert(Sharding.specOf(meta.codecs).isDefined, "append must keep sharding")
+    val back = spark.read.format("zarr").load(url).orderBy("id").collect()
+    assert(back.length == 48)
+    assert(back.map(_.getLong(0)).toSeq == (0L until 48L))
+    assert(back(40).getString(1) == "r40")
+  }
+
+  test("filter pushdown chunk-skip still works over shards") {
+    val st = s"$base/objcount" // 64 int64, 4 shards of outer-16
+    val df = spark.read.format("zarr").load(st).where("v >= 48")
+    assert(df.count() == 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") || plan.contains("PushedFilters"), plan)
+  }
+
+  test("non-dividing inner chunk shape fails with a clear error") {
+    val st = ZarrStore(s"$base/baddiv")
+    st.writeStoreRootMeta()
+    val err = intercept[ZarrException] {
+      ZarrWriter.writeArray(st, "v", ZarrType.Int64, Seq(10), Seq(5),
+        (0 until 10).map(_.toLong), None,
+        ZarrWriter.CodecChain.raw.sharded(Seq(3)), fillJson = "0")
+    }
+    assert(err.getMessage.contains("does not divide"), err.getMessage)
+  }
+}
