@@ -14,6 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
   *    contamination, stratified sampling (q46-q49)
+  *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
   */
 object SparkEntry {
 
@@ -25,7 +26,8 @@ object SparkEntry {
       _root_.graft.queries.Similarity.defs ++
       _root_.graft.operators.Multimodal.defs ++
       _root_.graft.operators.AsOfJoin.defs ++
-      _root_.graft.queries.Pipeline.defs
+      _root_.graft.queries.Pipeline.defs ++
+      _root_.graft.operators.ConnectedComponents.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

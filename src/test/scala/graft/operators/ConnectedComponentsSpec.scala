@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("cc-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val sp = spark; import sp.implicits._
+    ConnectedComponents.label(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a chain collapses to its minimum node (diameter > 1 needs iteration)") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)))
+    assert(got == (1L to 7L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components keep separate labels") {
+    val got = cc(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 30L)))
+    assert(got(10L) == 10L && got(11L) == 10L && got(12L) == 10L)
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got(30L) == 30L && got(31L) == 30L && got(32L) == 30L)
+  }
+
+  test("edge direction and duplication do not change the fixpoint") {
+    val e1 = Seq((5L, 1L), (1L, 5L), (5L, 1L), (3L, 5L))
+    val got = cc(e1)
+    assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+}
