@@ -22,20 +22,28 @@ object ScanBench {
 
     val n = 8 * 1024 * 1024 // 8M rows x 4 doubles = 256 MB raw
     val zarrDir = "target/scan-bench-zarr"
+    val shardDir = "target/scan-bench-zarr-sharded"
     val pqDir = "target/scan-bench-parquet"
 
     if (!new java.io.File(s"$zarrDir/c0/zarr.json").exists()) {
       System.err.println("[scan-bench] building stores (one-time)...")
       val store = ZarrStore(zarrDir)
       store.writeStoreRootMeta()
+      // sharded twin: same 256k logical chunks, 8 per shard → 1/8 the
+      // stored objects (the object-store-friendly layout)
+      val shardStore = ZarrStore(shardDir)
+      shardStore.writeStoreRootMeta()
       (0 until 4).foreach { c =>
+        val vals = new IndexedSeq[Any] {
+          def length: Int = n
+          def apply(i: Int): Any = (i * (c + 1)).toDouble
+        }
         ZarrWriter.writeArray(store, s"c$c", ZarrType.Float64,
-          Seq(n.toLong), Seq(256 * 1024),
-          new IndexedSeq[Any] {
-            def length: Int = n
-            def apply(i: Int): Any = (i * (c + 1)).toDouble
-          },
+          Seq(n.toLong), Seq(256 * 1024), vals,
           None, ZarrWriter.CodecChain.bloscLz4)
+        ZarrWriter.writeArray(shardStore, s"c$c", ZarrType.Float64,
+          Seq(n.toLong), Seq(8 * 256 * 1024), vals,
+          None, ZarrWriter.CodecChain.bloscLz4.sharded(Seq(256 * 1024)))
       }
       spark.range(0, n).select(
         ($"id" * 1.0).as("c0"), ($"id" * 2.0).as("c1"),
@@ -53,13 +61,17 @@ object ScanBench {
     }
 
     val z = spark.read.format("zarr").load(zarrDir)
+    val zs = spark.read.format("zarr").load(shardDir)
     val p = spark.read.parquet(pqDir)
     val r = Map(
       "zarr_full" -> time("zarr full scan")(z.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect()),
+      "shard_full" -> time("sharded zarr full scan")(zs.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect()),
       "pq_full" -> time("parquet full scan")(p.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect()),
       "zarr_proj" -> time("zarr 1-col projection")(z.agg(sum($"c2")).collect()),
+      "shard_proj" -> time("sharded zarr 1-col projection")(zs.agg(sum($"c2")).collect()),
       "pq_proj" -> time("parquet 1-col projection")(p.agg(sum($"c2")).collect()),
       "zarr_filter" -> time("zarr filtered")(z.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()),
+      "shard_filter" -> time("sharded zarr filtered")(zs.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()),
       "pq_filter" -> time("parquet filtered")(p.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()))
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${
       r.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
