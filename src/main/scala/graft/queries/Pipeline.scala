@@ -141,6 +141,47 @@ object Pipeline {
         .orderBy("test_doc", "train_doc")
     },
 
+    // ---- TF-IDF top terms per source: tf over (source, term), df over
+    //      the corpus, idf = ln(N/df). Both groupBys are partial-agg
+    //      shuffles on narrow keys; the tf⋈df join shuffles by term.
+    //      Ranking uses the ROUNDED score so cross-engine float noise
+    //      cannot reorder ranks. ----
+    QueryDef.sql(
+      "q51_tfidf_top_terms",
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.source, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(n.n * 1.0 / df.df), 4) AS score
+        |  FROM tf JOIN df USING (term), n
+        |), ranked AS (
+        |  SELECT source, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT source, term, tf, df, score, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      val terms = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ", -1)).as("term"))
+      val tf = terms.groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .select(col("source"), col("term"), col("tf"), col("df"),
+          round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4).as("score"))
+      val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("source", "rk")
+    },
+
     // ---- deterministic stratified sampling: md5-bucketed per-language
     //      rates (en 50%, others 12.5%) — a pure filter, no shuffle, and
     //      reproducible across engines and runs (no RNG) ----
