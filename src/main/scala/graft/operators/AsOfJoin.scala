@@ -116,11 +116,12 @@ object AsOfJoin {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin) { (s, dir) =>
       // ts is a raw nanosecond long (Tables.load); DuckDB reads the same
-      // parquet at µs precision, so the OUTPUT time is epoch-µs in both
-      // engines (the join itself compares each engine's native precision;
-      // no same-user click/purchase pair shares a µs, so truncation
-      // cannot flip a match)
+      // parquet at µs precision. Truncate to µs BEFORE the join so both
+      // engines see identical times everywhere — the compare, the
+      // per-(user, ts) right-side dedup group, and the output — rather
+      // than relying on the data never colliding within a microsecond.
       val ev = Tables.load(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("value"), 2).as("value"))
@@ -132,7 +133,6 @@ object AsOfJoin {
         leftKey = "user_id", leftTime = "ts",
         rightKey = "user_id", rightTime = "ts",
         payload = Seq("p_event_id", "p_value"))
-        .withColumn("ts", expr("ts div 1000"))
         .orderBy("event_id")
     })
 }

@@ -89,22 +89,23 @@ object Pipeline {
         |  epoch_us(min(ts)) AS sess_start, epoch_us(max(ts)) AS sess_end
         |FROM s GROUP BY user_id, sess_seq
         |ORDER BY user_id, sess_seq""".stripMargin) { (s, dir) =>
-      // ts is a raw nanosecond long; 30 min = 1.8e12 ns. The window
-      // order (ts, event_id) is total per user, so session numbering is
-      // deterministic in both engines.
-      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      // ts is a raw nanosecond long; DuckDB reads the same parquet at µs
+      // precision, so truncate to µs FIRST — the gap compare, window
+      // order and outputs then agree with the oracle by construction
+      // (a 30min+sub-µs gap would otherwise split in Spark only).
+      val gapUs = 30L * 60 * 1000 * 1000
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
         .withColumn("new_sess",
           when(lag(col("ts"), 1).over(w).isNull ||
-            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1).otherwise(0))
+            col("ts") - lag(col("ts"), 1).over(w) > gapUs, 1).otherwise(0))
         .withColumn("sess_seq", sum(col("new_sess")).over(wc))
         .groupBy(col("user_id"), col("sess_seq"))
         .agg(count(lit(1)).as("n_events"),
-          expr("min(ts) div 1000").as("sess_start"),
-          expr("max(ts) div 1000").as("sess_end"))
+          min(col("ts")).as("sess_start"),
+          max(col("ts")).as("sess_end"))
         .orderBy("user_id", "sess_seq")
     },
 

@@ -272,15 +272,18 @@ object ZarrBatchWrite {
     * anything this writer cannot encode, with a clear error, rather than
     * writing chunks that will not decode (or decode wrongly) later. */
   def validateEncodable(m: ZarrArrayMeta, root: String): Unit =
-    validateCodecList(m.codecs, m.name, root)
+    validateCodecList(m.codecs, m.name, root, insideShard = false)
 
-  private def validateCodecList(codecs: Seq[CodecSpec], name: String, root: String): Unit = {
+  private def validateCodecList(
+      codecs: Seq[CodecSpec], name: String, root: String, insideShard: Boolean): Unit = {
     codecs.foreach {
       case CodecSpec("bytes", cfg) =>
-        if (cfg.get("endian").exists(_.asText("little") == "big"))
+        // big-endian is fine at the top level (ZarrDataWriter.encode
+        // honors the stored ByteOrder) but Sharding.encode is LE-only
+        if (insideShard && cfg.get("endian").exists(_.asText("little") == "big"))
           throw new ZarrException(
-            s"append: array $name in $root uses big-endian bytes codec " +
-              "which this writer cannot encode")
+            s"append: array $name in $root uses a big-endian bytes codec inside " +
+              "sharding_indexed, which this writer cannot encode")
       case CodecSpec("vlen-utf8", _) => () // array→bytes
       case CodecSpec("blosc", cfg) =>
         val cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4")
@@ -296,7 +299,7 @@ object ZarrBatchWrite {
         // the inner chain must be encodable too (Sharding.specOf also
         // rejects variable-size index codecs)
         val spec = Sharding.specOf(Seq(CodecSpec("sharding_indexed", cfg))).get
-        validateCodecList(spec.innerCodecs, name, root)
+        validateCodecList(spec.innerCodecs, name, root, insideShard = true)
       case CodecSpec(name0, _) if encodableBytesCodecs(name0) => ()
       case CodecSpec(name0, _) =>
         throw new ZarrException(

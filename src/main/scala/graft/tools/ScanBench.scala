@@ -25,7 +25,8 @@ object ScanBench {
     val shardDir = "target/scan-bench-zarr-sharded"
     val pqDir = "target/scan-bench-parquet"
 
-    if (!new java.io.File(s"$zarrDir/c0/zarr.json").exists()) {
+    if (!new java.io.File(s"$zarrDir/c0/zarr.json").exists() ||
+      !new java.io.File(s"$shardDir/c0/zarr.json").exists()) {
       System.err.println("[scan-bench] building stores (one-time)...")
       val store = ZarrStore(zarrDir)
       store.writeStoreRootMeta()

@@ -103,43 +103,24 @@ object Sharding {
     out
   }
 
-  /** Decode a whole shard into a [[ChunkColumn]] covering the outer
-    * chunk's elements row-major (absent inner chunks → fill value). */
-  def decode(meta: ZarrArrayMeta, spec: Spec, shard: Array[Byte]): ChunkColumn = {
-    val shardShape = meta.chunkShape
-    val ndim = shardShape.length
-    val grid = gridOf(shardShape, spec)
-    val nInner = grid.product
-    val index = decodeIndex(spec, shard, nInner)
-    val inner = spec.innerShape.toArray
-    val innerElems = spec.innerElems
-
-    val innerChain = Codecs.bytesCodecs(spec.innerCodecs,
-      if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1).reverse
-
-    def innerBytes(gi: Int): Option[Array[Byte]] = {
-      val off = index(2 * gi)
-      val len = index(2 * gi + 1)
-      if (off == MISSING && len == MISSING) None
-      else {
-        if (off < 0 || len < 0 || off + len > shard.length)
-          throw new ZarrException(
-            s"shard index entry $gi out of range: offset=$off nbytes=$len size=${shard.length}")
-        val enc = java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt)
-        Some(innerChain.foldLeft(enc)((b, c) => c.decode(b)))
-      }
+  /** Shared geometry between decode and encode: outer strides, run
+    * shape, and the row-major walk over one inner chunk's rows. `copy`
+    * receives (inner row index, outer flat element offset of that row);
+    * each row is `rowLenElems` contiguous elements along the last dim. */
+  private final class Runs(shardShape: Array[Int], spec: Spec) {
+    val ndim: Int = shardShape.length
+    val grid: Array[Int] = gridOf(shardShape, spec)
+    val nInner: Int = grid.product
+    val inner: Array[Int] = spec.innerShape.toArray
+    val rowLenElems: Int = inner(ndim - 1)
+    val rowsPerInner: Int = spec.innerElems / rowLenElems
+    val stride: Array[Int] = new Array[Int](ndim)
+    val outerElems: Int = {
+      var acc = 1
+      var d = ndim - 1
+      while (d >= 0) { stride(d) = acc; acc *= shardShape(d); d -= 1 }
+      acc
     }
-
-    // outer element strides (row-major)
-    val stride = new Array[Int](ndim)
-    var acc = 1
-    var d = ndim - 1
-    while (d >= 0) { stride(d) = acc; acc *= shardShape(d); d -= 1 }
-    val outerElems = acc
-
-    // per-inner-chunk copy geometry: contiguous runs along the last dim
-    val rowLenElems = inner(ndim - 1)
-    val rowsPerInner = innerElems / rowLenElems
 
     def forEachRun(gi: Int)(copy: (Int, Int) => Unit): Unit = {
       // grid coords of this inner chunk
@@ -164,6 +145,33 @@ object Sharding {
         r += 1
       }
     }
+  }
+
+  /** Decode a whole shard into a [[ChunkColumn]] covering the outer
+    * chunk's elements row-major (absent inner chunks → fill value). */
+  def decode(meta: ZarrArrayMeta, spec: Spec, shard: Array[Byte]): ChunkColumn = {
+    val runs = new Runs(meta.chunkShape, spec)
+    import runs.{nInner, rowLenElems, outerElems}
+    val index = decodeIndex(spec, shard, nInner)
+    val innerElems = spec.innerElems
+
+    val innerChain = Codecs.bytesCodecs(spec.innerCodecs,
+      if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1).reverse
+
+    def innerBytes(gi: Int): Option[Array[Byte]] = {
+      val off = index(2 * gi)
+      val len = index(2 * gi + 1)
+      if (off == MISSING && len == MISSING) None
+      else {
+        if (off < 0 || len < 0 || off + len > shard.length)
+          throw new ZarrException(
+            s"shard index entry $gi out of range: offset=$off nbytes=$len size=${shard.length}")
+        val enc = java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt)
+        Some(innerChain.foldLeft(enc)((b, c) => c.decode(b)))
+      }
+    }
+
+    def forEachRun(gi: Int)(copy: (Int, Int) => Unit): Unit = runs.forEachRun(gi)(copy)
 
     if (meta.dataType == ZarrType.Str) {
       if (!Codecs.isVlenUtf8(spec.innerCodecs))
@@ -207,16 +215,23 @@ object Sharding {
 
   /** Pre-fill an output buffer with the array's fill value so absent
     * inner chunks read back correctly. Skips the memset when the fill
-    * encoding is all-zero (fresh JVM arrays already are). */
+    * encoding is all-zero (fresh JVM arrays already are).
+    *
+    * NOTE: parseFill boxes unsigned types WIDENED (uint8→Short,
+    * uint16→Int, uint32→Long) but the stored element is byteWidth bytes —
+    * the value must be written at the STORED width, not the boxed one. */
   private def fillPattern(out: Array[Byte], meta: ZarrArrayMeta, order: ByteOrder): Unit = {
     val bw = meta.dataType.byteWidth
     val one = ByteBuffer.allocate(bw).order(order)
     meta.dataType match {
       case ZarrType.Bool => one.put(if (meta.fillValue.asInstanceOf[Boolean]) 1.toByte else 0.toByte)
       case ZarrType.Int8 => one.put(meta.fillValue.asInstanceOf[Byte])
-      case ZarrType.Int16 | ZarrType.UInt8 => one.putShort(meta.fillValue.asInstanceOf[Short])
-      case ZarrType.Int32 | ZarrType.UInt16 => one.putInt(meta.fillValue.asInstanceOf[Int])
-      case ZarrType.Int64 | ZarrType.UInt32 => one.putLong(meta.fillValue.asInstanceOf[Long])
+      case ZarrType.UInt8 => one.put(meta.fillValue.asInstanceOf[Short].toByte)
+      case ZarrType.Int16 => one.putShort(meta.fillValue.asInstanceOf[Short])
+      case ZarrType.UInt16 => one.putShort(meta.fillValue.asInstanceOf[Int].toShort)
+      case ZarrType.Int32 => one.putInt(meta.fillValue.asInstanceOf[Int])
+      case ZarrType.UInt32 => one.putInt(meta.fillValue.asInstanceOf[Long].toInt)
+      case ZarrType.Int64 => one.putLong(meta.fillValue.asInstanceOf[Long])
       case ZarrType.UInt64 =>
         one.putLong(meta.fillValue.asInstanceOf[java.math.BigDecimal].toBigInteger.longValue())
       case ZarrType.Float32 => one.putFloat(meta.fillValue.asInstanceOf[Float])
@@ -242,47 +257,20 @@ object Sharding {
       vals: IndexedSeq[Any],
       skipInner: Set[Int] = Set.empty): Array[Byte] = {
     val shard = shardShape.toArray
-    val ndim = shard.length
     require(vals.length == shard.product, s"vals ${vals.length} != shard ${shard.product}")
     if (dtype != ZarrType.Str && Codecs.endianness(spec.innerCodecs) != ByteOrder.LITTLE_ENDIAN)
       throw new ZarrException("sharding encode supports little-endian inner bytes codec only")
-    val grid = gridOf(shard, spec)
-    val nInner = grid.product
-    val inner = spec.innerShape.toArray
+    val runs = new Runs(shard, spec)
+    import runs.{nInner, rowLenElems}
     val innerElems = spec.innerElems
     val innerChain = Codecs.bytesCodecs(spec.innerCodecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
 
-    // outer strides
-    val stride = new Array[Int](ndim)
-    var acc = 1
-    var d = ndim - 1
-    while (d >= 0) { stride(d) = acc; acc *= shard(d); d -= 1 }
-
-    val rowLenElems = inner(ndim - 1)
-    val rowsPerInner = innerElems / rowLenElems
-
     def gather(gi: Int): Array[Any] = {
-      val g = new Array[Int](ndim)
-      var rem = gi
-      var k = ndim - 1
-      while (k >= 0) { g(k) = rem % grid(k); rem /= grid(k); k -= 1 }
       val out = new Array[Any](innerElems)
-      val ic = new Array[Int](ndim)
-      var r = 0
-      while (r < rowsPerInner) {
-        var flat = 0
-        var j = 0
-        while (j < ndim) { flat += (g(j) * inner(j) + ic(j)) * stride(j); j += 1 }
+      runs.forEachRun(gi) { (r, flat) =>
         var e = 0
         while (e < rowLenElems) { out(r * rowLenElems + e) = vals(flat + e); e += 1 }
-        var m = ndim - 2
-        var carry = true
-        while (carry && m >= 0) {
-          ic(m) += 1
-          if (ic(m) == inner(m)) { ic(m) = 0; m -= 1 } else carry = false
-        }
-        r += 1
       }
       out
     }

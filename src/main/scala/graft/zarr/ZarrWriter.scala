@@ -98,7 +98,9 @@ object ZarrWriter {
     val ndim = shape.length
     val grid = meta.gridShape
     val shardSpec = Sharding.specOf(meta.codecs)
-    val codecList = Codecs.bytesCodecs(meta.codecs,
+    // top-level bytes codecs apply only on the unsharded path (a shard's
+    // chain lives inside sharding_indexed and is applied per inner chunk)
+    lazy val codecList = Codecs.bytesCodecs(meta.codecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
 
     // iterate all chunk indices

@@ -193,6 +193,58 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("pushed=") || plan.contains("PushedFilters"), plan)
   }
 
+  test("unsigned dtypes shard correctly incl. widened fill values (uint8/uint16/uint32)") {
+    // parseFill boxes unsigned fills WIDENED (uint8→Short, uint16→Int,
+    // uint32→Long); fillPattern must write them at the STORED width —
+    // regression test for a BufferOverflowException on absent inner chunks
+    val cases = Seq(
+      ("u8", "uint8", "200", 200L),
+      ("u16", "uint16", "60000", 60000L),
+      ("u32", "uint32", "4000000000", 4000000000L))
+    cases.foreach { case (arr, dt, fillJson, fillVal) =>
+      val st = ZarrStore(s"$base/uint-$arr")
+      st.writeStoreRootMeta()
+      val metaJson =
+        s"""{
+           |  "zarr_format": 3, "node_type": "array",
+           |  "shape": [8], "data_type": "$dt",
+           |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+           |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           |  "fill_value": $fillJson,
+           |  "codecs": [{"name":"sharding_indexed","configuration":{
+           |    "chunk_shape":[2],
+           |    "codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+           |    "index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"crc32c"}],
+           |    "index_location":"end"}}]
+           |}""".stripMargin
+      st.writeMeta(arr, metaJson)
+      val meta = ZarrMeta.parse(arr, metaJson)
+      val spec = Sharding.specOf(meta.codecs).get
+      val zt = meta.dataType
+      val vals: IndexedSeq[Any] = zt match {
+        case ZarrType.UInt8 => (0 until 8).map(i => (i * 10).toShort)
+        case ZarrType.UInt16 => (0 until 8).map(i => i * 1000)
+        case _ => (0 until 8).map(i => i * 100000L)
+      }
+      // skip inner chunk 2 (elements 4,5) → fill value must surface
+      st.writeChunk(arr, "c/0",
+        Sharding.encode(zt, Seq(8), spec, vals, skipInner = Set(2)))
+      val got = spark.read.format("zarr").load(s"$base/uint-$arr")
+        .collect().map(r => r.get(0) match {
+          case s: Short => s.toLong
+          case i: Int => i.toLong
+          case l: Long => l
+          case o => o.asInstanceOf[Number].longValue()
+        }).sorted
+      val expected = ((0 until 8).filterNot(i => i == 4 || i == 5).map(i => zt match {
+        case ZarrType.UInt8 => (i * 10).toLong
+        case ZarrType.UInt16 => (i * 1000).toLong
+        case _ => i * 100000L
+      }) ++ Seq(fillVal, fillVal)).sorted
+      assert(got.toSeq == expected, s"dtype $dt")
+    }
+  }
+
   test("non-dividing inner chunk shape fails with a clear error") {
     val st = ZarrStore(s"$base/baddiv")
     st.writeStoreRootMeta()
