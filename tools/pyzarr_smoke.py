@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""PySpark smoke test of the zarr DSv2 source (SURVEY 2A row 17, the
+"Python surface"): write a store from Python, read it back, and query it
+through SQL DDL. The Scala classes must be compiled first (sbt compile).
+
+Run: python3 tools/pyzarr_smoke.py
+Expected output ends with: PYTHON SURFACE OK
+"""
+import os
+
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[4]")
+         .appName("pyzarr-smoke")
+         .config("spark.driver.extraClassPath",
+                 os.path.abspath("target/scala-2.13/classes"))
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+df = spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) * 0.5 AS x").coalesce(1)
+df.write.format("zarr").mode("overwrite").option("chunk_size", "16").save("/tmp/pyzarr-store")
+
+back = spark.read.format("zarr").load("/tmp/pyzarr-store")
+assert back.count() == 100, "row count"
+assert back.groupBy().sum("x").collect()[0][0] == 2475.0, "sum"
+
+spark.sql("CREATE OR REPLACE TEMPORARY VIEW pz USING zarr OPTIONS (path '/tmp/pyzarr-store')")
+assert spark.sql("SELECT count(*) FROM pz WHERE id >= 90").collect()[0][0] == 10, "DDL filter"
+
+spark.stop()
+print("PYTHON SURFACE OK")
