@@ -143,6 +143,26 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.length == 20 && back.last.getDouble(0) == 19.0)
   }
 
+  test("edge-chunk padding uses the store's fill_value, not zero (ADVICE r2)") {
+    val pth = s"$base/padfill"
+    val store = ZarrStore(pth)
+    store.writeStoreRootMeta()
+    // raw codec chain so the stored chunk bytes are directly inspectable
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(5), Seq(5),
+      (0 until 5).map(_ * 1.0), None, ZarrWriter.CodecChain.raw, fillJson = "-77.5")
+    val sp = spark; import sp.implicits._
+    // append 3 rows → edge chunk holds 3 values + 2 PADDED elements
+    (5 until 8).map(i => Tuple1(i * 1.0)).toDF("v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    val chunk = ZarrStore(pth).readChunk("v", "c/1").get
+    val bb = java.nio.ByteBuffer.wrap(chunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getDouble(0 * 8) == 5.0 && bb.getDouble(2 * 8) == 7.0)
+    // a conforming writer pads with fill_value; zero-padding is an
+    // interop inconsistency invisible to shape-truncating readers
+    assert(bb.getDouble(3 * 8) == -77.5 && bb.getDouble(4 * 8) == -77.5,
+      s"padded tail must carry the declared fill_value")
+  }
+
   test("fast path rejects an empty middle partition (ADVICE r1 #1)") {
     val sp = spark
     // partitions 0 and 2 hold 10 rows each, partition 1 is empty — its
