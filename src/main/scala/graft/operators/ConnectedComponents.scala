@@ -35,14 +35,20 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
+
+    def step(l: DataFrame): DataFrame =
+      sym.join(l, sym("b") === l("node"))
+        .select(sym("a").as("node"), col("comp"))
+        .union(l)
+        .groupBy("node").agg(min("comp").as("comp"))
+
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val prop = sym.join(labels, sym("b") === labels("node"))
-        .select(sym("a").as("node"), col("comp"))
-        .union(labels)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      // min-propagation is monotone, so extra hops never overshoot the
+      // fixpoint: take TWO hops per round and pay the checkpoint +
+      // convergence probe (the fixed per-round job costs) half as often
+      val prop = step(step(labels)).localCheckpoint()
       val changed = prop.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") =!= col("o.comp"))
@@ -107,14 +113,15 @@ object ConnectedComponents {
         .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bh").as("bh"))
       val a = bands.as("a")
       val b = bands.as("b")
+      // hamming64 is a cheap codegen'd kernel: verify BEFORE the dedup so
+      // the distinct shuffle carries two longs per row, not two 64-char
+      // fingerprints (band-collision duplicates re-verify at most 3x)
       val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+        .where(expr("hamming64(a.simhash, b.simhash)") <= 6)
+        .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
         .distinct()
-        .where(expr("hamming64(ha, hb)") <= 6)
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
 
       val labels = label(pairs)
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_linked"))
