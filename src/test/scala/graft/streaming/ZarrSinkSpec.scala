@@ -61,6 +61,63 @@ class ZarrSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("orphaned tail tmp dir (crash between delete and rename) is adopted, not lost") {
+    val sp = spark; import sp.implicits._
+    val path = s"$base/heal-store"
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batch 0: 5 rows, all tail (no full chunk)
+    ZarrSink.appendBatch((0L until 5L).toDF("id"), 0L, path, chunkSize = 8)
+    // simulate the crash window: tail deleted, tmp (the NEW tail) orphaned
+    f.rename(new org.apache.hadoop.fs.Path(s"$path/_tail.parquet"),
+      new org.apache.hadoop.fs.Path(s"$path/_tail.tmp.parquet"))
+    // replayed batch 0 is guarded by the marker; batch 1 must see all 5
+    // healed tail rows plus its own 6 → 8 in store, 3 in tail
+    ZarrSink.appendBatch((5L until 11L).toDF("id"), 1L, path, chunkSize = 8)
+    assert(storeRows(path) == 8)
+    ZarrSink.flush(spark, path, chunkSize = 8)
+    val got = spark.read.format("zarr").load(path).orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == (0L until 11L))
+  }
+
+  test("a torn (empty) commit marker reads as nothing-committed, not an error") {
+    val sp = spark; import sp.implicits._
+    val path = s"$base/torn-marker"
+    ZarrSink.appendBatch((0L until 8L).toDF("id"), 0L, path, chunkSize = 8)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$path/_stream_commit"), true)
+    out.close() // 0-byte marker, as left by a crash mid-write
+    // must not throw NumberFormatException; duplication is allowed
+    // (at-least-once), loss and wedging are not
+    ZarrSink.appendBatch((8L until 16L).toDF("id"), 1L, path, chunkSize = 8)
+    assert(storeRows(path) == 16)
+  }
+
+  test("flush is idempotent across a crash between append and cleanup") {
+    val sp = spark; import sp.implicits._
+    val path = s"$base/flush-crash"
+    ZarrSink.appendBatch((0L until 8L).toDF("id"), 0L, path, chunkSize = 8)
+    ZarrSink.appendBatch((8L until 13L).toDF("id"), 1L, path, chunkSize = 8)
+    assert(storeRows(path) == 8) // 5 rows in tail
+    ZarrSink.flush(spark, path, chunkSize = 8)
+    assert(storeRows(path) == 13)
+    // rerun: nothing to do, nothing duplicated, no alignment error
+    ZarrSink.flush(spark, path, chunkSize = 8)
+    assert(storeRows(path) == 13)
+    // simulate the post-append crash window directly: staging dir and
+    // target present, store already at target → cleanup only
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (10L until 15L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_tail.flush.parquet")
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$path/_flush_target"), true)
+    out.write("13".getBytes("UTF-8")); out.close()
+    ZarrSink.flush(spark, path, chunkSize = 8)
+    assert(storeRows(path) == 13, "already-applied staging must not re-append")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_tail.flush.parquet")))
+  }
+
   test("a replayed batchId is a no-op (idempotent recovery)") {
     val sp = spark; import sp.implicits._
     val path = s"$base/replay-store"
