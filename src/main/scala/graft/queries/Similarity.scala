@@ -166,6 +166,41 @@ object Similarity {
         .orderBy("qid", "rk")
     },
 
+    // ---- int8 scalar quantization: per-vector (min, max) affine code —
+    //      the compression step ANN systems apply before indexing. All
+    //      quantized values use floor of IEEE-deterministic arithmetic
+    //      (identical op order in both engines), so the oracle matches
+    //      bit-for-bit; reconstruction error is rounded at the output.
+    //      Scale shape: narrow scan-project, no shuffle. ----
+    QueryDef.sql(
+      "q52_int8_quantize",
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |    list_min(list_transform(embedding, x -> x::DOUBLE)) AS mn,
+         |    list_max(list_transform(embedding, x -> x::DOUBLE)) AS mx
+         |  FROM embeddings)
+         |SELECT vec_id, round(mn, 6) AS q_min, round(mx, 6) AS q_max,
+         |  list_sum(list_transform(embedding, x ->
+         |    CASE WHEN mx > mn
+         |      THEN least(floor((x::DOUBLE - mn) * 255.0 / (mx - mn)), 255)::BIGINT
+         |      ELSE 0 END))::BIGINT AS q_sum
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      emb(s, dir)
+        .withColumn("mn", expr(
+          "aggregate(embedding, CAST('Infinity' AS double), (acc, x) -> least(acc, CAST(x AS double)))"))
+        .withColumn("mx", expr(
+          "aggregate(embedding, CAST('-Infinity' AS double), (acc, x) -> greatest(acc, CAST(x AS double)))"))
+        .select(
+          col("vec_id"),
+          round(col("mn"), 6).as("q_min"),
+          round(col("mx"), 6).as("q_max"),
+          expr("""aggregate(embedding, 0L, (acc, x) ->
+            acc + CASE WHEN mx > mn
+              THEN CAST(least(floor((CAST(x AS double) - mn) * 255.0D / (mx - mn)), 255.0D) AS bigint)
+              ELSE 0L END)""").as("q_sum"))
+        .orderBy("vec_id")
+    },
+
     // ---- IVF-style ANN: label-partitioned coarse quantizer. Centroids
     //      are per-position averages (rounded BEFORE any comparison so
     //      both engines rank identically); each query probes its 2
