@@ -118,6 +118,32 @@ class ZarrSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/_tail.flush.parquet")))
   }
 
+  test("full streaming loop: zarr source -> transform -> zarr sink") {
+    import graft.zarr.{ZarrStore, ZarrType, ZarrWriter}
+    val src = s"$base/loop-src"
+    val dst = s"$base/loop-dst"
+    val store = ZarrStore(src)
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(20), Seq(4),
+      (0 until 20).map(_ * 1.0), None, ZarrWriter.CodecChain.gzip)
+
+    val q = spark.readStream.format("zarr").load(src)
+      .selectExpr("v", "v * v AS v2")
+      .writeStream
+      .option("checkpointLocation", s"$base/loop-ckpt")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        ZarrSink.appendBatch(df, id, dst, chunkSize = 8))
+      .start()
+    q.processAllAvailable(); q.stop()
+    ZarrSink.flush(spark, dst, chunkSize = 8)
+
+    val rows = spark.read.format("zarr").load(dst).orderBy("v").collect()
+    assert(rows.length == 20)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == i.toDouble && r.getDouble(1) == (i * i).toDouble)
+    }
+  }
+
   test("a replayed batchId is a no-op (idempotent recovery)") {
     val sp = spark; import sp.implicits._
     val path = s"$base/replay-store"
