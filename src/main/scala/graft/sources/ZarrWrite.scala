@@ -60,20 +60,28 @@ object ZarrWriteSupport {
       df: org.apache.spark.sql.DataFrame,
       rowsPerPartition: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema
-    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
-      ((idx / rowsPerPartition).toInt, (idx, row))
-    }
-    val nPart = math.max(1,
-      (df.count() + rowsPerPartition - 1) / rowsPerPartition).toInt
-    val parted = rdd
+    val n = df.count()
+    val nPart = math.max(1, (n + rowsPerPartition - 1) / rowsPerPartition).toInt
+    spark.createDataFrame(
+      alignIndexed(df.rdd.zipWithIndex().map(_.swap), rowsPerPartition, nPart),
+      df.schema)
+  }
+
+  /** Core of the alignment contract, shared with the streaming sink:
+    * partition an already-indexed row RDD so partition p holds exactly
+    * rows [p*rowsPerPartition, (p+1)*rowsPerPartition) in index order —
+    * the layout the `rows_per_partition` fast write path requires. */
+  def alignIndexed(
+      indexed: org.apache.spark.rdd.RDD[(Long, org.apache.spark.sql.Row)],
+      rowsPerPartition: Int,
+      nPart: Int): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    indexed
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = nPart
-        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        override def getPartition(key: Any): Int =
+          (key.asInstanceOf[Long] / rowsPerPartition).toInt
       })
-      .map(_._2).mapPartitions(_.toSeq.sortBy(_._1).map(_._2).iterator, true)
-    spark.createDataFrame(parted, schema)
-  }
+      .mapPartitions(_.toSeq.sortBy(_._1).map(_._2).iterator, preservesPartitioning = true)
 }
 
 class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)

@@ -1,8 +1,9 @@
 package graft.streaming
 
+import graft.sources.ZarrWriteSupport
 import graft.zarr.ZarrException
 import org.apache.hadoop.fs.Path
-import org.apache.spark.Partitioner
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Streaming zarr sink: `df.writeStream.foreachBatch(ZarrSink.appendBatch(
@@ -49,6 +50,25 @@ object ZarrSink {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** ZarrStore with the session's fs.* conf (credentials, custom
+    * schemes) — same propagation as ZarrDataSource.storeFor. */
+  private def store(spark: SparkSession, path: String): graft.zarr.ZarrStore = {
+    import scala.jdk.CollectionConverters._
+    val pairs = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).filter(_._1.startsWith("fs.")).toSeq
+    graft.zarr.ZarrStore(path, pairs)
+  }
+
+  /** Adopt an orphaned tail tmp dir only when its parquet job COMPLETED
+    * (_SUCCESS present): a crash mid-job leaves a tmp with only
+    * _temporary/, which must be discarded (the batch replays anyway),
+    * not adopted as a tail. */
+  private def healTmp(f: org.apache.hadoop.fs.FileSystem, tmpP: Path, tailP: Path): Unit =
+    if (f.exists(tmpP)) {
+      if (!f.exists(tailP) && f.exists(new Path(tmpP, "_SUCCESS"))) swapIn(f, tmpP, tailP)
+      else f.delete(tmpP, true)
+    }
+
   private def swapIn(f: org.apache.hadoop.fs.FileSystem, tmp: Path, dst: Path): Unit = {
     f.delete(dst, true)
     if (!f.rename(tmp, dst))
@@ -92,10 +112,10 @@ object ZarrSink {
         s"$path has an unfinished flush staging dir; run ZarrSink.flush(path) " +
           "before appending new batches (its rows precede this batch)")
     // heal a crash that landed between delete-old-tail and rename-tmp:
-    // the tmp dir holds the complete newer tail — adopt it. A tmp next
-    // to a live tail is a stale artifact of an uncommitted batch.
-    if (!f.exists(tailP) && f.exists(tmpP)) swapIn(f, tmpP, tailP)
-    else if (f.exists(tmpP)) f.delete(tmpP, true)
+    // a COMPLETE tmp dir holds the newer tail — adopt it; an incomplete
+    // one (or a tmp next to a live tail) is a stale artifact of an
+    // uncommitted batch and is discarded.
+    healTmp(f, tmpP, tailP)
 
     val haveTail = f.exists(tailP)
     // tail rows FIRST so arrival order is preserved across batches
@@ -113,14 +133,8 @@ object ZarrSink {
         // partition directly by idx / chunkSize: every partition holds
         // exactly chunk_size rows, so the DSv2 fast path lands chunks at
         // final keys — no extra count/zipWithIndex/sort jobs
-        val nPart = (nFull / chunkSize).toInt
-        val mainRdd = rows.filter(_._1 < nFull)
-          .partitionBy(new Partitioner {
-            override def numPartitions: Int = nPart
-            override def getPartition(key: Any): Int =
-              (key.asInstanceOf[Long] / chunkSize).toInt
-          })
-          .mapPartitions(_.toSeq.sortBy(_._1).map(_._2).iterator, preservesPartitioning = true)
+        val mainRdd = ZarrWriteSupport.alignIndexed(
+          rows.filter(_._1 < nFull), chunkSize, (nFull / chunkSize).toInt)
         spark.createDataFrame(mainRdd, schema)
           .write.format("zarr").mode("append")
           .option("chunk_size", chunkSize.toString)
@@ -135,10 +149,22 @@ object ZarrSink {
     } finally rows.unpersist()
   }
 
-  private def storeRows(path: String): Long =
+  /** Current store row count, healing a torn staged-commit first: chunk
+    * renames complete before ANY per-column zarr.json is rewritten, so if
+    * column shapes disagree, the data for the max shape exists for every
+    * column and only the lagging metadata needs repair. */
+  private def storeRows(spark: SparkSession, path: String): Long =
     try {
-      val store = graft.zarr.ZarrStore(path)
-      store.listArrays().headOption.map(a => store.readMeta(a).shape(0)).getOrElse(0L)
+      val st = store(spark, path)
+      val metas = st.listArrays().map(a => a -> st.readMeta(a))
+      if (metas.isEmpty) 0L
+      else {
+        val maxRows = metas.map(_._2.shape(0)).max
+        metas.filter(_._2.shape(0) != maxRows).foreach { case (a, m) =>
+          st.writeMeta(a, graft.zarr.ZarrMeta.withShape0(m.sourceJson, maxRows))
+        }
+        maxRows
+      }
     } catch { case _: ZarrException => 0L }
 
   /** Drain the carried tail into the store as a final (possibly partial)
@@ -157,8 +183,7 @@ object ZarrSink {
     val tmpP = new Path(s"$path/_tail.tmp.parquet")
     val flushP = new Path(s"$path/_tail.flush.parquet")
     val targetP = new Path(s"$path/_flush_target")
-    if (!f.exists(tailP) && f.exists(tmpP)) swapIn(f, tmpP, tailP) // heal (as in appendBatch)
-    else if (f.exists(tmpP)) f.delete(tmpP, true)
+    healTmp(f, tmpP, tailP) // as in appendBatch
 
     def drainStaging(): Unit = if (f.exists(flushP)) {
       val tail = spark.read.parquet(flushP.toString)
@@ -169,14 +194,14 @@ object ZarrSink {
             val in = f.open(targetP)
             try new String(in.readAllBytes()).trim.toLong finally in.close()
           } else {
-            val t = storeRows(path) + n
+            val t = storeRows(spark, path) + n
             val out = f.create(targetP, true)
             try out.write(t.toString.getBytes("UTF-8")) finally out.close()
             t
           }
         // below target → the append has not happened yet; at target → a
         // rerun after a post-append crash, only cleanup remains
-        if (storeRows(path) < target)
+        if (storeRows(spark, path) < target)
           tail.coalesce(1).write.format("zarr").mode("append")
             .option("chunk_size", chunkSize.toString)
             .save(path)

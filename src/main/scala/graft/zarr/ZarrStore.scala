@@ -92,10 +92,15 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
 
   def delete(): Unit = if (fs.exists(rootPath)) fs.delete(rootPath, true)
 
-  /** Metadata-only move of a chunk object (commit-time re-keying). */
+  /** Metadata-only move of a chunk object (commit-time re-keying).
+    * Overwrites an existing destination: commit retries after a crash
+    * re-rename the SAME deterministic bytes onto keys a previous attempt
+    * may already have landed (HDFS/S3A rename does not overwrite, so the
+    * retry would otherwise wedge). */
   def rename(fromKey: String, toKey: String): Unit = {
     val to = new Path(rootPath, toKey)
     fs.mkdirs(to.getParent)
+    if (fs.exists(to)) fs.delete(to, false)
     if (!fs.rename(new Path(rootPath, fromKey), to))
       throw new ZarrException(s"rename failed: $fromKey -> $toKey")
   }
