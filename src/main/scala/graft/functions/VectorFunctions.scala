@@ -96,41 +96,42 @@ case class NormF32(child: Expression) extends UnaryExpression with Serializable 
 
 object VectorFunctions {
 
-  /** Register `dot_f32` and `norm_f32` as SQL-callable functions on the
-    * session (idempotent). */
+  /** All native kernels as (identifier, info, builder) descriptions —
+    * consumed both by per-session [[register]] and by
+    * [[graft.plans.GraftExtensions]] (session-wide injection). */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("dot_f32"),
+        new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+        (children: Seq[Expression]) => DotF32(children(0), children(1))),
+      (FunctionIdentifier("norm_f32"),
+        new ExpressionInfo(classOf[NormF32].getName, "norm_f32"),
+        (children: Seq[Expression]) => NormF32(children.head)),
+      (FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head)),
+      (FunctionIdentifier("hamming64"),
+        new ExpressionInfo(classOf[HammingDist].getName, "hamming64"),
+        (children: Seq[Expression]) => HammingDist(children(0), children(1))),
+      (FunctionIdentifier("md5_array"),
+        new ExpressionInfo(classOf[Md5Array].getName, "md5_array"),
+        (children: Seq[Expression]) => Md5Array(children.head)),
+      (FunctionIdentifier("winnow64"),
+        new ExpressionInfo(classOf[Winnow].getName, "winnow64"),
+        (children: Seq[Expression]) => Winnow(children.head)),
+      (FunctionIdentifier("shingles3"),
+        new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+        (children: Seq[Expression]) => Shingles3(children.head)),
+      (FunctionIdentifier("minhash16"),
+        new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
+        (children: Seq[Expression]) => MinHash16(children.head)))
+
+  /** Register every kernel as a SQL-callable function on the session
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("dot_f32"),
-      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
-      (children: Seq[Expression]) => DotF32(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("norm_f32"),
-      new ExpressionInfo(classOf[NormF32].getName, "norm_f32"),
-      (children: Seq[Expression]) => NormF32(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("hamming64"),
-      new ExpressionInfo(classOf[HammingDist].getName, "hamming64"),
-      (children: Seq[Expression]) => HammingDist(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("md5_array"),
-      new ExpressionInfo(classOf[Md5Array].getName, "md5_array"),
-      (children: Seq[Expression]) => Md5Array(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("winnow64"),
-      new ExpressionInfo(classOf[Winnow].getName, "winnow64"),
-      (children: Seq[Expression]) => Winnow(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("shingles3"),
-      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
-      (children: Seq[Expression]) => Shingles3(children.head))
-    reg.registerFunction(
-      FunctionIdentifier("minhash16"),
-      new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
-      (children: Seq[Expression]) => MinHash16(children.head))
+    descriptions.foreach { case (id, info, builder) =>
+      reg.registerFunction(id, info, builder)
+    }
   }
 }

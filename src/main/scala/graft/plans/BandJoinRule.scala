@@ -179,8 +179,12 @@ object BandJoinRule extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`): injects the band-join
-  * optimizer rule. */
+  * optimizer rule and registers every native kernel (`dot_f32`,
+  * `simhash64`, `winnow64`, …) session-wide, so the library's full SQL
+  * surface is available without per-query register calls. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BandJoinRule)
+    graft.functions.VectorFunctions.descriptions.foreach(ext.injectFunction)
+  }
 }
