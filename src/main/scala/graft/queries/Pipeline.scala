@@ -142,6 +142,32 @@ object Pipeline {
         .orderBy("test_doc", "train_doc")
     },
 
+    // ---- per-source length-distribution stats: exact percentiles
+    //      (Spark `percentile` and DuckDB `quantile_cont` share the same
+    //      linear-interpolation formula, verified bit-identical). Exact
+    //      percentile buffers each group's values — fine for bounded
+    //      per-source groups; unbounded groups would switch to
+    //      approx_percentile (t-digest) at the cost of the oracle. ----
+    QueryDef.sql(
+      "q53_length_stats",
+      """SELECT source, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+        .orderBy("source")
+    },
+
     // ---- TF-IDF top terms per source: tf over (source, term), df over
     //      the corpus, idf = ln(N/df). Both groupBys are partial-agg
     //      shuffles on narrow keys; the tf⋈df join shuffles by term.
