@@ -48,6 +48,11 @@ object AsOfJoin {
     *                       (null when the left row has no prior right row)
     * @param rightTieBreak  deterministic tie order for right rows sharing
     *                       (key, time); the greatest value wins
+    * @param tolerance      max allowed staleness `leftTime - rightTime`
+    *                       (same unit as the time columns, which must be
+    *                       numeric); a match older than this is nulled
+    *                       out, like pandas `merge_asof(tolerance=...)`.
+    *                       None → unbounded lookback
     */
   def leftOuter(
       left: DataFrame,
@@ -57,17 +62,20 @@ object AsOfJoin {
       rightKey: String,
       rightTime: String,
       payload: Seq[String],
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
 
-    // the right row travels as ONE struct (payload + tie-break cols), so
-    // carry-forward is atomic: a matched right row with a NULL payload
-    // field stays null instead of falling back to an older right row.
+    // the right row travels as ONE struct (payload + tie-break cols +
+    // its own time, for the tolerance check), so carry-forward is
+    // atomic: a matched right row with a NULL payload field stays null
+    // instead of falling back to an older right row.
     val tieCols = rightTieBreak.filterNot(payload.contains)
-    val rrowCols = payload ++ tieCols
-    val rrowType = right.select(struct(rrowCols.map(col): _*)).schema.head.dataType
+    val rrowStruct = struct(
+      (payload ++ tieCols).map(col) :+ col(rightTime).as("__rt"): _*)
+    val rrowType = right.select(rrowStruct).schema.head.dataType
 
     val l2 = left.select(
       col(leftKey).as("__k"),
@@ -80,7 +88,7 @@ object AsOfJoin {
       col(rightTime).as("__t"),
       lit(0).as("__side"),
       lit(null).cast(lrowType).as("__lrow"),
-      struct(rrowCols.map(col): _*).as("__rrow"))
+      rrowStruct.as("__rrow"))
 
     val order: Seq[Column] =
       Seq(col("__t").asc, col("__side").asc) ++
@@ -88,11 +96,16 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l2.unionByName(r2)
+    val carried = l2.unionByName(r2)
       .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(c => col("__lrow").getField(c).as(c)) ++
-        payload.map(p => col("__m").getField(p).as(p)): _*)
+    // tolerance: a carried match staler than the bound reads as no match
+    val inTol = tolerance match {
+      case Some(t) => col("__t") - col("__m").getField("__rt") <= t
+      case None => lit(true)
+    }
+    carried.select(leftCols.map(c => col("__lrow").getField(c).as(c)) ++
+      payload.map(p => when(inTol, col("__m").getField(p)).as(p)): _*)
   }
 
   /** q45: each click event joined to the latest prior-or-equal purchase by

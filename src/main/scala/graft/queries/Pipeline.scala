@@ -156,15 +156,19 @@ object Pipeline {
         |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      // one percentile aggregate with an array of probes: a single
+      // value buffer + sort per group instead of three
       docs(s, dir)
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"),
-          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
-          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
-          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))").as("pcts"))
+        .select(col("source"), col("n_docs"), col("min_chars"), col("max_chars"),
+          round(element_at(col("pcts"), 1), 4).as("p25"),
+          round(element_at(col("pcts"), 2), 4).as("p50"),
+          round(element_at(col("pcts"), 3), 4).as("p90"))
         .orderBy("source")
     },
 

@@ -81,6 +81,20 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("a", 6L)) == (Some("x2"), Some("t2")))
   }
 
+  test("tolerance nulls out matches staler than the bound") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq(("a", 10L), ("a", 20L)).toDF("k", "t")
+    val r = Seq(("a", 8L, "x8", Option("y8"))).toDF("k", "t", "x", "y")
+    val out = AsOfJoin.leftOuter(l, r, "k", "t", "k", "t", Seq("x", "y"),
+      tolerance = Some(5L))
+      .collect().map(row => row.getLong(1) ->
+        (Option(row.getString(2)), Option(row.getString(3)))).toMap
+    // t=10: staleness 2 <= 5 → matched; t=20: staleness 12 > 5 → nulled
+    assert(out(10L) == (Some("x8"), Some("y8")))
+    assert(out(20L) == (None, None))
+  }
+
   test("left columns pass through unchanged and row count equals left count") {
     val sp = spark
     import sp.implicits._
