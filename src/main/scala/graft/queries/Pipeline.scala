@@ -213,6 +213,72 @@ object Pipeline {
         .orderBy("source", "rk")
     },
 
+    // ---- decontamination REMOVAL: drop from the train split every doc
+    //      sharing a 4-gram with the held-out source (q48 finds the
+    //      pairs; this is the pipeline step that acts on them). The
+    //      overlap set is produced by the same inverted-index join and
+    //      applied with a LEFT ANTI join — no pairwise materialization
+    //      reaches the output. ----
+    QueryDef.sql(
+      "q54_decontaminate",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws) - 3, 0)),
+        |      i -> array_to_string(ws[i:i+3], ' ')))) AS gram
+        |  FROM d)
+        |SELECT doc_id, source FROM documents
+        |WHERE source != 'src0' AND doc_id NOT IN (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM g t JOIN g tr ON t.gram = tr.gram
+        |    AND t.source = 'src0' AND tr.source != 'src0')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(expr(
+            "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws) - 3), " +
+              "i -> array_join(slice(ws, i, 4), ' ')) " +
+              "ELSE array_remove(array(''), '') END"))).as("gram"))
+      val testGrams = grams.filter(col("source") === "src0").select("gram")
+      val contaminated = grams.filter(col("source") =!= "src0")
+        .join(testGrams, "gram")
+        .select(col("doc_id")).distinct()
+      docs(s, dir).filter(col("source") =!= "src0")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // ---- unigram log-probability quality score (KenLM-proxy): per-doc
+    //      mean ln of each word's corpus frequency. Corpus counts are one
+    //      narrow-key aggregate; the word→count attach shuffles by word;
+    //      the per-doc mean is a second aggregate. Low scores flag
+    //      rare-vocabulary/garbled docs. ----
+    QueryDef.sql(
+      "q55_unigram_logprob",
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), cnt AS (
+        |  SELECT w, count(*) AS c FROM t GROUP BY w
+        |), tot AS (SELECT count(*) AS n FROM t)
+        |SELECT t.doc_id, count(*) AS n_words,
+        |  round(avg(ln(cnt.c * 1.0 / tot.n)), 4) AS mean_logp
+        |FROM t JOIN cnt USING (w), tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      val cnt = terms.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = terms.agg(count(lit(1)).as("n"))
+      terms.join(cnt, "w").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(log(col("c") * lit(1.0) / col("n"))), 4).as("mean_logp"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sampling: md5-bucketed per-language
     //      rates (en 50%, others 12.5%) — a pure filter, no shuffle, and
     //      reproducible across engines and runs (no RNG) ----

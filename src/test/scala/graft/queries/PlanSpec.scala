@@ -109,6 +109,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), "sessionization must not join")
   }
 
+  test("q54: decontamination applies as a left anti join, no pairwise blowup in the output path") {
+    val p = plan("q54_decontaminate")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
