@@ -27,6 +27,19 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Per-doc distinct word 4-grams, exploded — ONE definition shared by
+    * the contamination detector (q48) and the decontamination step (q54)
+    * so the two can never tokenize differently. Spark's `sequence(1, 0)`
+    * descends rather than being empty, hence the size guard. */
+  private def fourGrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws) - 3), " +
+            "i -> array_join(slice(ws, i, 4), ' ')) " +
+            "ELSE array_remove(array(''), '') END"))).as("gram"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Gopher-style repetition signals: duplicate-word fraction,
@@ -125,13 +138,7 @@ object Pipeline {
         |FROM g t JOIN g tr ON t.gram = tr.gram
         |  AND t.source = 'src0' AND tr.source != 'src0'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val grams = docs(s, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(expr(
-            "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws) - 3), " +
-              "i -> array_join(slice(ws, i, 4), ' ')) " +
-              "ELSE array_remove(array(''), '') END"))).as("gram"))
+      val grams = fourGrams(s, dir)
       val test = grams.filter(col("source") === "src0")
         .select(col("doc_id").as("test_doc"), col("gram"))
       val train = grams.filter(col("source") =!= "src0")
@@ -235,16 +242,14 @@ object Pipeline {
         |  FROM g t JOIN g tr ON t.gram = tr.gram
         |    AND t.source = 'src0' AND tr.source != 'src0')
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val grams = docs(s, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(expr(
-            "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws) - 3), " +
-              "i -> array_join(slice(ws, i, 4), ' ')) " +
-              "ELSE array_remove(array(''), '') END"))).as("gram"))
-      val testGrams = grams.filter(col("source") === "src0").select("gram")
+      val grams = fourGrams(s, dir)
+      // only EXISTENCE of an overlap matters here (q48 counts pairs), so
+      // a left semi against deduped test grams caps the intermediate at
+      // one row per train gram — no fan-out by how many test docs share
+      // the gram, and no extra distinct() exchange
+      val testGrams = grams.filter(col("source") === "src0").select("gram").distinct()
       val contaminated = grams.filter(col("source") =!= "src0")
-        .join(testGrams, "gram")
+        .join(testGrams, Seq("gram"), "left_semi")
         .select(col("doc_id")).distinct()
       docs(s, dir).filter(col("source") =!= "src0")
         .join(contaminated, Seq("doc_id"), "left_anti")
