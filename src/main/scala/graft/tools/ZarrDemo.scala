@@ -58,6 +58,20 @@ object ZarrDemo {
     println("=== written rows: " + back.count() +
       ", checksum: " + back.agg(sum(col("half"))).collect()(0).getDouble(0))
 
+    // sharded store: same data, inner chunks packed 8-per-object
+    val shardStore = Files.createTempDirectory("zarr-demo-s").toString + "/sharded"
+    spark.range(0, 1024)
+      .selectExpr("id", "cast(id * 0.5 as double) AS half")
+      .coalesce(1)
+      .write.format("zarr").mode("append")
+      .option("chunk_size", "256").option("inner_chunk_size", "32")
+      .save(shardStore)
+    val sback = spark.read.format("zarr").load(shardStore)
+    val objects = new java.io.File(s"$shardStore/half/c").listFiles().length
+    println("=== sharded store rows: " + sback.count() +
+      s", stored objects/column: $objects (32 logical chunks), checksum: " +
+      sback.agg(sum(col("half"))).collect()(0).getDouble(0))
+
     spark.stop()
   }
 }
