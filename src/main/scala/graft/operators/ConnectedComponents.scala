@@ -25,36 +25,177 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Edge list (a, b) → (node, comp) where comp = min node id of the
-    * component. Only nodes appearing in edges are labeled. */
-  def label(edges: DataFrame, maxIters: Int = 30): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint()
+  /** Open-addressing long→long map (linear probing, power-of-two
+    * capacity) for the per-partition union-find: a boxed
+    * java.util.HashMap costs ~60 B/entry where this costs 16, which at
+    * the default 128 MB edge partitions (~8M edges → up to 16M nodes) is
+    * the difference between ~1 GB and ~360 MB of executor heap. */
+  private final class LongLongMap(initialCapacity: Int = 1 << 16) {
+    private var cap = Integer.highestOneBit(math.max(initialCapacity, 16) * 2 - 1)
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private def idx(k: Long): Int = {
+      var i = (java.lang.Long.hashCode(k * -7046029254386353131L)) & (cap - 1)
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def getOrElse(k: Long, dflt: Long): Long = {
+      val i = idx(k); if (used(i)) vals(i) else dflt
+    }
+    def contains(k: Long): Boolean = used(idx(k))
+    def put(k: Long, v: Long): Unit = {
+      val i = idx(k)
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; n += 1
+        if (n * 4 > cap * 3) grow()
+      }
+      val j = idx(k) // grow() may have moved the slot
+      keys(j) = k; vals(j) = v; used(j) = true
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      cap *= 2; keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) { val j = idx(ok(i)); used(j) = true; keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+    def size: Int = n
+  }
 
+  /** Edge list (a, b) → (node, comp) where comp = min node id of the
+    * component. Only nodes appearing in edges are labeled; node ids must
+    * be integral (they are cast to long). Expects a DEDUPED undirected
+    * edge list (each pair once, either orientation) — duplicates stay
+    * correct but inflate the contraction input.
+    *
+    * Two phases, the standard scalable CC shape (GraphX / Kiveris et al
+    * "CC in MapReduce and beyond"):
+    *
+    *  1. **Partition-local contraction**: each edge partition is solved
+    *     exactly with an in-memory union-find (`mapPartitions` — genuine
+    *     per-partition imperative logic), emitting (node → local root).
+    *     Every edge collapses inside its own partition; the only residual
+    *     structure is nodes seen by several partitions with different
+    *     local roots. This removes the graph's intra-partition diameter
+    *     entirely — the #1 cost of pure label propagation on chain-heavy
+    *     near-dup graphs — at the price of O(nodes-per-partition) executor
+    *     memory (16 B/node via the primitive map above; size
+    *     `spark.sql.files.maxPartitionBytes` accordingly).
+    *  2. **Global loop on the contracted root graph** (per shared node:
+    *     star edges min-root ↔ other roots), which is orders of magnitude
+    *     smaller than the input and has near-clique shape, so the
+    *     hop+jump rounds below converge in O(log diameter) global
+    *     barriers — at 1000 executors, barrier count is the cost that
+    *     matters.
+    *
+    * Final labels compose the two: comp(v) = loop-comp of v's minimal
+    * local root (contraction preserves components, so the fixpoint is
+    * still the unique per-component min node id). */
+  def label(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize the edge PIPELINE once — everything below reads it
+    // through the contraction, and an uncached plan would re-run the
+    // (expensive) edge producer per downstream job
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].localCheckpoint()
+    val roots = e.mapPartitions { it =>
+      val parent = new LongLongMap()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (c != r) { val nx = parent.getOrElse(c, c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { case (a, b) =>
+        // every endpoint must own an entry — roots are found-not-stored,
+        // and an unstored node would vanish from the emitted mapping
+        if (!parent.contains(a)) parent.put(a, a)
+        if (!parent.contains(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-link keeps the root the smallest local member, so local
+        // roots are component members (needed for phase-2 composition)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = Array.newBuilder[(Long, Long)]
+      out.sizeHint(parent.size)
+      parent.foreachEntry((k, _) => out += ((k, find(k))))
+      out.result().iterator
+    }.toDF("node", "root")
+    // one row per node: minimal root + every distinct root this node got
+    // across partitions (the residual cross-partition structure)
+    val grouped = roots.groupBy("node")
+      .agg(min(col("root")).as("mr"), collect_set(col("root")).as("rs"))
+      .localCheckpoint()
+    val cEdges = grouped
+      .select(col("mr").as("a"), explode(col("rs")).as("b"))
+      .where(col("a") =!= col("b"))
+    val cLab = loopLabel(cEdges, maxIters)
+      .select(col("node").as("cn"), col("comp"))
+    grouped.join(cLab, grouped("mr") === cLab("cn"), "left")
+      .select(grouped("node"),
+        coalesce(col("comp"), col("mr")).as("comp"))
+  }
+
+  /** Distributed min-label fixpoint over an (a, b) edge list — the
+    * phase-2 loop; see [[label]] for the full operator. */
+  private def loopLabel(edges: DataFrame, maxIters: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // init ∘ hop 1 in one aggregate: comp = min(self, neighbors)
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(least(col("node"), min(col("b"))).as("comp"))
+      .localCheckpoint()
+    // decimal(38) sum: node ids × node count can brush the long range
+    def compSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = compSum(labels)
+    // empty contracted graph (all edges collapsed inside one partition):
+    // the aggregate over zero rows returns a null sum — nothing to iterate
+    if (prevSum == null) return labels
+
+    // one edge hop: comp(v) ← min over {v} ∪ N(v) of comp
     def step(l: DataFrame): DataFrame =
       sym.join(l, sym("b") === l("node"))
         .select(sym("a").as("node"), col("comp"))
         .union(l)
         .groupBy("node").agg(min("comp").as("comp"))
 
+    // pointer jump: comp(v) ← comp(comp(v)). Every comp value is a node
+    // id of the same component (min over a subset of members), so the
+    // inner self-join is total. Each jump DOUBLES the distance a label
+    // has travelled — alternating hop+jump+jump contracts chains
+    // exponentially, so rounds = O(log diameter) instead of O(diameter):
+    // on a long-chain near-dup graph this is the difference between 8
+    // synchronization rounds and 3 (and at cluster scale, between 8
+    // global barriers and 3).
+    def jump(l: DataFrame): DataFrame = {
+      val m = l.select(col("node").as("jn"), col("comp").as("jc"))
+      l.join(m, l("comp") === m("jn"))
+        .select(l("node"), col("jc").as("comp"))
+    }
+
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      // min-propagation is monotone, so extra hops never overshoot the
-      // fixpoint: take TWO hops per round and pay the checkpoint +
-      // convergence probe (the fixed per-round job costs) half as often
-      val prop = step(step(labels)).localCheckpoint()
-      val changed = prop.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count() > 0
+      // every per-node update is non-increasing (hop min includes self;
+      // jump uses comp(u) ≤ u), so an unchanged sum ⇔ a full fixpoint,
+      // and the fixpoint of hop is the unique per-component min label
+      val prop = jump(jump(step(labels))).localCheckpoint()
+      val newSum = compSum(prop) // narrow agg over the checkpointed RDD
       labels = prop
-      done = !changed
+      done = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     labels

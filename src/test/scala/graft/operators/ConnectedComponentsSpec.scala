@@ -43,4 +43,40 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = cc(e1)
     assert(got == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
+
+  test("partition count does not change the fixpoint (contraction stitches partitions)") {
+    val sp = spark; import sp.implicits._
+    // a 40-node chain — worst case for label propagation, and with 8
+    // partitions each union-find sees only a fragment
+    val edges = (1L until 40L).map(i => (i, i + 1))
+    for (parts <- Seq(1, 3, 8)) {
+      val got = ConnectedComponents.label(edges.toDF("a", "b").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1L to 40L).map(_ -> 1L).toMap, s"parts=$parts")
+    }
+  }
+
+  test("random graphs match a reference union-find (seeded)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = ConnectedComponents.label(edges.toDF("a", "b").repartition(5))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial=$trial")
+    }
+  }
 }
