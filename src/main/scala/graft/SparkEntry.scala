@@ -13,8 +13,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
-  *    contamination, stratified sampling (q46-q49)
+  *    contamination, sampling/mixing, source-overlap matrix (q46-q49, q51-q55, q57-q58)
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
+  *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56)
   */
 object SparkEntry {
 
@@ -27,7 +28,8 @@ object SparkEntry {
       _root_.graft.operators.Multimodal.defs ++
       _root_.graft.operators.AsOfJoin.defs ++
       _root_.graft.queries.Pipeline.defs ++
-      _root_.graft.operators.ConnectedComponents.defs
+      _root_.graft.operators.ConnectedComponents.defs ++
+      _root_.graft.queries.Clustering.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

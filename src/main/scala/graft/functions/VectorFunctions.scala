@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for embedding math.
   *
@@ -94,6 +94,62 @@ case class NormF32(child: Expression) extends UnaryExpression with Serializable 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Squared L2 distance between two vectors (float32 or float64 arrays in
+  * either position; floats are widened to double exactly, accumulation is
+  * a sequential index-order fold so results are bit-reproducible across
+  * engines that fold the same way). The k-means assignment kernel: one
+  * call per (row, centroid), inside whole-stage codegen. */
+case class SqDist64(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val lGet = if (isFloat(left)) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+      val rGet = if (isFloat(right)) s"(double) $y.getFloat($i)" else s"$y.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ($lGet) - ($rGet);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
 
   /** All native kernels as (identifier, info, builder) descriptions —
@@ -124,7 +180,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => Shingles3(children.head)),
       (FunctionIdentifier("minhash16"),
         new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
-        (children: Seq[Expression]) => MinHash16(children.head)))
+        (children: Seq[Expression]) => MinHash16(children.head)),
+      (FunctionIdentifier("sqdist64"),
+        new ExpressionInfo(classOf[SqDist64].getName, "sqdist64"),
+        (children: Seq[Expression]) => SqDist64(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus curation: k-means over the
+  * `embeddings` table (the "cluster then balance/filter the mixture"
+  * step of a training-data pipeline, and the coarse quantizer training
+  * behind the q42 IVF index).
+  *
+  * Scale shape (100 TB): the assignment pass is a pure scan — centroids
+  * travel as a plan literal (k×dim doubles, the degenerate broadcast),
+  * distances are one codegen'd `sqdist64` call per (row, centroid), and
+  * no shuffle happens at all. The recompute pass is one partial-agg
+  * shuffle on (cluster, dim) — k×dim keys, so map-side combine reduces
+  * each partition to ≤512 rows regardless of input size. The per-
+  * iteration driver sync is k×dim doubles (the standard distributed
+  * k-means / MLlib shape: iterations are driver-coordinated, data never
+  * leaves the executors).
+  *
+  * Cross-engine determinism: centroids are rounded to 1e-6 after every
+  * recompute and distances to 1e-6 before argmin, so engine-side
+  * float-summation-order noise (~1e-13) cannot flip an assignment;
+  * exact ties resolve to the first (lowest-id) centroid in both engines
+  * (`array_position` / `list_position` both return the first match). */
+object Clustering {
+
+  private val K = 8
+  private val Iters = 2
+
+  /** transform(<centroid literal>, c -> round(sqdist64(embedding, c), 6)) */
+  private def distsExpr(cents: Array[Array[Double]]): String = {
+    val centSql = cents
+      .map(c => c.map(v => s"${v}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    s"transform($centSql, c -> round(sqdist64(embedding, c), 6))"
+  }
+
+  private def assign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    emb.withColumn("d", expr(distsExpr(cents)))
+      .withColumn("cluster", expr("array_position(d, array_min(d)) - 1"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql(
+      "q56_kmeans",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cl, emb AS c FROM e WHERE vec_id < 8
+        |), l0 AS (SELECT list(c ORDER BY cl) AS cents FROM c0),
+        |a1 AS (
+        |  SELECT vec_id, emb, list_position(d, list_min(d)) - 1 AS cluster
+        |  FROM (
+        |    SELECT vec_id, emb,
+        |      list_transform(cents, c -> round(list_sum(list_transform(
+        |        generate_series(1, 64), i -> (emb[i] - c[i]) * (emb[i] - c[i]))), 6)) AS d
+        |    FROM e, l0)
+        |), c1p AS (
+        |  SELECT cluster AS cl, list(cv ORDER BY pos) AS c
+        |  FROM (
+        |    SELECT cluster, i AS pos, round(avg(emb[i]), 6) AS cv
+        |    FROM a1, range(1, 65) t(i) GROUP BY cluster, i)
+        |  GROUP BY cluster
+        |), c1 AS (
+        |  SELECT g.cl, coalesce(p.c, z.c) AS c
+        |  FROM range(0, 8) g(cl)
+        |  LEFT JOIN c1p p ON p.cl = g.cl
+        |  LEFT JOIN c0 z ON z.cl = g.cl
+        |), l1 AS (SELECT list(c ORDER BY cl) AS cents FROM c1),
+        |a2 AS (
+        |  SELECT vec_id, emb, list_position(d, list_min(d)) - 1 AS cluster
+        |  FROM (
+        |    SELECT vec_id, emb,
+        |      list_transform(cents, c -> round(list_sum(list_transform(
+        |        generate_series(1, 64), i -> (emb[i] - c[i]) * (emb[i] - c[i]))), 6)) AS d
+        |    FROM e, l1)
+        |), c2p AS (
+        |  SELECT cluster AS cl, list(cv ORDER BY pos) AS c
+        |  FROM (
+        |    SELECT cluster, i AS pos, round(avg(emb[i]), 6) AS cv
+        |    FROM a2, range(1, 65) t(i) GROUP BY cluster, i)
+        |  GROUP BY cluster
+        |), c2 AS (
+        |  SELECT g.cl, coalesce(p.c, z.c) AS c
+        |  FROM range(0, 8) g(cl)
+        |  LEFT JOIN c2p p ON p.cl = g.cl
+        |  LEFT JOIN c1 z ON z.cl = g.cl
+        |), l2 AS (SELECT list(c ORDER BY cl) AS cents FROM c2)
+        |SELECT vec_id, (list_position(d, list_min(d)) - 1)::BIGINT AS cluster,
+        |  list_min(d) AS dist
+        |FROM (
+        |  SELECT vec_id,
+        |    list_transform(cents, c -> round(list_sum(list_transform(
+        |      generate_series(1, 64), i -> (emb[i] - c[i]) * (emb[i] - c[i]))), 6)) AS d
+        |  FROM e, l2)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // init: the first K embeddings are the centroids (deterministic, and
+      // they are real data points, so no cluster starts empty)
+      var cents: Array[Array[Double]] = emb.filter(col("vec_id") < K)
+        .orderBy("vec_id").select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      for (_ <- 1 to Iters) {
+        val recomputed = assign(emb, cents)
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+          .collect()
+        // a cluster that lost every point keeps its previous centroid
+        // (mirrors the oracle's coalesce; cannot happen with data-point init)
+        val next = Array.tabulate(K)(i => cents(i).clone())
+        recomputed.foreach { r =>
+          next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+        }
+        cents = next
+      }
+      // dist is NOT re-rounded: d's elements are already 1e-6-rounded, and
+      // rounding a rounded value again would sit exactly on half-way
+      // boundaries where Spark (HALF_UP on the shortest decimal repr) and
+      // DuckDB (nearest on the binary value) disagree
+      assign(emb, cents)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          array_min(col("d")).as("dist"))
+        .orderBy("vec_id")
+    })
+}

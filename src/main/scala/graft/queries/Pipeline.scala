@@ -284,6 +284,81 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- cross-source duplication matrix: which sources copy from each
+    //      other. Per-source DISTINCT 4-gram sets (vocabulary-bounded,
+    //      not corpus-bounded), then an inverted-index self-join on the
+    //      gram: each gram contributes at most (#sources-with-it choose 2)
+    //      pairs, so the fan-out is bounded by source count squared —
+    //      never all-document-pairs. The mixture-design signal a curation
+    //      pipeline uses to decide which sources to down-weight. ----
+    QueryDef.sql(
+      "q57_source_overlap",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(ws) - 3, 0)),
+        |    i -> array_to_string(ws[i:i+3], ' ')))) AS gram
+        |  FROM d
+        |), sz AS (
+        |  SELECT source, count(*) AS n FROM g GROUP BY source
+        |), pair AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, n_shared,
+        |  round(n_shared * 1.0 / (x.n + y.n - n_shared), 4) AS jaccard
+        |FROM pair JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val sg = fourGrams(s, dir).select(col("source"), col("gram")).distinct()
+      val sz = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // no self-join: one aggregate per gram collects its (≤ #sources)
+      // source set, and the pair expansion happens map-side after that
+      // single shuffle — the same |∩| counts as an inverted-index join
+      // but with one pass over the gram table instead of two
+      val pair = sg.groupBy(col("gram")).agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .withColumn("sorted", array_sort(col("ss")))
+        .select(explode(expr(
+          "flatten(transform(sorted, (x, i) -> " +
+            "transform(slice(sorted, i + 2, size(sorted)), " +
+            "y -> struct(x AS s1, y AS s2))))")).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(count(lit(1)).as("n_shared"))
+      pair
+        .join(sz.select(col("source").as("s1"), col("n").as("na")), "s1")
+        .join(sz.select(col("source").as("s2"), col("n").as("nb")), "s2")
+        .select(col("s1"), col("s2"), col("n_shared"),
+          round(col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")), 4)
+            .as("jaccard"))
+        .orderBy("s1", "s2")
+    },
+
+    // ---- deterministic data mixing: cap every source at a fixed doc
+    //      budget, chosen by md5 order (reproducible, no RNG) — the
+    //      "balance the mixture" step after q57 identifies over-
+    //      represented sources. One shuffle by source for the per-source
+    //      rank; a skewed giant source would first be cut down with the
+    //      q49-style md5-prefix filter (pure scan) before the exact rank,
+    //      keeping any single reducer's sort bounded. ----
+    QueryDef.sql(
+      "q58_mix_sample",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r
+        |WHERE rk <= 12 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 12)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sampling: md5-bucketed per-language
     //      rates (en 50%, others 12.5%) — a pure filter, no shuffle, and
     //      reproducible across engines and runs (no RNG) ----

@@ -115,6 +115,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q56: k-means assignment pass is a pure scan — no join, no aggregate, sort-only exchange") {
+    val p = plan("q56_kmeans")
+    assert(!p.contains("Join"), s"assignment must not join (centroids are a plan literal)\n$p")
+    assert(!p.contains("HashAggregate"), s"final assignment must not aggregate\n$p")
+    // the only exchange is the output ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"), s"no hash shuffle in the assignment pass\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
