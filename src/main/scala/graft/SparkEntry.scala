@@ -16,6 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    contamination, sampling/mixing, source-overlap matrix (q46-q49, q51-q55, q57-q58)
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
   *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56)
+  *  - [[graft.queries.Quality]]      — passage chunking, vocab stats,
+  *    Gopher filter, bloom decontamination, token-budget mix (q59-q63)
   */
 object SparkEntry {
 
@@ -29,7 +31,8 @@ object SparkEntry {
       _root_.graft.operators.AsOfJoin.defs ++
       _root_.graft.queries.Pipeline.defs ++
       _root_.graft.operators.ConnectedComponents.defs ++
-      _root_.graft.queries.Clustering.defs
+      _root_.graft.queries.Clustering.defs ++
+      _root_.graft.queries.Quality.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

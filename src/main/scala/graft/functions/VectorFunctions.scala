@@ -183,7 +183,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => MinHash16(children.head)),
       (FunctionIdentifier("sqdist64"),
         new ExpressionInfo(classOf[SqDist64].getName, "sqdist64"),
-        (children: Seq[Expression]) => SqDist64(children(0), children(1))))
+        (children: Seq[Expression]) => SqDist64(children(0), children(1))),
+      (FunctionIdentifier("bloom_any"),
+        new ExpressionInfo(classOf[BloomAny].getName, "bloom_any"),
+        (children: Seq[Expression]) => BloomAny(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

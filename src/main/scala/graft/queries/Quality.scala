@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 training-data pipeline operators: RAG-style passage chunking,
+  * corpus vocabulary statistics, a Gopher-style composite quality filter,
+  * bloom-prefiltered decontamination, and token-budget mix selection.
+  *
+  * Scale notes (100 TB):
+  *  - q59 is a pure flatMap (1→N explode) inside whole-stage codegen —
+  *    no shuffle; output is ~n_tokens/stride rows per doc;
+  *  - q60 is the canonical two-level aggregate: partial-agg shuffle on
+  *    (source, word), then a narrow re-agg by source;
+  *  - q61 is a scan-project — every rule is per-row array arithmetic,
+  *    no shuffle at all;
+  *  - q62 is the broadcast-bloom decontamination pattern: the big train
+  *    side is touched ONLY by a bloom scan-filter (no shuffle, no
+  *    explode); the gram explode + exact-verify join run on the
+  *    bloom-positive candidates only (true overlaps + ~1 % fp), so
+  *    shuffle cost tracks real contamination, not corpus size;
+  *  - q63's greedy budget selection is one cumulative-sum window per
+  *    source — a single shuffle+sort by source; at extreme per-source
+  *    cardinality you'd pre-aggregate doc summaries (id, n_words,
+  *    priority) first, which is exactly what the query's projection
+  *    does before the window.
+  */
+object Quality {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.load(s, dir, "documents")
+  }
+
+  /** Distinct word 5-gram array per doc (NOT exploded) — the unit the
+    * bloom prefilter tests per row. Guarded because Spark's
+    * `sequence(1, 0)` descends instead of being empty. */
+  private val fiveGramsExpr: String =
+    "CASE WHEN size(ws) >= 5 THEN array_distinct(transform(sequence(1, size(ws) - 4), " +
+      "i -> array_join(slice(ws, i, 5), ' '))) " +
+      "ELSE array_remove(array(''), '') END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- RAG-style passage chunking: overlapping token windows of 32
+    //      words, stride 24 (8-word overlap); passages keyed by md5 so
+    //      the output stays narrow ----
+    QueryDef.sql(
+      "q59_passage_chunk",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), p AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 32 THEN 1
+        |         ELSE (len(ws) - 9) // 24 + 1 END AS np
+        |  FROM w
+        |), e AS (
+        |  SELECT doc_id, ws, n, unnest(generate_series(0, np - 1)) AS pid FROM p
+        |)
+        |SELECT doc_id, pid,
+        |  len(ws[pid * 24 + 1 : least(pid * 24 + 32, n)]) AS n_tokens,
+        |  md5(array_to_string(ws[pid * 24 + 1 : least(pid * 24 + 32, n)], ' '))
+        |    AS passage_md5
+        |FROM e ORDER BY doc_id, pid""".stripMargin) { (s, dir) =>
+      // np = ceil((n - W) / S) + 1 = (n - W + S - 1) div S + 1 for n > W
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("np",
+          when(col("n") <= 32, lit(1))
+            .otherwise(expr("CAST((n - 9) DIV 24 AS INT) + 1")))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("np") - 1)).as("pid"))
+        .withColumn("pw", expr("slice(ws, pid * 24 + 1, 32)"))
+        .select(col("doc_id"), col("pid"),
+          size(col("pw")).as("n_tokens"),
+          md5(array_join(col("pw"), " ").cast("binary")).as("passage_md5"))
+        .orderBy("doc_id", "pid")
+    },
+
+    // ---- per-source vocabulary statistics: type-token ratio and hapax
+    //      legemonon fraction — the standard corpus-health dashboard ----
+    QueryDef.sql(
+      "q60_vocab_stats",
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT source, word, count(*) AS cnt FROM t GROUP BY 1, 2
+        |)
+        |SELECT source,
+        |  sum(cnt)::BIGINT AS total_words,
+        |  count(*) AS distinct_words,
+        |  round(count(*) * 1.0 / sum(cnt), 6) AS type_token_ratio,
+        |  sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count,
+        |  round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS hapax_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val counts = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("source"))
+        .agg(
+          sum(col("cnt")).as("total_words"),
+          count(lit(1)).as("distinct_words"),
+          round(count(lit(1)) * lit(1.0) / sum(col("cnt")), 6).as("type_token_ratio"),
+          sum(when(col("cnt") === 1, 1).otherwise(0)).as("hapax_count"),
+          round(sum(when(col("cnt") === 1, 1).otherwise(0)) * lit(1.0) / count(lit(1)), 6)
+            .as("hapax_frac"))
+        .orderBy("source")
+    },
+
+    // ---- Gopher-style composite quality filter: word-count bounds,
+    //      mean-word-length bounds, minimum stopword hits, duplicate-word
+    //      ceiling; `keep` is the conjunction. All comparisons are on
+    //      exact integer arithmetic or a single float division, so both
+    //      engines decide identically ----
+    QueryDef.sql(
+      "q61_gopher_filter",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), m AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
+        |    len(list_filter(ws,
+        |      x -> list_contains(['the', 'a', 'of', 'to', 'and'], x))) AS n_stop,
+        |    1.0 - len(list_distinct(ws)) * 1.0 / len(ws) AS dupf
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  (n_words BETWEEN 30 AND 10000) AS ok_nwords,
+        |  (mwl BETWEEN 2.0 AND 8.0) AS ok_wordlen,
+        |  (n_stop >= 2) AS ok_stop,
+        |  (dupf <= 0.9) AS ok_dup,
+        |  ((n_words BETWEEN 30 AND 10000) AND (mwl BETWEEN 2.0 AND 8.0)
+        |    AND n_stop >= 2 AND dupf <= 0.9) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("mwl",
+          expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) / col("n_words"))
+        .withColumn("n_stop", size(expr(
+          "filter(ws, x -> array_contains(array('the', 'a', 'of', 'to', 'and'), x))")))
+        .withColumn("dupf",
+          lit(1.0) - size(array_distinct(col("ws"))) * lit(1.0) / col("n_words"))
+        .withColumn("ok_nwords", col("n_words").between(30, 10000))
+        .withColumn("ok_wordlen", col("mwl").between(2.0, 8.0))
+        .withColumn("ok_stop", col("n_stop") >= 2)
+        .withColumn("ok_dup", col("dupf") <= 0.9)
+        .select(col("doc_id"), col("n_words"), col("ok_nwords"), col("ok_wordlen"),
+          col("ok_stop"), col("ok_dup"),
+          (col("ok_nwords") && col("ok_wordlen") && col("ok_stop") && col("ok_dup"))
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- bloom-prefiltered decontamination: test split = doc_id%13==0,
+    //      overlap unit = word 5-grams. The bloom over test grams is
+    //      built distributed (treeAggregate) and broadcast as a literal;
+    //      the train side is scan-filtered by `bloom_any` and only the
+    //      candidates reach the exact-verify join, so the result is
+    //      EXACT (the oracle knows nothing about the bloom) ----
+    QueryDef.sql(
+      "q62_bloom_decontaminate",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws) - 4, 0)),
+        |      i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+        |  FROM d
+        |), bad AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM g tr JOIN g t ON tr.gram = t.gram
+        |  WHERE tr.doc_id % 13 != 0 AND t.doc_id % 13 = 0
+        |)
+        |SELECT source,
+        |  count(*) AS n_train,
+        |  sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed,
+        |  sum(CASE WHEN bad.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM documents LEFT JOIN bad ON documents.doc_id = bad.doc_id
+        |WHERE documents.doc_id % 13 != 0
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
+        .withColumn("grams", expr(fiveGramsExpr))
+      val testGrams = base.filter(col("doc_id") % 13 === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      // small side: count + distributed bloom build; ~1 % fp is verified
+      // away below, so fpp only tunes candidate volume
+      val nTest = testGrams.count()
+      val bloomBytes = graft.functions.BloomOps.toBytes(
+        testGrams.stat.bloomFilter("gram", math.max(nTest, 1L), 0.01))
+      val train = base.filter(col("doc_id") % 13 =!= 0)
+      val candidates = train
+        .filter(call_function("bloom_any", lit(bloomBytes), col("grams")))
+      val contaminated = candidates
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(testGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      train.select(col("doc_id"), col("source"))
+        .join(contaminated.withColumn("bad", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_train"),
+          sum(when(col("bad").isNotNull, 1).otherwise(0)).as("n_removed"),
+          sum(when(col("bad").isNull, 1).otherwise(0)).as("n_kept"))
+        .orderBy("source")
+    },
+
+    // ---- token-budget mix selection: greedily keep the longest docs of
+    //      each source until a 5000-word budget is hit — the data-mixing
+    //      step that turns per-source weights into an actual doc list ----
+    QueryDef.sql(
+      "q63_token_budget_mix",
+      """WITH w AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_words, n_chars
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_words,
+        |    sum(n_words) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_words
+        |  FROM w)
+        |SELECT doc_id, source, n_words, cum_words::BIGINT AS cum_words
+        |FROM r WHERE cum_words <= 5000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).as("n_words"), col("n_chars"))
+        .withColumn("cum_words", sum(col("n_words")).over(w))
+        .filter(col("cum_words") <= 5000)
+        .select(col("doc_id"), col("source"), col("n_words"), col("cum_words"))
+        .orderBy("doc_id")
+    }
+  )
+}
