@@ -157,6 +157,51 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Distinct word k-gram shingles, EMPTY when the doc has fewer than k
+    * words — the exact arithmetic of
+    * `CASE WHEN size(ws) >= k THEN array_distinct(transform(
+    *    sequence(1, size(ws)-k+1), i -> array_join(slice(ws, i, k), ' ')))
+    *  ELSE array() END` with `ws = split(text, ' ', -1)`, as one pass.
+    * (Distinct from [[shingles3]], whose oracle keeps one truncated
+    * shingle for short docs.) */
+  def shinglesK(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((n - k + 1) * 2)
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder(80)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Count of elements of `arr` present in `set` (duplicates counted) —
+    * the exact arithmetic of `size(filter(arr, x -> array_contains(set, x)))`
+    * without a per-element lambda invocation. */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: UTF8String, b: UTF8String): Int = {
     val x = a.getBytes
@@ -230,4 +275,51 @@ case class MinHash16(child: Expression) extends UnaryExpression with Serializabl
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.minhash16($x)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `shingles_k(text, k)` — distinct word k-grams, empty below k words;
+  * `k` must be a foldable positive int. */
+case class ShinglesK(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles_k"
+  @transient private lazy val k: Int = {
+    require(right.foldable, "shingles_k: k must be a literal")
+    right.eval(null).asInstanceOf[Number].intValue()
+  }
+  override def nullSafeEval(text: Any, kv: Any): Any =
+    HashOps.shinglesK(text.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = k.toString
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.HashOps.shinglesK($t, $kRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `count_in(arr, set)` — how many elements of `arr` are members of the
+  * literal string array `set` (duplicates counted); the set is hashed
+  * once per plan, not per row. */
+case class CountIn(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "count_in"
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    require(right.foldable, "count_in: set must be a literal array")
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) { s.add(arr.getUTF8String(i).clone()); i += 1 }
+    s
+  }
+  override def nullSafeEval(arr: Any, setv: Any): Any =
+    HashOps.countIn(arr.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, (a, _) => s"graft.functions.HashOps.countIn($a, $ref)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

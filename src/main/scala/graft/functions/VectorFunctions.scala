@@ -186,7 +186,13 @@ object VectorFunctions {
         (children: Seq[Expression]) => SqDist64(children(0), children(1))),
       (FunctionIdentifier("bloom_any"),
         new ExpressionInfo(classOf[BloomAny].getName, "bloom_any"),
-        (children: Seq[Expression]) => BloomAny(children(0), children(1))))
+        (children: Seq[Expression]) => BloomAny(children(0), children(1))),
+      (FunctionIdentifier("shingles_k"),
+        new ExpressionInfo(classOf[ShinglesK].getName, "shingles_k"),
+        (children: Seq[Expression]) => ShinglesK(children(0), children(1))),
+      (FunctionIdentifier("count_in"),
+        new ExpressionInfo(classOf[CountIn].getName, "count_in"),
+        (children: Seq[Expression]) => CountIn(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

@@ -24,21 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.load(s, dir, "documents")
+  }
 
   /** Per-doc distinct word 4-grams, exploded — ONE definition shared by
-    * the contamination detector (q48) and the decontamination step (q54)
-    * so the two can never tokenize differently. Spark's `sequence(1, 0)`
-    * descends rather than being empty, hence the size guard. */
+    * the contamination detector (q48), the decontamination step (q54)
+    * and the overlap matrix (q57) so they can never tokenize
+    * differently. The native [[graft.functions.ShinglesK]] kernel is
+    * value-identical to the oracle's
+    * `list_distinct(list_transform(generate_series(1, greatest(len(ws)-3, 0)),
+    *   i -> array_to_string(ws[i:i+3], ' ')))`. */
   private def fourGrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(expr(
-          "CASE WHEN size(ws) >= 4 THEN transform(sequence(1, size(ws) - 3), " +
-            "i -> array_join(slice(ws, i, 4), ' ')) " +
-            "ELSE array_remove(array(''), '') END"))).as("gram"))
+        explode(expr("shingles_k(text, 4)")).as("gram"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -310,13 +311,17 @@ object Pipeline {
         |  round(n_shared * 1.0 / (x.n + y.n - n_shared), 4) AS jaccard
         |FROM pair JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
         |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
-      val sg = fourGrams(s, dir).select(col("source"), col("gram")).distinct()
-      val sz = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      // no self-join: one aggregate per gram collects its (≤ #sources)
-      // source set, and the pair expansion happens map-side after that
-      // single shuffle — the same |∩| counts as an inverted-index join
-      // but with one pass over the gram table instead of two
-      val pair = sg.groupBy(col("gram")).agg(collect_set(col("source")).as("ss"))
+      // no self-join and no pre-distinct: ONE wide shuffle total. The
+      // per-gram aggregate collects its (≤ #sources) source set directly
+      // from the exploded grams (collect_set dedups, and partial
+      // aggregation shrinks the map side like distinct would); both the
+      // per-source sizes and the pair expansion then derive from that
+      // same aggregate, whose exchange Spark reuses (ReuseExchange).
+      val gs = fourGrams(s, dir)
+        .groupBy(col("gram")).agg(collect_set(col("source")).as("ss"))
+      val sz = gs.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pair = gs
         .filter(size(col("ss")) >= 2)
         .withColumn("sorted", array_sort(col("ss")))
         .select(explode(expr(

@@ -35,12 +35,8 @@ object Quality {
   }
 
   /** Distinct word 5-gram array per doc (NOT exploded) — the unit the
-    * bloom prefilter tests per row. Guarded because Spark's
-    * `sequence(1, 0)` descends instead of being empty. */
-  private val fiveGramsExpr: String =
-    "CASE WHEN size(ws) >= 5 THEN array_distinct(transform(sequence(1, size(ws) - 4), " +
-      "i -> array_join(slice(ws, i, 5), ' '))) " +
-      "ELSE array_remove(array(''), '') END"
+    * bloom prefilter tests per row; native kernel, one pass per doc. */
+  private val fiveGramsExpr: String = "shingles_k(text, 5)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -120,10 +116,13 @@ object Quality {
     QueryDef.sql(
       "q61_gopher_filter",
       """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  SELECT doc_id, length(text) AS n_chars2, string_split(text, ' ') AS ws
+        |  FROM documents
         |), m AS (
         |  SELECT doc_id, len(ws) AS n_words,
-        |    list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws) AS mwl,
+        |    -- sum(len(word)) == length(text) - (n_words - 1): the words
+        |    -- partition the text minus one 1-char separator per gap
+        |    (n_chars2 - len(ws) + 1) * 1.0 / len(ws) AS mwl,
         |    len(list_filter(ws,
         |      x -> list_contains(['the', 'a', 'of', 'to', 'and'], x))) AS n_stop,
         |    1.0 - len(list_distinct(ws)) * 1.0 / len(ws) AS dupf
@@ -137,12 +136,15 @@ object Quality {
         |    AND n_stop >= 2 AND dupf <= 0.9) AS keep
         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .select(col("doc_id"), length(col("text")).as("n_chars2"),
+          split(col("text"), " ", -1).as("ws"))
         .withColumn("n_words", size(col("ws")))
+        // sum(len(word)) == length(text) - (n_words - 1), exactly, for
+        // any text — scalar arithmetic instead of a per-word lambda
         .withColumn("mwl",
-          expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) / col("n_words"))
-        .withColumn("n_stop", size(expr(
-          "filter(ws, x -> array_contains(array('the', 'a', 'of', 'to', 'and'), x))")))
+          (col("n_chars2") - col("n_words") + 1) * lit(1.0) / col("n_words"))
+        .withColumn("n_stop",
+          expr("count_in(ws, array('the', 'a', 'of', 'to', 'and'))"))
         .withColumn("dupf",
           lit(1.0) - size(array_distinct(col("ws"))) * lit(1.0) / col("n_words"))
         .withColumn("ok_nwords", col("n_words").between(30, 10000))
@@ -186,15 +188,18 @@ object Quality {
         |WHERE documents.doc_id % 13 != 0
         |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
       val base = docs(s, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
-        .withColumn("grams", expr(fiveGramsExpr))
-      val testGrams = base.filter(col("doc_id") % 13 === 0)
-        .select(explode(col("grams")).as("gram")).distinct()
-      // small side: count + distributed bloom build; ~1 % fp is verified
-      // away below, so fpp only tunes candidate volume
-      val nTest = testGrams.count()
+        .select(col("doc_id"), col("source"), expr(fiveGramsExpr).as("grams"))
+      val test = base.filter(col("doc_id") % 13 === 0)
+      // no distinct anywhere on the test side: bloom insertion is
+      // idempotent and the left-semi verify dedups by construction. The
+      // filter is sized from the metadata-only table rowcount (no data
+      // scan) — grams/doc is bounded by doc length, and oversizing only
+      // lowers the fp rate. The exploded test grams are persisted so the
+      // gram compute runs ONCE for the bloom build and the verify join.
+      val nDocs = Tables.load(s, dir, "documents").count()
+      val testGrams = test.select(explode(col("grams")).as("gram")).persist()
       val bloomBytes = graft.functions.BloomOps.toBytes(
-        testGrams.stat.bloomFilter("gram", math.max(nTest, 1L), 0.01))
+        testGrams.stat.bloomFilter("gram", math.max(nDocs / 13 * 512L, 1024L), 0.01))
       val train = base.filter(col("doc_id") % 13 =!= 0)
       val candidates = train
         .filter(call_function("bloom_any", lit(bloomBytes), col("grams")))
