@@ -21,15 +21,29 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomOps {
 
-  /** True iff ANY element of `arr` might be in the bloom filter.
-    * Membership is checked with the utf8 bytes — identical hashing to
-    * `putString`/`putBinary` used by `DataFrameStatFunctions.bloomFilter`
-    * on a string column. */
+  /** Per-JVM deserialization cache keyed by byte-array IDENTITY: the
+    * same array instance arrives in the task binary once (the plan's
+    * literal and the codegen reference dedup under Java serialization),
+    * and each executor inflates it to a BloomFilter once. Weak keys let
+    * the bitset go away with the task binary. */
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Byte], BloomFilter]())
+
+  def bloomFor(bytes: Array[Byte]): BloomFilter =
+    cache.computeIfAbsent(bytes,
+      b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
+
+  /** True iff ANY element of `arr` might be in the bloom filter (null
+    * elements are never members). Membership is checked with the utf8
+    * bytes — identical hashing to `putString`/`putBinary` used by
+    * `DataFrameStatFunctions.bloomFilter` on a string column. */
   def containsAny(bloom: BloomFilter, arr: ArrayData): Boolean = {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      if (bloom.mightContainBinary(arr.getUTF8String(i).getBytes)) return true
+      if (!arr.isNullAt(i) &&
+        bloom.mightContainBinary(arr.getUTF8String(i).getBytes)) return true
       i += 1
     }
     false
@@ -54,18 +68,21 @@ case class BloomAny(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bloom_any"
 
-  @transient private lazy val bloom: BloomFilter = {
+  // the SAME array instance as the literal child's value, so the task
+  // binary carries the bits once (Java serialization dedups by identity)
+  @transient private lazy val bloomBytes: Array[Byte] = {
     require(left.foldable, "bloom_any: bloom bytes must be a literal")
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    left.eval(null).asInstanceOf[Array[Byte]]
   }
 
   override def nullSafeEval(bytes: Any, arr: Any): Any =
-    BloomOps.containsAny(bloom, arr.asInstanceOf[ArrayData])
+    BloomOps.containsAny(BloomOps.bloomFor(bloomBytes), arr.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, (_, arr) => s"graft.functions.BloomOps.containsAny($ref, $arr)")
+    val bytesRef = ctx.addReferenceObj("bloomBytes", bloomBytes, "byte[]")
+    val bloomVar = ctx.addMutableState(classOf[BloomFilter].getName, "bloomAny",
+      v => s"$v = graft.functions.BloomOps.bloomFor($bytesRef);")
+    defineCodeGen(ctx, ev, (_, arr) => s"graft.functions.BloomOps.containsAny($bloomVar, $arr)")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

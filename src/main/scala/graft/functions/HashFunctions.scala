@@ -188,15 +188,16 @@ object HashOps {
     new GenericArrayData(out)
   }
 
-  /** Count of elements of `arr` present in `set` (duplicates counted) —
-    * the exact arithmetic of `size(filter(arr, x -> array_contains(set, x)))`
-    * without a per-element lambda invocation. */
+  /** Count of elements of `arr` present in `set` (duplicates counted,
+    * null elements never match) — the exact arithmetic of
+    * `size(filter(arr, x -> array_contains(set, x)))` without a
+    * per-element lambda invocation. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
     val n = arr.numElements()
     var c = 0
     var i = 0
     while (i < n) {
-      if (set.contains(arr.getUTF8String(i))) c += 1
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
       i += 1
     }
     c
@@ -286,7 +287,9 @@ case class ShinglesK(left: Expression, right: Expression)
   override def prettyName: String = "shingles_k"
   @transient private lazy val k: Int = {
     require(right.foldable, "shingles_k: k must be a literal")
-    right.eval(null).asInstanceOf[Number].intValue()
+    val kv = right.eval(null).asInstanceOf[Number].intValue()
+    require(kv >= 1, s"shingles_k: k must be >= 1, got $kv")
+    kv
   }
   override def nullSafeEval(text: Any, kv: Any): Any =
     HashOps.shinglesK(text.asInstanceOf[UTF8String], k)

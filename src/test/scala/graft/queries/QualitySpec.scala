@@ -63,6 +63,25 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.sameElements(Array(2)))
   }
 
+  test("kernels tolerate null array elements; shingles_k rejects k < 1") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.VectorFunctions.register(sp)
+    val bloom = Seq("x").toDF("g").stat.bloomFilter("g", 10, 0.01)
+    val bytes = graft.functions.BloomOps.toBytes(bloom)
+    val withNulls = Seq(1).toDF("id")
+      .select(expr("array('a', CAST(NULL AS STRING), 'x')").as("arr"))
+    assert(withNulls.filter(call_function("bloom_any", lit(bytes), col("arr"))).count() == 1)
+    val nStop = Seq(1).toDF("id")
+      .select(expr("count_in(array('a', CAST(NULL AS STRING), 'a'), array('a'))").as("c"))
+      .as[Int].head()
+    assert(nStop == 2)
+    val err = intercept[Exception] {
+      Seq("a b c").toDF("text").select(expr("shingles_k(text, 0)")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("q62: bloom prefilter + exact verify equals the bloom-free exact result") {
     val sp = spark
     import sp.implicits._
