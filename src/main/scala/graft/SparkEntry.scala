@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
   *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56)
   *  - [[graft.queries.Quality]]      — passage chunking, vocab stats,
-  *    Gopher filter, bloom decontamination, token-budget mix (q59-q63)
+  *    Gopher filter, bloom decontamination, token-budget mix, bigram LM,
+  *    embedding outliers (q59-q65)
   */
 object SparkEntry {
 

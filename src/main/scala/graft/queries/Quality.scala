@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Round-5 training-data pipeline operators: RAG-style passage chunking,
   * corpus vocabulary statistics, a Gopher-style composite quality filter,
-  * bloom-prefiltered decontamination, and token-budget mix selection.
+  * bloom-prefiltered decontamination, token-budget mix selection, bigram
+  * language-model scoring, and embedding-space outlier QA.
   *
   * Scale notes (100 TB):
   *  - q59 is a pure flatMap (1→N explode) inside whole-stage codegen —
@@ -251,6 +252,102 @@ object Quality {
         .filter(col("cum_words") <= 5000)
         .select(col("doc_id"), col("source"), col("n_words"), col("cum_words"))
         .orderBy("doc_id")
+    },
+
+    // ---- bigram language-model scoring (KenLM-proxy, order 2): per-doc
+    //      mean ln P(w2|w1) with P = c(w1 w2) / c(w1·), both counts from
+    //      the corpus itself. The head counts derive from the bigram
+    //      counts (one narrow re-agg), NOT a second corpus pass; the
+    //      per-bigram logp table is small and joins back by bigram —
+    //      the same one-wide-shuffle shape as q55, one order higher ----
+    QueryDef.sql(
+      "q64_bigram_lm",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM w WHERE len(ws) >= 2
+        |), bcnt AS (
+        |  SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram
+        |), ucnt AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, sum(cb)::BIGINT AS cu
+        |  FROM bcnt GROUP BY 1
+        |), bstats AS (
+        |  SELECT bigram, ln(cb * 1.0 / cu) AS logp
+        |  FROM bcnt JOIN ucnt ON split_part(bcnt.bigram, ' ', 1) = ucnt.w1
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 4) AS mean_logp
+        |FROM bg JOIN bstats USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val bg = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bigram"))
+      val bcnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      val ucnt = bcnt.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(sum(col("cb")).as("cu"))
+      val bstats = bcnt
+        .join(ucnt, substring_index(bcnt("bigram"), " ", 1) === ucnt("w1"))
+        .select(col("bigram"), log(col("cb") * lit(1.0) / col("cu")).as("logp"))
+      bg.join(bstats, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 4).as("mean_logp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- embedding-space outlier QA: distance of every vector to its
+    //      label's centroid, top-10 outliers per label (mislabeled/
+    //      garbage-embedding detection). Centroids are rounded to 1e-6
+    //      before the distance (the q56 discipline) so cross-engine
+    //      float-summation noise cannot flip a rank; ranking uses the
+    //      ROUNDED distance with a vec_id tiebreak ----
+    QueryDef.sql(
+      "q65_embed_outliers",
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, i AS pos, round(avg(emb[i]), 6) AS cv
+        |  FROM e, range(1, 65) t(i) GROUP BY label, i
+        |), cl AS (
+        |  SELECT label, list(cv ORDER BY pos) AS cent FROM c GROUP BY label
+        |), d AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (emb[i] - cent[i]) * (emb[i] - cent[i]))), 4) AS dist
+        |  FROM e JOIN cl USING (label)
+        |), r AS (
+        |  SELECT vec_id, label, dist,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rk
+        |  FROM d)
+        |SELECT vec_id, label, dist, rk FROM r
+        |WHERE rk <= 10 ORDER BY label, rk""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      // per-label centroid: partial-agg shuffle on (label, dim) — k*64
+      // keys, map-side combine bounds the exchange regardless of corpus
+      // size; the centroid table then broadcasts into the scan
+      val cent = emb
+        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
+          .as("cent"))
+      val wnd = Window.partitionBy(col("label"))
+        .orderBy(col("dist").desc, col("vec_id"))
+      emb.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          round(expr("sqdist64(emb, cent)"), 4).as("dist"))
+        .withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") <= 10)
+        .select(col("vec_id"), col("label"), col("dist"), col("rk"))
+        .orderBy("label", "rk")
     }
   )
 }

@@ -118,6 +118,15 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p61).length <= 1, p61)
   }
 
+  test("q64/q65 plans: LM join is an equi join; centroid table broadcasts") {
+    val p64 = plan("q64_bigram_lm")
+    assert(!p64.contains("BroadcastNestedLoopJoin"), p64)
+    assert(!p64.contains("CartesianProduct"), p64)
+    val p65 = plan("q65_embed_outliers")
+    assert(p65.contains("BroadcastHashJoin"), "centroid join must broadcast\n" + p65)
+    assert(!p65.contains("BroadcastNestedLoopJoin"), p65)
+  }
+
   test("q59: window/stride arithmetic covers every token exactly per formula") {
     val sp = spark
     import sp.implicits._
