@@ -326,24 +326,17 @@ object Quality {
         |SELECT vec_id, label, dist, rk FROM r
         |WHERE rk <= 10 ORDER BY label, rk""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
+      // raw float32 embeddings go straight into sqdist64 (it widens each
+      // element exactly, same values as a pre-cast double array, without
+      // a per-element cast lambda on the scan side); centroids share
+      // q42's rounded-centroid helper
       val emb = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-      // per-label centroid: partial-agg shuffle on (label, dim) — k*64
-      // keys, map-side combine bounds the exchange regardless of corpus
-      // size; the centroid table then broadcasts into the scan
-      val cent = emb
-        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("v")), 6).as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)")
-          .as("cent"))
+      val cent = Similarity.perLabelCentroids(emb)
       val wnd = Window.partitionBy(col("label"))
         .orderBy(col("dist").desc, col("vec_id"))
       emb.join(broadcast(cent), "label")
         .select(col("vec_id"), col("label"),
-          round(expr("sqdist64(emb, cent)"), 4).as("dist"))
+          round(expr("sqdist64(embedding, cent)"), 4).as("dist"))
         .withColumn("rk", row_number().over(wnd))
         .filter(col("rk") <= 10)
         .select(col("vec_id"), col("label"), col("dist"), col("rk"))

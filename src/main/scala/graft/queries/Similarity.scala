@@ -29,6 +29,20 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
   }
 
+  /** Per-label centroid means of the float32 `embedding` column as
+    * (label, cent: array<double>), rounded to 6dp BEFORE any distance
+    * compare — the cross-engine determinism lever. q42's coarse
+    * quantizer and q65's outlier QA share this one definition so the
+    * rounding discipline cannot drift between them. One partial-agg
+    * shuffle on (label, pos): k×dim keys regardless of corpus size. */
+  private[queries] def perLabelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+        .as("cent"))
+
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))"
 
@@ -240,11 +254,7 @@ object Similarity {
          |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
       // per-position centroid means, rounded to 6dp pre-comparison
-      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy(col("label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("cv"))
+      val cent = perLabelCentroids(e).withColumnRenamed("cent", "cv")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val qcW = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("label"))
