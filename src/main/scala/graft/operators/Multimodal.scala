@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * column plus typed metadata, and "decoded" per partition with
   * `Dataset.mapPartitions` — the Scala analog of `mapInPandas`: the
   * executor streams batches of blobs through a decode function without
-  * ever collecting to the driver.
+  * ever collecting to the driver. The literal Pandas-UDF form of the
+  * same operator (binary payload → `mapInPandas` → typed feature
+  * schema, vectorized pandas batches) is exercised end-to-end by
+  * `tools/pymultimodal_smoke.py`, cross-checked value-for-value
+  * against this stub's arithmetic.
   *
   * ==== STUB ====
   * No image/audio libraries exist in this container, so [[decodeStub]]
