@@ -19,6 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Quality]]      — passage chunking, vocab stats,
   *    Gopher filter, bloom decontamination, token-budget mix, bigram LM,
   *    embedding outliers (q59-q65)
+  *  - [[graft.queries.Mining]]      — event funnel, boilerplate n-grams,
+  *    temperature mix, rare-word novelty, ANN recall eval, retention
+  *    cohorts, z-score anomalies (q66-q72)
   */
 object SparkEntry {
 
@@ -33,7 +36,8 @@ object SparkEntry {
       _root_.graft.queries.Pipeline.defs ++
       _root_.graft.operators.ConnectedComponents.defs ++
       _root_.graft.queries.Clustering.defs ++
-      _root_.graft.queries.Quality.defs
+      _root_.graft.queries.Quality.defs ++
+      _root_.graft.queries.Mining.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,293 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: behavioral analytics over `events` (staged funnel,
+  * retention cohorts, z-score anomalies) and corpus-curation ops over
+  * `documents`/`embeddings` (boilerplate n-gram mining, temperature-scaled
+  * source mixing, rare-word novelty scoring, ANN recall evaluation).
+  *
+  * Scale notes (100 TB):
+  *  - q66: all three stage aggregates shuffle on `user_id`, so the stage
+  *    joins land co-partitioned — Spark reuses the hash partitioning and
+  *    plans SortMergeJoin without an extra exchange; per-stage state is
+  *    one row per user;
+  *  - q67: the classic inverted-index shape — distinct-per-doc shingles
+  *    (native kernel, no intermediate set materialization) → one wide
+  *    (gram) shuffle with map-side partial counts → global top-k via
+  *    TakeOrderedAndProject (no full sort);
+  *  - q68: per-source token totals are a narrow 20-key aggregate; the
+  *    normalizing sum is computed over an ORDERED list in BOTH engines
+  *    (summation order pinned ⇒ bit-identical), and sqrt is IEEE
+  *    correctly-rounded in both — no cross-engine float drift by
+  *    construction;
+  *  - q69: mirrors the q62 bloom discipline — the heavy corpus pass is a
+  *    scan-local `count_in` against a broadcast-able 100-word literal;
+  *    only the tiny vocab agg shuffles. The top-100 vocabulary collect is
+  *    100 rows on the driver, not a data collect;
+  *  - q70: joins two already-small top-k result sets (k rows per query) —
+  *    evaluation cost is independent of corpus size;
+  *  - q71: ONE shuffle on user_id (`collect_set` of active days is
+  *    bounded by the calendar, not by event volume), then a cohort-key
+  *    re-agg over |days| rows;
+  *  - q72: per-type moments are a 5-key aggregate broadcast back over the
+  *    scan — anomaly filtering never shuffles the fact table.
+  */
+object Mining {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.load(s, dir, "documents")
+  }
+
+  /** events with `ts` as a microsecond long — the parquet stores
+    * TIMESTAMP(NANOS) which Spark reads as a raw ns long (Tables.load),
+    * `div 1000` matches DuckDB's `epoch_us(ts)` exactly. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("tus", expr("ts div 1000"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- staged conversion funnel view → click → purchase: stage k's
+    //      timestamp is the earliest matching event strictly after stage
+    //      k-1 — the standard product-analytics funnel, expressed as
+    //      per-stage min-aggregates joined on user_id ----
+    QueryDef.sql(
+      "q66_event_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT v.user_id,
+        |  (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT) AS stage,
+        |  (t2 - t1) AS us_to_click,
+        |  (t3 - t2) AS us_to_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin) { (s, dir) =>
+      val e = eventsUs(s, dir).select(col("user_id"), col("event_type"), col("tus"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("tus") > col("t1"))
+        .groupBy("user_id").agg(min("tus").as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("tus") > col("t2"))
+        .groupBy("user_id").agg(min("tus").as("t3"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+            + when(col("t3").isNotNull, 1).otherwise(0)).cast("int").as("stage"),
+          (col("t2") - col("t1")).as("us_to_click"),
+          (col("t3") - col("t2")).as("us_to_purchase"))
+        .orderBy("user_id")
+    },
+
+    // ---- boilerplate phrase mining: word 3-grams shared by >= 4 distinct
+    //      docs, top 50 by document frequency — the common-crawl
+    //      header/footer detection primitive ----
+    QueryDef.sql(
+      "q67_boilerplate_ngrams",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(ws) - 2, 0)),
+        |    i -> array_to_string(ws[i:i+2], ' ')))) AS gram
+        |  FROM d
+        |), c AS (
+        |  SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+        |  FROM g GROUP BY gram
+        |)
+        |SELECT gram, n_docs, first_doc FROM c WHERE n_docs >= 4
+        |ORDER BY n_docs DESC, gram LIMIT 50""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr("shingles_k(text, 3)")).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 4)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(50)
+    },
+
+    // ---- temperature-scaled source mixing (alpha = 0.5): sampling
+    //      weights proportional to sqrt(source tokens) — the standard
+    //      multinomial-temperature rebalancing of a multi-source corpus.
+    //      The normalizer is summed over a source-ORDERED list in both
+    //      engines and sqrt is correctly rounded in both, so every float
+    //      on the way to the output is bit-identical cross-engine ----
+    QueryDef.sql(
+      "q68_temperature_mix",
+      """WITH t AS (
+        |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS tok
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, tok, sqrt(tok) AS wt FROM t
+        |), tot AS (
+        |  SELECT list_sum(list(wt ORDER BY source)) AS twt FROM w
+        |)
+        |SELECT source, tok, round(wt / twt, 6) AS weight,
+        |  round(100000 * wt / twt / tok, 6) AS epochs
+        |FROM w, tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir)
+        .select(col("source"), size(split(col("text"), " ", -1)).as("nw"))
+        .groupBy("source").agg(sum(col("nw")).as("tok"))
+        .withColumn("wt", sqrt(col("tok").cast("double")))
+      // pinned summation order: sort the (source, wt) structs, then fold
+      // left-to-right — same order DuckDB's list(wt ORDER BY source) sums in
+      val tot = t.groupBy().agg(
+        expr("aggregate(transform(array_sort(collect_list(struct(source, wt))), " +
+          "x -> x.wt), 0D, (acc, v) -> acc + v)").as("twt"))
+      t.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          round(col("wt") / col("twt"), 6).as("weight"),
+          round(lit(100000) * col("wt") / col("twt") / col("tok"), 6).as("epochs"))
+        .orderBy("source")
+    },
+
+    // ---- rare-word novelty scoring: fraction of a doc's tokens outside
+    //      the global top-100 vocabulary. The vocabulary is a tiny
+    //      deterministic top-k (count desc, word) collected to a literal,
+    //      so the corpus pass is a scan-local count_in — no explode-join
+    //      of the full token stream ----
+    QueryDef.sql(
+      "q69_rare_word_ratio",
+      """WITH wc AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |), top AS (
+        |  SELECT word FROM (
+        |    SELECT word, count(*) AS c FROM wc GROUP BY word
+        |    ORDER BY c DESC, word LIMIT 100)
+        |), tl AS (
+        |  SELECT list(word) AS wl FROM top
+        |)
+        |SELECT doc_id, len(ws) AS n_words,
+        |  round((len(ws) - len(list_filter(ws, x -> list_contains(wl, x))))
+        |    * 1.0 / len(ws), 6) AS rare_frac
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tl
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val top100: Array[String] = d
+        .select(explode(split(col("text"), " ", -1)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word"))
+        .limit(100)
+        .collect().map(_.getString(0))
+      d.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .withColumn("n_words", size(col("ws")))
+        .select(col("doc_id"), col("n_words"),
+          round((col("n_words") - call_function("count_in", col("ws"),
+            array(top100.map(lit): _*))) * lit(1.0) / col("n_words"), 6)
+            .as("rare_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- ANN recall evaluation: recall@5 of the LSH index (q40) against
+    //      the exact brute-force ranking (q38), per query vector. Both
+    //      sides reuse the registered query definitions verbatim — Spark
+    //      fns AND oracle SQL — so the metric can never drift from the
+    //      operators it measures ----
+    {
+      def defOf(n: String) = Similarity.defs.find(_.name == n).get
+      val exact = defOf("q38_cosine_topk")
+      val approx = defOf("q40_ann_lsh")
+      QueryDef.sql(
+        "q70_ann_recall",
+        s"""WITH ex AS (
+           |${exact.oracle.get}
+           |), ap AS (
+           |${approx.oracle.get}
+           |)
+           |SELECT ex.qid, count(ap.vec_id)::BIGINT AS n_hit,
+           |  round(count(ap.vec_id) / 5.0, 2) AS recall
+           |FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+           |GROUP BY ex.qid ORDER BY ex.qid""".stripMargin) { (s, dir) =>
+        val ex = exact.fn(s, dir).select(col("qid"), col("vec_id"))
+        val ap = approx.fn(s, dir).select(col("qid"), col("vec_id"))
+          .withColumn("hit", lit(1))
+        ex.join(ap, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .select(col("qid"), col("n_hit"),
+            round(col("n_hit") / lit(5.0), 2).as("recall"))
+          .orderBy("qid")
+      }
+    },
+
+    // ---- retention cohorts: users grouped by first-active day; retained
+    //      if active again within the next 7 days. ONE shuffle on
+    //      user_id — the active-day set per user is bounded by the
+    //      calendar window, so collect_set stays small at any volume ----
+    QueryDef.sql(
+      "q71_retention_cohorts",
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS dy FROM events
+        |), f AS (
+        |  SELECT user_id, min(dy) AS d0 FROM d GROUP BY user_id
+        |), r AS (
+        |  SELECT f.user_id, f.d0,
+        |    max(CASE WHEN d.dy BETWEEN f.d0 + 1 AND f.d0 + 7
+        |        THEN 1 ELSE 0 END) AS ret
+        |  FROM f JOIN d ON f.user_id = d.user_id
+        |  GROUP BY f.user_id, f.d0
+        |)
+        |SELECT d0 AS cohort_day, count(*) AS n_users,
+        |  sum(ret)::BIGINT AS n_retained,
+        |  round(sum(ret) * 1.0 / count(*), 4) AS retention_frac
+        |FROM r GROUP BY d0 ORDER BY cohort_day""".stripMargin) { (s, dir) =>
+      eventsUs(s, dir)
+        .select(col("user_id"), expr("tus div 86400000000").as("dy"))
+        .groupBy("user_id")
+        .agg(min("dy").as("d0"), collect_set("dy").as("days"))
+        .select(col("d0"),
+          expr("CASE WHEN exists(days, d -> d > d0 AND d <= d0 + 7) " +
+            "THEN 1 ELSE 0 END").as("ret"))
+        .groupBy(col("d0").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ret")).as("n_retained"),
+          round(sum(col("ret")) * lit(1.0) / count(lit(1)), 4).as("retention_frac"))
+        .orderBy("cohort_day")
+    },
+
+    // ---- z-score anomaly detection: events whose value is > 3 rounded
+    //      population stddevs from its event_type's rounded mean. Moments
+    //      are rounded to 6dp BEFORE the compare (the centroid
+    //      discipline), so both engines flag the identical rows ----
+    QueryDef.sql(
+      "q72_value_anomalies",
+      """WITH s AS (
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |    round(stddev_pop(value), 6) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, e.value,
+        |  round((e.value - mu) / sd, 3) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(e.value - mu) > 3 * sd
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val stats = e.groupBy("event_type")
+        .agg(round(avg("value"), 6).as("mu"),
+          round(stddev_pop(col("value")), 6).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .filter(abs(col("value") - col("mu")) > lit(3) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mu")) / col("sd"), 3).as("z"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 mining operators (q66-q72): result invariants plus the plan
+  * shapes the 100 TB design depends on.
+  */
+class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("mining-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(q: String) = SparkEntry.queries(q)(spark, dir)
+  private def plan(q: String): String =
+    run(q).queryExecution.executedPlan.toString
+
+  test("q66 funnel: stages monotone, lags non-negative, one row per viewer") {
+    val rows = run("q66_event_funnel").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per user")
+    rows.foreach { r =>
+      val stage = r.getInt(1)
+      assert(stage >= 1 && stage <= 3)
+      // stage implies which lags are present; present lags are > 0 (strict after)
+      assert((stage >= 2) == !r.isNullAt(2), s"stage=$stage click lag null mismatch")
+      assert((stage == 3) == !r.isNullAt(3), s"stage=$stage purchase lag null mismatch")
+      if (!r.isNullAt(2)) assert(r.getLong(2) > 0)
+      if (!r.isNullAt(3)) assert(r.getLong(3) > 0)
+    }
+  }
+
+  test("q67 boilerplate: global top-k plans as TakeOrderedAndProject") {
+    val p = plan("q67_boilerplate_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    run("q67_boilerplate_ngrams").collect().foreach(r => assert(r.getLong(1) >= 4))
+  }
+
+  test("q68 temperature mix: weights sum to 1, epochs flatten the skew") {
+    val rows = run("q68_temperature_mix").collect()
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum $wsum")
+    // temperature < 1 upweights small sources: smallest source gets the
+    // largest epochs multiplier
+    val byTok = rows.sortBy(_.getLong(1))
+    assert(byTok.head.getDouble(3) >= byTok.last.getDouble(3))
+  }
+
+  test("q69 rare-word: scoring pass is scan-local (no Generate/explode)") {
+    val p = plan("q69_rare_word_ratio")
+    assert(!p.contains("Generate"), s"scored pass must not explode tokens\n$p")
+    assert(p.contains("count_in"), p)
+    run("q69_rare_word_ratio").collect().foreach { r =>
+      val f = r.getDouble(2)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q70 ann recall: bounded by 1, hits consistent with recall") {
+    val rows = run("q70_ann_recall").collect()
+    assert(rows.length == 10, "one row per query vector")
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 0 && hits <= 5)
+      assert(math.abs(r.getDouble(2) - hits / 5.0) < 1e-9)
+    }
+  }
+
+  test("q71 retention: cohorts partition the user base") {
+    val rows = run("q71_retention_cohorts").collect()
+    val users = rows.map(_.getLong(1)).sum
+    assert(users == 15, s"cohorts must cover all 15 users, got $users")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q72 anomalies: stats side broadcast, fact side not shuffled") {
+    val p = plan("q72_value_anomalies")
+    assert(p.contains("BroadcastHashJoin"), p)
+    run("q72_value_anomalies").collect().foreach(r =>
+      assert(math.abs(r.getDouble(3)) >= 3.0 - 0.02, s"z=${r.getDouble(3)}"))
+  }
+
+  test("q66 funnel plan: stage joins reuse the user_id partitioning") {
+    // the three per-stage aggregates and both outer joins key on user_id;
+    // beyond the three scan-side aggregate exchanges and the final sort,
+    // no extra join exchange may appear
+    val p = plan("q66_event_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 5, s"expected <=5 hash exchanges, got $exchanges\n$p")
+  }
+}
