@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   *    construction;
   *  - q69: mirrors the q62 bloom discipline — the heavy corpus pass is a
   *    scan-local `count_in` against a broadcast-able 100-word literal;
-  *    only the tiny vocab agg shuffles. The top-100 vocabulary collect is
-  *    100 rows on the driver, not a data collect;
+  *    only the tiny vocab agg shuffles. The top-k vocabulary collect is
+  *    k rows on the driver, not a data collect;
   *  - q70: joins two already-small top-k result sets (k rows per query) —
   *    evaluation cost is independent of corpus size;
   *  - q71: ONE shuffle on user_id (`collect_set` of active days is
@@ -160,7 +160,8 @@ object Mining {
     },
 
     // ---- rare-word novelty scoring: fraction of a doc's tokens outside
-    //      the global top-100 vocabulary. The vocabulary is a tiny
+    //      the global top-10 vocabulary (the synthetic corpus has a 31-word
+    //      vocab, so top-10 leaves a meaningful rare tail). The vocabulary is a tiny
     //      deterministic top-k (count desc, word) collected to a literal,
     //      so the corpus pass is a scan-local count_in — no explode-join
     //      of the full token stream ----
@@ -171,7 +172,7 @@ object Mining {
         |), top AS (
         |  SELECT word FROM (
         |    SELECT word, count(*) AS c FROM wc GROUP BY word
-        |    ORDER BY c DESC, word LIMIT 100)
+        |    ORDER BY c DESC, word LIMIT 10)
         |), tl AS (
         |  SELECT list(word) AS wl FROM top
         |)
@@ -181,17 +182,17 @@ object Mining {
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tl
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val top100: Array[String] = d
+      val top10: Seq[String] = d
         .select(explode(split(col("text"), " ", -1)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("word"))
-        .limit(100)
-        .collect().map(_.getString(0))
+        .limit(10)
+        .collect().toIndexedSeq.map(_.getString(0))
       d.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         .withColumn("n_words", size(col("ws")))
         .select(col("doc_id"), col("n_words"),
           round((col("n_words") - call_function("count_in", col("ws"),
-            array(top100.map(lit): _*))) * lit(1.0) / col("n_words"), 6)
+            array(top10.map(lit): _*))) * lit(1.0) / col("n_words"), 6)
             .as("rare_frac"))
         .orderBy("doc_id")
     },
@@ -261,6 +262,99 @@ object Mining {
           sum(col("ret")).as("n_retained"),
           round(sum(col("ret")) * lit(1.0) / count(lit(1)), 4).as("retention_frac"))
         .orderBy("cohort_day")
+    },
+
+    // ---- passage-level duplication: chunk every doc with q59's EXACT
+    //      chunker (fns and oracle reused verbatim), then measure the
+    //      fraction of each doc's passages that occur more than once in
+    //      the corpus — the span-level dup signal used to de-boilerplate
+    //      web crawls. Two narrow shuffles: (passage_md5) count, then
+    //      (doc_id) re-agg ----
+    {
+      val chunker = Quality.defs.find(_.name == "q59_passage_chunk").get
+      QueryDef.sql(
+        "q73_passage_dedup",
+        s"""WITH p AS (
+           |${chunker.oracle.get}
+           |), c AS (
+           |  SELECT passage_md5, count(*) AS cnt FROM p GROUP BY passage_md5
+           |)
+           |SELECT p.doc_id, count(*) AS n_passages,
+           |  sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           |  round(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           |    AS dup_frac
+           |FROM p JOIN c ON p.passage_md5 = c.passage_md5
+           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+        val p = chunker.fn(s, dir).select(col("doc_id"), col("passage_md5"))
+        val c = p.groupBy("passage_md5").agg(count(lit(1)).as("cnt"))
+        p.join(c, "passage_md5")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_passages"),
+            sum(when(col("cnt") > 1, 1).otherwise(0)).as("n_dup"),
+            round(sum(when(col("cnt") > 1, 1).otherwise(0)) * lit(1.0)
+              / count(lit(1)), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      }
+    },
+
+    // ---- source drift: KL(source ‖ corpus) over the global top-20
+    //      vocabulary with add-one smoothing — the domain-shift monitor
+    //      for mixture rebalancing. The 20-word support is completed
+    //      per source (missing words get count 0) and the KL sum runs
+    //      over a word-ORDERED list in both engines; ln is the one
+    //      libm call, the q64 precedent ----
+    QueryDef.sql(
+      "q74_source_drift",
+      """WITH wc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+        |), sw AS (
+        |  SELECT source, word, count(*) AS c FROM wc GROUP BY source, word
+        |), top AS (
+        |  SELECT word, sum(c)::BIGINT AS cg FROM sw GROUP BY word
+        |  ORDER BY cg DESC, word LIMIT 20
+        |), gt AS (
+        |  SELECT sum(cg)::BIGINT AS totg FROM top
+        |), grid AS (
+        |  SELECT s.source, t.word, t.cg, coalesce(sw.c, 0) AS cs
+        |  FROM (SELECT DISTINCT source FROM documents) s
+        |  CROSS JOIN top t
+        |  LEFT JOIN sw ON sw.source = s.source AND sw.word = t.word
+        |), st AS (
+        |  SELECT source, sum(cs)::BIGINT AS tots FROM grid GROUP BY source
+        |), terms AS (
+        |  SELECT g.source, g.word,
+        |    ((g.cs + 1.0) / (st.tots + 20.0)) *
+        |      ln(((g.cs + 1.0) / (st.tots + 20.0)) /
+        |         ((g.cg + 1.0) / (gt.totg + 20.0))) AS term,
+        |    st.tots
+        |  FROM grid g JOIN st ON g.source = st.source CROSS JOIN gt
+        |)
+        |SELECT source, max(tots) AS top20_tokens,
+        |  round(list_sum(list(term ORDER BY word)), 6) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val sw = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val top = sw.groupBy("word").agg(sum(col("c")).as("cg"))
+        .orderBy(col("cg").desc, col("word")).limit(20)
+      val gt = top.groupBy().agg(sum(col("cg")).as("totg"))
+      val sources = docs(s, dir).select(col("source")).distinct()
+      val grid = sources.crossJoin(broadcast(top))
+        .join(sw, Seq("source", "word"), "left")
+        .withColumn("cs", coalesce(col("c"), lit(0)))
+      val st = grid.groupBy("source").agg(sum(col("cs")).as("tots"))
+      val terms = grid.join(st, "source").crossJoin(broadcast(gt))
+        .select(col("source"), col("word"), col("tots"),
+          (((col("cs") + 1.0) / (col("tots") + 20.0)) *
+            log(((col("cs") + 1.0) / (col("tots") + 20.0)) /
+              ((col("cg") + 1.0) / (col("totg") + 20.0)))).as("term"))
+      // pinned summation order: fold term values sorted by word, matching
+      // DuckDB's list(term ORDER BY word) left-to-right sum
+      terms.groupBy("source")
+        .agg(max(col("tots")).as("top20_tokens"),
+          round(expr("aggregate(transform(array_sort(collect_list(struct(word, term))), " +
+            "x -> x.term), 0D, (acc, v) -> acc + v)"), 6).as("kl"))
+        .orderBy("source")
     },
 
     // ---- z-score anomaly detection: events whose value is > 3 rounded

@@ -97,6 +97,23 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(r.getDouble(3)) >= 3.0 - 0.02, s"z=${r.getDouble(3)}"))
   }
 
+  test("q73 passage dedup: fractions bounded, dup count <= passages") {
+    val rows = run("q73_passage_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("q74 source drift: KL non-negative (Gibbs) for every source") {
+    val rows = run("q74_source_drift").collect()
+    assert(rows.nonEmpty)
+    // smoothing perturbs p and q slightly: allow rounding-level slack
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-6, s"KL ${r.getDouble(2)}"))
+  }
+
   test("q66 funnel plan: stage joins reuse the user_id partitioning") {
     // the three per-stage aggregates and both outer joins key on user_id;
     // beyond the three scan-side aggregate exchanges and the final sort,
