@@ -196,17 +196,23 @@ object Relational {
       big.union(small).orderBy("o_orderkey")
     },
 
-    // ---- distinct aggregation (expand + two-phase distinct agg) ----
+    // ---- distinct aggregation. Three distincts in ONE agg would plan
+    //      as Expand (3x every row through the partial agg); instead each
+    //      column gets its own pruned single-column scan + two-phase
+    //      distinct, and the three 1-row results are joined — at 100 TB
+    //      the same bytes are read either way, but nothing is tripled in
+    //      memory and each shuffle carries only that column's distinct
+    //      values ----
     QueryDef.sql(
       "q10_distinct",
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem").agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+      val li = t(s, dir, "lineitem")
+      li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .crossJoin(li.agg(countDistinct(col("l_suppkey")).as("n_supps")))
+        .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("n_orders")))
     },
 
     // ---- left semi join (EXISTS) ----
