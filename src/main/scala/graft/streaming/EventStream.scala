@@ -41,7 +41,9 @@ object EventStream {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer ns->us division: `/` would widen the ~1.7e18 ns epoch to
+      // double (53-bit mantissa) and corrupt the low microseconds
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark for late
@@ -65,6 +67,48 @@ object EventStream {
   /** Exactly-once style dedup on event_id within the watermark horizon. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  final case class FEvent(user_id: Long, tus: Long, event_type: String, event_id: Long)
+
+  /** Funnel progress per user: -1 = stage not reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  final case class FunnelUpdate(
+      user_id: Long, stage: Int, us_to_click: Option[Long], us_to_purchase: Option[Long])
+
+  /** Streaming twin of batch q66_event_funnel: a per-user state machine
+    * over view → click → purchase, emitting the user's current funnel row
+    * each time it advances. Within a micro-batch events are processed in
+    * (tus, event_id) order, so on an in-order stream (or a single
+    * AvailableNow batch) the result is exactly q66's earliest-after-prior
+    * -stage semantics; unbounded out-of-order arrival degrades to the
+    * usual streaming approximation. State is three longs per user —
+    * sharded by the groupByKey shuffle, O(users) total. */
+  def funnel(events: Dataset[FEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          batch.toSeq.sortBy(e => (e.tus, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if s.t1 < 0 => s = s.copy(t1 = e.tus)
+              case "click" if s.t1 >= 0 && s.t2 < 0 && e.tus > s.t1 =>
+                s = s.copy(t2 = e.tus)
+              case "purchase" if s.t2 >= 0 && s.t3 < 0 && e.tus > s.t2 =>
+                s = s.copy(t3 = e.tus)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage =
+            (if (s.t1 >= 0) 1 else 0) + (if (s.t2 >= 0) 1 else 0) + (if (s.t3 >= 0) 1 else 0)
+          FunnelUpdate(uid, stage,
+            if (s.t2 >= 0) Some(s.t2 - s.t1) else None,
+            if (s.t3 >= 0) Some(s.t3 - s.t2) else None)
+      }
+  }
 
   /** Custom state: sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState + event-time timeout. */

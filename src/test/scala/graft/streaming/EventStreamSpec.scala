@@ -91,4 +91,60 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(rows.contains((1L, 3, 3.0)), s"got $rows")
   }
+
+  test("streaming funnel: state machine matches hand computation") {
+    val sp = spark
+    implicit val sq = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[EventStream.FEvent]
+    in.addData(
+      // user 1: full funnel; pre-view click at t=5 must NOT count
+      EventStream.FEvent(1, 5, "click", 1),
+      EventStream.FEvent(1, 10, "view", 2),
+      EventStream.FEvent(1, 30, "click", 3),
+      EventStream.FEvent(1, 40, "purchase", 4),
+      // user 2: purchase before click -> stuck at stage 2
+      EventStream.FEvent(2, 10, "view", 5),
+      EventStream.FEvent(2, 15, "purchase", 6),
+      EventStream.FEvent(2, 20, "click", 7),
+      // user 3: view only
+      EventStream.FEvent(3, 10, "view", 8))
+    val q = EventStream.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnel_mem")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("funnel_mem").as[EventStream.FunnelUpdate]
+      .collect().map(u => u.user_id -> u).toMap
+    assert(rows(1L) == EventStream.FunnelUpdate(1L, 3, Some(20L), Some(10L)))
+    assert(rows(2L) == EventStream.FunnelUpdate(2L, 2, Some(10L), None))
+    assert(rows(3L) == EventStream.FunnelUpdate(3L, 1, None, None))
+  }
+
+  test("streaming funnel over the events file == batch q66") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // integer ns->us division, matching batch q66's `ts div 1000` exactly
+    // (fromFiles' timestamp cast goes through double division and is only
+    // used for window truncation, where sub-ms drift is invisible)
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_type"), col("event_id"))
+      .as[EventStream.FEvent]
+    val q = EventStream.funnel(stream)
+      .writeStream.format("memory").queryName("funnel_file")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // single AvailableNow batch -> one update per user = final state
+    val streamed = spark.table("funnel_file")
+      .filter(col("stage") >= 1)
+      .select(col("user_id"), col("stage"), col("us_to_click"), col("us_to_purchase"))
+    val batch = graft.SparkEntry.queries("q66_event_funnel")(spark, dir)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming funnel must equal batch q66")
+  }
 }
