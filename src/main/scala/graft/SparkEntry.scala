@@ -21,7 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    embedding outliers (q59-q65)
   *  - [[graft.queries.Mining]]      — event funnel, boilerplate n-grams,
   *    temperature mix, rare-word novelty, ANN recall eval, retention
-  *    cohorts, z-score anomalies (q66-q72)
+  *    cohorts, z-score anomalies, passage dedup, source drift (q66-q74)
+  *  - [[graft.queries.Retrieval]]   — sequence packing, BM25 scoring,
+  *    curriculum phases (q75-q77)
   */
 object SparkEntry {
 
@@ -37,7 +39,8 @@ object SparkEntry {
       _root_.graft.operators.ConnectedComponents.defs ++
       _root_.graft.queries.Clustering.defs ++
       _root_.graft.queries.Quality.defs ++
-      _root_.graft.queries.Mining.defs
+      _root_.graft.queries.Mining.defs ++
+      _root_.graft.queries.Retrieval.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 3: training-example packing, BM25 retrieval scoring,
+  * and curriculum phase assignment.
+  *
+  * Scale notes (100 TB):
+  *  - q75 is one window shuffle per source (cumulative token sum in
+  *    doc_id order) followed by a narrow (source, bin) re-agg — the
+  *    standard greedy concat-packing pass that turns documents into
+  *    fixed-length training sequences;
+  *  - q76 is the retrieval sweet spot: per-term tfs come from
+  *    scan-local array filters (NO token explode), corpus stats (N,
+  *    avgdl, per-term dfs) are ONE 1-row aggregate broadcast back, and
+  *    the top-k plans as TakeOrderedAndProject — a single corpus pass
+  *    end to end;
+  *  - q77 reuses q64's bigram scorer verbatim, then adds one window
+  *    (per-source ntile) and a 4×sources-key agg — difficulty-phased
+  *    curriculum split at the cost of one extra narrow shuffle.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    Tables.load(s, dir, "documents")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- greedy sequence packing: concatenate each source's docs in
+    //      doc_id order and cut 2048-token training bins; a doc's bin is
+    //      where its first token lands. Pure integer arithmetic ----
+    QueryDef.sql(
+      "q75_sequence_pack",
+      """WITH w AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS nw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, nw,
+        |    sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM w
+        |)
+        |SELECT source, ((cum - nw) // 2048)::BIGINT AS bin,
+        |  count(*) AS n_docs, sum(nw)::BIGINT AS n_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ", -1)).as("nw"))
+        .withColumn("cum", sum(col("nw")).over(win))
+        .groupBy(col("source"),
+          expr("(cum - nw) div 2048").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+        .orderBy("source", "bin")
+    },
+
+    // ---- BM25 scoring (k1=1.2, b=0.75, Lucene idf) for a fixed 3-term
+    //      query, top 20 docs. Per-term tf via scan-local array filters;
+    //      corpus stats are one 1-row agg broadcast back ----
+    QueryDef.sql(
+      "q76_bm25",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), f AS (
+        |  SELECT doc_id, len(ws) AS dl,
+        |    len(list_filter(ws, x -> x = 'spark')) AS tf1,
+        |    len(list_filter(ws, x -> x = 'table')) AS tf2,
+        |    len(list_filter(ws, x -> x = 'query')) AS tf3
+        |  FROM d
+        |), g AS (
+        |  SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        |  FROM f
+        |), scored AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln((g.n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) /
+        |        (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |      ln((g.n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) /
+        |        (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) +
+        |      ln((g.n - df3 + 0.5) / (df3 + 0.5) + 1) * (tf3 * 2.2) /
+        |        (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |  FROM f, g)
+        |SELECT doc_id, bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      def tf(term: String) = expr(s"size(filter(ws, x -> x = '$term'))")
+      val f = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("dl"),
+          tf("spark").as("tf1"), tf("table").as("tf2"), tf("query").as("tf3"))
+      val g = f.groupBy().agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")) * lit(1.0) / count(lit(1))).as("avgdl"),
+        sum(when(col("tf1") > 0, 1).otherwise(0)).as("df1"),
+        sum(when(col("tf2") > 0, 1).otherwise(0)).as("df2"),
+        sum(when(col("tf3") > 0, 1).otherwise(0)).as("df3"))
+      def part(tfc: String, dfc: String) =
+        log((col("n") - col(dfc) + 0.5) / (col(dfc) + 0.5) + 1) *
+          (col(tfc) * 2.2) /
+          (col(tfc) + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      f.crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          round(part("tf1", "df1") + part("tf2", "df2") + part("tf3", "df3"), 4)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ---- curriculum phases: quartile docs by q64's bigram-LM mean
+    //      log-prob within each source (phase 1 = most predictable) and
+    //      summarize each phase — the difficulty schedule feeding
+    //      curriculum training. Reuses q64 verbatim, Spark and oracle ----
+    {
+      val lm = Quality.defs.find(_.name == "q64_bigram_lm").get
+      QueryDef.sql(
+        "q77_curriculum",
+        s"""WITH lm AS (
+           |${lm.oracle.get}
+           |), d AS (
+           |  SELECT source, lm.doc_id, mean_logp FROM lm
+           |  JOIN documents ON documents.doc_id = lm.doc_id
+           |), p AS (
+           |  SELECT source, doc_id, mean_logp,
+           |    ntile(4) OVER (PARTITION BY source
+           |      ORDER BY mean_logp DESC, doc_id) AS phase
+           |  FROM d)
+           |SELECT source, phase, count(*) AS n_docs,
+           |  floor(sum(round(mean_logp * 10000)::BIGINT)::DOUBLE / count(*)) / 10000.0
+           |    AS phase_logp
+           |FROM p GROUP BY source, phase ORDER BY source, phase""".stripMargin) { (s, dir) =>
+        val scored = lm.fn(s, dir).select(col("doc_id"), col("mean_logp"))
+        val d = docs(s, dir).select(col("doc_id"), col("source"))
+          .join(scored, "doc_id")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("mean_logp").desc, col("doc_id"))
+        d.withColumn("phase", ntile(4).over(w))
+          .groupBy(col("source"), col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            // mean_logp is 4dp-rounded by q64: scale to integer 1e-4
+            // units and sum EXACTLY (order-free) — avg(double) would sum
+            // in engine-specific order and can flip the 4th decimal.
+            // The mean then lands back on the 1e-4 grid via floor, NOT
+            // round: sum/n can be an exact .5 in grid units (e.g.
+            // -203787/6) and round-half behavior differs cross-engine,
+            // while 0.5 is binary-exact so floor agrees everywhere
+            (floor(sum(round(col("mean_logp") * 10000).cast("long"))
+              .cast("double") / count(lit(1))) / lit(10000.0)).as("phase_logp"))
+          .orderBy("source", "phase")
+      }
+    }
+  )
+}

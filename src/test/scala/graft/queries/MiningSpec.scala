@@ -114,6 +114,45 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getDouble(2) >= -1e-6, s"KL ${r.getDouble(2)}"))
   }
 
+  test("q75 packing: bins contiguous per source, tokens conserved") {
+    val rows = run("q75_sequence_pack").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (src, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1,
+        s"$src bins not contiguous: ${ids.toSeq}")
+    }
+    // packing must not create or drop tokens: per-source bin totals equal
+    // an independent word count over the raw table
+    val packed = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val direct = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "size(split(text, ' ', -1)) AS nw")
+      .groupBy("source").sum("nw").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(packed == direct, s"token totals diverge: $packed vs $direct")
+  }
+
+  test("q76 bm25: top-k plans as TakeOrderedAndProject, scores descending") {
+    val p = plan("q76_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val scores = run("q76_bm25").collect().map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "scores must be descending")
+    assert(scores.forall(_ >= 0.0))
+  }
+
+  test("q77 curriculum: 4 phases per source, phase 1 most predictable") {
+    val rows = run("q77_curriculum").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (src, phases) =>
+      assert(phases.map(_._2).toSet.subsetOf(Set(1, 2, 3, 4)))
+      // ntile orders by mean_logp DESC: phase 1's summary log-prob is
+      // the highest (least negative)
+      val byPhase = phases.sortBy(_._2).map(_._4)
+      assert(byPhase.zip(byPhase.tail).forall { case (a, b) => a >= b },
+        s"$src phases not monotone: ${byPhase.toSeq}")
+    }
+  }
+
   test("q66 funnel plan: stage joins reuse the user_id partitioning") {
     // the three per-stage aggregates and both outer joins key on user_id;
     // beyond the three scan-side aggregate exchanges and the final sort,
