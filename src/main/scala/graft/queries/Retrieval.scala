@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 batch 3: training-example packing, BM25 retrieval scoring,
-  * and curriculum phase assignment.
+  * pivot, and curriculum phase assignment.
   *
   * Scale notes (100 TB):
   *  - q75 is one window shuffle per source (cumulative token sum in
@@ -112,6 +112,28 @@ object Retrieval {
             .as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- PIVOT: per-user event-type activity matrix via the Dataset
+    //      pivot API (explicit value list => no extra distinct-values
+    //      job and a fixed output schema — the only safe form at scale;
+    //      an unlisted pivot must first scan for distinct keys). The
+    //      oracle states the identical conditional-aggregation form ----
+    QueryDef.sql(
+      "q78_pivot",
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
     },
 
     // ---- curriculum phases: quartile docs by q64's bigram-LM mean

@@ -55,8 +55,11 @@ object ScanBench {
 
     def time(name: String)(f: => Unit): Double = {
       f // warm
-      val t0 = System.nanoTime(); f
-      val s = (System.nanoTime() - t0) / 1e9
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val s = ts(1) // median of 3: single-shot local timings are noisy
       System.err.println(f"[scan-bench] $name: $s%.2f s (${n / s / 1e6}%.1f M rows/s)")
       s
     }

@@ -153,6 +153,14 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q78 pivot: explicit value list avoids the distinct-scan job; counts conserve") {
+    val df = run("q78_pivot")
+    assert(df.columns.toSeq == Seq("user_id", "view", "click", "purchase", "signup", "error"))
+    val total = df.collect().map(r => (1 to 5).map(r.getLong).sum).sum
+    val events = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(total == events, s"pivot cells must sum to all events: $total != $events")
+  }
+
   test("q66 funnel plan: stage joins reuse the user_id partitioning") {
     // the three per-stage aggregates and both outer joins key on user_id;
     // beyond the three scan-side aggregate exchanges and the final sort,
