@@ -110,6 +110,29 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: attribute each click to the same
+    * user's views in the preceding hour. Both sides carry watermarks so
+    * Spark can bound join state — without them a 100 TB backfill would
+    * buffer every view forever; with them state is (users × 1 h) of
+    * views. The join keys on user_id (state shards with the shuffle)
+    * plus the event-time band predicate. */
+  def clickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") < col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("c_ts")).minus(unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   /** Custom state: sessionization with a 30-minute inactivity gap via
     * flatMapGroupsWithState + event-time timeout. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {

@@ -92,6 +92,32 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((1L, 3, 3.0)), s"got $rows")
   }
 
+  test("stream-stream interval join == batch band join on the events file") {
+    val dir = "/root/testdata/sf0.001"
+    def side(t: String) = EventStream.fromFiles(spark, dir)
+      .filter(col("event_type") === t)
+    val q = EventStream.clickAttribution(side("view"), side("click"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrib")
+    val batch = {
+      val e = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("tus", expr("ts div 1000"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("tus").as("vt"), col("event_id").as("view_id"))
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tus").as("ct"), col("event_id").as("click_id"))
+        .join(v, col("user_id") === col("vu") &&
+          col("vt") < col("ct") && col("vt") >= col("ct") - 3600L * 1000000L)
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          (col("ct") - col("vt")).as("lag_us"))
+    }
+    assert(streamed.count() > 0, "attribution join must produce rows")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming interval join must equal the batch band join")
+  }
+
   test("streaming funnel: state machine matches hand computation") {
     val sp = spark
     implicit val sq = sp.sqlContext
