@@ -136,6 +136,35 @@ object Retrieval {
         .orderBy("user_id")
     },
 
+    // ---- RANGE-frame window: each event's trailing-1-hour activity for
+    //      its user — a VALUE-based frame (all rows within 3600s of
+    //      event time), not a ROWS frame; the sliding-exposure feature
+    //      behind rate limiting and engagement scoring. One shuffle on
+    //      user_id; the frame is computed by Spark's running-window
+    //      machinery without re-scanning the hour per row ----
+    QueryDef.sql(
+      "q79_range_window",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value) OVER w, 2) AS val_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tus"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("val_1h", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("val_1h"))
+        .orderBy("event_id")
+    },
+
     // ---- curriculum phases: quartile docs by q64's bigram-LM mean
     //      log-prob within each source (phase 1 = most predictable) and
     //      summarize each phase — the difficulty schedule feeding
