@@ -31,33 +31,42 @@ object Retrieval {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- greedy sequence packing: concatenate each source's docs in
-    //      doc_id order and cut 2048-token training bins; a doc's bin is
-    //      where its first token lands. Pure integer arithmetic ----
+    // ---- greedy sequence packing, distributed the way real packers
+    //      shard it: docs are routed to 16 deterministic shards per
+    //      source (doc_id mod 16) and each shard packs ITS slice into
+    //      2048-token bins by cumulative sum — a doc's bin is where its
+    //      first token lands. A single per-source window would serialize
+    //      each source through one task (20 sources = 20 tasks at any
+    //      corpus size); sharding keeps every core busy and costs only
+    //      one partial tail bin per shard. Pure integer arithmetic ----
     QueryDef.sql(
       "q75_sequence_pack",
       """WITH w AS (
-        |  SELECT doc_id, source, len(string_split(text, ' ')) AS nw
+        |  SELECT doc_id, source, doc_id % 16 AS shard,
+        |    len(string_split(text, ' ')) AS nw
         |  FROM documents
         |), c AS (
-        |  SELECT doc_id, source, nw,
-        |    sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+        |  SELECT doc_id, source, shard, nw,
+        |    sum(nw) OVER (PARTITION BY source, shard ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM w
         |)
-        |SELECT source, ((cum - nw) // 2048)::BIGINT AS bin,
+        |SELECT source, shard, ((cum - nw) // 2048)::BIGINT AS bin,
         |  count(*) AS n_docs, sum(nw)::BIGINT AS n_tokens
-        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin) { (s, dir) =>
-      val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        |FROM c GROUP BY source, shard, bin
+        |ORDER BY source, shard, bin""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy(col("source"), col("shard"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docs(s, dir)
         .select(col("doc_id"), col("source"),
+          (col("doc_id") % 16).as("shard"),
           size(split(col("text"), " ", -1)).as("nw"))
         .withColumn("cum", sum(col("nw")).over(win))
-        .groupBy(col("source"),
+        .groupBy(col("source"), col("shard"),
           expr("(cum - nw) div 2048").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
-        .orderBy("source", "bin")
+        .orderBy("source", "shard", "bin")
     },
 
     // ---- BM25 scoring (k1=1.2, b=0.75, Lucene idf) for a fixed 3-term

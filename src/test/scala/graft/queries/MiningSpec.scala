@@ -114,17 +114,17 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getDouble(2) >= -1e-6, s"KL ${r.getDouble(2)}"))
   }
 
-  test("q75 packing: bins contiguous per source, tokens conserved") {
+  test("q75 packing: bins contiguous per shard, tokens conserved") {
     val rows = run("q75_sequence_pack").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    rows.groupBy(_._1).foreach { case (src, bins) =>
-      val ids = bins.map(_._2).sorted
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, bins) =>
+      val ids = bins.map(_._3).sorted
       assert(ids.head == 0 && ids.last == ids.length - 1,
-        s"$src bins not contiguous: ${ids.toSeq}")
+        s"$key bins not contiguous: ${ids.toSeq}")
     }
     // packing must not create or drop tokens: per-source bin totals equal
     // an independent word count over the raw table
-    val packed = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val packed = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
     val direct = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("source", "size(split(text, ' ', -1)) AS nw")
       .groupBy("source").sum("nw").collect()
