@@ -303,7 +303,12 @@ object Quality {
     //      garbage-embedding detection). Centroids are rounded to 1e-6
     //      before the distance (the q56 discipline) so cross-engine
     //      float-summation noise cannot flip a rank; ranking uses the
-    //      ROUNDED distance with a vec_id tiebreak ----
+    //      ROUNDED distance with a vec_id tiebreak. Scale note: the
+    //      distance compute is scan-parallel; only the narrow
+    //      (vec_id, label, dist) stream reaches the per-label rank
+    //      window — at extreme per-label cardinality the exact window
+    //      would be preceded by a per-partition local top-10
+    //      (mapPartitions heap) to cap reducer sort input ----
     QueryDef.sql(
       "q65_embed_outliers",
       """WITH e AS (

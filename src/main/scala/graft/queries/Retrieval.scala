@@ -145,6 +145,28 @@ object Retrieval {
         .orderBy("user_id")
     },
 
+    // ---- UNPIVOT: melt the q78 activity matrix back to long form with
+    //      the unpivot API (codegen'd Expand, one output row per cell,
+    //      no shuffle beyond q78's own agg). Dropping empty cells makes
+    //      the roundtrip equal the direct GROUP BY — which is exactly
+    //      what the oracle states, so pivot∘unpivot is self-validating ----
+    QueryDef.sql(
+      "q80_unpivot",
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")),
+          Array(col("view"), col("click"), col("purchase"), col("signup"), col("error")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    },
+
     // ---- RANGE-frame window: each event's trailing-1-hour activity for
     //      its user — a VALUE-based frame (all rows within 3600s of
     //      event time), not a ROWS frame; the sliding-exposure feature
