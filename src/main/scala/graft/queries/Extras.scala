@@ -82,9 +82,10 @@ object Extras {
       val approx = li.agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"))
-      val exact = li.agg(
-        countDistinct(col("l_partkey")).as("ex_parts"),
-        countDistinct(col("l_orderkey")).as("ex_orders"))
+      // exact guards as two pruned single-column distincts (the q10
+      // lesson: one agg with both would plan as Expand, 2x every row)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("ex_parts"))
+        .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("ex_orders")))
       approx.crossJoin(exact)
         .select(col("apx_parts"), col("ex_parts"), col("apx_orders"), col("ex_orders"),
           (abs(col("apx_parts") - col("ex_parts")) * 1.0 / col("ex_parts") < 0.05)
