@@ -161,6 +161,16 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == events, s"pivot cells must sum to all events: $total != $events")
   }
 
+  test("q66/q79: events scans are column-pruned (no props/value where unused)") {
+    // q66 needs only user_id, event_type, ts
+    val p66 = plan("q66_event_funnel")
+    assert(!p66.contains("props"), "q66 must not read props")
+    assert(!p66.contains("value"), "q66 must not read value")
+    // q79 needs value but not props
+    val p79 = plan("q79_range_window")
+    assert(!p79.contains("props"), "q79 must not read props")
+  }
+
   test("q66 funnel plan: stage joins reuse the user_id partitioning") {
     // the three per-stage aggregates and both outer joins key on user_id;
     // beyond the three scan-side aggregate exchanges and the final sort,
