@@ -357,6 +357,94 @@ object Mining {
         .orderBy("source")
     },
 
+    // ---- per-doc unigram entropy: Shannon entropy of the doc's word
+    //      distribution — the "how repetitive / how diverse" signal next
+    //      to q46's duplicate fractions. ENTIRELY scan-local: the
+    //      distinct-word loop runs inside one higher-order expression per
+    //      row (docs are bounded, corpus is not), and the entropy sum
+    //      iterates sorted distinct words, so both engines sum the same
+    //      terms in the same order ----
+    QueryDef.sql(
+      "q81_token_entropy",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), e AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    list_sum(list_transform(list_sort(list_distinct(ws)), u ->
+        |      (len(list_filter(ws, x -> x = u)) * 1.0 / len(ws)) *
+        |      ln(len(list_filter(ws, x -> x = u)) * 1.0 / len(ws))
+        |    )) AS negent
+        |  FROM w)
+        |SELECT doc_id, n_words, round(-negent, 6) AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_words"),
+          expr(
+            """aggregate(array_sort(array_distinct(ws)), CAST(0 AS double),
+              |  (acc, u) -> acc +
+              |    (size(filter(ws, x -> x = u)) * CAST(1.0 AS double) / size(ws)) *
+              |    ln(size(filter(ws, x -> x = u)) * CAST(1.0 AS double) / size(ws)))
+              |""".stripMargin).as("negent"))
+        .select(col("doc_id"), col("n_words"), round(-col("negent"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PMI collocation mining: word pairs that co-occur in documents
+    //      far more than chance — ln( p(a,b) / (p(a) p(b)) ) over
+    //      doc-level presence, for pairs in >= 25 docs. Pair candidates
+    //      come from each doc's DISTINCT word set (vocabulary-bounded,
+    //      not length-bounded); counts are exact integers so the PMI is
+    //      one ln of an integer ratio — identical in both engines ----
+    QueryDef.sql(
+      "q82_collocations",
+      """WITH d AS (
+        |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS us
+        |  FROM documents
+        |), n AS (SELECT count(*) AS nd FROM documents),
+        |wf AS (
+        |  SELECT unnest(us) AS w FROM d
+        |), wc AS (
+        |  SELECT w, count(*) AS cw FROM wf GROUP BY w
+        |), pairs AS (
+        |  SELECT doc_id, a.w1, b.w2 FROM (
+        |    SELECT doc_id, unnest(us) AS w1, us FROM d) a,
+        |    LATERAL (SELECT unnest(a.us) AS w2) b
+        |  WHERE a.w1 < b.w2
+        |), pc AS (
+        |  SELECT w1, w2, count(*) AS cp FROM pairs GROUP BY w1, w2
+        |)
+        |SELECT w1, w2, cp,
+        |  round(ln(cp * 1.0 * nd / (x.cw * 1.0 * y.cw)), 6) AS pmi
+        |FROM pc JOIN wc x ON pc.w1 = x.w
+        |        JOIN wc y ON pc.w2 = y.w
+        |        CROSS JOIN n
+        |WHERE cp >= 25
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(col("text"), " ", -1))).as("us"))
+      val nd = d.count() // metadata-cheap; pins N as a literal like q62
+      val wc = d.select(explode(col("us")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      // per-doc unordered pairs of distinct words via one higher-order
+      // expression (vocab-bounded quadratic per row, no self-join)
+      val pairs = d.select(explode(expr(
+        "flatten(transform(us, (x, i) -> " +
+          "transform(slice(us, i + 2, size(us)), y -> struct(x AS w1, y AS w2))))"))
+        .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+        .filter(col("cp") >= 25)
+      pc.join(broadcast(wc.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cwa")), "w1")
+        .join(broadcast(wc.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cwb")), "w2")
+        .select(col("w1"), col("w2"), col("cp"),
+          round(log(col("cp") * lit(1.0) * lit(nd) / (col("cwa") * lit(1.0) * col("cwb"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
     // ---- z-score anomaly detection: events whose value is > 3 rounded
     //      population stddevs from its event_type's rounded mean. Moments
     //      are rounded to 6dp BEFORE the compare (the centroid

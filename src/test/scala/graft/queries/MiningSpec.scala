@@ -161,6 +161,24 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == events, s"pivot cells must sum to all events: $total != $events")
   }
 
+  test("q81 entropy: bounded by ln(n_words), scan-local (no shuffle before sort)") {
+    run("q81_token_entropy").collect().foreach { r =>
+      val h = r.getDouble(2)
+      // output is rounded to 6dp, which can land just above the bound
+      assert(h >= 0.0 && h <= math.log(r.getInt(1).toDouble) + 1e-6,
+        s"entropy $h out of [0, ln(${r.getInt(1)})]")
+    }
+    val p = plan("q81_token_entropy")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0, s"entropy scoring must not hash-shuffle\n$p")
+  }
+
+  test("q82 collocations: pair support never exceeds either word's doc freq") {
+    val rows = run("q82_collocations").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= 25))
+  }
+
   test("q66/q79: events scans are column-pruned (no props/value where unused)") {
     // q66 needs only user_id, event_type, ts
     val p66 = plan("q66_event_funnel")
