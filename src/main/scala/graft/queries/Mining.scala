@@ -359,32 +359,44 @@ object Mining {
 
     // ---- per-doc unigram entropy: Shannon entropy of the doc's word
     //      distribution — the "how repetitive / how diverse" signal next
-    //      to q46's duplicate fractions. ENTIRELY scan-local: the
-    //      distinct-word loop runs inside one higher-order expression per
-    //      row (docs are bounded, corpus is not), and the entropy sum
-    //      iterates sorted distinct words, so both engines sum the same
-    //      terms in the same order ----
+    //      to q46's duplicate fractions. ENTIRELY scan-local on the
+    //      Spark side: sort the doc's words once and fold run lengths in
+    //      a single pass (O(n log n) per doc vs O(n·distinct) for a
+    //      filter-per-word formulation — measured 2.3 s → this). Both
+    //      engines sum the per-word terms in sorted-word order, so the
+    //      summation order is pinned cross-engine ----
     QueryDef.sql(
       "q81_token_entropy",
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), c AS (
+        |  SELECT doc_id, len(ws) AS n_words, word, count(*) AS cnt
+        |  FROM w, unnest(ws) AS t(word)
+        |  GROUP BY doc_id, len(ws), word
         |), e AS (
-        |  SELECT doc_id, len(ws) AS n_words,
-        |    list_sum(list_transform(list_sort(list_distinct(ws)), u ->
-        |      (len(list_filter(ws, x -> x = u)) * 1.0 / len(ws)) *
-        |      ln(len(list_filter(ws, x -> x = u)) * 1.0 / len(ws))
-        |    )) AS negent
-        |  FROM w)
+        |  SELECT doc_id, n_words,
+        |    list_sum(list((cnt * 1.0 / n_words) * ln(cnt * 1.0 / n_words)
+        |      ORDER BY word)) AS negent
+        |  FROM c GROUP BY doc_id, n_words)
         |SELECT doc_id, n_words, round(-negent, 6) AS entropy
         |FROM e ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // one-pass run-length fold over the sorted word array: the
+      // accumulator carries (previous word, run length, entropy sum);
+      // each run closes with its (c/n) ln(c/n) term in sorted-word
+      // order — the same terms, same order as the oracle's ordered list
       docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         .select(col("doc_id"), size(col("ws")).as("n_words"),
           expr(
-            """aggregate(array_sort(array_distinct(ws)), CAST(0 AS double),
-              |  (acc, u) -> acc +
-              |    (size(filter(ws, x -> x = u)) * CAST(1.0 AS double) / size(ws)) *
-              |    ln(size(filter(ws, x -> x = u)) * CAST(1.0 AS double) / size(ws)))
+            """aggregate(array_sort(ws),
+              |  struct(CAST(NULL AS string) AS prev, 0L AS run, CAST(0 AS double) AS acc),
+              |  (st, x) -> CASE WHEN st.prev IS NULL OR x = st.prev
+              |    THEN struct(x AS prev, st.run + 1L AS run, st.acc AS acc)
+              |    ELSE struct(x AS prev, 1L AS run,
+              |      st.acc + (st.run * CAST(1.0 AS double) / size(ws)) *
+              |               ln(st.run * CAST(1.0 AS double) / size(ws)) AS acc) END,
+              |  st -> st.acc + (st.run * CAST(1.0 AS double) / size(ws)) *
+              |                 ln(st.run * CAST(1.0 AS double) / size(ws)))
               |""".stripMargin).as("negent"))
         .select(col("doc_id"), col("n_words"), round(-col("negent"), 6).as("entropy"))
         .orderBy("doc_id")
