@@ -28,6 +28,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    CacheRegistry.releaseAll()
     // median of 3 timed runs per query: single-shot local[32] timings are
     // noisy by construction (JIT, GC, page cache)
     val runs = 3
@@ -39,6 +40,7 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // drop any table the query persisted so runs don't cross-feed
         spark.catalog.clearCache()
+        CacheRegistry.releaseAll()
         dt
       }.sorted
       name -> times(runs / 2)

@@ -43,8 +43,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // executor-memory hygiene: queries that persist intermediates
-      // (q35/q36 shingle tables) release them once their action is done
+      // (q35/q36 shingle tables, q62 test grams) release them once their
+      // action is done
       spark.catalog.clearCache()
+      CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

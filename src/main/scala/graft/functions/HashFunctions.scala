@@ -203,6 +203,18 @@ object HashOps {
     c
   }
 
+  /** Hash-set of an array's non-null elements (cloned: UTF8Strings read
+    * off unsafe rows are buffer views that the reader reuses). */
+  def buildSet(arr: ArrayData): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: UTF8String, b: UTF8String): Int = {
     val x = a.getBytes
@@ -302,27 +314,28 @@ case class ShinglesK(left: Expression, right: Expression)
 }
 
 /** `count_in(arr, set)` — how many elements of `arr` are members of the
-  * literal string array `set` (duplicates counted); the set is hashed
-  * once per plan, not per row. */
+  * string array `set` (duplicates counted). A literal set is hashed once
+  * per plan; a column set (e.g. a 1-row broadcast vocabulary) is hashed
+  * per row — still a win whenever `set` is much smaller than `arr`. */
 case class CountIn(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "count_in"
-  @transient private lazy val set: java.util.HashSet[UTF8String] = {
-    require(right.foldable, "count_in: set must be a literal array")
-    val arr = right.eval(null).asInstanceOf[ArrayData]
-    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
-    var i = 0
-    while (i < arr.numElements()) { s.add(arr.getUTF8String(i).clone()); i += 1 }
-    s
-  }
+  @transient private lazy val set: java.util.HashSet[UTF8String] =
+    HashOps.buildSet(right.eval(null).asInstanceOf[ArrayData])
   override def nullSafeEval(arr: Any, setv: Any): Any =
-    HashOps.countIn(arr.asInstanceOf[ArrayData], set)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
-    defineCodeGen(ctx, ev, (a, _) => s"graft.functions.HashOps.countIn($a, $ref)")
-  }
+    if (right.foldable) HashOps.countIn(arr.asInstanceOf[ArrayData], set)
+    else HashOps.countIn(arr.asInstanceOf[ArrayData],
+      HashOps.buildSet(setv.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (right.foldable) {
+      val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, (a, _) => s"graft.functions.HashOps.countIn($a, $ref)")
+    } else {
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashOps.countIn($a, graft.functions.HashOps.buildSet($b))")
+    }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

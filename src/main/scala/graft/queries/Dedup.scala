@@ -64,8 +64,9 @@ object Dedup {
       val sized = docs(s, dir)
         .select(col("doc_id"), col("source"), expr(shinglesExpr).as("sh"))
         .select(col("doc_id"), col("source"), col("sh"), size(col("sh")).as("sz"))
-      val ex = sized.select(col("doc_id"), col("source"), col("sz"),
-        explode(col("sh")).as("shingle")).persist()
+      val ex = graft.CacheRegistry.track(
+        sized.select(col("doc_id"), col("source"), col("sz"),
+          explode(col("sh")).as("shingle")).persist())
       val a = ex.as("a")
       val b = ex.as("b")
       val common = a.join(b,
@@ -111,7 +112,8 @@ object Dedup {
       // materialize the shingle table once — it feeds the band builder and
       // both candidate-verify joins (at scale this is a persisted signature
       // table, not a recomputation per subtree)
-      val shingled = docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist()
+      val shingled = graft.CacheRegistry.track(
+        docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
       // bands carry ONLY (doc_id, band, bh): the LSH join shuffles ~50
       // bytes/row, not the shingle arrays; candidate pairs are rare, so
       // their shingles are fetched afterwards via two joins

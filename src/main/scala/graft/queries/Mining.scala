@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   *    (summation order pinned ⇒ bit-identical), and sqrt is IEEE
   *    correctly-rounded in both — no cross-engine float drift by
   *    construction;
-  *  - q69: mirrors the q62 bloom discipline — the heavy corpus pass is a
-  *    scan-local `count_in` against a broadcast-able 100-word literal;
-  *    only the tiny vocab agg shuffles. The top-k vocabulary collect is
-  *    k rows on the driver, not a data collect;
+  *  - q69: the scoring pass is scan-local (`count_in` against the
+  *    top-k vocabulary folded to one broadcast row INSIDE the plan) —
+  *    no driver collect, no job at construction; only the tiny vocab
+  *    agg shuffles;
   *  - q70: joins two already-small top-k result sets (k rows per query) —
   *    evaluation cost is independent of corpus size;
   *  - q71: ONE shuffle on user_id (`collect_set` of active days is
@@ -161,10 +161,13 @@ object Mining {
 
     // ---- rare-word novelty scoring: fraction of a doc's tokens outside
     //      the global top-10 vocabulary (the synthetic corpus has a 31-word
-    //      vocab, so top-10 leaves a meaningful rare tail). The vocabulary is a tiny
-    //      deterministic top-k (count desc, word) collected to a literal,
-    //      so the corpus pass is a scan-local count_in — no explode-join
-    //      of the full token stream ----
+    //      vocab, so top-10 leaves a meaningful rare tail). The vocabulary
+    //      is a tiny deterministic top-k (count desc, word) folded to ONE
+    //      row inside the plan and broadcast — constructing the DataFrame
+    //      launches no job, and the wordcount pass runs exactly once per
+    //      execution. The scoring pass stays scan-local (`count_in`
+    //      hash-set kernel, codegen'd) — no explode-join of the full
+    //      token stream ----
     QueryDef.sql(
       "q69_rare_word_ratio",
       """WITH wc AS (
@@ -182,17 +185,19 @@ object Mining {
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tl
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val top10: Seq[String] = d
+      val top10 = d
         .select(explode(split(col("text"), " ", -1)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("word"))
         .limit(10)
-        .collect().toIndexedSeq.map(_.getString(0))
+        .agg(collect_list(col("word")).as("wl"))
       d.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         .withColumn("n_words", size(col("ws")))
+        .crossJoin(broadcast(top10))
         .select(col("doc_id"), col("n_words"),
-          round((col("n_words") - call_function("count_in", col("ws"),
-            array(top10.map(lit): _*))) * lit(1.0) / col("n_words"), 6)
+          round((col("n_words") -
+            call_function("count_in", col("ws"), col("wl"))) *
+            lit(1.0) / col("n_words"), 6)
             .as("rare_frac"))
         .orderBy("doc_id")
     },

@@ -311,30 +311,60 @@ object Pipeline {
         |  round(n_shared * 1.0 / (x.n + y.n - n_shared), 4) AS jaccard
         |FROM pair JOIN sz x ON x.source = s1 JOIN sz y ON y.source = s2
         |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
-      // no self-join and no pre-distinct: ONE wide shuffle total. The
-      // per-gram aggregate collects its (≤ #sources) source set directly
-      // from the exploded grams (collect_set dedups, and partial
-      // aggregation shrinks the map side like distinct would); both the
-      // per-source sizes and the pair expansion then derive from that
-      // same aggregate, whose exchange Spark reuses (ReuseExchange).
-      val gs = fourGrams(s, dir)
-        .groupBy(col("gram")).agg(collect_set(col("source")).as("ss"))
-      val sz = gs.select(explode(col("ss")).as("source"))
-        .groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val pair = gs
-        .filter(size(col("ss")) >= 2)
-        .withColumn("sorted", array_sort(col("ss")))
-        .select(explode(expr(
-          "flatten(transform(sorted, (x, i) -> " +
-            "transform(slice(sorted, i + 2, size(sorted)), " +
-            "y -> struct(x AS s1, y AS s2))))")).as("p"))
+      // no self-join, no per-gram set objects: the source domain is tiny
+      // (≤ 64 — guarded in-plan), so each gram's source set is a LONG
+      // BITMASK built with a fully codegen'd bit_or aggregate (the
+      // ObjectHashAggregate collect_set this replaces was the dominant
+      // cost). The source→bit mapping comes from a 1-row broadcast of
+      // the sorted source list — computed inside the plan, never a
+      // driver collect. After the per-gram bit_or, identical masks are
+      // counted (distinct masks ≤ 2^|sources| but in practice a few
+      // hundred), so pair expansion runs over mask-count rows, not
+      // gram rows. For > 64 sources this operator would fall back to
+      // the collect_set formulation; the in-plan guard raises instead
+      // of silently wrapping the shift.
+      val srcArr = docs(s, dir)
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .select(when(size(col("srcs")) <= 64, col("srcs"))
+          .otherwise(raise_error(lit("q57 bitmask path supports <= 64 sources")))
+          .as("srcs"))
+      val maskCounts = fourGrams(s, dir)
+        .crossJoin(broadcast(srcArr))
+        .select(col("gram"), expr(
+          "shiftleft(1L, int(array_position(srcs, source)) - 1)").as("bit"))
+        .groupBy(col("gram")).agg(expr("bit_or(bit)").as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("c"))
+      // mask → the (s1, s2) pair structs plus a (s1, '') singleton per
+      // set bit; each contributes the mask's gram count c
+      maskCounts
+        .crossJoin(broadcast(srcArr))
+        // the set-bit sources, resolved to names once — keeping this a
+        // separate projection keeps the generator expression small (the
+        // analyzer cost of a triple-inlined bit filter is measurable)
+        .select(col("c"), expr(
+          "transform(filter(transform(srcs, (x, i) -> " +
+            "IF((shiftright(mask, i) & 1) = 1, i, -1)), v -> v >= 0), " +
+            "a -> element_at(srcs, a + 1))").as("ms"))
+        .select(col("c"), explode(expr(
+          "concat(" +
+            "flatten(transform(ms, (x, ai) -> " +
+            "transform(slice(ms, ai + 2, size(ms)), " +
+            "y -> struct(x AS s1, y AS s2)))), " +
+            "transform(ms, x -> struct(x AS s1, '' AS s2)))")).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(count(lit(1)).as("n_shared"))
-      pair
-        .join(sz.select(col("source").as("s1"), col("n").as("na")), "s1")
-        .join(sz.select(col("source").as("s2"), col("n").as("nb")), "s2")
-        .select(col("s1"), col("s2"), col("n_shared"),
-          round(col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")), 4)
+        .agg(sum(col("c")).as("cnt"))
+        .agg(
+          map_from_entries(collect_list(
+            when(col("s2") === "", struct(col("s1"), col("cnt"))))).as("nmap"),
+          collect_list(
+            when(col("s2") =!= "", struct(col("s1"), col("s2"), col("cnt"))))
+            .as("pairs"))
+        .select(col("nmap"), explode(col("pairs")).as("p"))
+        .select(col("p.s1").as("s1"), col("p.s2").as("s2"),
+          col("p.cnt").as("n_shared"),
+          round(col("p.cnt") * lit(1.0) /
+            (element_at(col("nmap"), col("p.s1")) +
+              element_at(col("nmap"), col("p.s2")) - col("p.cnt")), 4)
             .as("jaccard"))
         .orderBy("s1", "s2")
     },

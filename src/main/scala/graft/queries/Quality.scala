@@ -202,12 +202,13 @@ object Quality {
       // scan, memoized per dir) — grams/doc is bounded by doc length,
       // and oversizing only lowers the fp rate. The exploded test grams
       // are persisted so the gram compute runs ONCE for the bloom build
-      // and the verify join; the cache entry is keyed by plan, so
-      // repeated invocations reuse rather than accumulate it (long-lived
-      // sessions reclaim it with spark.catalog.clearCache()).
+      // and the verify join; the CacheRegistry releases it after the
+      // query's terminal action, so repeated invocations never
+      // accumulate cached RDDs.
       val nDocs = nDocsCache.getOrElseUpdate(dir,
         Tables.load(s, dir, "documents").count())
-      val testGrams = test.select(explode(col("grams")).as("gram")).persist()
+      val testGrams = graft.CacheRegistry.track(
+        test.select(explode(col("grams")).as("gram")).persist())
       val bloomBytes = graft.functions.BloomOps.toBytes(
         testGrams.stat.bloomFilter("gram", math.max(nDocs / 13 * 512L, 1024L), 0.01))
       val train = base.filter(col("doc_id") % 13 =!= 0)

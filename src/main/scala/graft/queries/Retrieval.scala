@@ -149,7 +149,12 @@ object Retrieval {
     //      the unpivot API (codegen'd Expand, one output row per cell,
     //      no shuffle beyond q78's own agg). Dropping empty cells makes
     //      the roundtrip equal the direct GROUP BY — which is exactly
-    //      what the oracle states, so pivot∘unpivot is self-validating ----
+    //      what the oracle states, so pivot∘unpivot is self-validating.
+    //      NOTE the pivot value list is coupled to the five event_type
+    //      values the events generator emits (same coupling as q78); the
+    //      oracle is a dynamic GROUP BY, so a new event_type in the data
+    //      would surface as an oracle mismatch here — by design, not
+    //      silently dropped ----
     QueryDef.sql(
       "q80_unpivot",
       """SELECT user_id, event_type, count(*) AS n

@@ -77,13 +77,17 @@ object EventStream {
       user_id: Long, stage: Int, us_to_click: Option[Long], us_to_purchase: Option[Long])
 
   /** Streaming twin of batch q66_event_funnel: a per-user state machine
-    * over view → click → purchase, emitting the user's current funnel row
-    * each time it advances. Within a micro-batch events are processed in
-    * (tus, event_id) order, so on an in-order stream (or a single
-    * AvailableNow batch) the result is exactly q66's earliest-after-prior
-    * -stage semantics; unbounded out-of-order arrival degrades to the
-    * usual streaming approximation. State is three longs per user —
-    * sharded by the groupByKey shuffle, O(users) total. */
+    * over view → click → purchase. Emission semantics are per-BATCH, not
+    * per-advance: every user with any event in the micro-batch gets a
+    * FunnelUpdate of their current state, including non-advancing batches
+    * and stage-0 users who clicked/purchased without ever viewing —
+    * consumers wanting only funnel entrants filter stage >= 1 (as the
+    * equivalence spec does to match q66). Within a micro-batch events are
+    * processed in (tus, event_id) order, so on an in-order stream (or a
+    * single AvailableNow batch) the result is exactly q66's
+    * earliest-after-prior-stage semantics; unbounded out-of-order arrival
+    * degrades to the usual streaming approximation. State is three longs
+    * per user — sharded by the groupByKey shuffle, O(users) total. */
   def funnel(events: Dataset[FEvent]): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
     events

@@ -27,11 +27,13 @@ object QBench {
         sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
       fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
+      graft.CacheRegistry.releaseAll()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.CacheRegistry.releaseAll()
         dt
       }.sorted
       println(f"QBENCH $name median=${times(1)}%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")

@@ -49,19 +49,23 @@ final class PrimColumn(val zt: ZarrType, buf0: Array[Byte], order: ByteOrder)
 
   def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit = {
     // bulk path: identity mapping (interior chunk, non-coordinate column)
-    // over little-endian storage — Spark's byte[]-based bulk puts copy the
-    // raw buffer straight into the vector (Platform.copyMemory) instead
-    // of a bounds-checked ByteBuffer read + virtual put per element. Edge
-    // chunks, coordinate broadcasts, and big-endian arrays fall through
-    // to the element loop.
+    // over little-endian storage — the *LittleEndian bulk puts copy the
+    // raw buffer straight into the vector (Platform.copyMemory on LE
+    // JVMs, byte-assembled on BE ones) instead of a bounds-checked
+    // ByteBuffer read + virtual put per element. putBytes is
+    // endian-neutral; Int16 has no LE bulk variant, so it only takes the
+    // bulk path when the JVM itself is little-endian (putShorts copies in
+    // platform order). Edge chunks, coordinate broadcasts, and big-endian
+    // arrays fall through to the element loop.
     if ((mapping eq null) && order == ByteOrder.LITTLE_ENDIAN) {
       zt match {
         case ZarrType.Int8 => vec.putBytes(off, nRows, buf0, 0); return
-        case ZarrType.Int16 => vec.putShorts(off, nRows, buf0, 0); return
-        case ZarrType.Int32 => vec.putInts(off, nRows, buf0, 0); return
-        case ZarrType.Int64 => vec.putLongs(off, nRows, buf0, 0); return
-        case ZarrType.Float32 => vec.putFloats(off, nRows, buf0, 0); return
-        case ZarrType.Float64 => vec.putDoubles(off, nRows, buf0, 0); return
+        case ZarrType.Int16 if ByteOrder.nativeOrder() == ByteOrder.LITTLE_ENDIAN =>
+          vec.putShorts(off, nRows, buf0, 0); return
+        case ZarrType.Int32 => vec.putIntsLittleEndian(off, nRows, buf0, 0); return
+        case ZarrType.Int64 => vec.putLongsLittleEndian(off, nRows, buf0, 0); return
+        case ZarrType.Float32 => vec.putFloatsLittleEndian(off, nRows, buf0, 0); return
+        case ZarrType.Float64 => vec.putDoublesLittleEndian(off, nRows, buf0, 0); return
         case _ => () // widened unsigned / bool / decimal need per-element work
       }
     }

@@ -63,9 +63,12 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byTok.head.getDouble(3) >= byTok.last.getDouble(3))
   }
 
-  test("q69 rare-word: scoring pass is scan-local (no Generate/explode)") {
+  test("q69 rare-word: scoring pass is scan-local (explode only in the vocab subtree)") {
     val p = plan("q69_rare_word_ratio")
-    assert(!p.contains("Generate"), s"scored pass must not explode tokens\n$p")
+    // exactly ONE Generate — the in-plan top-10 vocab wordcount; the
+    // scoring side is a scan + count_in against the 1-row broadcast
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"only the vocab subtree may explode tokens\n$p")
     assert(p.contains("count_in"), p)
     run("q69_rare_word_ratio").collect().foreach { r =>
       val f = r.getDouble(2)

@@ -123,6 +123,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("hashpartitioning"), s"no hash shuffle in the assignment pass\n$p")
   }
 
+  test("q57: one gram scan, codegen'd bitmask aggregate, no shuffled joins") {
+    val p = plan("q57_source_overlap")
+    assert("text:string".r.findAllIn(p).length == 1,
+      s"document text must be scanned exactly once\n$p")
+    assert(p.contains("bit_or"), s"per-gram source sets must be bitmasks\n$p")
+    assert(!p.contains("ObjectHashAggregate(keys=[gram"),
+      s"no per-gram collect_set — that object agg was the q57 bottleneck\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"only 1-row broadcasts may join\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      s"gram + mask + pair shuffles only (the last two are tiny)\n$p")
+  }
+
+  test("q69: constructing the DataFrame launches no data job (vocab is in-plan)") {
+    // parquet footer schema inference (Tables.load) legitimately runs a
+    // tiny listing job at construction for EVERY query; what must NOT
+    // happen is a data pass (the old eager top-10 vocab collect)
+    @volatile var dataJobs = List[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name)
+        if (!names.forall(_.startsWith("parquet at "))) dataJobs ::= names.mkString(",")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q69_rare_word_ratio")(spark, dir).queryExecution.executedPlan
+      // listener delivery is async; a job submitted during construction
+      // would surface well inside this grace window
+      Thread.sleep(500)
+      assert(dataJobs.isEmpty,
+        s"q69 construction must be lazy, saw data jobs: ${dataJobs.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)

@@ -150,9 +150,9 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark
     import sp.implicits._
     val dir = "/root/testdata/sf0.001"
-    // integer ns->us division, matching batch q66's `ts div 1000` exactly
-    // (fromFiles' timestamp cast goes through double division and is only
-    // used for window truncation, where sub-ms drift is invisible)
+    // read raw columns rather than via fromFiles: the funnel Dataset
+    // needs the microsecond LONG (`ts div 1000`, matching batch q66
+    // exactly), not the timestamp column fromFiles produces
     val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
     val stream = spark.readStream.schema(schema)
