@@ -24,6 +24,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    cohorts, z-score anomalies, passage dedup, source drift (q66-q74)
   *  - [[graft.queries.Retrieval]]   — sequence packing, BM25 scoring,
   *    curriculum phases (q75-q77)
+  *  - [[graft.streaming.StreamQueries]] — Structured Streaming runs
+  *    surfaced as oracle-checked entries: watermarked windowed agg,
+  *    funnel state machine, stream-stream interval join (q83-q85)
   */
 object SparkEntry {
 
@@ -40,7 +43,8 @@ object SparkEntry {
       _root_.graft.queries.Clustering.defs ++
       _root_.graft.queries.Quality.defs ++
       _root_.graft.queries.Mining.defs ++
-      _root_.graft.queries.Retrieval.defs
+      _root_.graft.queries.Retrieval.defs ++
+      _root_.graft.streaming.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * is one shuffle join + one shuffle aggregate, and the iteration count
   * is the graph diameter (near-dup graphs are shallow: clusters are
   * cliques or short chains, so a handful of rounds converge). Lineage is
-  * cut with `localCheckpoint` every round so the plan does not grow
-  * exponentially; convergence is detected with a cheap existence probe
-  * (`limit(1).count`), not a full collect. For billion-node graphs the
+  * cut with lazy `localCheckpoint`s every round so the plan does not
+  * grow exponentially, while convergence detection (a label-sum compare)
+  * shares the materializing job. For billion-node graphs the
   * same loop holds — swap min-propagation for the large-star/small-star
   * variant if diameters ever get deep.
   *
@@ -150,12 +150,15 @@ object ConnectedComponents {
   /** Distributed min-label fixpoint over an (a, b) edge list — the
     * phase-2 loop; see [[label]] for the full operator. */
   private def loopLabel(edges: DataFrame, maxIters: Int): DataFrame = {
-    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // LAZY checkpoints throughout the loop: the convergence sum is the
+    // materializing action, so each round (and the init) costs ONE Spark
+    // job instead of an eager-checkpoint job plus a probe job
+    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // init ∘ hop 1 in one aggregate: comp = min(self, neighbors)
     var labels = sym.groupBy(col("a").as("node"))
       .agg(least(col("node"), min(col("b"))).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // decimal(38) sum: node ids × node count can brush the long range
     def compSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -191,8 +194,8 @@ object ConnectedComponents {
       // every per-node update is non-increasing (hop min includes self;
       // jump uses comp(u) ≤ u), so an unchanged sum ⇔ a full fixpoint,
       // and the fixpoint of hop is the unique per-component min label
-      val prop = jump(jump(step(labels))).localCheckpoint()
-      val newSum = compSum(prop) // narrow agg over the checkpointed RDD
+      val prop = jump(jump(step(labels))).localCheckpoint(eager = false)
+      val newSum = compSum(prop) // materializes the checkpoint in the same job
       labels = prop
       done = newSum.compareTo(prevSum) == 0
       prevSum = newSum

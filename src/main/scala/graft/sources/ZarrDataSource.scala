@@ -54,7 +54,7 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val store = storeFor(options)
-    ZarrDataSource.schemaOf(store.listArrays().map(store.readMeta))
+    ZarrDataSource.schemaOf(ZarrDataSource.metasOf(store))
   }
 
   override def getTable(
@@ -66,7 +66,7 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     // a missing/empty store with a caller-supplied schema is a WRITE
     // target (df.write.format("zarr").save(path))
     val metas =
-      try store.listArrays().map(store.readMeta)
+      try ZarrDataSource.metasOf(store)
       catch {
         case _: ZarrException if schema != null && schema.nonEmpty => Seq.empty[ZarrArrayMeta]
       }
@@ -102,6 +102,14 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
 object ZarrDataSource {
   def schemaOf(metas: Seq[ZarrArrayMeta]): StructType =
     StructType(metas.map(m => StructField(m.name, m.dataType.sparkType, nullable = true)))
+
+  /** All array metadata of a store: ONE root-document read on
+    * consolidated stores (ZarrWrite output), falling back to the
+    * reference's list-then-GET-per-array shape (`config.rs:201-258`)
+    * everywhere else. */
+  def metasOf(store: ZarrStore): Seq[ZarrArrayMeta] =
+    store.readConsolidatedMetas()
+      .getOrElse(store.listArrays().map(store.readMeta))
 }
 
 class ZarrTable(

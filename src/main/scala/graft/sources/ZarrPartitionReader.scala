@@ -81,6 +81,32 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     val t = new Thread(r, "zarr-prefetch"); t.setDaemon(true); t
   }
 
+  /** Chunk-statistics sidecar segments overlapping this partition's chunk
+    * range — loaded once (one LIST + the few overlapping segment GETs,
+    * executor-side) and consulted BEFORE any chunk fetch is submitted: a
+    * chunk whose recorded ranges cannot satisfy the filters is skipped
+    * with zero chunk IO. Stores without sidecars (None / empty) fall back
+    * to the reference's decode-and-test skip unchanged. Stats ordinals
+    * are dim-0 chunk indices, so they only apply to 1-D scan grids (the
+    * shape every DSv2-written store has). */
+  private val statsSegments: Seq[ChunkStats.Segment] =
+    if (f.filters.isEmpty || geometry.ndim != 1) Seq.empty
+    else {
+      val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
+      f.store.listStatsSegments()
+        .filter { case (first, n) => first < part.hi && first + n > part.lo }
+        .flatMap { case (first, n) =>
+          f.store.readText(ChunkStats.segmentKey(first, n))
+            .map(json => ChunkStats.parse(first, n, json, ztOf))
+        }
+    }
+
+  /** Read-free skip: true iff the sidecar proves no row of chunk `o` can
+    * satisfy the pushed filters. */
+  private def statsSkip(o: Long): Boolean =
+    statsSegments.exists(seg => seg.contains(o) &&
+      !ChunkStats.mayMatch(f.filters, col => seg.range(col, o)))
+
   /** Sliding prefetch window: up to [[prefetchDepth]] chunks' phase-1
     * bytes are in flight at once (the reference pipelines exactly one
     * chunk ahead, `zarr_data_stream.rs:647-711`; a deeper window hides
@@ -88,15 +114,16 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * dedicated thread, so depth bounds memory, not thread count. */
   private val prefetchDepth = 4
   private val inflightQ =
-    new java.util.ArrayDeque[JFuture[Map[String, Option[Array[Byte]]]]]()
+    new java.util.ArrayDeque[(Long, JFuture[Map[String, Option[Array[Byte]]]])]()
   private var nextToSubmit: Long = part.lo
-  private var ord: Long = part.lo
   private var current: ColumnarBatch = null
 
   private def topUpPrefetch(): Unit =
     while (inflightQ.size() < prefetchDepth && nextToSubmit < part.hi) {
-      inflightQ.addLast(submitFetch(nextToSubmit, phase1))
+      val o = nextToSubmit
       nextToSubmit += 1
+      if (!statsSkip(o))
+        inflightQ.addLast((o, submitFetch(o, phase1)))
     }
   topUpPrefetch()
 
@@ -177,13 +204,19 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       if (pendingRows > 0) { current = emitPending(); return true }
       return false
     }
-    while (ord < part.hi) {
-      val o = ord
+    while (!inflightQ.isEmpty || nextToSubmit < part.hi) {
+      topUpPrefetch()
+      val entry = inflightQ.pollFirst()
+      if (entry == null) {
+        // every remaining chunk was stats-skipped without a fetch
+        if (pendingRows > 0) { current = emitPending(); return true }
+        return false
+      }
+      val (o, fut) = entry
       val idx = geometry.chunkIndex(o)
       val extent = geometry.chunkExtent(idx)
       val nRows = extent.product
-      val raw1 = inflightQ.pollFirst().get()
-      ord += 1
+      val raw1 = fut.get()
       // keep the window full while we decode/filter/emit this chunk
       topUpPrefetch()
 

@@ -106,13 +106,15 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
       Option(info.options.get("codec")).getOrElse("blosc"),
       Option(info.options.get("rows_per_partition")).map(_.toLong).getOrElse(0L),
       doTruncate,
-      Option(info.options.get("inner_chunk_size")).map(_.toInt).getOrElse(0))
+      Option(info.options.get("inner_chunk_size")).map(_.toInt).getOrElse(0),
+      Option(info.options.get("stats")).forall(_.toBoolean))
   }
 }
 
 class ZarrBatchWrite(
     store: ZarrStore, schema: StructType, chunkSize0: Int, codec0: String,
-    rowsPerPartition: Long, truncate: Boolean, innerChunkSize: Int = 0)
+    rowsPerPartition: Long, truncate: Boolean, innerChunkSize: Int = 0,
+    stats: Boolean = true)
     extends BatchWrite {
 
   // validate types up front, driver-side
@@ -205,7 +207,8 @@ class ZarrBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) store.delete()
-    ZarrWriterFactory(store, schema.json, chunkSize, colMetaJsons, rowsPerPartition, baseChunks)
+    ZarrWriterFactory(store, schema.json, chunkSize, colMetaJsons, rowsPerPartition,
+      baseChunks, stats)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -246,23 +249,35 @@ class ZarrBatchWrite(
               s"${f.name}/" + Seq("c", (nextChunk + j).toString).mkString(m.chunkKeySeparator))
           }
         }
+        // stats segment staged under the task's partition id gets its
+        // final first-ordinal from the same sequential assignment
+        if (stats)
+          store.rename(
+            ChunkStats.stagingKey(c.partitionId, nChunks),
+            ChunkStats.segmentKey(nextChunk, nChunks))
         nextChunk += nChunks
       }
       schema.fields.foreach(f => store.cleanStaging(f.name))
+      store.cleanStatsStaging()
     }
     val total = baseRows + counts.map(_.rows).sum
-    store.writeStoreRootMeta()
     // the persisted zarr.json is the SAME document the writers derived
     // their codec chain / separator / element type from, with shape[0]
-    // set to the final row count
-    schema.fields.zip(colMetaJsons).foreach { case (f, json) =>
-      store.writeMeta(f.name, ZarrMeta.withShape0(json, total))
+    // set to the final row count; the root doc embeds every array's
+    // metadata (consolidated_metadata) for one-GET schema inference
+    val finalJsons = schema.fields.toSeq.zip(colMetaJsons).map { case (f, json) =>
+      f.name -> ZarrMeta.withShape0(json, total)
     }
+    store.writeStoreRootMeta(finalJsons)
+    finalJsons.foreach { case (name, json) => store.writeMeta(name, json) }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     if (baseRows == 0L) store.delete() // fresh store: remove partial output
-    else schema.fields.foreach(f => store.cleanStaging(f.name)) // append: keep base data
+    else { // append: keep base data
+      schema.fields.foreach(f => store.cleanStaging(f.name))
+      store.cleanStatsStaging()
+    }
   }
 }
 
@@ -322,12 +337,12 @@ final case class ZarrCommit(partitionId: Int, rows: Long) extends WriterCommitMe
 
 final case class ZarrWriterFactory(
     store: ZarrStore, schemaJson: String, chunkSize: Int, colMetaJsons: Seq[String],
-    rowsPerPartition: Long, baseChunks: Long)
+    rowsPerPartition: Long, baseChunks: Long, stats: Boolean = true)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(store,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      chunkSize, colMetaJsons, partitionId, rowsPerPartition, baseChunks)
+      chunkSize, colMetaJsons, partitionId, rowsPerPartition, baseChunks, stats)
 }
 
 /** Buffers `chunk_size` rows per column, then encodes+writes one chunk
@@ -339,7 +354,7 @@ final case class ZarrWriterFactory(
   * '.'-separated key layout is reproduced exactly. */
 final class ZarrDataWriter(
     store: ZarrStore, schema: StructType, chunkSize: Int, colMetaJsons: Seq[String],
-    partitionId: Int, rowsPerPartition: Long, baseChunks: Long)
+    partitionId: Int, rowsPerPartition: Long, baseChunks: Long, stats: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val ncols = schema.fields.length
@@ -358,6 +373,10 @@ final class ZarrDataWriter(
   private var rowsInChunk = 0
   private var localChunk = 0
   private var totalRows = 0L
+  // per-chunk min/max over the REAL rows (stats describe stored values the
+  // reader will see within the array's valid extent — padding is outside it)
+  private val statsAcc: Array[scala.collection.mutable.ArrayBuffer[Option[(Any, Any)]]] =
+    Array.fill(ncols)(scala.collection.mutable.ArrayBuffer.empty)
 
   override def write(row: InternalRow): Unit = {
     var c = 0
@@ -385,6 +404,7 @@ final class ZarrDataWriter(
     while (c < ncols) {
       val zt = zts(c)
       val vals = buf(c)
+      if (stats) statsAcc(c) += ChunkStats.minMax(zt, vals)
       // pad edge chunk to full chunk_shape with the array's declared
       // fill_value (Zarr v3 stores full chunks; the reader truncates via
       // array shape) — a conforming writer pads with fill_value, not
@@ -415,6 +435,21 @@ final class ZarrDataWriter(
 
   override def commit(): WriterCommitMessage = {
     flush()
+    if (stats && localChunk > 0) {
+      val doc = ChunkStats.encode(
+        schema.fields.toSeq.zipWithIndex.map { case (f, c) =>
+          (f.name, zts(c), statsAcc(c).toIndexedSeq)
+        })
+      val key =
+        if (rowsPerPartition > 0)
+          // aligned fast path: the task knows its global first ordinal
+          ChunkStats.segmentKey(
+            baseChunks + partitionId * (rowsPerPartition / chunkSize), localChunk)
+        else
+          // staged path: driver commit renames to the final ordinal
+          ChunkStats.stagingKey(partitionId, localChunk)
+      store.writeText(key, doc)
+    }
     ZarrCommit(partitionId, totalRows)
   }
 

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming operators surfaced as driver-checkable CORRECTNESS entries.
+  *
+  * Each query RUNS a Structured Streaming job to completion
+  * (Trigger.AvailableNow over the static events file, memory sink)
+  * inside the query function and returns the materialized result, so the
+  * DuckDB oracle validates the streaming machinery itself — watermarked
+  * windowed aggregation, the mapGroupsWithState funnel state machine,
+  * and the watermark-bounded stream-stream interval join — not just
+  * their batch twins. On a single AvailableNow batch each is exactly
+  * equivalent to its batch formulation (the EventStreamSpec equivalence
+  * tests pin the same property against the batch DataFrames).
+  *
+  * Only deterministic columns are exposed (counts, ids, microsecond
+  * longs) — no float aggregates whose summation order could differ
+  * between engines.
+  */
+object StreamQueries {
+
+  private val seq = new AtomicInteger(0)
+
+  /** Run `df` to completion into a fresh memory-sink table; the previous
+    * invocation's table for the same prefix is dropped so repeated runs
+    * (Bench warm + 3 timed) do not accumulate result copies.
+    *
+    * Stateful-operator partitioning is fixed per stream at start from
+    * `spark.sql.shuffle.partitions`; each state partition pays per-batch
+    * store-commit IO (HDFS-backed snapshots), so it must be sized to the
+    * stream's data volume, not the batch engine's CPU count — at the
+    * test scale 8 partitions cuts the interval join 3× vs 32 (measured),
+    * while a production backfill would raise it with volume. The conf is
+    * restored after the (synchronous) run. */
+  private def runToTable(df: DataFrame, prefix: String, mode: String): DataFrame = {
+    val n = seq.incrementAndGet()
+    val name = s"${prefix}_$n"
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(s"${prefix}_${n - 1}")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.table(name)
+  }
+
+  /** Raw-column stream: the funnel Dataset needs the microsecond LONG
+    * (`ts div 1000`, matching batch q66), not fromFiles' timestamp. */
+  private def rawEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- watermarked tumbling-window aggregate (complete mode emits
+    //      every window; counts only — deterministic cross-engine) ----
+    QueryDef.sql(
+      "q83_stream_hourly",
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY hour_us, event_type""".stripMargin) { (s, dir) =>
+      val out = EventStream.hourlyByType(EventStream.fromFiles(s, dir))
+        .select(unix_micros(col("hour_start")).as("hour_us"),
+          col("event_type"), col("n"))
+      runToTable(out, "stream_hourly", "complete")
+        .orderBy("hour_us", "event_type")
+    },
+
+    // ---- mapGroupsWithState funnel: single AvailableNow batch ⇒ the
+    //      per-user final state == batch q66 (same oracle, verbatim);
+    //      stage-0 users (no view) are filtered as q66's v-CTE does ----
+    {
+      val q66Oracle = graft.queries.Mining.defs
+        .find(_.name == "q66_event_funnel").get.oracle.get
+      QueryDef.sql("q84_stream_funnel", q66Oracle) { (s, dir) =>
+        import s.implicits._
+        val stream = rawEvents(s, dir)
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type"), col("event_id"))
+          .as[EventStream.FEvent]
+        runToTable(EventStream.funnel(stream).toDF(), "stream_funnel", "update")
+          .filter(col("stage") >= 1)
+          .select(col("user_id"), col("stage"),
+            col("us_to_click"), col("us_to_purchase"))
+          .orderBy("user_id")
+      }
+    },
+
+    // ---- watermark-bounded stream-stream interval join: inner-join
+    //      results emit as matched (state eviction, not emission, is
+    //      what the watermark gates), so one batch yields the full
+    //      batch band-join result ----
+    QueryDef.sql(
+      "q85_stream_interval_join",
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events c JOIN events v
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND epoch_us(v.ts) < epoch_us(c.ts)
+        | AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+        |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+      def side(t: String) = EventStream.fromFiles(s, dir)
+        .filter(col("event_type") === t)
+      runToTable(
+        EventStream.clickAttribution(side("view"), side("click")),
+        "stream_attrib", "append")
+        .orderBy("click_id", "view_id")
+    })
+}

@@ -53,6 +53,20 @@ object ScanBench {
       System.err.println("[scan-bench] stores built")
     }
 
+    val statsDir = "target/scan-bench-zarr-stats"
+    if (!new java.io.File(s"$statsDir/c0/zarr.json").exists()) {
+      // DSv2-written twin carrying the `_stats` sidecar: 8 aligned write
+      // tasks × 4 chunks each (same 256k chunk geometry as the others)
+      spark.range(0, n, 1, 8).select(
+        ($"id" * 1.0).as("c0"), ($"id" * 2.0).as("c1"),
+        ($"id" * 3.0).as("c2"), ($"id" * 4.0).as("c3"))
+        .write.format("zarr").mode("overwrite")
+        .option("chunk_size", (256 * 1024).toString)
+        .option("rows_per_partition", (n / 8).toString)
+        .save(statsDir)
+      System.err.println("[scan-bench] stats store built")
+    }
+
     def time(name: String)(f: => Unit): Double = {
       f // warm
       val ts = (1 to 3).map { _ =>
@@ -76,7 +90,12 @@ object ScanBench {
       "pq_proj" -> time("parquet 1-col projection")(p.agg(sum($"c2")).collect()),
       "zarr_filter" -> time("zarr filtered")(z.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()),
       "shard_filter" -> time("sharded zarr filtered")(zs.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()),
-      "pq_filter" -> time("parquet filtered")(p.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()))
+      "pq_filter" -> time("parquet filtered")(p.filter($"c0" > n * 0.9).agg(sum($"c1")).collect()),
+      // same filtered scan over the sidecar-carrying store: 90% of chunks
+      // skip with ZERO reads (vs zarr_filter's decode-and-test skip)
+      "stats_filter" -> time("zarr filtered via stats sidecar")(
+        spark.read.format("zarr").load(statsDir)
+          .filter($"c0" > n * 0.9).agg(sum($"c1")).collect()))
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${
       r.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
     spark.stop()

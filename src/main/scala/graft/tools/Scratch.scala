@@ -31,16 +31,17 @@ object Scratch {
       println(f"SCRATCH $label median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    @volatile var descs = List[String]()
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        descs ::= Option(js.properties.getProperty("spark.job.description")).getOrElse(
-          js.stageInfos.headOption.map(_.name).getOrElse("?"))
-    })
-    graft.SparkEntry.queries("q69_rare_word_ratio")(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan
-    Thread.sleep(800)
-    println("SCRATCH jobs-at-construction: " + descs.size + " :: " + descs.mkString(" | "))
+    def runAttrib(parts: String): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("q85_stream_interval_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      dt
+    }
+    runAttrib("32") // warm
+    println(f"SCRATCH attrib p32=${runAttrib("32")}%.2f p8=${runAttrib("8")}%.2f p4=${runAttrib("4")}%.2f p2=${runAttrib("2")}%.2f")
     spark.stop()
   }
 }

@@ -79,8 +79,9 @@ object ChunkFilter {
       case _ => true // unknown leaf: cannot exclude the chunk
     }
 
-  /** Numeric-widening comparison between a chunk value and a literal. */
-  private def cmp(x: Any, v: Any): Int = (x, v) match {
+  /** Numeric-widening comparison between a chunk value and a literal
+    * (shared with [[ChunkStats]] interval evaluation). */
+  private[zarr] def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: String, b: String) => a.compareTo(b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
     case (a: java.math.BigDecimal, b) => a.compareTo(toBigDec(b))

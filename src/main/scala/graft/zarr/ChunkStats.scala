@@ -1,0 +1,219 @@
+package graft.zarr
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.sources._
+
+/** Per-chunk min/max statistics sidecar — a beyond-reference extension.
+  *
+  * The reference must read and decode the predicate columns of EVERY
+  * chunk to decide a skip (`zarr_data_stream.rs:849-872`); at object-store
+  * latency that is one GET per chunk per predicate column even at 0%
+  * selectivity. Stores written by [[graft.sources.ZarrWrite]] instead
+  * carry `_stats/s<firstChunk>_<nChunks>.json` segment objects (one per
+  * write task — stats never funnel through the driver, so the mechanism
+  * scales with executors, not chunks), and the reader consults them
+  * BEFORE submitting any fetch: a chunk whose value ranges cannot satisfy
+  * the pushed filters is skipped with zero IO. Stores without sidecars
+  * (all external fixtures) fall back to the reference's decode-and-test
+  * path unchanged.
+  *
+  * Soundness contract: [[mayMatch]] returns false only when NO row of the
+  * chunk can satisfy the conjunction. Unknown columns, unsupported
+  * predicates, non-finite float bounds and long strings (not recorded —
+  * see [[minMax]]) all evaluate conservatively.
+  */
+object ChunkStats {
+
+  val dirName = "_stats"
+
+  /** Final segment key. The ordinal range lives in the NAME so a listing
+    * alone tells a reader which segments its chunk range needs. */
+  def segmentKey(first: Long, chunks: Int): String =
+    s"$dirName/s${first}_$chunks.json"
+
+  /** Staging key for the unaligned write path (final first-ordinal is
+    * only known at commit, which renames staging → [[segmentKey]]). */
+  def stagingKey(partitionId: Int, chunks: Int): String =
+    s"$dirName/c.part${partitionId}_$chunks.json"
+
+  private val NameRe = """s(\d+)_(\d+)\.json""".r
+
+  def parseSegmentName(name: String): Option[(Long, Int)] = name match {
+    case NameRe(f, c) => Some((f.toLong, c.toInt))
+    case _ => None
+  }
+
+  /** Max recorded string length: min bounds may be safely truncated down
+    * but max bounds cannot, so long strings (document text) simply get no
+    * stats — range pruning is for ids/categories/numerics. */
+  private val maxStrLen = 64
+
+  /** Min/max of one chunk's values under [[ChunkFilter.cmp]] ordering, or
+    * None when the column cannot be soundly summarized (non-finite floats,
+    * long strings, empty chunk). */
+  def minMax(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[(Any, Any)] = {
+    if (vals.isEmpty) return None
+    zt match {
+      case ZarrType.Float32 =>
+        if (vals.exists(v => !java.lang.Float.isFinite(v.asInstanceOf[Float]))) return None
+      case ZarrType.Float64 =>
+        if (vals.exists(v => !java.lang.Double.isFinite(v.asInstanceOf[Double]))) return None
+      case ZarrType.Str =>
+        if (vals.exists(_.asInstanceOf[String].length > maxStrLen)) return None
+      case _ => ()
+    }
+    var lo = vals.head
+    var hi = vals.head
+    vals.foreach { v =>
+      if (ChunkFilter.cmp(v, lo) < 0) lo = v
+      if (ChunkFilter.cmp(v, hi) > 0) hi = v
+    }
+    Some((lo, hi))
+  }
+
+  private val mapper = new ObjectMapper()
+
+  /** Encode one segment: per column, parallel min/max arrays with `null`
+    * for chunks without a recorded range. */
+  def encode(cols: Seq[(String, ZarrType, IndexedSeq[Option[(Any, Any)]])]): String = {
+    val root = mapper.createObjectNode()
+    val colsNode = root.putObject("cols")
+    cols.foreach { case (name, zt, ranges) =>
+      val c = colsNode.putObject(name)
+      val mins = c.putArray("min")
+      val maxs = c.putArray("max")
+      ranges.foreach {
+        case Some((lo, hi)) => putVal(mins, zt, lo); putVal(maxs, zt, hi)
+        case None => mins.addNull(); maxs.addNull()
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def putVal(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      zt: ZarrType, v: Any): Unit = zt match {
+    case ZarrType.Bool => arr.add(v.asInstanceOf[Boolean])
+    case ZarrType.Int8 => arr.add(v.asInstanceOf[Byte].toInt)
+    case ZarrType.Int16 => arr.add(v.asInstanceOf[Short].toInt)
+    case ZarrType.Int32 => arr.add(v.asInstanceOf[Int])
+    case ZarrType.Int64 => arr.add(v.asInstanceOf[Long])
+    case ZarrType.UInt8 => arr.add(v.asInstanceOf[Short].toInt)
+    case ZarrType.UInt16 => arr.add(v.asInstanceOf[Int])
+    case ZarrType.UInt32 => arr.add(v.asInstanceOf[Long])
+    case ZarrType.UInt64 => arr.add(v.asInstanceOf[java.math.BigDecimal].toPlainString)
+    case ZarrType.Float32 => arr.add(v.asInstanceOf[Float])
+    case ZarrType.Float64 => arr.add(v.asInstanceOf[Double])
+    case ZarrType.Str => arr.add(v.asInstanceOf[String])
+  }
+
+  private def readVal(n: JsonNode, zt: ZarrType): Any = zt match {
+    case ZarrType.Bool => n.asBoolean()
+    case ZarrType.Int8 => n.asInt().toByte
+    case ZarrType.Int16 => n.asInt().toShort
+    case ZarrType.Int32 => n.asInt()
+    case ZarrType.Int64 => n.asLong()
+    case ZarrType.UInt8 => n.asInt().toShort
+    case ZarrType.UInt16 => n.asInt()
+    case ZarrType.UInt32 => n.asLong()
+    case ZarrType.UInt64 => new java.math.BigDecimal(n.asText())
+    case ZarrType.Float32 => n.floatValue()
+    case ZarrType.Float64 => n.doubleValue()
+    case ZarrType.Str => n.asText()
+  }
+
+  /** One parsed segment covering chunk ordinals [first, first+chunks). */
+  final case class Segment(
+      first: Long, chunks: Int,
+      cols: Map[String, (Array[Any], Array[Any])]) {
+    def contains(ord: Long): Boolean = ord >= first && ord < first + chunks
+    /** Range of `col` at ordinal `ord`, or None when unrecorded. */
+    def range(col: String, ord: Long): Option[(Any, Any)] =
+      cols.get(col).flatMap { case (mins, maxs) =>
+        val i = (ord - first).toInt
+        if (i < mins.length && mins(i) != null) Some((mins(i), maxs(i))) else None
+      }
+  }
+
+  def parse(first: Long, chunks: Int, json: String,
+      ztOf: String => Option[ZarrType]): Segment = {
+    val root = mapper.readTree(json)
+    val colsNode = root.get("cols")
+    val b = Map.newBuilder[String, (Array[Any], Array[Any])]
+    if (colsNode != null) {
+      val it = colsNode.fieldNames()
+      while (it.hasNext) {
+        val name = it.next()
+        ztOf(name).foreach { zt =>
+          val c = colsNode.get(name)
+          val minsN = c.get("min")
+          val maxsN = c.get("max")
+          val n = math.min(chunks, if (minsN == null) 0 else minsN.size())
+          val mins = new Array[Any](chunks)
+          val maxs = new Array[Any](chunks)
+          var i = 0
+          while (i < n) {
+            if (!minsN.get(i).isNull && !maxsN.get(i).isNull) {
+              mins(i) = readVal(minsN.get(i), zt)
+              maxs(i) = readVal(maxsN.get(i), zt)
+            }
+            i += 1
+          }
+          b += name -> ((mins, maxs))
+        }
+      }
+    }
+    Segment(first, chunks, b.result())
+  }
+
+  // ---- sound interval evaluation -----------------------------------------
+
+  /** Can any row with column values inside `range` satisfy ALL filters?
+    * `range(col)` = None ⇒ that column is unconstrained (conservative). */
+  def mayMatch(filters: Seq[Filter], range: String => Option[(Any, Any)]): Boolean =
+    filters.forall(f => may(f, range))
+
+  private def may(f: Filter, range: String => Option[(Any, Any)]): Boolean = f match {
+    case EqualTo(a, v) => range(a).forall { case (lo, hi) =>
+      ChunkFilter.cmp(v, lo) >= 0 && ChunkFilter.cmp(v, hi) <= 0 }
+    case EqualNullSafe(a, v) => may(EqualTo(a, v), range)
+    case GreaterThan(a, v) => range(a).forall { case (_, hi) => ChunkFilter.cmp(hi, v) > 0 }
+    case GreaterThanOrEqual(a, v) =>
+      range(a).forall { case (_, hi) => ChunkFilter.cmp(hi, v) >= 0 }
+    case LessThan(a, v) => range(a).forall { case (lo, _) => ChunkFilter.cmp(lo, v) < 0 }
+    case LessThanOrEqual(a, v) =>
+      range(a).forall { case (lo, _) => ChunkFilter.cmp(lo, v) <= 0 }
+    case In(a, vs) => range(a) match {
+      case None => true
+      case Some((lo, hi)) =>
+        vs.exists(v => ChunkFilter.cmp(v, lo) >= 0 && ChunkFilter.cmp(v, hi) <= 0)
+    }
+    case IsNull(_) => false // zarr reads never produce nulls (SURVEY §1.3)
+    case IsNotNull(_) => true
+    case StringStartsWith(a, p) =>
+      // every string starting with p is >= p, so hi < p refutes; the lo
+      // side cannot refute (p + '￿'... exceeds any bound sharing p)
+      range(a).forall { case (_, hi) => ChunkFilter.cmp(hi, p) >= 0 }
+    case And(l, r) => may(l, range) && may(r, range)
+    case Or(l, r) => may(l, range) || may(r, range)
+    case Not(c) => !mustAll(c, range) // all rows match c ⇒ no row matches ¬c
+    case _ => true
+  }
+
+  /** Do ALL values inside `range` provably satisfy `f`? (false = unknown) */
+  private def mustAll(f: Filter, range: String => Option[(Any, Any)]): Boolean = f match {
+    case EqualTo(a, v) => range(a).exists { case (lo, hi) =>
+      ChunkFilter.cmp(lo, hi) == 0 && ChunkFilter.cmp(lo, v) == 0 }
+    case GreaterThan(a, v) => range(a).exists { case (lo, _) => ChunkFilter.cmp(lo, v) > 0 }
+    case GreaterThanOrEqual(a, v) =>
+      range(a).exists { case (lo, _) => ChunkFilter.cmp(lo, v) >= 0 }
+    case LessThan(a, v) => range(a).exists { case (_, hi) => ChunkFilter.cmp(hi, v) < 0 }
+    case LessThanOrEqual(a, v) =>
+      range(a).exists { case (_, hi) => ChunkFilter.cmp(hi, v) <= 0 }
+    case IsNotNull(_) => true
+    case IsNull(_) => false
+    case And(l, r) => mustAll(l, range) && mustAll(r, range)
+    case Or(l, r) => mustAll(l, range) || mustAll(r, range)
+    case Not(c) => !may(c, range)
+    case _ => false
+  }
+}

@@ -107,6 +107,27 @@ object ZarrMeta {
     mapper.writeValueAsString(root)
   }
 
+  /** Array metadata embedded in a root group document's Zarr v3
+    * `consolidated_metadata.metadata` map (empty when the field is
+    * absent, not inline, or the doc is not a v3 group). Non-array nodes
+    * (sub-groups) are skipped. */
+  def parseConsolidated(rootJson: String): Seq[ZarrArrayMeta] = {
+    val root =
+      try mapper.readTree(rootJson)
+      catch { case _: Throwable => return Seq.empty }
+    if (root.path("zarr_format").asInt(-1) != 3 ||
+      root.path("node_type").asText("") != "group") return Seq.empty
+    val cm = root.path("consolidated_metadata")
+    if (cm.path("kind").asText("inline") != "inline") return Seq.empty
+    val md = cm.path("metadata")
+    if (!md.isObject) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    md.fields().asScala.toSeq.collect {
+      case e if e.getValue.path("node_type").asText("") == "array" =>
+        parse(e.getKey, mapper.writeValueAsString(e.getValue))
+    }
+  }
+
   def parse(arrayName: String, json: String): ZarrArrayMeta = {
     val root = mapper.readTree(json)
     if (root.path("zarr_format").asInt(-1) != 3)

@@ -83,14 +83,77 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     try out.write(bytes) finally out.close()
   }
 
-  def writeStoreRootMeta(): Unit = {
+  /** Root group document. With `consolidated` (name → array zarr.json),
+    * the Zarr v3 `consolidated_metadata` field is embedded so readers can
+    * infer the whole schema from ONE object read — the reference issues
+    * one metadata GET per array (`config.rs:201-258`), which at
+    * object-store latency with hundreds of arrays is hundreds of
+    * sequential round-trips. `must_understand: false` keeps the store
+    * readable by consumers that ignore the field. */
+  def writeStoreRootMeta(consolidated: Seq[(String, String)] = Nil): Unit = {
+    val doc =
+      if (consolidated.isEmpty) """{"zarr_format":3,"node_type":"group"}"""
+      else {
+        val entries = consolidated.map { case (name, json) =>
+          "\"" + name + "\":" + json
+        }.mkString(",")
+        """{"zarr_format":3,"node_type":"group","consolidated_metadata":""" +
+          s"""{"kind":"inline","must_understand":false,"metadata":{$entries}}}"""
+      }
     val out = fs.create(new Path(rootPath, "zarr.json"), true)
-    try out.write("""{"zarr_format":3,"node_type":"group"}"""
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(doc.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
+  /** Array metadata from the root document's `consolidated_metadata`, or
+    * None when absent/uninlined — callers fall back to per-array reads.
+    * Sorted by name to match [[listArrays]] schema order. */
+  def readConsolidatedMetas(): Option[Seq[ZarrArrayMeta]] =
+    readText("zarr.json").flatMap { doc =>
+      ZarrMeta.parseConsolidated(doc) match {
+        case metas if metas.nonEmpty => Some(metas.sortBy(_.name))
+        case _ => None
+      }
+    }
+
   def delete(): Unit = if (fs.exists(rootPath)) fs.delete(rootPath, true)
+
+  // ---- chunk-statistics sidecar (`_stats/` segments, ChunkStats) ----
+
+  def writeText(key: String, text: String): Unit = {
+    val p = new Path(rootPath, key)
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readText(key: String): Option[String] = {
+    val p = new Path(rootPath, key)
+    try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+  }
+
+  /** Committed stats segments: (firstChunkOrdinal, nChunks), sorted. One
+    * LIST of `_stats/` — segment ordinal ranges live in the names, so a
+    * reader learns which segments cover its chunk range without a read. */
+  def listStatsSegments(): Seq[(Long, Int)] = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try fs.listStatus(dir).toSeq
+      .flatMap(st => ChunkStats.parseSegmentName(st.getPath.getName))
+      .sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  /** Remove leftover staged stats segments (`_stats/c.part*`). */
+  def cleanStatsStaging(): Unit = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("c.part"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
 
   /** Metadata-only move of a chunk object (commit-time re-keying).
     * Overwrites an existing destination: commit retries after a crash

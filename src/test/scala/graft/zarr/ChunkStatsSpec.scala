@@ -1,0 +1,159 @@
+package graft.zarr
+
+import java.net.URI
+import java.nio.file.Files
+import java.util.Collections
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FileSystem that records every opened path — proves stats-skipped
+  * chunks are never fetched (not merely fetched-and-discarded). */
+class RecordingFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "graftstat"
+  override def getUri: URI = URI.create("graftstat:///")
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    RecordingFileSystem.opened.add(f.toUri.getPath)
+    super.open(f, bufferSize)
+  }
+}
+
+object RecordingFileSystem {
+  val opened: java.util.List[String] =
+    Collections.synchronizedList(new java.util.ArrayList[String]())
+}
+
+/** Chunk-statistics sidecar: write-side emission (staged + aligned paths,
+  * append), read-side read-free skipping with zero chunk GETs, fallback
+  * when absent, and interval-evaluation soundness. */
+class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("chunk-stats-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.graftstat.impl", classOf[RecordingFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-stats").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeStore(url: String, opts: Map[String, String] = Map.empty): Unit = {
+    val sp = spark; import sp.implicits._
+    val w = (0 until 80).map(i => (i.toLong, i * 0.5, s"k$i"))
+      .toDF("id", "v", "name")
+      .coalesce(1)
+      .write.format("zarr").mode("overwrite").option("chunk_size", "16")
+    opts.foldLeft(w) { case (acc, (k, o)) => acc.option(k, o) }.save(url)
+  }
+
+  test("staged write emits a stats segment; filtered read skips with ZERO chunk GETs") {
+    val url = s"graftstat://$base/s1"
+    writeStore(url)
+    val store = ZarrStore(s"$base/s1",
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    assert(store.listStatsSegments() == Seq((0L, 5)),
+      "one segment covering chunks [0,5) expected")
+
+    RecordingFileSystem.opened.clear()
+    val rows = spark.read.format("zarr").load(url)
+      .filter("id >= 64").select("id", "v").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (64L until 80L))
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/s1/(id|v|name)/c/\\d+$"))
+    // only chunk 4 may be touched — chunks 0-3 are excluded by the
+    // sidecar before any fetch is submitted
+    assert(chunkOpens.nonEmpty && chunkOpens.forall(_.endsWith("/c/4")),
+      s"stats-skipped chunks were fetched: ${chunkOpens.mkString(", ")}")
+  }
+
+  test("stats=false: no sidecar, decode-and-test fallback still correct") {
+    val url = s"graftstat://$base/s2"
+    writeStore(url, Map("stats" -> "false"))
+    val store = ZarrStore(s"$base/s2",
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    assert(store.listStatsSegments().isEmpty)
+    val rows = spark.read.format("zarr").load(url)
+      .filter("id >= 64").select("id").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (64L until 80L))
+  }
+
+  test("aligned fast path writes final segment keys from the executors") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/s3"
+    val df = graft.sources.ZarrWriteSupport.alignForWrite(
+      (0 until 96).map(i => (i.toLong, i * 2.0)).toDF("id", "v"), 32)
+    df.write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").option("rows_per_partition", "32").save(url)
+    val store = ZarrStore(s"$base/s3")
+    assert(store.listStatsSegments() == Seq((0L, 2), (2L, 2), (4L, 2)),
+      s"per-task segments expected, got ${store.listStatsSegments()}")
+    // skip proof via values: a filter touching only the last task's range
+    val got = spark.read.format("zarr").load(url).filter("id > 90").count()
+    assert(got == 5)
+  }
+
+  test("append adds a segment for the new chunks") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/s4"
+    writeStore(url.replace("file://", "file://"))
+    val fresh = (0 until 80).map(i => (i.toLong, i * 0.5, s"k$i")).toDF("id", "v", "name")
+    fresh.coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(url)
+    (80 until 112).map(i => (i.toLong, i * 0.5, s"k$i")).toDF("id", "v", "name")
+      .coalesce(1).write.format("zarr").mode("append").save(url)
+    val store = ZarrStore(s"$base/s4")
+    assert(store.listStatsSegments() == Seq((0L, 5), (5L, 2)))
+    assert(spark.read.format("zarr").load(url).filter("id >= 100").count() == 12)
+  }
+
+  test("interval evaluation is sound on the tricky shapes") {
+    val r: String => Option[(Any, Any)] = {
+      case "x" => Some((10L, 20L))
+      case _ => None
+    }
+    // excluded
+    assert(!ChunkStats.mayMatch(Seq(GreaterThan("x", 20L)), r))
+    assert(!ChunkStats.mayMatch(Seq(LessThan("x", 10L)), r))
+    assert(!ChunkStats.mayMatch(Seq(EqualTo("x", 25L)), r))
+    assert(!ChunkStats.mayMatch(Seq(In("x", Array(1L, 2L, 30L))), r))
+    assert(!ChunkStats.mayMatch(Seq(IsNull("x")), r))
+    // two conjuncts each individually satisfiable in [10,20]: per-leaf
+    // interval evaluation cannot see their joint emptiness — stays true
+    // (the decode-and-test pass still skips such chunks)
+    assert(ChunkStats.mayMatch(Seq(And(GreaterThan("x", 12L), LessThan("x", 11L))), r))
+    // must stay conservative
+    assert(ChunkStats.mayMatch(Seq(EqualTo("x", 15L)), r))
+    assert(ChunkStats.mayMatch(Seq(EqualTo("y", 999L)), r)) // unknown column
+    assert(ChunkStats.mayMatch(Seq(Not(EqualTo("x", 15L))), r)) // some row may differ
+    assert(ChunkStats.mayMatch(Seq(Or(LessThan("x", 5L), GreaterThan("x", 15L))), r))
+    // Not(f) false only when ALL rows provably satisfy f
+    assert(!ChunkStats.mayMatch(Seq(Not(GreaterThanOrEqual("x", 10L))), r))
+    assert(!ChunkStats.mayMatch(Seq(Not(LessThanOrEqual("x", 20L))), r))
+    val point: String => Option[(Any, Any)] = _ => Some((7L, 7L))
+    assert(!ChunkStats.mayMatch(Seq(Not(EqualTo("x", 7L))), point))
+    // strings
+    val sr: String => Option[(Any, Any)] = _ => Some(("apple", "banana"))
+    assert(!ChunkStats.mayMatch(Seq(StringStartsWith("s", "cherry")), sr))
+    assert(ChunkStats.mayMatch(Seq(StringStartsWith("s", "app")), sr))
+    assert(ChunkStats.mayMatch(Seq(StringEndsWith("s", "zzz")), sr)) // no range logic
+  }
+
+  test("minMax skips unsummarizable values") {
+    assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.NaN)).isEmpty)
+    assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.PositiveInfinity)).isEmpty)
+    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "b" * 100)).isEmpty)
+    assert(ChunkStats.minMax(ZarrType.Int64, Seq(3L, 1L, 2L)).contains((1L, 3L)))
+    assert(ChunkStats.minMax(ZarrType.Str, Seq("b", "a")).contains(("a", "b")))
+  }
+}
