@@ -144,11 +144,119 @@ class ZarrScanBuilder(
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggResult: Option[(StructType, Seq[Any])] = None
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  /** Metadata-only aggregates — a capability the reference cannot have
+    * (its statistics are empty, `opener.rs:171-173`): ungrouped
+    * COUNT(*)/COUNT(col) answer from array shapes alone (zarr reads never
+    * produce nulls, SURVEY §1.3), and MIN/MAX(col) answer from the
+    * `_stats` sidecar when its segments cover every chunk of the 1-D
+    * grid with a recorded range. On a 100 TB store that turns a full
+    * scan into a handful of driver-side metadata reads. Anything not
+    * provably answerable (filters, grouping, partial stats coverage,
+    * coordinate cross-products) declines the pushdown and scans. */
+  private def answerAggregation(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions.nonEmpty) return None
+    if (metas.isEmpty) return None
+    val byName = metas.map(m => m.name -> m).toMap
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          byName.contains(f.fieldNames.head) => Some(f.fieldNames.head)
+        case _ => None
+      }
+    val funcs = agg.aggregateExpressions.toSeq
+    val refCols: Set[String] = funcs.flatMap {
+      case m: Min => colOf(m.column)
+      case m: Max => colOf(m.column)
+      case c: Count => colOf(c.column)
+      case _ => None
+    }.toSet
+    // same cardinality semantics as the pruned scan would have: the grid
+    // of the referenced columns (full table for pure COUNT(*))
+    val aggMetas = if (refCols.nonEmpty) metas.filter(m => refCols(m.name)) else metas
+    val geom =
+      try ScanGeometry.resolve(aggMetas)
+      catch { case _: ZarrException => return None }
+    lazy val ranges: Option[Map[String, (Any, Any)]] = fullCoverageRanges(geom)
+    val out = funcs.map {
+      case _: CountStar =>
+        Some((StructField("count_star", org.apache.spark.sql.types.LongType),
+          geom.numRows: Any))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).map(n =>
+          (StructField(s"count_$n", org.apache.spark.sql.types.LongType),
+            geom.numRows: Any))
+      case m: Min =>
+        colOf(m.column).flatMap(n => ranges.flatMap(_.get(n)).map(r =>
+          (StructField(s"min_$n", byName(n).dataType.sparkType), r._1)))
+      case m: Max =>
+        colOf(m.column).flatMap(n => ranges.flatMap(_.get(n)).map(r =>
+          (StructField(s"max_$n", byName(n).dataType.sparkType), r._2)))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
+  }
+
+  /** Global (min, max) per column from the stats sidecar, defined only
+    * when segments cover EVERY chunk of the grid with a recorded range —
+    * an uncovered or unrecorded chunk (including absent chunks, which
+    * read as fill values) makes the bound unprovable. */
+  private def fullCoverageRanges(
+      geom: ScanGeometry): Option[Map[String, (Any, Any)]] = {
+    if (geom.ndim != 1) return None
+    val total = geom.numChunks
+    val segs = store.listStatsSegments()
+    val covered = segs.foldLeft(0L) { case (next, (first, n)) =>
+      if (first == next) next + n else return None
+    }
+    if (covered < total) return None
+    val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
+    val parsed = segs.flatMap { case (first, n) =>
+      store.readText(ChunkStats.segmentKey(first, n))
+        .map(json => ChunkStats.parse(first, n, json, ztOf))
+    }
+    if (parsed.map(_.chunks.toLong).sum < total) return None
+    val cols = metas.map(_.name)
+    val b = Map.newBuilder[String, (Any, Any)]
+    cols.foreach { c =>
+      var lo: Any = null
+      var hi: Any = null
+      var ok = true
+      parsed.foreach { seg =>
+        var ord = seg.first
+        while (ok && ord < seg.first + seg.chunks) {
+          seg.range(c, ord) match {
+            case Some((l, h)) =>
+              if (lo == null || ChunkFilter.cmp(l, lo) < 0) lo = l
+              if (hi == null || ChunkFilter.cmp(h, hi) > 0) hi = h
+            case None => ok = false
+          }
+          ord += 1
+        }
+      }
+      if (ok && lo != null) b += c -> ((lo, hi))
+    }
+    Some(b.result())
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = answerAggregation(agg)
+    aggResult.isDefined
+  }
 
   /** LIMIT pushdown (the reference accepts and ignores limit,
     * `table_provider.rs:103` — here a pushed limit stops each partition
@@ -178,8 +286,57 @@ class ZarrScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new ZarrScan(store, metas, required, pushed, options, limit)
+  override def build(): Scan = aggResult match {
+    case Some((schema, values)) => new ZarrAggScan(store.root, schema, values)
+    case None => new ZarrScan(store, metas, required, pushed, options, limit)
+  }
+}
+
+/** One-row scan carrying a completely-pushed aggregate answered from
+  * metadata (shapes + stats sidecar) — no chunk is ever read. */
+class ZarrAggScan(root: String, schema: StructType, values: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrAggScan $root metadata-only [${schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZarrInputPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    ZarrAggReaderFactory(schema.json, values.map {
+      case s: String => s
+      case d: java.math.BigDecimal => d.toPlainString
+      case other => other
+    })
+}
+
+final case class ZarrAggReaderFactory(schemaJson: String, values: Seq[Any])
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    // re-box JVM values as Catalyst internal values for the row
+    val internal = schema.fields.zip(values).map {
+      case (f, v) => f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+        case d: org.apache.spark.sql.types.DecimalType =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(v.asInstanceOf[String]), d.precision, d.scale)
+        case _ => v
+      }
+    }
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(internal.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class ZarrScan(

@@ -80,8 +80,9 @@ object ChunkFilter {
     }
 
   /** Numeric-widening comparison between a chunk value and a literal
-    * (shared with [[ChunkStats]] interval evaluation). */
-  private[zarr] def cmp(x: Any, v: Any): Int = (x, v) match {
+    * (shared with [[ChunkStats]] interval evaluation and the aggregate
+    * pushdown's global min/max fold). */
+  private[graft] def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: String, b: String) => a.compareTo(b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
     case (a: java.math.BigDecimal, b) => a.compareTo(toBigDec(b))

@@ -1,0 +1,98 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only aggregate pushdown: ungrouped COUNT answers from array
+  * shapes, MIN/MAX from the full-coverage stats sidecar — no chunk IO at
+  * all; anything unprovable declines and scans. */
+class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("agg-pushdown-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.graftstat.impl", classOf[RecordingFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-aggpush").toString
+    val sp = spark; import sp.implicits._
+    (0 until 80).map(i => (i.toLong, 100.5 - i, s"k$i"))
+      .toDF("id", "v", "name")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(s"graftstat://$base/store")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ungrouped count/min/max answer with ZERO chunk reads") {
+    val df = spark.read.format("zarr").load(s"graftstat://$base/store")
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(
+      count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      min("name").as("min_name")).collect()(0)
+    assert(r.getLong(0) == 80)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 79)
+    assert(r.getDouble(3) == 100.5 - 79 && r.getDouble(4) == 100.5)
+    assert(r.getString(5) == "k0")
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/store/(id|v|name)/c/\\d+$"))
+    assert(chunkOpens.isEmpty,
+      s"metadata-only aggregate read chunks: ${chunkOpens.mkString(", ")}")
+    // and the plan says so
+    val plan = df.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrAggScan"), plan)
+  }
+
+  test("filters, grouping, and unsupported functions decline the pushdown") {
+    val df = spark.read.format("zarr").load(s"graftstat://$base/store")
+    // filtered: must scan (and stay correct)
+    val f = df.filter("id >= 64").agg(count(lit(1)), min("id")).collect()(0)
+    assert(f.getLong(0) == 16 && f.getLong(1) == 64)
+    assert(!df.filter("id >= 64").agg(count(lit(1)))
+      .queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    // grouped: must scan
+    val g = df.groupBy(expr("id % 2").as("p")).agg(count(lit(1)).as("n"))
+    assert(g.collect().map(_.getLong(1)).sorted.toSeq == Seq(40L, 40L))
+    // sum is not answerable from min/max
+    assert(!df.agg(sum("id")).queryExecution.executedPlan.toString
+      .contains("ZarrAggScan"))
+    assert(df.agg(sum("id")).collect()(0).getLong(0) == (0L until 80L).sum)
+  }
+
+  test("count(*) pushes even without a stats sidecar; min/max falls back") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/nostats"
+    (0 until 48).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").option("stats", "false").save(url)
+    val df = spark.read.format("zarr").load(url)
+    val pc = df.agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(pc.contains("ZarrAggScan"), s"count(*) needs only shapes\n$pc")
+    assert(df.count() == 48)
+    val pm = df.agg(min("id")).queryExecution.executedPlan.toString
+    assert(!pm.contains("ZarrAggScan"), "min without stats must scan")
+    assert(df.agg(min("id")).collect()(0).getLong(0) == 0)
+  }
+
+  test("fixture N-D / coordinate stores decline min-max but keep exact count") {
+    val store = ZarrStore(s"$base/fixture")
+    ZarrWriter.writeArray(store, "x", ZarrType.Int64,
+      Seq(8L), Seq(3), (0 until 8).map(_.toLong: Any),
+      None, ZarrWriter.CodecChain.raw)
+    store.writeStoreRootMeta()
+    val df = spark.read.format("zarr").load(s"$base/fixture")
+    assert(df.count() == 8)
+    assert(df.agg(min("x")).collect()(0).getLong(0) == 0)
+  }
+}
