@@ -31,17 +31,18 @@ object Scratch {
       println(f"SCRATCH $label median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    def runAttrib(parts: String): Double = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    def runQ(n: Int): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries("q85_stream_interval_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
-      dt
+      (System.nanoTime() - t0) / 1e9
     }
-    runAttrib("32") // warm
-    println(f"SCRATCH attrib p32=${runAttrib("32")}%.2f p8=${runAttrib("8")}%.2f p4=${runAttrib("4")}%.2f p2=${runAttrib("2")}%.2f")
+    runQ(0) // warm
+    println(f"SCRATCH hdfs-store p8 median=${Seq(runQ(1), runQ(2), runQ(3)).sorted.apply(1)}%.2f")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    runQ(0) // warm rocksdb
+    println(f"SCRATCH rocksdb p8 median=${Seq(runQ(1), runQ(2), runQ(3)).sorted.apply(1)}%.2f")
     spark.stop()
   }
 }

@@ -1,0 +1,72 @@
+package graft.zarr
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The one property that makes the sidecar safe to ship: for ANY chunk
+  * values and ANY supported filter tree, a stats-based skip
+  * (`!mayMatch` over the chunk's true min/max) implies the
+  * decode-and-test path would also skip (`!anyRowMatches`) — i.e. the
+  * sidecar can only ever remove chunks that contain no matching row.
+  * The converse (mayMatch but no row matches) is allowed: that is the
+  * conservative slack the decode pass cleans up. Seeded-random
+  * generation, same style as GeometryPropertySpec. */
+class ChunkStatsPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  private def lit(): Long = rnd.nextInt(101) - 50L
+
+  private def tree(depth: Int): Filter = {
+    val pick = if (depth <= 0) rnd.nextInt(9) else rnd.nextInt(12)
+    pick match {
+      case 0 => EqualTo("x", lit())
+      case 1 => GreaterThan("x", lit())
+      case 2 => GreaterThanOrEqual("x", lit())
+      case 3 => LessThan("x", lit())
+      case 4 => LessThanOrEqual("x", lit())
+      case 5 => In("x", Array.fill(1 + rnd.nextInt(4))(lit(): Any))
+      case 6 => IsNull("x")
+      case 7 => IsNotNull("x")
+      case 8 => StringStartsWith("x", lit().toString)
+      case 9 => And(tree(depth - 1), tree(depth - 1))
+      case 10 => Or(tree(depth - 1), tree(depth - 1))
+      case _ => Not(tree(depth - 1))
+    }
+  }
+
+  private def int64Column(vals: Seq[Long]): PrimColumn = {
+    val bb = ByteBuffer.allocate(vals.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putLong)
+    new PrimColumn(ZarrType.Int64, bb.array(), ByteOrder.LITTLE_ENDIAN)
+  }
+
+  test("a stats skip is always confirmed by the decode-and-test skip (2000 cases)") {
+    var skips = 0
+    (0 until 2000).foreach { _ =>
+      val vals = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(121) - 60L)
+      val f = tree(3)
+      assert(ChunkFilter.supported(f))
+      val range = ChunkStats.minMax(ZarrType.Int64, vals)
+        .map(r => (_: String) => Some(r))
+        .getOrElse((_: String) => None)
+      if (!ChunkStats.mayMatch(Seq(f), range)) {
+        skips += 1
+        val cols = Map("x" -> (int64Column(vals): ChunkColumn, null: Array[Int]))
+        assert(!ChunkFilter.anyRowMatches(Seq(f), cols, vals.length),
+          s"stats skipped a chunk with a matching row: vals=$vals filter=$f")
+      }
+    }
+    // the property must actually have been exercised, not vacuously true
+    assert(skips > 100, s"only $skips stats skips generated — generator too weak")
+  }
+
+  test("min/max fold equals brute force on random value sets") {
+    (0 until 200).foreach { _ =>
+      val vals = Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong())
+      assert(ChunkStats.minMax(ZarrType.Int64, vals).contains((vals.min, vals.max)))
+    }
+  }
+}
