@@ -117,6 +117,33 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("zarr").load(url).filter("id >= 100").count() == 12)
   }
 
+  test("partial coverage: stats-less append keeps scans exact, declines min/max pushdown") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/s5"
+    (0 until 80).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(url)
+    // second write without stats: chunks [5,7) have no recorded ranges
+    (80 until 112).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .coalesce(1).write.format("zarr").mode("append")
+      .option("stats", "false").save(url)
+    val df = spark.read.format("zarr").load(url)
+    // filtered scan: covered chunks may stats-skip, uncovered ones decode
+    assert(df.filter("id >= 100").count() == 12)
+    assert(df.filter("id < 8").count() == 8)
+    // min/max pushdown must decline on partial coverage (an uncovered
+    // chunk could hold anything) — and still answer correctly by scanning
+    val p = df.agg(org.apache.spark.sql.functions.max("id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ZarrAggScan"), s"partial coverage must not push min/max\n$p")
+    assert(df.agg(org.apache.spark.sql.functions.max("id")).collect()(0).getLong(0) == 111)
+    // count(*) still pushes — it needs only shapes
+    assert(df.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))
+      .queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    assert(df.count() == 112)
+  }
+
   test("interval evaluation is sound on the tricky shapes") {
     val r: String => Option[(Any, Any)] = {
       case "x" => Some((10L, 20L))
