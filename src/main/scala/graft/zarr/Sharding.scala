@@ -147,6 +147,36 @@ object Sharding {
     }
   }
 
+  /** Shared decode pool for intra-shard parallelism. A shard packs many
+    * independently-compressed inner chunks; decoding them serially
+    * starves CPUs whenever there are fewer shard-tasks than cores (the
+    * exact regime big-shard stores create: ScanBench's 8M-row store is
+    * 4 shards — 4 tasks on a 32-core box). Inner chunks write disjoint
+    * regions of the output buffer, so the fan-out is safe; when task
+    * parallelism already saturates the cores, work-stealing just
+    * interleaves at the same total cost. Daemon threads, JVM-wide. */
+  private lazy val decodePool = java.util.concurrent.Executors.newWorkStealingPool(
+    math.max(2, Runtime.getRuntime.availableProcessors()))
+
+  private def parallelInner(nInner: Int)(body: Int => Unit): Unit =
+    if (nInner < 4) {
+      var gi = 0
+      while (gi < nInner) { body(gi); gi += 1 }
+    } else {
+      val futs = (0 until nInner).map { gi =>
+        decodePool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = body(gi)
+        })
+      }
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause match { case t: Throwable => t }
+        }
+      }
+    }
+
   /** Decode a whole shard into a [[ChunkColumn]] covering the outer
     * chunk's elements row-major (absent inner chunks → fill value). */
   def decode(meta: ZarrArrayMeta, spec: Spec, shard: Array[Byte]): ChunkColumn = {
@@ -178,8 +208,7 @@ object Sharding {
         throw new ZarrException(s"sharded string array ${meta.name} requires vlen-utf8 inner codec")
       val out = new Array[String](outerElems)
       java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], meta.fillValue.asInstanceOf[String])
-      var gi = 0
-      while (gi < nInner) {
+      parallelInner(nInner) { gi =>
         innerBytes(gi).foreach { plain =>
           val strs = ChunkColumn.decodeVlenUtf8(plain)
           if (strs.length != innerElems)
@@ -189,7 +218,6 @@ object Sharding {
             System.arraycopy(strs, r * rowLenElems, out, flat, rowLenElems)
           }
         }
-        gi += 1
       }
       new StrColumn(out)
     } else {
@@ -197,8 +225,7 @@ object Sharding {
       val order = Codecs.endianness(spec.innerCodecs)
       val out = new Array[Byte](outerElems * bw)
       fillPattern(out, meta, order)
-      var gi = 0
-      while (gi < nInner) {
+      parallelInner(nInner) { gi =>
         innerBytes(gi).foreach { plain =>
           if (plain.length != innerElems * bw)
             throw new ZarrException(
@@ -207,7 +234,6 @@ object Sharding {
             System.arraycopy(plain, r * rowLenElems * bw, out, flat * bw, rowLenElems * bw)
           }
         }
-        gi += 1
       }
       new PrimColumn(meta.dataType, out, order)
     }
