@@ -72,6 +72,20 @@ object ZarrDemo {
       s", stored objects/column: $objects (32 logical chunks), checksum: " +
       sback.agg(sum(col("half"))).collect()(0).getDouble(0))
 
+    // chunk-statistics sidecar + metadata-only aggregates: the written
+    // store carries _stats segments, so min/max/count answer without
+    // reading a single chunk, and filtered scans skip chunks pre-fetch
+    val aggPlan = back.agg(count(lit(1)), min(col("id")), max(col("half")))
+      .queryExecution.executedPlan.toString
+    println("=== metadata-only aggregate plan uses ZarrAggScan: " +
+      aggPlan.contains("ZarrAggScan"))
+    println("=== count/min/max from metadata: " +
+      back.agg(count(lit(1)), min(col("id")), max(col("half"))).collect().mkString)
+    println("=== stats segments: " +
+      ZarrStore(outStore).listStatsSegments().mkString(", "))
+    println("=== filtered scan (stats skip chunks below id 900): " +
+      back.filter(col("id") >= 900).count() + " rows")
+
     spark.stop()
   }
 }
