@@ -401,8 +401,14 @@ class ZarrScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val metaJsons = readNames.map(n => n -> byName(n).sourceJson)
+    val effectiveFilters = (pushed ++ runtimeFilters).toSeq
+    // one driver-side LIST of the stats sidecar, shipped to every task —
+    // readers GET only their overlapping segments, never LIST
+    val segIndex =
+      if (effectiveFilters.isEmpty) Nil
+      else try store.listStatsSegments() catch { case _: Throwable => Nil }
     ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq,
-      (pushed ++ runtimeFilters).toSeq, limit)
+      effectiveFilters, limit, segIndex)
   }
 
   /** Runtime (join-derived) filters — e.g. a broadcast join's IN-set on

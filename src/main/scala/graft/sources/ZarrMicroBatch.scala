@@ -72,7 +72,10 @@ class ZarrMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ZarrReaderFactory(store, planned, outputNames, pushed)
+    ZarrReaderFactory(store, planned, outputNames, pushed,
+      statsSegmentIndex =
+        if (pushed.isEmpty) Nil
+        else try store.listStatsSegments() catch { case _: Throwable => Nil })
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -32,7 +32,8 @@ final case class ZarrReaderFactory(
     metaJsons: Seq[(String, String)],
     outputNames: Seq[String],
     filters: Seq[Filter],
-    limit: Int = -1)
+    limit: Int = -1,
+    statsSegmentIndex: Seq[(Long, Int)] = Nil)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -82,18 +83,21 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   }
 
   /** Chunk-statistics sidecar segments overlapping this partition's chunk
-    * range — loaded once (one LIST + the few overlapping segment GETs,
-    * executor-side) and consulted BEFORE any chunk fetch is submitted: a
-    * chunk whose recorded ranges cannot satisfy the filters is skipped
-    * with zero chunk IO. Stores without sidecars (None / empty) fall back
-    * to the reference's decode-and-test skip unchanged. Stats ordinals
-    * are dim-0 chunk indices, so they only apply to 1-D scan grids (the
-    * shape every DSv2-written store has). */
+    * range — the segment INDEX (names only) was listed ONCE on the driver
+    * at planning and shipped in the factory, so each task pays just the
+    * few overlapping segment GETs, never a LIST (at thousands of tasks a
+    * per-reader LIST would be the dominant metadata cost). Consulted
+    * BEFORE any chunk fetch is submitted: a chunk whose recorded ranges
+    * cannot satisfy the filters is skipped with zero chunk IO. Stores
+    * without sidecars (empty index) fall back to the reference's
+    * decode-and-test skip unchanged. Stats ordinals are dim-0 chunk
+    * indices, so they only apply to 1-D scan grids (the shape every
+    * DSv2-written store has). */
   private val statsSegments: Seq[ChunkStats.Segment] =
-    if (f.filters.isEmpty || geometry.ndim != 1) Seq.empty
+    if (f.filters.isEmpty || f.statsSegmentIndex.isEmpty || geometry.ndim != 1) Seq.empty
     else {
       val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
-      f.store.listStatsSegments()
+      f.statsSegmentIndex
         .filter { case (first, n) => first < part.hi && first + n > part.lo }
         .flatMap { case (first, n) =>
           f.store.readText(ChunkStats.segmentKey(first, n))

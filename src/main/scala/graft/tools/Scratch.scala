@@ -31,18 +31,26 @@ object Scratch {
       println(f"SCRATCH $label median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
-    def runQ(n: Int): Double = {
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries("q85_stream_interval_join")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    runQ(0) // warm
-    println(f"SCRATCH hdfs-store p8 median=${Seq(runQ(1), runQ(2), runQ(3)).sorted.apply(1)}%.2f")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    runQ(0) // warm rocksdb
-    println(f"SCRATCH rocksdb p8 median=${Seq(runQ(1), runQ(2), runQ(3)).sorted.apply(1)}%.2f")
+    graft.functions.VectorFunctions.register(spark)
+    def docsDf = graft.Tables.load(spark, sfDir, "documents")
+    time("simhash-compute")(
+      docsDf.select(col("doc_id"),
+        expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
+        .write.format("noop").mode("overwrite").save())
+    time("bands-explode")(
+      docsDf.select(col("doc_id"),
+        expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
+        .select(col("doc_id"), col("simhash"),
+          explode(expr(
+            "transform(sequence(0, 3), j -> named_struct(" +
+              "'band', j, 'bh', substring(simhash, 16*j + 1, 16)))")).as("b"))
+        .write.format("noop").mode("overwrite").save())
+    time("full-q37")(
+      graft.SparkEntry.queries("q37_simhash")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    time("full-q50")(
+      graft.SparkEntry.queries("q50_dedup_clusters")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
