@@ -62,6 +62,30 @@ class ShardingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("parallel inner-chunk decode is deterministic (64-inner shard, 20 repeats)") {
+    // one shard with enough inner chunks to exercise the decode pool on
+    // every repeat; identical output across repeats pins the fan-out's
+    // thread safety (disjoint output regions, stateless codecs)
+    val shard = Array(64 * 16)
+    val inner = Array(16)
+    val metaJson = ZarrWriter.metaJson(ZarrType.Float64,
+      shard.map(_.toLong).toSeq, shard.toSeq, "0.0", None,
+      ZarrWriter.CodecChain.bloscLz4.sharded(inner.toSeq))
+    val meta = ZarrMeta.parse("par", metaJson)
+    val spec = Sharding.specOf(meta.codecs).get
+    val n = shard(0)
+    val vals: IndexedSeq[Any] = (0 until n).map(_ * 0.25)
+    val enc = Sharding.encode(ZarrType.Float64, shard.toSeq, spec, vals, Set(7, 31))
+    val expect: IndexedSeq[Double] = (0 until n).map { e =>
+      if (Set(7, 31)(e / 16)) 0.0 else e * 0.25
+    }
+    (0 until 20).foreach { rep =>
+      val col = ChunkColumn.decode(meta, Some(enc))
+      (0 until n).foreach(e =>
+        assert(col.get(e) == expect(e), s"repeat $rep elem $e"))
+    }
+  }
+
   test("random string shard geometries roundtrip (10 cases)") {
     (0 until 10).foreach { i =>
       val len = 2 + rnd.nextInt(12)
