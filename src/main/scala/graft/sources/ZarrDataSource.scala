@@ -222,10 +222,13 @@ class ZarrScanBuilder(
     }
     if (covered < total) return None
     val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
-    val parsed = segs.flatMap { case (first, n) =>
-      store.readText(ChunkStats.segmentKey(first, n))
-        .map(json => ChunkStats.parse(first, n, json, ztOf))
-    }
+    // a corrupt/unreadable segment simply declines the pushdown — the
+    // sidecar is auxiliary and must never fail the query
+    val parsed =
+      try segs.flatMap { case (first, n) =>
+        store.readText(ChunkStats.segmentKey(first, n))
+          .map(json => ChunkStats.parse(first, n, json, ztOf))
+      } catch { case _: Throwable => return None }
     if (parsed.map(_.chunks.toLong).sum < total) return None
     val cols = metas.map(_.name)
     val b = Map.newBuilder[String, (Any, Any)]
@@ -250,11 +253,26 @@ class ZarrScanBuilder(
     Some(b.result())
   }
 
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // same Aggregation; memoize so the sidecar IO (LIST + segment GETs)
+  // runs once per builder, not per probe
+  private var aggMemo: Option[(String, Option[(StructType, Seq[Any])])] = None
+  private def answerMemo(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    val key = agg.toString
+    aggMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = answerAggregation(agg)
+        aggMemo = Some((key, r))
+        r
+    }
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    answerAggregation(agg).isDefined
+    answerMemo(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggResult = answerAggregation(agg)
+    aggResult = answerMemo(agg)
     aggResult.isDefined
   }
 

@@ -100,8 +100,11 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       f.statsSegmentIndex
         .filter { case (first, n) => first < part.hi && first + n > part.lo }
         .flatMap { case (first, n) =>
-          f.store.readText(ChunkStats.segmentKey(first, n))
+          // the sidecar is auxiliary: a corrupt/unreadable segment must
+          // never fail the scan — those chunks just decode-and-test
+          try f.store.readText(ChunkStats.segmentKey(first, n))
             .map(json => ChunkStats.parse(first, n, json, ztOf))
+          catch { case _: Throwable => None }
         }
     }
 

@@ -147,7 +147,11 @@ object ChunkStats {
           val c = colsNode.get(name)
           val minsN = c.get("min")
           val maxsN = c.get("max")
-          val n = math.min(chunks, if (minsN == null) 0 else minsN.size())
+          // tolerate truncated/asymmetric arrays (hand-edited or corrupt
+          // sidecars): anything not covered simply has no recorded range
+          val n = math.min(chunks, math.min(
+            if (minsN == null) 0 else minsN.size(),
+            if (maxsN == null) 0 else maxsN.size()))
           val mins = new Array[Any](chunks)
           val maxs = new Array[Any](chunks)
           var i = 0

@@ -144,6 +144,29 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 112)
   }
 
+  test("a corrupt sidecar never fails the scan and declines the pushdown") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/s6"
+    (0 until 80).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(url)
+    val store = ZarrStore(s"$base/s6")
+    // clobber the segment with garbage (name still parses)
+    store.writeText(ChunkStats.segmentKey(0L, 5), "{not json at all")
+    val df = spark.read.format("zarr").load(url)
+    // filtered scan falls back to decode-and-test, stays exact
+    assert(df.filter("id >= 64").count() == 16)
+    // min/max pushdown declines; the scan still answers correctly
+    val p = df.agg(org.apache.spark.sql.functions.min("id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ZarrAggScan"), s"corrupt sidecar must decline min/max\n$p")
+    assert(df.agg(org.apache.spark.sql.functions.min("id")).collect()(0).getLong(0) == 0)
+    // truncated-but-valid JSON: short arrays mean uncovered chunks
+    store.writeText(ChunkStats.segmentKey(0L, 5),
+      """{"cols":{"id":{"min":[0],"max":[15]}}}""")
+    assert(spark.read.format("zarr").load(url).filter("id >= 64").count() == 16)
+  }
+
   test("interval evaluation is sound on the tricky shapes") {
     val r: String => Option[(Any, Any)] = {
       case "x" => Some((10L, 20L))
