@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions: behavioral analytics over `events` (staged funnel,
@@ -487,6 +488,36 @@ object Mining {
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("mu")) / col("sd"), 3).as("z"))
         .orderBy("event_id")
+    },
+
+    // ---- per-user event-type transition matrix: counts and total gap
+    //      time for every consecutive (from → to) pair in each user's
+    //      event-time-ordered stream — the Markov-chain primitive behind
+    //      behavioral modeling and bot detection. ONE user_id shuffle
+    //      (the lag window), then a ≤ |types|² aggregate; gaps stay
+    //      exact microsecond longs, so no float summation to pin ----
+    QueryDef.sql(
+      "q86_event_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    lag(event_type) OVER w AS from_type,
+        |    lag(epoch_us(ts)) OVER w AS prev_tus
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |)
+        |SELECT from_type, event_type AS to_type, count(*) AS n,
+        |  sum(tus - prev_tus) AS sum_gap_us
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), col("tus"), col("event_id"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_tus", lag(col("tus"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"), sum(col("tus") - col("prev_tus")).as("sum_gap_us"))
+        .orderBy("from_type", "to_type")
     }
   )
 }
