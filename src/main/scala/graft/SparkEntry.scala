@@ -50,12 +50,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     allDefs.head.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Name-sorted ListMap: bench/verify iteration order is stable across
+    * registry growth, so round-over-round per-query deltas are
+    * attributable (same warmth/cache position every round). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(d => d.name -> d.fn).toMap
+    scala.collection.immutable.ListMap(
+      allDefs.map(d => d.name -> d.fn).sortBy(_._1): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allDefs.collect { case QueryDef(n, _, Some(o)) => n -> o }.toMap
+    scala.collection.immutable.ListMap(
+      allDefs.collect { case QueryDef(n, _, Some(o)) => n -> o }.sortBy(_._1): _*)
 }

@@ -506,7 +506,7 @@ object Mining {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |)
         |SELECT from_type, event_type AS to_type, count(*) AS n,
-        |  sum(tus - prev_tus) AS sum_gap_us
+        |  sum(tus - prev_tus)::BIGINT AS sum_gap_us
         |FROM s WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))

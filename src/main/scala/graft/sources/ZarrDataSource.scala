@@ -220,7 +220,10 @@ class ZarrScanBuilder(
     val covered = segs.foldLeft(0L) { case (next, (first, n)) =>
       if (first == next) next + n else return None
     }
-    if (covered < total) return None
+    // EXACT coverage required: covered > total means segments describe
+    // chunk ordinals past the grid (stale leftovers of a failed append)
+    // whose phantom min/max must not fold into a global aggregate
+    if (covered != total) return None
     val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
     // a corrupt/unreadable segment simply declines the pushdown — the
     // sidecar is auxiliary and must never fail the query

@@ -207,6 +207,10 @@ class ZarrBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) store.delete()
+    // a previously-failed aligned append may have left final-keyed stats
+    // segments at ordinals this write is about to (re)use — purge them so
+    // a stale segment can never describe the chunks written now
+    else store.cleanStatsSegmentsFrom(baseChunks)
     ZarrWriterFactory(store, schema.json, chunkSize, colMetaJsons, rowsPerPartition,
       baseChunks, stats)
   }
@@ -264,12 +268,16 @@ class ZarrBatchWrite(
     // the persisted zarr.json is the SAME document the writers derived
     // their codec chain / separator / element type from, with shape[0]
     // set to the final row count; the root doc embeds every array's
-    // metadata (consolidated_metadata) for one-GET schema inference
+    // metadata (consolidated_metadata) for one-GET schema inference.
+    // Per-array documents FIRST, consolidated root LAST: the single root
+    // write is the effective commit point, so a crash mid-commit can
+    // never leave consolidated readers seeing a newer shape than
+    // per-array readers and external tools do.
     val finalJsons = schema.fields.toSeq.zip(colMetaJsons).map { case (f, json) =>
       f.name -> ZarrMeta.withShape0(json, total)
     }
-    store.writeStoreRootMeta(finalJsons)
     finalJsons.foreach { case (name, json) => store.writeMeta(name, json) }
+    store.writeStoreRootMeta(finalJsons)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -277,6 +285,10 @@ class ZarrBatchWrite(
     else { // append: keep base data
       schema.fields.foreach(f => store.cleanStaging(f.name))
       store.cleanStatsStaging()
+      // aligned tasks write FINAL segment keys (no staging) — remove any
+      // at ordinals past the surviving base or they would describe
+      // chunks the rolled-back shape[0] does not own
+      store.cleanStatsSegmentsFrom(baseChunks)
     }
   }
 }

@@ -27,6 +27,12 @@ object StreamQueries {
 
   private val seq = new AtomicInteger(0)
 
+  /** Last memory-sink table name registered per prefix — the drop victim
+    * must be tracked per prefix (not derived from the shared counter) or
+    * interleaved invocations of different queries drop nonexistent names
+    * and leak the real previous tables in long-lived sessions. */
+  private val lastTable = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Run `df` to completion into a fresh memory-sink table; the previous
     * invocation's table for the same prefix is dropped so repeated runs
     * (Bench warm + 3 timed) do not accumulate result copies.
@@ -39,10 +45,10 @@ object StreamQueries {
     * while a production backfill would raise it with volume. The conf is
     * restored after the (synchronous) run. */
   private def runToTable(df: DataFrame, prefix: String, mode: String): DataFrame = {
-    val n = seq.incrementAndGet()
-    val name = s"${prefix}_$n"
+    val name = s"${prefix}_${seq.incrementAndGet()}"
     val spark = df.sparkSession
-    spark.catalog.dropTempView(s"${prefix}_${n - 1}")
+    lastTable.get(prefix).foreach(spark.catalog.dropTempView)
+    lastTable(prefix) = name
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {

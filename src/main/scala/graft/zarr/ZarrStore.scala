@@ -95,7 +95,7 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
       if (consolidated.isEmpty) """{"zarr_format":3,"node_type":"group"}"""
       else {
         val entries = consolidated.map { case (name, json) =>
-          "\"" + name + "\":" + json
+          ZarrStore.jsonQuote(name) + ":" + json
         }.mkString(",")
         """{"zarr_format":3,"node_type":"group","consolidated_metadata":""" +
           s"""{"kind":"inline","must_understand":false,"metadata":{$entries}}}"""
@@ -141,10 +141,21 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * reader learns which segments cover its chunk range without a read. */
   def listStatsSegments(): Seq[(Long, Int)] = {
     val dir = new Path(rootPath, ChunkStats.dirName)
-    try fs.listStatus(dir).toSeq
-      .flatMap(st => ChunkStats.parseSegmentName(st.getPath.getName))
-      .sortBy(_._1)
-    catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val raw =
+      try fs.listStatus(dir).toSeq
+        .flatMap(st => ChunkStats.parseSegmentName(st.getPath.getName))
+        .sortBy(_._1)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    // drop BOTH sides of any range overlap: two segments claiming one
+    // chunk ordinal means one is stale (e.g. left by a failed write whose
+    // ordinals a later append reused) and there is no way to tell which
+    // describes the bytes on disk — those chunks just decode-and-test,
+    // the scan stays exact
+    raw.filter { case (first, n) =>
+      raw.forall { case other @ (f2, n2) =>
+        other == ((first, n)) || first + n <= f2 || f2 + n2 <= first
+      }
+    }
   }
 
   /** Remove leftover staged stats segments (`_stats/c.part*`). */
@@ -174,5 +185,39 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     if (fs.exists(dir))
       fs.listStatus(dir).filter(_.getPath.getName.startsWith("c.part"))
         .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Delete committed (final-keyed) stats segments whose range starts at
+    * or after chunk ordinal `fromChunk`. Aligned appends write final
+    * segment keys from the tasks, so an aborted aligned append leaves
+    * segments describing chunks the store does not own (shape[0] excludes
+    * them) — they would poison coverage checks and, once a later append
+    * reuses those ordinals, describe since-overwritten chunks. Called
+    * from abort() and defensively before every write. */
+  def cleanStatsSegmentsFrom(fromChunk: Long): Unit = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        ChunkStats.parseSegmentName(st.getPath.getName).foreach { case (first, _) =>
+          if (first >= fromChunk) fs.delete(st.getPath, false)
+        }
+      }
+  }
+}
+
+object ZarrStore {
+  /** JSON string literal for `s` (quotes, backslashes, control chars) —
+    * an array name containing `"` must not corrupt the root document. */
+  def jsonQuote(s: String): String = {
+    val b = new StringBuilder(s.length + 2)
+    b.append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"')
+    b.toString
   }
 }

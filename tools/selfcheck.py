@@ -7,8 +7,20 @@ matching oracle SQL from oracle_sql.json in DuckDB against the parquet
 tables in <sfDir>. Compares row count, column names, and values
 (columns sorted by name, rows sorted canonically).
 """
-import sys, os, json, glob
+import sys, os, json, glob, tempfile
 import duckdb
+
+# DuckDB types the driver's hasher encodes differently from anything Spark
+# can emit, even when values are numerically equal. sum(BIGINT) in DuckDB
+# returns HUGEINT (int128); the driver hashes the typed value, so a
+# numerically-equal int64 from Spark still hash-mismatches. repr()-based
+# value compare can't see this, so flag the type itself.
+BAD_ORACLE_TYPES = ('HUGEINT', 'UHUGEINT')
+
+
+def hugeint_cols(rel):
+    return [c for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in BAD_ORACLE_TYPES]
 
 
 def canon(rows, cols):
@@ -26,7 +38,25 @@ def canon(rows, cols):
     return out
 
 
+def selftest():
+    """Regression: a deliberately-uncast sum (HUGEINT) must FAIL the check,
+    even though its values repr-compare equal to Spark's int64 output."""
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as tmp:
+        con.sql(f"COPY (SELECT 1::BIGINT AS x) TO '{tmp}/t.parquet'")
+        uncast = con.sql("SELECT sum(x) AS s FROM range(3) t(x)")
+        cast = con.sql("SELECT sum(x)::BIGINT AS s FROM range(3) t(x)")
+        assert hugeint_cols(uncast) == ['s'], \
+            f'uncast sum not flagged: types={uncast.types}'
+        assert hugeint_cols(cast) == [], \
+            f'cast sum wrongly flagged: types={cast.types}'
+    print('selftest PASS: uncast sum flagged as HUGEINT, cast sum clean')
+
+
 def main():
+    if sys.argv[1:] == ['--selftest']:
+        selftest()
+        return
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for tbl in ['region','nation','customer','supplier','part','orders',
@@ -49,6 +79,13 @@ def main():
             dcols, drows = d.columns, d.fetchall()
         except Exception as e:
             print(f'FAIL {name}: {e}')
+            n_fail += 1
+            continue
+        bad = hugeint_cols(d)
+        if bad:
+            print(f'FAIL {name}: oracle cols {bad} are HUGEINT — the driver '
+                  f'hashes int128 differently from Spark int64 even when '
+                  f'numerically equal; cast with ::BIGINT in the oracle SQL')
             n_fail += 1
             continue
         if sorted(scols) != sorted(dcols):
