@@ -179,6 +179,8 @@ class ZarrScanBuilder(
       case m: Min => colOf(m.column)
       case m: Max => colOf(m.column)
       case c: Count => colOf(c.column)
+      case s: Sum => colOf(s.column)
+      case a: Avg => colOf(a.column)
       case _ => None
     }.toSet
     // same cardinality semantics as the pruned scan would have: the grid
@@ -187,7 +189,17 @@ class ZarrScanBuilder(
     val geom =
       try ScanGeometry.resolve(aggMetas)
       catch { case _: ZarrException => return None }
-    lazy val ranges: Option[Map[String, (Any, Any)]] = fullCoverageRanges(geom)
+    lazy val covSegs: Option[Seq[ChunkStats.Segment]] = fullCoverageSegments(geom)
+    lazy val ranges: Option[Map[String, (Any, Any)]] = covSegs.map(rangesFrom)
+    lazy val sums: Option[Map[String, Long]] = covSegs.map(sumsFrom)
+    val integerTyped: Set[ZarrType] = Set(ZarrType.Int8, ZarrType.Int16,
+      ZarrType.Int32, ZarrType.Int64, ZarrType.UInt8, ZarrType.UInt16,
+      ZarrType.UInt32)
+    // SUM/AVG over zero rows is NULL, which this path does not model —
+    // and a 0-chunk grid trivially "covers fully"; decline instead
+    def exactSum(col: String): Option[Long] =
+      if (geom.numRows == 0 || !integerTyped(byName(col).dataType)) None
+      else sums.flatMap(_.get(col))
     val out = funcs.map {
       case _: CountStar =>
         Some((StructField("count_star", org.apache.spark.sql.types.LongType),
@@ -202,6 +214,20 @@ class ZarrScanBuilder(
       case m: Max =>
         colOf(m.column).flatMap(n => ranges.flatMap(_.get(n)).map(r =>
           (StructField(s"max_$n", byName(n).dataType.sparkType), r._2)))
+      case s: Sum if !s.isDistinct =>
+        // integer columns only: the sidecar's per-chunk sums are exact
+        // and merge exactly (floats decline — summation order would make
+        // the stored sum unreproducible against any engine's scan)
+        colOf(s.column).flatMap(n => exactSum(n).map(v =>
+          (StructField(s"sum_$n", org.apache.spark.sql.types.LongType), v: Any)))
+      case a: Avg if !a.isDistinct =>
+        // exact long sum / exact count, guarded so toDouble is lossless:
+        // the pushed AVG is the exactly-rounded true mean
+        colOf(a.column).flatMap(n => exactSum(n)
+          .filter(v => math.abs(v) <= (1L << 53))
+          .map(v =>
+            (StructField(s"avg_$n", org.apache.spark.sql.types.DoubleType),
+              v.toDouble / geom.numRows: Any)))
       case _ => None
     }
     if (out.exists(_.isEmpty)) None
@@ -212,17 +238,18 @@ class ZarrScanBuilder(
     * when segments cover EVERY chunk of the grid with a recorded range —
     * an uncovered or unrecorded chunk (including absent chunks, which
     * read as fill values) makes the bound unprovable. */
-  private def fullCoverageRanges(
-      geom: ScanGeometry): Option[Map[String, (Any, Any)]] = {
+  /** Sidecar segments parsed and proven to cover EXACTLY every chunk of
+    * the 1-D grid — the precondition for any metadata-only aggregate.
+    * Over-coverage (covered > total) means stale segments from a failed
+    * append describe phantom chunk ordinals and must not be trusted. */
+  private def fullCoverageSegments(
+      geom: ScanGeometry): Option[Seq[ChunkStats.Segment]] = {
     if (geom.ndim != 1) return None
     val total = geom.numChunks
     val segs = store.listStatsSegments()
     val covered = segs.foldLeft(0L) { case (next, (first, n)) =>
       if (first == next) next + n else return None
     }
-    // EXACT coverage required: covered > total means segments describe
-    // chunk ordinals past the grid (stale leftovers of a failed append)
-    // whose phantom min/max must not fold into a global aggregate
     if (covered != total) return None
     val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
     // a corrupt/unreadable segment simply declines the pushdown — the
@@ -233,9 +260,16 @@ class ZarrScanBuilder(
           .map(json => ChunkStats.parse(first, n, json, ztOf))
       } catch { case _: Throwable => return None }
     if (parsed.map(_.chunks.toLong).sum < total) return None
-    val cols = metas.map(_.name)
+    Some(parsed)
+  }
+
+  /** Global (min, max) per column — only columns with a recorded range
+    * in EVERY chunk (an unrecorded chunk, including absent chunks that
+    * read as fill values, makes the bound unprovable). */
+  private def rangesFrom(
+      parsed: Seq[ChunkStats.Segment]): Map[String, (Any, Any)] = {
     val b = Map.newBuilder[String, (Any, Any)]
-    cols.foreach { c =>
+    metas.map(_.name).foreach { c =>
       var lo: Any = null
       var hi: Any = null
       var ok = true
@@ -253,7 +287,33 @@ class ZarrScanBuilder(
       }
       if (ok && lo != null) b += c -> ((lo, hi))
     }
-    Some(b.result())
+    b.result()
+  }
+
+  /** Exact global sum per integer column — only columns with a recorded
+    * chunk sum in EVERY chunk; the merge uses addExact and drops the
+    * column on overflow (the pushed value must be the mathematical sum,
+    * never a wrapped one). */
+  private def sumsFrom(parsed: Seq[ChunkStats.Segment]): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    metas.map(_.name).foreach { c =>
+      var acc = 0L
+      var ok = true
+      parsed.foreach { seg =>
+        var ord = seg.first
+        while (ok && ord < seg.first + seg.chunks) {
+          seg.sum(c, ord) match {
+            case Some(s) =>
+              try acc = Math.addExact(acc, s)
+              catch { case _: ArithmeticException => ok = false }
+            case None => ok = false
+          }
+          ord += 1
+        }
+      }
+      if (ok) b += c -> acc
+    }
+    b.result()
   }
 
   // Spark probes supportCompletePushDown then pushAggregation with the

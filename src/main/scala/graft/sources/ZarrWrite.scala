@@ -389,6 +389,10 @@ final class ZarrDataWriter(
   // reader will see within the array's valid extent — padding is outside it)
   private val statsAcc: Array[scala.collection.mutable.ArrayBuffer[Option[(Any, Any)]]] =
     Array.fill(ncols)(scala.collection.mutable.ArrayBuffer.empty)
+  // per-chunk EXACT sums (integer columns only) — enables metadata-only
+  // SUM/AVG pushdown; computed over real rows, like min/max
+  private val sumAcc: Array[scala.collection.mutable.ArrayBuffer[Option[Long]]] =
+    Array.fill(ncols)(scala.collection.mutable.ArrayBuffer.empty)
 
   override def write(row: InternalRow): Unit = {
     var c = 0
@@ -416,7 +420,10 @@ final class ZarrDataWriter(
     while (c < ncols) {
       val zt = zts(c)
       val vals = buf(c)
-      if (stats) statsAcc(c) += ChunkStats.minMax(zt, vals)
+      if (stats) {
+        statsAcc(c) += ChunkStats.minMax(zt, vals)
+        sumAcc(c) += ChunkStats.chunkSum(zt, vals)
+      }
       // pad edge chunk to full chunk_shape with the array's declared
       // fill_value (Zarr v3 stores full chunks; the reader truncates via
       // array shape) — a conforming writer pads with fill_value, not
@@ -450,7 +457,7 @@ final class ZarrDataWriter(
     if (stats && localChunk > 0) {
       val doc = ChunkStats.encode(
         schema.fields.toSeq.zipWithIndex.map { case (f, c) =>
-          (f.name, zts(c), statsAcc(c).toIndexedSeq)
+          (f.name, zts(c), statsAcc(c).toIndexedSeq, sumAcc(c).toIndexedSeq)
         })
       val key =
         if (rowsPerPartition > 0)

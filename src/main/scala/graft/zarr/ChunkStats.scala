@@ -75,16 +75,49 @@ object ChunkStats {
 
   /** Encode one segment: per column, parallel min/max arrays with `null`
     * for chunks without a recorded range. */
-  def encode(cols: Seq[(String, ZarrType, IndexedSeq[Option[(Any, Any)]])]): String = {
+  /** Exact sum of one chunk's values for integer-typed columns, or None
+    * when the type is not exactly summable (strings, bools, floats —
+    * float summation is order-dependent, so a stored float sum could not
+    * reproduce an engine's scan result — and UInt64) or when the exact
+    * sum overflows Long (a pushed SUM must be the mathematical sum; an
+    * overflow's wrapped value would silently disagree with ANSI mode). */
+  def chunkSum(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[Long] = {
+    if (vals.isEmpty) return None
+    val asLong: Any => Long = zt match {
+      case ZarrType.Int8 => v => v.asInstanceOf[Byte].toLong
+      case ZarrType.Int16 => v => v.asInstanceOf[Short].toLong
+      case ZarrType.Int32 => v => v.asInstanceOf[Int].toLong
+      case ZarrType.Int64 => v => v.asInstanceOf[Long]
+      case ZarrType.UInt8 => v => v.asInstanceOf[Short].toLong
+      case ZarrType.UInt16 => v => v.asInstanceOf[Int].toLong
+      case ZarrType.UInt32 => v => v.asInstanceOf[Long]
+      case _ => return None
+    }
+    try {
+      var s = 0L
+      vals.foreach(v => s = Math.addExact(s, asLong(v)))
+      Some(s)
+    } catch { case _: ArithmeticException => None }
+  }
+
+  def encode(cols: Seq[(String, ZarrType, IndexedSeq[Option[(Any, Any)]],
+      IndexedSeq[Option[Long]])]): String = {
     val root = mapper.createObjectNode()
     val colsNode = root.putObject("cols")
-    cols.foreach { case (name, zt, ranges) =>
+    cols.foreach { case (name, zt, ranges, sums) =>
       val c = colsNode.putObject(name)
       val mins = c.putArray("min")
       val maxs = c.putArray("max")
       ranges.foreach {
         case Some((lo, hi)) => putVal(mins, zt, lo); putVal(maxs, zt, hi)
         case None => mins.addNull(); maxs.addNull()
+      }
+      if (sums.exists(_.isDefined)) {
+        val ss = c.putArray("sum")
+        sums.foreach {
+          case Some(s) => ss.add(s)
+          case None => ss.addNull()
+        }
       }
     }
     mapper.writeValueAsString(root)
@@ -124,13 +157,21 @@ object ChunkStats {
   /** One parsed segment covering chunk ordinals [first, first+chunks). */
   final case class Segment(
       first: Long, chunks: Int,
-      cols: Map[String, (Array[Any], Array[Any])]) {
+      cols: Map[String, (Array[Any], Array[Any])],
+      sums: Map[String, Array[java.lang.Long]] = Map.empty) {
     def contains(ord: Long): Boolean = ord >= first && ord < first + chunks
     /** Range of `col` at ordinal `ord`, or None when unrecorded. */
     def range(col: String, ord: Long): Option[(Any, Any)] =
       cols.get(col).flatMap { case (mins, maxs) =>
         val i = (ord - first).toInt
         if (i < mins.length && mins(i) != null) Some((mins(i), maxs(i))) else None
+      }
+    /** Exact sum of `col` at ordinal `ord`, or None when unrecorded
+      * (pre-sum sidecars, non-integer columns, chunk-level overflow). */
+    def sum(col: String, ord: Long): Option[Long] =
+      sums.get(col).flatMap { ss =>
+        val i = (ord - first).toInt
+        if (i < ss.length && ss(i) != null) Some(ss(i).longValue) else None
       }
   }
 
@@ -166,7 +207,27 @@ object ChunkStats {
         }
       }
     }
-    Segment(first, chunks, b.result())
+    val sb = Map.newBuilder[String, Array[java.lang.Long]]
+    if (colsNode != null) {
+      val it = colsNode.fieldNames()
+      while (it.hasNext) {
+        val name = it.next()
+        if (ztOf(name).isDefined) {
+          val sumsN = colsNode.get(name).get("sum")
+          if (sumsN != null) {
+            val ss = new Array[java.lang.Long](chunks)
+            var i = 0
+            val n = math.min(chunks, sumsN.size())
+            while (i < n) {
+              if (!sumsN.get(i).isNull) ss(i) = sumsN.get(i).asLong()
+              i += 1
+            }
+            sb += name -> ss
+          }
+        }
+      }
+    }
+    Segment(first, chunks, b.result(), sb.result())
   }
 
   // ---- sound interval evaluation -----------------------------------------

@@ -64,10 +64,47 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     // grouped: must scan
     val g = df.groupBy(expr("id % 2").as("p")).agg(count(lit(1)).as("n"))
     assert(g.collect().map(_.getLong(1)).sorted.toSeq == Seq(40L, 40L))
-    // sum is not answerable from min/max
-    assert(!df.agg(sum("id")).queryExecution.executedPlan.toString
+  }
+
+  test("sum/avg answer from sidecar chunk sums with ZERO chunk reads") {
+    val df = spark.read.format("zarr").load(s"graftstat://$base/store")
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(sum("id").as("s"), avg("id").as("a")).collect()(0)
+    assert(r.getLong(0) == (0L until 80L).sum)
+    assert(r.getDouble(1) == (0L until 80L).sum.toDouble / 80)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/store/(id|v|name)/c/\\d+$"))
+    assert(chunkOpens.isEmpty,
+      s"sidecar sum/avg read chunks: ${chunkOpens.mkString(", ")}")
+    assert(df.agg(sum("id")).queryExecution.executedPlan.toString
       .contains("ZarrAggScan"))
-    assert(df.agg(sum("id")).collect()(0).getLong(0) == (0L until 80L).sum)
+    // doubles decline: a stored float sum is summation-order-dependent
+    // and could not reproduce an engine's scan result
+    assert(!df.agg(sum("v")).queryExecution.executedPlan.toString
+      .contains("ZarrAggScan"))
+    assert(df.agg(sum("v")).collect()(0).getDouble(0) == (0 until 80).map(100.5 - _).sum)
+    // strings can never sum; mixed provable/unprovable declines the batch
+    assert(!df.agg(sum("id"), sum("v")).queryExecution.executedPlan.toString
+      .contains("ZarrAggScan"))
+  }
+
+  test("sum/avg decline on partial sidecar coverage; scan stays exact") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/partialsum"
+    (0 until 80).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(url)
+    // append WITHOUT stats: chunks 5.. have no segment, coverage is partial
+    (80 until 96).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+      .coalesce(1).write.format("zarr").mode("append")
+      .option("chunk_size", "16").option("stats", "false").save(url)
+    val df = spark.read.format("zarr").load(url)
+    val plan = df.agg(sum("id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("ZarrAggScan"), s"partial coverage must scan\n$plan")
+    assert(df.agg(sum("id")).collect()(0).getLong(0) == (0L until 96L).sum)
+    // count still answers from shapes alone
+    assert(df.agg(count(lit(1))).queryExecution.executedPlan.toString
+      .contains("ZarrAggScan"))
   }
 
   test("count(*) pushes even without a stats sidecar; min/max falls back") {

@@ -48,8 +48,10 @@ class StatsHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ordinals the store's shape does not own, claiming an id range far
     // outside the real data
     store.writeText(ChunkStats.segmentKey(5, 2), ChunkStats.encode(Seq(
-      ("id", ZarrType.Int64, IndexedSeq(Some((9999L, 99999L)), Some((9999L, 99999L)))),
-      ("v", ZarrType.Float64, IndexedSeq(Some((0.0, 0.0)), Some((0.0, 0.0)))))))
+      ("id", ZarrType.Int64, IndexedSeq(Some((9999L, 99999L)), Some((9999L, 99999L))),
+        IndexedSeq(None, None)),
+      ("v", ZarrType.Float64, IndexedSeq(Some((0.0, 0.0)), Some((0.0, 0.0))),
+        IndexedSeq(None, None)))))
 
     // coverage is now 7 chunks for a 5-chunk grid: pushdown must decline
     // (a pushed MAX would otherwise answer 99999) and the scan stays exact
@@ -81,8 +83,10 @@ class StatsHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     // that are no longer there — it overlaps the good (0,5) segment and
     // neither can be trusted for the contested ordinals
     store.writeText(ChunkStats.segmentKey(2, 2), ChunkStats.encode(Seq(
-      ("id", ZarrType.Int64, IndexedSeq(Some((500L, 500L)), Some((600L, 600L)))),
-      ("v", ZarrType.Float64, IndexedSeq(Some((0.0, 0.0)), Some((0.0, 0.0)))))))
+      ("id", ZarrType.Int64, IndexedSeq(Some((500L, 500L)), Some((600L, 600L))),
+        IndexedSeq(None, None)),
+      ("v", ZarrType.Float64, IndexedSeq(Some((0.0, 0.0)), Some((0.0, 0.0))),
+        IndexedSeq(None, None)))))
     assert(store.listStatsSegments().isEmpty,
       "overlapping segments must both be ignored")
     // with the sidecar disabled the filtered read decode-and-tests — a
