@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer kernel (`bpe_count`).
+  *
+  * Real tokenizer-fidelity token counting: words (ASCII-letter runs,
+  * case-folded) start as characters and a rank-ordered merges table is
+  * applied exactly as priority BPE would — repeatedly merge the
+  * lowest-rank adjacent pair, all non-overlapping occurrences left to
+  * right. Because the table is constrained to well-founded merges with
+  * `a != b` (validated in [[BpeOps.buildTable]]), merging rank r can
+  * never create or reveal a pair of rank < r, so one ascending pass over
+  * ranks with a single left-to-right sweep per rank IS the priority
+  * algorithm — no heap, no rescans. That same property is what makes the
+  * result reproducible in a SQL oracle as iterated string replacement.
+  *
+  * Scale: scan-local (zero shuffles); the merges table is a plan literal
+  * built once per plan and shipped inside the serialized expression, so
+  * executors pay nothing per row beyond the merge sweeps.
+  */
+object BpeOps {
+
+  /** Default tiny English merge table, rank-ordered. Each entry "a b"
+    * merges adjacent tokens a+b. Kept deliberately small so the oracle's
+    * recursive replacement stays cheap; the kernel accepts any
+    * well-founded table. */
+  val defaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "r" -> "e", "o" -> "n", "a" -> "t", "e" -> "n", "o" -> "r",
+    "t" -> "i", "an" -> "d", "in" -> "g", "o" -> "u", "e" -> "s",
+    "s" -> "t")
+
+  final class BpeTable(val a: Array[String], val b: Array[String],
+      val ab: Array[String]) extends Serializable
+
+  /** Build + validate a merges table from "a b" strings. Rejects tables
+    * where the priority-BPE == rank-order-sweep equivalence (and the SQL
+    * oracle construction) would not hold. */
+  def buildTable(arr: ArrayData): BpeTable = {
+    val n = arr.numElements()
+    val as = new Array[String](n)
+    val bs = new Array[String](n)
+    val abs = new Array[String](n)
+    val produced = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < n) {
+      val parts = arr.getUTF8String(i).toString.split(" ")
+      require(parts.length == 2, s"bpe_count: merge ${i + 1} must be 'a b'")
+      val (a, b) = (parts(0), parts(1))
+      require(a.nonEmpty && b.nonEmpty && a != b,
+        s"bpe_count: merge ${i + 1} ($a,$b) must have two distinct non-empty tokens")
+      require((a + b).forall(c => c >= 'a' && c <= 'z'),
+        s"bpe_count: merge ${i + 1} ($a,$b) must be lowercase ASCII letters")
+      def known(t: String) = t.length == 1 || produced.contains(t)
+      require(known(a) && known(b),
+        s"bpe_count: merge ${i + 1} ($a,$b) uses a token no earlier merge produces")
+      as(i) = a; bs(i) = b; abs(i) = a + b
+      produced += a + b
+      i += 1
+    }
+    new BpeTable(as, bs, abs)
+  }
+
+  private val CHARS: Array[String] = Array.tabulate(26)(i => ('a' + i).toChar.toString)
+
+  def bpeCount(text: UTF8String, t: BpeTable): Int = {
+    val s = text.toString
+    val n = s.length
+    val word = new java.util.ArrayList[String](32)
+    var total = 0
+    var i = 0
+    while (i <= n) {
+      val c0 = if (i < n) s.charAt(i) else ' '
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c >= 'a' && c <= 'z') word.add(CHARS(c - 'a'))
+      else if (!word.isEmpty) {
+        total += mergedSize(word, t)
+        word.clear()
+      }
+      i += 1
+    }
+    total
+  }
+
+  /** Apply every merge in rank order (one left-to-right sweep each —
+    * sufficient: an (a,b) merge with a != b cannot create a new (a,b)
+    * occurrence) and return the surviving token count. Mutates `word`. */
+  private def mergedSize(word: java.util.ArrayList[String], t: BpeTable): Int = {
+    var r = 0
+    while (r < t.a.length && word.size > 1) {
+      val a = t.a(r); val b = t.b(r); val ab = t.ab(r)
+      var i = 0
+      var w = 0
+      while (i < word.size) {
+        if (i < word.size - 1 && word.get(i) == a && word.get(i + 1) == b) {
+          word.set(w, ab); i += 2
+        } else {
+          if (w != i) word.set(w, word.get(i))
+          i += 1
+        }
+        w += 1
+      }
+      var k = word.size - 1
+      while (k >= w) { word.remove(k); k -= 1 }
+      r += 1
+    }
+    word.size
+  }
+}
+
+/** `bpe_count(text, merges)` — BPE token count of `text` under the
+  * rank-ordered merges table (array of "a b" strings). A literal table
+  * is validated and compiled once per plan. */
+case class BpeCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_count"
+  @transient private lazy val table: BpeOps.BpeTable =
+    BpeOps.buildTable(right.eval(null).asInstanceOf[ArrayData])
+  override def nullSafeEval(text: Any, merges: Any): Any =
+    if (right.foldable) BpeOps.bpeCount(text.asInstanceOf[UTF8String], table)
+    else BpeOps.bpeCount(text.asInstanceOf[UTF8String],
+      BpeOps.buildTable(merges.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (right.foldable) {
+      val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeOps.BpeTable].getName)
+      defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeOps.bpeCount($t, $ref)")
+    } else {
+      defineCodeGen(ctx, ev, (t, m) =>
+        s"graft.functions.BpeOps.bpeCount($t, graft.functions.BpeOps.buildTable($m))")
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -192,7 +192,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => ShinglesK(children(0), children(1))),
       (FunctionIdentifier("count_in"),
         new ExpressionInfo(classOf[CountIn].getName, "count_in"),
-        (children: Seq[Expression]) => CountIn(children(0), children(1))))
+        (children: Seq[Expression]) => CountIn(children(0), children(1))),
+      (FunctionIdentifier("bpe_count"),
+        new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
+        (children: Seq[Expression]) => BpeCount(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

@@ -178,5 +178,57 @@ object TextOps {
         .groupBy("content_fp")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("content_fp")
+    },
+
+    // ---- REAL tokenizer-fidelity token counting: priority BPE over a
+    //      rank-ordered merges table (the `bpe_count` native kernel —
+    //      scan-local, table compiled once per plan; see BpeFunctions
+    //      for the equivalence argument that also makes the oracle's
+    //      recursive iterated-replacement formulation exact) ----
+    {
+      import graft.functions.BpeOps.defaultMerges
+      val mergeRows = defaultMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"(${i + 1},'|$a|$b|','|$a$b|')"
+      }.mkString(",")
+      val m = defaultMerges.length
+      val mergeArr = defaultMerges.map { case (a, b) => s"'$a $b'" }.mkString(",")
+      QueryDef.sql(
+        "q87_bpe_tokens",
+        // words → '|'-delimited character tokens; each merge rank applied
+        // by replace() to fixpoint (the recursion re-applies a rank until
+        // the string stops changing — replace() consumes the shared
+        // delimiter of adjacent occurrences, so one pass can miss every
+        // other occurrence), then ranks advance. With a != b merges this
+        // is exactly priority BPE — same argument as the kernel's.
+        s"""WITH RECURSIVE merges(i, pat, rep) AS (
+           |  SELECT * FROM (VALUES $mergeRows) t(i, pat, rep)
+           |),
+           |prep AS (
+           |  SELECT doc_id,
+           |    '|' || replace(regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')),
+           |                                  '([a-z])', '\\1|', 'g'),
+           |                   ' ', ' |') AS s
+           |  FROM documents
+           |),
+           |bpe(doc_id, s, i) AS (
+           |  SELECT doc_id, s, 1 FROM prep
+           |  UNION ALL
+           |  SELECT b.doc_id, replace(b.s, m.pat, m.rep),
+           |         CASE WHEN replace(b.s, m.pat, m.rep) = b.s THEN b.i + 1 ELSE b.i END
+           |  FROM bpe b JOIN merges m ON m.i = b.i
+           |  WHERE b.i <= $m
+           |)
+           |SELECT doc_id,
+           |  len(list_filter(string_split(s, '|'),
+           |                  x -> regexp_matches(x, '^[a-z]+$$')))::BIGINT AS n_bpe_tokens
+           |FROM bpe WHERE i = $m + 1
+           |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        graft.functions.VectorFunctions.register(s)
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr(s"cast(bpe_count(text, array($mergeArr)) as bigint)")
+              .as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      }
     })
 }
