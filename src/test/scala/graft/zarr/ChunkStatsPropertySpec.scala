@@ -43,6 +43,26 @@ class ChunkStatsPropertySpec extends AnyFunSuite {
     new PrimColumn(ZarrType.Int64, bb.array(), ByteOrder.LITTLE_ENDIAN)
   }
 
+  test("chunkSum is the exact mathematical sum or None, never a wrapped value (2000 cases)") {
+    (0 until 2000).foreach { i =>
+      // mix magnitudes so some chunk sums overflow Long mid-accumulation
+      val mag = if (i % 3 == 0) Long.MaxValue / 2 else 1000L
+      val vals = Seq.fill(1 + rnd.nextInt(12))(
+        (rnd.nextLong() % mag) * (if (rnd.nextBoolean()) 1 else -1))
+      val exact = vals.map(BigInt(_)).sum
+      ChunkStats.chunkSum(ZarrType.Int64, vals.map(v => v: Any)) match {
+        case Some(s) => assert(BigInt(s) == exact, s"vals=$vals")
+        case None =>
+          // None is only legitimate when SOME prefix accumulation
+          // overflows; verify the exact sum cannot be represented by
+          // any left-to-right exact accumulation
+          val overflows = vals.scanLeft(BigInt(0))(_ + _).exists(p =>
+            p < BigInt(Long.MinValue) || p > BigInt(Long.MaxValue))
+          assert(overflows, s"declined without overflow: vals=$vals")
+      }
+    }
+  }
+
   test("a stats skip is always confirmed by the decode-and-test skip (2000 cases)") {
     var skips = 0
     (0 until 2000).foreach { _ =>

@@ -105,6 +105,31 @@ class StatsHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.listStatsSegments() == Seq((0L, 5)))
   }
 
+  test("pushed SUM/AVG equals the scanned truth on random stores (staged + aligned)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7L)
+    (0 until 6).foreach { trial =>
+      val n = 30 + rnd.nextInt(120)
+      val data = Seq.fill(n)(rnd.nextLong() % 100000L)
+      val url = s"file://$base/sumprop$trial"
+      val df0 = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+      // staged path: one partition (middle partitions must be
+      // chunk-aligned, which random n is not)
+      val w = df0.coalesce(1)
+        .write.format("zarr").mode("overwrite").option("chunk_size", "16")
+      // alternate staged and aligned write paths
+      (if (trial % 2 == 0) w
+       else graft.sources.ZarrWriteSupport.alignForWrite(df0, 16 * 4)
+         .write.format("zarr").mode("overwrite").option("chunk_size", "16")
+         .option("rows_per_partition", (16 * 4).toString)).save(url)
+      val df = spark.read.format("zarr").load(url)
+      val r = df.agg(sum("x").as("s"), avg("x").as("a")).collect()(0)
+      val written = df.select("x").collect().map(_.getLong(0))
+      assert(r.getLong(0) == written.sum, s"trial $trial")
+      assert(r.getDouble(1) == written.sum.toDouble / written.length, s"trial $trial")
+    }
+  }
+
   test("root metadata document survives array names with quotes/backslashes") {
     assert(ZarrStore.jsonQuote("plain") == "\"plain\"")
     val hostile = "we\"ird\\name"
