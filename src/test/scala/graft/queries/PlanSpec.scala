@@ -102,6 +102,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p49).length <= 1, p49)
   }
 
+  test("q87: BPE counting is scan-local — one range exchange for ORDER BY only") {
+    // (codegen'd execution of bpe_count itself is pinned in BpeSpec)
+    val p = plan("q87_bpe_tokens")
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q47: both session windows share one user_id shuffle") {
     val p = plan("q47_sessionize")
     // 1 hash exchange (windows) + 1 (session agg) + at most 1 range (sort)
