@@ -69,9 +69,14 @@ object Dedup {
           explode(col("sh")).as("shingle")).persist())
       val a = ex.as("a")
       val b = ex.as("b")
+      // length filter (exact, from the set-similarity-join literature):
+      // J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.5 requires the
+      // sizes within 2x of each other — prune those pairs inside the
+      // join, before they fan into the aggregate
       val common = a.join(b,
         col("a.shingle") === col("b.shingle") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.sz").as("sa"), col("b.sz").as("sb"))
         .agg(count(lit(1)).as("c"))

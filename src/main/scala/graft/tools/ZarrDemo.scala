@@ -83,6 +83,13 @@ object ZarrDemo {
       back.agg(count(lit(1)), min(col("id")), max(col("half"))).collect().mkString)
     println("=== stats segments: " +
       ZarrStore(outStore).listStatsSegments().mkString(", "))
+    // round 7: exact per-chunk integer sums in the sidecar extend the
+    // metadata-only surface to SUM/AVG
+    val sumPlan = back.agg(sum(col("id")), avg(col("id")))
+      .queryExecution.executedPlan.toString
+    println("=== metadata-only SUM/AVG plan uses ZarrAggScan: " +
+      sumPlan.contains("ZarrAggScan") + ", values: " +
+      back.agg(sum(col("id")), avg(col("id"))).collect().mkString)
     println("=== filtered scan (stats skip chunks below id 900): " +
       back.filter(col("id") >= 900).count() + " rows")
 
