@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
   *    contamination, sampling/mixing, source-overlap matrix (q46-q49, q51-q55, q57-q58)
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
-  *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56)
+  *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56),
+  *    SemDeDup cluster-bounded semantic dedup (q88)
   *  - [[graft.queries.Quality]]      — passage chunking, vocab stats,
   *    Gopher filter, bloom decontamination, token-budget mix, bigram LM,
   *    embedding outliers (q59-q65)

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Embedding-space clustering for corpus curation: k-means over the
   * `embeddings` table (the "cluster then balance/filter the mixture"
   * step of a training-data pipeline, and the coarse quantizer training
-  * behind the q42 IVF index).
+  * behind the q42 IVF index), plus SemDeDup-style cluster-bounded
+  * semantic deduplication (q88).
   *
   * Scale shape (100 TB): the assignment pass is a pure scan — centroids
   * travel as a plan literal (k×dim doubles, the degenerate broadcast),
@@ -124,6 +125,72 @@ object Clustering {
       assign(emb, cents)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           array_min(col("d")).as("dist"))
+        .orderBy("vec_id")
+    },
+
+    // ---- SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-
+    //      assign every embedding to a cluster, then search for near-
+    //      duplicates ONLY within each cluster — pairwise work drops from
+    //      O(n²) to O(n·n/k). A doc is dropped when any smaller-id doc in
+    //      its cluster has cosine ≥ τ (the deterministic keep-first rule;
+    //      same discipline as exact dedup q34 / MinHash q36).
+    //
+    //      Scale shape (100 TB): assignment is a pure scan (centroids are
+    //      a plan literal; at production k they are a broadcast table —
+    //      SemDeDup uses ~50k clusters for 100M+ docs, bounding each
+    //      cluster to ~n/k rows). The pair search is a plain equi join on
+    //      the cluster id — one shuffle, per-key work bounded by the
+    //      cluster size, nothing all-pairs. Cosine rounds to 6dp BEFORE
+    //      the τ compare in both engines, so summation noise cannot flip
+    //      a borderline pair. ----
+    QueryDef.sql(
+      "q88_semdedup",
+      """WITH e AS (
+        |  SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cl, emb AS c FROM e WHERE vec_id < 8
+        |), l0 AS (SELECT list(c ORDER BY cl) AS cents FROM c0),
+        |a AS (
+        |  SELECT vec_id, embedding, list_position(d, list_min(d)) - 1 AS cluster
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      list_transform(cents, c -> round(list_sum(list_transform(
+        |        generate_series(1, 64), i -> (emb[i] - c[i]) * (emb[i] - c[i]))), 6)) AS d
+        |    FROM e, l0)
+        |), p AS (
+        |  SELECT b.vec_id AS vb
+        |  FROM a x JOIN a b ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> (x.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE))) /
+        |        (sqrt(list_sum(list_transform(x.embedding, v -> (v::DOUBLE) * (v::DOUBLE)))) *
+        |         sqrt(list_sum(list_transform(b.embedding, v -> (v::DOUBLE) * (v::DOUBLE))))), 6)
+        |        >= 0.35)
+        |SELECT vec_id, cluster::BIGINT AS cluster,
+        |  (CASE WHEN vec_id IN (SELECT vb FROM p) THEN 0 ELSE 1 END)::BIGINT AS keep
+        |FROM a ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents: Array[Array[Double]] = emb.filter(col("vec_id") < K)
+        .orderBy("vec_id").select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      // (vec_id, embedding, nrm, cluster): norm computed once per row, not
+      // once per pair
+      val assigned = assign(emb, cents)
+        .select(col("vec_id"), col("embedding"), col("cluster"),
+          expr("norm_f32(embedding)").as("nrm"))
+      val a = assigned.as("a")
+      val b = assigned.as("b")
+      // dot_f32 sums left-to-right and is symmetric in its arguments
+      val cos = round(expr("dot_f32(a.embedding, b.embedding)") /
+        (col("a.nrm") * col("b.nrm")), 6)
+      val dropped = a.join(b,
+          col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        .where(cos >= 0.35)
+        .select(col("b.vec_id").as("dup_id")).distinct()
+      assigned.join(dropped, col("vec_id") === col("dup_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          when(col("dup_id").isNull, 1L).otherwise(0L).as("keep"))
         .orderBy("vec_id")
     })
 }

@@ -109,6 +109,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("q88: semantic dedup pair search is a cluster equi join — nothing all-pairs") {
+    val p = plan("q88_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q47: both session windows share one user_id shuffle") {
     val p = plan("q47_sessionize")
     // 1 hash exchange (windows) + 1 (session agg) + at most 1 range (sort)
