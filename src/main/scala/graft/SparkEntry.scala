@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Query registry is assembled from the per-area modules:
   *  - [[graft.queries.Relational]] — SURVEY §2B relational surface (q01-q24)
-  *  - [[graft.queries.Extras]]     — json/math/array functions, salted agg (q25-q28)
+  *  - [[graft.queries.Extras]]     — json/math/array functions, salted agg,
+  *    HLL + KMV distinct sketches (q25-q29, q89)
   *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/exact-dedup (q30-q34)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN (q38-q40)

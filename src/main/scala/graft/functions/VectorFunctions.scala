@@ -195,7 +195,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => CountIn(children(0), children(1))),
       (FunctionIdentifier("bpe_count"),
         new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
-        (children: Seq[Expression]) => BpeCount(children(0), children(1))))
+        (children: Seq[Expression]) => BpeCount(children(0), children(1))),
+      (FunctionIdentifier("kmv_sketch"),
+        new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+        (children: Seq[Expression]) => KmvSketch(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

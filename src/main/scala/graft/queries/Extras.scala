@@ -94,6 +94,47 @@ object Extras {
             .as("orders_within_5pct"))
     },
 
+    // ---- sketches, oracle-checkable: KMV (k-minimum-values) distinct
+    //      estimate over a deterministic md5-derived 52-bit hash. Unlike
+    //      HLL (q29) the whole computation is engine-independent, so the
+    //      DuckDB oracle reproduces the estimate bit-for-bit: it ranks
+    //      the same distinct hashes and reads the same k-th smallest.
+    //      Scale shape: the native kmv_sketch aggregate keeps ≤k longs of
+    //      state per group, partials merge by union+truncate — map-side
+    //      combine reduces every partition to ≤k longs per group before
+    //      the ONE shuffle (collect_set would ship every distinct value).
+    //      Estimator (Bar-Yossef et al.): (k-1) * 2^52 / h_k; exact count
+    //      when fewer than k distinct hashes exist. ----
+    QueryDef.sql(
+      "q89_kmv_distinct",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type,
+        |  round(CASE WHEN max(n) < 32 THEN max(n)::DOUBLE
+        |        ELSE 31::DOUBLE * 4503599627370496::DOUBLE /
+        |             max(CASE WHEN rk = 32 THEN hv END) END, 4) AS kmv_users
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr(
+          "kmv_sketch(cast(conv(substring(md5(cast(user_id as string)), 1, 13), 16, 10) as bigint), 32)")
+          .as("sk"))
+        .select(col("event_type"),
+          round(when(col("sk.n") < 32, col("sk.n").cast("double"))
+            .otherwise(lit(31.0) * lit(4503599627370496.0) / col("sk.kth")), 4)
+            .as("kmv_users"))
+        .orderBy("event_type")
+    },
+
     // ---- skew-handling: salted aggregation-join. The salt spreads a hot
     //      key across 8 shuffle partitions before the final combine; the
     //      oracle states the logically-identical unsalted form. ----
