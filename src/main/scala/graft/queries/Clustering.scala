@@ -188,7 +188,10 @@ object Clustering {
           col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
         .where(cos >= 0.35)
         .select(col("b.vec_id").as("dup_id")).distinct()
-      assigned.join(dropped, col("vec_id") === col("dup_id"), "left")
+      // final flag join is narrow on both sides: (vec_id, cluster) vs the
+      // dropped-id set — embeddings do not ride through this shuffle
+      assigned.select(col("vec_id"), col("cluster"))
+        .join(dropped, col("vec_id") === col("dup_id"), "left")
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           when(col("dup_id").isNull, 1L).otherwise(0L).as("keep"))
         .orderBy("vec_id")
