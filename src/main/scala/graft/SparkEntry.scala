@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
-  *    contamination, sampling/mixing, source-overlap matrix (q46-q49, q51-q55, q57-q58)
+  *    contamination, sampling/mixing, source-overlap matrix, weighted
+  *    reservoir sampling (q46-q49, q51-q55, q57-q58, q90)
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
   *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56),
   *    SemDeDup cluster-bounded semantic dedup (q88)

@@ -410,5 +410,37 @@ object Pipeline {
             " < (CASE WHEN lang = 'en' THEN 8 ELSE 2 END)"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // ---- weighted reservoir sampling (Efraimidis-Spirakis A-ES):
+    //      key_i = ln(u_i) / w_i with u_i uniform on (0,1], take the k
+    //      largest keys — inclusion probability proportional to weight
+    //      (here n_chars: longer docs more likely sampled). u_i is
+    //      md5-derived, so the "random" draw is deterministic and both
+    //      engines select the identical sample.
+    //      Scale shape: keys are scan-local arithmetic; the k largest
+    //      come from per-partition top-k merged on the driver
+    //      (TakeOrderedAndProject, pinned in PlanSpec) — no shuffle, no
+    //      sort of the corpus; this is THE one-pass distributed weighted
+    //      sampler. Keys are rounded to 9dp pre-rank in both engines
+    //      (ties broken by doc_id) so a last-ulp ln() divergence cannot
+    //      flip the selection. ----
+    QueryDef.sql(
+      "q90_weighted_sample",
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+        |             / 4503599627370496.0) / n_chars, 9) AS skey
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, skey
+        |FROM k ORDER BY skey DESC, doc_id LIMIT 64""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(
+            log((expr(
+              "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+              + lit(1)) / lit(4503599627370496.0)) / col("n_chars"), 9).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(64)
     })
 }

@@ -115,6 +115,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q90: weighted reservoir sample is per-partition top-k — no shuffle, no global sort") {
+    val p = plan("q90_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"keys are scan-local; nothing may shuffle\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q47: both session windows share one user_id shuffle") {
     val p = plan("q47_sessionize")
     // 1 hash exchange (windows) + 1 (session agg) + at most 1 range (sort)
