@@ -455,7 +455,9 @@ class ZarrScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ZarrMicroBatchStream(
       store, readNames, required.fields.map(_.name).toSeq, pushed.toSeq,
-      checkpointLocation)
+      checkpointLocation,
+      maxChunksPerTrigger =
+        Option(options.get("max_chunks_per_trigger")).map(_.toLong).getOrElse(-1L))
 
   override def description(): String =
     s"ZarrScan ${store.root} cols=[${readNames.mkString(",")}] " +

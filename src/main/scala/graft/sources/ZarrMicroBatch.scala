@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.zarr._
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 
 /** Streaming read of a Zarr store that GROWS along its first dimension
@@ -17,6 +17,15 @@ import org.apache.spark.sql.sources.Filter
   * under dim-0 growth because the row-major grid suffix (dims 1..n) is
   * fixed.
   *
+  * Admission control: `option("max_chunks_per_trigger", n)` caps each
+  * micro-batch at n chunk ordinals (the unit is CHUNKS, not rows — one
+  * chunk decodes to `product(chunk_shape)` rows). Without it, a stream
+  * starting against an existing large store — or catching up after
+  * downtime — would take the ENTIRE backlog as one micro-batch: one
+  * giant checkpoint interval, no progress visibility, and executor
+  * memory sized by backlog instead of by trigger. Same contract as the
+  * Kafka/file sources' maxOffsetsPerTrigger/maxFilesPerTrigger.
+  *
   *   spark.readStream.format("zarr").load(path)
   */
 final case class ZarrOffset(chunks: Long) extends Offset {
@@ -28,8 +37,9 @@ class ZarrMicroBatchStream(
     arrayNames: Seq[String],
     outputNames: Seq[String],
     pushed: Seq[Filter],
-    checkpointLocation: String)
-    extends MicroBatchStream {
+    checkpointLocation: String,
+    maxChunksPerTrigger: Long = -1L)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def currentGeometry(): (ScanGeometry, Seq[(String, String)]) = {
     val metas = arrayNames.map(store.readMeta)
@@ -40,7 +50,7 @@ class ZarrMicroBatchStream(
 
   override def initialOffset(): Offset = ZarrOffset(0L)
 
-  override def latestOffset(): Offset = {
+  private def availableOffset(): ZarrOffset = {
     val (g, _) = currentGeometry()
     // only COMPLETE dim-0 chunk slabs are committed: a partial trailing
     // chunk must not advance the offset, or rows later appended into that
@@ -50,6 +60,34 @@ class ZarrMicroBatchStream(
     val fixedGrid = (1 until g.ndim).map(d => g.gridShape(d).toLong).product
     ZarrOffset(completeDim0 * fixedGrid)
   }
+
+  override def latestOffset(): Offset = availableOffset()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxChunksPerTrigger > 0) ReadLimit.maxRows(maxChunksPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Trigger.AvailableNow contract: the run drains up to the head seen
+    * HERE (in capped batches), then stops — appends racing the run are
+    * left for the next one. */
+  @volatile private var availableNowSnapshot: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowSnapshot = Some(availableOffset().chunks)
+
+  /** Engine entry point when admission control is active: cap this
+    * batch's end offset at start + the configured chunk budget. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = availableNowSnapshot.getOrElse(availableOffset().chunks)
+    val lo = start.asInstanceOf[ZarrOffset].chunks
+    limit match {
+      case r: ReadMaxRows => ZarrOffset(math.min(avail, lo + r.maxRows()))
+      case _ => ZarrOffset(avail)
+    }
+  }
+
+  /** True head of the stream regardless of the cap — feeds the progress
+    * reporter's backlog/lag metrics. */
+  override def reportLatestOffset(): Offset = availableOffset()
 
   override def deserializeOffset(json: String): Offset = ZarrOffset(json.toLong)
 

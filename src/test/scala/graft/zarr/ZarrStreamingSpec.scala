@@ -112,6 +112,30 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("max_chunks_per_trigger caps each micro-batch; backlog drains exactly once") {
+    val dir = s"$base/throttle"
+    val ckpt = s"$base/throttle-ckpt"
+    val outDir = s"$base/throttle-out"
+    writeSeries(dir, 32) // 8 complete chunks of 4 — the "existing backlog"
+    val q = spark.readStream.format("zarr")
+      .option("max_chunks_per_trigger", "2")
+      .load(dir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // everything arrives, exactly once...
+    val rows = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(rows.length == 32, s"expected 32 rows, got ${rows.length}")
+    assert(rows.sameElements((0 until 32).map(_ * 1.0)))
+    // ...but across >= 4 capped batches, not one backlog-sized batch
+    // (each committed batch leaves one offset file in the checkpoint)
+    val offsets = new java.io.File(s"$ckpt/offsets").list()
+      .filterNot(_.startsWith("."))
+    assert(offsets.length >= 4,
+      s"8-chunk backlog at cap 2 must take >=4 micro-batches, saw ${offsets.length}")
+  }
+
   test("streaming aggregation over a zarr store") {
     val dir = s"$base/agg"
     writeSeries(dir, 16)
