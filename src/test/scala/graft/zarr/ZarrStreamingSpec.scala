@@ -136,6 +136,32 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"8-chunk backlog at cap 2 must take >=4 micro-batches, saw ${offsets.length}")
   }
 
+  test("streaming read over a SHARDED store (append-grown, exactly once)") {
+    val dir = s"$base/shardstream"
+    val ckpt = s"$base/shardstream-ckpt"
+    val outDir = s"$base/shardstream-out"
+    def writeSharded(n: Int): Unit = {
+      val store = ZarrStore(dir)
+      store.writeStoreRootMeta()
+      ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(n), Seq(4),
+        (0 until n).map(_ * 1.0), None, ZarrWriter.CodecChain.gzip.sharded(Seq(2)))
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    writeSharded(12); drain()
+    val first = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(first.length == 12 && first.sameElements((0 until 12).map(_ * 1.0)))
+    writeSharded(20); drain()
+    val all = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(all.length == 20, s"expected 20 rows after sharded growth, got ${all.length}")
+    assert(all.sameElements((0 until 20).map(_ * 1.0)))
+  }
+
   test("streaming aggregation over a zarr store") {
     val dir = s"$base/agg"
     writeSeries(dir, 16)
