@@ -82,6 +82,21 @@ class KmvSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est === expected)
   }
 
+  test("survives the sort-based fallback: 2000 groups >> the 128-group hash threshold") {
+    // ObjectHashAggregate switches to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128),
+    // which round-trips every buffer through serialize/deserialize —
+    // this pins that path with exactly-known per-group answers
+    val sp = spark; import sp.implicits._
+    val rows = for (g <- 0 until 2000; v <- 0 until (g % 5) + 1) yield (g, v.toLong)
+    val got = rows.toDF("g", "h").repartition(16)
+      .groupBy("g").agg(expr("kmv_sketch(h, 8)").as("sk"))
+      .select(col("g"), col("sk.n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.size == 2000)
+    for (g <- 0 until 2000) assert(got(g) == (g % 5) + 1, s"group $g")
+  }
+
   test("plan does map-side partial aggregation (state ≤ k longs crosses the shuffle)") {
     val sp = spark; import sp.implicits._
     val df = Seq.fill(100)(1L).toDF("h").repartition(4)
