@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Query registry is assembled from the per-area modules:
   *  - [[graft.queries.Relational]] — SURVEY §2B relational surface (q01-q24)
   *  - [[graft.queries.Extras]]     — json/math/array functions, salted agg,
-  *    HLL + KMV distinct sketches (q25-q29, q89)
+  *    HLL + KMV distinct sketches, exact length quantiles (q25-q29, q89, q93)
   *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/exact-dedup (q30-q34)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN (q38-q40)
@@ -15,10 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
   *    contamination, sampling/mixing, source-overlap matrix, weighted
-  *    reservoir sampling (q46-q49, q51-q55, q57-q58, q90)
+  *    reservoir sampling, per-source domain cap (q46-q49, q51-q55,
+  *    q57-q58, q90, q94)
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
   *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56),
-  *    SemDeDup cluster-bounded semantic dedup (q88)
+  *    SemDeDup cluster-bounded semantic dedup (q88), product
+  *    quantization PQ codes (q91)
   *  - [[graft.queries.Quality]]      — passage chunking, vocab stats,
   *    Gopher filter, bloom decontamination, token-budget mix, bigram LM,
   *    embedding outliers (q59-q65)
@@ -29,7 +31,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    curriculum phases (q75-q77)
   *  - [[graft.streaming.StreamQueries]] — Structured Streaming runs
   *    surfaced as oracle-checked entries: watermarked windowed agg,
-  *    funnel state machine, stream-stream interval join (q83-q85)
+  *    funnel state machine, stream-stream interval join, watermark-
+  *    bounded streaming dedup (q83-q85, q92)
   */
 object SparkEntry {
 

@@ -195,5 +195,75 @@ object Clustering {
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
           when(col("dup_id").isNull, 1L).otherwise(0L).as("keep"))
         .orderBy("vec_id")
+    },
+
+    // ---- product quantization (Jégou et al. 2011, the PQ of IVF-PQ):
+    //      split each 64-dim embedding into 8 contiguous 8-dim
+    //      subspaces and encode each subspace as the index of its
+    //      nearest sub-centroid — 64 floats compress to 8 small codes.
+    //      Together with q42's IVF coarse quantizer this is the
+    //      standard 100 TB ANN index layout (IVF-PQ): the inverted
+    //      list stores PQ codes, distance evaluation works off a
+    //      k×m lookup table instead of raw vectors.
+    //
+    //      Scale shape: encoding is a PURE SCAN — the codebook
+    //      (m×k×(d/m) doubles = 8×8×8 here) travels as a plan
+    //      literal (a broadcast table at production k=256), every
+    //      distance is one codegen'd `sqdist64` over an 8-float
+    //      slice, and no shuffle happens at all. Training the
+    //      codebook is q56's k-means run per subspace (not repeated
+    //      here — fixed data-point centroids keep the oracle exact,
+    //      same discipline as q88).
+    //
+    //      Determinism: per-subspace distances round to 6dp before
+    //      argmin (ties → lowest code in both engines); the
+    //      reconstruction error is carried as an exact integer in
+    //      1e-6 units (round then cast) and summed as BIGINTs, so
+    //      no float summation order can flip the hash. ----
+    QueryDef.sql(
+      "q91_pq_encode",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cl, emb AS c FROM e WHERE vec_id < 8
+        |), l0 AS (SELECT list(c ORDER BY cl) AS cents FROM c0),
+        |d AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, 7), j ->
+        |      list_transform(cents, c ->
+        |        round(list_sum(list_transform(generate_series(1, 8), i ->
+        |          (emb[8*j+i] - c[8*j+i]) * (emb[8*j+i] - c[8*j+i]))), 6))) AS dd
+        |  FROM e, l0)
+        |SELECT vec_id,
+        |  array_to_string(list_transform(dd,
+        |    x -> (list_position(x, list_min(x)) - 1)::VARCHAR), '-') AS pq_code,
+        |  list_sum(list_transform(dd,
+        |    x -> round(list_min(x) * 1e6)::BIGINT))::BIGINT AS recon_err_u
+        |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents: Array[Array[Double]] = emb.filter(col("vec_id") < K)
+        .orderBy("vec_id").select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val m = 8
+      val subDim = 64 / m
+      // d$j = 8 rounded sub-distances for subspace j; all scan-local
+      val withDists = (0 until m).foldLeft(emb) { (df, j) =>
+        val centSql = cents
+          .map(c => c.slice(subDim * j, subDim * (j + 1))
+            .map(v => s"${v}D").mkString("array(", ",", ")"))
+          .mkString("array(", ",", ")")
+        df.withColumn(s"d$j", expr(
+          s"transform($centSql, c -> round(sqdist64(slice(embedding, ${subDim * j + 1}, $subDim), c), 6))"))
+      }
+      val codes = (0 until m).map(j =>
+        (expr(s"array_position(d$j, array_min(d$j))") - 1).cast("string"))
+      val errs = (0 until m).map(j =>
+        round(expr(s"array_min(d$j)") * 1e6).cast("long"))
+      withDists.select(col("vec_id"),
+          concat_ws("-", codes: _*).as("pq_code"),
+          errs.reduce(_ + _).as("recon_err_u"))
+        .orderBy("vec_id")
     })
 }

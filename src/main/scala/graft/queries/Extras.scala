@@ -153,5 +153,38 @@ object Extras {
         .groupBy(col("o_custkey"))
         .agg(sum(col("pn")).as("n_orders"), round(sum(col("ps")), 2).as("spend"))
         .orderBy("o_custkey")
+    },
+
+    // ---- exact order statistics: per-language document-length
+    //      quantiles (the distribution-stats pass every corpus report
+    //      starts with). Spark `percentile` and DuckDB `quantile_cont`
+    //      share the same definition — linear interpolation at rank
+    //      p·(n-1) — so the values agree exactly; both are rounded to
+    //      4dp anyway so an interpolation ulp cannot flip the hash.
+    //
+    //      Scale shape: Spark's exact percentile aggregates a
+    //      value→count map per group (NOT the raw rows) — memory is
+    //      bounded by the DISTINCT length cardinality, which for a
+    //      bounded integer like n_chars stays small at any corpus
+    //      size, and the map merges map-side like any partial agg. For
+    //      genuinely unbounded-cardinality columns the 100 TB path is
+    //      `approx_percentile` (t-digest, fixed-size sketch) — same
+    //      plan shape, sketch instead of map. ----
+    QueryDef.sql(
+      "q93_length_quantiles",
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_chars, 0.5),  4) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 4) AS p75,
+        |  round(quantile_cont(n_chars, 0.9),  4) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"))
+        .orderBy("lang")
     })
 }

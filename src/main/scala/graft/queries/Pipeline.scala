@@ -442,5 +442,44 @@ object Pipeline {
               + lit(1)) / lit(4503599627370496.0)) / col("n_chars"), 9).as("skey"))
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(64)
+    },
+
+    // ---- per-source cap (the "max N pages per domain" rule of
+    //      RefinedWeb/Dolma-style web curation): keep at most 15 docs
+    //      per source, selected by md5(doc_id) order — a deterministic
+    //      uniform draw both engines reproduce.
+    //
+    //      Scale shape: a naive row_number() per source shuffles the
+    //      WHOLE corpus onto one partition per source — a hot domain
+    //      (half the web crawl) lands on a single task. This plan caps
+    //      in two levels: top-15 within (source, salt) — 16 hash-salt
+    //      buckets spread each source 16-ways — then top-15 of the
+    //      ≤16·15 per-source survivors. Exact because every global
+    //      top-15 row is necessarily inside its salt bucket's top-15.
+    //      Stage 2's input is ≤240 rows per source regardless of
+    //      corpus size, so the plan survives any domain skew (same
+    //      two-level discipline as q28's salted agg). ----
+    QueryDef.sql(
+      "q94_domain_cap",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val cap = 15
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("salt", substring(col("h"), 1, 1))
+      val w1 = Window.partitionBy(col("source"), col("salt"))
+        .orderBy(col("h"), col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      base.withColumn("rn1", row_number().over(w1)).where(col("rn1") <= cap)
+        .withColumn("rn", row_number().over(w2)).where(col("rn") <= cap)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
     })
 }

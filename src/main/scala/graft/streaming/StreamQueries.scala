@@ -157,5 +157,36 @@ object StreamQueries {
         EventStream.clickAttribution(side("view"), side("click")),
         "stream_attrib", "append")
         .orderBy("click_id", "view_id")
+    },
+
+    // ---- watermark-bounded streaming dedup
+    //      (`dropDuplicatesWithinWatermark`): the stateful ingestion-
+    //      dedup operator — one state entry per distinct key, evicted
+    //      once the watermark passes the key's horizon, so state is
+    //      bounded by the live-key cardinality instead of the stream's
+    //      history (unbounded `dropDuplicates` state is the 100 TB
+    //      failure mode). The 60-day delay covers the test data's
+    //      30-day span, so the streaming result equals global DISTINCT
+    //      and stays oracle-exact; a production pipeline sets the delay
+    //      to its real dedup horizon. First-seen rows emit in their
+    //      arrival batch (stateful filter, not an agg — no watermark
+    //      wait), and only key columns are exposed so arrival order
+    //      inside a batch cannot leak into the result. The per-type
+    //      count + id-checksum aggregation runs batch-side on the
+    //      materialized sink, keeping the output SF-stable. ----
+    QueryDef.sql(
+      "q92_stream_dedup",
+      """SELECT event_type, count(*) AS n_users,
+        |  sum(user_id)::BIGINT AS user_id_sum
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val deduped = EventStream.fromFiles(s, dir)
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToTable(deduped, "stream_dedup", "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"))
+        .orderBy("event_type")
     })
 }

@@ -178,6 +178,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q91: PQ encoding is a pure scan — codebook in-plan, sort-only exchange") {
+    val p = plan("q91_pq_encode")
+    assert(!p.contains("Join"), s"codebook must ride as a plan literal, not a join\n$p")
+    assert(!p.contains("HashAggregate"), s"encoding must not aggregate\n$p")
+    assert(!p.contains("hashpartitioning"), s"no hash shuffle in the encode pass\n$p")
+  }
+
+  test("q93: exact quantiles aggregate partially map-side, no joins") {
+    val p = plan("q93_length_quantiles")
+    assert(p.contains("partial_"), s"expected map-side partial aggregation\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q94: domain cap is two-level — salted window before the per-source window") {
+    val p = plan("q94_domain_cap")
+    assert(!p.contains("Join"), p)
+    // stage-1 (source, salt) hash exchange + stage-2 (source) hash
+    // exchange + output ORDER BY range exchange — and nothing else
+    assert("Exchange".r.findAllIn(p).length <= 3, p)
+    assert(p.contains("salt"),
+      s"stage-1 window must partition by the hash salt (skew spreading)\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
