@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    HLL + KMV distinct sketches, exact length quantiles (q25-q29, q89, q93)
   *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/exact-dedup (q30-q34)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
-  *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN (q38-q40)
+  *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
+  *    IVF-PQ search with asymmetric-distance LUTs (q38-q40, q95)
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,

@@ -276,5 +276,130 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .orderBy("qid", "rk")
+    },
+
+    // ---- IVF-PQ search (asymmetric distance computation): the full
+    //      100 TB ANN serving layout, composing q42's coarse quantizer
+    //      with q91's PQ codes. The corpus is stored as 8 small codes
+    //      per vector (not raw floats); each query probes its 2 nearest
+    //      coarse partitions, builds an m×k lookup table of subspace
+    //      distances ONCE, and ranks every candidate with m=8 table
+    //      lookups instead of a 64-dim distance (Jégou et al. 2011).
+    //
+    //      Scale shape: encoding is a pure scan (codebook as a plan
+    //      literal); the LUT is computed on the ≤ nq×nprobe broadcast
+    //      probe rows — per QUERY, never per candidate — so candidate
+    //      scoring touches no floats, only element_at into an 8-entry
+    //      array; the corpus side is never shuffled (broadcast-probe
+    //      equi join on the IVF partition key, same as q42). At
+    //      production scale the inverted lists hold only (vec_id,
+    //      codes) — 8 bytes/vector instead of 256 — which is the point:
+    //      the whole index fits in memory where raw vectors cannot.
+    //
+    //      Determinism: sub-distances round to 6dp before both argmin
+    //      (encode) and the LUT (search); ADC totals are exact BIGINT
+    //      sums of 1e-6-unit integers, so no float summation order can
+    //      flip the hash (same discipline as q91). Ties: lowest code at
+    //      encode, lowest vec_id at rank, in both engines. ----
+    QueryDef.sql(
+      "q95_ivfpq_search",
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT vec_id AS cl, emb AS c FROM e WHERE vec_id < 8
+        |), l0 AS (SELECT list(c ORDER BY cl) AS cents FROM c0),
+        |d AS (
+        |  SELECT vec_id, label,
+        |    list_transform(generate_series(0, 7), j ->
+        |      list_transform(cents, c ->
+        |        round(list_sum(list_transform(generate_series(1, 8), i ->
+        |          (emb[8*j+i] - c[8*j+i]) * (emb[8*j+i] - c[8*j+i]))), 6))) AS dd
+        |  FROM e, l0
+        |), enc AS (
+        |  SELECT vec_id, label,
+        |    list_transform(dd, x -> list_position(x, list_min(x))) AS codes
+        |  FROM d
+        |), pos AS (
+        |  SELECT label, j, round(avg(emb[j]), 6) AS m FROM e,
+        |    generate_series(1, 64) t(j) GROUP BY label, j
+        |), cc AS (
+        |  SELECT label, list(m ORDER BY j) AS cv FROM pos GROUP BY label
+        |), q AS (
+        |  SELECT vec_id AS qid, emb AS qv FROM e WHERE vec_id < 10
+        |), qc AS (
+        |  SELECT q.qid, q.qv, c.label,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> qv[i] * cv[i])), 6) DESC, c.label) AS crk
+        |  FROM q, cc c
+        |), probes AS (
+        |  SELECT qid, qv, label FROM qc WHERE crk <= 2
+        |), scored AS (
+        |  SELECT p.qid, en.vec_id,
+        |    list_sum(list_transform(generate_series(0, 7), j ->
+        |      round(round(list_sum(list_transform(generate_series(1, 8), i ->
+        |        (p.qv[8*j+i] - cents[codes[j+1]][8*j+i])
+        |        * (p.qv[8*j+i] - cents[codes[j+1]][8*j+i]))), 6) * 1e6)::BIGINT
+        |    ))::BIGINT AS adc_u
+        |  FROM probes p JOIN enc en ON en.label = p.label AND en.vec_id != p.qid, l0
+        |), ranked AS (
+        |  SELECT qid, vec_id, adc_u,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc_u, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, vec_id, adc_u, rk FROM ranked WHERE rk <= 5
+        |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val m = 8
+      val subDim = 64 / m
+      // PQ codebook: fixed data-point sub-centroids (vec_id < 8), one
+      // k-vector array literal per subspace — same training discipline
+      // as q91 so codes agree across the two queries.
+      val cb: Array[Array[Double]] = e.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      def centSql(j: Int): String = cb
+        .map(c => c.slice(subDim * j, subDim * (j + 1))
+          .map(v => s"${v}D").mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      // corpus → (vec_id, label, c0..c7): scan-local encode, 1-based codes
+      val encoded = (0 until m).foldLeft(e) { (df, j) =>
+        df.withColumn(s"c$j", expr(
+          s"""array_position(
+             |  transform(${centSql(j)}, c ->
+             |    round(sqdist64(slice(embedding, ${subDim * j + 1}, $subDim), c), 6)),
+             |  array_min(transform(${centSql(j)}, c ->
+             |    round(sqdist64(slice(embedding, ${subDim * j + 1}, $subDim), c), 6))))""".stripMargin)
+          .cast("int"))
+      }.select(col("vec_id") +: col("label") +: (0 until m).map(j => col(s"c$j")): _*)
+      // coarse probe: identical discipline to q42 (dot vs per-label
+      // centroid, rounded, top-2)
+      val cent = perLabelCentroids(e).withColumnRenamed("cent", "cv")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val qcW = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("label"))
+      val probesBase = broadcast(q).join(broadcast(cent))
+        .select(col("qid"), col("qv"), col("label"),
+          round(expr(
+            "aggregate(zip_with(qv, cv, (x, c) -> CAST(x AS double) * c), " +
+              "CAST(0 AS double), (acc, v) -> acc + v)"), 6).as("cscore"))
+        .withColumn("crk", row_number().over(qcW))
+        .filter(col("crk") <= 2)
+        .select(col("qid"), col("qv"), col("label").as("plabel"))
+      // the ADC lookup tables: m arrays of k rounded sub-distances,
+      // computed once per (query, probe) row on the broadcast side
+      val probes = (0 until m).foldLeft(probesBase) { (df, j) =>
+        df.withColumn(s"lut$j", expr(
+          s"transform(${centSql(j)}, c -> round(sqdist64(slice(qv, ${subDim * j + 1}, $subDim), c), 6))"))
+      }.drop("qv")
+      val adcU = (0 until m).map(j =>
+        round(expr(s"element_at(lut$j, c$j)") * 1e6).cast("long")).reduce(_ + _)
+      val scored = broadcast(probes)
+        .join(encoded, col("label") === col("plabel") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), adcU.as("adc_u"))
+      val w95 = Window.partitionBy(col("qid")).orderBy(col("adc_u"), col("vec_id"))
+      scored.withColumn("rk", row_number().over(w95))
+        .filter(col("rk") <= 5)
+        .orderBy("qid", "rk")
     })
 }

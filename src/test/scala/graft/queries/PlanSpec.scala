@@ -201,6 +201,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stage-1 window must partition by the hash salt (skew spreading)\n$p")
   }
 
+  test("q95: IVF-PQ candidate join is broadcast-probe — corpus never shuffled by a join") {
+    val p = plan("q95_ivfpq_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate scoring must join broadcast probes to the encoded corpus\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must not be shuffled for the join\n$p")
+    // hash exchanges may only carry bounded keys: qid (top-k windows,
+    // nq x nprobe candidates) and label/pos (k x dim centroid training).
+    // Corpus rows must never be shuffled — no vec_id-keyed exchange.
+    assert("hashpartitioning\\(vec_id".r.findAllIn(p).isEmpty,
+      s"corpus rows must not be hash-shuffled\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
