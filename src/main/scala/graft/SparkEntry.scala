@@ -27,7 +27,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    embedding outliers (q59-q65)
   *  - [[graft.queries.Mining]]      — event funnel, boilerplate n-grams,
   *    temperature mix, rare-word novelty, ANN recall eval, retention
-  *    cohorts, z-score anomalies, passage dedup, source drift (q66-q74)
+  *    cohorts, z-score anomalies, passage dedup, source drift, nDCG/MRR
+  *    retrieval eval, co-purchase PageRank (q66-q74, q96-q97)
   *  - [[graft.queries.Retrieval]]   — sequence packing, BM25 scoring,
   *    curriculum phases (q75-q77)
   *  - [[graft.streaming.StreamQueries]] — Structured Streaming runs

@@ -214,6 +214,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus rows must not be hash-shuffled\n$p")
   }
 
+  test("q97: PageRank iterations join broadcast node-state; one lineitem scan feeds the edges") {
+    val p = plan("q97_copurchase_pagerank")
+    assert(!p.contains("SortMergeJoin"),
+      s"node state must broadcast — edges never shuffled by a join\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"edges must come from the cached single-scan build, not per-iteration rescans\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_shipdate"),
+      s"ship-window filter must push to the parquet scan\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
