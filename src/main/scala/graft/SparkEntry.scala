@@ -8,7 +8,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Relational]] — SURVEY §2B relational surface (q01-q24)
   *  - [[graft.queries.Extras]]     — json/math/array functions, salted agg,
   *    HLL + KMV distinct sketches, exact length quantiles (q25-q29, q89, q93)
-  *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/exact-dedup (q30-q34)
+  *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/
+  *    exact-dedup, BPE token counting AND BPE tokenizer training
+  *    (q30-q34, q44, q87, q98)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
   *    IVF-PQ search with asymmetric-distance LUTs (q38-q40, q95)

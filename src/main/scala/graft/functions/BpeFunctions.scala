@@ -87,6 +87,31 @@ object BpeOps {
     total
   }
 
+  /** Segment one already-clean word (the training loop's unit of work)
+    * into its BPE tokens under the table: start from characters, apply
+    * every merge in rank order. Exactly the state the q98 trainer's
+    * oracle reaches by incremental fixpoint replacement — for a != b
+    * merges both produce "all occurrences merged", and learned merge
+    * tables are well-founded by construction (a merge can only combine
+    * tokens that exist when it is chosen, and merging rank r creates a
+    * token no earlier-rank pair can contain). */
+  def bpeSegment(word: UTF8String, t: BpeTable): ArrayData = {
+    val s = word.toString
+    val toks = new java.util.ArrayList[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') toks.add(CHARS(c - 'a'))
+      else toks.add(String.valueOf(c))
+      i += 1
+    }
+    mergedSize(toks, t)
+    val out = new Array[Any](toks.size)
+    var j = 0
+    while (j < toks.size) { out(j) = UTF8String.fromString(toks.get(j)); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Apply every merge in rank order (one left-to-right sweep each —
     * sufficient: an (a,b) merge with a != b cannot create a new (a,b)
     * occurrence) and return the surviving token count. Mutates `word`. */
@@ -134,6 +159,35 @@ case class BpeCount(left: Expression, right: Expression)
     } else {
       defineCodeGen(ctx, ev, (t, m) =>
         s"graft.functions.BpeOps.bpeCount($t, graft.functions.BpeOps.buildTable($m))")
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `bpe_segment(word, merges)` — the BPE token array of one clean word
+  * under the rank-ordered merges table. The q98 trainer's segmentation
+  * primitive: recomputed from scratch each training round with the
+  * merges learned so far (scan-local; the table is a plan literal). */
+case class BpeSegment(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_segment"
+  @transient private lazy val table: BpeOps.BpeTable =
+    BpeOps.buildTable(right.eval(null).asInstanceOf[ArrayData])
+  override def nullSafeEval(word: Any, merges: Any): Any =
+    if (right.foldable) BpeOps.bpeSegment(word.asInstanceOf[UTF8String], table)
+    else BpeOps.bpeSegment(word.asInstanceOf[UTF8String],
+      BpeOps.buildTable(merges.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (right.foldable) {
+      val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeOps.BpeTable].getName)
+      defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeOps.bpeSegment($t, $ref)")
+    } else {
+      defineCodeGen(ctx, ev, (t, m) =>
+        s"graft.functions.BpeOps.bpeSegment($t, graft.functions.BpeOps.buildTable($m))")
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

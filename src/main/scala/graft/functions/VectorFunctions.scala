@@ -196,6 +196,9 @@ object VectorFunctions {
       (FunctionIdentifier("bpe_count"),
         new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
         (children: Seq[Expression]) => BpeCount(children(0), children(1))),
+      (FunctionIdentifier("bpe_segment"),
+        new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
+        (children: Seq[Expression]) => BpeSegment(children(0), children(1))),
       (FunctionIdentifier("kmv_sketch"),
         new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
         (children: Seq[Expression]) => KmvSketch(children(0), children(1))))

@@ -230,5 +230,106 @@ object TextOps {
               .as("n_bpe_tokens"))
           .orderBy("doc_id")
       }
+    },
+
+    // ---- BPE tokenizer TRAINING: learn the top-5 merges from the
+    //      corpus (the q87 kernel's table, discovered instead of given).
+    //      Classic dictionary BPE: train on the word-frequency table —
+    //      vocab-bounded, NOT the corpus — counting adjacent token
+    //      pairs weighted by word count, merging the argmax each round.
+    //      Self-pairs (a,a) are excluded from selection: it keeps the
+    //      fixpoint-replacement oracle formulation exactly equal to the
+    //      kernel's left-to-right sweep (q87's a≠b equivalence), and
+    //      every learned table is then automatically well-founded.
+    //
+    //      Scale shape: word extraction is one explode + one (word)
+    //      shuffle with map-side combine; the word table is persisted
+    //      and each of the 5 rounds is scan-local re-segmentation via
+    //      the `bpe_segment` kernel (merges-so-far as a plan literal) +
+    //      one bounded pair aggregate; the per-round driver sync is ONE
+    //      row (the argmax) — the k-means discipline. Pair counts are
+    //      exact integers; ties break (count DESC, pair ASC) in both
+    //      engines, so training is fully deterministic. ----
+    {
+      val rounds = 5
+      // pair counting + argmax + fixpoint merge application per round,
+      // chained: s<r> is the segmentation entering round r
+      def roundSql(r: Int): String = {
+        val pat = s"(SELECT '|'||pa||'|'||pb||'|' FROM b$r)"
+        val rep = s"(SELECT '|'||pa||pb||'|' FROM b$r)"
+        s"""p$r AS (
+           |  SELECT string_split(pr, ' ')[1] AS pa, string_split(pr, ' ')[2] AS pb,
+           |    sum(cnt)::BIGINT AS c
+           |  FROM (
+           |    SELECT cnt, unnest(list_transform(generate_series(1, len(t) - 1),
+           |      j -> t[j] || ' ' || t[j + 1])) AS pr
+           |    FROM (SELECT cnt, list_filter(string_split(s, '|'), x -> x != '') AS t
+           |          FROM s$r))
+           |  GROUP BY pa, pb
+           |), b$r AS MATERIALIZED (
+           |  SELECT pa, pb, c FROM p$r WHERE pa != pb
+           |  ORDER BY c DESC, pa, pb LIMIT 1
+           |), f$r(word, cnt, s, done) AS (
+           |  SELECT word, cnt, s, false FROM s$r
+           |  UNION ALL
+           |  SELECT word, cnt, replace(s, $pat, $rep), replace(s, $pat, $rep) = s
+           |  FROM f$r WHERE NOT done
+           |), s${r + 1} AS MATERIALIZED (SELECT word, cnt, s FROM f$r WHERE done)""".stripMargin
+      }
+      val unionSql = (1 to rounds).map(r =>
+        if (r == 1) s"SELECT 1 AS merge_rank, pa AS tok_a, pb AS tok_b, c AS pair_count FROM b1"
+        else s"SELECT $r, pa, pb, c FROM b$r").mkString("\n  UNION ALL ")
+      QueryDef.sql(
+        "q98_bpe_train",
+        s"""WITH RECURSIVE w0 AS MATERIALIZED (
+           |  SELECT word, count(*)::BIGINT AS cnt FROM (
+           |    SELECT unnest(list_filter(
+           |      string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' '),
+           |      x -> x != '')) AS word
+           |    FROM documents)
+           |  GROUP BY word
+           |), s1 AS MATERIALIZED (
+           |  SELECT word, cnt,
+           |    '|' || array_to_string(list_transform(generate_series(1, len(word)),
+           |      i -> word[i]), '|') || '|' AS s
+           |  FROM w0
+           |), ${(1 to rounds).map(roundSql).mkString(",\n")}
+           |SELECT * FROM (
+           |  $unionSql
+           |) ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+        graft.functions.VectorFunctions.register(s)
+        val words = graft.CacheRegistry.track(
+          docs(s, dir)
+            .select(explode(split(lower(regexp_replace(col("text"), "[^A-Za-z]+", " ")), " "))
+              .as("word"))
+            .where(col("word") =!= "")
+            .groupBy("word").agg(count(lit(1)).as("cnt"))
+            .persist())
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        for (_ <- 1 to rounds) {
+          val mergeArr =
+            if (merges.isEmpty) "cast(array() as array<string>)"
+            else merges.map { case (a, b, _) => s"'$a $b'" }.mkString("array(", ",", ")")
+          val best = words
+            .select(col("cnt"), expr(s"bpe_segment(word, $mergeArr)").as("t"))
+            .where(size(col("t")) >= 2)
+            .select(col("cnt"), explode(expr(
+              """transform(sequence(1, size(t) - 1),
+                |  j -> named_struct('pa', element_at(t, j), 'pb', element_at(t, j + 1)))"""
+                .stripMargin)).as("p"))
+            .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+            .agg(sum(col("cnt")).as("c"))
+            .where(col("pa") =!= col("pb"))
+            .orderBy(col("c").desc, col("pa"), col("pb"))
+            .limit(1).collect()(0)
+          merges += ((best.getString(0), best.getString(1), best.getLong(2)))
+        }
+        val sess = s
+        import sess.implicits._
+        merges.toSeq.zipWithIndex
+          .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+          .toDF("merge_rank", "tok_a", "tok_b", "pair_count")
+          .orderBy("merge_rank")
+      }
     })
 }

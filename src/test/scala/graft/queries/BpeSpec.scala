@@ -99,6 +99,43 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     table(Seq("a" -> "b", "ab" -> "c")) // well-founded: fine
   }
 
+  test("bpe_segment: token arrays are consistent with bpe_count on single words") {
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(20))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      val seg = BpeOps.bpeSegment(UTF8String.fromString(w), t)
+      assert(seg.numElements() == kernel(w), s"word: '$w'")
+      // segmentation concatenates back to the word
+      val joined = (0 until seg.numElements()).map(seg.getUTF8String(_).toString).mkString
+      assert(joined == w, s"word: '$w' reassembled '$joined'")
+    }
+  }
+
+  test("q98 trainer: hand-derived merges on a fixed tiny corpus") {
+    // words {aba:3, cab:3, bcbc:2, dede:1}. Adjacent-pair counts:
+    //  aba: (a,b),(b,a); cab: (c,a),(a,b); bcbc: (b,c),(c,b),(b,c);
+    //  dede: (d,e),(e,d),(d,e)
+    // r1: (a,b)=6 wins → aba=[ab,a], cab=[c,ab]
+    // r2: (ab,a)=3,(c,ab)=3,(b,c)=4,(c,b)=2,(d,e)=2,(e,d)=1 → (b,c)=4
+    //     → bcbc=[bc,bc]
+    // r3: tie (ab,a)=3 vs (c,ab)=3 → pair ASC: 'ab'<'c' → (ab,a)
+    //     ((bc,bc) is a self-pair — excluded) → aba=[aba]
+    // r4: (c,ab)=3 → cab=[cab]
+    // r5: (d,e)=2 → dede=[de,de]
+    val sp = spark; import sp.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-train").toString
+    (Seq.fill(3)("aba cab") ++ Seq.fill(2)("bcbc") ++ Seq("dede"))
+      .zipWithIndex.map { case (t0, i) => (i.toLong, t0) }
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("q98_bpe_train")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1, "a", "b", 6L), (2, "b", "c", 4L), (3, "ab", "a", 3L),
+      (4, "c", "ab", 3L), (5, "d", "e", 2L)))
+  }
+
   test("codegen'd DataFrame path matches the interpreted kernel") {
     val sp = spark; import sp.implicits._
     graft.functions.VectorFunctions.register(spark)
