@@ -37,6 +37,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    surfaced as oracle-checked entries: watermarked windowed agg,
   *    funnel state machine, stream-stream interval join, watermark-
   *    bounded streaming dedup (q83-q85, q92)
+  *  - [[graft.queries.ZarrRoundtrip]] — the zarr connector in the
+  *    oracle gate: write documents → zarr store → DSv2 read → agg (q99)
   */
 object SparkEntry {
 
@@ -54,7 +56,8 @@ object SparkEntry {
       _root_.graft.queries.Quality.defs ++
       _root_.graft.queries.Mining.defs ++
       _root_.graft.queries.Retrieval.defs ++
-      _root_.graft.streaming.StreamQueries.defs
+      _root_.graft.streaming.StreamQueries.defs ++
+      _root_.graft.queries.ZarrRoundtrip.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
