@@ -481,5 +481,79 @@ object Pipeline {
         .withColumn("rn", row_number().over(w2)).where(col("rn") <= cap)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    },
+
+    // ---- the standard curation recipe as ONE declarative plan:
+    //      exact-dedup (keep-first per content hash) → quality filter
+    //      (q31's rule, verbatim) → per-source cap (200 docs by md5
+    //      draw), reported as a per-source funnel. No stage is
+    //      materialized: each row carries SURVIVOR FLAGS (dedup-keeper,
+    //      quality-ok, under-cap) and one conditional aggregate emits
+    //      every stage count — so Catalyst fuses the whole pipeline
+    //      into two window shuffles (content_fp; source) + one narrow
+    //      agg, a single pass over the corpus. This is the operational
+    //      answer to "run the curation pipeline": not four jobs with
+    //      three intermediate tables, one plan.
+    //
+    //      The cap stage uses a plain per-(source, survivor) window
+    //      here; under real domain skew swap in q94's salted two-level
+    //      discipline — semantics identical, demonstrated separately.
+    //
+    //      Determinism: flags are integer/regex-count comparisons (the
+    //      q31 parity), the cap draw orders by md5(doc_id) with doc_id
+    //      ties, and every output is an exact integer. ----
+    QueryDef.sql(
+      "q100_curation_pipeline",
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+        |         THEN 1 ELSE 0 END AS keep_dedup,
+        |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |          AND len(regexp_extract_all(lower(text),
+        |                '\b(the|a|of|and|to|in|is|that)\b')) * 1.0
+        |              / len(string_split(text, ' ')) >= 0.01
+        |         THEN 1 ELSE 0 END AS keep_quality
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source, n_chars, keep_dedup, keep_quality,
+        |    CASE WHEN keep_dedup = 1 AND keep_quality = 1 THEN
+        |      row_number() OVER (
+        |        PARTITION BY source, keep_dedup * keep_quality
+        |        ORDER BY md5(doc_id::VARCHAR), doc_id)
+        |    ELSE 0 END AS rn
+        |  FROM f)
+        |SELECT source,
+        |  count(*) AS n_raw,
+        |  sum(keep_dedup)::BIGINT AS n_dedup,
+        |  sum(keep_dedup * keep_quality)::BIGINT AS n_quality,
+        |  sum(CASE WHEN rn BETWEEN 1 AND 200 THEN 1 ELSE 0 END)::BIGINT AS n_final,
+        |  sum(CASE WHEN rn BETWEEN 1 AND 200 THEN n_chars ELSE 0 END)::BIGINT AS chars_final,
+        |  sum(CASE WHEN rn BETWEEN 1 AND 200 THEN doc_id ELSE 0 END)::BIGINT AS id_sum_final
+        |FROM g GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val wFp = Window.partitionBy(md5(lower(trim(col("text")))))
+      val f = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+          when(col("doc_id") === min(col("doc_id")).over(wFp), 1).otherwise(0)
+            .as("keep_dedup"),
+          when(size(split(col("text"), " ", -1)).between(20, 1000) &&
+            size(expr(
+              "regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is|that)\\\\b', 0)"))
+              * lit(1.0) / size(split(col("text"), " ", -1)) >= 0.01, 1)
+            .otherwise(0).as("keep_quality"))
+      val wCap = Window
+        .partitionBy(col("source"), col("keep_dedup") * col("keep_quality"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val g = f.withColumn("rn",
+        when(col("keep_dedup") === 1 && col("keep_quality") === 1,
+          row_number().over(wCap)).otherwise(0))
+      val inCap = col("rn").between(1, 200)
+      g.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("keep_dedup")).as("n_dedup"),
+          sum(col("keep_dedup") * col("keep_quality")).as("n_quality"),
+          sum(when(inCap, 1).otherwise(0)).as("n_final"),
+          sum(when(inCap, col("n_chars")).otherwise(0L)).as("chars_final"),
+          sum(when(inCap, col("doc_id")).otherwise(0L)).as("id_sum_final"))
+        .orderBy("source")
     })
 }

@@ -224,6 +224,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ship-window filter must push to the parquet scan\n$p")
   }
 
+  test("q100: three-stage curation funnel fuses into one pass — no joins, bounded exchanges") {
+    val p = plan("q100_curation_pipeline")
+    assert(!p.contains("Join"),
+      s"survivor flags + conditional agg must avoid stage joins\n$p")
+    // content_fp window + source window + agg + output sort — nothing more
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the corpus must be scanned exactly once\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
