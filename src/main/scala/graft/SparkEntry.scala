@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (q30-q34, q44, q87, q98)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
-  *    IVF-PQ search with asymmetric-distance LUTs (q38-q40, q95)
+  *    IVF-PQ search with asymmetric-distance LUTs, contrastive
+  *    hard-negative mining (q38-q40, q95, q101)
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,

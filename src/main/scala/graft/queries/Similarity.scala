@@ -401,5 +401,77 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w95))
         .filter(col("rk") <= 5)
         .orderBy("qid", "rk")
+    },
+
+    // ---- contrastive-pair mining: for each anchor, its POSITIVE (the
+    //      nearest same-label neighbor) and its two HARD NEGATIVES
+    //      (the highest-cosine different-label neighbors) — the
+    //      anchor/positive/negatives triple every contrastive or
+    //      embedding-finetune dataset starts from, with in-batch-random
+    //      negatives replaced by mined hard ones (the standard recall
+    //      lever).
+    //
+    //      Scale shape: one broadcast of the anchor set against a
+    //      single corpus scan (q38's linear-scan discipline — the
+    //      corpus is never shuffled); per-anchor winners come from two
+    //      WindowGroupLimit-pruned rank windows over the nq-bounded
+    //      scored rows. At production scale the same mining runs over
+    //      q42/q95's IVF-PQ candidates instead of the full scan —
+    //      identical downstream plan.
+    //
+    //      Determinism: cosines round to 6dp pre-rank (ties → lowest
+    //      vec_id), the q38 discipline. ----
+    QueryDef.sql(
+      "q101_contrastive_pairs",
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 20
+         |), scored AS (
+         |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         |    round(${duckDot("q.qv", "e.embedding")} /
+         |          (${duckNorm("q.qv")} * ${duckNorm("e.embedding")}), 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id != q.qid
+         |), pos AS (
+         |  SELECT qid, vec_id AS pos_id, cos AS pos_cos FROM (
+         |    SELECT qid, vec_id, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM scored WHERE label = qlabel) WHERE rk = 1
+         |), neg AS (
+         |  SELECT qid,
+         |    min(CASE WHEN rk = 1 THEN vec_id END)::BIGINT AS neg1_id,
+         |    min(CASE WHEN rk = 1 THEN cos END) AS neg1_cos,
+         |    min(CASE WHEN rk = 2 THEN vec_id END)::BIGINT AS neg2_id,
+         |    min(CASE WHEN rk = 2 THEN cos END) AS neg2_cos
+         |  FROM (
+         |    SELECT qid, vec_id, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM scored WHERE label != qlabel) WHERE rk <= 2 GROUP BY qid)
+         |SELECT p.qid, p.pos_id, p.pos_cos, n.neg1_id, n.neg1_cos,
+         |  n.neg2_id, n.neg2_cos
+         |FROM pos p JOIN neg n ON n.qid = p.qid
+         |ORDER BY p.qid""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir).withColumn("nrm", expr("norm_f32(embedding)"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          round(expr("dot_f32(qv, embedding)") / (col("qn") * col("nrm")), 6).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val pos = scored.where(col("label") === col("qlabel"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("qid"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+      val neg = scored.where(col("label") =!= col("qlabel"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+        .groupBy(col("qid"))
+        .agg(
+          min(when(col("rk") === 1, col("vec_id"))).as("neg1_id"),
+          min(when(col("rk") === 1, col("cos"))).as("neg1_cos"),
+          min(when(col("rk") === 2, col("vec_id"))).as("neg2_id"),
+          min(when(col("rk") === 2, col("cos"))).as("neg2_cos"))
+      pos.join(neg, "qid")
+        .select(col("qid"), col("pos_id"), col("pos_cos"),
+          col("neg1_id"), col("neg1_cos"), col("neg2_id"), col("neg2_cos"))
+        .orderBy("qid")
     })
 }
