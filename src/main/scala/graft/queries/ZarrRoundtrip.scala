@@ -38,6 +38,16 @@ object ZarrRoundtrip {
       .map("%02x".format(_)).mkString
     val store = s"/tmp/graft_zarr_roundtrip/$key/documents"
     if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      // the root document is the writer's commit point — a store dir
+      // without it is a crashed half-write; clear it before rebuilding
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(storeDir)
+      }
       Files.createDirectories(Paths.get(store).getParent)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
