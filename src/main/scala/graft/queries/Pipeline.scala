@@ -555,5 +555,50 @@ object Pipeline {
           sum(when(inCap, col("n_chars")).otherwise(0L)).as("chars_final"),
           sum(when(inCap, col("doc_id")).otherwise(0L)).as("id_sum_final"))
         .orderBy("source")
+    },
+
+    // ---- native dynamic-gap session windows: Spark's built-in
+    //      `session_window` operator (the one stateful-session
+    //      primitive q47 hand-rolls with gaps-and-islands, here as the
+    //      engine-native aggregate — in batch it plans as ONE user_id
+    //      shuffle + sort-based session merge, and the identical
+    //      expression runs under Structured Streaming with watermarked
+    //      state eviction).
+    //
+    //      Boundary semantics pinned by the oracle: Spark sessions are
+    //      half-open [start, last + gap) and a new event merges only if
+    //      its time is STRICTLY below the current end, so a gap of
+    //      exactly 30 min splits — the islands formulation must use
+    //      `>=` (q47's custom 30-min rule uses `>`, which is why the
+    //      two queries are intentionally different registry entries).
+    //      ts truncates to µs first, the q47 cross-engine discipline. ----
+    QueryDef.sql(
+      "q102_session_window",
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM d)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start,
+        |  epoch_us(max(ts)) + 1800000000 AS sess_end_excl,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_seq
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("et"))
+        .groupBy(col("user_id"), expr("session_window(et, '30 minutes')").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("sess_start"),
+          expr("unix_micros(sw.end)").as("sess_end_excl"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")
     })
 }
