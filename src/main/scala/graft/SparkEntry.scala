@@ -38,7 +38,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.streaming.StreamQueries]] — Structured Streaming runs
   *    surfaced as oracle-checked entries: watermarked windowed agg,
   *    funnel state machine, stream-stream interval join, watermark-
-  *    bounded streaming dedup (q83-q85, q92)
+  *    bounded streaming dedup, streaming session_window sessions
+  *    (q83-q85, q92, q103)
   *  - [[graft.queries.ZarrRoundtrip]] — the zarr connector in the
   *    oracle gate: write documents → zarr store → DSv2 read → agg (q99)
   */

@@ -188,5 +188,33 @@ object StreamQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"))
         .orderBy("event_type")
+    },
+
+    // ---- streaming session_window: the native dynamic-gap session
+    //      aggregate under real Structured Streaming, completing the
+    //      sessions triangle (q47 batch islands, q102 batch native,
+    //      q103 streaming native) against ONE boundary definition —
+    //      all three check out against the same half-open-window
+    //      semantics. Complete mode here: an append-mode session emits
+    //      only once the watermark passes its end, which a bounded
+    //      AvailableNow replay's final data batch never does (the
+    //      trailing no-data batch is disabled in runToTable) — a
+    //      production pipeline runs append + watermark and trades that
+    //      latency for bounded state. ----
+    {
+      val q102Oracle = graft.queries.Pipeline.defs
+        .find(_.name == "q102_session_window").get.oracle.get
+      QueryDef.sql("q103_stream_sessions", q102Oracle) { (s, dir) =>
+        val sessions = EventStream.fromFiles(s, dir)
+          .groupBy(col("user_id"),
+            expr("session_window(ts, '30 minutes')").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("sess_start"),
+            unix_micros(col("sw.end")).as("sess_end_excl"),
+            col("n_events"))
+        runToTable(sessions, "stream_sessions", "complete")
+          .orderBy("user_id", "sess_start")
+      }
     })
 }
