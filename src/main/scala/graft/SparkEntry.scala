@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Extras]]     — json/math/array functions, salted agg,
   *    HLL + KMV distinct sketches, exact length quantiles (q25-q29, q89, q93)
   *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/
-  *    exact-dedup, BPE token counting AND BPE tokenizer training
-  *    (q30-q34, q44, q87, q98)
+  *    exact-dedup, BPE token counting AND BPE tokenizer training,
+  *    two-pass exact heavy hitters (q30-q34, q44, q87, q98, q104)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
   *    IVF-PQ search with asymmetric-distance LUTs, contrastive

@@ -128,3 +128,159 @@ case class KmvSketch(
 
   override def prettyName: String = "kmv_sketch"
 }
+
+/** Misra-Gries heavy-hitter summary as a native Catalyst aggregate
+  * (`mg_heavy(item, k)` → array of candidate items).
+  *
+  * Aggregation state is at most k (item, count) counters per group no
+  * matter how many rows flow in: a present item increments its counter,
+  * a new item takes a free counter, and a miss with all counters busy
+  * decrements every counter (dropping zeros) — the classic Misra-Gries
+  * update. Two partials merge by count-wise union then subtracting the
+  * (k+1)-th largest count from all (Agarwal et al. 2013), which
+  * preserves the deficit bound under ANY merge tree, so map-side
+  * partial aggregation works and the shuffle carries ≤k counters per
+  * partition.
+  *
+  * Guarantee: every item with true frequency > n/k survives in the
+  * final summary regardless of row order or partitioning (the summary
+  * CONTENT is order-dependent; the coverage guarantee is not). The
+  * counts are approximations, so only the ITEMS are exposed — callers
+  * run a bounded exact-count verify pass over the ≤k candidates, which
+  * is the standard two-pass exact heavy-hitter recipe at scale: the
+  * full-cardinality groupBy never happens.
+  */
+case class MgHeavy(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with BinaryLike[Expression] {
+
+  private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType != org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("mg_heavy item input must be STRING")
+    else if (!right.foldable || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("mg_heavy k must be an INT literal")
+    else if (right.eval() == null || right.eval().asInstanceOf[Number].intValue() < 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("mg_heavy k must be >= 2")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(
+      buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = left.eval(input)
+    if (v != null) {
+      val s = v.toString
+      if (buf.containsKey(s)) buf.put(s, buf.get(s) + 1L)
+      else if (buf.size < k) buf.put(s, 1L)
+      else { // decrement-all, drop zeros
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[String, Long],
+      other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val prev = if (buf.containsKey(e.getKey)) buf.get(e.getKey) else 0L
+      buf.put(e.getKey, prev + e.getValue)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-th largest count from all; drop non-positive
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vit = buf.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val pivot = counts(buf.size - k - 1) // (k+1)-th largest
+      val eit = buf.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue <= pivot) eit.remove() else e.setValue(e.getValue - pivot)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val items = new java.util.ArrayList[String](buf.keySet())
+    java.util.Collections.sort(items)
+    val out = new Array[Any](items.size)
+    var i = 0
+    while (i < items.size) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(items.get(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    var bytes = 4
+    val it0 = buf.entrySet().iterator()
+    while (it0.hasNext) {
+      bytes += 4 + it0.next().getKey.getBytes("UTF-8").length + 8
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes("UTF-8")
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      buf.put(new String(kb, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MgHeavy =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): MgHeavy =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MgHeavy =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "mg_heavy"
+}

@@ -201,7 +201,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => BpeSegment(children(0), children(1))),
       (FunctionIdentifier("kmv_sketch"),
         new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
-        (children: Seq[Expression]) => KmvSketch(children(0), children(1))))
+        (children: Seq[Expression]) => KmvSketch(children(0), children(1))),
+      (FunctionIdentifier("mg_heavy"),
+        new ExpressionInfo(classOf[MgHeavy].getName, "mg_heavy"),
+        (children: Seq[Expression]) => MgHeavy(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

@@ -331,5 +331,55 @@ object TextOps {
           .toDF("merge_rank", "tok_a", "tok_b", "pair_count")
           .orderBy("merge_rank")
       }
+    },
+
+    // ---- exact heavy hitters WITHOUT the full-vocabulary groupBy: the
+    //      two-pass sketch-then-verify recipe. Pass 1 runs the native
+    //      `mg_heavy` Misra-Gries aggregate (≤k counters of state per
+    //      partition, mergeable map-side — the repo's second
+    //      TypedImperativeAggregate) alongside the exact row count;
+    //      every item with true frequency > n/k is GUARANTEED to be
+    //      among its ≤k candidates regardless of row order or
+    //      partitioning. Pass 2 exactly counts ONLY those ≤k candidate
+    //      keys (the shuffle carries k keys after map-side combine, not
+    //      the vocabulary) and applies the threshold — so the output is
+    //      EXACT and oracle-checkable while the plan never aggregates
+    //      the full key space. At 100 TB this is how you find the
+    //      dominant domains/tokens when the key cardinality itself is
+    //      too large to shuffle; the driver sync is ≤k strings.
+    //
+    //      The MG summary CONTENT is order-dependent (counts are
+    //      approximations, never exposed); the coverage guarantee is
+    //      not — MgHeavySpec property-tests it under random data and
+    //      partitionings. ----
+    QueryDef.sql(
+      "q104_heavy_hitters",
+      """WITH w AS (
+        |  SELECT unnest(list_filter(
+        |    string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' '),
+        |    x -> x != '')) AS word
+        |  FROM documents
+        |), t AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*)::BIGINT AS freq
+        |FROM w, t GROUP BY word, n HAVING count(*) > n // 64
+        |ORDER BY freq DESC, word""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val words = graft.CacheRegistry.track(
+        docs(s, dir)
+          .select(explode(split(lower(regexp_replace(col("text"), "[^A-Za-z]+", " ")), " "))
+            .as("word"))
+          .where(col("word") =!= "")
+          .persist())
+      val row = words
+        .agg(expr("mg_heavy(word, 64)").as("cand"), count(lit(1)).as("n"))
+        .head()
+      val cands = row.getSeq[String](0)
+      val n = row.getLong(1)
+      require(cands.nonEmpty, "mg_heavy returned no candidates")
+      words.where(col("word").isin(cands: _*))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("freq"))
+        .where(col("freq") > n / 64)
+        .orderBy(col("freq").desc, col("word"))
     })
 }
