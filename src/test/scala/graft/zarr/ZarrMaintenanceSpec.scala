@@ -1,0 +1,55 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction: an append-grown store of many tiny chunks rewrites into
+  * a sharded store that is value- and order-identical while storing
+  * far fewer objects. */
+class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zarr-maintenance-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("compact: identical values and order, far fewer stored objects") {
+    val base = Files.createTempDirectory("zarr-compact").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    // simulate micro-batch growth: 8 appends of 64 rows, 16-row chunks
+    // → 4 tiny objects per column per append
+    (0 until 8).foreach { b =>
+      spark.range(b * 64L, (b + 1) * 64L)
+        .selectExpr("id", "cast(id as double) * 0.5 as x", "concat('n', id) as name")
+        .coalesce(1)
+        .write.format("zarr").mode("append")
+        .option("chunk_size", "16")
+        .save(src)
+    }
+    val (before, after) =
+      ZarrMaintenance.compact(spark, src, dst, chunkSize = 256, innerChunkSize = 64)
+    // 3 cols x 32 chunks -> 3 cols x 2 shard objects
+    assert(before == 96L, s"before=$before")
+    assert(after == 6L, s"after=$after")
+
+    val a = spark.read.format("zarr").load(src).collect()
+    val b = spark.read.format("zarr").load(dst).collect()
+    assert(a.length == 512 && b.length == 512)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "compacted store must be value- and order-identical")
+  }
+}
