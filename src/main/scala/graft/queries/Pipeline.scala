@@ -557,6 +557,47 @@ object Pipeline {
         .orderBy("source")
     },
 
+    // ---- per-source weighted reservoir (stratified A-ES): q90's
+    //      Efraimidis-Spirakis keys ranked WITHIN each source — "k docs
+    //      per source, inclusion probability ∝ length" — the balanced-
+    //      mixture draw (every source contributes exactly k) where q90
+    //      is the global one.
+    //
+    //      Scale shape: keys are scan-local arithmetic; the per-group
+    //      top-k is a source-partitioned rank window, which Spark
+    //      executes with WindowGroupLimit partial pruning map-side —
+    //      each mapper forwards at most k rows per source before the
+    //      ONE source shuffle. Same 9dp key rounding + doc_id
+    //      tie-break as q90 so a last-ulp ln() divergence cannot flip
+    //      the draw. ----
+    QueryDef.sql(
+      "q105_stratified_reservoir",
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+        |             / 4503599627370496.0) / n_chars, 9) AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_chars, skey,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY skey DESC, doc_id) AS rk
+        |  FROM k)
+        |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 8
+        |ORDER BY source, rk""".stripMargin) { (s, dir) =>
+      val wSrc = Window.partitionBy(col("source"))
+        .orderBy(col("skey").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(
+            log((expr(
+              "cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)")
+              + lit(1)) / lit(4503599627370496.0)) / col("n_chars"), 9).as("skey"))
+        .withColumn("rk", row_number().over(wSrc))
+        .where(col("rk") <= 8)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rk")
+    },
+
     // ---- native dynamic-gap session windows: Spark's built-in
     //      `session_window` operator (the one stateful-session
     //      primitive q47 hand-rolls with gaps-and-islands, here as the
