@@ -695,6 +695,7 @@ object Mining {
       // the two integer constants are a bounded driver sync (the q56
       // k-means discipline): n = node count, known once deg is cached
       val n = deg.count()
+      require(n > 0, "q97: no co-purchase edges in the ship window")
       val rInit = 1000000000L / n
       val base = (15L * rInit) / 100L
       val r0 = deg.select(col("src").as("node"), col("deg"), lit(rInit).as("r"))

@@ -38,22 +38,27 @@ object ZarrRoundtrip {
       .map("%02x".format(_)).mkString
     val store = s"/tmp/graft_zarr_roundtrip/$key/documents"
     if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
       // the root document is the writer's commit point — a store dir
       // without it is a crashed half-write; clear it before rebuilding
       val storeDir = new java.io.File(store)
-      if (storeDir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(storeDir)
-      }
+      if (storeDir.exists()) rm(storeDir)
+      // build under a unique sibling, then atomically rename into
+      // place — concurrent builders (e.g. a bench run racing a verify)
+      // each build privately and exactly one rename wins; losers
+      // discard their build and use the winner's store
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(Paths.get(store).getParent)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
         .write.format("zarr").mode("append")
         .option("chunk_size", "4096")
-        .save(store)
+        .save(build.getPath)
+      if (!build.renameTo(storeDir)) rm(build)
     }
     store
   }
