@@ -33,46 +33,15 @@ object Scratch {
 
 
     graft.functions.VectorFunctions.register(spark)
-    val li = graft.Tables.load(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    def rawEdges = li.groupBy(col("l_orderkey"))
-      .agg(collect_list(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, x ->
-          |  transform(filter(ps, y -> y != x),
-          |            y -> named_struct('src', x, 'dst', y))))""".stripMargin))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    time("edges-noop")(rawEdges.write.format("noop").mode("overwrite").save())
-    time("edges-persist-count") {
-      val e = rawEdges.persist(); e.count(); e.unpersist(true); ()
-    }
-    locally {
-      val e = rawEdges.persist(); e.count()
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(); deg.count()
-      val c = deg.agg(
-        expr("cast(1000000000 div count(*) as long)").as("r_init"),
-        expr("cast((15 * (1000000000 div count(*))) div 100 as long)").as("base"))
-      val r0 = deg.crossJoin(broadcast(c))
-        .select(col("src").as("node"), col("deg"), col("r_init").as("r"))
-      def step(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        e.join(broadcast(r.select(col("node").as("src"), col("deg"), col("r"))), "src")
-          .groupBy(col("dst"))
-          .agg(sum(expr("r div deg")).as("s"))
-          .join(broadcast(deg.select(col("src").as("dst"), col("deg"))), "dst")
-          .crossJoin(broadcast(c))
-          .select(col("dst").as("node"), col("deg"),
-            (col("base") + expr("cast((85 * s) div 100 as long)")).as("r"))
-      time("deg-only")(deg.write.format("noop").mode("overwrite").save())
-      time("iters-on-warm-cache")(
-        step(step(step(r0))).orderBy(col("r").desc).limit(100)
-          .write.format("noop").mode("overwrite").save())
-      e.unpersist(true); deg.unpersist(true)
-    }
-    time("full-q97")(
-      graft.SparkEntry.queries("q97_copurchase_pagerank")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save())
+    import spark.implicits._
+    val zarrDir = "target/scan-bench-zarr"
+    val z = spark.read.format("zarr").load(zarrDir)
+    println("=== plan sum(c2):")
+    val q = z.agg(sum($"c2"))
+    println(q.queryExecution.executedPlan.toString.take(2500))
+    time("sum-c2")(q.collect())
+    time("sum-4col")(z.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect())
+    time("select-c2-noop")(z.select($"c2").write.format("noop").mode("overwrite").save())
     spark.stop()
-
   }
 }
