@@ -620,15 +620,20 @@ object Mining {
     //      plan builds them in ONE fact-table scan — collect_list per
     //      order (groups are order-sized, bounded) then in-row pair
     //      expansion, exploded scan-local — one shuffle on the order
-    //      key instead of two scan+shuffle join sides. Edges and the
-    //      degree table are persisted and reused by every iteration, so
-    //      no iteration re-aggregates the edge set. Node state here is
-    //      the parts DIMENSION (bounded, ≪ edges), so each iteration
-    //      broadcasts it and costs one cached-edge scan + one map-side-
-    //      partial aggregate on dst — the k-means/q56 discipline. For
-    //      web-scale graphs where node state outgrows a broadcast, the
-    //      same step runs as a shuffle join with edges pre-partitioned
-    //      by src so every iteration reuses one exchange.
+    //      key instead of two scan+shuffle join sides. The destination
+    //      degree is attached to the persisted edge table ONCE
+    //      (edges(src, dst, dst_deg)) and the node state carries
+    //      contrib = r div deg, so every iteration is exactly ONE join
+    //      (edges ⋈ state on src) + one map-side-partial aggregate on
+    //      dst — no per-step degree re-attach. Node state is the parts
+    //      DIMENSION (bounded, ≪ edges); while it fits
+    //      [[Mining.PagerankBroadcastNodeLimit]] it is broadcast (the
+    //      k-means/q56 discipline). Past that limit — web-scale graphs
+    //      where node state outgrows a broadcast — the SAME step runs
+    //      as a shuffle join against the edge table pre-partitioned by
+    //      src at persist time, so the edge side is exchanged once for
+    //      all iterations and only the (node, contrib) state shuffles
+    //      per step. Both modes are pinned in PlanSpec.
     //
     //      Determinism: ranks live in integer 1e-9 units; every step is
     //      integer arithmetic (div truncation, exact BIGINT sums) — the
@@ -670,46 +675,89 @@ object Mining {
         |  GROUP BY e.dst)
         |SELECT node AS part_id, deg, r AS rank_u FROM r3
         |ORDER BY rank_u DESC, part_id LIMIT 100""".stripMargin) { (s, dir) =>
-      // one-year co-shipment window: bounds the graph like a real
-      // recent-window affinity computation (and the filter pushes to
-      // the parquet scan)
-      val li = Tables.load(s, dir, "lineitem")
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_partkey"))
-      // all ordered (src, dst) occurrence pairs with differing part
-      // values — the exact multiset the oracle's self-join produces —
-      // from ONE scan: per-order part list, expanded in-row
-      val edges = graft.CacheRegistry.track(
-        li.groupBy(col("l_orderkey"))
-          .agg(collect_list(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            """flatten(transform(ps, x ->
-              |  transform(filter(ps, y -> y != x),
-              |            y -> named_struct('src', x, 'dst', y))))""".stripMargin))
-            .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .persist())
-      val deg = graft.CacheRegistry.track(
-        edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist())
-      // the two integer constants are a bounded driver sync (the q56
-      // k-means discipline): n = node count, known once deg is cached
-      val n = deg.count()
-      require(n > 0, "q97: no co-purchase edges in the ship window")
-      val rInit = 1000000000L / n
-      val base = (15L * rInit) / 100L
-      val r0 = deg.select(col("src").as("node"), col("deg"), lit(rInit).as("r"))
-      def step(r: DataFrame): DataFrame =
-        edges.join(broadcast(r.select(col("node").as("src"), col("deg"), col("r"))), "src")
-          .groupBy(col("dst"))
-          .agg(sum(expr("r div deg")).as("s"))
-          .join(broadcast(deg.select(col("src").as("dst"), col("deg"))), "dst")
-          .select(col("dst").as("node"), col("deg"),
-            (lit(base) + expr("cast((85 * s) div 100 as long)")).as("r"))
-      val r3 = step(step(step(r0)))
-      r3.select(col("node").as("part_id"), col("deg"), col("r").as("rank_u"))
-        .orderBy(col("rank_u").desc, col("part_id"))
-        .limit(100)
+      pagerank(s, dir, PagerankBroadcastNodeLimit)
     }
   )
+
+  /** Nodes up to this count keep the per-iteration state join a
+    * broadcast (state rows are 4 longs ≈ 32 B + overhead → well under
+    * executor broadcast budgets at 4M); larger graphs switch to the
+    * pre-partitioned shuffle-join step. Package-visible so PlanSpec can
+    * pin BOTH modes on the same data. */
+  private[queries] val PagerankBroadcastNodeLimit = 4000000L
+
+  private[queries] def pagerank(
+      s: SparkSession, dir: String, broadcastNodeLimit: Long): DataFrame = {
+    // one-year co-shipment window: bounds the graph like a real
+    // recent-window affinity computation (and the filter pushes to
+    // the parquet scan)
+    val li = Tables.load(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    // all ordered (src, dst) occurrence pairs with differing part
+    // values — the exact multiset the oracle's self-join produces —
+    // from ONE scan: per-order part list, expanded in-row
+    val edgesRaw = graft.CacheRegistry.track(
+      li.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, x ->
+            |  transform(filter(ps, y -> y != x),
+            |            y -> named_struct('src', x, 'dst', y))))""".stripMargin))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist())
+    val deg = graft.CacheRegistry.track(
+      edgesRaw.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist())
+    // the integer constants are a bounded driver sync (the q56 k-means
+    // discipline): n = node count, known once deg is cached
+    val n = deg.count()
+    require(n > 0, "q97: no co-purchase edges in the ship window")
+    val bcastState = n <= broadcastNodeLimit
+    val rInit = 1000000000L / n
+    val base = (15L * rInit) / 100L
+    // dst-side degree rides the persisted edge table (attached ONCE;
+    // the graph is symmetric so deg keyed by src covers every dst) —
+    // iterations never touch `deg` again. Fallback mode pre-partitions
+    // by src at persist time: the cached partitioning satisfies every
+    // iteration's join distribution, so only the per-step state — the
+    // small side — moves.
+    val degAsDst0 = deg.select(col("src").as("dst"), col("deg").as("dst_deg"))
+    val degAsDst = if (bcastState) broadcast(degAsDst0) else degAsDst0
+    val edgesWithDeg0 = edgesRaw.join(degAsDst, "dst")
+      .select(col("src"), col("dst"), col("dst_deg"))
+    // fallback layout: explicit partition count so AQE cannot re-shape
+    // it, and an eager materialization so every iteration PLANS against
+    // the known cached partitioning (a lazily-cached AQE plan reports
+    // unknown partitioning and each step would re-exchange the edges)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = graft.CacheRegistry.track(
+      (if (bcastState) edgesWithDeg0
+       else edgesWithDeg0.repartition(nPart, col("src"))).persist())
+    if (!bcastState) edges.count(): Unit
+    // state carries contrib = r div deg, so the step needs no source-
+    // side degree either: ONE join + one partial-final agg per iteration
+    val r0 = deg.select(col("src").as("node"), col("deg"), lit(rInit).as("r"))
+      .withColumn("contrib", expr("r div deg"))
+    def step(r: DataFrame): DataFrame = {
+      val state0 = r.select(col("node").as("src"), col("contrib"))
+      // fallback: state is the SHUFFLED HASH build side — the cached
+      // edge partitioning already satisfies the join's distribution
+      // (set spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+      // =false so the cache exposes it), and hash build beats sort-
+      // merge here because the edge side never needs sorting
+      val state = if (bcastState) broadcast(state0) else state0.hint("shuffle_hash")
+      edges.join(state, "src")
+        .groupBy(col("dst"), col("dst_deg"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"), col("dst_deg").as("deg"),
+          (lit(base) + expr("cast((85 * s) div 100 as long)")).as("r"))
+        .withColumn("contrib", expr("r div deg"))
+    }
+    val r3 = step(step(step(r0)))
+    r3.select(col("node").as("part_id"), col("deg"), col("r").as("rank_u"))
+      .orderBy(col("rank_u").desc, col("part_id"))
+      .limit(100)
+  }
 }

@@ -214,14 +214,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus rows must not be hash-shuffled\n$p")
   }
 
-  test("q97: PageRank iterations join broadcast node-state; one lineitem scan feeds the edges") {
-    val p = plan("q97_copurchase_pagerank")
-    assert(!p.contains("SortMergeJoin"),
+  private def logicalJoins(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.length
+
+  test("q97: PageRank steps are ONE broadcast join each; no per-step degree re-attach") {
+    val df = SparkEntry.queries("q97_copurchase_pagerank")(spark, dir)
+    // exactly 3 joins in the iteration tree — one per step. The one-time
+    // dst_deg attach lives inside the cached edge build (an
+    // InMemoryRelation leaf here); the old shape re-attached deg per
+    // step for 6 iteration joins.
+    assert(logicalJoins(df) == 3,
+      s"expected 3 step joins, got ${logicalJoins(df)}\n${df.queryExecution.optimizedPlan}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"node state must broadcast — edges never shuffled by a join\n$p")
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       s"edges must come from the cached single-scan build, not per-iteration rescans\n$p")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_shipdate"),
       s"ship-window filter must push to the parquet scan\n$p")
+  }
+
+  test("q97: past the node-count gate, state joins fall back to shuffle (no state broadcast)") {
+    // force the fallback with a zero gate and auto-broadcast off (at
+    // sf0.001 Catalyst would otherwise legitimately pick broadcast from
+    // size stats — at the gate's real scale it cannot); expose the
+    // cached edge partitioning to the planner so iterations reuse it
+    val priorB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val cacheKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val priorC = spark.conf.get(cacheKey)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(cacheKey, "false")
+    // drop the broadcast-mode test's caches: sameResult ignores join
+    // hints, so its hinted edge build would otherwise substitute in here
+    spark.catalog.clearCache()
+    graft.CacheRegistry.releaseAll()
+    try {
+      val df = graft.queries.Mining.pagerank(spark, dir, 0L)
+      assert(logicalJoins(df) == 3,
+        s"expected 3 step joins, got ${logicalJoins(df)}\n${df.queryExecution.optimizedPlan}")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"fallback must not broadcast node state\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"fallback steps must be shuffled hash joins (state build side)\n$p")
+      // the edge table is pre-partitioned by src at persist time: every
+      // step join must stream DIRECTLY from the cached scan — no
+      // re-exchange, no sort on the edge side
+      val direct = "ShuffledHashJoin [^\\n]*\\n[^\\n]*:- InMemoryTableScan".r.findAllIn(p).length
+      assert(direct == 3,
+        s"all 3 step joins must stream the cached edges with no re-exchange, got $direct\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
+      spark.conf.set(cacheKey, priorC)
+    }
   }
 
   test("q100: three-stage curation funnel fuses into one pass — no joins, bounded exchanges") {
