@@ -567,9 +567,9 @@ object Mining {
         |  SELECT label, count(*) AS nlab FROM embeddings GROUP BY label
         |), f AS (
         |  SELECT qid, n_rel10, frk, dcg_u,
-        |    round(1e6 * list_sum(list_transform(
+        |    CASE WHEN nlab > 1 THEN round(1e6 * list_sum(list_transform(
         |      generate_series(1, least(10, nlab - 1)),
-        |      i -> 1.0 / log2(i + 1))))::BIGINT AS idcg_u
+        |      i -> 1.0 / log2(i + 1))))::BIGINT END AS idcg_u
         |  FROM perq JOIN lc ON lc.label = perq.qlabel)
         |SELECT qid, n_rel10,
         |  COALESCE(round(1.0::DOUBLE / frk, 4), 0.0) AS mrr,
@@ -596,9 +596,17 @@ object Mining {
           min(when(col("rel") === 1, col("rk"))).as("frk"))
       perq.join(broadcast(labCnt), col("label") === col("qlabel"))
         .withColumn("idcg_u", expr(
-          """cast(round(1e6 * aggregate(
+          // nlab = 1 means the query's relevance set (label members
+          // minus self) is EMPTY: Spark's sequence(1, 0) auto-steps
+          // DOWNWARD to [1, 0] (it is not empty like DuckDB's
+          // generate_series(1, 0)), and 1/log2(0+1) is Infinity — so
+          // the degenerate case must be guarded to NULL explicitly,
+          // matching the oracle's NULL-idcg semantics for an empty
+          // relevance set.
+          """CASE WHEN nlab > 1 THEN cast(round(1e6 * aggregate(
             |  sequence(1L, least(10L, nlab - 1)),
-            |  cast(0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))) as long)""".stripMargin))
+            |  cast(0 as double), (acc, i) -> acc + 1.0 / log2(i + 1))) as long)
+            |END""".stripMargin))
         .select(col("qid"), col("n_rel10"),
           coalesce(round(lit(1.0) / col("frk"), 4), lit(0.0)).as("mrr"),
           col("dcg_u"), col("idcg_u"),

@@ -306,7 +306,8 @@ object TextOps {
             .groupBy("word").agg(count(lit(1)).as("cnt"))
             .persist())
         val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        for (_ <- 1 to rounds) {
+        var exhausted = false
+        for (_ <- 1 to rounds if !exhausted) {
           val mergeArr =
             if (merges.isEmpty) "cast(array() as array<string>)"
             else merges.map { case (a, b, _) => s"'$a $b'" }.mkString("array(", ",", ")")
@@ -321,8 +322,15 @@ object TextOps {
             .agg(sum(col("cnt")).as("c"))
             .where(col("pa") =!= col("pb"))
             .orderBy(col("c").desc, col("pa"), col("pb"))
-            .limit(1).collect()(0)
-          merges += ((best.getString(0), best.getString(1), best.getLong(2)))
+            .limit(1).collect().headOption
+          // a degenerate corpus (all single-letter words, or fewer
+          // distinct mergeable pairs than rounds) legitimately runs
+          // out of pairs — emit the merges learned so far, as BPE
+          // training does
+          best match {
+            case Some(b) => merges += ((b.getString(0), b.getString(1), b.getLong(2)))
+            case None    => exhausted = true
+          }
         }
         val sess = s
         import sess.implicits._
@@ -375,8 +383,11 @@ object TextOps {
         .head()
       val cands = row.getSeq[String](0)
       val n = row.getLong(1)
-      require(cands.nonEmpty, "mg_heavy returned no candidates")
-      words.where(col("word").isin(cands: _*))
+      // an empty summary is a legitimate outcome (MG drains to empty
+      // when no item exceeds n/(k+1)); the exact answer is then the
+      // empty set, same as the oracle's empty HAVING result
+      val base = if (cands.isEmpty) words.limit(0) else words.where(col("word").isin(cands: _*))
+      base
         .groupBy(col("word"))
         .agg(count(lit(1)).as("freq"))
         .where(col("freq") > n / 64)

@@ -222,7 +222,14 @@ class ZarrScanBuilder(
           (StructField(s"sum_$n", org.apache.spark.sql.types.LongType), v: Any)))
       case a: Avg if !a.isDistinct =>
         // exact long sum / exact count, guarded so toDouble is lossless:
-        // the pushed AVG is the exactly-rounded true mean
+        // the pushed AVG is the exactly-rounded true mean. INTENTIONAL
+        // semantics note: Spark's fallback Average over integer columns
+        // accumulates partials in DOUBLE, so on data whose RUNNING sums
+        // transiently exceed 2^53 the scanned result depends on row
+        // order/partitioning (plan-dependent rounding); the pushed
+        // result is the one exactly-rounded answer every such ordering
+        // approximates. We deliberately return the exact mean rather
+        // than emulate an unspecifiable accumulation order.
         colOf(a.column).flatMap(n => exactSum(n)
           .filter(v => math.abs(v) <= (1L << 53))
           .map(v =>
@@ -490,8 +497,12 @@ class ZarrScan(
     val segIndex =
       if (effectiveFilters.isEmpty) Nil
       else try store.listStatsSegments() catch { case _: Throwable => Nil }
+    // rename-free staged commits key chunks through the root-doc
+    // manifest; ONE driver-side read covers the whole scan
+    val mparts =
+      try store.readChunkManifest().parts catch { case _: Throwable => Vector.empty }
     ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq,
-      effectiveFilters, limit, segIndex)
+      effectiveFilters, limit, segIndex, mparts)
   }
 
   /** Runtime (join-derived) filters — e.g. a broadcast join's IN-set on

@@ -44,21 +44,36 @@ object ZarrMaintenance {
       .option("inner_chunk_size", innerChunkSize.toString)
       .option("rows_per_partition", chunkSize.toString)
       .save(dstPath)
-    (countChunkObjects(srcPath), countChunkObjects(dstPath))
+    val conf = spark.sessionState.newHadoopConf()
+    (countChunkObjects(srcPath, conf), countChunkObjects(dstPath, conf))
   }
 
   /** Stored chunk objects across all columns (files under each array's
-    * `c/` prefix — data only, no metadata documents or stats sidecar). */
-  def countChunkObjects(path: String): Long = {
+    * `c/` prefix — data only, no metadata documents or stats sidecar).
+    * Takes the session's Hadoop configuration so non-default
+    * filesystems (custom schemes, s3a credentials registered on the
+    * session conf) resolve the same way the read/write path did. */
+  def countChunkObjects(path: String, conf: Configuration): Long = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(conf)
     def walk(dir: Path): Long =
       fs.listStatus(dir).map { st =>
         if (st.isDirectory) walk(st.getPath) else 1L
       }.sum
-    ZarrStore(path).listArrays().map { name =>
-      val c = new Path(root, s"$name/c")
-      if (fs.exists(c)) walk(c) else 0L
-    }.sum
+    // list arrays with the SAME FileSystem handle (a dir is an array
+    // iff it carries a zarr.json — mirrors ZarrStore.listArrays); chunk
+    // objects live under `c/` (canonical keys) and `c.part*/` dirs
+    // (manifest-keyed staged commits)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "zarr.json")))
+      .map { st =>
+        fs.listStatus(st.getPath).toSeq
+          .filter(d => d.isDirectory &&
+            (d.getPath.getName == "c" || d.getPath.getName.startsWith("c.part")))
+          .map(d => walk(d.getPath)).sum
+      }.sum
   }
+
+  def countChunkObjects(path: String): Long =
+    countChunkObjects(path, new Configuration())
 }
