@@ -113,7 +113,9 @@ class ZarrMicroBatchStream(
     ZarrReaderFactory(store, planned, outputNames, pushed,
       statsSegmentIndex =
         if (pushed.isEmpty) Nil
-        else try store.listStatsSegments() catch { case _: Throwable => Nil })
+        else try store.listStatsSegments() catch { case _: Throwable => Nil },
+      manifestParts =
+        try store.readChunkManifest().parts catch { case _: Throwable => Vector.empty })
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -33,7 +33,10 @@ final case class ZarrReaderFactory(
     outputNames: Seq[String],
     filters: Seq[Filter],
     limit: Int = -1,
-    statsSegmentIndex: Seq[(Long, Int)] = Nil)
+    statsSegmentIndex: Seq[(Long, Int)] = Nil,
+    /** Ordinal → task-attempt-key mapping for rename-free staged commits
+      * (read ONCE from the root doc at planning; [[graft.zarr.ChunkManifest]]). */
+    manifestParts: Seq[(Long, String, Int)] = Nil)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -120,6 +123,10 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * object-store latency when chunks are small). IO stays on one
     * dedicated thread, so depth bounds memory, not thread count. */
   private val prefetchDepth = 4
+  /** Manifest-keyed chunks (staged DSv2 commits) apply only to 1-D
+    * grids — the only shape the DSv2 writer produces. Declared BEFORE
+    * the eager `topUpPrefetch()` below, which already resolves keys. */
+  private val manifest = graft.zarr.ChunkManifest(f.manifestParts.toVector)
   private val inflightQ =
     new java.util.ArrayDeque[(Long, JFuture[Map[String, Option[Array[Byte]]]])]()
   private var nextToSubmit: Long = part.lo
@@ -136,7 +143,9 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
 
   private def chunkKeyFor(name: String, idx: Array[Int]): String = {
     val m = roleOf(name) match { case DataCol(mm) => mm; case CoordCol(mm, _) => mm }
-    roleOf(name) match {
+    if (geometry.ndim == 1 && !manifest.isEmpty)
+      manifest.keyFor(idx(0)).getOrElse(m.chunkKey(Array(idx(0))))
+    else roleOf(name) match {
       case DataCol(_) => m.chunkKey(idx)
       case CoordCol(_, dim) => m.chunkKey(Array(idx(dim)))
     }

@@ -128,6 +128,13 @@ class ZarrBatchWrite(
     * error). */
   private var existingMetas: Seq[ZarrArrayMeta] = Seq.empty
 
+  /** Unique id for this write job: scopes staged chunk/stats keys so
+    * attempts of distinct writes (and manifest parts committed by
+    * EARLIER staged writes) can never collide or be cleaned by another
+    * job's abort. */
+  private val writeId: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+
   private val appendState: (Long, Int, String) = {
     existingMetas =
       if (truncate) Seq.empty
@@ -173,6 +180,12 @@ class ZarrBatchWrite(
   private val codec: String = appendState._3
   private val baseChunks: Long = baseRows / chunkSize
 
+  /** Manifest parts committed by earlier staged writes to this store —
+    * they must survive this commit's root-doc rewrite. */
+  private val existingManifest: ChunkManifest =
+    if (truncate || baseRows == 0L) ChunkManifest.empty
+    else try store.readChunkManifest() catch { case _: Throwable => ChunkManifest.empty }
+
   if (rowsPerPartition > 0 && rowsPerPartition % chunkSize != 0)
     throw new ZarrException(
       s"rows_per_partition ($rowsPerPartition) must be a multiple of chunk_size ($chunkSize)")
@@ -202,9 +215,6 @@ class ZarrBatchWrite(
           ZarrBatchWrite.defaultFillJson(zt), None, chain)
     }
   }
-  private def colMetas: Seq[ZarrArrayMeta] =
-    schema.fields.toSeq.zip(colMetaJsons).map { case (f, j) => ZarrMeta.parse(f.name, j) }
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) store.delete()
     // a previously-failed aligned append may have left final-keyed stats
@@ -212,13 +222,13 @@ class ZarrBatchWrite(
     // a stale segment can never describe the chunks written now
     else store.cleanStatsSegmentsFrom(baseChunks)
     ZarrWriterFactory(store, schema.json, chunkSize, colMetaJsons, rowsPerPartition,
-      baseChunks, stats)
+      baseChunks, stats, writeId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val counts = messages.map(_.asInstanceOf[ZarrCommit]).sortBy(_.partitionId)
     val nonEmpty = counts.filter(_.rows > 0)
-    val metasNow = colMetas
+    var manifestOut = existingManifest
     if (rowsPerPartition > 0) {
       // fast path: tasks wrote final chunk keys derived from their
       // partition id, so EVERY partition before the last data-bearing one
@@ -234,9 +244,12 @@ class ZarrBatchWrite(
               "last data-bearing one must be exactly full); use ZarrWriteSupport.alignForWrite")
       }
     } else {
-      // staged path: sequential metadata-only renames assign global chunk
-      // indices in partition order (no data movement; use the
-      // rows_per_partition fast path to avoid even this at large scale)
+      // staged path: chunks were uploaded ONCE to task-attempt keys
+      // (`c.part<writeId>-<pid>/<j>`) and are never moved — the commit
+      // assigns global chunk ordinals by recording a per-task manifest
+      // entry in the root document (ChunkManifest: on object stores a
+      // rename is COPY+DELETE, so the old rename-commit re-paid the
+      // store O(data bytes); this commit is metadata-only)
       nonEmpty.dropRight(1).foreach { c =>
         if (c.rows % chunkSize != 0)
           throw new ZarrException(
@@ -244,46 +257,50 @@ class ZarrBatchWrite(
               s"(not a multiple of chunk_size=$chunkSize); use ZarrWriteSupport.alignForWrite")
       }
       var nextChunk = baseChunks
+      val newParts = Vector.newBuilder[(Long, String, Int)]
       nonEmpty.foreach { c =>
         val nChunks = ((c.rows + chunkSize - 1) / chunkSize).toInt
-        schema.fields.zip(metasNow).foreach { case (f, m) =>
-          (0 until nChunks).foreach { j =>
-            store.rename(
-              s"${f.name}/c.part${c.partitionId}/$j",
-              s"${f.name}/" + Seq("c", (nextChunk + j).toString).mkString(m.chunkKeySeparator))
-          }
+        newParts += ((nextChunk, s"c.part$writeId-${c.partitionId}", nChunks))
+        // stats segment staged under the task's attempt key gets COPIED
+        // to its final first-ordinal name (metadata-sized text, not an
+        // O(data) rename) and the staging object dropped
+        if (stats) {
+          val sk = ChunkStats.stagingKey(writeId, c.partitionId, nChunks)
+          store.readText(sk).foreach(doc =>
+            store.writeText(ChunkStats.segmentKey(nextChunk, nChunks), doc))
+          store.deleteKey(sk)
         }
-        // stats segment staged under the task's partition id gets its
-        // final first-ordinal from the same sequential assignment
-        if (stats)
-          store.rename(
-            ChunkStats.stagingKey(c.partitionId, nChunks),
-            ChunkStats.segmentKey(nextChunk, nChunks))
         nextChunk += nChunks
       }
-      schema.fields.foreach(f => store.cleanStaging(f.name))
+      manifestOut = existingManifest ++ newParts.result()
+      // leftover staged stats of crashed writes are never live — drop
       store.cleanStatsStaging()
     }
     val total = baseRows + counts.map(_.rows).sum
     // the persisted zarr.json is the SAME document the writers derived
     // their codec chain / separator / element type from, with shape[0]
-    // set to the final row count; the root doc embeds every array's
-    // metadata (consolidated_metadata) for one-GET schema inference.
-    // Per-array documents FIRST, consolidated root LAST: the single root
-    // write is the effective commit point, so a crash mid-commit can
-    // never leave consolidated readers seeing a newer shape than
-    // per-array readers and external tools do.
+    // set to the final row count (plus the manifest storage-transformer
+    // marker when any chunk is manifest-keyed); the root doc embeds
+    // every array's metadata (consolidated_metadata) for one-GET schema
+    // inference AND the chunk manifest. Per-array documents FIRST,
+    // consolidated root LAST: the single root write is the effective
+    // commit point — shape advance and staged-chunk visibility land in
+    // the same atomic PUT, so a crash mid-commit can never leave
+    // consolidated readers seeing a newer shape than the manifest.
     val finalJsons = schema.fields.toSeq.zip(colMetaJsons).map { case (f, json) =>
-      f.name -> ZarrMeta.withShape0(json, total)
+      val j = ZarrMeta.withShape0(json, total)
+      f.name -> (if (manifestOut.isEmpty) j else ZarrMeta.withManifestTransformer(j))
     }
     finalJsons.foreach { case (name, json) => store.writeMeta(name, json) }
-    store.writeStoreRootMeta(finalJsons)
+    store.writeStoreRootMeta(finalJsons, manifestOut)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     if (baseRows == 0L) store.delete() // fresh store: remove partial output
-    else { // append: keep base data
-      schema.fields.foreach(f => store.cleanStaging(f.name))
+    else { // append: keep base data — including manifest parts of EARLIER
+      // staged commits, which live under their own c.part<id>- dirs; only
+      // THIS write's staging (scoped by writeId) is removed
+      schema.fields.foreach(f => store.cleanStaging(f.name, s"c.part$writeId-"))
       store.cleanStatsStaging()
       // aligned tasks write FINAL segment keys (no staging) — remove any
       // at ordinals past the surviving base or they would describe
@@ -349,12 +366,13 @@ final case class ZarrCommit(partitionId: Int, rows: Long) extends WriterCommitMe
 
 final case class ZarrWriterFactory(
     store: ZarrStore, schemaJson: String, chunkSize: Int, colMetaJsons: Seq[String],
-    rowsPerPartition: Long, baseChunks: Long, stats: Boolean = true)
+    rowsPerPartition: Long, baseChunks: Long, stats: Boolean = true,
+    writeId: String = "w")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ZarrDataWriter(store,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      chunkSize, colMetaJsons, partitionId, rowsPerPartition, baseChunks, stats)
+      chunkSize, colMetaJsons, partitionId, rowsPerPartition, baseChunks, stats, writeId)
 }
 
 /** Buffers `chunk_size` rows per column, then encodes+writes one chunk
@@ -366,7 +384,8 @@ final case class ZarrWriterFactory(
   * '.'-separated key layout is reproduced exactly. */
 final class ZarrDataWriter(
     store: ZarrStore, schema: StructType, chunkSize: Int, colMetaJsons: Seq[String],
-    partitionId: Int, rowsPerPartition: Long, baseChunks: Long, stats: Boolean = true)
+    partitionId: Int, rowsPerPartition: Long, baseChunks: Long, stats: Boolean = true,
+    writeId: String = "w")
     extends DataWriter[InternalRow] {
 
   private val ncols = schema.fields.length
@@ -443,7 +462,7 @@ final class ZarrDataWriter(
         if (rowsPerPartition > 0) {
           val ord = baseChunks + partitionId * (rowsPerPartition / chunkSize) + localChunk
           Seq("c", ord.toString).mkString(colMetas(c).chunkKeySeparator)
-        } else s"c.part$partitionId/$localChunk"
+        } else s"c.part$writeId-$partitionId/$localChunk" // final key; commit maps it via manifest
       store.writeChunk(schema.fields(c).name, key, enc)
       buf(c).clear()
       c += 1
@@ -465,8 +484,8 @@ final class ZarrDataWriter(
           ChunkStats.segmentKey(
             baseChunks + partitionId * (rowsPerPartition / chunkSize), localChunk)
         else
-          // staged path: driver commit renames to the final ordinal
-          ChunkStats.stagingKey(partitionId, localChunk)
+          // staged path: driver commit copies to the final ordinal name
+          ChunkStats.stagingKey(writeId, partitionId, localChunk)
       store.writeText(key, doc)
     }
     ZarrCommit(partitionId, totalRows)

@@ -1,0 +1,92 @@
+package graft.zarr
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Ordinal → storage-key mapping for stores committed by the rename-free
+  * staged write path.
+  *
+  * The unaligned DSv2 write cannot know a task's global chunk ordinals
+  * until every task's row count is in (the aligned `rows_per_partition`
+  * path can, and writes canonical `c<sep>ordinal` keys directly). The
+  * pre-round-8 staged commit assigned ordinals by RENAMING every staged
+  * chunk — on S3-like object stores a rename is server-side COPY+DELETE,
+  * i.e. the commit re-pays O(data bytes) and is non-atomic per object.
+  *
+  * Instead, staged chunk objects now stay at the task-attempt keys they
+  * were uploaded to once (`c.part<writeId>-<pid>/<j>`), and the commit
+  * records this compact manifest — one `[firstOrdinal, dir, nChunks]`
+  * entry PER WRITE TASK, not per chunk — in the store root document's
+  * attributes. The root-document write is already the store's metadata
+  * commit point (consolidated schema + shapes), so chunk visibility and
+  * shape advance in the same single PUT: a reader either sees the old
+  * root (old shape, old manifest) or the new one — never half a commit.
+  *
+  * Every array's zarr.json additionally lists a
+  * `storage_transformers: [{"name": "graft-chunk-manifest"}]` entry:
+  * per the Zarr v3 spec readers MUST refuse arrays whose transformers
+  * they do not understand, so a generic Zarr tool fails loudly instead
+  * of silently reading fill values at the canonical keys. (A store can
+  * be rewritten to fully canonical layout with `ZarrMaintenance.compact`.)
+  *
+  * Scale shape: the manifest is O(write tasks) entries (not O(chunks)),
+  * lives in the root doc every reader already fetches for schema
+  * inference, and lookup is a binary search — zero extra IO per chunk.
+  */
+final case class ChunkManifest(parts: Vector[(Long, String, Int)]) {
+
+  def isEmpty: Boolean = parts.isEmpty
+
+  /** Storage key (relative to an array root) of chunk `ordinal`, when
+    * manifest-mapped; None → the canonical `c<sep>ordinal` key applies
+    * (aligned writes, fixture writers). */
+  def keyFor(ordinal: Long): Option[String] = {
+    var lo = 0
+    var hi = parts.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (first, dir, n) = parts(mid)
+      if (ordinal < first) hi = mid - 1
+      else if (ordinal >= first + n) lo = mid + 1
+      else return Some(s"$dir/${ordinal - first}")
+    }
+    None
+  }
+
+  /** JSON value for the root document attribute: `[[first,"dir",n],…]`. */
+  def toJsonValue: String =
+    parts.map { case (f, d, n) => s"[$f,${ZarrStore.jsonQuote(d)},$n]" }
+      .mkString("[", ",", "]")
+
+  /** Manifest extended by parts of a later (append) commit. Appends only
+    * ever add ordinals past every existing part, so ordering holds. */
+  def ++(more: Seq[(Long, String, Int)]): ChunkManifest =
+    ChunkManifest((parts ++ more).sortBy(_._1))
+}
+
+object ChunkManifest {
+  val empty: ChunkManifest = ChunkManifest(Vector.empty)
+
+  /** Root-document attribute carrying the manifest. */
+  val attrName = "graft_chunk_manifest"
+
+  /** Zarr v3 storage-transformer name marking manifest-keyed arrays. */
+  val transformerName = "graft-chunk-manifest"
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse from a store root `zarr.json` document (empty when absent or
+    * malformed — the manifest is load-bearing only for stores that wrote
+    * one, and those always carry a well-formed root doc). */
+  def parse(rootJson: String): ChunkManifest = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val node = mapper.readTree(rootJson).path("attributes").path(attrName)
+      if (!node.isArray) empty
+      else ChunkManifest(node.elements().asScala.flatMap { e =>
+        if (e.isArray && e.size() == 3)
+          Some((e.get(0).asLong(), e.get(1).asText(), e.get(2).asInt()))
+        else None
+      }.toVector.sortBy(_._1))
+    } catch { case _: Throwable => empty }
+  }
+}

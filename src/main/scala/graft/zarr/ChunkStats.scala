@@ -32,9 +32,11 @@ object ChunkStats {
     s"$dirName/s${first}_$chunks.json"
 
   /** Staging key for the unaligned write path (final first-ordinal is
-    * only known at commit, which renames staging → [[segmentKey]]). */
-  def stagingKey(partitionId: Int, chunks: Int): String =
-    s"$dirName/c.part${partitionId}_$chunks.json"
+    * only known at commit, which copies staging → [[segmentKey]] — a
+    * metadata-sized text object, so the copy is not an O(data) rename).
+    * Scoped by writeId so attempts of distinct jobs cannot collide. */
+  def stagingKey(writeId: String, partitionId: Int, chunks: Int): String =
+    s"$dirName/c.part$writeId-${partitionId}_$chunks.json"
 
   private val NameRe = """s(\d+)_(\d+)\.json""".r
 

@@ -167,7 +167,33 @@ object ZarrMeta {
       if (dn.isArray) Some(iter(dn).map(_.asText()).toSeq) else None
     }
 
+    // Zarr v3: storage transformers are must-understand — an array keyed
+    // through a transformer this reader does not implement would silently
+    // read as all fill values, so unknown names are a hard error. The
+    // only transformer we implement is the chunk manifest (whose mapping
+    // itself lives in the store root doc, ChunkManifest).
+    val st = root.path("storage_transformers")
+    if (st.isArray) iter(st).foreach { t =>
+      val n = t.path("name").asText("")
+      if (n != ChunkManifest.transformerName)
+        throw new ZarrException(
+          s"Unsupported storage transformer '$n' for $arrayName")
+    }
+
     ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs, dimNames, json)
+  }
+
+  /** Mark an array's metadata as manifest-keyed: add the
+    * `graft-chunk-manifest` storage transformer (idempotent). Per the v3
+    * spec readers must refuse transformers they don't understand, so
+    * generic tools fail loudly on manifest stores instead of silently
+    * reading fill values at the canonical chunk keys. */
+  def withManifestTransformer(json: String): String = {
+    val root = mapper.readTree(json).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val arr = root.withArray("storage_transformers")
+    val has = iter(arr).exists(_.path("name").asText("") == ChunkManifest.transformerName)
+    if (!has) arr.addObject().put("name", ChunkManifest.transformerName)
+    mapper.writeValueAsString(root)
   }
 
   private def iter(n: JsonNode): Iterator[JsonNode] = {

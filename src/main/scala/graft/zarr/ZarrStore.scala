@@ -90,20 +90,30 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * object-store latency with hundreds of arrays is hundreds of
     * sequential round-trips. `must_understand: false` keeps the store
     * readable by consumers that ignore the field. */
-  def writeStoreRootMeta(consolidated: Seq[(String, String)] = Nil): Unit = {
+  def writeStoreRootMeta(
+      consolidated: Seq[(String, String)] = Nil,
+      manifest: ChunkManifest = ChunkManifest.empty): Unit = {
+    val attrs =
+      if (manifest.isEmpty) ""
+      else s""","attributes":{${ZarrStore.jsonQuote(ChunkManifest.attrName)}:${manifest.toJsonValue}}"""
     val doc =
-      if (consolidated.isEmpty) """{"zarr_format":3,"node_type":"group"}"""
+      if (consolidated.isEmpty) s"""{"zarr_format":3,"node_type":"group"$attrs}"""
       else {
         val entries = consolidated.map { case (name, json) =>
           ZarrStore.jsonQuote(name) + ":" + json
         }.mkString(",")
-        """{"zarr_format":3,"node_type":"group","consolidated_metadata":""" +
+        s"""{"zarr_format":3,"node_type":"group"$attrs,"consolidated_metadata":""" +
           s"""{"kind":"inline","must_understand":false,"metadata":{$entries}}}"""
       }
     val out = fs.create(new Path(rootPath, "zarr.json"), true)
     try out.write(doc.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Chunk manifest from the root document (rename-free staged commits;
+    * empty for canonical-keyed stores). */
+  def readChunkManifest(): ChunkManifest =
+    readText("zarr.json").map(ChunkManifest.parse).getOrElse(ChunkManifest.empty)
 
   /** Array metadata from the root document's `consolidated_metadata`, or
     * None when absent/uninlined — callers fall back to per-array reads.
@@ -166,11 +176,12 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
         .foreach(st => fs.delete(st.getPath, false))
   }
 
-  /** Metadata-only move of a chunk object (commit-time re-keying).
-    * Overwrites an existing destination: commit retries after a crash
-    * re-rename the SAME deterministic bytes onto keys a previous attempt
-    * may already have landed (HDFS/S3A rename does not overwrite, so the
-    * retry would otherwise wedge). */
+  /** Metadata-only move of a chunk object. On true filesystems
+    * (local/HDFS) this is cheap; on S3A it is COPY+DELETE — which is why
+    * the DSv2 write path no longer renames chunks at all (manifest
+    * commit, [[ChunkManifest]]) and this remains only for fixtures and
+    * non-hot-path maintenance. Overwrites an existing destination so
+    * crash retries re-landing the SAME deterministic bytes cannot wedge. */
   def rename(fromKey: String, toKey: String): Unit = {
     val to = new Path(rootPath, toKey)
     fs.mkdirs(to.getParent)
@@ -179,11 +190,19 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
       throw new ZarrException(s"rename failed: $fromKey -> $toKey")
   }
 
-  /** Remove leftover staging directories (`<array>/c.part<N>/`). */
-  def cleanStaging(arrayName: String): Unit = {
+  def deleteKey(key: String): Unit = {
+    val p = new Path(rootPath, key)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Remove staging/part directories under `<arrayName>/` whose name
+    * starts with `prefix`. The prefix MUST be scoped to one write's id
+    * (`c.part<writeId>-`): committed manifest parts from earlier staged
+    * writes live under sibling `c.part…` dirs and hold live data. */
+  def cleanStaging(arrayName: String, prefix: String): Unit = {
     val dir = new Path(rootPath, arrayName)
     if (fs.exists(dir))
-      fs.listStatus(dir).filter(_.getPath.getName.startsWith("c.part"))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
         .foreach(st => fs.delete(st.getPath, true))
   }
 

@@ -69,11 +69,14 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.read.format("zarr").load(url)
       .filter("id >= 64").select("id", "v").collect()
     assert(rows.map(_.getLong(0)).sorted.toSeq == (64L until 80L))
+    // staged-write chunks live at manifest-mapped task-attempt keys
+    // (c.part<writeId>-<pid>/<j>); ordinal 4 of this single-task write
+    // is .../c.part*-0/4
     val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
-      .filter(_.matches(".*/s1/(id|v|name)/c/\\d+$"))
+      .filter(_.matches(".*/s1/(id|v|name)/(c|c\\.part[^/]*)/\\d+$"))
     // only chunk 4 may be touched — chunks 0-3 are excluded by the
     // sidecar before any fetch is submitted
-    assert(chunkOpens.nonEmpty && chunkOpens.forall(_.endsWith("/c/4")),
+    assert(chunkOpens.nonEmpty && chunkOpens.forall(_.endsWith("/4")),
       s"stats-skipped chunks were fetched: ${chunkOpens.mkString(", ")}")
   }
 

@@ -37,11 +37,17 @@ class FauxFileSystem extends RawLocalFileSystem {
     FauxFileSystem.creates.incrementAndGet()
     super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    FauxFileSystem.renames.incrementAndGet()
+    super.rename(src, dst)
+  }
 }
 
 object FauxFileSystem {
   val opens = new AtomicInteger(0)
   val creates = new AtomicInteger(0)
+  val renames = new AtomicInteger(0)
 }
 
 /** End-to-end zarr write + read over a non-`file:` scheme (VERDICT r2
@@ -97,6 +103,23 @@ class FauxFileSystemSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.count() == 16)
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("pushed=") || plan.contains("PushedFilters"), plan)
+  }
+
+  test("staged (unaligned) write performs ZERO renames — manifest commit") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftfaux://$base/staged"
+    // multi-partition, NO rows_per_partition → the staged commit path.
+    // On an object store every rename is a server-side COPY+DELETE of
+    // the chunk bytes; the manifest commit must not issue any.
+    val df = graft.sources.ZarrWriteSupport.alignForWrite(
+      (0 until 60).map(i => (i.toLong, i * 3.0)).toDF("id", "v"), 20)
+    FauxFileSystem.renames.set(0)
+    df.write.format("zarr").mode("overwrite").option("chunk_size", "10").save(url)
+    assert(FauxFileSystem.renames.get() == 0,
+      s"staged commit must be rename-free, saw ${FauxFileSystem.renames.get()} renames")
+    val back = spark.read.format("zarr").load(url).orderBy("id").collect()
+    assert(back.length == 60)
+    assert(back(59).getAs[Double]("v") == 177.0)
   }
 
   test("a plain Configuration cannot resolve the scheme (propagation is load-bearing)") {

@@ -47,7 +47,7 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(42).getAs[Boolean]("flag") == true)
   }
 
-  test("staged multi-partition write renames to correct global order") {
+  test("staged multi-partition write commits correct global order via manifest") {
     val sp = spark; import sp.implicits._
     // 3 partitions × 20 rows each, chunk_size 10 → alignment holds (20 % 10 == 0)
     val df = ZarrWriteSupport.alignForWrite(
@@ -61,6 +61,42 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("id") == i.toLong)
       assert(r.getAs[Double]("v") == i * 2.0)
     }
+    // rename-free commit: chunks stay at their task-attempt keys (no
+    // canonical c/<ord> objects), the root doc carries the manifest, and
+    // every array is marked with the must-understand storage transformer
+    // so generic Zarr tools fail loudly instead of reading fill values
+    val store = ZarrStore(s"$base/multi")
+    val manifest = store.readChunkManifest()
+    assert(manifest.parts.length == 3, manifest.parts)
+    assert(manifest.parts.map(_._1) == Vector(0L, 2L, 4L))
+    assert(manifest.parts.forall(_._3 == 2))
+    val idDir = new java.io.File(s"$base/multi/id")
+    assert(!idDir.listFiles().exists(_.getName == "c"), "no canonical chunk dir expected")
+    assert(idDir.listFiles().count(_.getName.startsWith("c.part")) == 3)
+    assert(store.readMeta("id").sourceJson.contains("graft-chunk-manifest"))
+    // manifest lookups resolve every ordinal; outside range falls back
+    assert(manifest.keyFor(0L).exists(_.endsWith("/0")))
+    assert(manifest.keyFor(5L).exists(_.endsWith("/1")))
+    assert(manifest.keyFor(6L).isEmpty)
+  }
+
+  test("staged append after a staged write keeps earlier manifest parts") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/multi-append"
+    def part(lo: Int, hi: Int) = ZarrWriteSupport.alignForWrite(
+      (lo until hi).map(i => (i.toLong, i * 2.0)).toDF("id", "v"), 20)
+    part(0, 40).write.format("zarr").mode("overwrite").option("chunk_size", "10").save(p)
+    part(40, 100).write.format("zarr").mode("append").option("chunk_size", "10").save(p)
+    val store = ZarrStore(p)
+    assert(store.readChunkManifest().parts.length == 5) // 2 + 3 tasks
+    val back = spark.read.format("zarr").load(p).orderBy("id").collect()
+    assert(back.length == 100)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("id") == i.toLong)
+      assert(r.getAs[Double]("v") == i * 2.0)
+    }
+    // filter pushdown still prunes/filters correctly through the manifest
+    assert(spark.read.format("zarr").load(p).where("id >= 90").count() == 10)
   }
 
   test("fast path: rows_per_partition avoids staging entirely") {
@@ -152,8 +188,10 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 5).map(_ * 1.0), None, ZarrWriter.CodecChain.raw, fillJson = "-77.5")
     val sp = spark; import sp.implicits._
     // append 3 rows → edge chunk holds 3 values + 2 PADDED elements
+    // (aligned append → canonical c/1 key, so the chunk bytes are
+    // directly addressable below)
     (5 until 8).map(i => Tuple1(i * 1.0)).toDF("v").coalesce(1)
-      .write.format("zarr").mode("append").save(pth)
+      .write.format("zarr").mode("append").option("rows_per_partition", "5").save(pth)
     val chunk = ZarrStore(pth).readChunk("v", "c/1").get
     val bb = java.nio.ByteBuffer.wrap(chunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     assert(bb.getDouble(0 * 8) == 5.0 && bb.getDouble(2 * 8) == 7.0)
@@ -223,14 +261,24 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     ZarrWriter.writeArray(store, "v", ZarrType.Int64, Seq(8), Seq(4),
       (0L until 8L).toIndexedSeq, None, ZarrWriter.CodecChain.gzip,
       fillJson = "0", separator = ".")
+    // aligned append → canonical keys, which must honor the separator
     (8L until 16L).map(Tuple1(_)).toDF("v").coalesce(1)
-      .write.format("zarr").mode("append").save(pth)
+      .write.format("zarr").mode("append").option("rows_per_partition", "8").save(pth)
     // pre-fix, appended chunks were keyed c/2,c/3 — invisible to a
     // '.'-separated reader, silently reading back as fill values
     val back = spark.read.format("zarr").load(pth)
       .collect().map(_.getLong(0)).sorted
     assert(back.toSeq == (0L until 16L))
     assert(new java.io.File(s"$pth/v/c.3").exists(), "appended chunk must use '.' keys")
+
+    // a STAGED append to the same '.'-separated store resolves through
+    // the manifest instead (separator-independent task-attempt keys)
+    (16L until 24L).map(Tuple1(_)).toDF("v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    val all = spark.read.format("zarr").load(pth)
+      .collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == (0L until 24L))
+    assert(ZarrStore(pth).readChunkManifest().keyFor(4L).isDefined)
   }
 
   test("append to an un-encodable codec chain fails with a clear error") {
