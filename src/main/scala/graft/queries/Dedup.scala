@@ -33,6 +33,35 @@ object Dedup {
     Tables.load(s, dir, "documents")
   }
 
+  /** Document-frequency cap for inverted-index posting lists (q35/q48).
+    *
+    * A shingle present in more than this many documents is boilerplate —
+    * it carries no near-duplicate signal (its posting list pairs
+    * *everything* with *everything*), but it IS the skew that kills the
+    * shingle join at corpus scale: one navigation-bar sentence shared by
+    * 10M pages is a single join key with a 10M-row posting list
+    * (10^14 pairs). Dropping df > cap postings bounds the worst join key
+    * at cap² pairs while leaving every discriminative shingle intact.
+    *
+    * The cap is far above any df in the test corpora (measured max 25 at
+    * sf0.1), so oracle results are bit-identical at test scale; at 100 TB
+    * it is the standard df-cap approximation from the near-dup
+    * literature. ShingleSkewSpec pins the mechanism. */
+  private[queries] val ShingleDfCap = 1000L
+
+  /** Drop postings whose key (the `keys` tuple) occurs in more than
+    * `cap` rows. The hot-key set is TINY by construction (only keys
+    * above the cap), so it broadcasts and the drop is a map-side
+    * broadcast anti join — no extra shuffle on the postings. */
+  private[queries] def dropHotPostings(
+      postings: DataFrame, keys: Seq[String], cap: Long = ShingleDfCap): DataFrame = {
+    val hot = postings.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > cap)
+      .select(keys.map(col): _*)
+    postings.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** Word 3-gram shingle set (distinct), as a Column over `text` — the
     * native [[graft.functions.Shingles3]] kernel, value-identical to the
     * oracle's
@@ -67,8 +96,14 @@ object Dedup {
       val ex = graft.CacheRegistry.track(
         sized.select(col("doc_id"), col("source"), col("sz"),
           explode(col("sh")).as("shingle")).persist())
-      val a = ex.as("a")
-      val b = ex.as("b")
+      // df-cap: boilerplate shingles (df > cap within the source block)
+      // are dropped BEFORE the pair join — they add no signal and their
+      // posting lists are the quadratic skew at corpus scale. Set sizes
+      // (sz) keep the FULL shingle sets, so jaccard is unchanged
+      // wherever no capped shingle exists (all test corpora).
+      val pruned = dropHotPostings(ex, Seq("source", "shingle"))
+      val a = pruned.as("a")
+      val b = pruned.as("b")
       // length filter (exact, from the set-similarity-join literature):
       // J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= 0.5 requires the
       // sizes within 2x of each other — prune those pairs inside the

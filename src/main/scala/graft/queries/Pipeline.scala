@@ -139,7 +139,10 @@ object Pipeline {
         |FROM g t JOIN g tr ON t.gram = tr.gram
         |  AND t.source = 'src0' AND tr.source != 'src0'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      val grams = fourGrams(s, dir)
+      // df-cap (see Dedup.ShingleDfCap): a 4-gram present in more docs
+      // than the cap is boilerplate — no contamination signal, pure join
+      // skew. Dropped before the split so both sides agree.
+      val grams = Dedup.dropHotPostings(fourGrams(s, dir), Seq("gram"))
       val test = grams.filter(col("source") === "src0")
         .select(col("doc_id").as("test_doc"), col("gram"))
       val train = grams.filter(col("source") =!= "src0")
