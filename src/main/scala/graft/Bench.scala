@@ -32,6 +32,23 @@ object Bench {
     // median of 3 timed runs per query: single-shot local[32] timings are
     // noisy by construction (JIT, GC, page cache)
     val runs = 3
+    // fixed-cost calibration probe (constant in-memory shuffle+sort+agg,
+    // no IO, no SF dependence) timed at sweep start AND end: cross-round
+    // comparisons divide by it to cancel machine drift (the r6→r7 sweep
+    // moved ~25% on machine contention alone), and start-vs-end exposes
+    // within-sweep drift (thermal throttling, a co-tenant arriving)
+    def calibrate(): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("id * 2654435761L % 1000003 AS k")
+          .groupBy("k").count()
+          .orderBy(org.apache.spark.sql.functions.desc("count"),
+            org.apache.spark.sql.functions.col("k"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(runs / 2)
+    val calStart = calibrate()
     def timedRuns(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -67,7 +84,9 @@ object Bench {
       "\"" + k + "\":[" + fmt(t.head) + "," + fmt(t(runs / 2)) + "," + fmt(t.last) + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2(runs / 2)).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val calEnd = calibrate()
+    val cal = s"""{"start":${fmt(calStart)},"end":${fmt(calEnd)}}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"spread":$spread,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

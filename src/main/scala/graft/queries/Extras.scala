@@ -75,8 +75,11 @@ object Extras {
 
     // ---- sketches: HyperLogLog++ approximate distinct counts. No DuckDB
     //      oracle (sketch implementations differ across engines) → the
-    //      driver records a rows-only check; the spec-level guard is the
-    //      relative-error assertion inside the query itself. ----
+    //      driver records a rows-only check; the machine-checked gate is
+    //      the ε-tolerance ENFORCED inside the query: the exact counts
+    //      bound the sketch, and |approx−exact|/exact > ε raises — a
+    //      sketch regression turns the rows-only check into a hard
+    //      failure instead of passing on row count alone. ----
     QueryDef.rowsOnly("q29_approx_distinct") { (s, dir) =>
       val li = t(s, dir, "lineitem")
       val approx = li.agg(
@@ -86,11 +89,17 @@ object Extras {
       // lesson: one agg with both would plan as Expand, 2x every row)
       val exact = li.agg(countDistinct(col("l_partkey")).as("ex_parts"))
         .crossJoin(li.agg(countDistinct(col("l_orderkey")).as("ex_orders")))
+      val partsOk = abs(col("apx_parts") - col("ex_parts")) * 1.0 / col("ex_parts") < 0.05
+      val ordersOk = abs(col("apx_orders") - col("ex_orders")) * 1.0 / col("ex_orders") < 0.05
       approx.crossJoin(exact)
         .select(col("apx_parts"), col("ex_parts"), col("apx_orders"), col("ex_orders"),
-          (abs(col("apx_parts") - col("ex_parts")) * 1.0 / col("ex_parts") < 0.05)
+          when(partsOk, lit(true)).otherwise(raise_error(concat(
+            lit("q29 HLL parts estimate outside 5% of exact: apx="),
+            col("apx_parts").cast("string"), lit(" exact="), col("ex_parts").cast("string"))))
             .as("parts_within_5pct"),
-          (abs(col("apx_orders") - col("ex_orders")) * 1.0 / col("ex_orders") < 0.05)
+          when(ordersOk, lit(true)).otherwise(raise_error(concat(
+            lit("q29 HLL orders estimate outside 5% of exact: apx="),
+            col("apx_orders").cast("string"), lit(" exact="), col("ex_orders").cast("string"))))
             .as("orders_within_5pct"))
     },
 
