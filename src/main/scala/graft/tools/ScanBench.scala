@@ -144,10 +144,51 @@ object ScanBench {
     LatencyFileSystem.reset(0)
     spark.read.format("zarr").load(latUrl("sidecar"))
       .filter($"c0" > cut).agg(sum($"c1")).collect()
+    // ---- string-predicate latency model (round 8): long strings carry
+    //      CLAMPED PREFIX stats (ChunkStats.strPrefixLen), so a range
+    //      predicate on a document-text-like column skips chunks with
+    //      zero GETs exactly like numerics — previously long strings got
+    //      no stats and every chunk paid a decode-and-test GET ----
+    val strN = 1048576
+    val strChunk = 4096 // 256 chunks/column
+    if (!new java.io.File(s"$latBase/sidecarstr/s0/zarr.json").exists()) {
+      System.err.println("[scan-bench] building string latency stores (one-time)...")
+      val src = spark.range(0, strN, 1, 8)
+        .select(concat(format_string("k%08d", $"id"), lit("x" * 100)).as("s0"),
+          ($"id" * 2.0).as("c1"))
+      Seq("sidecarstr" -> "true", "plainstr" -> "false").foreach { case (nm, st) =>
+        src.write.format("zarr").mode("overwrite")
+          .option("chunk_size", strChunk.toString)
+          .option("rows_per_partition", (strN / 8).toString)
+          .option("stats", st).save(latUrl(nm))
+      }
+      System.err.println("[scan-bench] string latency stores built")
+    }
+    val strCut = (strN * 0.99).toLong
+    val strLit = f"k$strCut%08d" // rows >= strCut sort >= this key prefix
+    def strRun(nm: String, store: String): (Double, Int) = {
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val s = spark.read.format("zarr").load(latUrl(store))
+        .filter($"s0" >= strLit).agg(sum($"c1")).collect()(0).getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val expected = (strCut until strN).map(_ * 2.0).sum
+      require(s == expected, s"$nm: wrong sum $s != $expected")
+      val gets = LatencyFileSystem.chunkGets(store)
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets(store)} total)")
+      (dt, gets)
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("sidecarstr"))
+      .filter($"s0" >= strLit).agg(sum($"c1")).collect() // warm
+
     val lat = Map(
       "lat_sidecar" -> latRun("sidecar skip (zero-GET)", "sidecar", pushable = true),
       "lat_decode" -> latRun("decode-and-test (GET predicate col of every chunk)", "plain", pushable = true),
-      "lat_fullfetch" -> latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false))
+      "lat_fullfetch" -> latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false),
+      "lat_str_sidecar" -> strRun("string-prefix sidecar skip", "sidecarstr"),
+      "lat_str_decode" -> strRun("string decode-and-test", "plainstr"))
     LatencyFileSystem.reset(0)
 
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${

@@ -45,14 +45,26 @@ object ChunkStats {
     case _ => None
   }
 
-  /** Max recorded string length: min bounds may be safely truncated down
-    * but max bounds cannot, so long strings (document text) simply get no
-    * stats — range pruning is for ids/categories/numerics. */
+  /** Strings up to this length are stored as EXACT bounds. */
   private val maxStrLen = 64
+
+  /** Clamp length for longer strings (Parquet's truncate-and-increment
+    * discipline): the stored bounds are a conservative SUPERSET interval. */
+  private val strPrefixLen = 16
 
   /** Min/max of one chunk's values under [[ChunkFilter.cmp]] ordering, or
     * None when the column cannot be soundly summarized (non-finite floats,
-    * long strings, empty chunk). */
+    * un-clampable long strings, empty chunk).
+    *
+    * Long strings (document text) get CLAMPED bounds instead of no stats:
+    * the min is truncated to [[strPrefixLen]] chars (a prefix always sorts
+    * ≤ the full string — safe to weaken a lower bound), and the max is the
+    * truncated prefix with its last character incremented (strictly > every
+    * string sharing the prefix). The widened interval [lo', hi'] ⊇ [lo, hi]
+    * keeps every interval proof in [[mayMatch]] sound — skips only get
+    * rarer, never wrong. The increment is applied only when the prefix is
+    * pure ASCII with an incrementable (< 0x7f) character, so code-unit
+    * order and UTF-8 byte order provably agree; otherwise no stats. */
   def minMax(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[(Any, Any)] = {
     if (vals.isEmpty) return None
     zt match {
@@ -60,8 +72,6 @@ object ChunkStats {
         if (vals.exists(v => !java.lang.Float.isFinite(v.asInstanceOf[Float]))) return None
       case ZarrType.Float64 =>
         if (vals.exists(v => !java.lang.Double.isFinite(v.asInstanceOf[Double]))) return None
-      case ZarrType.Str =>
-        if (vals.exists(_.asInstanceOf[String].length > maxStrLen)) return None
       case _ => ()
     }
     var lo = vals.head
@@ -70,7 +80,33 @@ object ChunkStats {
       if (ChunkFilter.cmp(v, lo) < 0) lo = v
       if (ChunkFilter.cmp(v, hi) > 0) hi = v
     }
-    Some((lo, hi))
+    zt match {
+      case ZarrType.Str =>
+        val loS = lo.asInstanceOf[String]
+        val hiS = hi.asInstanceOf[String]
+        if (loS.length <= maxStrLen && hiS.length <= maxStrLen) Some((loS, hiS))
+        else {
+          val loClamped = if (loS.length <= strPrefixLen) loS else loS.substring(0, strPrefixLen)
+          val hiClamped =
+            if (hiS.length <= strPrefixLen) Some(hiS) else strUpperBound(hiS)
+          hiClamped.map(h => (loClamped: Any, h: Any))
+        }
+      case _ => Some((lo, hi))
+    }
+  }
+
+  /** Shortest ASCII string strictly greater than every string that starts
+    * with `s.take(strPrefixLen)`: truncate, then increment the rightmost
+    * character below 0x7f and drop everything after it. None when the
+    * prefix is non-ASCII (UTF-16 code-unit order and UTF-8 byte order can
+    * disagree there) or nothing is incrementable. */
+  private def strUpperBound(s: String): Option[String] = {
+    val p = s.substring(0, strPrefixLen)
+    if (!p.forall(c => c < 0x80)) return None
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) >= 0x7f) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
   private val mapper = new ObjectMapper()

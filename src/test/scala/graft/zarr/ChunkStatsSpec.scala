@@ -205,8 +205,62 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("minMax skips unsummarizable values") {
     assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.NaN)).isEmpty)
     assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.PositiveInfinity)).isEmpty)
-    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "b" * 100)).isEmpty)
     assert(ChunkStats.minMax(ZarrType.Int64, Seq(3L, 1L, 2L)).contains((1L, 3L)))
     assert(ChunkStats.minMax(ZarrType.Str, Seq("b", "a")).contains(("a", "b")))
+    // long non-ASCII strings and un-incrementable (all-DEL) prefixes
+    // cannot be clamped soundly → no stats
+    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "é" * 100)).isEmpty)
+    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "\u007f" * 100)).isEmpty)
+  }
+
+  test("long strings get clamped prefix bounds that bracket the true range") {
+    // lo is truncated (prefix sorts <= the full string); hi is truncated
+    // and incremented (strictly > every string sharing the prefix)
+    val got = ChunkStats.minMax(ZarrType.Str, Seq("a" * 100 + "b", "z" * 100))
+    assert(got.isDefined)
+    val (lo, hi) = got.get
+    assert(lo == "a" * 16)
+    assert(hi == "z" * 15 + "{") // 'z'+1
+    assert(ChunkFilter.cmp(lo, "a" * 100 + "b") <= 0)
+    assert(ChunkFilter.cmp(hi, "z" * 100) > 0)
+    // short strings mixed with long: still clamped, still bracketing
+    val mixed = ChunkStats.minMax(ZarrType.Str, Seq("k", "m" * 80)).get
+    assert(mixed._1 == "k" && mixed._2 == "m" * 15 + "n")
+  }
+
+  test("prefix-boundary case: values sharing the full clamp prefix stay bracketed") {
+    val p = "prefix0123456789" // exactly 16 chars (the clamp length)
+    val got = ChunkStats.minMax(ZarrType.Str, Seq(p + "A" * 60, p + "Z" * 60)).get
+    assert(got._1 == p)
+    assert(got._2 == "prefix012345678:") // last kept char '9' incremented
+    assert(ChunkFilter.cmp(got._2, p + "Z" * 60) > 0)
+    // interval proofs stay sound on the widened range: a value sharing
+    // the prefix cannot be refuted; one outside it can
+    val r: String => Option[(Any, Any)] = { case "s" => Some(got); case _ => None }
+    import org.apache.spark.sql.sources._
+    assert(ChunkStats.mayMatch(Seq(EqualTo("s", p + "MMMM")), r))
+    assert(!ChunkStats.mayMatch(Seq(EqualTo("s", "zebra")), r))
+    assert(!ChunkStats.mayMatch(Seq(LessThan("s", "prefix")), r))
+    assert(ChunkStats.mayMatch(Seq(GreaterThan("s", p)), r))
+  }
+
+  test("filtered scan over long strings skips chunks via clamped prefix stats") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/s7"
+    // 80 docs whose text starts with a sortable key then a long tail —
+    // the clamped 16-char prefixes of each 16-row chunk are disjoint
+    (0 until 80).map(i => Tuple1(f"k$i%03d " + "x" * 100)).toDF("text")
+      .coalesce(1)
+      .write.format("zarr").mode("overwrite").option("chunk_size", "16").save(url)
+    RecordingFileSystem.opened.clear()
+    val rows = spark.read.format("zarr").load(url)
+      .filter("text >= 'k064'").collect()
+    assert(rows.length == 16)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/s7/text/(c|c\\.part[^/]*)/\\d+$"))
+    // chunks 0-3 (k000..k063) are refuted by their clamped hi bounds
+    // BEFORE any fetch; only chunk 4 is read
+    assert(chunkOpens.nonEmpty && chunkOpens.forall(_.endsWith("/4")),
+      s"prefix-stats-skipped chunks were fetched: ${chunkOpens.mkString(", ")}")
   }
 }
