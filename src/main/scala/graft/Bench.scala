@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSession
   * full operator cost. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: query names to time (isolated A/B runs with the
+    // same warmup + calibration discipline); the driver runs unfiltered
+    val only: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -22,7 +25,9 @@ object Bench {
     // untimed warmup of EVERY query at the smallest SF: pays one-time
     // codegen/classload costs (Dataset encoders, janino, noop sink)
     // outside the timings, so round-over-round deltas mean something
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -60,7 +65,7 @@ object Bench {
         CacheRegistry.releaseAll()
         dt
       }.sorted
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       var times = timedRuns(name, fn)
       // a >3x min..max spread within one query means a transient stall
       // (GC pause, machine contention) polluted a run, not a plan
