@@ -270,9 +270,11 @@ class ZarrScanBuilder(
     Some(parsed)
   }
 
-  /** Global (min, max) per column — only columns with a recorded range
-    * in EVERY chunk (an unrecorded chunk, including absent chunks that
-    * read as fill values, makes the bound unprovable). */
+  /** Global (min, max) per column — only columns with an EXACT recorded
+    * range in EVERY chunk (an unrecorded chunk — including absent chunks
+    * that read as fill values — or a clamped long-string prefix bound,
+    * which is a superset interval rather than actual data values, makes
+    * the answer unprovable). */
   private def rangesFrom(
       parsed: Seq[ChunkStats.Segment]): Map[String, (Any, Any)] = {
     val b = Map.newBuilder[String, (Any, Any)]
@@ -283,7 +285,7 @@ class ZarrScanBuilder(
       parsed.foreach { seg =>
         var ord = seg.first
         while (ok && ord < seg.first + seg.chunks) {
-          seg.range(c, ord) match {
+          seg.exactRange(c, ord) match {
             case Some((l, h)) =>
               if (lo == null || ChunkFilter.cmp(l, lo) < 0) lo = l
               if (hi == null || ChunkFilter.cmp(h, hi) > 0) hi = h

@@ -406,7 +406,7 @@ final class ZarrDataWriter(
   private var totalRows = 0L
   // per-chunk min/max over the REAL rows (stats describe stored values the
   // reader will see within the array's valid extent — padding is outside it)
-  private val statsAcc: Array[scala.collection.mutable.ArrayBuffer[Option[(Any, Any)]]] =
+  private val statsAcc: Array[scala.collection.mutable.ArrayBuffer[Option[ChunkStats.Bound]]] =
     Array.fill(ncols)(scala.collection.mutable.ArrayBuffer.empty)
   // per-chunk EXACT sums (integer columns only) — enables metadata-only
   // SUM/AVG pushdown; computed over real rows, like min/max
@@ -440,7 +440,7 @@ final class ZarrDataWriter(
       val zt = zts(c)
       val vals = buf(c)
       if (stats) {
-        statsAcc(c) += ChunkStats.minMax(zt, vals)
+        statsAcc(c) += ChunkStats.minMaxBound(zt, vals)
         sumAcc(c) += ChunkStats.chunkSum(zt, vals)
       }
       // pad edge chunk to full chunk_shape with the array's declared
@@ -474,7 +474,7 @@ final class ZarrDataWriter(
   override def commit(): WriterCommitMessage = {
     flush()
     if (stats && localChunk > 0) {
-      val doc = ChunkStats.encode(
+      val doc = ChunkStats.encodeBounds(
         schema.fields.toSeq.zipWithIndex.map { case (f, c) =>
           (f.name, zts(c), statsAcc(c).toIndexedSeq, sumAcc(c).toIndexedSeq)
         })

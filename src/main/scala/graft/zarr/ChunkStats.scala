@@ -65,7 +65,16 @@ object ChunkStats {
     * rarer, never wrong. The increment is applied only when the prefix is
     * pure ASCII with an incrementable (< 0x7f) character, so code-unit
     * order and UTF-8 byte order provably agree; otherwise no stats. */
-  def minMax(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[(Any, Any)] = {
+  def minMax(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[(Any, Any)] =
+    minMaxBound(zt, vals).map(b => (b.lo, b.hi))
+
+  /** A chunk's recorded bounds. `exact = false` marks CLAMPED bounds
+    * (long-string prefixes): sound as a superset interval for skip
+    * proofs, but NOT actual data values — the metadata-only MIN/MAX
+    * pushdown must never answer from them. */
+  final case class Bound(lo: Any, hi: Any, exact: Boolean = true)
+
+  def minMaxBound(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[Bound] = {
     if (vals.isEmpty) return None
     zt match {
       case ZarrType.Float32 =>
@@ -84,14 +93,14 @@ object ChunkStats {
       case ZarrType.Str =>
         val loS = lo.asInstanceOf[String]
         val hiS = hi.asInstanceOf[String]
-        if (loS.length <= maxStrLen && hiS.length <= maxStrLen) Some((loS, hiS))
+        if (loS.length <= maxStrLen && hiS.length <= maxStrLen) Some(Bound(loS, hiS))
         else {
           val loClamped = if (loS.length <= strPrefixLen) loS else loS.substring(0, strPrefixLen)
           val hiClamped =
             if (hiS.length <= strPrefixLen) Some(hiS) else strUpperBound(hiS)
-          hiClamped.map(h => (loClamped: Any, h: Any))
+          hiClamped.map(h => Bound(loClamped, h, exact = false))
         }
-      case _ => Some((lo, hi))
+      case _ => Some(Bound(lo, hi))
     }
   }
 
@@ -139,6 +148,12 @@ object ChunkStats {
   }
 
   def encode(cols: Seq[(String, ZarrType, IndexedSeq[Option[(Any, Any)]],
+      IndexedSeq[Option[Long]])]): String =
+    encodeBounds(cols.map { case (n, zt, rs, ss) =>
+      (n, zt, rs.map(_.map { case (lo, hi) => Bound(lo, hi) }), ss)
+    })
+
+  def encodeBounds(cols: Seq[(String, ZarrType, IndexedSeq[Option[Bound]],
       IndexedSeq[Option[Long]])]): String = {
     val root = mapper.createObjectNode()
     val colsNode = root.putObject("cols")
@@ -147,8 +162,17 @@ object ChunkStats {
       val mins = c.putArray("min")
       val maxs = c.putArray("max")
       ranges.foreach {
-        case Some((lo, hi)) => putVal(mins, zt, lo); putVal(maxs, zt, hi)
+        case Some(b) => putVal(mins, zt, b.lo); putVal(maxs, zt, b.hi)
         case None => mins.addNull(); maxs.addNull()
+      }
+      // chunk ordinals (segment-relative) whose bounds are clamped —
+      // usually absent, so the field costs nothing on numeric columns
+      val approxIdx = ranges.zipWithIndex.collect {
+        case (Some(b), i) if !b.exact => i
+      }
+      if (approxIdx.nonEmpty) {
+        val ap = c.putArray("approx")
+        approxIdx.foreach(ap.add)
       }
       if (sums.exists(_.isDefined)) {
         val ss = c.putArray("sum")
@@ -196,14 +220,22 @@ object ChunkStats {
   final case class Segment(
       first: Long, chunks: Int,
       cols: Map[String, (Array[Any], Array[Any])],
-      sums: Map[String, Array[java.lang.Long]] = Map.empty) {
+      sums: Map[String, Array[java.lang.Long]] = Map.empty,
+      approx: Map[String, Set[Int]] = Map.empty) {
     def contains(ord: Long): Boolean = ord >= first && ord < first + chunks
-    /** Range of `col` at ordinal `ord`, or None when unrecorded. */
+    /** Range of `col` at ordinal `ord`, or None when unrecorded. May be a
+      * CLAMPED superset interval (long strings) — sound for skip proofs. */
     def range(col: String, ord: Long): Option[(Any, Any)] =
       cols.get(col).flatMap { case (mins, maxs) =>
         val i = (ord - first).toInt
         if (i < mins.length && mins(i) != null) Some((mins(i), maxs(i))) else None
       }
+    /** Like [[range]] but only EXACT bounds (actual data values) — the
+      * form the metadata-only MIN/MAX pushdown may answer from; clamped
+      * prefix bounds return None here. */
+    def exactRange(col: String, ord: Long): Option[(Any, Any)] =
+      if (approx.get(col).exists(_.contains((ord - first).toInt))) None
+      else range(col, ord)
     /** Exact sum of `col` at ordinal `ord`, or None when unrecorded
       * (pre-sum sidecars, non-integer columns, chunk-level overflow). */
     def sum(col: String, ord: Long): Option[Long] =
@@ -246,6 +278,7 @@ object ChunkStats {
       }
     }
     val sb = Map.newBuilder[String, Array[java.lang.Long]]
+    val ab = Map.newBuilder[String, Set[Int]]
     if (colsNode != null) {
       val it = colsNode.fieldNames()
       while (it.hasNext) {
@@ -262,10 +295,17 @@ object ChunkStats {
             }
             sb += name -> ss
           }
+          val approxN = colsNode.get(name).get("approx")
+          if (approxN != null && approxN.isArray) {
+            val s = Set.newBuilder[Int]
+            var i = 0
+            while (i < approxN.size()) { s += approxN.get(i).asInt(); i += 1 }
+            ab += name -> s.result()
+          }
         }
       }
     }
-    Segment(first, chunks, b.result(), sb.result())
+    Segment(first, chunks, b.result(), sb.result(), ab.result())
   }
 
   // ---- sound interval evaluation -----------------------------------------

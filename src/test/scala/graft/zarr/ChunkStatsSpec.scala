@@ -263,4 +263,27 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunkOpens.nonEmpty && chunkOpens.forall(_.endsWith("/4")),
       s"prefix-stats-skipped chunks were fetched: ${chunkOpens.mkString(", ")}")
   }
+
+  test("MIN/MAX pushdown declines on clamped string bounds and scans the true value") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/s8"
+    // mixed store: exact-summarizable numeric + clamped long strings
+    (0 until 80).map(i => (i.toLong, f"k$i%03d " + "x" * 100)).toDF("id", "text")
+      .coalesce(1)
+      .write.format("zarr").mode("overwrite").option("chunk_size", "16").save(url)
+    val df = spark.read.format("zarr").load(url)
+    // the sidecar holds only a 16-char PREFIX of the true min — answering
+    // MIN(text) from metadata would return a truncated non-value; the
+    // pushdown must decline and the scan must return the real string
+    val q = df.agg(org.apache.spark.sql.functions.min("text"))
+    assert(!q.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      "clamped string bounds must not answer MIN/MAX from metadata")
+    assert(q.collect()(0).getString(0) == "k000 " + "x" * 100)
+    // numeric min/max on the same store still answers metadata-only
+    val qn = df.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id"))
+    assert(qn.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      "exact numeric bounds must still push")
+    assert(qn.collect()(0).toSeq == Seq(0L, 79L))
+  }
 }
