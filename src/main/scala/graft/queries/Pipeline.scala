@@ -644,5 +644,91 @@ object Pipeline {
           expr("unix_micros(sw.end)").as("sess_end_excl"),
           col("n_events"))
         .orderBy("user_id", "sess_start")
+    },
+
+    // ---- deterministic train/val/test split assignment: the hash-of-id
+    //      discipline every training pipeline needs — a document's split
+    //      is a pure function of its identity (md5(doc_id) mod 100 →
+    //      80/10/10), so it NEVER moves when the corpus grows, is
+    //      re-sharded, or is re-ordered (position-based splits leak val
+    //      into train on every re-crawl). Output is the per-source split
+    //      audit: counts plus each split's share of its source, the check
+    //      that hashing didn't skew any stratum.
+    //
+    //      Scale shape: assignment is scan-local arithmetic on a hash;
+    //      the audit is ONE (source, split) aggregate (≤ 3·|sources|
+    //      keys, map-side combined) + a broadcast-sized window for the
+    //      shares. No join, no document shuffle. ----
+    QueryDef.sql(
+      "q106_stable_split",
+      """WITH a AS (
+        |  SELECT source,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT source,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 100 AS b
+        |        FROM documents))
+        |SELECT source, split, count(*) AS n_docs,
+        |  round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 4) AS share
+        |FROM a GROUP BY source, split
+        |ORDER BY source, split""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+      docs(s, dir)
+        .select(col("source"),
+          (expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as int)")
+            % 100).as("b"))
+        .select(col("source"),
+          when(col("b") < 80, "train").when(col("b") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("split"), col("n_docs"),
+          round(col("n_docs") * 1.0 / sum(col("n_docs")).over(w), 4).as("share"))
+        .orderBy("source", "split")
+    },
+
+    // ---- corpus-order novelty curve: what fraction of each document's
+    //      3-gram shingles has ALREADY appeared in an earlier document
+    //      (smaller doc_id = earlier in corpus order). The dedup-aware
+    //      curation signal: a feed whose novelty collapses toward 0 is
+    //      re-crawling content the corpus already holds, and per-doc
+    //      novelty is the keep/drop score incremental ingestion uses.
+    //
+    //      Scale shape: ONE document scan; postings co-locate by shingle
+    //      exactly once (a whole-partition window min — the frame is
+    //      unordered, so this is a per-group aggregate, spill-backed for
+    //      hot boilerplate shingles), then one doc_id aggregate. Two
+    //      exchanges total, never a pair join: cost is linear in total
+    //      postings at any corpus size (no df-cap needed — unlike the
+    //      PAIR joins in q35/q48, a hot shingle here contributes df
+    //      rows, not df² pairs). ----
+    QueryDef.sql(
+      "q107_novelty_curve",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(ws) - 2, 1)),
+        |      i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+        |  FROM d
+        |), f AS (
+        |  SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0 /
+        |        count(*), 4) AS novelty
+        |FROM s JOIN f ON f.sh = s.sh
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val wf = Window.partitionBy(col("sh"))
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr("shingles3(text)")).as("sh"))
+        .withColumn("first_doc", min(col("doc_id")).over(wf))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+            .cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel") * 1.0 / col("n_shingles"), 4).as("novelty"))
+        .orderBy("doc_id")
     })
 }
