@@ -282,6 +282,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the corpus must be scanned exactly once\n$p")
   }
 
+  test("q106: split assignment is scan-local — no join, one small agg") {
+    val p = plan("q106_stable_split")
+    assert(!p.contains("Join"), s"split assignment must not join\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"documents must be scanned exactly once\n$p")
+  }
+
+  test("q107: novelty curve co-locates postings ONCE — no pair join, one scan") {
+    val p = plan("q107_novelty_curve")
+    assert(!p.contains("Join"),
+      s"first-occurrence must come from a window min, not a self-join\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"documents must be scanned exactly once\n$p")
+    // shingle window + doc agg + output sort — nothing more
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
