@@ -22,8 +22,28 @@ object Tables {
     // arithmetically, which matches DuckDB's native-ns date_trunc).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(spark, df) else df
   }
+
+  /** The `events.ts` column arrives in two physical shapes depending on
+    * how the driver generated the parquet: TIMESTAMP(NANOS) — which the
+    * nanosAsLong legacy conf surfaces as a raw epoch-ns BIGINT — or
+    * TIMESTAMP(MICROS), surfaced as TIMESTAMP_NTZ. Every query in the
+    * registry (and every DuckDB oracle, via `epoch_us(ts)`) assumes the
+    * engine-wide convention ts = epoch NANOSECONDS as BIGINT, so
+    * normalize the µs-timestamp shape up to it here, at the single read
+    * boundary. The NTZ wall clock is a UTC instant in this data; pinning
+    * the session zone makes the NTZ→TIMESTAMP cast a no-op shift. */
+  def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"))
+    }
 
   /** Register all tables of `sfDir` as temp views (idempotent). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -30,21 +30,44 @@ object EventStream {
 
   final case class SessionState(n: Int, total: Double, start: Long, last: Long)
 
-  /** File-based stream of the events table (new parquet files appearing
-    * under the directory are picked up incrementally). */
-  def fromFiles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** File-based stream of the events table with `ts` normalized to the
+    * engine-wide epoch-ns BIGINT convention (the same shape
+    * `Tables.load` hands batch queries). The file stores ts either as
+    * TIMESTAMP(NANOS) — surfaced as BIGINT under the nanosAsLong legacy
+    * conf — or TIMESTAMP(MICROS), surfaced as TIMESTAMP_NTZ; a file
+    * source needs the schema up front, so probe the batch reader's view
+    * of the footer once (driver-side, one footer read) and declare
+    * whichever shape is on disk, then normalize. */
+  def fromFilesRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+    val tsIsLong = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    val schema = s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
     // events.parquet is a single file; stream its parent directory with a
     // glob filter so the file source sees a directory basePath
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+    if (tsIsLong) raw
+    else {
+      // NTZ wall clock is a UTC instant in this data; pin the zone so the
+      // NTZ->TIMESTAMP cast cannot shift it, then widen µs -> ns.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      raw.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"))
+    }
+  }
+
+  /** File-based stream of the events table (new parquet files appearing
+    * under the directory are picked up incrementally), ts as a proper
+    * TIMESTAMP for watermarks/windows. */
+  def fromFiles(spark: SparkSession, sfDir: String): DataFrame =
+    fromFilesRaw(spark, sfDir)
       // integer ns->us division: `/` would widen the ~1.7e18 ns epoch to
       // double (53-bit mantissa) and corrupt the low microseconds
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Tumbling 1-hour windowed aggregate with a 2-hour watermark for late
     * data — the streaming analog of batch q22_events_window. */

@@ -86,15 +86,11 @@ object StreamQueries {
   }
 
   /** Raw-column stream: the funnel Dataset needs the microsecond LONG
-    * (`ts div 1000`, matching batch q66), not fromFiles' timestamp. */
-  private def rawEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING"
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-  }
+    * (`ts div 1000`, matching batch q66), not fromFiles' timestamp.
+    * fromFilesRaw hands back ts in the engine-wide epoch-ns BIGINT
+    * convention regardless of the parquet's physical timestamp type. */
+  private def rawEvents(s: SparkSession, dir: String): DataFrame =
+    EventStream.fromFilesRaw(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -59,7 +59,7 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("hourly_file")
       .select(col("hour_start").cast("long").as("h"), col("event_type"), col("n"))
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.Tables.load(spark, dir, "events")
       .withColumn("tsn", timestamp_micros((col("ts") / 1000).cast("long")))
       .groupBy(date_trunc("hour", col("tsn")).cast("long").as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -102,7 +102,7 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("attrib")
     val batch = {
-      val e = spark.read.parquet(s"$dir/events.parquet")
+      val e = graft.Tables.load(spark, dir, "events")
         .withColumn("tus", expr("ts div 1000"))
       val v = e.filter(col("event_type") === "view")
         .select(col("user_id").as("vu"), col("tus").as("vt"), col("event_id").as("view_id"))
@@ -153,11 +153,7 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // read raw columns rather than via fromFiles: the funnel Dataset
     // needs the microsecond LONG (`ts div 1000`, matching batch q66
     // exactly), not the timestamp column fromFiles produces
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING"
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = EventStream.fromFilesRaw(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("tus"),
         col("event_type"), col("event_id"))
       .as[EventStream.FEvent]
