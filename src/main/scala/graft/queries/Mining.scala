@@ -719,8 +719,22 @@ object Mining {
     val deg = graft.CacheRegistry.track(
       edgesRaw.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist())
     // the integer constants are a bounded driver sync (the q56 k-means
-    // discipline): n = node count, known once deg is cached
+    // discipline): n = node count, known once deg is cached. The sync
+    // is also the edge-build phase boundary, so time it: two rounds of
+    // sweep outliers (r7 7.4 s, r8 8.2 s max) were adjudicated as
+    // machine contention post-hoc — the phase log plus Bench's
+    // [bench-stage] per-stage wall/GC trace (each iteration's aggregate
+    // is its own stage) makes the next one attributable in-line
+    def gcMs(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var t = 0L
+      while (it.hasNext) t += it.next().getCollectionTime
+      t
+    }
+    val (tEdge0, gEdge0) = (System.nanoTime(), gcMs())
     val n = deg.count()
+    System.err.println(f"[q97] edge-build wall=${(System.nanoTime() - tEdge0) / 1e9}%.3fs gcMs=${gcMs() - gEdge0} nodes=$n")
     require(n > 0, "q97: no co-purchase edges in the ship window")
     val bcastState = n <= broadcastNodeLimit
     val rInit = 1000000000L / n
