@@ -144,19 +144,27 @@ object ScanBench {
     LatencyFileSystem.reset(0)
     spark.read.format("zarr").load(latUrl("sidecar"))
       .filter($"c0" > cut).agg(sum($"c1")).collect()
-    // ---- string-predicate latency model (round 8): long strings carry
-    //      CLAMPED PREFIX stats (ChunkStats.strPrefixLen), so a range
-    //      predicate on a document-text-like column skips chunks with
-    //      zero GETs exactly like numerics — previously long strings got
-    //      no stats and every chunk paid a decode-and-test GET ----
+    // ---- string-predicate latency model (round 8, non-ASCII since
+    //      round 9): long strings carry CLAMPED PREFIX stats
+    //      (ChunkStats.strPrefixLen), so a range predicate on a
+    //      document-text-like column skips chunks with zero GETs exactly
+    //      like numerics. The keys are CYRILLIC (digits mapped onto the
+    //      consecutive run U+0430..U+0439, order-isomorphic to 0-9) with
+    //      a Cyrillic tail: real document corpora are heavily non-ASCII,
+    //      and until round 9 the clamp declined any non-ASCII prefix,
+    //      silently degrading this exact scan to decode-and-test ----
     val strN = 1048576
     val strChunk = 4096 // 256 chunks/column
-    if (!new java.io.File(s"$latBase/sidecarstr/s0/zarr.json").exists()) {
+    val cyr = "абвгдежзий" // U+0430..U+0439, one per digit
+    def toCyr(ascii: String): String =
+      ascii.map(c => if (c >= '0' && c <= '9') cyr(c - '0') else c)
+    if (!new java.io.File(s"$latBase/sidecarstru/s0/zarr.json").exists()) {
       System.err.println("[scan-bench] building string latency stores (one-time)...")
       val src = spark.range(0, strN, 1, 8)
-        .select(concat(format_string("k%08d", $"id"), lit("x" * 100)).as("s0"),
+        .select(concat(translate(format_string("k%08d", $"id"), "0123456789", cyr),
+          lit("д" * 100)).as("s0"),
           ($"id" * 2.0).as("c1"))
-      Seq("sidecarstr" -> "true", "plainstr" -> "false").foreach { case (nm, st) =>
+      Seq("sidecarstru" -> "true", "plainstru" -> "false").foreach { case (nm, st) =>
         src.write.format("zarr").mode("overwrite")
           .option("chunk_size", strChunk.toString)
           .option("rows_per_partition", (strN / 8).toString)
@@ -165,7 +173,7 @@ object ScanBench {
       System.err.println("[scan-bench] string latency stores built")
     }
     val strCut = (strN * 0.99).toLong
-    val strLit = f"k$strCut%08d" // rows >= strCut sort >= this key prefix
+    val strLit = toCyr(f"k$strCut%08d") // rows >= strCut sort >= this key prefix
     def strRun(nm: String, store: String): (Double, Int) = {
       LatencyFileSystem.reset(latMs)
       val t0 = System.nanoTime()
@@ -180,15 +188,15 @@ object ScanBench {
       (dt, gets)
     }
     LatencyFileSystem.reset(0)
-    spark.read.format("zarr").load(latUrl("sidecarstr"))
+    spark.read.format("zarr").load(latUrl("sidecarstru"))
       .filter($"s0" >= strLit).agg(sum($"c1")).collect() // warm
 
     val lat = Map(
       "lat_sidecar" -> latRun("sidecar skip (zero-GET)", "sidecar", pushable = true),
       "lat_decode" -> latRun("decode-and-test (GET predicate col of every chunk)", "plain", pushable = true),
       "lat_fullfetch" -> latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false),
-      "lat_str_sidecar" -> strRun("string-prefix sidecar skip", "sidecarstr"),
-      "lat_str_decode" -> strRun("string decode-and-test", "plainstr"))
+      "lat_str_sidecar" -> strRun("non-ASCII string-prefix sidecar skip", "sidecarstru"),
+      "lat_str_decode" -> strRun("non-ASCII string decode-and-test", "plainstru"))
     LatencyFileSystem.reset(0)
 
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${

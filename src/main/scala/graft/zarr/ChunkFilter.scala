@@ -83,7 +83,7 @@ object ChunkFilter {
     * (shared with [[ChunkStats]] interval evaluation and the aggregate
     * pushdown's global min/max fold). */
   private[graft] def cmp(x: Any, v: Any): Int = (x, v) match {
-    case (a: String, b: String) => a.compareTo(b)
+    case (a: String, b: String) => cmpUtf8(a, b)
     case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
     case (a: java.math.BigDecimal, b) => a.compareTo(toBigDec(b))
     case (a, b: java.math.BigDecimal) => toBigDec(a).compareTo(b)
@@ -96,6 +96,34 @@ object ChunkFilter {
         case _ => java.lang.Long.compare(a.longValue(), b.longValue())
       }
     case (a, b) => if (a == b) 0 else 1 // incomparable: only equality meaningful
+  }
+
+  /** Code-point order — identical to the UTF-8 binary order Spark's own
+    * `UTF8String` comparisons use. `String.compareTo` (UTF-16 code-unit
+    * order) disagrees with it exactly where a supplementary character
+    * meets a BMP character in [U+E000, U+FFFF]: under code-unit order a
+    * surrogate (0xD800-0xDFFF) sorts BELOW U+E000, under UTF-8 byte order
+    * the supplementary code point it encodes sorts ABOVE all of the BMP.
+    * A skip verdict computed in the wrong order can drop a chunk the
+    * engine's residual filter would have kept (e.g. value U+10000 vs
+    * predicate > U+E000), so every string comparison feeding a skip or a
+    * pushed aggregate goes through this. The surrogate remap below is the
+    * standard UTF-16→UTF-8-order fixup: [0xE000,0xFFFF] -0x800,
+    * surrogates +0x2000 — monotone on each range, disjoint images. */
+  private[graft] def cmpUtf8(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      var x = a.charAt(i).toInt
+      var y = b.charAt(i).toInt
+      if (x != y) {
+        if (x >= 0xd800) x += (if (x >= 0xe000) -0x800 else 0x2000)
+        if (y >= 0xd800) y += (if (y >= 0xe000) -0x800 else 0x2000)
+        return x - y
+      }
+      i += 1
+    }
+    a.length - b.length
   }
 
   private def toBigDec(v: Any): java.math.BigDecimal = v match {

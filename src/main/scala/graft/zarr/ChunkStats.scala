@@ -62,9 +62,11 @@ object ChunkStats {
     * truncated prefix with its last character incremented (strictly > every
     * string sharing the prefix). The widened interval [lo', hi'] ⊇ [lo, hi]
     * keeps every interval proof in [[mayMatch]] sound — skips only get
-    * rarer, never wrong. The increment is applied only when the prefix is
-    * pure ASCII with an incrementable (< 0x7f) character, so code-unit
-    * order and UTF-8 byte order provably agree; otherwise no stats. */
+    * rarer, never wrong. Truncation and increment operate in CODE-POINT
+    * space (see [[strUpperBound]]) under the same code-point order
+    * [[ChunkFilter.cmp]] compares with, so multilingual text — the common
+    * case for a 100 TB document store — clamps just as well as ASCII;
+    * only ill-formed UTF-16 declines. */
   def minMax(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[(Any, Any)] =
     minMaxBound(zt, vals).map(b => (b.lo, b.hi))
 
@@ -95,7 +97,8 @@ object ChunkStats {
         val hiS = hi.asInstanceOf[String]
         if (loS.length <= maxStrLen && hiS.length <= maxStrLen) Some(Bound(loS, hiS))
         else {
-          val loClamped = if (loS.length <= strPrefixLen) loS else loS.substring(0, strPrefixLen)
+          val loClamped =
+            if (loS.length <= strPrefixLen) loS else strPrefix(loS)
           val hiClamped =
             if (hiS.length <= strPrefixLen) Some(hiS) else strUpperBound(hiS)
           hiClamped.map(h => Bound(loClamped, h, exact = false))
@@ -104,18 +107,48 @@ object ChunkStats {
     }
   }
 
-  /** Shortest ASCII string strictly greater than every string that starts
-    * with `s.take(strPrefixLen)`: truncate, then increment the rightmost
-    * character below 0x7f and drop everything after it. None when the
-    * prefix is non-ASCII (UTF-16 code-unit order and UTF-8 byte order can
-    * disagree there) or nothing is incrementable. */
+  /** Clamp prefix truncated at a CODE-POINT boundary (never mid surrogate
+    * pair). A prefix sorts <= the full string in code-point order, so this
+    * is always a sound lower-bound weakening. */
+  private def strPrefix(s: String): String = {
+    var cut = math.min(strPrefixLen, s.length)
+    if (cut > 0 && cut < s.length && Character.isHighSurrogate(s.charAt(cut - 1))) cut -= 1
+    s.substring(0, cut)
+  }
+
+  /** Shortest string strictly greater — in the code-point order
+    * [[ChunkFilter.cmp]] and the engine's UTF8String comparisons share —
+    * than every string starting with the clamp prefix: truncate at a
+    * code-point boundary, then increment the rightmost incrementable code
+    * point and drop everything after it. The increment steps over the
+    * surrogate gap (U+D7FF → U+E000, the next scalar value) and carries
+    * past U+10FFFF; real multilingual text (accents, CJK, emoji) is
+    * therefore always clampable. None only for ill-formed prefixes (lone
+    * surrogates, where no order argument holds) or a prefix made entirely
+    * of U+10FFFF. */
   private def strUpperBound(s: String): Option[String] = {
-    val p = s.substring(0, strPrefixLen)
-    if (!p.forall(c => c < 0x80)) return None
-    var i = p.length - 1
-    while (i >= 0 && p.charAt(i) >= 0x7f) i -= 1
-    if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    val p = strPrefix(s)
+    // decline ill-formed UTF-16: a lone surrogate has no scalar value and
+    // the per-code-point order argument below does not apply
+    var j = 0
+    while (j < p.length) {
+      val c = p.charAt(j)
+      if (Character.isHighSurrogate(c)) {
+        if (j + 1 >= p.length || !Character.isLowSurrogate(p.charAt(j + 1))) return None
+        j += 2
+      } else if (Character.isLowSurrogate(c)) return None
+      else j += 1
+    }
+    var i = p.length
+    while (i > 0) {
+      val cp = p.codePointBefore(i)
+      i -= Character.charCount(cp)
+      if (cp < 0x10FFFF) {
+        val inc = if (cp == 0xD7FF) 0xE000 else cp + 1
+        return Some(p.substring(0, i) + new String(Character.toChars(inc)))
+      }
+    }
+    None
   }
 
   private val mapper = new ObjectMapper()

@@ -89,4 +89,57 @@ class ChunkStatsPropertySpec extends AnyFunSuite {
       assert(ChunkStats.minMax(ZarrType.Int64, vals).contains((vals.min, vals.max)))
     }
   }
+
+  // ---- multilingual string stats (round 9) --------------------------------
+
+  /** Scalar code points spanning every regime the clamp must handle:
+    * ASCII, Latin-1, Cyrillic, CJK, the surrogate-gap edges U+D7FF/U+E000,
+    * BMP ceiling U+FFFD/U+FFFF, and supplementary (emoji + U+10FFFF). */
+  private val cpPool: Array[Int] = Array(
+    'a', 'z', '0', '~', 0x7f, 0xe9, 0xfc, 0x430, 0x44f, 0x4e2d, 0x6587,
+    0xd7ff, 0xe000, 0xfffd, 0xffff, 0x1f600, 0x1f9d1, 0x10000, 0x10ffff)
+
+  private def randString(maxCps: Int): String = {
+    val sb = new java.lang.StringBuilder
+    (0 until rnd.nextInt(maxCps + 1)).foreach { _ =>
+      sb.appendCodePoint(cpPool(rnd.nextInt(cpPool.length)))
+    }
+    sb.toString
+  }
+
+  test("cmp on strings is exactly Spark's UTF8String (UTF-8 binary) order (5000 pairs)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    (0 until 5000).foreach { _ =>
+      val a = randString(12)
+      val b = randString(12)
+      val want = Integer.signum(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      val got = Integer.signum(ChunkFilter.cmp(a, b))
+      assert(got == want,
+        s"cmp disagrees with UTF8String order: ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
+    }
+  }
+
+  test("multilingual clamped bounds bracket every value in Spark's order (1000 chunks)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    var clamped = 0
+    (0 until 1000).foreach { _ =>
+      // long tails force the clamp path; short strings mix in freely
+      val vals = Seq.fill(1 + rnd.nextInt(10))(
+        randString(8) + (if (rnd.nextBoolean()) randString(3) * 40 else ""))
+      ChunkStats.minMaxBound(ZarrType.Str, vals.map(v => v: Any)).foreach { b =>
+        if (!b.exact) clamped += 1
+        val lo = UTF8String.fromString(b.lo.asInstanceOf[String])
+        val hi = UTF8String.fromString(b.hi.asInstanceOf[String])
+        vals.foreach { v =>
+          val u = UTF8String.fromString(v)
+          assert(lo.compareTo(u) <= 0,
+            s"lo bound above a value: lo=${b.lo} v=${v.codePoints().toArray.toSeq}")
+          assert(hi.compareTo(u) >= 0,
+            s"hi bound below a value: hi=${b.hi} v=${v.codePoints().toArray.toSeq}")
+        }
+      }
+    }
+    // the clamp path must actually have been exercised, not vacuously
+    assert(clamped > 100, s"only $clamped clamped chunks generated — generator too weak")
+  }
 }

@@ -207,10 +207,30 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.PositiveInfinity)).isEmpty)
     assert(ChunkStats.minMax(ZarrType.Int64, Seq(3L, 1L, 2L)).contains((1L, 3L)))
     assert(ChunkStats.minMax(ZarrType.Str, Seq("b", "a")).contains(("a", "b")))
-    // long non-ASCII strings and un-incrementable (all-DEL) prefixes
-    // cannot be clamped soundly → no stats
-    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "é" * 100)).isEmpty)
-    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "\u007f" * 100)).isEmpty)
+    // non-ASCII long strings clamp in code-point space (round 9): the
+    // upper bound increments the last code point of the truncated prefix
+    val acc = ChunkStats.minMax(ZarrType.Str, Seq("a", "é" * 100)).get
+    assert(acc._1 == "a" && acc._2 == "é" * 15 + "ê")
+    assert(ChunkFilter.cmp(acc._2, "é" * 100) > 0)
+    // DEL increments to U+0080 (no ASCII ceiling anymore)
+    val del = ChunkStats.minMax(ZarrType.Str, Seq("a", "\u007f" * 100)).get
+    assert(del._2 == "\u007f" * 15 + "\u0080")
+    // U+D7FF steps over the surrogate gap to U+E000 (the next scalar)
+    val gap = ChunkStats.minMax(ZarrType.Str, Seq("a", "\ud7ff" * 100)).get
+    assert(gap._2 == "\ud7ff" * 15 + "\ue000")
+    assert(ChunkFilter.cmp(gap._2, "\ud7ff" * 100) > 0)
+    // supplementary (emoji) prefixes clamp too; truncation never splits
+    // a surrogate pair
+    val emoji = new String(Character.toChars(0x1F600))
+    val em = ChunkStats.minMax(ZarrType.Str, Seq("a", emoji * 60)).get
+    assert(ChunkFilter.cmp(em._2, emoji * 60) > 0)
+    val emHi = em._2.asInstanceOf[String]
+    assert(emHi.codePointCount(0, emHi.length) <= 8)
+    // genuinely unclampable: all-U+10FFFF prefix (nothing to increment)
+    // and ill-formed lone surrogates (no scalar order argument)
+    assert(ChunkStats.minMax(ZarrType.Str,
+      Seq("a", new String(Character.toChars(0x10FFFF)) * 60)).isEmpty)
+    assert(ChunkStats.minMax(ZarrType.Str, Seq("a", "\ud800x" * 60)).isEmpty)
   }
 
   test("long strings get clamped prefix bounds that bracket the true range") {
