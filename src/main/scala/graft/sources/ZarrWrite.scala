@@ -107,14 +107,16 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
       Option(info.options.get("rows_per_partition")).map(_.toLong).getOrElse(0L),
       doTruncate,
       Option(info.options.get("inner_chunk_size")).map(_.toInt).getOrElse(0),
-      Option(info.options.get("stats")).forall(_.toBoolean))
+      Option(info.options.get("stats")).forall(_.toBoolean),
+      Option(info.options.get("manifest_warn_parts")).map(_.toInt)
+        .getOrElse(ChunkManifest.defaultWarnParts))
   }
 }
 
 class ZarrBatchWrite(
     store: ZarrStore, schema: StructType, chunkSize0: Int, codec0: String,
     rowsPerPartition: Long, truncate: Boolean, innerChunkSize: Int = 0,
-    stats: Boolean = true)
+    stats: Boolean = true, manifestWarnParts: Int = ChunkManifest.defaultWarnParts)
     extends BatchWrite {
 
   // validate types up front, driver-side
@@ -273,6 +275,19 @@ class ZarrBatchWrite(
         nextChunk += nChunks
       }
       manifestOut = existingManifest ++ newParts.result()
+      // growth bound: the manifest is O(write tasks) PER COMMIT and
+      // append commits concatenate, so a long-lived micro-batch ingest
+      // (many small staged commits) grows the root document every reader
+      // fetches. Surface the drift loudly once parts cross the
+      // threshold — compaction rewrites to canonical keys and resets the
+      // manifest to zero entries
+      if (manifestWarnParts > 0 && manifestOut.parts.length >= manifestWarnParts)
+        System.err.println(
+          s"[zarr] store ${store.root}: chunk manifest has ${manifestOut.parts.length} " +
+            s"parts (threshold $manifestWarnParts, ~${manifestOut.parts.length * 30}B " +
+            "of root-document JSON fetched by every reader). Run " +
+            "graft.zarr.ZarrMaintenance.compact to rewrite to canonical keys " +
+            "and reset the manifest; raise via option manifest_warn_parts.")
       // leftover staged stats of crashed writes are never live — drop
       store.cleanStatsStaging()
     }

@@ -66,6 +66,13 @@ final case class ChunkManifest(parts: Vector[(Long, String, Int)]) {
 object ChunkManifest {
   val empty: ChunkManifest = ChunkManifest(Vector.empty)
 
+  /** Default part-count threshold past which a staged commit warns and
+    * recommends compaction (override with write option
+    * `manifest_warn_parts`; <= 0 disables). 1000 parts ≈ 30 KB of
+    * root-doc JSON — still one GET, but a long-lived micro-batch ingest
+    * should fold its accumulated parts back into canonical keys. */
+  val defaultWarnParts: Int = 1000
+
   /** Root-document attribute carrying the manifest. */
   val attrName = "graft_chunk_manifest"
 

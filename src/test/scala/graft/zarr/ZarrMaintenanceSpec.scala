@@ -52,4 +52,32 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
       "compacted store must be value- and order-identical")
   }
+
+  test("compact resets an accumulated chunk manifest to zero parts") {
+    val base = Files.createTempDirectory("zarr-compact-manifest").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    // staged (non-rows_per_partition) appends accumulate manifest parts
+    (0 until 5).foreach { b =>
+      spark.range(b * 32L, (b + 1) * 32L)
+        .select(col("id"), (col("id") * 2.0).as("x"))
+        .coalesce(1)
+        .write.format("zarr").mode("append")
+        .option("chunk_size", "16")
+        .save(src)
+    }
+    val srcStore = ZarrStore(src)
+    assert(srcStore.readChunkManifest().parts.length == 5)
+    assert(srcStore.readMeta("id").sourceJson.contains(ChunkManifest.transformerName))
+    ZarrMaintenance.compact(spark, src, dst, chunkSize = 64, innerChunkSize = 16)
+    // the compacted store is fully canonical: no manifest entries in the
+    // root doc, no must-understand transformer marker on any array —
+    // generic Zarr v3 tools can read it again
+    val dstStore = ZarrStore(dst)
+    assert(dstStore.readChunkManifest().isEmpty,
+      s"compacted store still carries manifest parts: ${dstStore.readChunkManifest().parts}")
+    assert(!dstStore.readMeta("id").sourceJson.contains(ChunkManifest.transformerName))
+    assert(spark.read.format("zarr").load(dst).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == (0L until 160L))
+  }
 }

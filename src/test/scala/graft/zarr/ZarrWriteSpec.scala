@@ -99,6 +99,37 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("zarr").load(p).where("id >= 90").count() == 10)
   }
 
+  test("manifest growth is O(write tasks) per append and warns past the threshold") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/multi-growth"
+    def batch(lo: Int) = ZarrWriteSupport.alignForWrite(
+      (lo until lo + 20).map(i => (i.toLong, i * 2.0)).toDF("id", "v"), 20)
+    // 6 staged appends of ONE task each: the manifest must hold exactly
+    // one part per task — commit count, not chunk count (each append is
+    // 2 chunks; 12 chunks but only 6 parts)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      (0 until 6).foreach { b =>
+        batch(b * 20).write.format("zarr").mode(if (b == 0) "overwrite" else "append")
+          .option("chunk_size", "10")
+          .option("manifest_warn_parts", "5")
+          .save(p)
+      }
+    } finally System.setErr(realErr)
+    val store = ZarrStore(p)
+    assert(store.readChunkManifest().parts.length == 6)
+    // the 5th and 6th commits crossed the threshold (5 parts) — the
+    // commit recommends compaction instead of growing silently
+    val err = errBuf.toString("UTF-8")
+    assert(err.contains("chunk manifest has 5 parts") ||
+      err.contains("chunk manifest has 6 parts"), s"no threshold warning in: $err")
+    assert(err.contains("ZarrMaintenance.compact"), err)
+    // data unaffected by the warning path
+    assert(spark.read.format("zarr").load(p).count() == 120)
+  }
+
   test("fast path: rows_per_partition avoids staging entirely") {
     val sp = spark; import sp.implicits._
     val df = ZarrWriteSupport.alignForWrite(
