@@ -29,17 +29,29 @@ object Tables {
   /** The `events.ts` column arrives in two physical shapes depending on
     * how the driver generated the parquet: TIMESTAMP(NANOS) — which the
     * nanosAsLong legacy conf surfaces as a raw epoch-ns BIGINT — or
-    * TIMESTAMP(MICROS), surfaced as TIMESTAMP_NTZ. Every query in the
-    * registry (and every DuckDB oracle, via `epoch_us(ts)`) assumes the
-    * engine-wide convention ts = epoch NANOSECONDS as BIGINT, so
-    * normalize the µs-timestamp shape up to it here, at the single read
-    * boundary. The NTZ wall clock is a UTC instant in this data; pinning
-    * the session zone makes the NTZ→TIMESTAMP cast a no-op shift. */
+    * TIMESTAMP(MICROS), surfaced as TIMESTAMP_NTZ (or plain TIMESTAMP if
+    * written UTC-adjusted). Every query in the registry (and every DuckDB
+    * oracle, via `epoch_us(ts)`) assumes the engine-wide convention
+    * ts = epoch NANOSECONDS as BIGINT, so normalize the µs shapes up to
+    * it here, at the single read boundary shared by batch
+    * ([[load]]) and streaming ([[graft.streaming.EventStream]]).
+    *
+    * Timezone-independent by construction (no session-conf mutation):
+    * the NTZ wall clock is a UTC instant in this data, so it is first
+    * converted from UTC into the CURRENT session zone as a wall clock,
+    * after which the NTZ→TIMESTAMP cast (which interprets the wall clock
+    * in the session zone) lands on the original instant whatever that
+    * zone is. The plain-TIMESTAMP shape is already an instant —
+    * `unix_micros` on it never consults the zone. */
   def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) " +
+              "as timestamp)) * cast(1000 as bigint)"))
       case _ =>
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr(
             "unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"))

@@ -32,32 +32,21 @@ object EventStream {
 
   /** File-based stream of the events table with `ts` normalized to the
     * engine-wide epoch-ns BIGINT convention (the same shape
-    * `Tables.load` hands batch queries). The file stores ts either as
-    * TIMESTAMP(NANOS) — surfaced as BIGINT under the nanosAsLong legacy
-    * conf — or TIMESTAMP(MICROS), surfaced as TIMESTAMP_NTZ; a file
-    * source needs the schema up front, so probe the batch reader's view
-    * of the footer once (driver-side, one footer read) and declare
-    * whichever shape is on disk, then normalize. */
+    * `Tables.load` hands batch queries). A file source needs its schema
+    * up front, so probe the batch reader's view of the footer once
+    * (driver-side, one footer read) and declare EXACTLY that schema —
+    * whatever physical ts shape is on disk — then route through the one
+    * shared normalization in [[graft.Tables.normalizeEventTs]], so the
+    * batch and streaming read boundaries cannot drift apart. */
   def fromFilesRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = spark.read.parquet(s"$sfDir/events.parquet")
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
-    val schema = s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, " +
-      "value DOUBLE, props STRING"
+    val probed = spark.read.parquet(s"$sfDir/events.parquet").schema
     // events.parquet is a single file; stream its parent directory with a
     // glob filter so the file source sees a directory basePath
-    val raw = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(probed)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (tsIsLong) raw
-    else {
-      // NTZ wall clock is a UTC instant in this data; pin the zone so the
-      // NTZ->TIMESTAMP cast cannot shift it, then widen µs -> ns.
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-      raw.withColumn("ts",
-        expr("unix_micros(cast(ts as timestamp)) * cast(1000 as bigint)"))
-    }
+    graft.Tables.normalizeEventTs(spark, raw)
   }
 
   /** File-based stream of the events table (new parquet files appearing

@@ -60,7 +60,9 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = spark.table("hourly_file")
       .select(col("hour_start").cast("long").as("h"), col("event_type"), col("n"))
     val batch = graft.Tables.load(spark, dir, "events")
-      .withColumn("tsn", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer ns->us division: `/` is double division and its 53-bit
+      // mantissa corrupts the low microseconds at ~1.7e18 ns epochs
+      .withColumn("tsn", timestamp_micros(expr("ts div 1000")))
       .groupBy(date_trunc("hour", col("tsn")).cast("long").as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
