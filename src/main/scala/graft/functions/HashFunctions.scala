@@ -164,6 +164,34 @@ object HashOps {
     *  ELSE array() END` with `ws = split(text, ' ', -1)`, as one pass.
     * (Distinct from [[shingles3]], whose oracle keeps one truncated
     * shingle for short docs.) */
+  /** Cross-lingual text normalization: lowercase, NFD-decompose and drop
+    * combining marks (the JVM twin of utf8proc's strip_accents), then
+    * collapse every run of non-letter/non-decimal-digit code points to a
+    * single space and trim. Letters of EVERY script survive (CJK,
+    * Cyrillic, Arabic …) — the kernel removes accent/case/punctuation
+    * variation without being Latin-only. Keep-set = L* + Nd, exactly the
+    * oracle regex class `[^\p{L}\p{Nd}]+`. */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(
+      text.toString.toLowerCase(java.util.Locale.ROOT),
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      i += Character.charCount(cp)
+      if (Character.getType(cp) == Character.NON_SPACING_MARK) {
+        // accent mark from the NFD decomposition: drop, no word break
+      } else if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.appendCodePoint(cp)
+      } else pendingSpace = true
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def shinglesK(text: UTF8String, k: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
     val n = words.length
@@ -277,6 +305,20 @@ case class Shingles3(child: Expression) extends UnaryExpression with Serializabl
     HashOps.shingles3(a.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.shingles3($x)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `normalize_text(text)` — cross-lingual normalization (q108): the
+  * codegen'd twin of the oracle's
+  * `trim(regexp_replace(strip_accents(lower(text)), '[^\p{L}\p{Nd}]+', ' ', 'g'))`. */
+case class NormalizeText(child: Expression) extends UnaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_text"
+  override def nullSafeEval(a: Any): Any =
+    HashOps.normalizeText(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.normalizeText($x)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -181,6 +181,9 @@ object VectorFunctions {
       (FunctionIdentifier("minhash16"),
         new ExpressionInfo(classOf[MinHash16].getName, "minhash16"),
         (children: Seq[Expression]) => MinHash16(children.head)),
+      (FunctionIdentifier("normalize_text"),
+        new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+        (children: Seq[Expression]) => NormalizeText(children.head)),
       (FunctionIdentifier("sqdist64"),
         new ExpressionInfo(classOf[SqDist64].getName, "sqdist64"),
         (children: Seq[Expression]) => SqDist64(children(0), children(1))),

@@ -68,9 +68,11 @@ object Dedup {
     * `list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)), i -> w[i:i+2]))`. */
   private val shinglesExpr = "shingles3(text)"
 
-  private val shingleSql =
-    """list_distinct(list_transform(generate_series(1, greatest(len(string_split(text,' '))-2, 1)),
-      |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))""".stripMargin
+  private def shingleSqlOn(c: String): String =
+    s"""list_distinct(list_transform(generate_series(1, greatest(len(string_split($c,' '))-2, 1)),
+       |      i -> array_to_string(string_split($c,' ')[i:i+2], ' ')))""".stripMargin
+
+  private val shingleSql = shingleSqlOn("text")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -232,5 +234,59 @@ object Dedup {
       cand.where(hamming <= 6)
         .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- cross-lingual near-dup candidates (round 9): q35's inverted
+    //      index run over `normalize_text` output (lowercase, accents
+    //      stripped, punctuation collapsed — the ⚙normalize_text
+    //      kernel), pairing only documents of DIFFERENT languages within
+    //      a source block. Translated/transliterated twins share
+    //      normalized shingles their raw forms may not. Global top-20 by
+    //      jaccard (threshold-free: stable at every SF), deterministic
+    //      via the (unrounded jaccard, doc_a, doc_b) sort. Same
+    //      100 TB shape as q35: posting-list equi join + df-cap, never
+    //      all-pairs; top-k is TakeOrderedAndProject, no global sort. ----
+    QueryDef.sql(
+      "q108_crosslingual_neardup",
+      s"""WITH n AS (
+         |  SELECT doc_id, source, lang,
+         |    trim(regexp_replace(strip_accents(lower(text)), '[^\\p{L}\\p{Nd}]+', ' ', 'g')) AS ntext
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, source, lang, ${shingleSqlOn("ntext")} AS sh FROM n)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.lang AS lang_a, b.lang AS lang_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM s a JOIN s b ON a.source = b.source AND a.lang < b.lang
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0
+         |ORDER BY len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      len(list_distinct(list_concat(a.sh, b.sh))) DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      val sized = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("shingles3(normalize_text(text))").as("sh"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("sh"), size(col("sh")).as("sz"))
+      val ex = graft.CacheRegistry.track(
+        sized.select(col("doc_id"), col("source"), col("lang"), col("sz"),
+          explode(col("sh")).as("shingle")).persist())
+      val pruned = dropHotPostings(ex, Seq("source", "shingle"))
+      val a = pruned.as("a")
+      val b = pruned.as("b")
+      val common = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.source") === col("b.source") &&
+          col("a.lang") < col("b.lang"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          col("a.sz").as("sa"), col("b.sz").as("sb"))
+        .agg(count(lit(1)).as("c"))
+      val j = col("c") * 1.0 / (col("sa") + col("sb") - col("c"))
+      common
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"),
+          round(j, 4).as("jaccard"), j.as("_j"))
+        .orderBy(col("_j").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+        .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"), col("jaccard"))
     })
 }

@@ -80,6 +80,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("SortMergeJoin"), p)
   }
 
+  test("q108: cross-lingual near-dup is a posting equi join + top-k — never all-pairs") {
+    val p = plan("q108_crosslingual_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // global top-20 must be TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the df-cap's hot-shingle drop is a broadcast anti join on the
+    // posting side (no extra posting shuffle)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("q39: tiled all-pairs join is an equi join — no nested loop, no corpus broadcast") {
     val p = plan("q39_embed_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
