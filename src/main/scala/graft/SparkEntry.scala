@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/
   *    exact-dedup, BPE token counting AND BPE tokenizer training,
   *    two-pass exact heavy hitters (q30-q34, q44, q87, q98, q104)
-  *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash (q35-q37)
+  *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash,
+  *    cross-lingual near-dup over normalize_text (q35-q37, q108)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
   *    IVF-PQ search with asymmetric-distance LUTs, contrastive
   *    hard-negative mining (q38-q40, q95, q101)
