@@ -284,6 +284,34 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"prefix-stats-skipped chunks were fetched: ${chunkOpens.mkString(", ")}")
   }
 
+  test("multilingual long strings roundtrip stats end-to-end: non-ASCII clamp skips chunks") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/s7u"
+    // sortable Cyrillic keys + emoji tails: clamped prefixes are
+    // non-ASCII AND contain surrogate pairs, so the sidecar JSON must
+    // roundtrip supplementary characters and the skip math must hold in
+    // code-point order end-to-end (write → JSON → parse → mayMatch)
+    val cyr = "абвгдежзий"
+    def key(i: Int): String =
+      f"k$i%03d".map(c => if (c.isDigit) cyr(c - '0') else c).mkString
+    (0 until 80).map(i => Tuple1(key(i) + " " + ("😀" * 40) + ("д" * 60))).toDF("text")
+      .coalesce(1)
+      .write.format("zarr").mode("overwrite").option("chunk_size", "16").save(url)
+    RecordingFileSystem.opened.clear()
+    val cut = key(64)
+    val rows = spark.read.format("zarr").load(url)
+      .filter(org.apache.spark.sql.functions.col("text") >= cut).collect()
+    assert(rows.length == 16)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/s7u/text/(c|c\\.part[^/]*)/\\d+$"))
+    // chunks 0-3 refuted by their clamped non-ASCII hi bounds with no
+    // fetch; only chunk 4 is read
+    assert(chunkOpens.nonEmpty && chunkOpens.forall(_.endsWith("/4")),
+      s"prefix-stats-skipped chunks were fetched: ${chunkOpens.mkString(", ")}")
+    // values survive byte-exact (vlen-utf8 + JSON sidecar both clean)
+    assert(rows.map(_.getString(0)).sorted.head == key(64) + " " + ("😀" * 40) + ("д" * 60))
+  }
+
   test("MIN/MAX pushdown declines on clamped string bounds and scans the true value") {
     val sp = spark; import sp.implicits._
     val url = s"file://$base/s8"
