@@ -32,12 +32,14 @@ row = spark.sql("""
   SELECT sqdist64(v, array(1.0D, 2.0D, 2.0D)) AS d,
          bpe_count(text, array('t h', 'th e')) AS n_bpe,
          size(shingles_k(text, 2)) AS n_shingles,
-         count_in(split(text, ' '), array('the', 'a')) AS n_stop
+         count_in(split(text, ' '), array('the', 'a')) AS n_stop,
+         normalize_text('  Qualité des Données!! ') AS norm
   FROM t WHERE id = 1""").collect()[0]
 assert row.d == 0.0, row
 assert row.n_bpe > 0, row
 assert row.n_shingles > 0, row
 assert row.n_stop == 2, row
+assert row.norm == "qualite des donnees", row
 
 # bounded-state aggregates (map-side mergeable) through plain SQL
 agg = spark.sql("""
