@@ -27,18 +27,38 @@ object Bench {
     // every shuffle is a stage boundary, iterative queries (q97's
     // per-step aggregates) get PER-ITERATION attribution for free, with
     // zero change to the measured plans — a sweep outlier now names the
-    // stage (and its GC share) instead of needing post-hoc adjudication
+    // stage (and its GC share) instead of needing post-hoc adjudication.
+    // Attribution is race-free: stage ids are mapped to the query name
+    // at JOB START from the job description (set synchronously by the
+    // driver thread before each run), so a trailing stage of query N
+    // that completes after the driver moved on to N+1 still logs q=N —
+    // a mutable "current query" global would mislabel exactly the slow
+    // trailing stages the trace exists to catch
     val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("warmup")
+    def setPhase(name: String): Unit = {
+      currentQuery.set(name)
+      spark.sparkContext.setJobDescription(name)
+    }
+    val stageOwner = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          ev: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(ev.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse(currentQuery.get)
+        ev.stageIds.foreach(id => stageOwner.put(id, desc))
+      }
       override def onStageCompleted(
           ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = ev.stageInfo
         val wall = for { s <- si.submissionTime; c <- si.completionTime }
           yield (c - s) / 1e3
         if (wall.exists(_ >= 0.5)) {
+          val q = Option(stageOwner.get(si.stageId)).getOrElse(currentQuery.get)
           val name = si.name.linesIterator.nextOption().getOrElse("")
-          System.err.println(f"[bench-stage] q=${currentQuery.get} stage=${si.stageId} wall=${wall.get}%.2fs gcMs=${si.taskMetrics.jvmGCTime} $name")
+          System.err.println(f"[bench-stage] q=$q stage=${si.stageId} wall=${wall.get}%.2fs gcMs=${si.taskMetrics.jvmGCTime} $name")
         }
+        stageOwner.remove(si.stageId)
       }
     })
     // untimed warmup of EVERY query at the smallest SF: pays one-time
@@ -62,7 +82,7 @@ object Bench {
     // moved ~25% on machine contention alone), and start-vs-end exposes
     // within-sweep drift (thermal throttling, a co-tenant arriving)
     def probeOnce(): Double = {
-      currentQuery.set("calibration")
+      setPhase("calibration")
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32)
         .selectExpr("id * 2654435761L % 1000003 AS k")
@@ -83,7 +103,7 @@ object Bench {
     val calStart = calibrate()
     def timedRuns(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (1 to runs).map { _ =>
-        currentQuery.set(name)
+        setPhase(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
@@ -124,13 +144,17 @@ object Bench {
     // durable copy of the FULL sweep: the driver's stdout capture has
     // truncated the per-query map two rounds running (BENCH_r7/r8 held
     // 43/108 entries, parsed:null) — the repo file is the inspectable
-    // record regardless of how much of the tail survives upstream
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"[bench] local write failed: ${e.getMessage}") }
+    // record regardless of how much of the tail survives upstream.
+    // Filtered A/B invocations (args given) must NOT clobber the full
+    // record; they only write when an explicit output path is given.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) {
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+        java.nio.file.Files.write(out,
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable => System.err.println(s"[bench] local write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -37,20 +37,21 @@ object Tables {
     * ([[load]]) and streaming ([[graft.streaming.EventStream]]).
     *
     * Timezone-independent by construction (no session-conf mutation):
-    * the NTZ wall clock is a UTC instant in this data, so it is first
-    * converted from UTC into the CURRENT session zone as a wall clock,
-    * after which the NTZ→TIMESTAMP cast (which interprets the wall clock
-    * in the session zone) lands on the original instant whatever that
-    * zone is. The plain-TIMESTAMP shape is already an instant —
-    * `unix_micros` on it never consults the zone. */
+    * the NTZ wall clock is a UTC instant in this data, and
+    * `timestampdiff` between two NTZ values is pure wall-clock
+    * arithmetic — no zone is ever consulted, so there is no
+    * ambiguous-wall-clock hazard (a zone round-trip via
+    * convert_timezone+cast would silently shift instants landing in a
+    * DST fall-back overlap hour). The plain-TIMESTAMP shape is already
+    * an instant — `unix_micros` on it never consults the zone either. */
   def normalizeEventTs(spark: SparkSession, df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr(
-            "unix_micros(cast(convert_timezone('UTC', current_timezone(), ts) " +
-              "as timestamp)) * cast(1000 as bigint)"))
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) " +
+              "* cast(1000 as bigint)"))
       case _ =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr(

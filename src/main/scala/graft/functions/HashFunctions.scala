@@ -164,8 +164,12 @@ object HashOps {
     *  ELSE array() END` with `ws = split(text, ' ', -1)`, as one pass.
     * (Distinct from [[shingles3]], whose oracle keeps one truncated
     * shingle for short docs.) */
-  /** Cross-lingual text normalization: lowercase, NFD-decompose and drop
-    * combining marks (the JVM twin of utf8proc's strip_accents), then
+  /** Cross-lingual text normalization: NFD-decompose, lowercase PER CODE
+    * POINT (context-free simple mapping — utf8proc's `lower` semantics;
+    * a whole-string toLowerCase would apply Greek final-sigma context
+    * rules the oracle does not), drop marks (categories Mn/Mc/Me — the
+    * utf8proc STRIPMARK set behind DuckDB's strip_accents, dropped
+    * without a word break so Indic vowel signs do not split words), then
     * collapse every run of non-letter/non-decimal-digit code points to a
     * single space and trim. Letters of EVERY script survive (CJK,
     * Cyrillic, Arabic …) — the kernel removes accent/case/punctuation
@@ -173,21 +177,25 @@ object HashOps {
     * oracle regex class `[^\p{L}\p{Nd}]+`. */
   def normalizeText(text: UTF8String): UTF8String = {
     val d = java.text.Normalizer.normalize(
-      text.toString.toLowerCase(java.util.Locale.ROOT),
-      java.text.Normalizer.Form.NFD)
+      text.toString, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
     var pendingSpace = false
     var i = 0
     while (i < d.length) {
-      val cp = d.codePointAt(i)
-      i += Character.charCount(cp)
-      if (Character.getType(cp) == Character.NON_SPACING_MARK) {
-        // accent mark from the NFD decomposition: drop, no word break
-      } else if (Character.isLetter(cp) || Character.isDigit(cp)) {
-        if (pendingSpace && sb.length > 0) sb.append(' ')
-        pendingSpace = false
-        sb.appendCodePoint(cp)
-      } else pendingSpace = true
+      val cp0 = d.codePointAt(i)
+      i += Character.charCount(cp0)
+      val t = Character.getType(cp0)
+      if (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+          t == Character.ENCLOSING_MARK) {
+        // mark (accent, vowel sign, enclosure): drop, no word break
+      } else {
+        val cp = Character.toLowerCase(cp0)
+        if (Character.isLetter(cp) || Character.isDigit(cp)) {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.appendCodePoint(cp)
+        } else pendingSpace = true
+      }
     }
     UTF8String.fromString(sb.toString)
   }

@@ -186,9 +186,20 @@ object ChunkStats {
       (n, zt, rs.map(_.map { case (lo, hi) => Bound(lo, hi) }), ss)
     })
 
+  /** Marker recording which STRING ordering the segment's bounds were
+    * selected under. Round 9 switched [[ChunkFilter.cmp]] from UTF-16
+    * code-unit to code-point order; a pre-switch sidecar's string
+    * min/max can be the WRONG extrema under the new order (supplementary
+    * vs [U+E000,U+FFFF] characters), so segments without this marker
+    * must not contribute string bounds — numeric bounds are
+    * order-unaffected and stay live. */
+  private val strOrderField = "sord"
+  private val strOrderCp = "cp"
+
   def encodeBounds(cols: Seq[(String, ZarrType, IndexedSeq[Option[Bound]],
       IndexedSeq[Option[Long]])]): String = {
     val root = mapper.createObjectNode()
+    root.put(strOrderField, strOrderCp)
     val colsNode = root.putObject("cols")
     cols.foreach { case (name, zt, ranges, sums) =>
       val c = colsNode.putObject(name)
@@ -282,12 +293,20 @@ object ChunkStats {
       ztOf: String => Option[ZarrType]): Segment = {
     val root = mapper.readTree(json)
     val colsNode = root.get("cols")
+    // pre-round-9 segments (no string-order marker) selected string
+    // extrema under UTF-16 code-unit order — unsound as bounds under
+    // the code-point comparator, so their STRING columns are ignored
+    // (numeric columns are unaffected by the order change)
+    val cpOrdered = {
+      val n = root.get(strOrderField)
+      n != null && n.asText() == strOrderCp
+    }
     val b = Map.newBuilder[String, (Array[Any], Array[Any])]
     if (colsNode != null) {
       val it = colsNode.fieldNames()
       while (it.hasNext) {
         val name = it.next()
-        ztOf(name).foreach { zt =>
+        ztOf(name).filter(zt => cpOrdered || zt != ZarrType.Str).foreach { zt =>
           val c = colsNode.get(name)
           val minsN = c.get("min")
           val maxsN = c.get("max")

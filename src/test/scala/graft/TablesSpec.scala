@@ -45,6 +45,35 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
   }
 
+  test("NTZ shape normalizes zone-free: DST fall-back overlap instants survive") {
+    import java.time.LocalDateTime
+    val sp = spark; import sp.implicits._
+    // UTC wall clocks 05:30Z and 06:30Z on 2024-11-03 both land on wall
+    // 01:30 in America/New_York (EDT then EST) — a zone round-trip
+    // resolves the ambiguous wall clock to ONE offset and shifts the
+    // other instant by 3600 s; pure wall-clock arithmetic must not
+    val times = Seq(
+      LocalDateTime.parse("2024-11-03T05:30:00"),
+      LocalDateTime.parse("2024-11-03T06:30:00"),
+      LocalDateTime.parse("1999-12-31T23:59:59.999999"))
+    val p = java.nio.file.Files.createTempDirectory("tables-ntz").toString + "/events"
+    times.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("event_id", "ts").write.mode("overwrite").parquet(p)
+    val expected = times.map(t =>
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + t.getNano)
+    Seq("America/New_York", "Asia/Tokyo").foreach { tz =>
+      spark.conf.set("spark.sql.session.timeZone", tz)
+      try {
+        val df = spark.read.parquet(p)
+        assert(df.schema("ts").dataType ==
+          org.apache.spark.sql.types.TimestampNTZType, df.schema)
+        val got = Tables.normalizeEventTs(spark, df)
+          .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+        assert(got == expected, s"tz=$tz: $got != $expected")
+      } finally spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    }
+  }
+
   test("streaming read boundary produces the same epoch-ns values as batch") {
     import org.apache.spark.sql.streaming.Trigger
     val stream = graft.streaming.EventStream.fromFilesRaw(spark, dir)

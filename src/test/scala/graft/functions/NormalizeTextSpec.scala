@@ -36,6 +36,16 @@ class NormalizeTextSpec extends AnyFunSuite {
     assert(norm("中文。数据") == "中文 数据")
   }
 
+  test("utf8proc-aligned corners: Indic vowel signs drop without a word break; sigma is context-free") {
+    // U+093E DEVANAGARI VOWEL SIGN AA is category Mc: strip_accents
+    // deletes it — the word must NOT split at the mark
+    assert(norm("काम") == "कम")
+    // per-code-point lowercase: final-position capital sigma lowers to
+    // ordinary σ (U+03C3), never final-form ς — utf8proc's behavior
+    assert(norm("ΑΓΡΟΣ") == "αγροσ")
+    assert(norm("ὈΔΥΣΣΕΎΣ").last == 'σ')
+  }
+
   test("idempotent and already-normal ASCII is untouched") {
     val plain = "the fast key order sort table scan"
     assert(norm(plain) == plain)

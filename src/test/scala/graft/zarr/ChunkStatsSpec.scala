@@ -312,6 +312,28 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).sorted.head == key(64) + " " + ("😀" * 40) + ("д" * 60))
   }
 
+  test("pre-round-9 sidecars (no string-order marker) contribute no string bounds") {
+    val ztOf: String => Option[ZarrType] = {
+      case "id" => Some(ZarrType.Int64)
+      case "name" => Some(ZarrType.Str)
+      case _ => None
+    }
+    // a legacy segment: same JSON shape, but no "sord" marker — its
+    // string extrema were selected under UTF-16 code-unit order and can
+    // be the wrong bracket under the code-point comparator
+    val legacy = """{"cols":{"id":{"min":[1],"max":[9]},"name":{"min":["a"],"max":["z"]}}}"""
+    val seg = ChunkStats.parse(0, 1, legacy, ztOf)
+    assert(seg.range("id", 0).contains((1L, 9L)), "numeric bounds stay live")
+    assert(seg.range("name", 0).isEmpty, "legacy string bounds must be dropped")
+    // a current segment roundtrips with the marker and keeps strings
+    val current = ChunkStats.encode(Seq(
+      ("id", ZarrType.Int64, IndexedSeq(Some((1L: Any, 9L: Any))), IndexedSeq(None)),
+      ("name", ZarrType.Str, IndexedSeq(Some(("a": Any, "z": Any))), IndexedSeq(None))))
+    assert(current.contains("\"sord\":\"cp\""), current)
+    val seg2 = ChunkStats.parse(0, 1, current, ztOf)
+    assert(seg2.range("name", 0).contains(("a", "z")))
+  }
+
   test("MIN/MAX pushdown declines on clamped string bounds and scans the true value") {
     val sp = spark; import sp.implicits._
     val url = s"file://$base/s8"
