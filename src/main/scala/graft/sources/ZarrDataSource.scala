@@ -128,6 +128,14 @@ class ZarrTable(
       TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     schemaError.foreach(e => throw new ZarrException(e))
+    // a missing/empty store with a user schema is tolerated at getTable
+    // time (it may be a write target); actually SCANNING it must fail
+    // here with a clear error, not a key-not-found deep in geometry
+    // resolution
+    if (metas.isEmpty)
+      throw new ZarrException(
+        s"zarr store not found or empty at ${store.root}: nothing to read " +
+          "(the user-supplied schema deferred this check so the path could be a write target)")
     new ZarrScanBuilder(store, tableSchema, metas, options)
   }
   override def newWriteBuilder(
@@ -500,9 +508,14 @@ class ZarrScan(
       if (effectiveFilters.isEmpty) Nil
       else try store.listStatsSegments() catch { case _: Throwable => Nil }
     // rename-free staged commits key chunks through the root-doc
-    // manifest; ONE driver-side read covers the whole scan
-    val mparts =
-      try store.readChunkManifest().parts catch { case _: Throwable => Vector.empty }
+    // manifest; ONE driver-side read covers the whole scan. When any
+    // read array carries the manifest storage transformer, an
+    // empty/unreadable manifest must be a HARD error: resolving staged
+    // ordinals to canonical keys would silently read fill values — the
+    // exact failure the must-understand transformer exists to prevent,
+    // and it must protect this reader too, not only generic tools.
+    val mparts = ChunkManifest.requiredParts(
+      store, readNames.map(n => byName(n).sourceJson))
     ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq,
       effectiveFilters, limit, segIndex, mparts)
   }

@@ -114,8 +114,7 @@ class ZarrMicroBatchStream(
       statsSegmentIndex =
         if (pushed.isEmpty) Nil
         else try store.listStatsSegments() catch { case _: Throwable => Nil },
-      manifestParts =
-        try store.readChunkManifest().parts catch { case _: Throwable => Vector.empty })
+      manifestParts = graft.zarr.ChunkManifest.requiredParts(store, planned.map(_._2)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -127,6 +127,16 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * grids — the only shape the DSv2 writer produces. Declared BEFORE
     * the eager `topUpPrefetch()` below, which already resolves keys. */
   private val manifest = graft.zarr.ChunkManifest(f.manifestParts.toVector)
+  /** Coordinate chunk keys whose fetch has been SUBMITTED but not yet
+    * decoded into [[coordCache]]. The prefetch window submits up to
+    * [[prefetchDepth]] chunks before the first is decoded, and the cache
+    * is only written at decode time — without this set, every window
+    * slot re-fetches the same coordinate chunk (≈ depth−1 redundant GETs
+    * per coord chunk per grid row at object-store latency). Chunks are
+    * decoded in submission (FIFO) order, so a coord filtered here is
+    * always in the cache by the time a later chunk needs it. Declared
+    * BEFORE the eager `topUpPrefetch()` below. */
+  private val coordInFlight = new java.util.HashSet[String]()
   private val inflightQ =
     new java.util.ArrayDeque[(Long, JFuture[Map[String, Option[Array[Byte]]]])]()
   private var nextToSubmit: Long = part.lo
@@ -152,12 +162,14 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   }
 
   /** Fetch raw bytes for `names` of chunk `o` on the IO thread. Cached
-    * coordinate chunks are not re-fetched. */
+    * and already-in-flight coordinate chunks are not re-fetched. */
   private def submitFetch(o: Long, names: Seq[String]): JFuture[Map[String, Option[Array[Byte]]]] = {
     val idx = geometry.chunkIndex(o)
     val toFetch = names.filter { n =>
       roleOf(n) match {
-        case CoordCol(_, dim) => !coordCache.containsKey(s"$n/${idx(dim)}")
+        case CoordCol(_, dim) =>
+          val key = s"$n/${idx(dim)}"
+          !coordCache.containsKey(key) && coordInFlight.add(key)
         case _ => true
       }
     }

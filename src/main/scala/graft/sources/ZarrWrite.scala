@@ -288,8 +288,9 @@ class ZarrBatchWrite(
             "of root-document JSON fetched by every reader). Run " +
             "graft.zarr.ZarrMaintenance.compact to rewrite to canonical keys " +
             "and reset the manifest; raise via option manifest_warn_parts.")
-      // leftover staged stats of crashed writes are never live — drop
-      store.cleanStatsStaging()
+      // this write's staged stats docs are all consumed — drop them
+      // (scoped by writeId: a concurrent write's staging must survive)
+      store.cleanStatsStaging(writeId)
     }
     val total = baseRows + counts.map(_.rows).sum
     // the persisted zarr.json is the SAME document the writers derived
@@ -316,7 +317,7 @@ class ZarrBatchWrite(
       // staged commits, which live under their own c.part<id>- dirs; only
       // THIS write's staging (scoped by writeId) is removed
       schema.fields.foreach(f => store.cleanStaging(f.name, s"c.part$writeId-"))
-      store.cleanStatsStaging()
+      store.cleanStatsStaging(writeId)
       // aligned tasks write FINAL segment keys (no staging) — remove any
       // at ordinals past the surviving base or they would describe
       // chunks the rolled-back shape[0] does not own

@@ -81,6 +81,29 @@ object ChunkManifest {
 
   private val mapper = new ObjectMapper()
 
+  /** Manifest parts for a scan over arrays with the given metadata
+    * documents. When any array carries the must-understand manifest
+    * transformer, a missing/empty/unreadable manifest is a HARD error:
+    * falling back to canonical keys would resolve staged ordinals to
+    * nonexistent objects and silently emit fill values — the exact
+    * corruption the transformer marker exists to prevent, which must
+    * protect this reader no less than generic Zarr tools. */
+  def requiredParts(
+      store: ZarrStore, metaJsons: Seq[String]): Vector[(Long, String, Int)] = {
+    val needed = metaJsons.exists(_.contains(transformerName))
+    def fail(cause: Throwable): Nothing =
+      throw new ZarrException(
+        s"store ${store.root}: arrays are manifest-keyed ($transformerName) but the " +
+          "root-document chunk manifest is missing or unreadable — refusing to read " +
+          "(canonical-key fallback would silently return fill values)" +
+          (if (cause != null) s": ${cause.getMessage}" else ""))
+    val parts =
+      try store.readChunkManifest().parts
+      catch { case e: Throwable => if (needed) fail(e) else Vector.empty }
+    if (needed && parts.isEmpty) fail(null)
+    parts
+  }
+
   /** Parse from a store root `zarr.json` document (empty when absent or
     * malformed — the manifest is load-bearing only for stores that wrote
     * one, and those always carry a well-formed root doc). */

@@ -38,8 +38,18 @@ object Codecs {
     def encode(raw: Array[Byte]): Array[Byte] =
       com.github.luben.zstd.Zstd.compress(raw, level)
     def decode(enc: Array[Byte]): Array[Byte] = {
+      // the frame-header content size is OPTIONAL in the zstd format —
+      // streaming compressors omit it and getFrameContentSize returns a
+      // negative sentinel; such spec-valid chunks must decode via the
+      // streaming API instead of crashing on a negative allocation
       val n = com.github.luben.zstd.Zstd.getFrameContentSize(enc)
-      com.github.luben.zstd.Zstd.decompress(enc, n.toInt)
+      if (n > 0 && n <= Int.MaxValue) com.github.luben.zstd.Zstd.decompress(enc, n.toInt)
+      else if (n == 0) Array.emptyByteArray
+      else {
+        val in = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(enc))
+        try in.readAllBytes() finally in.close()
+      }
     }
   }
 
@@ -94,7 +104,6 @@ object Codecs {
       val n = raw.length
       val ts = math.max(1, typesize)
       val doShuffle = shuffle == Blosc.SHUFFLE && ts > 1 && n % ts == 0
-      val body = if (doShuffle) Blosc.byteShuffle(raw, ts) else raw
       val bs0 = if (blocksize > 0) blocksize else math.min(math.max(n, 1), 256 * 1024)
       val bs = if (doShuffle) math.max(ts, bs0 - bs0 % ts) else bs0
       val nblocks = if (n == 0) 0 else (n + bs - 1) / bs
@@ -105,19 +114,26 @@ object Codecs {
       while (i < nblocks) {
         val off = i * bs
         val len = math.min(bs, n - off)
+        // c-blosc applies the shuffle filter PER BLOCK (blosc_c shuffles
+        // the block-local bytes before compressing) — a global shuffle
+        // would interleave bytes across block boundaries and stock
+        // c-blosc decoders would emit transposed garbage on any chunk
+        // spanning more than one block
+        val body =
+          if (doShuffle) Blosc.shuffleRange(raw, off, len, ts)
+          else java.util.Arrays.copyOfRange(raw, off, off + len)
         val comp = compressorCode match {
           case 1 =>
             val c = lz4.fastCompressor()
             val out = new Array[Byte](c.maxCompressedLength(len))
-            val m = c.compress(body, off, len, out, 0)
+            val m = c.compress(body, 0, len, out, 0)
             java.util.Arrays.copyOf(out, m)
           case 4 =>
-            com.github.luben.zstd.Zstd.compress(
-              java.util.Arrays.copyOfRange(body, off, off + len), clevel)
+            com.github.luben.zstd.Zstd.compress(body, clevel)
         }
-        // store raw if compression didn't help (csize == block len marker)
-        blocks(i) = if (comp.length >= len)
-          java.util.Arrays.copyOfRange(body, off, off + len) else comp
+        // store the filtered block if compression didn't help
+        // (csize == block len marker) — c-blosc stores post-shuffle bytes
+        blocks(i) = if (comp.length >= len) body else comp
         compressedTotal += blocks(i).length + 4
         i += 1
       }
@@ -125,15 +141,16 @@ object Codecs {
       val headerLen = 16 + 4 * nblocks
       val cbytes = headerLen + compressedTotal
       if (cbytes >= n + 16) {
-        // incompressible: memcpy form
+        // incompressible: memcpy form — c-blosc stores the ORIGINAL
+        // (unfiltered) bytes and decoders never unshuffle a memcpyed
+        // container, so the shuffle flag must stay clear here
         val out = ByteBuffer.allocate(16 + n).order(ByteOrder.LITTLE_ENDIAN)
         out.put(2.toByte).put(1.toByte)
           .put((Blosc.MEMCPYED | Blosc.DONT_SPLIT_FLAG
-            | (if (doShuffle) Blosc.DOSHUFFLE_FLAG else 0)
             | (compressorCode << 5)).toByte)
           .put(ts.toByte)
           .putInt(n).putInt(bs).putInt(16 + n)
-        out.put(body)
+        out.put(raw)
         return out.array()
       }
       val out = ByteBuffer.allocate(cbytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -189,7 +206,10 @@ object Codecs {
 
       val body = new Array[Byte](nbytes)
       if ((flags & MEMCPYED) != 0) {
+        // c-blosc memcpyed containers hold the ORIGINAL bytes; decoders
+        // never unshuffle them regardless of the shuffle flag
         bb.get(body)
+        body
       } else {
         val dontSplit = (flags & DONT_SPLIT_FLAG) != 0
         val nblocks = if (nbytes == 0) 0 else (nbytes + blocksize - 1) / blocksize
@@ -197,6 +217,7 @@ object Codecs {
         var i = 0
         while (i < nblocks) { bstarts(i) = bb.getInt; i += 1 }
         val lz4dec = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
+        val blockTmp = new Array[Byte](math.min(blocksize.toLong, Int.MaxValue).toInt)
         i = 0
         while (i < nblocks) {
           val off = i * blocksize
@@ -204,40 +225,42 @@ object Codecs {
           // c-blosc ≥ 1.11: a full block is `typesize` independently
           // compressed lane sub-streams unless the DONT_SPLIT header flag
           // is set; leftover (partial trailing) blocks are never split.
-          // The shuffled block layout is lane-major, so split outputs
-          // concatenate contiguously.
+          // The shuffle filter is BLOCK-LOCAL (blosc_d unshuffles each
+          // block independently), so decompress the block's streams into
+          // a scratch buffer and unshuffle that block into place.
           val leftover = bsize < blocksize
           val nsplits =
             if (!dontSplit && !leftover && typesize > 1 && typesize <= MAX_SPLITS &&
               bsize % typesize == 0) typesize
             else 1
           val neblock = bsize / nsplits
+          val doUnshuffle = shuffled && typesize > 1
+          val target = if (doUnshuffle) blockTmp else body
           var src = bstarts(i)
-          var dst = off
+          var dst = if (doUnshuffle) 0 else off
           var j = 0
           while (j < nsplits) {
             val csize = ByteBuffer.wrap(enc, src, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
             src += 4
             if (csize == neblock) { // stored uncompressed
-              System.arraycopy(enc, src, body, dst, neblock)
+              System.arraycopy(enc, src, target, dst, neblock)
             } else compressor match {
-              case 1 => lz4dec.decompress(enc, src, csize, body, dst, neblock)
+              case 1 => lz4dec.decompress(enc, src, csize, target, dst, neblock)
               case 4 =>
                 val out = com.github.luben.zstd.Zstd.decompress(
                   java.util.Arrays.copyOfRange(enc, src, src + csize), neblock)
-                System.arraycopy(out, 0, body, dst, neblock)
+                System.arraycopy(out, 0, target, dst, neblock)
               case other => throw new ZarrException(s"blosc compressor $other not supported")
             }
             src += csize
             dst += neblock
             j += 1
           }
+          if (doUnshuffle) Blosc.unshuffleRangeInto(blockTmp, body, off, bsize, typesize)
           i += 1
         }
+        body
       }
-      if (shuffled && typesize > 1 && nbytes % typesize == 0)
-        byteUnshuffle(body, typesize)
-      else body
     }
 
     /** out[j*n + i] = in[i*ts + j] — the blosc byte-shuffle filter. */
@@ -263,6 +286,38 @@ object Codecs {
         i += 1
       }
       out
+    }
+
+    /** Block-local shuffle of `in[off, off+len)` (c-blosc's shuffle():
+      * the ts-multiple prefix is lane-transposed, trailing
+      * `len % ts` bytes are copied verbatim). */
+    def shuffleRange(in: Array[Byte], off: Int, len: Int, ts: Int): Array[Byte] = {
+      val out = new Array[Byte](len)
+      val n = len / ts
+      val main = n * ts
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < ts) { out(j * n + i) = in(off + i * ts + j); j += 1 }
+        i += 1
+      }
+      System.arraycopy(in, off + main, out, main, len - main)
+      out
+    }
+
+    /** Block-local unshuffle of `in[0, len)` into `out[outOff, outOff+len)`
+      * (c-blosc's unshuffle(), leftover bytes copied verbatim). */
+    def unshuffleRangeInto(
+        in: Array[Byte], out: Array[Byte], outOff: Int, len: Int, ts: Int): Unit = {
+      val n = len / ts
+      val main = n * ts
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < ts) { out(outOff + i * ts + j) = in(j * n + i); j += 1 }
+        i += 1
+      }
+      System.arraycopy(in, main, out, outOff + main, len - main)
     }
   }
 

@@ -67,10 +67,21 @@ object ZarrMaintenance {
     fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "zarr.json")))
       .map { st =>
-        fs.listStatus(st.getPath).toSeq
+        val entries = fs.listStatus(st.getPath).toSeq
+        val dirObjects = entries
           .filter(d => d.isDirectory &&
             (d.getPath.getName == "c" || d.getPath.getName.startsWith("c.part")))
           .map(d => walk(d.getPath)).sum
+        // '.'-separated chunk_key_encoding stores chunks as FLAT files in
+        // the array root ("c.0", "c.12.3") — count them too, or such a
+        // store reports zero objects-before and the compaction economy
+        // metric reads as a no-op
+        val flatObjects = entries.count { e =>
+          val nm = e.getPath.getName
+          !e.isDirectory && nm.startsWith("c.") &&
+            nm.drop(2).split('.').forall(s => s.nonEmpty && s.forall(_.isDigit))
+        }
+        dirObjects + flatObjects.toLong
       }.sum
   }
 

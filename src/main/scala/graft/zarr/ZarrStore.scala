@@ -160,19 +160,40 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     // chunk ordinal means one is stale (e.g. left by a failed write whose
     // ordinals a later append reused) and there is no way to tell which
     // describes the bytes on disk — those chunks just decode-and-test,
-    // the scan stays exact
-    raw.filter { case (first, n) =>
-      raw.forall { case other @ (f2, n2) =>
-        other == ((first, n)) || first + n <= f2 || f2 + n2 <= first
+    // the scan stays exact. Linear sweep over the first-sorted list (the
+    // list is driver-side on EVERY scan plan; a long-lived micro-batch
+    // ingest can hold 10k+ segments, where an all-pairs check is 10^8
+    // comparisons): segment i overlaps something iff its start is below
+    // the max end of any earlier segment, or its end reaches past the
+    // next segment's start.
+    if (raw.isEmpty) raw
+    else {
+      val n = raw.length
+      val bad = new Array[Boolean](n)
+      var maxEndBefore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        val (first, len) = raw(i)
+        val end = first + len
+        if (first < maxEndBefore) bad(i) = true
+        if (i + 1 < n && end > raw(i + 1)._1) bad(i) = true
+        if (end > maxEndBefore) maxEndBefore = end
+        i += 1
       }
+      raw.indices.collect { case i if !bad(i) => raw(i) }
     }
   }
 
-  /** Remove leftover staged stats segments (`_stats/c.part*`). */
-  def cleanStatsStaging(): Unit = {
+  /** Remove leftover staged stats segments of ONE write
+    * (`_stats/c.part<writeId>*`). Staging keys embed the writeId exactly
+    * so concurrent jobs cannot collide — an unscoped cleanup would let a
+    * committing write delete a still-running write's staged stats, which
+    * then commits silently without segments (pushdowns and chunk skips
+    * quietly degrade for that data). */
+  def cleanStatsStaging(writeId: String): Unit = {
     val dir = new Path(rootPath, ChunkStats.dirName)
     if (fs.exists(dir))
-      fs.listStatus(dir).filter(_.getPath.getName.startsWith("c.part"))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith(s"c.part$writeId"))
         .foreach(st => fs.delete(st.getPath, false))
   }
 

@@ -61,6 +61,20 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("zstd frames without embedded content size (streaming writers) decode") {
+    val raw = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new com.github.luben.zstd.ZstdOutputStream(bos, 3)
+    zos.write(raw); zos.close()
+    val enc = bos.toByteArray
+    // streaming frames omit the optional content-size header field
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(enc) <= 0,
+      "fixture must exercise the unknown-content-size path")
+    assert(Codecs.Zstd().decode(enc).sameElements(raw))
+    // the one-shot form still roundtrips
+    assert(Codecs.Zstd().decode(Codecs.Zstd().encode(raw)).sameElements(raw))
+  }
+
   test("blosc incompressible data → memcpy form") {
     val rnd = new scala.util.Random(7)
     val b = Array.fill[Byte](4096)(rnd.nextInt().toByte)
@@ -70,28 +84,30 @@ class CodecsSpec extends AnyFunSuite {
   }
 
   /** Simulates stock c-blosc ≥ 1.11 output (what zarr-python/numcodecs
-    * writes for lz4+shuffle): byte-shuffled body, each FULL block split
-    * into `typesize` independently-compressed lane streams (csize-prefixed),
-    * leftover block unsplit, DONT_SPLIT flag clear. */
+    * writes for lz4+shuffle): each block byte-shuffled BLOCK-LOCALLY
+    * (blosc_c filters the block's own bytes, never a global transpose),
+    * each FULL block split into `typesize` independently-compressed lane
+    * streams (csize-prefixed), leftover block unsplit, DONT_SPLIT flag
+    * clear. */
   private def encodeSplitBlosc(raw: Array[Byte], typesize: Int, blocksize: Int): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     require(raw.length % typesize == 0 && blocksize % typesize == 0)
     val n = raw.length
-    val body = Codecs.Blosc.byteShuffle(raw, typesize)
     val nblocks = (n + blocksize - 1) / blocksize
     val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
     val blocks = (0 until nblocks).map { i =>
       val off = i * blocksize
       val bsize = math.min(blocksize, n - off)
+      val shuf = Codecs.Blosc.shuffleRange(raw, off, bsize, typesize)
       val nsplits = if (bsize == blocksize && typesize > 1 && typesize <= 16) typesize else 1
       val neblock = bsize / nsplits
       val bos = new java.io.ByteArrayOutputStream()
       (0 until nsplits).foreach { j =>
-        val srcOff = off + j * neblock
+        val srcOff = j * neblock
         val out = new Array[Byte](lz4.maxCompressedLength(neblock))
-        val m = lz4.compress(body, srcOff, neblock, out, 0)
+        val m = lz4.compress(shuf, srcOff, neblock, out, 0)
         val (stored, csize) =
-          if (m >= neblock) (java.util.Arrays.copyOfRange(body, srcOff, srcOff + neblock), neblock)
+          if (m >= neblock) (java.util.Arrays.copyOfRange(shuf, srcOff, srcOff + neblock), neblock)
           else (java.util.Arrays.copyOf(out, m), m)
         bos.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(csize).array())
         bos.write(stored)
@@ -134,6 +150,68 @@ class CodecsSpec extends AnyFunSuite {
     val enc = Codecs.Blosc(cname = "lz4", typesize = 8).encode(raw)
     assert((enc(2) & 0x10) != 0, "DONT_SPLIT flag must be set on single-stream blocks")
     assert(Codecs.Blosc.decode(enc).sameElements(raw))
+  }
+
+  /** Independent c-blosc-semantics decoder (per-block streams, BLOCK-LOCAL
+    * unshuffle, memcpyed = original bytes) used to prove OUR encoder's
+    * layout is what stock c-blosc would reconstruct — deliberately not
+    * calling Blosc.decode. */
+  private def referenceDecode(enc: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.wrap(enc).order(ByteOrder.LITTLE_ENDIAN)
+    bb.get(); bb.get()
+    val flags = bb.get() & 0xff
+    val ts = bb.get() & 0xff
+    val nbytes = bb.getInt
+    val blocksize = bb.getInt
+    bb.getInt
+    val out = new Array[Byte](nbytes)
+    if ((flags & 0x2) != 0) { bb.get(out); return out } // memcpyed: no filters
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val bstarts = (0 until nblocks).map(_ => bb.getInt)
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().safeDecompressor()
+    (0 until nblocks).foreach { i =>
+      val off = i * blocksize
+      val bsize = math.min(blocksize, nbytes - off)
+      val dontSplit = (flags & 0x10) != 0
+      val nsplits =
+        if (!dontSplit && bsize == blocksize && ts > 1 && ts <= 16 && bsize % ts == 0) ts else 1
+      val neblock = bsize / nsplits
+      val block = new Array[Byte](bsize)
+      var src = bstarts(i)
+      (0 until nsplits).foreach { j =>
+        val csize = ByteBuffer.wrap(enc, src, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+        src += 4
+        if (csize == neblock) System.arraycopy(enc, src, block, j * neblock, neblock)
+        else lz4.decompress(enc, src, csize, block, j * neblock, neblock)
+        src += csize
+      }
+      if ((flags & 0x1) != 0 && ts > 1) {
+        // blosc_d: unshuffle THIS block's bytes in isolation
+        val n = bsize / ts
+        (0 until n).foreach(k => (0 until ts).foreach(j =>
+          out(off + k * ts + j) = block(j * n + k)))
+        System.arraycopy(block, n * ts, out, off + n * ts, bsize - n * ts)
+      } else System.arraycopy(block, 0, out, off, bsize)
+    }
+    out
+  }
+
+  test("multi-block chunks: our shuffle layout is block-local (what c-blosc reconstructs)") {
+    // 768 KB of longs → 3 blocks at the 256 KB cap; values patterned so a
+    // global-vs-per-block shuffle mixup cannot cancel out
+    val n = 96 * 1024
+    val bb = java.nio.ByteBuffer.allocate(n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => bb.putLong(i.toLong * 2654435761L))
+    val raw = bb.array()
+    val enc = Codecs.Blosc(cname = "lz4", typesize = 8).encode(raw)
+    assert(referenceDecode(enc).sameElements(raw),
+      "a c-blosc-semantics reader must reconstruct our multi-block output")
+    assert(Codecs.Blosc.decode(enc).sameElements(raw))
+    // and the reverse interop: stock-layout multi-block chunks (split,
+    // per-block shuffle) decode correctly through our reader
+    val stock = encodeSplitBlosc(raw, 8, 256 * 1024)
+    assert(Codecs.Blosc.decode(stock).sameElements(raw))
   }
 
   test("byte shuffle/unshuffle inverse") {

@@ -330,4 +330,17 @@ class ZarrConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = latlon.filter(col("lat") < 38.1).queryExecution.executedPlan.toString
     assert(plan.contains("ZarrScan") || plan.contains("BatchScan"))
   }
+
+  test("reading a missing store with an explicit schema fails with a clear error") {
+    // a user schema makes getTable tolerate a missing store (write
+    // target); a READ must then fail at scan build with the store path,
+    // not a key-not-found deep inside geometry resolution
+    val e = intercept[Exception] {
+      spark.read.format("zarr").schema("id BIGINT, v DOUBLE")
+        .load("/tmp/graft-no-such-store-xyz").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("zarr store not found")), s"got: $e")
+  }
 }

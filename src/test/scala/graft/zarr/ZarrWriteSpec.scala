@@ -99,6 +99,29 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("zarr").load(p).where("id >= 90").count() == 10)
   }
 
+  test("manifest-keyed store with an unreadable manifest HARD-FAILS instead of reading fill values") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/multi-corrupt"
+    ZarrWriteSupport.alignForWrite(
+      (0 until 40).map(i => (i.toLong, i * 2.0)).toDF("id", "v"), 20)
+      .write.format("zarr").mode("overwrite").option("chunk_size", "10").save(p)
+    assert(ZarrStore(p).readChunkManifest().parts.nonEmpty)
+    // corrupt the root doc: drop the manifest attribute while the arrays
+    // keep their must-understand transformer marker (a crashed/truncated
+    // root rewrite, or a tool that stripped unknown attributes)
+    val root = java.nio.file.Paths.get(p, "zarr.json")
+    val doc = new String(java.nio.file.Files.readAllBytes(root), "UTF-8")
+    java.nio.file.Files.write(root,
+      doc.replace(ChunkManifest.attrName, "graft_chunk_manifest_gone").getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.read.format("zarr").load(p).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(e).exists(m => m != null && m.contains("manifest")),
+      s"expected a manifest hard-fail, got: $e")
+  }
+
   test("manifest growth is O(write tasks) per append and warns past the threshold") {
     val sp = spark; import sp.implicits._
     val p = s"$base/multi-growth"
