@@ -23,6 +23,10 @@ object HashOps {
     val acc = new Array[Int](64)
     var i = 0
     while (i < n) {
+      // null elements (null words hashed by a null-tolerant producer)
+      // contribute nothing, mirroring how SQL aggregates skip NULLs
+      if (hs.isNullAt(i)) { i += 1 }
+      else {
       val h = hs.getUTF8String(i).getBytes // 32 ascii hex chars
       var b = 0
       while (b < 64) {
@@ -32,6 +36,7 @@ object HashOps {
         b += 1
       }
       i += 1
+      }
     }
     val out = new Array[Byte](64)
     var b = 0
@@ -47,6 +52,8 @@ object HashOps {
     val mins = new Array[String](16)
     var i = 0
     while (i < n) {
+      if (hs.isNullAt(i)) { i += 1 }
+      else {
       val h32 = hs.getUTF8String(i).toString
       val h = h32 + h32
       var j = 0
@@ -56,6 +63,7 @@ object HashOps {
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
   }
@@ -97,6 +105,8 @@ object HashOps {
     val hex = "0123456789abcdef".toCharArray
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { out(i) = null; i += 1 }
+      else {
       md.reset()
       val d = md.digest(arr.getUTF8String(i).getBytes)
       val cs = new Array[Char](32)
@@ -108,6 +118,7 @@ object HashOps {
       }
       out(i) = UTF8String.fromString(new String(cs))
       i += 1
+      }
     }
     new GenericArrayData(out)
   }
@@ -157,13 +168,6 @@ object HashOps {
     new GenericArrayData(out)
   }
 
-  /** Distinct word k-gram shingles, EMPTY when the doc has fewer than k
-    * words — the exact arithmetic of
-    * `CASE WHEN size(ws) >= k THEN array_distinct(transform(
-    *    sequence(1, size(ws)-k+1), i -> array_join(slice(ws, i, k), ' ')))
-    *  ELSE array() END` with `ws = split(text, ' ', -1)`, as one pass.
-    * (Distinct from [[shingles3]], whose oracle keeps one truncated
-    * shingle for short docs.) */
   /** Cross-lingual text normalization: NFD-decompose, lowercase PER CODE
     * POINT (context-free simple mapping — utf8proc's `lower` semantics;
     * a whole-string toLowerCase would apply Greek final-sigma context
@@ -200,6 +204,13 @@ object HashOps {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Distinct word k-gram shingles, EMPTY when the doc has fewer than k
+    * words — the exact arithmetic of
+    * `CASE WHEN size(ws) >= k THEN array_distinct(transform(
+    *    sequence(1, size(ws)-k+1), i -> array_join(slice(ws, i, k), ' ')))
+    *  ELSE array() END` with `ws = split(text, ' ', -1)`, as one pass.
+    * (Distinct from [[shingles3]], whose oracle keeps one truncated
+    * shingle for short docs.) */
   def shinglesK(text: UTF8String, k: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
     val n = words.length
@@ -286,7 +297,8 @@ case class HammingDist(left: Expression, right: Expression)
 }
 
 case class Md5Array(child: Expression) extends UnaryExpression with Serializable {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements map to null hashes (transform(arr, x -> md5(x)) semantics)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(a: Any): Any =
     HashOps.md5Array(a.asInstanceOf[ArrayData])

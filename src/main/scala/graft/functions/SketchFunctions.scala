@@ -241,18 +241,26 @@ case class MgHeavy(
   }
 
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    // encode each key ONCE (serialize runs per group per exchange/spill;
+    // a second sizing-pass encode would double the allocation here)
+    val keys = new Array[Array[Byte]](buf.size)
+    val vals = new Array[Long](buf.size)
     var bytes = 4
+    var i = 0
     val it0 = buf.entrySet().iterator()
     while (it0.hasNext) {
-      bytes += 4 + it0.next().getKey.getBytes("UTF-8").length + 8
+      val e = it0.next()
+      keys(i) = e.getKey.getBytes("UTF-8")
+      vals(i) = e.getValue
+      bytes += 4 + keys(i).length + 8
+      i += 1
     }
     val bb = ByteBuffer.allocate(bytes)
     bb.putInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val kb = e.getKey.getBytes("UTF-8")
-      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    i = 0
+    while (i < keys.length) {
+      bb.putInt(keys(i).length); bb.put(keys(i)); bb.putLong(vals(i))
+      i += 1
     }
     bb.array()
   }

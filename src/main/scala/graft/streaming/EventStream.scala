@@ -76,10 +76,6 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
-  /** Exactly-once style dedup on event_id within the watermark horizon. */
-  def dedupedEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
-
   final case class FEvent(user_id: Long, tus: Long, event_type: String, event_id: Long)
 
   /** Funnel progress per user: -1 = stage not reached. */
@@ -172,7 +168,14 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.start, t))
+                  // a late-but-admitted out-of-order event (earlier batch
+                  // already advanced `last`) must never REGRESS the
+                  // session bounds: ended is the max event time seen,
+                  // started the min — otherwise the next event computes
+                  // its gap against a rolled-back `last` and wrongly
+                  // splits a live session
+                  cur = Some(SessionState(s.n + 1, s.total + e.value,
+                    math.min(s.start, t), math.max(s.last, t)))
                 case Some(s) =>
                   closed ::= Session(uid, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last))
                   cur = Some(SessionState(1, e.value, t, t))

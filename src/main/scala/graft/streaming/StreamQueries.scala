@@ -74,9 +74,15 @@ object StreamQueries {
             ckptBase.toPath, s"graft-ckpt-$name-"))
         else None
       val q = ckpt.fold(w)(d => w.option("checkpointLocation", d.toString)).start()
-      try { q.processAllAvailable(); q.stop() }
-      finally ckpt.foreach { d =>
-        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()
+      // stop the query in a finally: if processAllAvailable throws (e.g.
+      // the driver thread is interrupted), deleting the checkpoint under
+      // a still-running query would leave it failing micro-batches
+      try q.processAllAvailable()
+      finally {
+        try q.stop()
+        finally ckpt.foreach { d =>
+          org.apache.commons.io.FileUtils.deleteQuietly(d.toFile); ()
+        }
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)

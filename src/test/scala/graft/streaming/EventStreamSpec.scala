@@ -94,6 +94,41 @@ class EventStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((1L, 3, 3.0)), s"got $rows")
   }
 
+  test("sessionize: a late out-of-order event never regresses session bounds") {
+    val sp = spark
+    implicit val sq = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[EventStream.Event]
+    val out = EventStream.sessionize(in.toDS())
+    val q = out.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    // times start at 60 min: the initial watermark is epoch 0 and a
+    // ts=0 event would be dropped as late before reaching the operator
+    // batch 1: events at 60 and 80 min — session last=80
+    in.addData(
+      EventStream.Event(1, ts(60), 1, "a", 1.0),
+      EventStream.Event(2, ts(80), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event at 70 min (admitted — watermark is 2h back);
+    // the session's `last` must stay 80, not regress to 70
+    in.addData(EventStream.Event(3, ts(70), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: event at 105 min — gap vs the true last (80) is 25 min,
+    // within the 30-min gap, so the session must NOT split (a regressed
+    // last of 70 would compute a 35-min gap and wrongly close it)
+    in.addData(EventStream.Event(4, ts(105), 1, "a", 1.0))
+    q.processAllAvailable()
+    // far-future event advances the watermark and times the session out
+    in.addData(EventStream.Event(5, ts(60 * 13), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_sessions")
+      .select("user_id", "n_events", "started", "ended").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getTimestamp(2).getTime / 60000, r.getTimestamp(3).getTime / 60000))
+    assert(rows.toSeq == Seq((1L, 4, 60L, 105L)), s"got ${rows.toSeq}")
+  }
+
   test("stream-stream interval join == batch band join on the events file") {
     val dir = "/root/testdata/sf0.001"
     def side(t: String) = EventStream.fromFiles(spark, dir)
