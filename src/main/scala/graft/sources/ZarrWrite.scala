@@ -140,8 +140,16 @@ class ZarrBatchWrite(
   private val appendState: (Long, Int, String) = {
     existingMetas =
       if (truncate) Seq.empty
-      else try store.listArrays().map(store.readMeta)
-      catch { case _: ZarrException => Seq.empty }
+      else {
+        // only a genuinely absent (or array-less) store means "fresh
+        // write"; metadata of EXISTING arrays must parse — an
+        // unreadable/unsupported store has to ABORT the append, not be
+        // silently treated as empty and written over
+        val names =
+          try store.listArrays()
+          catch { case _: ZarrException => Seq.empty }
+        names.map(store.readMeta)
+      }
     if (truncate) (0L, chunkSize0, codec0)
     else {
       val existing = existingMetas
@@ -345,7 +353,9 @@ object ZarrBatchWrite {
   private def validateCodecList(
       codecs: Seq[CodecSpec], name: String, root: String, insideShard: Boolean): Unit = {
     codecs.foreach {
-      case CodecSpec("bytes", cfg) =>
+      // "endian" is the pre-rename alias of "bytes" (accepted on read);
+      // the encode path resolves both through Codecs.endianness
+      case CodecSpec("bytes" | "endian", cfg) =>
         // big-endian is fine at the top level (ZarrDataWriter.encode
         // honors the stored ByteOrder) but Sharding.encode is LE-only
         if (insideShard && cfg.get("endian").exists(_.asText("little") == "big"))

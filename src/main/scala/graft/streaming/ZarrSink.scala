@@ -153,19 +153,21 @@ object ZarrSink {
     * renames complete before ANY per-column zarr.json is rewritten, so if
     * column shapes disagree, the data for the max shape exists for every
     * column and only the lagging metadata needs repair. */
-  private def storeRows(spark: SparkSession, path: String): Long =
-    try {
-      val st = store(spark, path)
-      val metas = st.listArrays().map(a => a -> st.readMeta(a))
-      if (metas.isEmpty) 0L
-      else {
-        val maxRows = metas.map(_._2.shape(0)).max
-        metas.filter(_._2.shape(0) != maxRows).foreach { case (a, m) =>
-          st.writeMeta(a, graft.zarr.ZarrMeta.withShape0(m.sourceJson, maxRows))
-        }
-        maxRows
-      }
-    } catch { case _: ZarrException => 0L }
+  private def storeRows(spark: SparkSession, path: String): Long = {
+    val st = store(spark, path)
+    // only an absent/array-less store means "0 rows so far"; an
+    // EXISTING store whose metadata fails to parse must abort the
+    // stream — treating it as empty would re-append the whole replay
+    val names =
+      try st.listArrays()
+      catch { case _: ZarrException => return 0L }
+    val metas = names.map(a => a -> st.readMeta(a))
+    val maxRows = metas.map(_._2.shape(0)).max
+    metas.filter(_._2.shape(0) != maxRows).foreach { case (a, m) =>
+      st.writeMeta(a, graft.zarr.ZarrMeta.withShape0(m.sourceJson, maxRows))
+    }
+    maxRows
+  }
 
   /** Drain the carried tail into the store as a final (possibly partial)
     * edge chunk and clear the replay marker — call after the stream

@@ -175,14 +175,34 @@ object ChunkColumn {
             val ts = if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1
             val plain = Codecs.bytesCodecs(meta.codecs, ts).reverse
               .foldLeft(bytes)((b, c) => c.decode(b))
+            // array→array `transpose`: the stored layout is dimension-
+            // permuted; scatter back to row-major chunk order so every
+            // consumer (mapping, stats, columnar copy) sees C order
+            val tperm = Codecs.transposeOrder(meta.codecs, meta.chunkShape.length)
+              .map(o => Codecs.transposePerm(meta.chunkShape, o))
             if (meta.dataType == ZarrType.Str) {
               if (!Codecs.isVlenUtf8(meta.codecs))
                 throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")
-              new StrColumn(decodeVlenUtf8(plain))
-            } else
-              new PrimColumn(meta.dataType, plain, Codecs.endianness(meta.codecs))
+              val strs = decodeVlenUtf8(plain)
+              new StrColumn(tperm.map(untransposeStrings(strs, _)).getOrElse(strs))
+            } else {
+              val ordered = tperm.map(Codecs.untransposeBytes(plain, _, ts)).getOrElse(plain)
+              new PrimColumn(meta.dataType, ordered, Codecs.endianness(meta.codecs))
+            }
         }
     }
+
+  /** Scatter transposed-order strings back to row-major chunk order
+    * (A(perm(b)) = B(b), see [[Codecs.transposePerm]]). */
+  def untransposeStrings(strs: Array[String], perm: Array[Int]): Array[String] = {
+    if (strs.length != perm.length)
+      throw new ZarrException(
+        s"transposed chunk has ${strs.length} strings, expected ${perm.length}")
+    val out = new Array[String](strs.length)
+    var b = 0
+    while (b < perm.length) { out(perm(b)) = strs(b); b += 1 }
+    out
+  }
 
   /** numcodecs VLenUTF8 layout: u32-LE item count, then per item a u32-LE
     * byte length followed by the UTF-8 bytes. */

@@ -321,6 +321,114 @@ object Codecs {
     }
   }
 
+  /** Every codec name this reader implements. A codec list naming
+    * anything else MUST be rejected at metadata-parse time: `bytesCodecs`
+    * is a `collect`, so an unrecognized codec would otherwise be silently
+    * skipped and the chunk would decode to garbage — the same silent-
+    * corruption class as applying blosc's shuffle at the wrong scope.
+    * (The reference delegates this to `zarrs`, which errors on unknown
+    * codecs; we must match that loudness.) */
+  val knownCodecNames: Set[String] =
+    Set("bytes", "endian", "vlen-utf8", "blosc", "gzip", "zstd", "crc32c",
+      "sharding_indexed", "transpose")
+
+  /** Validate a codec list for an array (or shard inner chain) of rank
+    * `ndim`: unknown names are hard errors, a `transpose` order must be a
+    * permutation of 0..ndim-1, and `transpose` alongside
+    * `sharding_indexed` at the same level is unsupported (put the
+    * transpose inside the shard's `codecs` instead — that is where
+    * zarr-python nests it). */
+  def validate(specs: Seq[CodecSpec], ndim: Int, ctx: String): Unit = {
+    specs.foreach { s =>
+      if (!knownCodecNames.contains(s.name))
+        throw new ZarrException(s"Unsupported codec '${s.name}' for $ctx")
+    }
+    if (specs.exists(_.name == "transpose") && specs.exists(_.name == "sharding_indexed"))
+      throw new ZarrException(
+        s"transpose alongside sharding_indexed is not supported for $ctx " +
+          "(nest the transpose inside the shard's codecs)")
+    transposeOrder(specs, ndim) // validates the permutation as a side effect
+    ()
+  }
+
+  /** The `transpose` codec's dimension permutation, if the list carries a
+    * non-identity one. Zarr v3 semantics: encoded dimension j is input
+    * dimension `order(j)` (encoded shape t(j) = s(order(j))). */
+  def transposeOrder(specs: Seq[CodecSpec], ndim: Int): Option[Array[Int]] =
+    specs.collectFirst { case CodecSpec("transpose", cfg) =>
+      val node = cfg.getOrElse("order",
+        throw new ZarrException("transpose codec requires an order"))
+      if (!node.isArray || node.size() != ndim)
+        throw new ZarrException(
+          s"transpose order must list all $ndim dimensions, got $node")
+      val order = Array.tabulate(node.size())(i => node.get(i).asInt(-1))
+      if (order.sorted.toSeq != (0 until ndim))
+        throw new ZarrException(
+          s"transpose order ${order.mkString("[", ",", "]")} is not a permutation of 0..${ndim - 1}")
+      order
+    }.filter(o => !o.indices.forall(i => o(i) == i))
+
+  /** Element permutation realizing the transpose: for encoded linear
+    * index b (row-major over the transposed shape), `perm(b)` is the
+    * decoded linear index a (row-major over `shape`). Encode reads
+    * B(b) = A(perm(b)); decode scatters A(perm(b)) = B(b). */
+  def transposePerm(shape: Array[Int], order: Array[Int]): Array[Int] = {
+    val ndim = shape.length
+    val strideA = new Array[Int](ndim)
+    var acc = 1
+    var d = ndim - 1
+    while (d >= 0) { strideA(d) = acc; acc *= shape(d); d -= 1 }
+    val shapeB = Array.tabulate(ndim)(j => shape(order(j)))
+    val n = acc
+    val perm = new Array[Int](n)
+    val k = new Array[Int](ndim)
+    var b = 0
+    var a = 0
+    while (b < n) {
+      perm(b) = a
+      var j = ndim - 1
+      var carry = true
+      while (carry && j >= 0) {
+        k(j) += 1
+        a += strideA(order(j))
+        if (k(j) == shapeB(j)) { k(j) = 0; a -= shapeB(j) * strideA(order(j)); j -= 1 }
+        else carry = false
+      }
+      b += 1
+    }
+    perm
+  }
+
+  /** Decode direction: reorder a transposed fixed-width buffer into
+    * row-major chunk order (A(perm(b)) = B(b)). */
+  def untransposeBytes(in: Array[Byte], perm: Array[Int], bw: Int): Array[Byte] = {
+    if (in.length != perm.length * bw)
+      throw new ZarrException(
+        s"transposed chunk is ${in.length} bytes, expected ${perm.length * bw}")
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < perm.length) {
+      System.arraycopy(in, b * bw, out, perm(b) * bw, bw)
+      b += 1
+    }
+    out
+  }
+
+  /** Encode direction: lay a row-major buffer out in transposed order
+    * (B(b) = A(perm(b))). */
+  def transposeBytes(in: Array[Byte], perm: Array[Int], bw: Int): Array[Byte] = {
+    if (in.length != perm.length * bw)
+      throw new ZarrException(
+        s"chunk is ${in.length} bytes, expected ${perm.length * bw}")
+    val out = new Array[Byte](in.length)
+    var b = 0
+    while (b < perm.length) {
+      System.arraycopy(in, perm(b) * bw, out, b * bw, bw)
+      b += 1
+    }
+    out
+  }
+
   /** Resolve the bytes→bytes portion of a codec spec list. */
   def bytesCodecs(specs: Seq[CodecSpec], typesize: Int): Seq[BytesCodec] =
     specs.collect {
@@ -342,9 +450,11 @@ object Codecs {
           blocksize = cfg.get("blocksize").map(_.asInt(0)).getOrElse(0))
     }
 
-  /** Endianness of the array→bytes "bytes" codec (default little). */
+  /** Endianness of the array→bytes "bytes" codec (default little).
+    * "endian" is the codec's pre-rename ZEP1 name — zarrs registers it as
+    * an alias, so the reference reads such stores; match that. */
   def endianness(specs: Seq[CodecSpec]): ByteOrder =
-    specs.collectFirst { case CodecSpec("bytes", cfg) =>
+    specs.collectFirst { case CodecSpec("bytes" | "endian", cfg) =>
       if (cfg.get("endian").exists(_.asText("little") == "big")) ByteOrder.BIG_ENDIAN
       else ByteOrder.LITTLE_ENDIAN
     }.getOrElse(ByteOrder.LITTLE_ENDIAN)

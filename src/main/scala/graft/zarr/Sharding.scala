@@ -57,11 +57,14 @@ object Sharding {
     val indexCodecs = cfg.get("index_codecs").map(ZarrMeta.codecSpecs)
       .getOrElse(Seq(CodecSpec("bytes", Map.empty), CodecSpec("crc32c", Map.empty)))
     indexCodecs.foreach {
-      case CodecSpec("bytes", _) | CodecSpec("crc32c", _) => ()
+      case CodecSpec("bytes" | "endian", _) | CodecSpec("crc32c", _) => ()
       case CodecSpec(other, _) => throw new ZarrException(
         s"sharding_indexed index_codecs '$other' not supported (index must be fixed-size)")
     }
     val atEnd = cfg.get("index_location").forall(_.asText("end") != "start")
+    Codecs.validate(innerCodecs, innerShape.length, "sharding_indexed inner codecs")
+    if (innerCodecs.exists(_.name == "sharding_indexed"))
+      throw new ZarrException("nested sharding_indexed is not supported")
     Spec(innerShape, innerCodecs, indexCodecs, atEnd)
   }
 
@@ -185,8 +188,12 @@ object Sharding {
     val index = decodeIndex(spec, shard, nInner)
     val innerElems = spec.innerElems
 
-    val innerChain = Codecs.bytesCodecs(spec.innerCodecs,
-      if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1).reverse
+    val bw0 = if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1
+    val innerChain = Codecs.bytesCodecs(spec.innerCodecs, bw0).reverse
+    // inner `transpose` applies per inner chunk (this is where zarr-python
+    // nests it for F-order sharded arrays)
+    val innerPerm = Codecs.transposeOrder(spec.innerCodecs, spec.innerShape.length)
+      .map(o => Codecs.transposePerm(spec.innerShape.toArray, o))
 
     def innerBytes(gi: Int): Option[Array[Byte]] = {
       val off = index(2 * gi)
@@ -197,7 +204,10 @@ object Sharding {
           throw new ZarrException(
             s"shard index entry $gi out of range: offset=$off nbytes=$len size=${shard.length}")
         val enc = java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt)
-        Some(innerChain.foldLeft(enc)((b, c) => c.decode(b)))
+        val plain = innerChain.foldLeft(enc)((b, c) => c.decode(b))
+        Some(
+          if (meta.dataType == ZarrType.Str) plain // strings permute post-vlen decode
+          else innerPerm.map(Codecs.untransposeBytes(plain, _, bw0)).getOrElse(plain))
       }
     }
 
@@ -210,7 +220,8 @@ object Sharding {
       java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], meta.fillValue.asInstanceOf[String])
       parallelInner(nInner) { gi =>
         innerBytes(gi).foreach { plain =>
-          val strs = ChunkColumn.decodeVlenUtf8(plain)
+          val decoded = ChunkColumn.decodeVlenUtf8(plain)
+          val strs = innerPerm.map(ChunkColumn.untransposeStrings(decoded, _)).getOrElse(decoded)
           if (strs.length != innerElems)
             throw new ZarrException(
               s"inner chunk $gi of ${meta.name}: ${strs.length} strings != $innerElems")
@@ -291,6 +302,8 @@ object Sharding {
     val innerElems = spec.innerElems
     val innerChain = Codecs.bytesCodecs(spec.innerCodecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
+    val innerPerm = Codecs.transposeOrder(spec.innerCodecs, spec.innerShape.length)
+      .map(o => Codecs.transposePerm(spec.innerShape.toArray, o))
 
     def gather(gi: Int): Array[Any] = {
       val out = new Array[Any](innerElems)
@@ -298,7 +311,9 @@ object Sharding {
         var e = 0
         while (e < rowLenElems) { out(r * rowLenElems + e) = vals(flat + e); e += 1 }
       }
-      out
+      // inner transpose: store the inner chunk dimension-permuted
+      // (B(b) = A(perm(b)))
+      innerPerm.map(p => Array.tabulate[Any](innerElems)(b => out(p(b)))).getOrElse(out)
     }
 
     val encoded = new Array[Array[Byte]](nInner)

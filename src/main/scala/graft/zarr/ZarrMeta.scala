@@ -161,6 +161,12 @@ object ZarrMeta {
     val fill = parseFill(root.path("fill_value"), dtype)
 
     val codecs = codecSpecs(root.path("codecs"))
+    // unknown codecs must fail HERE, not silently skip at decode time
+    // (Codecs.bytesCodecs is a collect) — garbage-decode prevention
+    Codecs.validate(codecs, shape.length, s"array $arrayName")
+    // eagerly parse any sharding spec so malformed/unsupported inner
+    // codec chains are metadata errors too, not first-read surprises
+    Sharding.specOf(codecs)
 
     val dimNames = {
       val dn = root.path("dimension_names")

@@ -16,7 +16,8 @@ object ZarrWriter {
     * `innerChunk` — the stored object becomes a shard. */
   final case class CodecChain(
       specs: Seq[(String, String)],
-      innerChunk: Option[Seq[Int]] = None) {
+      innerChunk: Option[Seq[Int]] = None,
+      transposeOrder: Option[Seq[Int]] = None) {
     def json: String = {
       val bb = specs.map { case (n, cfg) =>
         if (cfg.isEmpty) s"""{"name":"$n"}"""
@@ -25,6 +26,11 @@ object ZarrWriter {
       bb.mkString(",")
     }
     def sharded(inner: Seq[Int]): CodecChain = copy(innerChunk = Some(inner))
+    /** Store chunks dimension-permuted via the v3 `transpose` codec
+      * (nested inside the shard's codecs when sharded). */
+    def transposed(order: Seq[Int]): CodecChain = copy(transposeOrder = Some(order))
+    def transposeJson: Option[String] = transposeOrder.map(o =>
+      s"""{"name":"transpose","configuration":{"order":[${o.mkString(",")}]}}""")
   }
   object CodecChain {
     val raw = CodecChain(Nil)
@@ -46,7 +52,9 @@ object ZarrWriter {
     val arrayBytesCodec =
       if (dtype == ZarrType.Str) """{"name":"vlen-utf8"}"""
       else """{"name":"bytes","configuration":{"endian":"little"}}"""
-    val flatChain = (Seq(arrayBytesCodec) ++ (if (chain.json.isEmpty) Nil else Seq(chain.json)))
+    // array→array codecs (transpose) precede the array→bytes codec
+    val flatChain = (chain.transposeJson.toSeq ++ Seq(arrayBytesCodec) ++
+      (if (chain.json.isEmpty) Nil else Seq(chain.json)))
       .mkString(",")
     // sharded: the full chain nests inside sharding_indexed, which is
     // then the array's only top-level codec
@@ -102,6 +110,9 @@ object ZarrWriter {
     // chain lives inside sharding_indexed and is applied per inner chunk)
     lazy val codecList = Codecs.bytesCodecs(meta.codecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
+    // unsharded transpose: store each chunk dimension-permuted
+    lazy val tperm = Codecs.transposeOrder(meta.codecs, ndim)
+      .map(o => Codecs.transposePerm(chunkShape.toArray, o))
 
     // iterate all chunk indices
     val nChunks = grid.map(_.toLong).product
@@ -117,7 +128,10 @@ object ZarrWriter {
         val enc = shardSpec match {
           case Some(sp) => Sharding.encode(dtype, chunkShape, sp, chunkVals)
           case None =>
-            codecList.foldLeft(encodeArray(dtype, chunkVals))((b, c) => c.encode(b))
+            val stored = tperm
+              .map(p => Array.tabulate[Any](chunkVals.length)(b => chunkVals(p(b))))
+              .getOrElse(chunkVals)
+            codecList.foldLeft(encodeArray(dtype, stored))((b, c) => c.encode(b))
         }
         store.writeChunk(name, meta.chunkKey(idx), enc)
       }

@@ -340,6 +340,29 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pth = s"$base/appunk"
     val store = ZarrStore(pth)
     store.writeStoreRootMeta()
+    // read-valid (parses fine) but write-unencodable: blosc bitshuffle
+    store.writeMeta("v",
+      """{"zarr_format":3,"node_type":"array","shape":[10],"data_type":"float64",
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[5]}},
+        |"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},
+        |"fill_value":0.0,
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |{"name":"blosc","configuration":{"cname":"lz4","clevel":5,"shuffle":"bitshuffle","typesize":8,"blocksize":0}}]}"""
+        .stripMargin)
+    val e = intercept[Exception] {
+      (10 until 20).map(i => Tuple1(i * 1.0)).toDF("v").coalesce(1)
+        .write.format("zarr").mode("append").save(pth)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot encode")), msgs(e).mkString(" | "))
+  }
+
+  test("append to a store with UNKNOWN codec metadata aborts, never treats it as empty") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/appunknowncodec"
+    val store = ZarrStore(pth)
+    store.writeStoreRootMeta()
     store.writeMeta("v",
       """{"zarr_format":3,"node_type":"array","shape":[10],"data_type":"float64",
         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[5]}},
@@ -353,7 +376,9 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("cannot encode")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("zlib")), msgs(e).mkString(" | "))
+    // and the store was not clobbered with a fresh array
+    assert(!new java.io.File(s"$pth/v/c/0").exists())
   }
 
   test("null values are rejected with a clear error") {
