@@ -23,8 +23,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reservoir sampling, per-source domain cap, and the one-pass
   *    curation-funnel pipeline, native session_window sessions, stratified
   *    per-source reservoir, stable hash-of-id split assignment,
-  *    corpus-order novelty curve (q46-q49, q51-q55, q57-q58, q90, q94,
-  *    q100, q102, q105, q106, q107)
+  *    corpus-order novelty curve, DSIR importance weights (q46-q49,
+  *    q51-q55, q57-q58, q90, q94, q100, q102, q105, q106, q107, q109)
   *  - [[graft.operators.ConnectedComponents]] — dedup clustering (q50)
   *  - [[graft.queries.Clustering]]   — k-means embedding clustering (q56),
   *    SemDeDup cluster-bounded semantic dedup (q88), product

@@ -730,5 +730,114 @@ object Pipeline {
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           round(col("n_novel") * 1.0 / col("n_shingles"), 4).as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // ---- DSIR importance weights (Xie et al. 2023, "Data Selection for
+    //      Language Models via Importance Resampling"): score every raw
+    //      document by how target-like its hashed n-gram distribution
+    //      is. Features = unigrams + word bigrams hashed into 256
+    //      buckets (md5, the engine-wide deterministic hash); target =
+    //      the lexicographically first source; both bucket
+    //      distributions get add-one smoothing; a doc's log importance
+    //      weight is Σ_f count_f · (ln p_tgt(bucket f) − ln p_raw(bucket
+    //      f)). Output: the 20 highest-weight non-target docs — the
+    //      resampling pool's head.
+    //
+    //      Scale shape (the DSIR two-pass discipline): pass 1 builds the
+    //      bucket distributions — a 256-key aggregate, map-side
+    //      combined, collected as a plan literal (bounded at 256 rows
+    //      regardless of corpus size, the q42/q74 literal-table rule);
+    //      pass 2 scores ENTIRELY scan-locally — each doc folds its
+    //      sorted feature array against the 256-double literal, so the
+    //      scoring pass has ZERO shuffles and ends in a
+    //      TakeOrderedAndProject top-k. No posting join, no per-doc
+    //      state beyond the fold.
+    //
+    //      Determinism: both engines sum per-distinct-feature terms in
+    //      sorted-feature order (Spark array_sort fold ↔ DuckDB
+    //      list(cnt·w ORDER BY feat)); ln is the one libm call (q64/q74
+    //      precedent), final weight rounded to 6dp BEFORE the rank. ----
+    QueryDef.sql(
+      "q109_dsir_weights",
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |), f AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    list_concat(ws, list_transform(range(1, greatest(len(ws), 1)),
+        |      i -> ws[i] || '_' || ws[i + 1])) AS feats
+        |  FROM t
+        |), tgt AS (SELECT min(source) AS ts FROM documents
+        |), xb AS MATERIALIZED (
+        |  SELECT doc_id, source, feat,
+        |    ('0x' || substr(md5(feat), 1, 4))::INT % 256 AS b
+        |  FROM (SELECT doc_id, source, unnest(feats) AS feat FROM f)
+        |), bc AS (
+        |  SELECT b, count(*) AS cr,
+        |    sum(CASE WHEN source = (SELECT ts FROM tgt) THEN 1 ELSE 0 END)::BIGINT AS ct
+        |  FROM xb GROUP BY b
+        |), tots AS (SELECT sum(cr)::BIGINT AS r, sum(ct)::BIGINT AS t FROM bc
+        |), lr AS (
+        |  SELECT g.b,
+        |    ln((coalesce(bc.ct, 0) + 1.0) / (tots.t + 256.0)) -
+        |    ln((coalesce(bc.cr, 0) + 1.0) / (tots.r + 256.0)) AS w
+        |  FROM (SELECT unnest(range(0, 256))::INT AS b) g
+        |  LEFT JOIN bc USING (b) CROSS JOIN tots
+        |), dc AS (
+        |  SELECT doc_id, source, feat, b, count(*) AS cnt
+        |  FROM xb GROUP BY doc_id, source, feat, b
+        |), sc AS (
+        |  SELECT dc.doc_id, max(dc.source) AS source,
+        |    sum(dc.cnt)::BIGINT AS n_feats,
+        |    list_sum(list(dc.cnt * lr.w ORDER BY dc.feat)) AS raw
+        |  FROM dc JOIN lr ON dc.b = lr.b
+        |  WHERE dc.source <> (SELECT ts FROM tgt)
+        |  GROUP BY dc.doc_id)
+        |SELECT doc_id, source, n_feats, round(raw, 6) AS logw
+        |FROM sc ORDER BY logw DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
+        // unigrams ++ bigrams; zip_with pads the shorter side with null,
+        // so the trailing (w_n, null) pair concats to null and is dropped
+        .withColumn("feats", expr(
+          "concat(ws, filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+            "(a, b) -> concat(a, '_', b)), x -> x IS NOT NULL))"))
+      def bucket(e: String): String =
+        s"cast(conv(substring(md5($e), 1, 4), 16, 10) as int) % 256"
+      // pass 1: target source (1 row) + bucket distributions (256 rows) —
+      // bounded plan literals independent of corpus size
+      val target = docs(s, dir).agg(min(col("source"))).head.getString(0)
+      val counts = d.select(col("source"), explode(col("feats")).as("f"))
+        .select(col("source"), expr(bucket("f")).as("b"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("cr"),
+          count(when(col("source") === target, lit(1))).as("ct"))
+        .collect()
+      val cr = new Array[Long](256)
+      val ct = new Array[Long](256)
+      counts.foreach { r => val b = r.getInt(0); cr(b) = r.getLong(1); ct(b) = r.getLong(2) }
+      val rTot = cr.sum
+      val tTot = ct.sum
+      val lrs = Array.tabulate(256)(i =>
+        math.log((ct(i) + 1.0) / (tTot + 256.0)) - math.log((cr(i) + 1.0) / (rTot + 256.0)))
+      val lrArr = s"array(${lrs.map(v => s"${v}D").mkString(",")})"
+      // pass 2: scan-local scoring — run-length fold over the sorted
+      // feature array (the q81 one-pass pattern), terms in sorted-feature
+      // order to match the oracle's ordered list sum
+      d.where(col("source") =!= target)
+        .select(col("doc_id"), col("source"),
+          size(col("feats")).cast("long").as("n_feats"),
+          expr(s"""aggregate(array_sort(feats),
+            |  struct(CAST(NULL AS string) AS prev, 0L AS run, CAST(0 AS double) AS acc),
+            |  (st, x) -> CASE WHEN st.prev IS NULL OR x = st.prev
+            |    THEN struct(x AS prev, st.run + 1L AS run, st.acc AS acc)
+            |    ELSE struct(x AS prev, 1L AS run,
+            |      st.acc + st.run * element_at($lrArr, (${bucket("st.prev")}) + 1) AS acc) END,
+            |  st -> CASE WHEN st.prev IS NULL THEN CAST(0 AS double)
+            |    ELSE st.acc + st.run * element_at($lrArr, (${bucket("st.prev")}) + 1) END)"""
+            .stripMargin).as("raw"))
+        .select(col("doc_id"), col("source"), col("n_feats"),
+          round(col("raw"), 6).as("logw"))
+        .orderBy(col("logw").desc, col("doc_id"))
+        .limit(20)
     })
 }

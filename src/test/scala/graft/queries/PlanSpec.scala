@@ -311,6 +311,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges\n$p")
   }
 
+  test("q109: DSIR scoring pass is scan-local — no join, no shuffle before the top-k") {
+    val p = plan("q109_dsir_weights")
+    assert(!p.contains("Join"),
+      s"scoring must fold against the 256-double literal, not join a weight table\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the scoring pass must not shuffle the corpus\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the scoring pass scans documents exactly once\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
