@@ -363,6 +363,11 @@ object ZarrBatchWrite {
             s"append: array $name in $root uses a big-endian bytes codec inside " +
               "sharding_indexed, which this writer cannot encode")
       case CodecSpec("vlen-utf8", _) => () // array→bytes
+      // append targets are strictly 1-D, where any legal transpose order
+      // is [0] = identity (ZarrMeta.parse rejects non-permutations), so
+      // reproducing the chain without an explicit gather is byte-exact;
+      // the sharded encode path applies inner transpose anyway
+      case CodecSpec("transpose", _) => ()
       case CodecSpec("blosc", cfg) =>
         val cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4")
         if (cname != "lz4" && cname != "lz4hc" && cname != "zstd")

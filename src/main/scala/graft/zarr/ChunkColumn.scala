@@ -165,7 +165,7 @@ object ChunkColumn {
     raw match {
       case None => new FillColumn(meta.dataType, meta.fillValue)
       case Some(bytes) =>
-        Sharding.specOf(meta.codecs) match {
+        meta.shardingSpec match {
           case Some(spec) =>
             // sharded array: the stored object packs inner chunks with a
             // binary index; reassemble the outer chunk's row-major buffer
@@ -178,8 +178,7 @@ object ChunkColumn {
             // array→array `transpose`: the stored layout is dimension-
             // permuted; scatter back to row-major chunk order so every
             // consumer (mapping, stats, columnar copy) sees C order
-            val tperm = Codecs.transposeOrder(meta.codecs, meta.chunkShape.length)
-              .map(o => Codecs.transposePerm(meta.chunkShape, o))
+            val tperm = meta.transposePerm
             if (meta.dataType == ZarrType.Str) {
               if (!Codecs.isVlenUtf8(meta.codecs))
                 throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")

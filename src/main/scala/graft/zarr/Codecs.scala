@@ -351,11 +351,15 @@ object Codecs {
     ()
   }
 
-  /** The `transpose` codec's dimension permutation, if the list carries a
-    * non-identity one. Zarr v3 semantics: encoded dimension j is input
-    * dimension `order(j)` (encoded shape t(j) = s(order(j))). */
-  def transposeOrder(specs: Seq[CodecSpec], ndim: Int): Option[Array[Int]] =
-    specs.collectFirst { case CodecSpec("transpose", cfg) =>
+  /** The codec list's NET dimension permutation, if non-identity. Zarr
+    * v3 `transpose` semantics: encoded dimension j is input dimension
+    * `order(j)` (encoded shape t(j) = s(order(j))). Multiple transpose
+    * codecs compose in list order — encode applies t1 then t2, so the
+    * stored dim j is t1-output dim o2(j) = input dim o1(o2(j)); taking
+    * only the first would decode with a wrong permutation, the exact
+    * silent-garbage class validate() exists to prevent. */
+  def transposeOrder(specs: Seq[CodecSpec], ndim: Int): Option[Array[Int]] = {
+    val orders = specs.collect { case CodecSpec("transpose", cfg) =>
       val node = cfg.getOrElse("order",
         throw new ZarrException("transpose codec requires an order"))
       if (!node.isArray || node.size() != ndim)
@@ -366,7 +370,20 @@ object Codecs {
         throw new ZarrException(
           s"transpose order ${order.mkString("[", ",", "]")} is not a permutation of 0..${ndim - 1}")
       order
-    }.filter(o => !o.indices.forall(i => o(i) == i))
+    }
+    orders
+      .reduceOption((net, o) => Array.tabulate(ndim)(j => net(o(j))))
+      .filter(o => !o.indices.forall(i => o(i) == i))
+  }
+
+  /** Encode-direction value gather B(b) = A(perm(b)) — the one shared
+    * implementation for both the unsharded writer and shard inner
+    * chunks. */
+  def transposeValues(vals: Array[Any], perm: Array[Int]): Array[Any] = {
+    if (vals.length != perm.length)
+      throw new ZarrException(s"chunk has ${vals.length} values, expected ${perm.length}")
+    Array.tabulate[Any](vals.length)(b => vals(perm(b)))
+  }
 
   /** Element permutation realizing the transpose: for encoded linear
     * index b (row-major over the transposed shape), `perm(b)` is the

@@ -40,6 +40,14 @@ object Sharding {
       indexCodecs: Seq[CodecSpec],
       indexAtEnd: Boolean) {
     def innerElems: Int = innerShape.product
+
+    /** Inner `transpose` element permutation (this is where zarr-python
+      * nests it for F-order sharded arrays), memoized per Spec — the
+      * Spec itself is memoized on [[ZarrArrayMeta.shardingSpec]], so
+      * the O(innerElems) table is built once per task per array. */
+    @transient lazy val innerPerm: Option[Array[Int]] =
+      Codecs.transposeOrder(innerCodecs, innerShape.length)
+        .map(o => Codecs.transposePerm(innerShape.toArray, o))
   }
 
   /** The sharding spec of a codec chain, if present. */
@@ -190,10 +198,7 @@ object Sharding {
 
     val bw0 = if (meta.dataType.byteWidth > 0) meta.dataType.byteWidth else 1
     val innerChain = Codecs.bytesCodecs(spec.innerCodecs, bw0).reverse
-    // inner `transpose` applies per inner chunk (this is where zarr-python
-    // nests it for F-order sharded arrays)
-    val innerPerm = Codecs.transposeOrder(spec.innerCodecs, spec.innerShape.length)
-      .map(o => Codecs.transposePerm(spec.innerShape.toArray, o))
+    val innerPerm = spec.innerPerm
 
     def innerBytes(gi: Int): Option[Array[Byte]] = {
       val off = index(2 * gi)
@@ -302,8 +307,7 @@ object Sharding {
     val innerElems = spec.innerElems
     val innerChain = Codecs.bytesCodecs(spec.innerCodecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
-    val innerPerm = Codecs.transposeOrder(spec.innerCodecs, spec.innerShape.length)
-      .map(o => Codecs.transposePerm(spec.innerShape.toArray, o))
+    val innerPerm = spec.innerPerm
 
     def gather(gi: Int): Array[Any] = {
       val out = new Array[Any](innerElems)
@@ -312,8 +316,7 @@ object Sharding {
         while (e < rowLenElems) { out(r * rowLenElems + e) = vals(flat + e); e += 1 }
       }
       // inner transpose: store the inner chunk dimension-permuted
-      // (B(b) = A(perm(b)))
-      innerPerm.map(p => Array.tabulate[Any](innerElems)(b => out(p(b)))).getOrElse(out)
+      innerPerm.map(Codecs.transposeValues(out, _)).getOrElse(out)
     }
 
     val encoded = new Array[Array[Byte]](nInner)

@@ -27,6 +27,17 @@ final case class ZarrArrayMeta(
 
   def ndim: Int = shape.length
 
+  /** Element permutation of the codec chain's net `transpose`, if any —
+    * memoized so the O(chunk-elements) table is built once per task per
+    * array, not per chunk on the hot decode path. */
+  @transient lazy val transposePerm: Option[Array[Int]] =
+    Codecs.transposeOrder(codecs, chunkShape.length)
+      .map(o => Codecs.transposePerm(chunkShape, o))
+
+  /** Parsed `sharding_indexed` spec, memoized for the same reason. */
+  @transient lazy val shardingSpec: Option[Sharding.Spec] =
+    Sharding.specOf(codecs)
+
   /** Number of chunks along each dimension. */
   def gridShape: Array[Int] =
     shape.zip(chunkShape).map { case (s, c) => ((s + c - 1) / c).toInt }

@@ -111,8 +111,7 @@ object ZarrWriter {
     lazy val codecList = Codecs.bytesCodecs(meta.codecs,
       if (dtype.byteWidth > 0) dtype.byteWidth else 1)
     // unsharded transpose: store each chunk dimension-permuted
-    lazy val tperm = Codecs.transposeOrder(meta.codecs, ndim)
-      .map(o => Codecs.transposePerm(chunkShape.toArray, o))
+    lazy val tperm = meta.transposePerm
 
     // iterate all chunk indices
     val nChunks = grid.map(_.toLong).product
@@ -128,9 +127,7 @@ object ZarrWriter {
         val enc = shardSpec match {
           case Some(sp) => Sharding.encode(dtype, chunkShape, sp, chunkVals)
           case None =>
-            val stored = tperm
-              .map(p => Array.tabulate[Any](chunkVals.length)(b => chunkVals(p(b))))
-              .getOrElse(chunkVals)
+            val stored = tperm.map(Codecs.transposeValues(chunkVals, _)).getOrElse(chunkVals)
             codecList.foldLeft(encodeArray(dtype, stored))((b, c) => c.encode(b))
         }
         store.writeChunk(name, meta.chunkKey(idx), enc)

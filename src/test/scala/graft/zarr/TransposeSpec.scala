@@ -169,6 +169,51 @@ class TransposeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("bogus_lz77"))
   }
 
+  test("multiple transpose codecs compose in list order, not first-wins") {
+    def two(o1: Seq[Int], o2: Seq[Int]): Seq[CodecSpec] = {
+      val json = s"""[{"name":"transpose","configuration":{"order":[${o1.mkString(",")}]}},
+        {"name":"transpose","configuration":{"order":[${o2.mkString(",")}]}}]"""
+      ZarrMeta.codecSpecs(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+    }
+    // encode applies t1 then t2: stored dim j = input dim o1(o2(j))
+    assert(Codecs.transposeOrder(two(Seq(1, 2, 0), Seq(1, 2, 0)), 3).get.toSeq == Seq(2, 0, 1))
+    // an involution composed with itself is the identity → None
+    assert(Codecs.transposeOrder(two(Seq(1, 0), Seq(1, 0)), 2).isEmpty)
+
+    // end-to-end: a hand-built chunk stored under the NET permutation
+    // decodes back to row-major
+    val json = s"""{
+      "zarr_format": 3, "node_type": "array", "shape": [2,3,4],
+      "data_type": "int8",
+      "chunk_grid": {"name":"regular","configuration":{"chunk_shape":[2,3,4]}},
+      "chunk_key_encoding": {"name":"default","configuration":{"separator":"/"}},
+      "fill_value": 0,
+      "codecs": [{"name":"transpose","configuration":{"order":[1,2,0]}},
+                 {"name":"transpose","configuration":{"order":[1,2,0]}},
+                 {"name":"bytes","configuration":{"endian":"little"}}]
+    }"""
+    val meta = ZarrMeta.parse("v", json)
+    val a = Array.tabulate[Byte](24)(_.toByte)
+    val stored = Codecs.transposeBytes(a, meta.transposePerm.get, 1)
+    val col = ChunkColumn.decode(meta, Some(stored))
+    (0 until 24).foreach(i => assert(col.get(i) == i.toByte, s"elem $i"))
+  }
+
+  test("append to a 1-D store whose chain names transpose works (identity order)") {
+    val sp = spark; import sp.implicits._
+    val pth = s"$base/append-1d-trans"
+    val st = ZarrStore(pth)
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "v", ZarrType.Int64, Seq(8), Seq(4),
+      (0L until 8L).map(identity), None,
+      ZarrWriter.CodecChain.zstd.transposed(Seq(0)), fillJson = "0")
+    (8L until 16L).map(Tuple1(_)).toDF("v").coalesce(1)
+      .write.format("zarr").mode("append").save(pth)
+    val got = spark.read.format("zarr").load(pth)
+      .select("v").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 16L))
+  }
+
   test("pre-rename 'endian' codec name is accepted as an alias of 'bytes'") {
     val st = ZarrStore(s"$base/endian-alias")
     st.writeStoreRootMeta()
