@@ -474,7 +474,9 @@ class ZarrScan(
       store, readNames, required.fields.map(_.name).toSeq, pushed.toSeq,
       checkpointLocation,
       maxChunksPerTrigger =
-        Option(options.get("max_chunks_per_trigger")).map(_.toLong).getOrElse(-1L))
+        Option(options.get("max_chunks_per_trigger")).map(_.toLong).getOrElse(-1L),
+      emitPartialTail =
+        Option(options.get("emit_partial_tail")).exists(_.toBoolean))
 
   override def description(): String =
     s"ZarrScan ${store.root} cols=[${readNames.mkString(",")}] " +

@@ -161,21 +161,35 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     }
   }
 
-  /** Fetch raw bytes for `names` of chunk `o` on the IO thread. Cached
-    * and already-in-flight coordinate chunks are not re-fetched. */
-  private def submitFetch(o: Long, names: Seq[String]): JFuture[Map[String, Option[Array[Byte]]]] = {
+  /** Resolve which (name, storage key) pairs chunk `o` actually needs —
+    * cached and already-in-flight coordinate chunks are not re-fetched. */
+  private def resolveFetch(o: Long, names: Seq[String]): Seq[(String, String)] = {
     val idx = geometry.chunkIndex(o)
-    val toFetch = names.filter { n =>
+    names.filter { n =>
       roleOf(n) match {
         case CoordCol(_, dim) =>
           val key = s"$n/${idx(dim)}"
           !coordCache.containsKey(key) && coordInFlight.add(key)
         case _ => true
       }
-    }
-    val keys = toFetch.map(n => n -> chunkKeyFor(n, idx))
+    }.map(n => n -> chunkKeyFor(n, idx))
+  }
+
+  /** Fetch raw bytes for `names` of chunk `o` on the IO thread. */
+  private def submitFetch(o: Long, names: Seq[String]): JFuture[Map[String, Option[Array[Byte]]]] = {
+    val keys = resolveFetch(o, names)
     io.submit(() => keys.map { case (n, k) => n -> f.store.readChunk(n, k) }.toMap)
   }
+
+  /** Fetch raw bytes for `names` of chunk `o` on the CALLER thread.
+    * Phase-2 fetches use this: the caller blocks on the bytes anyway,
+    * and routing them through the single prefetch thread would queue
+    * each matching chunk's phase-2 GET behind up to [[prefetchDepth]]
+    * speculative phase-1 prefetches (head-of-line blocking that
+    * serializes phase-2-dominated scans); inline, phase 2 proceeds
+    * while the IO thread keeps prefetching phase 1 concurrently. */
+  private def fetchNow(o: Long, names: Seq[String]): Map[String, Option[Array[Byte]]] =
+    resolveFetch(o, names).map { case (n, k) => n -> f.store.readChunk(n, k) }.toMap
 
   private def decoded(
       name: String, idx: Array[Int],
@@ -260,7 +274,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
         val phase2Cols: Map[String, (ChunkColumn, Array[Int])] =
           if (phase2.isEmpty) Map.empty
           else {
-            val raw2 = submitFetch(o, phase2).get()
+            val raw2 = fetchNow(o, phase2)
             phase2.map { n =>
               val role = roleOf(n)
               n -> (decoded(n, idx, raw2), ChunkColumn.mapping(role, geometry.targetChunk, extent))

@@ -88,21 +88,48 @@ object ChunkManifest {
     * nonexistent objects and silently emit fill values — the exact
     * corruption the transformer marker exists to prevent, which must
     * protect this reader no less than generic Zarr tools. */
+  /** Does this array metadata document declare the manifest storage
+    * transformer? Parses the `storage_transformers` array — a substring
+    * probe would false-positive on e.g. an attribute VALUE mentioning
+    * the transformer name and refuse a perfectly valid store. */
+  def declaresTransformer(metaJson: String): Boolean =
+    try {
+      import scala.jdk.CollectionConverters._
+      val st = mapper.readTree(metaJson).path("storage_transformers")
+      st.isArray && st.elements().asScala.exists(
+        _.path("name").asText("") == transformerName)
+    } catch { case _: Throwable => false }
+
   def requiredParts(
       store: ZarrStore, metaJsons: Seq[String]): Vector[(Long, String, Int)] = {
-    val needed = metaJsons.exists(_.contains(transformerName))
-    def fail(cause: Throwable): Nothing =
-      throw new ZarrException(
-        s"store ${store.root}: arrays are manifest-keyed ($transformerName) but the " +
-          "root-document chunk manifest is missing or unreadable — refusing to read " +
-          "(canonical-key fallback would silently return fill values)" +
-          (if (cause != null) s": ${cause.getMessage}" else ""))
-    val parts =
-      try store.readChunkManifest().parts
-      catch { case e: Throwable => if (needed) fail(e) else Vector.empty }
-    if (needed && parts.isEmpty) fail(null)
-    parts
+    val needed = metaJsons.exists(declaresTransformer)
+    val manifest =
+      try store.readChunkManifest()
+      catch {
+        case e: Throwable =>
+          if (needed) failUnreadable(store.root, e) else ChunkManifest.empty
+      }
+    validateRequired(store.root, metaJsons, manifest)
   }
+
+  /** Same hard-error contract as [[requiredParts]] for callers that
+    * already hold the manifest (read atomically alongside the metadata
+    * from one root document — the streaming source's per-trigger view). */
+  def validateRequired(
+      storeRoot: String,
+      metaJsons: Seq[String],
+      manifest: ChunkManifest): Vector[(Long, String, Int)] = {
+    if (metaJsons.exists(declaresTransformer) && manifest.isEmpty)
+      failUnreadable(storeRoot, null)
+    manifest.parts
+  }
+
+  private def failUnreadable(root: String, cause: Throwable): Nothing =
+    throw new ZarrException(
+      s"store $root: arrays are manifest-keyed ($transformerName) but the " +
+        "root-document chunk manifest is missing or unreadable — refusing to read " +
+        "(canonical-key fallback would silently return fill values)" +
+        (if (cause != null) s": ${cause.getMessage}" else ""))
 
   /** Parse from a store root `zarr.json` document (empty when absent or
     * malformed — the manifest is load-bearing only for stores that wrote
@@ -112,11 +139,25 @@ object ChunkManifest {
     try {
       val node = mapper.readTree(rootJson).path("attributes").path(attrName)
       if (!node.isArray) empty
-      else ChunkManifest(node.elements().asScala.flatMap { e =>
-        if (e.isArray && e.size() == 3)
-          Some((e.get(0).asLong(), e.get(1).asText(), e.get(2).asInt()))
-        else None
-      }.toVector.sortBy(_._1))
+      else {
+        val entries = node.elements().asScala.toVector
+        // all-or-nothing: one malformed entry invalidates the document.
+        // Jackson's asLong/asInt coerce non-numeric nodes to 0, so a
+        // damaged entry would otherwise silently remap ordinal 0 to a
+        // bogus directory (fill values for real chunks); dropping only
+        // the bad entry is as unsound (its ordinal range would fall
+        // back to canonical keys). Empty → requiredParts hard-fails for
+        // manifest-keyed stores, which is the loud outcome we want.
+        val wellFormed = entries.forall(e =>
+          e.isArray && e.size() == 3 &&
+            e.get(0).isIntegralNumber && e.get(0).canConvertToLong &&
+            e.get(1).isTextual &&
+            e.get(2).isIntegralNumber && e.get(2).canConvertToInt)
+        if (!wellFormed) empty
+        else ChunkManifest(entries.map(e =>
+          (e.get(0).asLong(), e.get(1).asText(), e.get(2).asInt()))
+          .sortBy(_._1))
+      }
     } catch { case _: Throwable => empty }
   }
 }

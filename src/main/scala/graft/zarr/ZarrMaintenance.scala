@@ -34,6 +34,19 @@ object ZarrMaintenance {
       dstPath: String,
       chunkSize: Int = 65536,
       innerChunkSize: Int = 8192): (Long, Long) = {
+    // refuse a non-empty destination: the write below uses append
+    // semantics, so a re-run (orchestrator retry, ambiguous failure)
+    // against an existing dst would silently append a SECOND full copy
+    // of every row — compaction must be write-fresh-then-swap
+    val conf0 = spark.sessionState.newHadoopConf()
+    val dstRoot = new Path(dstPath)
+    val dfs = dstRoot.getFileSystem(conf0)
+    if (dfs.exists(dstRoot) && dfs.listStatus(dstRoot).exists(st =>
+      st.isDirectory && dfs.exists(new Path(st.getPath, "zarr.json"))))
+      throw new ZarrException(
+        s"compact destination $dstPath already holds arrays; compaction " +
+          "writes a FRESH store — delete the destination (a prior/partial " +
+          "run) and re-run")
     val df = spark.read.format("zarr").load(srcPath)
     // the source scan partitions at the OLD chunk granularity; re-align
     // to the new chunk size so the writer's aligned fast path applies

@@ -119,9 +119,20 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * None when absent/uninlined — callers fall back to per-array reads.
     * Sorted by name to match [[listArrays]] schema order. */
   def readConsolidatedMetas(): Option[Seq[ZarrArrayMeta]] =
+    readRootSnapshot().map(_._1)
+
+  /** ONE root-document read giving the store's atomic commit-point view:
+    * consolidated array metadata AND the chunk manifest parsed from the
+    * SAME document. Callers that need both (the streaming source's
+    * per-trigger view) must use this rather than two separate root
+    * reads — a staged-append commit replaces the root doc in one PUT,
+    * and pairing a new shape with a stale manifest resolves fresh
+    * ordinals to canonical keys that do not exist (silent fill values). */
+  def readRootSnapshot(): Option[(Seq[ZarrArrayMeta], ChunkManifest)] =
     readText("zarr.json").flatMap { doc =>
       ZarrMeta.parseConsolidated(doc) match {
-        case metas if metas.nonEmpty => Some(metas.sortBy(_.name))
+        case metas if metas.nonEmpty =>
+          Some((metas.sortBy(_.name), ChunkManifest.parse(doc)))
         case _ => None
       }
     }

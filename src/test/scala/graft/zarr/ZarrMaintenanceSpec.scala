@@ -53,6 +53,23 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compacted store must be value- and order-identical")
   }
 
+  test("compact refuses a non-empty destination — a retry must not double the rows") {
+    val base = Files.createTempDirectory("zarr-compact-rerun").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    spark.range(0L, 64L).selectExpr("id").coalesce(1)
+      .write.format("zarr").mode("append").option("chunk_size", "16").save(src)
+    ZarrMaintenance.compact(spark, src, dst, chunkSize = 32, innerChunkSize = 16)
+    val n1 = spark.read.format("zarr").load(dst).count()
+    assert(n1 == 64L)
+    val e = intercept[ZarrException] {
+      ZarrMaintenance.compact(spark, src, dst, chunkSize = 32, innerChunkSize = 16)
+    }
+    assert(e.getMessage.contains("FRESH"), e.getMessage)
+    assert(spark.read.format("zarr").load(dst).count() == 64L,
+      "a refused re-run must leave the destination untouched")
+  }
+
   test("compact resets an accumulated chunk manifest to zero parts") {
     val base = Files.createTempDirectory("zarr-compact-manifest").toString
     val src = s"$base/src"

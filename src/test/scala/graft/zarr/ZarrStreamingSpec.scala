@@ -88,6 +88,49 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.sameElements((0 until 16).map(_ * 1.0)))
   }
 
+  test("emit_partial_tail: a terminal store's partial edge chunk IS delivered") {
+    val dir = s"$base/terminal"
+    val ckpt = s"$base/terminal-ckpt"
+    val outDir = s"$base/terminal-out"
+    writeSeries(dir, 10) // chunk 4: 2 complete chunks + a flushed 2-row tail
+    val q = spark.readStream.format("zarr")
+      .option("emit_partial_tail", "true").load(dir)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(outDir).collect().map(_.getDouble(0)).sorted
+    assert(got.length == 10, s"tail rows must be emitted, got ${got.length}")
+    assert(got.sameElements((0 until 10).map(_ * 1.0)))
+  }
+
+  test("a checkpoint does not survive a rechunk: offset unit mismatch fails loudly") {
+    val dir = s"$base/rechunk"
+    val ckpt = s"$base/rechunk-ckpt"
+    val outDir = s"$base/rechunk-out"
+    writeSeries(dir, 12) // chunk 4
+    def drain(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    // swap the store for a rechunked twin (the compact deploy pattern)
+    // with more data — resuming the old checkpoint against the new grid
+    // would misinterpret the chunk-count offset
+    val store = ZarrStore(dir)
+    store.delete()
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "v", ZarrType.Float64, Seq(20), Seq(5),
+      (0 until 20).map(_ * 1.0), None, ZarrWriter.CodecChain.gzip)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("rechunked")), msgs(e).mkString(" | "))
+  }
+
   test("end-to-end: DSv2 append writes feed the streaming source") {
     val sp = spark; import sp.implicits._
     val dir = s"$base/pipe"
