@@ -249,63 +249,15 @@ class ZarrScanBuilder(
     else Some((StructType(out.flatten.map(_._1)), out.flatten.map(_._2)))
   }
 
-  /** Global (min, max) per column from the stats sidecar, defined only
-    * when segments cover EVERY chunk of the grid with a recorded range —
-    * an uncovered or unrecorded chunk (including absent chunks, which
-    * read as fill values) makes the bound unprovable. */
-  /** Sidecar segments parsed and proven to cover EXACTLY every chunk of
-    * the 1-D grid — the precondition for any metadata-only aggregate.
-    * Over-coverage (covered > total) means stale segments from a failed
-    * append describe phantom chunk ordinals and must not be trusted. */
+  /** Shared with the Scan's CBO column statistics — see
+    * [[ChunkStats.coverageSegments]] / [[ChunkStats.exactRanges]]. */
   private def fullCoverageSegments(
-      geom: ScanGeometry): Option[Seq[ChunkStats.Segment]] = {
-    if (geom.ndim != 1) return None
-    val total = geom.numChunks
-    val segs = store.listStatsSegments()
-    val covered = segs.foldLeft(0L) { case (next, (first, n)) =>
-      if (first == next) next + n else return None
-    }
-    if (covered != total) return None
-    val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
-    // a corrupt/unreadable segment simply declines the pushdown — the
-    // sidecar is auxiliary and must never fail the query
-    val parsed =
-      try segs.flatMap { case (first, n) =>
-        store.readText(ChunkStats.segmentKey(first, n))
-          .map(json => ChunkStats.parse(first, n, json, ztOf))
-      } catch { case _: Throwable => return None }
-    if (parsed.map(_.chunks.toLong).sum < total) return None
-    Some(parsed)
-  }
+      geom: ScanGeometry): Option[Seq[ChunkStats.Segment]] =
+    ChunkStats.coverageSegments(store, metas, geom)
 
-  /** Global (min, max) per column — only columns with an EXACT recorded
-    * range in EVERY chunk (an unrecorded chunk — including absent chunks
-    * that read as fill values — or a clamped long-string prefix bound,
-    * which is a superset interval rather than actual data values, makes
-    * the answer unprovable). */
   private def rangesFrom(
-      parsed: Seq[ChunkStats.Segment]): Map[String, (Any, Any)] = {
-    val b = Map.newBuilder[String, (Any, Any)]
-    metas.map(_.name).foreach { c =>
-      var lo: Any = null
-      var hi: Any = null
-      var ok = true
-      parsed.foreach { seg =>
-        var ord = seg.first
-        while (ok && ord < seg.first + seg.chunks) {
-          seg.exactRange(c, ord) match {
-            case Some((l, h)) =>
-              if (lo == null || ChunkFilter.cmp(l, lo) < 0) lo = l
-              if (hi == null || ChunkFilter.cmp(h, hi) > 0) hi = h
-            case None => ok = false
-          }
-          ord += 1
-        }
-      }
-      if (ok && lo != null) b += c -> ((lo, hi))
-    }
-    b.result()
-  }
+      parsed: Seq[ChunkStats.Segment]): Map[String, (Any, Any)] =
+    ChunkStats.exactRanges(metas.map(_.name), parsed)
 
   /** Exact global sum per integer column — only columns with a recorded
     * chunk sum in EVERY chunk; the merge uses addExact and drops the
@@ -538,13 +490,62 @@ class ZarrScan(
   }
 
   /** Exact row count from array shapes — strictly better than the
-    * reference's empty statistics (`opener.rs:171-173`). */
+    * reference's empty statistics (`opener.rs:171-173`) — plus, under
+    * CBO, exact per-column min/max/nullCount from the stats sidecar. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def numRows(): OptionalLong = OptionalLong.of(geometry.numRows)
     override def sizeInBytes(): OptionalLong = {
       val perRow = required.fields.map(_.dataType.defaultSize.toLong).sum
       OptionalLong.of(geometry.numRows * math.max(perRow, 1L))
     }
+    override def columnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = v2ColumnStats
+  }
+
+  /** Exact per-column statistics for Spark's cost-based optimizer, from
+    * the chunk-stats sidecar (Catalyst folds them into `ColumnStat` via
+    * `DataSourceV2Relation.transformV2Stats`, informing join reorder and
+    * filter selectivity over zarr tables). Gated behind
+    * `spark.sql.cbo.enabled`: the sidecar read is driver-side IO
+    * (LIST + segment GETs) that default planning must not pay on every
+    * query. Numeric columns only — their sidecar values are the same
+    * boxed primitives catalyst `ColumnStat` carries; strings/decimals
+    * are skipped. `nullCount` is exactly 0: zarr reads never produce
+    * nulls (fill values, SURVEY §1.3). Memoized per Scan. */
+  private lazy val v2ColumnStats: java.util.Map[
+    org.apache.spark.sql.connector.expressions.NamedReference,
+    org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    val numeric: Set[ZarrType] = Set(ZarrType.Int8, ZarrType.Int16, ZarrType.Int32,
+      ZarrType.Int64, ZarrType.UInt8, ZarrType.UInt16, ZarrType.UInt32,
+      ZarrType.Float32, ZarrType.Float64)
+    try {
+      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled) {
+        val cols = required.fields.map(_.name).filter(n =>
+          byName.get(n).exists(m => numeric(m.dataType)))
+        if (cols.nonEmpty) {
+          ChunkStats.coverageSegments(store, metas, geometry).foreach { parsed =>
+            val ranges = ChunkStats.exactRanges(cols.toSeq, parsed)
+            cols.foreach { n =>
+              ranges.get(n).foreach { case (lo, hi) =>
+                out.put(Expressions.column(n), new ColumnStatistics {
+                  override def min(): java.util.Optional[Object] =
+                    java.util.Optional.of(lo.asInstanceOf[Object])
+                  override def max(): java.util.Optional[Object] =
+                    java.util.Optional.of(hi.asInstanceOf[Object])
+                  override def nullCount(): OptionalLong = OptionalLong.of(0L)
+                })
+              }
+            }
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // stats are auxiliary: never fail planning
+    out
   }
 }
 

@@ -364,6 +364,64 @@ object ChunkStats {
 
   /** Can any row with column values inside `range` satisfy ALL filters?
     * `range(col)` = None ⇒ that column is unconstrained (conservative). */
+  /** Sidecar segments parsed and proven to cover EXACTLY every chunk of
+    * the 1-D grid — the precondition for any metadata-only answer
+    * (aggregate pushdown, CBO column statistics). Over-coverage
+    * (covered > total) means stale segments from a failed append
+    * describe phantom chunk ordinals and must not be trusted; a
+    * corrupt/unreadable segment declines (the sidecar is auxiliary and
+    * must never fail the query). */
+  def coverageSegments(
+      store: ZarrStore,
+      metas: Seq[ZarrArrayMeta],
+      geom: ScanGeometry): Option[Seq[Segment]] = {
+    if (geom.ndim != 1) return None
+    val total = geom.numChunks
+    val segs = store.listStatsSegments()
+    val covered = segs.foldLeft(0L) { case (next, (first, n)) =>
+      if (first == next) next + n else return None
+    }
+    if (covered != total) return None
+    val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
+    val parsed =
+      try segs.flatMap { case (first, n) =>
+        store.readText(segmentKey(first, n))
+          .map(json => parse(first, n, json, ztOf))
+      } catch { case _: Throwable => return None }
+    if (parsed.map(_.chunks.toLong).sum < total) return None
+    Some(parsed)
+  }
+
+  /** Global exact (min, max) per column over fully-covering segments —
+    * only columns with an EXACT recorded range in EVERY chunk (an
+    * unrecorded chunk — including absent chunks that read as fill
+    * values — or a clamped long-string prefix bound, which is a
+    * superset interval rather than actual data values, makes the
+    * answer unprovable). */
+  def exactRanges(
+      colNames: Seq[String], parsed: Seq[Segment]): Map[String, (Any, Any)] = {
+    val b = Map.newBuilder[String, (Any, Any)]
+    colNames.foreach { c =>
+      var lo: Any = null
+      var hi: Any = null
+      var ok = true
+      parsed.foreach { seg =>
+        var ord = seg.first
+        while (ok && ord < seg.first + seg.chunks) {
+          seg.exactRange(c, ord) match {
+            case Some((l, h)) =>
+              if (lo == null || ChunkFilter.cmp(l, lo) < 0) lo = l
+              if (hi == null || ChunkFilter.cmp(h, hi) > 0) hi = h
+            case None => ok = false
+          }
+          ord += 1
+        }
+      }
+      if (ok && lo != null) b += c -> ((lo, hi))
+    }
+    b.result()
+  }
+
   def mayMatch(filters: Seq[Filter], range: String => Option[(Any, Any)]): Boolean =
     filters.forall(f => may(f, range))
 

@@ -54,6 +54,29 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ZarrAggScan"), plan)
   }
 
+  test("CBO column statistics: exact min/max/nullCount from the sidecar, only under cbo.enabled") {
+    val path = s"graftstat://$base/store"
+    // CBO off (default): no column stats, no sidecar IO on planning
+    val off = spark.read.format("zarr").load(path)
+      .queryExecution.optimizedPlan.stats
+    assert(off.attributeStats.isEmpty, off.attributeStats)
+    assert(off.rowCount.contains(BigInt(80)), off.rowCount)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.read.format("zarr").load(path)
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(80)))
+      val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+      val id = byName("id")
+      assert(id.min.contains(0L) && id.max.contains(79L), id)
+      assert(id.nullCount.contains(BigInt(0)), id)
+      val v = byName("v")
+      assert(v.min.contains(100.5 - 79) && v.max.contains(100.5), v)
+      // strings carry no sidecar-derived stats (prefix bounds are not values)
+      assert(!byName.contains("name"), byName.keys)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("filters, grouping, and unsupported functions decline the pushdown") {
     val df = spark.read.format("zarr").load(s"graftstat://$base/store")
     // filtered: must scan (and stay correct)
