@@ -101,12 +101,20 @@ object Bench {
     // probe for their ratio to mean machine drift
     probeOnce(); probeOnce()
     val calStart = calibrate()
+    // queries that threw during any run: their wall time is the time-to-
+    // crash, not a measurement — recording it would let a correctness
+    // regression read as a near-zero "speedup" in the sweep total
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedRuns(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (1 to runs).map { _ =>
         setPhase(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop any table the query persisted so runs don't cross-feed
         spark.catalog.clearCache()
@@ -131,15 +139,17 @@ object Bench {
       name -> times
     }
     def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, t) => "\"" + k + "\":" + fmt(t(runs / 2)) }
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = ok.map { case (k, t) => "\"" + k + "\":" + fmt(t(runs / 2)) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, t) =>
+    val spread = ok.map { case (k, t) =>
       "\"" + k + "\":[" + fmt(t.head) + "," + fmt(t(runs / 2)) + "," + fmt(t.last) + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2(runs / 2)).sum
+    val total = ok.map(_._2(runs / 2)).sum
     val calEnd = calibrate()
     val cal = s"""{"start":${fmt(calStart)},"end":${fmt(calEnd)}}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"spread":$spread,"calibration":$cal,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"spread":$spread,"failed":$failedJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(line)
     // durable copy of the FULL sweep: the driver's stdout capture has
     // truncated the per-query map two rounds running (BENCH_r7/r8 held

@@ -12,18 +12,36 @@ import scala.collection.mutable.ArrayBuffer
   * calls [[releaseAll]] after each query's terminal action, and library
   * users get the same hook. */
 object CacheRegistry {
-  private val tracked = ArrayBuffer[Dataset[_]]()
+  private val tracked = ArrayBuffer[() => Unit]()
 
   /** Register a just-persisted Dataset; returns it for chaining. */
   def track[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    tracked += ds
+    tracked += (() => ds.unpersist())
     ds
   }
 
-  /** Unpersist everything tracked (blocking=false; safe on dead sessions). */
+  /** Register a `localCheckpoint`'d Dataset. Its storage is NOT freed by
+    * `Dataset.unpersist` — the MEMORY_AND_DISK blocks belong to the
+    * internal checkpoint RDD (the Dataset's plan is a `LogicalRDD` leaf
+    * over it), and without an explicit release they linger until a JVM
+    * GC happens to reach the ContextCleaner — so capture that RDD and
+    * unpersist it directly. Lazy checkpoints that never materialized
+    * release as a no-op. */
+  def trackCheckpoint[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    tracked += { () =>
+      ds.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+    ds
+  }
+
+  /** Release everything tracked (blocking=false; safe on dead sessions). */
   def releaseAll(): Unit = synchronized {
-    tracked.foreach { ds =>
-      try ds.unpersist()
+    tracked.foreach { release =>
+      try release()
       catch { case _: Throwable => () }
     }
     tracked.clear()

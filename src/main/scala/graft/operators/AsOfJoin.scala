@@ -83,12 +83,21 @@ object AsOfJoin {
       lit(1).as("__side"),
       struct(leftCols.map(col): _*).as("__lrow"),
       lit(null).cast(rrowType).as("__rrow"))
-    val r2 = right.select(
-      col(rightKey).as("__k"),
-      col(rightTime).as("__t"),
-      lit(0).as("__side"),
-      lit(null).cast(lrowType).as("__lrow"),
-      rrowStruct.as("__rrow"))
+    // NULL never matches in an as-of join (pandas merge_asof, DuckDB
+    // ASOF): a right row with a NULL key or NULL time must not be
+    // carried onto anything — without this filter, NULL keys group
+    // together under partitionBy and a NULL-time right row sorts first
+    // (asc nulls-first) and becomes "the match" for its whole key.
+    // Left rows with NULL key/time need no filter: after this drop
+    // their window frame holds no right rows, so they carry NULL.
+    val r2 = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(lrowType).as("__lrow"),
+        rrowStruct.as("__rrow"))
 
     val order: Seq[Column] =
       Seq(col("__t").asc, col("__side").asc) ++

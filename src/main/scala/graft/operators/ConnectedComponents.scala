@@ -108,6 +108,7 @@ object ConnectedComponents {
     // (expensive) edge producer per downstream job
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
       .as[(Long, Long)].localCheckpoint()
+    graft.CacheRegistry.trackCheckpoint(e)
     val roots = e.mapPartitions { it =>
       val parent = new LongLongMap()
       def find(x: Long): Long = {
@@ -137,6 +138,7 @@ object ConnectedComponents {
     val grouped = roots.groupBy("node")
       .agg(min(col("root")).as("mr"), collect_set(col("root")).as("rs"))
       .localCheckpoint()
+    graft.CacheRegistry.trackCheckpoint(grouped)
     val cEdges = grouped
       .select(col("mr").as("a"), explode(col("rs")).as("b"))
       .where(col("a") =!= col("b"))
@@ -153,12 +155,14 @@ object ConnectedComponents {
     // LAZY checkpoints throughout the loop: the convergence sum is the
     // materializing action, so each round (and the init) costs ONE Spark
     // job instead of an eager-checkpoint job plus a probe job
-    val e = edges.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val e = graft.CacheRegistry.trackCheckpoint(
+      edges.select(col("a"), col("b")).localCheckpoint(eager = false))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     // init ∘ hop 1 in one aggregate: comp = min(self, neighbors)
     var labels = sym.groupBy(col("a").as("node"))
       .agg(least(col("node"), min(col("b"))).as("comp"))
       .localCheckpoint(eager = false)
+    graft.CacheRegistry.trackCheckpoint(labels)
     // decimal(38) sum: node ids × node count can brush the long range
     def compSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
@@ -194,7 +198,8 @@ object ConnectedComponents {
       // every per-node update is non-increasing (hop min includes self;
       // jump uses comp(u) ≤ u), so an unchanged sum ⇔ a full fixpoint,
       // and the fixpoint of hop is the unique per-component min label
-      val prop = jump(jump(step(labels))).localCheckpoint(eager = false)
+      val prop = graft.CacheRegistry.trackCheckpoint(
+        jump(jump(step(labels))).localCheckpoint(eager = false))
       val newSum = compSum(prop) // materializes the checkpoint in the same job
       labels = prop
       done = newSum.compareTo(prevSum) == 0

@@ -50,7 +50,10 @@ object Multimodal {
       doc_id = blob.doc_id,
       media_type = blob.media_type,
       width = (p.length % 640) + 16,
-      height = ((p.length * 7) % 480) + 16,
+      // widen BEFORE the multiply: p.length * 7 overflows Int32 past
+      // ~307 MB payloads, and a negative % stays negative in Scala —
+      // the oracle computes this in BIGINT
+      height = ((p.length.toLong * 7L) % 480L).toInt + 16,
       n_frames = (p.length % 16) + 1,
       n_bytes = p.length.toLong,
       byte_sum = sum)
@@ -89,8 +92,8 @@ object Multimodal {
       // ASCII so per-char codepoints == payload bytes
       """WITH f AS (
         |  SELECT doc_id, length(text) AS n,
-        |    list_sum(list_transform(generate_series(1, length(text)),
-        |      i -> ascii(substr(text, i, 1)))) AS byte_sum
+        |    coalesce(list_sum(list_transform(generate_series(1, length(text)),
+        |      i -> ascii(substr(text, i, 1)))), 0) AS byte_sum
         |  FROM documents)
         |SELECT doc_id, 'image' AS media_type,
         |  (n % 640) + 16 AS width,

@@ -33,10 +33,15 @@ import org.apache.spark.sql.types._
 object BandJoinRule extends Rule[LogicalPlan] {
 
   /** band: a - b ∈ [-c2, c1), both literals, c1 >= 0, c2 >= 0, c1 + c2 > 0.
-    * (Non-negative bounds are required for the {-1,0,1} candidate-bucket
-    * set to be complete: with a negative bound, |a-b| can exceed the
-    * bucket width w = c1+c2 and matches would be silently dropped.) */
-  private case class Band(a: Expression, b: Expression, c1: Double, c2: Double) {
+    * (Non-negative bounds are required for the candidate-bucket set to
+    * be complete: with a negative bound, |a-b| can exceed the bucket
+    * width w = c1+c2 and matches would be silently dropped.)
+    * `c1L`/`c2L` carry the bound as an EXACT long when it has one —
+    * extracting a >2^53 long literal through doubleValue() would
+    * silently shrink the band width and drop matching rows. */
+  private case class Band(
+      a: Expression, b: Expression, c1: Double, c2: Double,
+      c1L: Option[Long], c2L: Option[Long]) {
     def width: Double = c1 + c2
   }
 
@@ -58,27 +63,45 @@ object BandJoinRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def litVal(e: Expression): Option[Double] = e match {
-    case Literal(v: Number, _) => Some(v.doubleValue())
-    case Literal(v: org.apache.spark.sql.types.Decimal, _) => Some(v.toDouble)
+  /** A bound literal as (double value, exact long when lossless).
+    * Integral literals past 2^52 return None outright: their double
+    * image is lossy, and a band that wide is degenerate anyway — not
+    * firing (keeping the original plan) is the only sound answer. A
+    * whole-valued double/decimal literal within 2^52 also yields the
+    * exact long, so `a <= b + 2.0D` on long keys still takes the exact
+    * integer path. */
+  private def litVal(e: Expression): Option[(Double, Option[Long])] = e match {
+    case Literal(v: Number, ByteType | ShortType | IntegerType | LongType) =>
+      val lv = v.longValue()
+      if (math.abs(lv) > (1L << 52)) None else Some((lv.toDouble, Some(lv)))
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      val d = v.toDouble
+      val l = if (d.isWhole && math.abs(d) <= (1L << 52).toDouble) Some(d.toLong) else None
+      Some((d, l))
+    case Literal(v: Number, _) =>
+      val d = v.doubleValue()
+      val l = if (d.isWhole && math.abs(d) <= (1L << 52).toDouble) Some(d.toLong) else None
+      Some((d, l))
     case _ => None
   }
 
   /** Match `x < y + c` / `x <= y + c` → upper bound c (exclusive bound
     * adjusted conservatively) and `x >= y - c` / `x > y - c` → lower c. */
-  private def upperOf(e: Expression): Option[(Expression, Expression, Double)] = e match {
-    case LessThan(a, Add(b, c, _)) => litVal(c).map(v => (a, b, v))
-    case LessThanOrEqual(a, Add(b, c, _)) => litVal(c).map(v => (a, b, v))
-    case GreaterThan(Add(b, c, _), a) => litVal(c).map(v => (a, b, v))
-    case GreaterThanOrEqual(Add(b, c, _), a) => litVal(c).map(v => (a, b, v))
+  private def upperOf(e: Expression)
+      : Option[(Expression, Expression, Double, Option[Long])] = e match {
+    case LessThan(a, Add(b, c, _)) => litVal(c).map { case (v, l) => (a, b, v, l) }
+    case LessThanOrEqual(a, Add(b, c, _)) => litVal(c).map { case (v, l) => (a, b, v, l) }
+    case GreaterThan(Add(b, c, _), a) => litVal(c).map { case (v, l) => (a, b, v, l) }
+    case GreaterThanOrEqual(Add(b, c, _), a) => litVal(c).map { case (v, l) => (a, b, v, l) }
     case _ => None
   }
 
-  private def lowerOf(e: Expression): Option[(Expression, Expression, Double)] = e match {
-    case GreaterThanOrEqual(a, Subtract(b, c, _)) => litVal(c).map(v => (a, b, v))
-    case GreaterThan(a, Subtract(b, c, _)) => litVal(c).map(v => (a, b, v))
-    case LessThanOrEqual(Subtract(b, c, _), a) => litVal(c).map(v => (a, b, v))
-    case LessThan(Subtract(b, c, _), a) => litVal(c).map(v => (a, b, v))
+  private def lowerOf(e: Expression)
+      : Option[(Expression, Expression, Double, Option[Long])] = e match {
+    case GreaterThanOrEqual(a, Subtract(b, c, _)) => litVal(c).map { case (v, l) => (a, b, v, l) }
+    case GreaterThan(a, Subtract(b, c, _)) => litVal(c).map { case (v, l) => (a, b, v, l) }
+    case LessThanOrEqual(Subtract(b, c, _), a) => litVal(c).map { case (v, l) => (a, b, v, l) }
+    case LessThan(Subtract(b, c, _), a) => litVal(c).map { case (v, l) => (a, b, v, l) }
     case _ => None
   }
 
@@ -97,12 +120,28 @@ object BandJoinRule extends Rule[LogicalPlan] {
           // copies made by other optimizer rules)
           !cond.references.exists(_.name.startsWith("__band_bucket")) =>
       val conjuncts = splitConjuncts(cond)
-      val uppers = conjuncts.flatMap(c => upperOf(c).map(c -> _))
-      val lowers = conjuncts.flatMap(c => lowerOf(c).map(c -> _))
+      // an existing cross-side EQUI conjunct already gives Spark a hash
+      // join key — the band predicate is then a cheap post-join filter,
+      // and rewriting would only triple one side through the candidate
+      // explode and widen the shuffle (plan pessimization, not a rescue
+      // from a nested loop)
+      val hasCrossEqui = conjuncts.exists {
+        case EqualTo(l, r) =>
+          l.references.nonEmpty && r.references.nonEmpty &&
+            ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+              (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet)))
+        case EqualNullSafe(l, r) =>
+          l.references.nonEmpty && r.references.nonEmpty &&
+            ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+              (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet)))
+        case _ => false
+      }
+      val uppers = if (hasCrossEqui) Nil else conjuncts.flatMap(c => upperOf(c).map(c -> _))
+      val lowers = if (hasCrossEqui) Nil else conjuncts.flatMap(c => lowerOf(c).map(c -> _))
       // find a matching (a, b) pair with both bounds
       val band = (for {
-        (_, (ua, ub, c1)) <- uppers.iterator
-        (_, (la, lb, c2)) <- lowers.iterator
+        (_, (ua, ub, c1, c1L)) <- uppers.iterator
+        (_, (la, lb, c2, c2L)) <- lowers.iterator
         if sameRef(ua, la) && sameRef(ub, lb)
         if c1 >= 0 && c2 >= 0 && c1 + c2 > 0
         // a strictly from one side, b strictly from the other
@@ -110,26 +149,29 @@ object BandJoinRule extends Rule[LogicalPlan] {
           (ua.references.subsetOf(right.outputSet) && ub.references.subsetOf(left.outputSet))
         if ua.dataType.isInstanceOf[NumericType] && ub.dataType.isInstanceOf[NumericType]
         // bucketing must be exact: either pure long arithmetic applies
-        // (integral keys, whole-number bounds) or every key value is
-        // exactly representable as a double
+        // (integral keys, exact long bounds — each ≤ 2^52, so the width
+        // sum is exact too) or the keys are double-representable and the
+        // sentinel-bucket scheme below covers every magnitude
         if (integral(ua.dataType) && integral(ub.dataType) &&
-          c1.isWhole && c2.isWhole && c1 + c2 < 9e18) ||
+          c1L.isDefined && c2L.isDefined) ||
           (doubleExact(ua.dataType) && doubleExact(ub.dataType))
-      } yield Band(ua, ub, c1, c2)).buffered.headOption
+      } yield Band(ua, ub, c1, c2, c1L, c2L)).buffered.headOption
 
       band match {
         case None => j
         case Some(bd) =>
           // exact floor(x/w): pure-long arithmetic whenever the keys are
-          // integral and the bounds whole (a 64-bit key cast to double
-          // would mis-bucket past 2^53); double division otherwise (keys
-          // already exactly double-representable per the match guard)
+          // integral and the bounds carry exact longs (a 64-bit key cast
+          // to double would mis-bucket past 2^53); double division
+          // otherwise
           val exactLong = integral(bd.a.dataType) && integral(bd.b.dataType) &&
-            bd.c1.isWhole && bd.c2.isWhole
+            bd.c1L.isDefined && bd.c2L.isDefined
+          // both bounds ≤ 2^52, so the long width is exact and overflow-free
+          val widthL: Long = if (exactLong) bd.c1L.get + bd.c2L.get else 0L
           def bucket(x: Expression): Expression =
             if (exactLong) {
               val xl = Cast(x, LongType)
-              val wl = Literal(bd.width.toLong, LongType)
+              val wl = Literal(widthL, LongType)
               val q = new IntegralDivide(xl, wl)
               val r = Remainder(xl, wl)
               If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
@@ -138,28 +180,71 @@ object BandJoinRule extends Rule[LogicalPlan] {
               Cast(Floor(Divide(Cast(x, DoubleType), w)), LongType)
             }
 
+          // Double path magnitude guard: once |key| is within ~2^52
+          // ulps of the band width, fl(b+c1) rounds far past the true
+          // bound and floor(x/w) itself loses integer resolution — the
+          // bucket difference of a matching pair becomes UNBOUNDED, so
+          // no fixed candidate window is complete. Keys at or past
+          // T = w·2^49 therefore collapse into one shared SENTINEL
+          // bucket (a tiny nested-loop among only the astronomically
+          // large keys, corrected by the ANDed original predicate);
+          // below T both floors are precise to ±1 and the window below
+          // is complete.
+          val sentinelT: Double = bd.width * math.pow(2.0, 49)
+          val SENT = Long.MaxValue
+          // inert filler: far from every valid floor bucket (|floor| <
+          // 2^49+2 below the threshold) AND with ±4 headroom so the
+          // window arithmetic below can never wrap it onto SENT
+          val NEVER = Long.MinValue + 100L
+          def dblKey(x: Expression): Expression = Cast(x, DoubleType)
+          def probeBucket(x: Expression): Expression =
+            if (exactLong) bucket(x)
+            else If(GreaterThanOrEqual(Abs(dblKey(x)), Literal(sentinelT)),
+              Literal(SENT), bucket(x))
+
           val aOnLeft = bd.a.references.subsetOf(left.outputSet)
           val (aSide, bSide) = if (aOnLeft) (left, right) else (right, left)
 
           // a side: one bucket key
-          val aKey = Alias(bucket(bd.a), "__band_bucket_a")()
+          val aKey = Alias(probeBucket(bd.a), "__band_bucket_a")()
           val aProj = Project(aSide.output :+ aKey, aSide)
 
-          // b side: explode to candidate buckets bucket(b) + k. With exact
-          // long bucketing k ∈ {-1,0,1} is provably complete; on the
-          // double path floor(x/w) can err by ±1 on EACH side
-          // independently (true bucket difference is in {-1,0,1}), so the
-          // worst case is ±3 — widen to k ∈ {-3..3}. The ANDed original
-          // predicate discards false positives either way; the only cost
-          // is a slightly larger explode.
-          val bBucket = bucket(bd.b)
+          // b side: explode to candidate buckets bucket(b) + k. With
+          // exact long bucketing k ∈ {-1,0,1} is provably complete. On
+          // the double path, below the sentinel threshold the admitted
+          // overshoot is < w/8 (true bucket difference ∈ {-2..2}) and
+          // each computed floor can err by ±1 → k ∈ {-4..4}; one extra
+          // slot emits the SENTINEL bucket when b is within 2w of the
+          // threshold (so a pair straddling it still meets), and the
+          // never-matching filler otherwise (a conditional slot must not
+          // duplicate bucket(b) — that would duplicate join rows). The
+          // ANDed original predicate discards all false positives.
+          // Window base: past T+2w the floor is garbage (and its cast
+          // could saturate onto SENT, duplicating join rows) — replace
+          // it with the inert filler; such keys can only match via the
+          // sentinel slot. In the straddle band [T-2w, T+2w) BOTH the
+          // (still-precise) window buckets and the sentinel are emitted,
+          // so pairs on either side of the threshold meet.
+          val bBucket =
+            if (exactLong) bucket(bd.b)
+            else If(
+              GreaterThanOrEqual(Abs(dblKey(bd.b)),
+                Literal(sentinelT + 2.0 * bd.width)),
+              Literal(NEVER), bucket(bd.b))
           val ks: Seq[Long] =
-            if (exactLong) Seq(-1L, 0L, 1L) else (-3L to 3L)
-          val candidates = CreateArray(ks.map {
+            if (exactLong) Seq(-1L, 0L, 1L) else (-4L to 4L)
+          val windowSlots = ks.map {
             case 0L => bBucket
             case k if k < 0 => Subtract(bBucket, Literal(-k))
             case k => Add(bBucket, Literal(k))
-          })
+          }
+          val slots =
+            if (exactLong) windowSlots
+            else windowSlots :+ If(
+              GreaterThanOrEqual(Abs(dblKey(bd.b)),
+                Literal(sentinelT - 2.0 * bd.width)),
+              Literal(SENT), Literal(NEVER))
+          val candidates = CreateArray(slots)
           val gOut = AttributeReference("__band_bucket_b", LongType, nullable = true)()
           val bGen = Generate(Explode(candidates), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(gOut), child = bSide)

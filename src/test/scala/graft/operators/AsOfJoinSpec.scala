@@ -95,6 +95,28 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(20L) == (None, None))
   }
 
+  test("NULL keys and NULL times never match (review r9s2)") {
+    val sp = spark
+    import sp.implicits._
+    // schema with nullable key/time on both sides
+    val l = Seq(
+      (Option("a"), Option(5L), 1),
+      (Option.empty[String], Option(5L), 2), // NULL key
+      (Option("a"), Option.empty[Long], 3)   // NULL time
+    ).toDF("k", "t", "id")
+    val r = Seq(
+      (Option("a"), Option(3L), "x3"),
+      (Option.empty[String], Option(3L), "xNK"), // NULL key: must match nothing
+      (Option("a"), Option.empty[Long], "xNT")   // NULL time: must match nothing
+    ).toDF("k", "t", "x")
+    val out = AsOfJoin.leftOuter(l, r, "k", "t", "k", "t", Seq("x"))
+      .collect().map(row => row.getInt(2) -> Option(row.getString(3))).toMap
+    assert(out(1) == Some("x3"), "real key/time still matches")
+    assert(out(2).isEmpty, "NULL-key left row must not pick up the NULL-key right row")
+    assert(out(3).isEmpty, "NULL-time left row must not pick up any right row")
+    assert(out.size == 3, "every left row survives (left outer)")
+  }
+
   test("left columns pass through unchanged and row count equals left count") {
     val sp = spark
     import sp.implicits._

@@ -97,6 +97,99 @@ class BandJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expected)
   }
 
+  test("a band beside an existing equi conjunct does NOT rewrite (no pessimization)") {
+    spark.range(0, 300).selectExpr("id AS v", "id % 7 AS k").createOrReplaceTempView("ek")
+    val df = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM ek t1 JOIN ek t2
+        |ON t1.k = t2.k AND t1.v < t2.v + 2 AND t1.v >= t2.v - 2""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("__band_bucket"),
+      s"equi conjunct already gives a hash join; band rewrite must decline\n$plan")
+    assert(!plan.contains("NestedLoop"), plan)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val vs = 0L until 300L
+    val expected = (for {
+      a <- vs; b <- vs
+      if a % 7 == b % 7 && a < b + 2 && a >= b - 2
+    } yield (a, b)).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("double keys where ulp(key) rivals the band width stay exact (review r9s2)") {
+    // keys ~1e15: ulp = 0.125, band width 0.1 — the double-evaluated
+    // predicate admits pairs whose true bucket difference exceeds 1;
+    // the ±4 window must keep every match
+    val sp = spark; import sp.implicits._
+    val base = 1e15
+    val keys = (0 until 60).map(i => base + i * 0.125)
+    keys.map(Tuple1(_)).toDF("v").createOrReplaceTempView("ulpv")
+    val df = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM ulpv t1 JOIN ulpv t2
+        |ON t1.v < t2.v + 0.1D AND t1.v >= t2.v - 0.1D""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    // expected under the SAME IEEE double predicate evaluation
+    val expected = (for {
+      a <- keys; b <- keys
+      if a < b + 0.1 && a >= b - 0.1
+    } yield (a, b)).sorted
+    assert(got.toSeq == expected.toSeq,
+      s"got ${got.length} rows, expected ${expected.length}")
+  }
+
+  test("astronomically large double keys fall into the sentinel bucket, no lost matches") {
+    // keys ~1e18: ulp = 128 >> width 0.1 — floor(x/w) has NO integer
+    // resolution here; the sentinel collapse must keep the join exact
+    val sp = spark; import sp.implicits._
+    val base = 1e18
+    val keys = (0 until 24).map(i => base + i * 128.0) ++ Seq(1.0, 2.0, 100.5)
+    keys.map(Tuple1(_)).toDF("v").createOrReplaceTempView("hugev")
+    val df = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM hugev t1 JOIN hugev t2
+        |ON t1.v < t2.v + 0.1D AND t1.v >= t2.v - 0.1D""".stripMargin)
+    assert(!df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val expected = (for {
+      a <- keys; b <- keys
+      if a < b + 0.1 && a >= b - 0.1
+    } yield (a, b)).sorted
+    assert(got.toSeq == expected.toSeq,
+      s"got ${got.length} rows, expected ${expected.length}")
+    // and no duplicates: every (a,b) pair at most once
+    assert(got.length == got.distinct.length, "sentinel path duplicated join rows")
+  }
+
+  test("keys straddling the sentinel threshold still meet") {
+    // T = 0.5 * 2^49 for width 0.5; place keys just below and above
+    val sp = spark; import sp.implicits._
+    val t = 0.5 * math.pow(2.0, 49)
+    val keys = Seq(t - 1.0, t - 0.25, t, t + 0.25, t + 1.0, 10.0, 10.25)
+    keys.map(Tuple1(_)).toDF("v").createOrReplaceTempView("straddle")
+    val df = spark.sql(
+      """SELECT t1.v AS a, t2.v AS b FROM straddle t1 JOIN straddle t2
+        |ON t1.v < t2.v + 0.25D AND t1.v >= t2.v - 0.25D""".stripMargin)
+    val got = df.collect().map(r => (r.getDouble(0), r.getDouble(1))).sorted
+    val expected = (for {
+      a <- keys; b <- keys
+      if a < b + 0.25 && a >= b - 0.25
+    } yield (a, b)).sorted
+    assert(got.toSeq == expected.toSeq)
+    assert(got.length == got.distinct.length)
+  }
+
+  test("a long bound literal past 2^53 declines the rewrite instead of shrinking the band") {
+    spark.range(0, 50).selectExpr("id AS v").createOrReplaceTempView("bigbound")
+    val big = 9007199254740994L // 2^53 + 2: doubleValue() would round DOWN
+    val df = spark.sql(
+      s"""SELECT count(*) AS n FROM bigbound t1 JOIN bigbound t2
+         |ON t1.v < t2.v + ${big}L AND t1.v >= t2.v - 0L""".stripMargin)
+    // every pair with t1.v >= t2.v matches; the rule must not fire with
+    // a silently-narrowed width (results would still be right here only
+    // because 50 < width — the point is the DECLINE)
+    assert(!df.queryExecution.executedPlan.toString.contains("__band_bucket"))
+    assert(df.collect().head.getLong(0) == (0 until 50).map(_.toLong + 1).sum)
+  }
+
   test("non-band theta joins are left untouched") {
     val p = spark.sql(
       """SELECT count(*) FROM nums t1 JOIN nums t2 ON t1.v > t2.v * 2""".stripMargin)
