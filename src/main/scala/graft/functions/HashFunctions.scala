@@ -96,6 +96,46 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** DSIR log-importance score (q109): run-length fold over the SORTED
+    * feature array — UTF8String binary order, identical to Spark's
+    * `array_sort` and DuckDB's `ORDER BY feat` — adding
+    * `run_count · lr(bucket)` per distinct feature, where bucket =
+    * int(first 4 md5 hex digits of the feature's UTF-8 bytes) mod
+    * lr.length. Exactly the terms, in exactly the order, of the q109
+    * oracle's `list_sum(list(cnt * w ORDER BY feat))` — one tight loop
+    * instead of an interpreted higher-order fold (measured 3.0 → sub-
+    * second at sf0.1). */
+  def dsirScore(feats: ArrayData, lr: Array[Double]): Double = {
+    val n = feats.numElements()
+    if (n == 0) return 0.0
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!feats.isNullAt(i)) { arr(m) = feats.getUTF8String(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // UTF8String's compareTo is binary (byte) order
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]], 0, m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0.0
+    var runStart = 0
+    var j = 1
+    while (j <= m) {
+      if (j == m || !arr(j).equals(arr(runStart))) {
+        val d = md.digest(arr(runStart).getBytes)
+        // first 4 hex digits = first 2 bytes, matching
+        // conv(substring(md5(f), 1, 4), 16, 10) / ('0x'||substr(...))::INT
+        val b = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % lr.length
+        acc += (j - runStart).toDouble * lr(b)
+        runStart = j
+      }
+      j += 1
+    }
+    acc
+  }
+
   /** md5 hex (lowercase) of every element — value-identical to
     * `transform(arr, x -> md5(x))` without per-element lambda dispatch. */
   def md5Array(arr: ArrayData): ArrayData = {
@@ -370,6 +410,31 @@ case class ShinglesK(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kRef = k.toString
     defineCodeGen(ctx, ev, (t, _) => s"graft.functions.HashOps.shinglesK($t, $kRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dsir_score(feats, lr)` — DSIR log-importance weight of a document's
+  * feature array against a literal per-bucket log-ratio table (see
+  * [[HashOps.dsirScore]]). The table must be foldable: it is evaluated
+  * once per plan and shipped as a plain double[]. */
+case class DsirScore(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dsir_score"
+  @transient private lazy val lrArr: Array[Double] = {
+    require(right.foldable, "dsir_score: the weight table must be a literal array")
+    val ad = right.eval(null).asInstanceOf[ArrayData]
+    require(ad != null && ad.numElements() > 0, "dsir_score: empty weight table")
+    ad.toDoubleArray()
+  }
+  override def nullSafeEval(arr: Any, wv: Any): Any =
+    HashOps.dsirScore(arr.asInstanceOf[ArrayData], lrArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirLr", lrArr, "double[]")
+    defineCodeGen(ctx, ev, (a, _) => s"graft.functions.HashOps.dsirScore($a, $ref)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

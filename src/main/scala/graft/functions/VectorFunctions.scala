@@ -197,6 +197,9 @@ object VectorFunctions {
       (FunctionIdentifier("count_in"),
         new ExpressionInfo(classOf[CountIn].getName, "count_in"),
         (children: Seq[Expression]) => CountIn(children(0), children(1))),
+      (FunctionIdentifier("dsir_score"),
+        new ExpressionInfo(classOf[DsirScore].getName, "dsir_score"),
+        (children: Seq[Expression]) => DsirScore(children(0), children(1))),
       (FunctionIdentifier("bpe_count"),
         new ExpressionInfo(classOf[BpeCount].getName, "bpe_count"),
         (children: Seq[Expression]) => BpeCount(children(0), children(1))),

@@ -820,21 +820,14 @@ object Pipeline {
       val lrs = Array.tabulate(256)(i =>
         math.log((ct(i) + 1.0) / (tTot + 256.0)) - math.log((cr(i) + 1.0) / (rTot + 256.0)))
       val lrArr = s"array(${lrs.map(v => s"${v}D").mkString(",")})"
-      // pass 2: scan-local scoring — run-length fold over the sorted
-      // feature array (the q81 one-pass pattern), terms in sorted-feature
-      // order to match the oracle's ordered list sum
+      // pass 2: scan-local scoring via the codegen'd `dsir_score` kernel
+      // — a run-length fold over the binary-sorted feature array, terms
+      // in sorted-feature order to match the oracle's ordered list sum
+      // (KernelEdgeSpec pins kernel == the interpreted fold bit-exactly)
       d.where(col("source") =!= target)
         .select(col("doc_id"), col("source"),
           size(col("feats")).cast("long").as("n_feats"),
-          expr(s"""aggregate(array_sort(feats),
-            |  struct(CAST(NULL AS string) AS prev, 0L AS run, CAST(0 AS double) AS acc),
-            |  (st, x) -> CASE WHEN st.prev IS NULL OR x = st.prev
-            |    THEN struct(x AS prev, st.run + 1L AS run, st.acc AS acc)
-            |    ELSE struct(x AS prev, 1L AS run,
-            |      st.acc + st.run * element_at($lrArr, (${bucket("st.prev")}) + 1) AS acc) END,
-            |  st -> CASE WHEN st.prev IS NULL THEN CAST(0 AS double)
-            |    ELSE st.acc + st.run * element_at($lrArr, (${bucket("st.prev")}) + 1) END)"""
-            .stripMargin).as("raw"))
+          expr(s"dsir_score(feats, $lrArr)").as("raw"))
         .select(col("doc_id"), col("source"), col("n_feats"),
           round(col("raw"), 6).as("logw"))
         .orderBy(col("logw").desc, col("doc_id"))

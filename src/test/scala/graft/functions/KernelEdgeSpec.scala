@@ -57,4 +57,45 @@ class KernelEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withNull.getString(0) == without.getString(0))
     assert(withNull.getSeq[String](1) == without.getSeq[String](1))
   }
+
+  test("dsir_score == the interpreted sorted-fold, bit-exactly, on random inputs") {
+    val rnd = new scala.util.Random(4242)
+    val lrs = Array.fill(256)(rnd.nextGaussian() * 0.3)
+    val lrSql = s"array(${lrs.map(v => s"${v}D").mkString(",")})"
+    val bucket = (e: String) => s"cast(conv(substring(md5($e), 1, 4), 16, 10) as int) % 256"
+    val foldSql = s"""aggregate(array_sort(f),
+      |  struct(CAST(NULL AS string) AS prev, 0L AS run, CAST(0 AS double) AS acc),
+      |  (st, x) -> CASE WHEN st.prev IS NULL OR x = st.prev
+      |    THEN struct(x AS prev, st.run + 1L AS run, st.acc AS acc)
+      |    ELSE struct(x AS prev, 1L AS run,
+      |      st.acc + st.run * element_at($lrSql, (${bucket("st.prev")}) + 1) AS acc) END,
+      |  st -> CASE WHEN st.prev IS NULL THEN CAST(0 AS double)
+      |    ELSE st.acc + st.run * element_at($lrSql, (${bucket("st.prev")}) + 1) END)"""
+      .stripMargin
+    // random multilingual feature arrays, with duplicates, incl. empty
+    val words = Seq("a", "b", "ab", "the", "データ", "мир", "café", "x_y", "emoji😀", "")
+    val arrays = (0 until 40).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => words(rnd.nextInt(words.length)) + rnd.nextInt(4))
+    } :+ Seq.empty[String]
+    val sp = spark; import sp.implicits._
+    val df = arrays.map(a => Tuple1(a)).toDF("f")
+    val rows = df.selectExpr(s"dsir_score(f, $lrSql) AS k", s"$foldSql AS ref").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"kernel ${r.getDouble(0)} != fold ${r.getDouble(1)}")
+    }
+  }
+
+  test("dsir_score skips null elements and handles empty tables loudly") {
+    val r = spark.sql(
+      "SELECT dsir_score(array('a', cast(null as string), 'a'), array(0.5D, -0.25D)) AS s," +
+        " dsir_score(array('a', 'a'), array(0.5D, -0.25D)) AS t").collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1), "null elements contribute nothing")
+    val e = intercept[Exception](
+      spark.sql("SELECT dsir_score(array('a'), array())").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("weight table")), msgs(e).mkString(" | "))
+  }
 }

@@ -33,13 +33,15 @@ row = spark.sql("""
          bpe_count(text, array('t h', 'th e')) AS n_bpe,
          size(shingles_k(text, 2)) AS n_shingles,
          count_in(split(text, ' '), array('the', 'a')) AS n_stop,
-         normalize_text('  Qualité des Données!! ') AS norm
+         normalize_text('  Qualité des Données!! ') AS norm,
+         dsir_score(split(text, ' '), array(0.5D, -0.25D)) AS dsir
   FROM t WHERE id = 1""").collect()[0]
 assert row.d == 0.0, row
 assert row.n_bpe > 0, row
 assert row.n_shingles > 0, row
 assert row.n_stop == 2, row
 assert row.norm == "qualite des donnees", row
+assert isinstance(row.dsir, float), row
 
 # bounded-state aggregates (map-side mergeable) through plain SQL
 agg = spark.sql("""
