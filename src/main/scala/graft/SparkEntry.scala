@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    exact-dedup, BPE token counting AND BPE tokenizer training,
   *    two-pass exact heavy hitters (q30-q34, q44, q87, q98, q104)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash,
-  *    cross-lingual near-dup over normalize_text (q35-q37, q108)
+  *    cross-lingual near-dup over normalize_text, incremental
+  *    new-batch-vs-corpus dedup (q35-q37, q108, q110)
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
   *    IVF-PQ search with asymmetric-distance LUTs, contrastive
   *    hard-negative mining (q38-q40, q95, q101)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` — the dedup toolbox of a
@@ -288,5 +289,96 @@ object Dedup {
         .orderBy(col("_j").desc, col("doc_a"), col("doc_b"))
         .limit(20)
         .select(col("doc_a"), col("doc_b"), col("lang_a"), col("lang_b"), col("jaccard"))
+    },
+
+    // ---- incremental corpus dedup (round 9): dedup a NEW ingest batch
+    //      (doc_id % 5 = 0, a stable hash-style split) against the
+    //      EXISTING corpus (the rest) via the q36 MinHash-LSH bands —
+    //      the daily-crawl update operation of a production pipeline.
+    //      Every new doc is reported with its best existing match
+    //      (max verified jaccard ≥ 0.5, tiebreak lowest existing
+    //      doc_id) or flagged clean.
+    //
+    //      100 TB shape: the band table of the EXISTING corpus is a
+    //      persisted signature asset in production — the incremental
+    //      cost of an update is new-batch-sized: new-batch bands equi
+    //      join the corpus bands on (band, bh) (sub-linear, bucket
+    //      collisions only, never all-pairs), candidate pairs are rare
+    //      so the shingle-fetch verify joins and the per-new-doc argmax
+    //      window touch only candidates. Nothing broadcasts or
+    //      shuffles the corpus beyond its (already-materialized)
+    //      50-byte/row band projection. ----
+    QueryDef.sql(
+      "q110_incremental_dedup",
+      s"""WITH s AS (
+         |  SELECT doc_id, $shingleSql AS sh FROM documents
+         |), hs AS (
+         |  SELECT doc_id, sh, list_transform(sh, x -> md5(x) || md5(x)) AS hh FROM s
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, 15),
+         |      i -> list_min(list_transform(hh, h -> substr(h, i + 1, 16)))) AS sg
+         |  FROM hs
+         |), bands AS (
+         |  SELECT doc_id, sh, j AS band,
+         |    md5(sg[4*j+1] || sg[4*j+2] || sg[4*j+3] || sg[4*j+4]) AS bh
+         |  FROM sig, range(0, 4) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id,
+         |    a.sh AS sha, b.sh AS shb
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+         |), ver AS (
+         |  SELECT new_id, old_id,
+         |    len(list_intersect(sha, shb)) * 1.0 /
+         |      len(list_distinct(list_concat(sha, shb))) AS jac
+         |  FROM cand
+         |  WHERE len(list_intersect(sha, shb)) * 1.0 /
+         |        len(list_distinct(list_concat(sha, shb))) >= 0.5
+         |), best AS (
+         |  SELECT new_id, old_id, jac,
+         |    row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rk
+         |  FROM ver
+         |)
+         |SELECT d.doc_id, (best.new_id IS NOT NULL) AS is_dup,
+         |  best.old_id AS match_id, round(best.jac, 4) AS jaccard
+         |FROM documents d LEFT JOIN best ON d.doc_id = best.new_id AND best.rk = 1
+         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val isNew = col("doc_id") % 5 === 0
+      val shingled = graft.CacheRegistry.track(
+        docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
+      // bands carry only (doc_id, band, bh) into the LSH join (the q36
+      // discipline); in production the old-side projection is a persisted
+      // signature table, so an update pays new-batch cost only
+      val bands = shingled
+        .withColumn("sg", expr("minhash16(md5_array(sh))"))
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, 3), j -> named_struct(
+              |  'band', j,
+              |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
+              |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
+            .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val cand = bands.filter(isNew).as("a")
+        .join(bands.filter(!isNew).as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+        .distinct()
+      val withSh = cand
+        .join(shingled.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+        .join(shingled.select(col("doc_id").as("old_id"), col("sh").as("shb")), "old_id")
+      val jac = size(array_intersect(col("sha"), col("shb"))) * 1.0 /
+        size(array_union(col("sha"), col("shb")))
+      val best = withSh.where(jac >= 0.5)
+        .select(col("new_id"), col("old_id"), jac.as("jac"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("new_id")).orderBy(col("jac").desc, col("old_id"))))
+        .filter(col("rk") === 1)
+      docs(s, dir).select(col("doc_id")).filter(isNew)
+        .join(best, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), col("new_id").isNotNull.as("is_dup"),
+          col("old_id").as("match_id"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("doc_id")
     })
 }

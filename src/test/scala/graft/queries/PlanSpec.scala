@@ -322,6 +322,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the scoring pass scans documents exactly once\n$p")
   }
 
+  test("q110: incremental dedup joins new-batch bands to corpus bands — never all-pairs") {
+    val p = plan("q110_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every text read comes from the shingle cache (band build ×2 +
+    // verify fetch ×2); the only LIVE parquet scan is the final
+    // new-batch attach, column-pruned to doc_id
+    assert("InMemoryTableScan".r.findAllIn(p).length == 4,
+      s"band build and verify joins must read the shingle cache\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"the new-batch attach scan must prune to doc_id only\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
