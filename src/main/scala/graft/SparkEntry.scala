@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    quantization PQ codes (q91)
   *  - [[graft.queries.Quality]]      — passage chunking, vocab stats,
   *    Gopher filter, bloom decontamination, token-budget mix, bigram LM,
-  *    embedding outliers (q59-q65)
+  *    embedding outliers, Zipf rank-frequency fit (q59-q65, q111)
   *  - [[graft.queries.Mining]]      — event funnel, boilerplate n-grams,
   *    temperature mix, rare-word novelty, ANN recall eval, retention
   *    cohorts, z-score anomalies, passage dedup, source drift, nDCG/MRR

@@ -299,6 +299,76 @@ object Quality {
         .orderBy("doc_id")
     },
 
+    // ---- Zipf rank-frequency fit per source: OLS slope of ln(freq)
+    //      against ln(rank) over the word-frequency table — natural
+    //      language sits near slope −1 (Zipf's law); template/synthetic
+    //      or boilerplate-heavy sources bend away, making the slope (and
+    //      its r²) a standard corpus-naturalness dashboard stat.
+    //
+    //      Determinism (the q77 discipline, one step further): ln values
+    //      are snapped to an exact 1e-5 grid as BIGINTs, the five OLS
+    //      sums are EXACT integer aggregates (order-free; Σx² ≤ 2.6e12
+    //      per term so even a 1e6-type vocab stays 30× inside int64 —
+    //      at larger vocab coarsen the grid), and the final slope/r²
+    //      combine the few exact sums in a fixed-order double
+    //      expression, identical in both engines. DuckDB's sum(BIGINT)
+    //      is HUGEINT — cast back before the double math.
+    //
+    //      Scale shape: one (source, word) count shuffle, one
+    //      vocab-bounded rank window per source, one 5-sum agg — the
+    //      q60 two-level aggregate plus a window, nothing corpus-sized
+    //      past the first count. ----
+    QueryDef.sql(
+      "q111_zipf_fit",
+      """WITH c AS (
+        |  SELECT source, word, count(*) AS freq
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  GROUP BY source, word
+        |), r AS (
+        |  SELECT source,
+        |    round(ln(row_number() OVER (PARTITION BY source ORDER BY freq DESC, word)) * 100000)::BIGINT AS x,
+        |    round(ln(freq) * 100000)::BIGINT AS y
+        |  FROM c
+        |), s AS (
+        |  SELECT source, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, n AS n_types,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4) AS zipf_slope,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) *
+        |        (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |        ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+        |         (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 4) AS r2
+        |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+      val counts = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("freq"))
+      val rankW = Window.partitionBy(col("source"))
+        .orderBy(col("freq").desc, col("word"))
+      val grid = counts
+        .withColumn("x",
+          round(log(row_number().over(rankW).cast("double")) * 100000).cast("long"))
+        .withColumn("y", round(log(col("freq").cast("double")) * 100000).cast("long"))
+      val sums = grid.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+      val varX = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+      val varY = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+      sums.select(col("source"), col("n").as("n_types"),
+        round(cov / varX, 4).as("zipf_slope"),
+        round(cov * cov / (varX * varY), 4).as("r2"))
+        .orderBy("source")
+    },
+
     // ---- embedding-space outlier QA: distance of every vector to its
     //      label's centroid, top-10 outliers per label (mislabeled/
     //      garbage-embedding detection). Centroids are rounded to 1e-6

@@ -335,6 +335,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the new-batch attach scan must prune to doc_id only\n$p")
   }
 
+  test("q111: Zipf fit is count-shuffle + vocab window + 5-sum agg — no join") {
+    val p = plan("q111_zipf_fit")
+    assert(!p.contains("Join"), s"OLS sums must aggregate in place, not join\n$p")
+    assert(p.contains("partial_"), s"word counts must combine map-side\n$p")
+    // (source, word) count + source rank window + source sums + output
+    // ORDER BY — nothing else may shuffle
+    assert("Exchange".r.findAllIn(p).length <= 4, p)
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
