@@ -7,22 +7,30 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing for a training-data pipeline.
   *
   * Media (image/audio/video) is carried as an opaque `binary` payload
-  * column plus typed metadata, and "decoded" per partition with
+  * column plus typed metadata, and decoded per partition with
   * `Dataset.mapPartitions` — the Scala analog of `mapInPandas`: the
   * executor streams batches of blobs through a decode function without
   * ever collecting to the driver. The literal Pandas-UDF form of the
   * same operator (binary payload → `mapInPandas` → typed feature
   * schema, vectorized pandas batches) is exercised end-to-end by
   * `tools/pymultimodal_smoke.py`, cross-checked value-for-value
-  * against this stub's arithmetic.
+  * against the fallback's arithmetic.
   *
-  * ==== STUB ====
-  * No image/audio libraries exist in this container, so [[decodeStub]]
-  * is a DETERMINISTIC FAKE decoder (dimensions and features derived
-  * arithmetically from the payload bytes). The Spark-side plumbing —
-  * binary schema, typed Encoders, partition-wise batch iteration, output
-  * schema — is real and oracle-tested; swapping `decodeStub` for a JNI/
-  * JavaCV decoder changes no query shape.
+  * ==== Decode paths ====
+  * IMAGE payloads are decoded for REAL via the JDK's `javax.imageio`
+  * (PNG / JPEG / BMP / GIF readers ship with Java SE — no external
+  * library): true width/height, true frame count (animated GIF), and
+  * an integer-exact mean-luminance stat ([[decodeImage]], pinned by
+  * MultimodalDecodeSpec on images generated in-test). Payloads whose
+  * magic bytes are not a decodable image — including the synthetic
+  * text-byte payloads the driver testdata carries — fall back to
+  * [[decodeStub]], a DETERMINISTIC arithmetic featurizer whose values
+  * the q41 DuckDB oracle replays (a SQL oracle cannot decode pixels,
+  * so the oracle-checked entry exercises the fallback path by
+  * construction; the real path is spec-pinned instead). Audio/video
+  * codecs have no JDK decoder and always take the fallback. Either
+  * way the plumbing — binary schema, typed Encoders, partition-wise
+  * batch iteration, output schema — is identical.
   */
 object Multimodal {
 
@@ -39,7 +47,8 @@ object Multimodal {
       n_bytes: Long,
       byte_sum: Long)
 
-  /** STUB decode: byte statistics in lieu of pixel decode. Pure and
+  /** Fallback decode: byte statistics in lieu of pixel decode — the
+    * DETERMINISTIC arithmetic the q41 oracle replays. Pure and
     * per-element — safe to run inside `mapPartitions` on executors. */
   def decodeStub(blob: MediaBlob): MediaFeatures = {
     var sum = 0L
@@ -59,10 +68,118 @@ object Multimodal {
       byte_sum = sum)
   }
 
-  /** The operator: blobs → features, executed partition-wise. */
+  /** True iff the payload leads with a decodable-image magic number
+    * (PNG / JPEG / GIF / BMP — the JDK ImageIO reader set). A sniff is
+    * a HINT only: text can legitimately start with "BM", so the decode
+    * itself still falls back on failure. */
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  // ImageIO setup, once per executor JVM: no display (headless) and no
+  // temp-file stream cache (decode stays in memory on executors)
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** REAL image decode via the JDK's ImageIO: true dimensions, true
+    * frame count (animated GIF), payload byte sum. Returns None when
+    * the bytes are not a decodable image (caller falls back to
+    * [[decodeStub]]). Mean luminance is integer-exact — see
+    * [[meanLumaE4]]. */
+  def decodeImage(blob: MediaBlob): Option[MediaFeatures] = {
+    if (!looksLikeImage(blob.payload)) return None
+    imageIoReady
+    val in = new java.io.ByteArrayInputStream(blob.payload)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(in)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          // allowSearch=true walks the stream for the exact count (GIF
+          // frame count); single-frame formats answer 1 immediately
+          val frames = r.getNumImages(true)
+          var sum = 0L
+          var i = 0
+          while (i < blob.payload.length) { sum += (blob.payload(i) & 0xff); i += 1 }
+          Some(MediaFeatures(blob.doc_id, blob.media_type, w, h,
+            math.max(frames, 1), blob.payload.length.toLong, sum))
+        } finally r.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None // not an image → fallback
+    }
+  }
+
+  /** Integer-exact mean luminance ×10⁴ of the first frame: per pixel
+    * luma = (299·R + 587·G + 114·B) div 1000 (the ITU-R 601 integer
+    * weights), mean scaled to 1e4 with integer division — every step
+    * exact, so the stat is reproducible across JVMs and platforms. */
+  def meanLumaE4(payload: Array[Byte]): Option[Long] = {
+    imageIoReady
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sum += (299L * r + 587L * g + 114L * b) / 1000L
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight.toLong
+      Some(sum * 10000L / math.max(n, 1L))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pure-JDK thumbnail: decode, scale so max(width, height) == maxDim
+    * (never upscale), re-encode as PNG. The resize step of an image
+    * curation pipeline — runs per-partition on executors like the
+    * decode. Returns None for non-image payloads. */
+  def thumbnail(payload: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    imageIoReady
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+      val th = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The operator: blobs → features, executed partition-wise. Real
+    * ImageIO decode for image payloads, deterministic arithmetic
+    * fallback for everything else (see the object Scaladoc). */
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(b => decodeImage(b).getOrElse(decodeStub(b))))
   }
 
   /** One sampled frame of a video-like payload (STUB: the "frame" is a

@@ -1,0 +1,149 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+import javax.imageio.metadata.IIOMetadataNode
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL multimodal decode path: images generated in-test (pure JDK
+  * ImageIO — the same library the operator decodes with, but through
+  * independent write/read entry points), pushed through the Spark
+  * `mapPartitions` operator, and checked for true dimensions, frame
+  * counts, and integer-exact pixel stats. The arithmetic fallback for
+  * non-image payloads (what the q41 oracle replays) is pinned alongside
+  * so the dispatch can never silently flip. */
+class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("multimodal-decode-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def solidImage(w: Int, h: Int, rgb: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+    bos.toByteArray
+  }
+
+  /** 3-frame animated GIF via the JDK sequence writer. */
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        val meta = writer.getDefaultImageMetadata(
+          ImageTypeSpecifier.createFromRenderedImage(f), writer.getDefaultWriteParam)
+        val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+          .asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(meta.getNativeMetadataFormatName, root)
+        writer.writeToSequence(new IIOImage(f, null, meta), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  private def features(blobs: Seq[Multimodal.MediaBlob]): Map[Long, Multimodal.MediaFeatures] = {
+    val s = spark
+    import s.implicits._
+    Multimodal.extractFeatures(s.createDataset(blobs))
+      .collect().map(f => f.doc_id -> f).toMap
+  }
+
+  test("PNG / JPEG / BMP / GIF payloads decode to their TRUE dimensions through the operator") {
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "image", encode(solidImage(31, 17, 0x336699), "png")),
+      Multimodal.MediaBlob(2L, "image", encode(solidImage(64, 48, 0x808080), "jpg")),
+      Multimodal.MediaBlob(3L, "image", encode(solidImage(5, 200, 0xFF0000), "bmp")),
+      Multimodal.MediaBlob(4L, "image", encode(solidImage(12, 12, 0x00FF00), "gif")))
+    val f = features(blobs)
+    assert((f(1L).width, f(1L).height, f(1L).n_frames) == ((31, 17, 1)))
+    assert((f(2L).width, f(2L).height, f(2L).n_frames) == ((64, 48, 1)))
+    assert((f(3L).width, f(3L).height, f(3L).n_frames) == ((5, 200, 1)))
+    assert((f(4L).width, f(4L).height, f(4L).n_frames) == ((12, 12, 1)))
+    // byte stats describe the payload either way
+    blobs.foreach { b =>
+      assert(f(b.doc_id).n_bytes == b.payload.length.toLong)
+      assert(f(b.doc_id).byte_sum == b.payload.map(_ & 0xff).map(_.toLong).sum)
+    }
+  }
+
+  test("animated GIF reports its true frame count") {
+    val gif = animatedGif(Seq(
+      solidImage(20, 10, 0x111111), solidImage(20, 10, 0x222222),
+      solidImage(20, 10, 0x333333)))
+    val f = features(Seq(Multimodal.MediaBlob(7L, "image", gif)))(7L)
+    assert((f.width, f.height) == ((20, 10)))
+    assert(f.n_frames == 3, s"expected 3 GIF frames, got ${f.n_frames}")
+  }
+
+  test("non-image payloads take the deterministic arithmetic fallback (the q41 oracle path)") {
+    val text = "some document text that is clearly not an image"
+      .getBytes("UTF-8")
+    val f = features(Seq(Multimodal.MediaBlob(9L, "image", text)))(9L)
+    assert(f == Multimodal.decodeStub(Multimodal.MediaBlob(9L, "image", text)))
+    assert(f.width == (text.length % 640) + 16, "fallback arithmetic must be the oracle's")
+  }
+
+  test("a payload with an image magic but corrupt body falls back — never crashes, never lies") {
+    // "BM" + garbage: the sniff says BMP, the reader must reject it
+    val fake = ("BM" + "W is a car maker, not a bitmap header").getBytes("UTF-8")
+    val f = features(Seq(Multimodal.MediaBlob(11L, "image", fake)))(11L)
+    assert(f == Multimodal.decodeStub(Multimodal.MediaBlob(11L, "image", fake)))
+  }
+
+  test("mean luminance is integer-exact: solid colors give the closed-form value") {
+    // luma(90, 120, 30) = (299*90 + 587*120 + 114*30) div 1000 = 100 (exact)
+    val png = encode(solidImage(40, 30, (90 << 16) | (120 << 8) | 30), "png")
+    assert(Multimodal.meanLumaE4(png).contains(100L * 10000L))
+    // black and white extremes
+    assert(Multimodal.meanLumaE4(encode(solidImage(8, 8, 0x000000), "png")).contains(0L))
+    assert(Multimodal.meanLumaE4(encode(solidImage(8, 8, 0xFFFFFF), "png")).contains(255L * 10000L))
+    assert(Multimodal.meanLumaE4("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("thumbnail scales max dimension down (never up) and survives a decode roundtrip") {
+    val big = encode(solidImage(640, 480, 0x446688), "png")
+    val tn = Multimodal.thumbnail(big, 64).get
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(tn))
+    assert((back.getWidth, back.getHeight) == ((64, 48)))
+    // solid color survives bilinear resampling exactly
+    assert((back.getRGB(32, 24) & 0xFFFFFF) == 0x446688)
+    // small images pass through unscaled
+    val small = encode(solidImage(10, 6, 0x010203), "png")
+    val tn2 = Multimodal.thumbnail(small, 64).get
+    val back2 = ImageIO.read(new java.io.ByteArrayInputStream(tn2))
+    assert((back2.getWidth, back2.getHeight) == ((10, 6)))
+    assert(Multimodal.thumbnail("plain text".getBytes("UTF-8"), 64).isEmpty)
+  }
+}
