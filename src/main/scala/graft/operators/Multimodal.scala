@@ -182,8 +182,88 @@ object Multimodal {
     blobs.mapPartitions(_.map(b => decodeImage(b).getOrElse(decodeStub(b))))
   }
 
-  /** One sampled frame of a video-like payload (STUB: the "frame" is a
-    * byte slice; a real decoder would emit pixel buffers). */
+  /** Decoded audio features — REAL decode via the JDK's
+    * `javax.sound.sampled` (WAV / AIFF / AU readers ship with Java SE).
+    * `mean_square` and `peak_abs` are computed over 16-bit PCM samples
+    * in exact integer arithmetic (sum of squares is a long; one integer
+    * division) so the stats are platform-reproducible. */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      mean_square: Long,
+      peak_abs: Int)
+
+  /** True iff the payload leads with a JDK-decodable audio container
+    * magic (RIFF/WAVE, FORM/AIFF, .snd). Like [[looksLikeImage]], a
+    * hint only — decode failure still returns None. */
+  def looksLikeAudio(p: Array[Byte]): Boolean =
+    p.length >= 12 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
+  /** REAL audio decode: container parsed by `AudioSystem`, samples
+    * normalized to signed 16-bit PCM (the JDK converts other PCM
+    * widths/encodings), features from one pass over the frames.
+    * Returns None for non-audio payloads — the same
+    * sniff-then-fallback discipline as [[decodeImage]]. */
+  def decodeAudio(blob: MediaBlob): Option[AudioFeatures] = {
+    if (!looksLikeAudio(blob.payload)) return None
+    imageIoReady // headless, no stream temp-file cache
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob.payload))
+      try {
+        val f = raw.getFormat
+        val want = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+          f.getSampleRate, false)
+        val pcm = if (f.matches(want)) raw
+          else AudioSystem.getAudioInputStream(want, raw)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = want.getChannels
+          val nSamples = bytes.length / 2
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i + 1 < bytes.length) {
+            // little-endian signed 16-bit
+            val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+            sumSq += s.toLong * s.toLong
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 2
+          }
+          val frames = if (ch > 0) nSamples.toLong / ch else 0L
+          val rate = math.round(want.getSampleRate)
+          Some(AudioFeatures(blob.doc_id, rate, ch, frames,
+            if (rate > 0) frames * 1000L / rate else 0L,
+            if (nSamples > 0) sumSq / nSamples else 0L, peak))
+        } finally pcm.close()
+      } finally raw.close()
+    } catch {
+      // UnsupportedAudioFileException (sniff false-positive) included
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** The audio operator: blobs → decoded features, partition-wise;
+    * non-audio payloads are dropped (flatMap — the select-and-decode
+    * step of an audio curation pipeline). */
+  def extractAudioFeatures(blobs: Dataset[MediaBlob]): Dataset[AudioFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.flatMap(b => decodeAudio(b))
+  }
+
+  /** One sampled frame of a video-like payload (the "frame" is a byte
+    * slice; a pixel-level sampler would route through [[decodeImage]] —
+    * video containers have no JDK decoder, so this stays byte-level). */
   final case class Frame(doc_id: Long, k: Int, frame_idx: Int, frame_off: Long, frame_len: Int)
 
   /** Frame sampling: each blob yields 4 evenly-spaced frame references —

@@ -132,6 +132,52 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.meanLumaE4("not an image".getBytes("UTF-8")).isEmpty)
   }
 
+  /** 16-bit mono little-endian PCM WAV from raw sample values. */
+  private def wav(samples: Array[Short], rate: Int, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, channels, channels * 2, rate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WAV payloads decode to true rate/frames and integer-exact energy through the operator") {
+    val s = spark
+    import s.implicits._
+    // 100 ms of a ±1000 square wave at 44.1 kHz: mean_square = 1000²,
+    // peak = 1000, frames = 4410 — all closed-form
+    val sq = Array.tabulate(4410)(i => if ((i / 5) % 2 == 0) 1000.toShort else (-1000).toShort)
+    // stereo: L = 300, R = -300 constants → mean_square = 300², 2 channels
+    val st = Array.tabulate(2000)(i => if (i % 2 == 0) 300.toShort else (-300).toShort)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "audio", wav(sq, 44100)),
+      Multimodal.MediaBlob(2L, "audio", wav(st, 8000, channels = 2)),
+      Multimodal.MediaBlob(3L, "audio", "RIFFxxxxWAVE but not really".getBytes("UTF-8")),
+      Multimodal.MediaBlob(4L, "audio", "plain text".getBytes("UTF-8")))
+    val out = Multimodal.extractAudioFeatures(s.createDataset(blobs))
+      .collect().map(f => f.doc_id -> f).toMap
+    // corrupt header and text are dropped by the flatMap
+    assert(out.keySet == Set(1L, 2L))
+    val a = out(1L)
+    assert((a.sample_rate, a.channels, a.n_frames, a.duration_ms) == ((44100, 1, 4410L, 100L)))
+    assert(a.mean_square == 1000L * 1000L)
+    assert(a.peak_abs == 1000)
+    val b = out(2L)
+    assert((b.sample_rate, b.channels, b.n_frames) == ((8000, 2, 1000L)))
+    assert(b.mean_square == 300L * 300L)
+    assert(b.peak_abs == 300)
+  }
+
   test("thumbnail scales max dimension down (never up) and survives a decode roundtrip") {
     val big = encode(solidImage(640, 480, 0x446688), "png")
     val tn = Multimodal.thumbnail(big, 64).get
