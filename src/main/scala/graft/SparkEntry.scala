@@ -17,7 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.Similarity]] — cosine top-k, near-dup, LSH ANN,
   *    IVF-PQ search with asymmetric-distance LUTs, contrastive
   *    hard-negative mining (q38-q40, q95, q101)
-  *  - [[graft.operators.Multimodal]] — binary-payload feature extraction (q41)
+  *  - [[graft.operators.Multimodal]] — binary-payload feature extraction,
+  *    real JDK image/audio decode roundtrips under the oracle gate
+  *    (q41, q112, q113)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
   *    contamination, sampling/mixing, source-overlap matrix, weighted

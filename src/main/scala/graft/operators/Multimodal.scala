@@ -282,6 +282,40 @@ object Multimodal {
     }
   }
 
+  /** Solid-color image encoded by the JDK (executor-side helper for the
+    * roundtrip entries; the decode result depends only on the pixels,
+    * never on byte-level encoder details). */
+  def encodeSolidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Constant-amplitude 16-bit mono PCM WAV (executor-side helper). */
+  def encodeConstWav(amplitude: Short, frames: Int, rate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      bytes(2 * i) = (amplitude & 0xff).toByte
+      bytes(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate.toFloat, 16, 1, 2, rate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "q41_multimodal",
@@ -331,5 +365,75 @@ object Multimodal {
         .select(col("doc_id"), col("k"), col("frame_idx"), col("frame_off"),
           col("frame_len"))
         .orderBy("doc_id", "k")
+    },
+
+    // ---- REAL image decode under the oracle gate (the q99 roundtrip
+    //      pattern applied to media): each doc is rendered to a solid
+    //      PNG whose dimensions and color are closed-form functions of
+    //      its (doc_id, n_chars), encoded AND decoded with the JDK's
+    //      ImageIO on executors, and the DECODED truth — dimensions,
+    //      frame count, integer-exact mean luminance — is what the
+    //      query emits. The DuckDB oracle states the same closed forms,
+    //      so a decode defect (wrong dims, luma drift, frame
+    //      miscount) breaks the hash. Encode→decode runs inside ONE
+    //      mapPartitions pass; nothing but the narrow feature rows
+    //      leaves the executor. ----
+    QueryDef.sql(
+      "q112_image_roundtrip",
+      """SELECT doc_id,
+        |  ((n_chars % 48) + 8)::BIGINT AS width,
+        |  ((doc_id % 32) + 8)::BIGINT AS height,
+        |  1::BIGINT AS n_frames,
+        |  (((299 * (doc_id % 256) + 587 * (n_chars % 256) + 114 * 42) // 1000)
+        |    * 10000)::BIGINT AS luma_e4
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val w = ((nc % 48) + 8).toInt
+          val h = ((id % 32) + 8).toInt
+          val rgb = (((id % 256) << 16) | ((nc % 256) << 8) | 42).toInt
+          val png = encodeSolidPng(w, h, rgb)
+          val f = decodeImage(MediaBlob(id, "image", png)).getOrElse(
+            throw new IllegalStateException(s"q112: PNG for doc $id failed to decode"))
+          val luma = meanLumaE4(png).getOrElse(
+            throw new IllegalStateException(s"q112: luma for doc $id failed"))
+          (id, f.width.toLong, f.height.toLong, f.n_frames.toLong, luma)
+        })
+        .toDF("doc_id", "width", "height", "n_frames", "luma_e4")
+        .orderBy("doc_id")
+    },
+
+    // ---- REAL audio decode under the oracle gate: constant-amplitude
+    //      WAV per doc (amplitude, frame count closed-form from doc
+    //      fields), written and parsed by javax.sound.sampled on
+    //      executors; the DECODED rate / frames / duration / exact PCM
+    //      energy is the output the oracle predicts. ----
+    QueryDef.sql(
+      "q113_audio_roundtrip",
+      """SELECT doc_id,
+        |  8000::BIGINT AS sample_rate,
+        |  ((n_chars % 500) + 100)::BIGINT AS n_frames,
+        |  (((n_chars % 500) + 100) * 1000 // 8000)::BIGINT AS duration_ms,
+        |  ((doc_id % 1000) * (doc_id % 1000))::BIGINT AS mean_square,
+        |  (doc_id % 1000)::BIGINT AS peak_abs
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          val amp = (id % 1000).toShort
+          val frames = ((nc % 500) + 100).toInt
+          val wavBytes = encodeConstWav(amp, frames, 8000)
+          val f = decodeAudio(MediaBlob(id, "audio", wavBytes)).getOrElse(
+            throw new IllegalStateException(s"q113: WAV for doc $id failed to decode"))
+          (id, f.sample_rate.toLong, f.n_frames, f.duration_ms, f.mean_square,
+            f.peak_abs.toLong)
+        })
+        .toDF("doc_id", "sample_rate", "n_frames", "duration_ms", "mean_square", "peak_abs")
+        .orderBy("doc_id")
     })
 }
