@@ -18,8 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    IVF-PQ search with asymmetric-distance LUTs, contrastive
   *    hard-negative mining (q38-q40, q95, q101)
   *  - [[graft.operators.Multimodal]] — binary-payload feature extraction,
-  *    real JDK image/audio decode roundtrips under the oracle gate
-  *    (q41, q112, q113)
+  *    real JDK image/audio decode roundtrips under the oracle gate,
+  *    perceptual-hash image dedup (q41, q112, q113, q114)
   *  - [[graft.operators.AsOfJoin]]   — union+window as-of join (q45)
   *  - [[graft.queries.Pipeline]]     — repetition signals, sessionization,
   *    contamination, sampling/mixing, source-overlap matrix, weighted

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for a training-data pipeline.
@@ -316,6 +317,77 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Grayscale test-pattern image for the perceptual-hash entry: pixel
+    * (x, y) has gray level `(k·31 + x·7 + y·13) mod 256` in all three
+    * channels (so integer luma == gray exactly: (299+587+114)·g / 1000
+    * = g). Content depends only on `k`, which is how the roundtrip
+    * corpus gets INTENTIONAL duplicates to find. */
+  def encodePatternPng(k: Long, w: Int, h: Int): Array[Byte] = {
+    imageIoReady
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((k * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Average-hash (aHash) of a decoded image, all-integer: the 32×32
+    * grayscale is reduced to an 8×8 grid of 4×4 block means (integer
+    * division), each bit is `block mean > overall mean` (the overall
+    * mean is the integer mean of the 64 block means), emitted as a
+    * 64-char bit string in (by, bx) row-major order. Every step is
+    * exact integer arithmetic, so the hash is closed-form predictable
+    * from the pixel formula — which is what lets a SQL oracle check a
+    * perceptual hash at all. */
+  def aHash64(payload: Array[Byte]): Option[String] = {
+    imageIoReady
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) return None
+      val bw = img.getWidth / 8
+      val bh = img.getHeight / 8
+      val bm = new Array[Long](64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          var s = 0L
+          var y = by * bh
+          while (y < (by + 1) * bh) {
+            var x = bx * bw
+            while (x < (bx + 1) * bw) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              s += (299L * r + 587L * g + 114L * b) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          bm(by * 8 + bx) = s / (bw.toLong * bh.toLong)
+          bx += 1
+        }
+        by += 1
+      }
+      val mean = bm.sum / 64L
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < 64) { sb.append(if (bm(i) > mean) '1' else '0'); i += 1 }
+      Some(sb.toString)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
       "q41_multimodal",
@@ -434,6 +506,73 @@ object Multimodal {
             f.peak_abs.toLong)
         })
         .toDF("doc_id", "sample_rate", "n_frames", "duration_ms", "mean_square", "peak_abs")
+        .orderBy("doc_id")
+    },
+
+    // ---- perceptual-hash image dedup (aHash) over REAL decoded
+    //      pixels: each doc renders a 32×32 grayscale test pattern
+    //      whose content depends only on doc_id mod 50 (so the corpus
+    //      carries intentional pixel-identical duplicates), the PNG
+    //      goes through a full ImageIO encode→decode, and the decoded
+    //      pixels are average-hashed — 8×8 block means vs their mean,
+    //      all integer arithmetic, so the SQL oracle predicts every
+    //      bit of the hash from the pixel formula. Dedup = group by
+    //      hash, keep the lowest doc_id (the image-dedup rule of a
+    //      multimodal curation pipeline, here with the hash computed
+    //      from REAL codec output rather than metadata).
+    //
+    //      Scale shape: render+decode+hash is one scan-local
+    //      mapPartitions pass with a per-partition content cache (one
+    //      render per DISTINCT pattern, not per row); dedup is one
+    //      hash-key window — the q34 exact-dedup shape with a
+    //      perceptual key. ----
+    QueryDef.sql(
+      "q114_phash_dedup",
+      """WITH ks AS (
+        |  SELECT DISTINCT doc_id % 50 AS k FROM documents
+        |), px AS (
+        |  SELECT k, x // 4 AS bx, y // 4 AS by,
+        |    (k * 31 + x * 7 + y * 13) % 256 AS g
+        |  FROM ks, range(0, 32) t1(x), range(0, 32) t2(y)
+        |), blk AS (
+        |  SELECT k, by, bx, (sum(g) // 16)::BIGINT AS bm
+        |  FROM px GROUP BY k, by, bx
+        |), mn AS (
+        |  SELECT k, (sum(bm) // 64)::BIGINT AS mm FROM blk GROUP BY k
+        |), h AS (
+        |  SELECT blk.k,
+        |    array_to_string(list(CASE WHEN bm > mm THEN '1' ELSE '0' END
+        |      ORDER BY by, bx), '') AS ahash
+        |  FROM blk JOIN mn ON blk.k = mn.k GROUP BY blk.k
+        |), a AS (
+        |  SELECT d.doc_id, h.ahash FROM documents d JOIN h ON d.doc_id % 50 = h.k
+        |)
+        |SELECT doc_id, ahash,
+        |  min(doc_id) OVER (PARTITION BY ahash) AS canonical_id,
+        |  (count(*) OVER (PARTITION BY ahash))::BIGINT AS group_size,
+        |  (doc_id != min(doc_id) OVER (PARTITION BY ahash)) AS is_dup
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hashed = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          // one render+decode+hash per DISTINCT pattern per partition
+          val cache = scala.collection.mutable.HashMap.empty[Long, String]
+          it.map { id =>
+            val k = id % 50
+            val h = cache.getOrElseUpdate(k, {
+              aHash64(encodePatternPng(k, 32, 32)).getOrElse(
+                throw new IllegalStateException(s"q114: aHash failed for k=$k"))
+            })
+            (id, h)
+          }
+        }.toDF("doc_id", "ahash")
+      val wH = Window.partitionBy(col("ahash"))
+      hashed
+        .select(col("doc_id"), col("ahash"),
+          min(col("doc_id")).over(wH).as("canonical_id"),
+          count(lit(1)).over(wH).as("group_size"),
+          (col("doc_id") =!= min(col("doc_id")).over(wH)).as("is_dup"))
         .orderBy("doc_id")
     })
 }

@@ -178,6 +178,24 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.peak_abs == 300)
   }
 
+  test("aHash: left-black right-white image gives the checkerboard-free closed form") {
+    // 32×32, left half black (luma 0), right half white (luma 255):
+    // block means are 0 for bx<4 and 255 for bx>=4; overall mean
+    // = (4*0 + 4*255)*8/64 = 127 -> bits 0000111100001111... row-major
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.BLACK); g.fillRect(0, 0, 16, 32)
+      g.setColor(java.awt.Color.WHITE); g.fillRect(16, 0, 16, 32)
+    } finally g.dispose()
+    val h = Multimodal.aHash64(encode(img, "png")).get
+    assert(h == "0000111100001111000011110000111100001111000011110000111100001111")
+    // solid image: no block exceeds the mean -> all zeros
+    assert(Multimodal.aHash64(encode(solidImage(32, 32, 0x777777), "png"))
+      .contains("0" * 64))
+    assert(Multimodal.aHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   test("thumbnail scales max dimension down (never up) and survives a decode roundtrip") {
     val big = encode(solidImage(640, 480, 0x446688), "png")
     val tn = Multimodal.thumbnail(big, 64).get
