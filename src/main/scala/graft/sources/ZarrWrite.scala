@@ -148,7 +148,16 @@ class ZarrBatchWrite(
         val names =
           try store.listArrays()
           catch { case _: ZarrException => Seq.empty }
-        names.map(store.readMeta)
+        val metas = names.map(store.readMeta)
+        // v2 stores are READ-ONLY here: this writer emits v3 metadata
+        // and v3 chunk keys, and mixing them into a v2 layout would
+        // leave a store neither format reads back whole
+        metas.find(_.formatVersion == 2).foreach { m =>
+          throw new ZarrException(
+            s"append: ${store.root} is a Zarr v2 store (array ${m.name}); " +
+              "the writer is v3-only — read it and write a new store to migrate")
+        }
+        metas
       }
     if (truncate) (0L, chunkSize0, codec0)
     else {

@@ -162,6 +162,12 @@ object ZarrSink {
       try st.listArrays()
       catch { case _: ZarrException => return 0L }
     val metas = names.map(a => a -> st.readMeta(a))
+    // the sink appends v3 chunk keys and rewrites shape metadata — a v2
+    // destination must abort, not be half-upgraded in place
+    metas.find(_._2.formatVersion == 2).foreach { case (a, _) =>
+      throw new ZarrException(
+        s"streaming sink: $path is a Zarr v2 store (array $a); the sink is v3-only")
+    }
     val maxRows = metas.map(_._2.shape(0)).max
     metas.filter(_._2.shape(0) != maxRows).foreach { case (a, m) =>
       st.writeMeta(a, graft.zarr.ZarrMeta.withShape0(m.sourceJson, maxRows))

@@ -34,6 +34,37 @@ object Codecs {
     }
   }
 
+  /** Raw zlib (RFC 1950) — numcodecs' `zlib`, the default-adjacent Zarr
+    * v2 compressor family. Not a v3 registered codec; it enters codec
+    * lists via the v2 metadata translation ([[ZarrMeta.parseV2]]). */
+  final case class Zlib(level: Int = 1) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(level)
+      try {
+        d.setInput(raw); d.finish()
+        val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        bos.toByteArray
+      } finally d.end()
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(enc)
+        val bos = new ByteArrayOutputStream(enc.length * 3 + 64)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput())
+            throw new ZarrException("truncated zlib stream")
+          bos.write(buf, 0, n)
+        }
+        bos.toByteArray
+      } finally inf.end()
+    }
+  }
+
   final case class Zstd(level: Int = 3) extends BytesCodec {
     def encode(raw: Array[Byte]): Array[Byte] =
       com.github.luben.zstd.Zstd.compress(raw, level)
@@ -330,7 +361,7 @@ object Codecs {
     * codecs; we must match that loudness.) */
   val knownCodecNames: Set[String] =
     Set("bytes", "endian", "vlen-utf8", "blosc", "gzip", "zstd", "crc32c",
-      "sharding_indexed", "transpose")
+      "sharding_indexed", "transpose", "zlib")
 
   /** Validate a codec list for an array (or shard inner chain) of rank
     * `ndim`: unknown names are hard errors, a `transpose` order must be a
@@ -453,6 +484,8 @@ object Codecs {
         Gzip(cfg.get("level").map(_.asInt(5)).getOrElse(5))
       case CodecSpec("zstd", cfg) =>
         Zstd(cfg.get("level").map(_.asInt(3)).getOrElse(3))
+      case CodecSpec("zlib", cfg) =>
+        Zlib(cfg.get("level").map(_.asInt(1)).getOrElse(1))
       case CodecSpec("crc32c", _) => Crc32c
       case CodecSpec("blosc", cfg) =>
         Blosc(

@@ -23,7 +23,12 @@ final case class ZarrArrayMeta(
     dimensionNames: Option[Seq[String]],
     /** Raw zarr.json text — shipped to executors (Jackson nodes in
       * `codecs` are not reliably serializable) and re-parsed there. */
-    sourceJson: String = "") {
+    sourceJson: String = "",
+    /** 2 for arrays translated from Zarr v2 `.zarray` metadata
+      * ([[ZarrMeta.parseV2]]); affects only chunk-key naming. Executors
+      * re-parse `sourceJson` (the ORIGINAL v2 doc), so the version
+      * survives serialization by construction. */
+    formatVersion: Int = 3) {
 
   def ndim: Int = shape.length
 
@@ -50,9 +55,11 @@ final case class ZarrArrayMeta(
     ndim == 1 && dimensionNames.exists(d => d.length == 1 && d.head == name)
 
   /** Storage key of chunk `idx` relative to the array root (v3 "default"
-    * chunk key encoding: `c<sep>i0<sep>i1...`). */
+    * chunk key encoding: `c<sep>i0<sep>i1...`; v2: bare `i0<sep>i1...`
+    * with "." as the default separator and NO prefix). */
   def chunkKey(idx: Array[Int]): String =
-    (Seq("c") ++ idx.map(_.toString)).mkString(chunkKeySeparator)
+    if (formatVersion == 2) idx.mkString(chunkKeySeparator)
+    else (Seq("c") ++ idx.map(_.toString)).mkString(chunkKeySeparator)
 
   /** Valid extent of chunk `idx` along each dim (edge chunks truncated;
     * reference: `zarr_data_stream.rs:577-594`). */
@@ -139,10 +146,32 @@ object ZarrMeta {
     }
   }
 
+  /** Array metadata from a Zarr v2 `.zmetadata` consolidated document
+    * (`zarr_consolidated_format: 1`, entries keyed `<name>/.zarray`).
+    * Empty on anything else. Only root-level arrays (one path segment)
+    * are surfaced, matching [[ZarrStore.listArrays]]. */
+  def parseV2Consolidated(doc: String): Seq[ZarrArrayMeta] = {
+    val root =
+      try mapper.readTree(doc)
+      catch { case _: Throwable => return Seq.empty }
+    if (root.path("zarr_consolidated_format").asInt(-1) != 1) return Seq.empty
+    val md = root.path("metadata")
+    if (!md.isObject) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    md.fields().asScala.toSeq.collect {
+      case e if e.getKey.endsWith("/.zarray") &&
+        !e.getKey.dropRight("/.zarray".length).contains("/") =>
+        parseV2(e.getKey.dropRight("/.zarray".length),
+          mapper.writeValueAsString(e.getValue))
+    }
+  }
+
   def parse(arrayName: String, json: String): ZarrArrayMeta = {
     val root = mapper.readTree(json)
+    if (root.path("zarr_format").asInt(-1) == 2)
+      return parseV2(arrayName, json)
     if (root.path("zarr_format").asInt(-1) != 3)
-      throw new ZarrException("Only Zarr v3 metadata is supported")
+      throw new ZarrException("Only Zarr v2/v3 metadata is supported")
     if (root.path("node_type").asText("") != "array")
       throw new ZarrException(s"Not an array node: $arrayName")
 
@@ -198,6 +227,132 @@ object ZarrMeta {
     }
 
     ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs, dimNames, json)
+  }
+
+  /** Zarr v2 `.zarray` metadata, translated into the v3-shaped internal
+    * model (the reference reads v2 transparently — `zarrs`'
+    * `Array::async_open` falls back from `zarr.json` to `.zarray`; this
+    * is the JVM equivalent). The translation:
+    *
+    *  - numpy dtype typestr → [[ZarrType]] + an explicit-endian `bytes`
+    *    codec (`>f8` reads as float64 big-endian);
+    *  - `order: "F"` → a `transpose` codec with reversed order (Fortran
+    *    layout IS the [ndim-1..0] dimension permutation);
+    *  - `compressor` → the equivalent bytes→bytes codec: numcodecs
+    *    `blosc` (same c-blosc container the v3 codec decodes), `zlib`,
+    *    `gzip`, `zstd`. `null` → uncompressed. Anything else is a hard
+    *    error (the garbage-decode discipline);
+    *  - `filters` must be absent/empty — numcodecs filter stacks
+    *    (delta, fixedscaleoffset, …) are not implemented, and silently
+    *    ignoring one would decode garbage;
+    *  - chunk keys are bare dot-separated indices (`0.0`), honoring
+    *    `dimension_separator`;
+    *  - string/object dtypes (S/U/O) are rejected — v2 vlen strings
+    *    need a numcodecs object codec.
+    *
+    * Read-only: the writer and append/sink paths stay v3 and refuse v2
+    * stores ([[graft.sources.ZarrWrite]]). */
+  def parseV2(arrayName: String, json: String): ZarrArrayMeta = {
+    val root = mapper.readTree(json)
+    if (root.path("zarr_format").asInt(-1) != 2)
+      throw new ZarrException(s"Not Zarr v2 metadata: $arrayName")
+
+    val shape = iter(root.path("shape")).map(_.asLong()).toArray
+    if (shape.length < 1 || shape.length > 3)
+      throw new ZarrException(
+        s"Only 1-3 dimensional arrays are supported, got ${shape.length} for $arrayName")
+    val chunkShape = iter(root.path("chunks")).map(_.asInt()).toArray
+    if (chunkShape.length != shape.length)
+      throw new ZarrException(s"chunks rank != shape rank for $arrayName")
+
+    val (dtype, bigEndian) = v2Dtype(root.path("dtype").asText(""), arrayName)
+
+    val filters = root.path("filters")
+    if (filters.isArray && filters.size() > 0)
+      throw new ZarrException(
+        s"Zarr v2 filters are not supported for $arrayName: ${filters.toString}")
+
+    val sep = root.path("dimension_separator").asText(".")
+    if (sep != "." && sep != "/")
+      throw new ZarrException(s"Bad v2 dimension_separator '$sep' for $arrayName")
+
+    val fillNode = root.path("fill_value")
+    val fill =
+      if (fillNode.isNull || fillNode.isMissingNode) dtype match {
+        // v2 fill_value null = undefined; absent chunks then read as the
+        // type's zero (what zarr-python materializes for 0-filled reads)
+        case ZarrType.Float32 => java.lang.Float.valueOf(0f)
+        case ZarrType.Float64 => java.lang.Double.valueOf(0d)
+        case _ => parseFill(mapper.readTree("0"), dtype)
+      }
+      else parseFill(fillNode, dtype)
+
+    val specs = Seq.newBuilder[CodecSpec]
+    if (root.path("order").asText("C") == "F") {
+      val order = mapper.createArrayNode()
+      (shape.indices.reverse).foreach(order.add)
+      specs += CodecSpec("transpose", Map("order" -> order))
+    }
+    specs += CodecSpec("bytes",
+      Map("endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
+    val comp = root.path("compressor")
+    if (!comp.isNull && !comp.isMissingNode) {
+      comp.path("id").asText("") match {
+        case "blosc" =>
+          val shuffleName = comp.path("shuffle").asInt(1) match {
+            case 0 => "noshuffle"
+            case 2 => "bitshuffle"
+            case _ => "shuffle"
+          }
+          specs += CodecSpec("blosc", Map(
+            "cname" -> comp.path("cname"),
+            "clevel" -> comp.path("clevel"),
+            "shuffle" -> mapper.readTree("\"" + shuffleName + "\""),
+            "blocksize" -> comp.path("blocksize")))
+        case "zlib" => specs += CodecSpec("zlib", Map("level" -> comp.path("level")))
+        case "gzip" => specs += CodecSpec("gzip", Map("level" -> comp.path("level")))
+        case "zstd" => specs += CodecSpec("zstd", Map("level" -> comp.path("level")))
+        case other =>
+          throw new ZarrException(
+            s"Unsupported Zarr v2 compressor '$other' for $arrayName")
+      }
+    }
+    val codecs = specs.result()
+    Codecs.validate(codecs, shape.length, s"array $arrayName (v2)")
+
+    ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs,
+      dimensionNames = None, sourceJson = json, formatVersion = 2)
+  }
+
+  /** numpy typestr → (ZarrType, bigEndian). `|` (byte-order-less) is
+    * legal only for 1-byte types. */
+  private def v2Dtype(ts: String, ctx: String): (ZarrType, Boolean) = {
+    if (ts.length < 3)
+      throw new ZarrException(s"Bad v2 dtype '$ts' for $ctx")
+    val order = ts.charAt(0)
+    val kind = ts.charAt(1)
+    val width = ts.substring(2)
+    val big = order match {
+      case '>' => true
+      case '<' | '|' | '=' => false
+      case other => throw new ZarrException(s"Bad v2 dtype byte order '$other' for $ctx")
+    }
+    val t = (kind, width) match {
+      case ('b', "1") => ZarrType.Bool
+      case ('i', "1") => ZarrType.Int8
+      case ('i', "2") => ZarrType.Int16
+      case ('i', "4") => ZarrType.Int32
+      case ('i', "8") => ZarrType.Int64
+      case ('u', "1") => ZarrType.UInt8
+      case ('u', "2") => ZarrType.UInt16
+      case ('u', "4") => ZarrType.UInt32
+      case ('u', "8") => ZarrType.UInt64
+      case ('f', "4") => ZarrType.Float32
+      case ('f', "8") => ZarrType.Float64
+      case _ =>
+        throw new ZarrException(s"Unsupported v2 dtype '$ts' for $ctx")
+    }
+    (t, big)
   }
 
   /** Mark an array's metadata as manifest-keyed: add the

@@ -31,23 +31,26 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     f
   }
 
-  /** Array names directly under the root that carry a `zarr.json`
-    * (mirrors schema-inference listing, `config.rs:201-258`). Sorted for a
-    * deterministic schema. */
+  /** Array names directly under the root that carry a `zarr.json` (v3)
+    * or `.zarray` (v2) document (mirrors schema-inference listing,
+    * `config.rs:201-258`; the reference's `zarrs` opener likewise falls
+    * back from v3 to v2 metadata). Sorted for a deterministic schema. */
   def listArrays(): Seq[String] = {
     if (!fs.exists(rootPath)) throw new ZarrException(s"No such store: $root")
     val arrays = fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(n => fs.exists(new Path(rootPath, s"$n/zarr.json")))
+      .filter(n => fs.exists(new Path(rootPath, s"$n/zarr.json")) ||
+        fs.exists(new Path(rootPath, s"$n/.zarray")))
       .sorted
     if (arrays.isEmpty)
-      throw new ZarrException(s"No Zarr v3 arrays found under store: $root")
+      throw new ZarrException(s"No Zarr arrays found under store: $root")
     arrays
   }
 
   def readMeta(arrayName: String): ZarrArrayMeta = {
-    val p = new Path(rootPath, s"$arrayName/zarr.json")
+    val v3 = new Path(rootPath, s"$arrayName/zarr.json")
+    val p = if (fs.exists(v3)) v3 else new Path(rootPath, s"$arrayName/.zarray")
     val in = fs.open(p)
     try ZarrMeta.parse(arrayName, new String(in.readAllBytes(), StandardCharsets.UTF_8))
     finally in.close()
@@ -134,6 +137,16 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
         case metas if metas.nonEmpty =>
           Some((metas.sortBy(_.name), ChunkManifest.parse(doc)))
         case _ => None
+      }
+    }.orElse {
+      // Zarr v2 consolidated metadata (one-GET inference for v2 stores;
+      // v2 has no chunk manifest — canonical keys only)
+      readText(".zmetadata").flatMap { doc =>
+        ZarrMeta.parseV2Consolidated(doc) match {
+          case metas if metas.nonEmpty =>
+            Some((metas.sortBy(_.name), ChunkManifest.empty))
+          case _ => None
+        }
       }
     }
 
