@@ -133,6 +133,19 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(e).exists(_.contains("v2")), s"got: ${messages(e)}")
   }
 
+  test("ZarrMaintenance.compact migrates a v2 store to a v3 store, value-identical") {
+    // the documented v2 upgrade path: scan the v2 store, write a fresh
+    // v3 (sharded, stats-sidecar) store — no in-place mutation
+    val dst = java.nio.file.Files.createTempDirectory("v2mig").toString + "/migrated"
+    ZarrMaintenance.compact(spark, store1d, dst, chunkSize = 8, innerChunkSize = 4)
+    val src = spark.read.format("zarr").load(store1d)
+      .select("flag", "id64", "u8").orderBy("id64").collect()
+    val mig = spark.read.format("zarr").load(dst)
+      .select("flag", "id64", "u8").orderBy("id64").collect()
+    assert(src.toSeq == mig.toSeq)
+    assert(ZarrStore(dst).readMeta("id64").formatVersion == 3)
+  }
+
   test("Zlib codec: roundtrip and interop with an independent zlib stream") {
     val data = Array.tabulate[Byte](10000)(i => (i * 31 % 251).toByte)
     val z = Codecs.Zlib(6)
