@@ -158,11 +158,17 @@ object ZarrMeta {
     val md = root.path("metadata")
     if (!md.isObject) return Seq.empty
     import scala.jdk.CollectionConverters._
-    md.fields().asScala.toSeq.collect {
+    val entries = md.fields().asScala.toSeq
+    val attrsByName = entries.collect {
+      case e if e.getKey.endsWith("/.zattrs") =>
+        e.getKey.dropRight("/.zattrs".length) -> mapper.writeValueAsString(e.getValue)
+    }.toMap
+    entries.collect {
       case e if e.getKey.endsWith("/.zarray") &&
         !e.getKey.dropRight("/.zarray".length).contains("/") =>
-        parseV2(e.getKey.dropRight("/.zarray".length),
-          mapper.writeValueAsString(e.getValue))
+        val name = e.getKey.dropRight("/.zarray".length)
+        parseV2(name, mergeV2Attrs(
+          mapper.writeValueAsString(e.getValue), attrsByName.get(name)))
     }
   }
 
@@ -320,9 +326,37 @@ object ZarrMeta {
     val codecs = specs.result()
     Codecs.validate(codecs, shape.length, s"array $arrayName (v2)")
 
+    // xarray convention: dimension names live in the `.zattrs` sidecar
+    // as `_ARRAY_DIMENSIONS` (v2 has no dimension_names field). The
+    // store layer merges `.zattrs` into this doc under "attributes"
+    // ([[mergeV2Attrs]]) so ONE document round-trips to executors.
+    // This is what makes coordinate broadcast work on xarray v2 stores
+    // (the reference gets the same names from `zarrs`' v2→v3 metadata
+    // conversion of that attribute).
+    val dims = {
+      val dn = root.path("attributes").path("_ARRAY_DIMENSIONS")
+      if (dn.isArray && dn.size() == shape.length)
+        Some(iter(dn).map(_.asText()).toSeq)
+      else None
+    }
+
     ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs,
-      dimensionNames = None, sourceJson = json, formatVersion = 2)
+      dimensionNames = dims, sourceJson = json, formatVersion = 2)
   }
+
+  /** Embed a v2 `.zattrs` document into its `.zarray` doc under
+    * "attributes" (a field v2 `.zarray` never carries, so the merge is
+    * unambiguous). No-op when attrs are absent/unparseable. */
+  def mergeV2Attrs(zarrayJson: String, zattrs: Option[String]): String =
+    zattrs.fold(zarrayJson) { attrs =>
+      try {
+        val root = mapper.readTree(zarrayJson)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val a = mapper.readTree(attrs)
+        if (a.isObject) root.set[JsonNode]("attributes", a)
+        mapper.writeValueAsString(root)
+      } catch { case scala.util.control.NonFatal(_) => zarrayJson }
+    }
 
   /** numpy typestr → (ZarrType, bigEndian). `|` (byte-order-less) is
     * legal only for 1-byte types. */

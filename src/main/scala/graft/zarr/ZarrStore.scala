@@ -50,10 +50,19 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
 
   def readMeta(arrayName: String): ZarrArrayMeta = {
     val v3 = new Path(rootPath, s"$arrayName/zarr.json")
-    val p = if (fs.exists(v3)) v3 else new Path(rootPath, s"$arrayName/.zarray")
-    val in = fs.open(p)
-    try ZarrMeta.parse(arrayName, new String(in.readAllBytes(), StandardCharsets.UTF_8))
-    finally in.close()
+    if (fs.exists(v3)) {
+      val in = fs.open(v3)
+      try ZarrMeta.parse(arrayName, new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    } else {
+      val in = fs.open(new Path(rootPath, s"$arrayName/.zarray"))
+      val zarray = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      // xarray keeps dimension names in `.zattrs`; merge so ONE document
+      // carries everything to executors (ZarrMeta.mergeV2Attrs)
+      ZarrMeta.parse(arrayName,
+        ZarrMeta.mergeV2Attrs(zarray, readText(s"$arrayName/.zattrs")))
+    }
   }
 
   /** Raw chunk object bytes, or None when absent (absent != error:

@@ -133,6 +133,26 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(e).exists(_.contains("v2")), s"got: ${messages(e)}")
   }
 
+  test("xarray-style v2 store: _ARRAY_DIMENSIONS drives coordinate broadcast") {
+    // the reference's flagship shape (lat/lon coords against 2-D data),
+    // as xarray writes it in v2: dimension names live in .zattrs
+    val latlon = new java.io.File("src/test/resources/zarr_v2_latlon").getAbsolutePath
+    val rows = spark.read.format("zarr").load(latlon)
+      .select("lat", "lon", "data").collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      val i = (v / 10).toInt
+      val j = (v % 10).toInt
+      assert(r.getDouble(0) == 38.0 + 0.5 * i, s"lat for data=$v")
+      assert(r.getDouble(1) == -117.0 + 0.25 * j, s"lon for data=$v")
+    }
+    // predicate over a broadcast coordinate behaves like the v3 flagship
+    val n = spark.read.format("zarr").load(latlon)
+      .where("lat >= 39.0 AND lon < -116.5").count()
+    assert(n == 2 * 2) // i in {2,3}, j in {0,1}
+  }
+
   test("ZarrMaintenance.compact migrates a v2 store to a v3 store, value-identical") {
     // the documented v2 upgrade path: scan the v2 store, write a fresh
     // v3 (sharded, stats-sidecar) store — no in-place mutation

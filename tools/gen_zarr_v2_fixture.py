@@ -57,7 +57,7 @@ def chunk_bytes(values_2d, chunk_shape, ci, cj, shape, fmt, order, fill):
 
 
 def write_array_2d(root, name, values, dtype, fmt, compressor, order,
-                   fill_json, fill_pad, shape, chunks, skip=()):
+                   fill_json, fill_pad, shape, chunks, skip=(), dims=None):
     d = os.path.join(root, name)
     os.makedirs(d)
     meta = {
@@ -72,6 +72,9 @@ def write_array_2d(root, name, values, dtype, fmt, compressor, order,
     }
     with open(os.path.join(d, ".zarray"), "w") as f:
         json.dump(meta, f)
+    if dims:
+        with open(os.path.join(d, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": dims}, f)
     n_ci = (shape[0] + chunks[0] - 1) // chunks[0]
     n_cj = (shape[1] + chunks[1] - 1) // chunks[1]
     for ci in range(n_ci):
@@ -87,7 +90,7 @@ def write_array_2d(root, name, values, dtype, fmt, compressor, order,
 
 
 def write_array_1d(root, name, values, dtype, fmt, compressor, fill_json,
-                   fill_pad, n, chunk, sep="."):
+                   fill_pad, n, chunk, sep=".", dims=None):
     d = os.path.join(root, name)
     os.makedirs(d)
     meta = {
@@ -104,6 +107,9 @@ def write_array_1d(root, name, values, dtype, fmt, compressor, fill_json,
         meta["dimension_separator"] = sep
     with open(os.path.join(d, ".zarray"), "w") as f:
         json.dump(meta, f)
+    if dims:
+        with open(os.path.join(d, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": dims}, f)
     for ci in range((n + chunk - 1) // chunk):
         vals = [values[ci * chunk + i] if ci * chunk + i < n else fill_pad
                 for i in range(chunk)]
@@ -163,8 +169,26 @@ def main():
     with open(os.path.join(root1, ".zmetadata"), "w") as f:
         json.dump(consolidated, f)
 
+    # ---- store 3: xarray-style lat/lon with _ARRAY_DIMENSIONS coords ----
+    root2 = os.path.join(RES, "zarr_v2_latlon")
+    shutil.rmtree(root2, ignore_errors=True)
+    os.makedirs(root2)
+    with open(os.path.join(root2, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    nlat, nlon = 4, 6
+    data = [[10.0 * i + j for j in range(nlon)] for i in range(nlat)]
+    lat = [38.0 + 0.5 * i for i in range(nlat)]
+    lon = [-117.0 + 0.25 * j for j in range(nlon)]
+    write_array_2d(root2, "data", data, "<f8", "<%dd", zlib6, "C",
+                   0.0, 0.0, (nlat, nlon), (2, 3), dims=["lat", "lon"])
+    write_array_1d(root2, "lat", lat, "<f8", "<%dd", None, 0.0, 0.0,
+                   nlat, 2, dims=["lat"])
+    write_array_1d(root2, "lon", lon, "<f8", "<%dd", None, 0.0, 0.0,
+                   nlon, 3, dims=["lon"])
+
     print("wrote", root)
     print("wrote", root1)
+    print("wrote", root2)
 
 
 if __name__ == "__main__":
