@@ -29,5 +29,11 @@ assert back.groupBy().sum("x").collect()[0][0] == 2475.0, "sum"
 spark.sql("CREATE OR REPLACE TEMPORARY VIEW pz USING zarr OPTIONS (path '/tmp/pyzarr-store')")
 assert spark.sql("SELECT count(*) FROM pz WHERE id >= 90").collect()[0][0] == 10, "DDL filter"
 
+# Zarr v2 (independent .zarray fixture) through the same Python surface,
+# including xarray _ARRAY_DIMENSIONS coordinate broadcast
+v2 = spark.read.format("zarr").load(os.path.abspath("src/test/resources/zarr_v2_latlon"))
+assert v2.count() == 24, "v2 row count"
+assert v2.where("lat >= 39.0 AND lon < -116.5").count() == 4, "v2 coord filter"
+
 spark.stop()
 print("PYTHON SURFACE OK")
