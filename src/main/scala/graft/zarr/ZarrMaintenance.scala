@@ -100,4 +100,88 @@ object ZarrMaintenance {
 
   def countChunkObjects(path: String): Long =
     countChunkObjects(path, new Configuration())
+
+  /** Backfill the chunk-stats sidecar for an existing 1-D (tabular)
+    * store this engine did NOT write — a Zarr v2 store, a foreign v3
+    * store, or a store whose sidecar was lost. The engine's own writer
+    * emits stats at write time; everything else arrives sidecar-less,
+    * which silently degrades scans to decode-and-test exactly where a
+    * big store needs chunk skipping most. The ANALYZE of this engine.
+    *
+    * One distributed pass: each task decodes a CONTIGUOUS ordinal range
+    * of every column's chunks (`spark.range` partitions are contiguous),
+    * records per-chunk min/max bounds (+ integral sums), and writes ONE
+    * committed segment document covering its range — the same layout
+    * the write path stages, so after analyze the chunk-skip scan,
+    * metadata-only COUNT/MIN/MAX/SUM pushdown and CBO column statistics
+    * work exactly as on engine-written stores. Existing segments are
+    * purged first (re-analyze refreshes a stale sidecar).
+    *
+    * Returns the number of chunks analyzed. Manifest-keyed stores
+    * (staged engine commits whose sidecar was since lost) resolve
+    * chunk keys through the root-doc manifest, exactly as the scan
+    * does. Refuses sharded arrays (shard decode lives in the scan
+    * pipeline, and sharded stores are engine-written). */
+  def analyze(spark: SparkSession, path: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val hadoopPairs = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, hadoopPairs)
+    val metas = store.listArrays().map(store.readMeta).sortBy(_.name)
+    metas.foreach { m =>
+      if (m.ndim != 1)
+        throw new ZarrException(
+          s"analyze: array ${m.name} is ${m.ndim}-D; stats segments " +
+            "describe the 1-D tabular layout only")
+      if (m.shardingSpec.isDefined)
+        throw new ZarrException(
+          s"analyze: array ${m.name} is sharded — sharded stores are " +
+            "engine-written and carry write-time stats")
+    }
+    val manifestParts = store.readChunkManifest().parts
+    val n0 = metas.head.shape(0)
+    val cs0 = metas.head.chunkShape(0)
+    metas.foreach { m =>
+      if (m.shape(0) != n0 || m.chunkShape(0) != cs0)
+        throw new ZarrException(
+          s"analyze: array ${m.name} grid (${m.shape(0)}/${m.chunkShape(0)}) " +
+            s"differs from ${metas.head.name} ($n0/$cs0); segment ordinals " +
+            "require congruent grids")
+    }
+    val numChunks = (n0 + cs0 - 1) / cs0
+    store.cleanStatsSegmentsFrom(0L)
+    val metaJsons = metas.map(m => m.name -> m.sourceJson)
+    import spark.implicits._
+    spark.range(0, numChunks) // partitions are contiguous ordinal ranges
+      .mapPartitions { it =>
+        val ords = it.toArray
+        if (ords.isEmpty) Iterator.empty
+        else {
+          val st = ZarrStore(path, hadoopPairs)
+          val mani = ChunkManifest(manifestParts)
+          val ms = metaJsons.map { case (nm, j) => ZarrMeta.parse(nm, j) }
+          val cols = ms.map { m =>
+            val bounds = Vector.newBuilder[Option[ChunkStats.Bound]]
+            val sums = Vector.newBuilder[Option[Long]]
+            ords.foreach { ord =>
+              val idx = Array(ord.toInt)
+              val key =
+                if (mani.isEmpty) m.chunkKey(idx)
+                else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+              val col = ChunkColumn.decode(m, st.readChunk(m.name, key))
+              val extent = m.chunkExtent(idx)(0)
+              val vals = (0 until extent).map(col.get)
+              bounds += ChunkStats.minMaxBound(m.dataType, vals)
+              sums += ChunkStats.chunkSum(m.dataType, vals)
+            }
+            (m.name, m.dataType, bounds.result(), sums.result())
+          }
+          st.writeText(
+            ChunkStats.segmentKey(ords.head, ords.length),
+            ChunkStats.encodeBounds(cols))
+          Iterator.single(ords.length.toLong)
+        }
+      }.reduce(_ + _)
+  }
 }
