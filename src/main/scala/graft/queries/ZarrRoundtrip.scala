@@ -84,5 +84,34 @@ object ZarrRoundtrip {
           min(md5(col("text"))).as("text_md5_min"),
           max(md5(col("text"))).as("text_md5_max"))
         .orderBy("lang", "source")
+    },
+
+    // ---- q115: the Zarr V2 read path inside the oracle gate. The v2
+    //      fixture (written by an INDEPENDENT stdlib-only Python
+    //      implementation of the v2 spec — tools/gen_zarr_v2_fixture.py)
+    //      holds closed-form content: data[i][j] = 10i + j with xarray
+    //      _ARRAY_DIMENSIONS coordinates lat = 38 + 0.5i,
+    //      lon = −117 + 0.25j. The query reads it through the DSv2 scan
+    //      (v2 .zarray translation, zlib chunks, coordinate broadcast)
+    //      and the DuckDB oracle states the same closed forms — so a v2
+    //      decode defect (wrong chunk key, bad endianness, broken
+    //      broadcast) breaks the hash, not just a spec. All constants
+    //      (0.5, 0.25) are binary-exact, so both engines produce
+    //      identical doubles. Fixed 24 rows at every SF (the fixture
+    //      certifies the FORMAT; scaling is q99's job). ----
+    QueryDef.sql(
+      "q115_zarr_v2_read",
+      """SELECT (38.0 + 0.5 * i)::DOUBLE AS lat, (-117.0 + 0.25 * j)::DOUBLE AS lon,
+        |  (10.0 * i + j)::DOUBLE AS data
+        |FROM range(0, 4) t1(i), range(0, 6) t2(j)
+        |ORDER BY data""".stripMargin) { (s, dir) =>
+      val fixture = {
+        val rel = new java.io.File("src/test/resources/zarr_v2_latlon")
+        if (rel.isDirectory) rel.getAbsolutePath
+        else "/root/repo/src/test/resources/zarr_v2_latlon"
+      }
+      s.read.format("zarr").load(fixture)
+        .select(col("lat"), col("lon"), col("data"))
+        .orderBy("data")
     })
 }
