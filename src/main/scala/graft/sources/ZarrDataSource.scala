@@ -448,8 +448,16 @@ class ZarrScan(
       try math.max(2 * SparkSession.active.sparkContext.defaultParallelism, 1)
       catch { case _: Throwable => 32 }
     val n = math.max(1, math.min(total, requested.getOrElse(default).toLong).toInt)
+    // runtime filters (delivered via filter() between the factory-built
+    // planning pass and THIS post-filter re-plan) ride on the partitions,
+    // with one driver-side stats-sidecar LIST so readers can chunk-skip
+    // on them with zero extra metadata round-trips
+    val rt = runtimeFilters.toSeq
+    val rtSegs =
+      if (rt.isEmpty) Nil
+      else try store.listStatsSegments() catch { case _: Throwable => Nil }
     geometry.partitionRanges(n)
-      .map { case (lo, hi) => ZarrInputPartition(lo, hi): InputPartition }
+      .map { case (lo, hi) => ZarrInputPartition(lo, hi, rt, rtSegs): InputPartition }
       .toArray
   }
 
@@ -549,4 +557,12 @@ class ZarrScan(
   }
 }
 
-final case class ZarrInputPartition(lo: Long, hi: Long) extends InputPartition
+/** A contiguous chunk-ordinal range, plus any runtime (join-derived)
+  * filters. Runtime filters travel on the partition because Spark may
+  * build the reader factory BEFORE `SupportsRuntimeFiltering.filter`
+  * fires, but re-plans partitions after it — `rtSegIndex` carries the
+  * matching driver-side stats-segment listing for the same reason. */
+final case class ZarrInputPartition(
+    lo: Long, hi: Long,
+    runtimeFilters: Seq[Filter] = Nil,
+    rtSegIndex: Seq[(Long, Int)] = Nil) extends InputPartition

@@ -66,17 +66,26 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
 
   private val metas: Seq[ZarrArrayMeta] =
     f.metaJsons.map { case (n, j) => ZarrMeta.parse(n, j) }
+
+  /** Static pushed filters plus runtime (join-derived) filters. Runtime
+    * filters ride on the PARTITION, not the factory: Spark may build the
+    * reader factory before `SupportsRuntimeFiltering.filter` is invoked,
+    * but it always re-plans input partitions afterwards — so the
+    * partition is the only handoff that reliably sees them. */
+  private val filters: Seq[Filter] = f.filters ++ part.runtimeFilters
+  private val segIndex: Seq[(Long, Int)] =
+    if (f.statsSegmentIndex.nonEmpty) f.statsSegmentIndex else part.rtSegIndex
   private val geometry = ScanGeometry.resolve(metas)
   private val roleOf: Map[String, ColumnRole] =
     metas.map(_.name).zip(geometry.roles).toMap
 
   private val predicateNames: Seq[String] =
-    f.filters.flatMap(ChunkFilter.references).distinct.filter(roleOf.contains)
+    filters.flatMap(ChunkFilter.references).distinct.filter(roleOf.contains)
   private val nonPredicateOutput: Seq[String] =
     f.outputNames.filterNot(predicateNames.contains)
   /** Names to fetch in phase 1 (predicate) and phase 2 (rest). */
-  private val phase1 = if (f.filters.nonEmpty) predicateNames else f.outputNames
-  private val phase2 = if (f.filters.nonEmpty) nonPredicateOutput else Seq.empty
+  private val phase1 = if (filters.nonEmpty) predicateNames else f.outputNames
+  private val phase2 = if (filters.nonEmpty) nonPredicateOutput else Seq.empty
 
   // coordinate chunks are tiny and shared across target chunks → cache
   private val coordCache = new java.util.HashMap[String, ChunkColumn]()
@@ -97,10 +106,10 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * indices, so they only apply to 1-D scan grids (the shape every
     * DSv2-written store has). */
   private val statsSegments: Seq[ChunkStats.Segment] =
-    if (f.filters.isEmpty || f.statsSegmentIndex.isEmpty || geometry.ndim != 1) Seq.empty
+    if (filters.isEmpty || segIndex.isEmpty || geometry.ndim != 1) Seq.empty
     else {
       val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
-      f.statsSegmentIndex
+      segIndex
         .filter { case (first, n) => first < part.hi && first + n > part.lo }
         .flatMap { case (first, n) =>
           // the sidecar is auxiliary: a corrupt/unreadable segment must
@@ -115,7 +124,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * satisfy the pushed filters. */
   private def statsSkip(o: Long): Boolean =
     statsSegments.exists(seg => seg.contains(o) &&
-      !ChunkStats.mayMatch(f.filters, col => seg.range(col, o)))
+      !ChunkStats.mayMatch(filters, col => seg.range(col, o)))
 
   /** Sliding prefetch window: up to [[prefetchDepth]] chunks' phase-1
     * bytes are in flight at once (the reference pipelines exactly one
@@ -268,8 +277,8 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
           n -> (decoded(n, idx, raw1), ChunkColumn.mapping(role, geometry.targetChunk, extent))
         }.toMap
 
-      val passes = f.filters.isEmpty ||
-        ChunkFilter.anyRowMatches(f.filters, phase1Cols, nRows)
+      val passes = filters.isEmpty ||
+        ChunkFilter.anyRowMatches(filters, phase1Cols, nRows)
       if (passes) {
         val phase2Cols: Map[String, (ChunkColumn, Array[Int])] =
           if (phase2.isEmpty) Map.empty
