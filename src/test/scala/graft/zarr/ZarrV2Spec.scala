@@ -166,6 +166,34 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZarrStore(dst).readMeta("id64").formatVersion == 3)
   }
 
+  test("v2 numcodecs-blosc metadata maps onto the c-blosc container decode") {
+    // numcodecs stores shuffle as an int (0/1/2) and writes the same
+    // c-blosc container the v3 codec decodes (independently pinned
+    // against a reference decoder in CodecsSpec); this test pins the v2
+    // METADATA mapping: cname/clevel/int-shuffle -> the Blosc codec
+    val dir = java.nio.file.Files.createTempDirectory("v2blosc")
+    val arr = dir.resolve("x")
+    java.nio.file.Files.createDirectories(arr)
+    java.nio.file.Files.write(arr.resolve(".zarray"),
+      """{"zarr_format":2,"shape":[10],"chunks":[4],"dtype":"<i8",
+        |"compressor":{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0},
+        |"fill_value":0,"order":"C","filters":null}""".stripMargin.getBytes("UTF-8"))
+    val blosc = Codecs.Blosc(cname = "lz4", clevel = 5,
+      shuffle = Codecs.Blosc.SHUFFLE, typesize = 8)
+    def chunk(vals: Seq[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putLong)
+      blosc.encode(bb.array())
+    }
+    java.nio.file.Files.write(arr.resolve("0"), chunk((0L until 4L).map(_ * 11)))
+    java.nio.file.Files.write(arr.resolve("1"), chunk((4L until 8L).map(_ * 11)))
+    java.nio.file.Files.write(arr.resolve("2"), chunk(Seq(88L, 99L, 0L, 0L)))
+    val got = spark.read.format("zarr").load(dir.toString)
+      .orderBy("x").collect().map(_.getLong(0))
+    assert(got.toSeq == (0L until 8L).map(_ * 11) ++ Seq(88L, 99L))
+  }
+
   test("Zlib codec: roundtrip and interop with an independent zlib stream") {
     val data = Array.tabulate[Byte](10000)(i => (i * 31 % 251).toByte)
     val z = Codecs.Zlib(6)
