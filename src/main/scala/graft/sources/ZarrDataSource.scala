@@ -457,7 +457,13 @@ class ZarrScan(
       if (rt.isEmpty) Nil
       else try store.listStatsSegments() catch { case _: Throwable => Nil }
     geometry.partitionRanges(n)
-      .map { case (lo, hi) => ZarrInputPartition(lo, hi, rt, rtSegs): InputPartition }
+      .map { case (lo, hi) =>
+        // each partition carries ONLY its overlapping slice of the
+        // segment index — the full index duplicated across thousands of
+        // serialized partitions would dominate task-binary size
+        val mySegs = rtSegs.filter { case (first, c) => first < hi && first + c > lo }
+        ZarrInputPartition(lo, hi, rt, mySegs): InputPartition
+      }
       .toArray
   }
 

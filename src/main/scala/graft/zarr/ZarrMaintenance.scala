@@ -161,26 +161,35 @@ object ZarrMaintenance {
           val st = ZarrStore(path, hadoopPairs)
           val mani = ChunkManifest(manifestParts)
           val ms = metaJsons.map { case (nm, j) => ZarrMeta.parse(nm, j) }
-          val cols = ms.map { m =>
-            val bounds = Vector.newBuilder[Option[ChunkStats.Bound]]
-            val sums = Vector.newBuilder[Option[Long]]
-            ords.foreach { ord =>
-              val idx = Array(ord.toInt)
-              val key =
-                if (mani.isEmpty) m.chunkKey(idx)
-                else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-              val col = ChunkColumn.decode(m, st.readChunk(m.name, key))
-              val extent = m.chunkExtent(idx)(0)
-              val vals = (0 until extent).map(col.get)
-              bounds += ChunkStats.minMaxBound(m.dataType, vals)
-              sums += ChunkStats.chunkSum(m.dataType, vals)
+          // bound each segment DOCUMENT: a reader GETs whole overlapping
+          // segments, so one giant per-task segment (1M chunks / few
+          // tasks) would turn every scan task's metadata read into
+          // megabytes — cap matches the write path's task-sized docs
+          val maxSegChunks = 4096
+          var written = 0L
+          ords.grouped(maxSegChunks).foreach { seg =>
+            val cols = ms.map { m =>
+              val bounds = Vector.newBuilder[Option[ChunkStats.Bound]]
+              val sums = Vector.newBuilder[Option[Long]]
+              seg.foreach { ord =>
+                val idx = Array(ord.toInt)
+                val key =
+                  if (mani.isEmpty) m.chunkKey(idx)
+                  else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                val col = ChunkColumn.decode(m, st.readChunk(m.name, key))
+                val extent = m.chunkExtent(idx)(0)
+                val vals = (0 until extent).map(col.get)
+                bounds += ChunkStats.minMaxBound(m.dataType, vals)
+                sums += ChunkStats.chunkSum(m.dataType, vals)
+              }
+              (m.name, m.dataType, bounds.result(), sums.result())
             }
-            (m.name, m.dataType, bounds.result(), sums.result())
+            st.writeText(
+              ChunkStats.segmentKey(seg.head, seg.length),
+              ChunkStats.encodeBounds(cols))
+            written += seg.length
           }
-          st.writeText(
-            ChunkStats.segmentKey(ords.head, ords.length),
-            ChunkStats.encodeBounds(cols))
-          Iterator.single(ords.length.toLong)
+          Iterator.single(written)
         }
       }.reduce(_ + _)
   }
