@@ -392,5 +392,51 @@ object TextOps {
         .agg(count(lit(1)).as("freq"))
         .where(col("freq") > n / 64)
         .orderBy(col("freq").desc, col("word"))
+    },
+
+    // ---- per-GROUP heavy hitters: q104's sketch-then-verify recipe run
+    //      per source ("the dominant tokens of each domain") — and the
+    //      grouped exercise of the Misra-Gries aggregate, whose partial
+    //      states now merge per GROUP KEY across partitions (a different
+    //      merge path than q104's single global group). Fully
+    //      distributed, no driver sync at all: pass 1's per-source
+    //      candidate summaries (≤ k words each) explode into a
+    //      (source, word) candidate table that is BROADCAST back onto
+    //      the token stream, so pass 2's exact count shuffles only
+    //      candidate-matching tokens. MG guarantee per group: any word
+    //      with freq > n/(k+1) is in its group's summary, and the
+    //      threshold n div 32 > n/33, so the exact output is complete.
+    //      100 TB shape: state is |sources|·k counters, the candidate
+    //      broadcast is |sources|·k rows, and the full per-source
+    //      vocabulary is never shuffled. ----
+    QueryDef.sql(
+      "q116_heavy_hitters_by_source",
+      """WITH w AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')), ' '),
+        |    x -> x != '')) AS word
+        |  FROM documents
+        |), t AS (SELECT source AS tsource, count(*) AS n FROM w GROUP BY source)
+        |SELECT w.source, word, count(*) AS freq
+        |FROM w JOIN t ON w.source = t.tsource
+        |GROUP BY w.source, word, n HAVING count(*) > n // 32
+        |ORDER BY source, freq DESC, word""".stripMargin) { (s, dir) =>
+      graft.functions.VectorFunctions.register(s)
+      val words = graft.CacheRegistry.track(
+        docs(s, dir)
+          .select(col("source"),
+            explode(split(lower(regexp_replace(col("text"), "[^A-Za-z]+", " ")), " "))
+              .as("word"))
+          .where(col("word") =!= "")
+          .persist())
+      val cand = words.groupBy(col("source"))
+        .agg(expr("mg_heavy(word, 32)").as("cands"), count(lit(1)).as("n"))
+        .select(col("source"), col("n"), explode(col("cands")).as("word"))
+      words.join(broadcast(cand), Seq("source", "word"))
+        .groupBy(col("source"), col("word"), col("n"))
+        .agg(count(lit(1)).as("freq"))
+        .where(col("freq") > expr("n div 32"))
+        .select(col("source"), col("word"), col("freq"))
+        .orderBy(col("source"), col("freq").desc, col("word"))
     })
 }
