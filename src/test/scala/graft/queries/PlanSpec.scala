@@ -344,6 +344,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange".r.findAllIn(p).length <= 4, p)
   }
 
+  test("q116: grouped heavy hitters broadcast the candidate table — vocabulary never shuffle-joined") {
+    val p = plan("q116_heavy_hitters_by_source")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate filter must be a broadcast join onto the token stream\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the token stream must never be shuffled by a join\n$p")
+    assert(p.contains("mg_heavy") && p.contains("partial_"),
+      s"pass 1 must be the map-side-combined MG aggregate\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // AQE finalizes codegen stages only on execution
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
