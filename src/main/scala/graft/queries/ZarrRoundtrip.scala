@@ -105,13 +105,62 @@ object ZarrRoundtrip {
         |  (10.0 * i + j)::DOUBLE AS data
         |FROM range(0, 4) t1(i), range(0, 6) t2(j)
         |ORDER BY data""".stripMargin) { (s, dir) =>
-      val fixture = {
-        val rel = new java.io.File("src/test/resources/zarr_v2_latlon")
-        if (rel.isDirectory) rel.getAbsolutePath
-        else "/root/repo/src/test/resources/zarr_v2_latlon"
-      }
-      s.read.format("zarr").load(fixture)
+      s.read.format("zarr").load(fixturePath("zarr_v2_latlon"))
         .select(col("lat"), col("lon"), col("data"))
         .orderBy("data")
+    },
+
+    // ---- q117: Zarr v2 STRING dtypes and numcodecs FILTER stacks
+    //      through the oracle gate. The fixture store (same independent
+    //      stdlib-only generator as q115) carries every v2 text/filter
+    //      shape the reference reads transparently via zarrs' v2
+    //      fallback: |O + vlen-utf8 object codec (one chunk ABSENT →
+    //      fill ''), |S4 NUL-padded bytes, <U5 / >U3 UCS-4 both byte
+    //      orders, delta-filtered int32/float64, and a two-filter
+    //      delta+shuffle int64 stack under zlib. The oracle states the
+    //      closed-form content as literals; any decode defect (wrong
+    //      unshuffle order, UCS-4 endianness, padding strip, cumsum
+    //      wrap) breaks the row hash. Fixed 11 rows at every SF — the
+    //      fixture certifies the FORMAT; scaling is q99's job. ----
+    QueryDef.sql(
+      "q117_zarr_v2_typed",
+      """SELECT * FROM (VALUES
+        |  ('',        'AA',   'αβ',    'ab',  1000::INT, 0.0::DOUBLE,  1000000000::BIGINT),
+        |  ('néé',     'BBB',  'übèr',  'ω',   1007::INT, -2.5::DOUBLE, 1000000017::BIGINT),
+        |  ('doc-2',   'C',    'ζ',     'xyz', 995::INT,  -4.0::DOUBLE, 1000000068::BIGINT),
+        |  ('αβγ',     'DDDD', 'north', 't',   1020::INT, -4.5::DOUBLE, 1000000153::BIGINT),
+        |  ('doc-4',   'E',    'süd',   'ββ',  1020::INT, -4.0::DOUBLE, 1000000272::BIGINT),
+        |  ('xxxxxxx', 'FF',   'ωμέγα', 'qq',  980::INT,  -2.5::DOUBLE, 1000000425::BIGINT),
+        |  ('doc-6',   'GGG',  'east',  'r',   1001::INT, 0.0::DOUBLE,  1000000612::BIGINT),
+        |  ('doc-7',   'H',    'wést',  'sss', 1002::INT, 3.5::DOUBLE,  1000000833::BIGINT),
+        |  ('',        'II',   'ñ',     'tt',  999::INT,  8.0::DOUBLE,  1000001088::BIGINT),
+        |  ('',        'JJJ',  'δέλτα', 'u',   1050::INT, 13.5::DOUBLE, 1000001377::BIGINT),
+        |  ('',        'K',    'x',     'vvv', 1049::INT, 20.0::DOUBLE, 1000001700::BIGINT)
+        |) t(label, code, uname, tag, dv, dd, ds)
+        |ORDER BY ds""".stripMargin) { (s, dir) =>
+      s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
+        .select(col("label"), col("code"), col("uname"), col("tag"),
+          col("dv"), col("dd"), col("ds"))
+        .orderBy("ds")
     })
+
+  /** Locate a checked-in fixture store without assuming a container
+    * path: explicit override (`-Dgraft.fixture.dir` / `GRAFT_FIXTURE_DIR`)
+    * → repo-root-relative cwd → the test-resources classpath. */
+  private def fixturePath(name: String): String = {
+    val explicit = Seq(
+      sys.props.get("graft.fixture.dir"),
+      sys.env.get("GRAFT_FIXTURE_DIR"))
+      .flatten.map(d => new java.io.File(d, name))
+    val candidates = explicit :+ new java.io.File(s"src/test/resources/$name")
+    candidates.find(_.isDirectory).map(_.getAbsolutePath).getOrElse {
+      val url = Thread.currentThread().getContextClassLoader.getResource(name)
+      if (url != null && url.getProtocol == "file")
+        new java.io.File(url.toURI).getAbsolutePath
+      else
+        throw new IllegalStateException(
+          s"Zarr v2 fixture '$name' not found: set -Dgraft.fixture.dir " +
+            "(or GRAFT_FIXTURE_DIR) or run from the repo root")
+    }
+  }
 }

@@ -180,9 +180,15 @@ object ChunkColumn {
             // consumer (mapping, stats, columnar copy) sees C order
             val tperm = meta.transposePerm
             if (meta.dataType == ZarrType.Str) {
-              if (!Codecs.isVlenUtf8(meta.codecs))
-                throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")
-              val strs = decodeVlenUtf8(plain)
+              val strs = Codecs.fixedStrSpec(meta.codecs) match {
+                case Some((w, ucs4, big)) =>
+                  if (ucs4) decodeFixedUcs4(plain, w, big)
+                  else decodeFixedBytesStr(plain, w)
+                case None =>
+                  if (!Codecs.isVlenUtf8(meta.codecs))
+                    throw new ZarrException(s"string array ${meta.name} requires vlen-utf8 codec")
+                  decodeVlenUtf8(plain)
+              }
               new StrColumn(tperm.map(untransposeStrings(strs, _)).getOrElse(strs))
             } else {
               val ordered = tperm.map(Codecs.untransposeBytes(plain, _, ts)).getOrElse(plain)
@@ -215,6 +221,69 @@ object ChunkColumn {
       val s = new String(b, bb.position(), len, StandardCharsets.UTF_8)
       bb.position(bb.position() + len)
       out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** numpy `|S<n>` elements: n raw bytes each, NUL-padded on the right.
+    * The byte→string mapping is strict UTF-8 (ASCII-compatible) — numpy
+    * S data is raw bytes with no declared charset, and decoding them as
+    * anything lossy would be the silent-garbage class this reader
+    * refuses everywhere else. */
+  def decodeFixedBytesStr(b: Array[Byte], width: Int): Array[String] = {
+    if (width <= 0 || b.length % width != 0)
+      throw new ZarrException(
+        s"fixed-width string chunk of ${b.length} bytes is not a multiple of width $width")
+    val n = b.length / width
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      var end = (i + 1) * width
+      while (end > i * width && b(end - 1) == 0) end -= 1
+      out(i) =
+        try dec.decode(ByteBuffer.wrap(b, i * width, end - i * width)).toString
+        catch {
+          case e: java.nio.charset.CharacterCodingException =>
+            throw new ZarrException(
+              s"fixed-width S element $i is not valid UTF-8 " +
+                "(non-UTF-8 byte-string stores are not supported)", e)
+        }
+      i += 1
+    }
+    out
+  }
+
+  /** numpy `<U<n>`/`>U<n>` elements: n UCS-4 code points each (4 bytes
+    * per code point in the dtype's byte order), NUL-padded on the
+    * right. */
+  def decodeFixedUcs4(b: Array[Byte], width: Int, big: Boolean): Array[String] = {
+    val elemBytes = width * 4
+    if (width <= 0 || b.length % elemBytes != 0)
+      throw new ZarrException(
+        s"fixed-width U chunk of ${b.length} bytes is not a multiple of ${elemBytes}")
+    val bb = ByteBuffer.wrap(b)
+      .order(if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val n = b.length / elemBytes
+    val out = new Array[String](n)
+    val sb = new java.lang.StringBuilder(width + 4)
+    var i = 0
+    while (i < n) {
+      var len = width
+      while (len > 0 && bb.getInt((i * width + len - 1) * 4) == 0) len -= 1
+      sb.setLength(0)
+      var k = 0
+      while (k < len) {
+        val cp = bb.getInt((i * width + k) * 4)
+        if (cp < 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff))
+          throw new ZarrException(s"fixed-width U element $i has invalid code point $cp")
+        sb.appendCodePoint(cp)
+        k += 1
+      }
+      out(i) = sb.toString
       i += 1
     }
     out

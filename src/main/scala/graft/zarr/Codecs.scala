@@ -58,10 +58,137 @@ object Codecs {
           val n = inf.inflate(buf)
           if (n == 0 && inf.needsInput())
             throw new ZarrException("truncated zlib stream")
+          // inflate() can also return 0 without consuming input when the
+          // stream demands a preset dictionary (FDICT) or otherwise stalls;
+          // without this guard a crafted chunk spins the executor forever
+          if (n == 0 && !inf.finished())
+            throw new ZarrException(
+              if (inf.needsDictionary()) "zlib stream requires a preset dictionary (unsupported)"
+              else "zlib inflate made no progress (corrupt stream)")
           bos.write(buf, 0, n)
         }
         bos.toByteArray
       } finally inf.end()
+    }
+  }
+
+  /** numcodecs `Delta` filter (Zarr v2 `filters` stacks — the common
+    * climate/geo store filter): element i stores `raw[i] - raw[i-1]`
+    * (element 0 verbatim) in the array's own dtype; decode is the
+    * running sum. Integer widths wrap (two's complement — exactly
+    * numpy's wrapping subtract); float variants use IEEE arithmetic as
+    * numcodecs does. Operates on the STORED element order (before any
+    * Fortran-order untranspose), matching numcodecs' flatten-then-diff
+    * of the chunk buffer. */
+  final case class V2Delta(width: Int, float: Boolean, big: Boolean) extends BytesCodec {
+    private def order = if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    private def check(b: Array[Byte]): Int = {
+      if (b.length % width != 0)
+        throw new ZarrException(
+          s"delta buffer of ${b.length} bytes is not a multiple of element width $width")
+      b.length / width
+    }
+    def encode(raw: Array[Byte]): Array[Byte] = transform(raw, decodeDir = false)
+    def decode(enc: Array[Byte]): Array[Byte] = transform(enc, decodeDir = true)
+    private def transform(in: Array[Byte], decodeDir: Boolean): Array[Byte] = {
+      val n = check(in)
+      val out = new Array[Byte](in.length)
+      val ib = ByteBuffer.wrap(in).order(order)
+      val ob = ByteBuffer.wrap(out).order(order)
+      var i = 0
+      (width, float) match {
+        case (1, false) =>
+          var acc: Byte = 0
+          while (i < n) {
+            val v = ib.get(i)
+            if (decodeDir) { acc = (acc + v).toByte; ob.put(i, acc) }
+            else { ob.put(i, (v - acc).toByte); acc = v }
+            i += 1
+          }
+        case (2, false) =>
+          var acc: Short = 0
+          while (i < n) {
+            val v = ib.getShort(i * 2)
+            if (decodeDir) { acc = (acc + v).toShort; ob.putShort(i * 2, acc) }
+            else { ob.putShort(i * 2, (v - acc).toShort); acc = v }
+            i += 1
+          }
+        case (4, false) =>
+          var acc = 0
+          while (i < n) {
+            val v = ib.getInt(i * 4)
+            if (decodeDir) { acc += v; ob.putInt(i * 4, acc) }
+            else { ob.putInt(i * 4, v - acc); acc = v }
+            i += 1
+          }
+        case (8, false) =>
+          var acc = 0L
+          while (i < n) {
+            val v = ib.getLong(i * 8)
+            if (decodeDir) { acc += v; ob.putLong(i * 8, acc) }
+            else { ob.putLong(i * 8, v - acc); acc = v }
+            i += 1
+          }
+        case (4, true) =>
+          var acc = 0f
+          while (i < n) {
+            val v = ib.getFloat(i * 4)
+            if (decodeDir) { acc += v; ob.putFloat(i * 4, acc) }
+            else { ob.putFloat(i * 4, v - acc); acc = v }
+            i += 1
+          }
+        case (8, true) =>
+          var acc = 0d
+          while (i < n) {
+            val v = ib.getDouble(i * 8)
+            if (decodeDir) { acc += v; ob.putDouble(i * 8, acc) }
+            else { ob.putDouble(i * 8, v - acc); acc = v }
+            i += 1
+          }
+        case other =>
+          throw new ZarrException(s"Unsupported delta element spec $other")
+      }
+      out
+    }
+  }
+
+  /** numcodecs standalone `Shuffle` filter: byte-transpose so all 0th
+    * element bytes come first, then all 1st bytes, …; a trailing
+    * remainder shorter than one element is carried verbatim at the end
+    * (numcodecs' documented layout). Distinct from blosc's per-BLOCK
+    * internal shuffle — this one spans the whole buffer. */
+  final case class V2Shuffle(elementSize: Int) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val count = raw.length / elementSize
+      val out = new Array[Byte](raw.length)
+      var i = 0
+      while (i < count) {
+        var j = 0
+        while (j < elementSize) {
+          out(j * count + i) = raw(i * elementSize + j)
+          j += 1
+        }
+        i += 1
+      }
+      val off = count * elementSize
+      System.arraycopy(raw, off, out, off, raw.length - off)
+      out
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val count = enc.length / elementSize
+      val out = new Array[Byte](enc.length)
+      var i = 0
+      while (i < count) {
+        var j = 0
+        while (j < elementSize) {
+          out(i * elementSize + j) = enc(j * count + i)
+          j += 1
+        }
+        i += 1
+      }
+      val off = count * elementSize
+      System.arraycopy(enc, off, out, off, enc.length - off)
+      out
     }
   }
 
@@ -361,7 +488,11 @@ object Codecs {
     * codecs; we must match that loudness.) */
   val knownCodecNames: Set[String] =
     Set("bytes", "endian", "vlen-utf8", "blosc", "gzip", "zstd", "crc32c",
-      "sharding_indexed", "transpose", "zlib")
+      "sharding_indexed", "transpose", "zlib",
+      // internal names minted by the v2 metadata translation only —
+      // numcodecs filters and fixed-width string dtypes
+      // ([[ZarrMeta.parseV2]]); never valid in a v3 zarr.json
+      "v2-delta", "v2-shuffle", "v2-fixed-bytes-str", "v2-fixed-ucs4")
 
   /** Validate a codec list for an array (or shard inner chain) of rank
     * `ndim`: unknown names are hard errors, a `transpose` order must be a
@@ -487,6 +618,13 @@ object Codecs {
       case CodecSpec("zlib", cfg) =>
         Zlib(cfg.get("level").map(_.asInt(1)).getOrElse(1))
       case CodecSpec("crc32c", _) => Crc32c
+      case CodecSpec("v2-delta", cfg) =>
+        V2Delta(
+          width = cfg.get("width").map(_.asInt(0)).getOrElse(0),
+          float = cfg.get("float").exists(_.asBoolean(false)),
+          big = cfg.get("endian").exists(_.asText("little") == "big"))
+      case CodecSpec("v2-shuffle", cfg) =>
+        V2Shuffle(cfg.get("elementsize").map(_.asInt(1)).getOrElse(1))
       case CodecSpec("blosc", cfg) =>
         Blosc(
           cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4"),
@@ -511,4 +649,16 @@ object Codecs {
 
   def isVlenUtf8(specs: Seq[CodecSpec]): Boolean =
     specs.exists(_.name == "vlen-utf8")
+
+  /** Fixed-width v2 string element layout, if this codec list carries
+    * one: (width, isUcs4, bigEndian). Width is bytes/element for `S`,
+    * code points/element for `U`. */
+  def fixedStrSpec(specs: Seq[CodecSpec]): Option[(Int, Boolean, Boolean)] =
+    specs.collectFirst {
+      case CodecSpec("v2-fixed-bytes-str", cfg) =>
+        (cfg.get("width").map(_.asInt(0)).getOrElse(0), false, false)
+      case CodecSpec("v2-fixed-ucs4", cfg) =>
+        (cfg.get("width").map(_.asInt(0)).getOrElse(0), true,
+          cfg.get("endian").exists(_.asText("little") == "big"))
+    }
 }

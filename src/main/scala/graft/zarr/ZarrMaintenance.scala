@@ -151,6 +151,9 @@ object ZarrMaintenance {
     }
     val numChunks = (n0 + cs0 - 1) / cs0
     store.cleanStatsSegmentsFrom(0L)
+    // empty store (shape[0] == 0): nothing to analyze, and reduce on an
+    // empty Dataset would throw rather than return 0
+    if (numChunks == 0) return 0L
     val metaJsons = metas.map(m => m.name -> m.sourceJson)
     import spark.implicits._
     spark.range(0, numChunks) // partitions are contiguous ordinal ranges

@@ -248,13 +248,19 @@ object ZarrMeta {
     *    `blosc` (same c-blosc container the v3 codec decodes), `zlib`,
     *    `gzip`, `zstd`. `null` → uncompressed. Anything else is a hard
     *    error (the garbage-decode discipline);
-    *  - `filters` must be absent/empty — numcodecs filter stacks
-    *    (delta, fixedscaleoffset, …) are not implemented, and silently
-    *    ignoring one would decode garbage;
+    *  - `filters` → the supported numcodecs filters translate to
+    *    bytes→bytes codecs in encode order (decode reverses them after
+    *    decompression): `delta` (typed running-difference; the common
+    *    climate/geo filter) and `shuffle` (standalone byte shuffle).
+    *    `vlen-utf8` is the object codec for `|O` string arrays (the
+    *    same element layout the v3 vlen-utf8 path decodes). Any OTHER
+    *    filter id remains a hard error — silently ignoring one would
+    *    decode garbage;
+    *  - string dtypes: `|O`+vlen-utf8 → vlen strings; `|S<n>` →
+    *    fixed-width NUL-padded bytes (must be valid UTF-8 — loud error
+    *    otherwise); `<U<n>`/`>U<n>` → fixed-width NUL-padded UCS-4;
     *  - chunk keys are bare dot-separated indices (`0.0`), honoring
     *    `dimension_separator`;
-    *  - string/object dtypes (S/U/O) are rejected — v2 vlen strings
-    *    need a numcodecs object codec.
     *
     * Read-only: the writer and append/sink paths stay v3 and refuse v2
     * stores ([[graft.sources.ZarrWrite]]). */
@@ -271,12 +277,14 @@ object ZarrMeta {
     if (chunkShape.length != shape.length)
       throw new ZarrException(s"chunks rank != shape rank for $arrayName")
 
-    val (dtype, bigEndian) = v2Dtype(root.path("dtype").asText(""), arrayName)
+    val v2t = v2Dtype(root.path("dtype").asText(""), arrayName)
+    val dtype = v2t.t
+    val bigEndian = v2t.big
 
-    val filters = root.path("filters")
-    if (filters.isArray && filters.size() > 0)
-      throw new ZarrException(
-        s"Zarr v2 filters are not supported for $arrayName: ${filters.toString}")
+    val filterNodes = {
+      val f = root.path("filters")
+      if (f.isArray) iter(f).toSeq else Seq.empty[JsonNode]
+    }
 
     val sep = root.path("dimension_separator").asText(".")
     if (sep != "." && sep != "/")
@@ -289,6 +297,7 @@ object ZarrMeta {
         // type's zero (what zarr-python materializes for 0-filled reads)
         case ZarrType.Float32 => java.lang.Float.valueOf(0f)
         case ZarrType.Float64 => java.lang.Double.valueOf(0d)
+        case ZarrType.Str => "" // numpy's zero for S/U/O is the empty string
         case _ => parseFill(mapper.readTree("0"), dtype)
       }
       else parseFill(fillNode, dtype)
@@ -299,8 +308,76 @@ object ZarrMeta {
       (shape.indices.reverse).foreach(order.add)
       specs += CodecSpec("transpose", Map("order" -> order))
     }
-    specs += CodecSpec("bytes",
-      Map("endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
+    // array→bytes interpretation: endian marker for numerics, the
+    // string-element layout marker for S/U, vlen-utf8 for |O (added
+    // below when the object codec is seen in `filters`)
+    v2t.strKind match {
+      case V2StrKind.NotStr =>
+        specs += CodecSpec("bytes",
+          Map("endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
+      case V2StrKind.FixedBytes =>
+        specs += CodecSpec("v2-fixed-bytes-str",
+          Map("width" -> mapper.readTree(v2t.strWidth.toString)))
+      case V2StrKind.FixedUcs4 =>
+        specs += CodecSpec("v2-fixed-ucs4", Map(
+          "width" -> mapper.readTree(v2t.strWidth.toString),
+          "endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
+      case V2StrKind.Obj => // requires the vlen-utf8 object codec, checked below
+    }
+
+    // numcodecs filters apply AFTER the array layout and BEFORE the
+    // compressor on encode; listing them here in encode order makes the
+    // existing reverse-fold decode apply them correctly (decompress →
+    // un-shuffle → un-delta → interpret)
+    var sawVlen = false
+    filterNodes.foreach { fn =>
+      fn.path("id").asText("") match {
+        case "vlen-utf8" =>
+          if (v2t.strKind != V2StrKind.Obj)
+            throw new ZarrException(
+              s"vlen-utf8 object codec requires dtype '|O' for $arrayName")
+          if (sawVlen)
+            throw new ZarrException(s"Duplicate vlen-utf8 filter for $arrayName")
+          sawVlen = true
+          specs += CodecSpec("vlen-utf8", Map.empty)
+        case "delta" =>
+          if (dtype == ZarrType.Str || dtype == ZarrType.Bool)
+            throw new ZarrException(
+              s"numcodecs delta filter on non-numeric dtype for $arrayName")
+          val fDt = fn.path("dtype").asText("")
+          val astype = fn.path("astype")
+          if (!astype.isMissingNode && !astype.isNull &&
+              astype.asText("") != fDt)
+            throw new ZarrException(
+              s"numcodecs delta with astype != dtype is not supported for $arrayName")
+          // the stored element repr is the filter's dtype (usually the
+          // array dtype verbatim); its width/order drive the cumsum
+          val dd = if (fDt.isEmpty) v2t else v2Dtype(fDt, s"$arrayName delta filter")
+          if (dd.t.byteWidth != dtype.byteWidth)
+            throw new ZarrException(
+              s"numcodecs delta dtype '$fDt' width differs from array dtype for $arrayName")
+          val float = dd.t == ZarrType.Float32 || dd.t == ZarrType.Float64
+          specs += CodecSpec("v2-delta", Map(
+            "width" -> mapper.readTree(dd.t.byteWidth.toString),
+            "float" -> mapper.readTree(float.toString),
+            "endian" -> mapper.readTree(if (dd.big) "\"big\"" else "\"little\"")))
+        case "shuffle" =>
+          val es = fn.path("elementsize").asInt(
+            if (dtype.byteWidth > 0) dtype.byteWidth else 1)
+          if (es <= 0)
+            throw new ZarrException(s"Bad shuffle elementsize $es for $arrayName")
+          specs += CodecSpec("v2-shuffle",
+            Map("elementsize" -> mapper.readTree(es.toString)))
+        case other =>
+          throw new ZarrException(
+            s"Unsupported Zarr v2 filter '$other' for $arrayName " +
+              "(supported: delta, shuffle, vlen-utf8)")
+      }
+    }
+    if (v2t.strKind == V2StrKind.Obj && !sawVlen)
+      throw new ZarrException(
+        s"Object dtype '|O' without a vlen-utf8 object codec for $arrayName " +
+          "(other object codecs are not supported)")
     val comp = root.path("compressor")
     if (!comp.isNull && !comp.isMissingNode) {
       comp.path("id").asText("") match {
@@ -358,35 +435,99 @@ object ZarrMeta {
       } catch { case scala.util.control.NonFatal(_) => zarrayJson }
     }
 
-  /** numpy typestr → (ZarrType, bigEndian). `|` (byte-order-less) is
-    * legal only for 1-byte types. */
-  private def v2Dtype(ts: String, ctx: String): (ZarrType, Boolean) = {
-    if (ts.length < 3)
+  /** How a v2 string dtype stores its elements. */
+  private[zarr] sealed trait V2StrKind
+  private[zarr] object V2StrKind {
+    case object NotStr extends V2StrKind
+    /** `|O`: variable-length; decode format comes from the object codec
+      * in `filters` (vlen-utf8), not the dtype. */
+    case object Obj extends V2StrKind
+    /** `|S<n>`: n raw bytes per element, NUL-padded. */
+    case object FixedBytes extends V2StrKind
+    /** `<U<n>`/`>U<n>`: n UCS-4 code points per element, NUL-padded. */
+    case object FixedUcs4 extends V2StrKind
+  }
+
+  /** Parsed numpy typestr: the internal type, byte order, and — for the
+    * fixed-width string dtypes `S`/`U` — the declared per-element width
+    * (bytes for `S`, code points for `U`; 0 otherwise). */
+  private[zarr] final case class V2Dtype(
+      t: ZarrType, big: Boolean, strWidth: Int = 0,
+      strKind: V2StrKind = V2StrKind.NotStr)
+
+  /** numpy typestr → [[V2Dtype]]. Byte-order discipline (zarr-python
+    * always normalizes to explicit `<`/`>` on write):
+    *  - `|` (byte-order-less) is legal ONLY where order is meaningless —
+    *    1-byte element types (`b1`/`i1`/`u1`), byte strings `S*`, and
+    *    object `O`. A `|i4` in the wild is malformed metadata and gets a
+    *    loud error rather than a silent little-endian guess.
+    *  - `=` (native order of the WRITING host) is rejected outright:
+    *    the reader cannot know the writer's endianness, so decoding
+    *    would be a coin flip. */
+  private[zarr] def v2Dtype(ts: String, ctx: String): V2Dtype = {
+    if (ts.length < 2)
       throw new ZarrException(s"Bad v2 dtype '$ts' for $ctx")
     val order = ts.charAt(0)
     val kind = ts.charAt(1)
     val width = ts.substring(2)
+    if (order == '=')
+      throw new ZarrException(
+        s"Bad v2 dtype '$ts' for $ctx: '=' (writer-native byte order) is " +
+          "ambiguous on read; re-write the store with an explicit '<'/'>'")
     val big = order match {
       case '>' => true
-      case '<' | '|' | '=' => false
+      case '<' | '|' => false
       case other => throw new ZarrException(s"Bad v2 dtype byte order '$other' for $ctx")
     }
-    val t = (kind, width) match {
-      case ('b', "1") => ZarrType.Bool
-      case ('i', "1") => ZarrType.Int8
-      case ('i', "2") => ZarrType.Int16
-      case ('i', "4") => ZarrType.Int32
-      case ('i', "8") => ZarrType.Int64
-      case ('u', "1") => ZarrType.UInt8
-      case ('u', "2") => ZarrType.UInt16
-      case ('u', "4") => ZarrType.UInt32
-      case ('u', "8") => ZarrType.UInt64
-      case ('f', "4") => ZarrType.Float32
-      case ('f', "8") => ZarrType.Float64
-      case _ =>
-        throw new ZarrException(s"Unsupported v2 dtype '$ts' for $ctx")
+    // object dtype: numpy writes '|O' (no width); the element format is
+    // carried by the filters' object codec (vlen-utf8 → Spark string)
+    if (kind == 'O') {
+      if (order != '|' || (width.nonEmpty && width != "8"))
+        throw new ZarrException(s"Bad v2 object dtype '$ts' for $ctx")
+      return V2Dtype(ZarrType.Str, big = false, strKind = V2StrKind.Obj)
     }
-    (t, big)
+    // fixed-width strings: 'S<n>' raw bytes (order-less), '<U<n>'/'>U<n>'
+    // UCS-4 with 4 bytes per code point
+    if (kind == 'S' || kind == 'U') {
+      val n =
+        try width.toInt
+        catch { case _: NumberFormatException =>
+          throw new ZarrException(s"Bad v2 string dtype '$ts' for $ctx") }
+      if (n <= 0)
+        throw new ZarrException(s"Bad v2 string dtype '$ts' for $ctx: width must be positive")
+      if (kind == 'S') {
+        if (order != '|')
+          throw new ZarrException(
+            s"Bad v2 dtype '$ts' for $ctx: byte strings are order-less ('|S$n')")
+        V2Dtype(ZarrType.Str, big = false, strWidth = n, strKind = V2StrKind.FixedBytes)
+      } else {
+        if (order == '|')
+          throw new ZarrException(
+            s"Bad v2 dtype '$ts' for $ctx: 'U' elements are 4-byte code points and need '<'/'>'")
+        V2Dtype(ZarrType.Str, big, strWidth = n, strKind = V2StrKind.FixedUcs4)
+      }
+    } else {
+      if (order == '|' && width != "1")
+        throw new ZarrException(
+          s"Bad v2 dtype '$ts' for $ctx: '|' is legal only for 1-byte types " +
+            "(zarr-python always writes an explicit '<'/'>' for wider types)")
+      val t = (kind, width) match {
+        case ('b', "1") => ZarrType.Bool
+        case ('i', "1") => ZarrType.Int8
+        case ('i', "2") => ZarrType.Int16
+        case ('i', "4") => ZarrType.Int32
+        case ('i', "8") => ZarrType.Int64
+        case ('u', "1") => ZarrType.UInt8
+        case ('u', "2") => ZarrType.UInt16
+        case ('u', "4") => ZarrType.UInt32
+        case ('u', "8") => ZarrType.UInt64
+        case ('f', "4") => ZarrType.Float32
+        case ('f', "8") => ZarrType.Float64
+        case _ =>
+          throw new ZarrException(s"Unsupported v2 dtype '$ts' for $ctx")
+      }
+      V2Dtype(t, big)
+    }
   }
 
   /** Mark an array's metadata as manifest-keyed: add the

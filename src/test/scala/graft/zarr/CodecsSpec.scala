@@ -227,4 +227,49 @@ class CodecsSpec extends AnyFunSuite {
       assert(ChunkColumn.decodeVlenUtf8(ChunkColumn.encodeVlenUtf8(a)).sameElements(a))
     }
   }
+
+  test("v2 delta filter: roundtrip for all widths, integer wrap, endianness") {
+    // int roundtrip across widths incl. values that wrap on subtract
+    for ((w, big) <- Seq((1, false), (2, false), (4, false), (8, false),
+        (4, true), (8, true)); be <- Seq(false, true)) {
+      val d = Codecs.V2Delta(w, big, be)
+      val bb = java.nio.ByteBuffer.allocate(16 * w)
+        .order(if (be) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 16).foreach { i =>
+        (w, big) match {
+          case (1, _) => bb.put(((i * 117 - 128) & 0xff).toByte)
+          case (2, _) => bb.putShort((i * 9973 - 30000).toShort)
+          case (4, false) => bb.putInt(Int.MinValue + i * 715827882)
+          case (8, false) => bb.putLong(Long.MinValue + i.toLong * 1537228672809129301L)
+          case (4, true) => bb.putFloat(i * 2.5f - 10f)
+          case (8, true) => bb.putDouble(i * 0.25 - 1.5)
+          case _ => fail("unreachable")
+        }
+      }
+      val raw = bb.array()
+      assert(d.decode(d.encode(raw)).sameElements(raw), s"w=$w float=$big big=$be")
+    }
+    // decode is a RUNNING SUM (not a self-inverse): [5, 2, -3] -> [5, 7, 4]
+    val le = java.nio.ByteOrder.LITTLE_ENDIAN
+    val src = java.nio.ByteBuffer.allocate(12).order(le)
+    Seq(5, 2, -3).foreach(src.putInt)
+    val out = java.nio.ByteBuffer
+      .wrap(Codecs.V2Delta(4, float = false, big = false).decode(src.array())).order(le)
+    assert(Seq(out.getInt(0), out.getInt(4), out.getInt(8)) == Seq(5, 7, 4))
+    // length not a multiple of the width is a loud error
+    intercept[ZarrException] {
+      Codecs.V2Delta(4, float = false, big = false).decode(new Array[Byte](6))
+    }
+  }
+
+  test("v2 standalone shuffle filter: inverse, tail bytes carried verbatim") {
+    forAll2(Gen.choose(1, 16), Gen.choose(0, 200)) { (es: Int, len: Int) =>
+      val b = Array.tabulate[Byte](len)(i => (i * 37 + 11).toByte)
+      val sh = Codecs.V2Shuffle(es)
+      assert(sh.decode(sh.encode(b)).sameElements(b))
+    }
+    // pinned layout: es=2 over [a0 a1 b0 b1 c0] -> [a0 b0 a1 b1 | c0]
+    val enc = Codecs.V2Shuffle(2).encode(Array[Byte](1, 2, 3, 4, 5))
+    assert(enc.toSeq == Seq[Byte](1, 3, 2, 4, 5))
+  }
 }

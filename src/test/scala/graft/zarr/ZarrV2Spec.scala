@@ -105,20 +105,82 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"""{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C",
          |"fill_value":0,"filters":$filters,"compressor":$compressor,
          |"dtype":"$dtype"}""".stripMargin
-    intercept[ZarrException] { // vlen string dtype
-      ZarrMeta.parse("a", v2("<U8"))
-    }
-    intercept[ZarrException] { // numcodecs filter stack
-      ZarrMeta.parse("a", v2("<i4", filters = """[{"id":"delta"}]"""))
+    intercept[ZarrException] { // unsupported numcodecs filter
+      ZarrMeta.parse("a", v2("<i4", filters = """[{"id":"fixedscaleoffset"}]"""))
     }
     intercept[ZarrException] { // unknown compressor
       ZarrMeta.parse("a", v2("<i4", compressor = """{"id":"lzma"}"""))
+    }
+    intercept[ZarrException] { // '=' writer-native order is ambiguous
+      ZarrMeta.parse("a", v2("=i4"))
+    }
+    intercept[ZarrException] { // '|' on a multi-byte numeric is malformed
+      ZarrMeta.parse("a", v2("|i4"))
+    }
+    intercept[ZarrException] { // object dtype without an object codec
+      ZarrMeta.parse("a", v2("|O"))
+    }
+    intercept[ZarrException] { // delta with a re-typing astype
+      ZarrMeta.parse("a", v2("<i4",
+        filters = """[{"id":"delta","dtype":"<i4","astype":"<i2"}]"""))
+    }
+    intercept[ZarrException] { // 'U' needs an explicit byte order
+      ZarrMeta.parse("a", v2("|U5"))
+    }
+    intercept[ZarrException] { // delta over strings is meaningless
+      ZarrMeta.parse("a", v2("|S4", filters = """[{"id":"delta"}]"""))
     }
     // and the happy path parses with the expected translation
     val m = ZarrMeta.parse("a", v2("<i4",
       compressor = """{"id":"zlib","level":6}"""))
     assert(m.formatVersion == 2)
     assert(m.codecs.map(_.name) == Seq("bytes", "zlib"))
+  }
+
+  private val storeTyped =
+    new java.io.File("src/test/resources/zarr_v2_typed").getAbsolutePath
+
+  test("v2 string dtypes: |O+vlen-utf8, |S4, <U5, >U3 all decode; absent vlen chunk fills ''") {
+    val sch = spark.read.format("zarr").load(storeTyped).schema
+    Seq("label", "code", "uname", "tag").foreach(n =>
+      assert(sch(n).dataType.typeName == "string", s"$n must map to Spark string"))
+    val rows = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "label", "code", "uname", "tag")
+      .orderBy("ds").collect() // ds = 1e9 + 17*i*i is strictly increasing
+    assert(rows.length == 11)
+    val labels = Seq("", "néé", "doc-2", "αβγ", "doc-4", "x" * 7, "doc-6",
+      "doc-7", "", "", "") // chunk 2 absent -> fill "" for i in 8..10
+    val codes = Seq("AA", "BBB", "C", "DDDD", "E", "FF", "GGG", "H", "II",
+      "JJJ", "K")
+    val unames = Seq("αβ", "übèr", "ζ", "north", "süd", "ωμέγα", "east",
+      "wést", "ñ", "δέλτα", "x")
+    val tags = Seq("ab", "ω", "xyz", "t", "ββ", "qq", "r", "sss", "tt", "u",
+      "vvv")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(1) == labels(i), s"label[$i]")
+      assert(r.getString(2) == codes(i), s"code[$i] (|S4 NUL-strip)")
+      assert(r.getString(3) == unames(i), s"uname[$i] (<U5 UCS-4 LE)")
+      assert(r.getString(4) == tags(i), s"tag[$i] (>U3 UCS-4 BE)")
+    }
+  }
+
+  test("v2 numcodecs filters: delta(<i4,+zlib), delta(<f8), delta+shuffle(<i8,+zlib)") {
+    val rows = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "dv", "dd").orderBy("ds").collect()
+    assert(rows.length == 11)
+    val dv = Seq(1000, 1007, 995, 1020, 1020, 980, 1001, 1002, 999, 1050, 1049)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == 1000000000L + 17L * i * i, s"ds[$i] (delta+shuffle)")
+      assert(r.getInt(1) == dv(i), s"dv[$i] (delta int32)")
+      assert(r.getDouble(2) == 0.5 * i * i - 3.0 * i, s"dd[$i] (delta float64)")
+    }
+  }
+
+  test("v2 string predicates evaluate over the translated decode") {
+    val df = spark.read.format("zarr").load(storeTyped)
+    assert(df.where("label = ''").count() == 4) // written "" + 3 filled
+    assert(df.where("uname = 'übèr'").count() == 1)
+    assert(df.where("code LIKE 'DD%'").count() == 1)
   }
 
   test("the writer refuses to append to a v2 store (read-only by design)") {

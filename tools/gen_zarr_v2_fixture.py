@@ -186,9 +186,161 @@ def main():
     write_array_1d(root2, "lon", lon, "<f8", "<%dd", None, 0.0, 0.0,
                    nlon, 3, dims=["lon"])
 
+    # ---- store 4: string dtypes + numcodecs filter stacks ----
+    # Everything here is encoded from the Zarr v2 / numcodecs format
+    # docs with stdlib only (struct/zlib), independent of the repo's
+    # decoders:
+    #   vlen-utf8: u32-LE item count, then per item u32-LE byte length +
+    #     UTF-8 bytes (numcodecs VLenUTF8).
+    #   delta: element 0 verbatim, element i stores a[i]-a[i-1] in the
+    #     same dtype (wrapping integer / IEEE float subtract).
+    #   shuffle: all 0th element bytes, then all 1st bytes, …; tail
+    #     shorter than one element carried verbatim.
+    root3 = os.path.join(RES, "zarr_v2_typed")
+    shutil.rmtree(root3, ignore_errors=True)
+    os.makedirs(root3)
+    with open(os.path.join(root3, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    n, chunk = 11, 4
+
+    def delta_ints(vals, bits):
+        # diffs here stay well inside the dtype range, so no wrapping is
+        # needed for struct.pack
+        return [vals[0]] + [vals[i] - vals[i - 1]
+                            for i in range(1, len(vals))]
+
+    def shuffle_bytes(raw, es):
+        count = len(raw) // es
+        out = bytearray(len(raw))
+        for i in range(count):
+            for j in range(es):
+                out[j * count + i] = raw[i * es + j]
+        off = count * es
+        out[off:] = raw[off:]
+        return bytes(out)
+
+    def vlen_utf8(vals):
+        out = struct.pack("<I", len(vals))
+        for s in vals:
+            b = s.encode("utf-8")
+            out += struct.pack("<I", len(b)) + b
+        return out
+
+    def write_raw_array(name, meta, chunks_bytes, skip=()):
+        d = os.path.join(root3, name)
+        os.makedirs(d)
+        with open(os.path.join(d, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        for ci, raw in enumerate(chunks_bytes):
+            if ci in skip:
+                continue
+            with open(os.path.join(d, str(ci)), "wb") as f:
+                f.write(raw)
+
+    def v2meta(dtype, compressor, filters, fill):
+        return {"zarr_format": 2, "shape": [n], "chunks": [chunk],
+                "dtype": dtype, "compressor": compressor,
+                "fill_value": fill, "order": "C", "filters": filters}
+
+    zl = zlib6
+
+    # |O + vlen-utf8 (+ zlib), with one ABSENT chunk (fill null → "")
+    labels = ["", "néé", "doc-2", "αβγ", "doc-4", "x" * 7, "doc-6",
+              "doc-7", "doc-8", "doc-9", "doc-10"]
+    lab_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [labels[ci * chunk + i] if ci * chunk + i < n else ""
+                for i in range(chunk)]
+        lab_chunks.append(zlib.compress(vlen_utf8(vals), 6))
+    write_raw_array("label", v2meta("|O", zl, [{"id": "vlen-utf8"}], None),
+                    lab_chunks, skip={2})
+
+    # |S4 raw fixed bytes, NUL-padded, ASCII
+    codes = ["AA", "BBB", "C", "DDDD", "E", "FF", "GGG", "H", "II",
+             "JJJ", "K"]
+    code_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        raw = b""
+        for i in range(chunk):
+            g = ci * chunk + i
+            s = codes[g] if g < n else ""
+            raw += s.encode("ascii").ljust(4, b"\x00")
+        code_chunks.append(raw)
+    write_raw_array("code", v2meta("|S4", None, None, ""), code_chunks)
+
+    # <U5 + zlib, non-ASCII content (UCS-4 little endian)
+    unames = ["αβ", "übèr", "ζ", "north", "süd", "ωμέγα"[:5], "east",
+              "wést", "ñ", "δέλτα"[:5], "x"]
+    un_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        raw = b""
+        for i in range(chunk):
+            g = ci * chunk + i
+            s = unames[g] if g < n else ""
+            cps = [ord(c) for c in s] + [0] * (5 - len(s))
+            raw += struct.pack("<5I", *cps)
+        un_chunks.append(zlib.compress(raw, 6))
+    write_raw_array("uname", v2meta("<U5", zl, None, ""), un_chunks)
+
+    # >U3 raw big-endian UCS-4
+    tags = ["ab", "ω", "xyz", "t", "ββ", "qq", "r", "sss", "tt", "u",
+            "vvv"]
+    tag_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        raw = b""
+        for i in range(chunk):
+            g = ci * chunk + i
+            s = tags[g] if g < n else ""
+            cps = [ord(c) for c in s] + [0] * (3 - len(s))
+            raw += struct.pack(">3I", *cps)
+        tag_chunks.append(raw)
+    write_raw_array("tag", v2meta(">U3", None, None, ""), tag_chunks)
+
+    # <i4 + delta filter + zlib (values non-monotonic to get negative
+    # diffs) — the canonical climate-store stack
+    dv = [1000, 1007, 995, 1020, 1020, 980, 1001, 1002, 999, 1050, 1049]
+    dv_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [dv[ci * chunk + i] if ci * chunk + i < n else 0
+                for i in range(chunk)]
+        enc = delta_ints(vals, 32)
+        dv_chunks.append(zlib.compress(struct.pack("<%di" % len(enc), *enc), 6))
+    write_raw_array(
+        "dv", v2meta("<i4", zl, [{"id": "delta", "dtype": "<i4"}], 0),
+        dv_chunks)
+
+    # <f8 + delta, uncompressed (IEEE float diffs)
+    dd = [0.5 * i * i - 3.0 * i for i in range(n)]
+    dd_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [dd[ci * chunk + i] if ci * chunk + i < n else 0.0
+                for i in range(chunk)]
+        enc = [vals[0]] + [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+        dd_chunks.append(struct.pack("<%dd" % len(enc), *enc))
+    write_raw_array(
+        "dd", v2meta("<f8", None, [{"id": "delta", "dtype": "<f8"}], 0.0),
+        dd_chunks)
+
+    # <i8 + [delta, shuffle] + zlib — a two-filter stack; decode must
+    # unshuffle BEFORE undelta (reverse of encode order)
+    ds = [10 ** 9 + 17 * i * i for i in range(n)]
+    ds_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [ds[ci * chunk + i] if ci * chunk + i < n else 0
+                for i in range(chunk)]
+        enc = [vals[0]] + [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+        raw = struct.pack("<%dq" % len(enc), *enc)
+        ds_chunks.append(zlib.compress(shuffle_bytes(raw, 8), 6))
+    write_raw_array(
+        "ds", v2meta("<i8", zl,
+                     [{"id": "delta", "dtype": "<i8"},
+                      {"id": "shuffle", "elementsize": 8}], 0),
+        ds_chunks)
+
     print("wrote", root)
     print("wrote", root1)
     print("wrote", root2)
+    print("wrote", root3)
 
 
 if __name__ == "__main__":
