@@ -165,6 +165,35 @@ object Bench {
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } catch { case e: Throwable => System.err.println(s"[bench] local write failed: ${e.getMessage}") }
     }
+    // BENCH_BEST.json: the best-known CLEAN sweep. BENCH_LOCAL.json is
+    // overwritten by every full run — including ones on a contended
+    // machine (the driver's sweeps share the box with its own verify) —
+    // so the quiet-machine record was repeatedly clobbered. The
+    // calibration probe is the machine-quietness signal: only a sweep
+    // whose probe is at least as fast as the stored record's may
+    // replace it.
+    // only the canonical sf0.1 sweep competes: a faster-probe sf0.01 run
+    // must not replace the record with times from 10x less data
+    if (only.isEmpty && failed.isEmpty && sfDir.endsWith("sf0.1")) {
+      try {
+        val bestPath = java.nio.file.Paths.get("/root/repo/BENCH_BEST.json")
+        val newCal = math.min(calStart, calEnd)
+        val storedCal =
+          if (java.nio.file.Files.exists(bestPath)) {
+            val s = new String(java.nio.file.Files.readAllBytes(bestPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val re = """"calibration":\{"start":([0-9.]+),"end":([0-9.]+)\}""".r
+            re.findFirstMatchIn(s).map(m =>
+              math.min(m.group(1).toDouble, m.group(2).toDouble))
+          } else None
+        if (storedCal.forall(newCal <= _)) {
+          java.nio.file.Files.write(bestPath,
+            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(f"[bench] BENCH_BEST updated (probe $newCal%.2f)")
+        } else System.err.println(
+          f"[bench] BENCH_BEST kept (probe $newCal%.2f vs stored ${storedCal.get}%.2f)")
+      } catch { case e: Throwable => System.err.println(s"[bench] best write failed: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

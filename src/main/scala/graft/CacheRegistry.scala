@@ -38,6 +38,12 @@ object CacheRegistry {
     ds
   }
 
+  /** Register a plain callback to run at the next [[releaseAll]] —
+    * for invalidating caches that hold references to tracked Datasets
+    * (e.g. the shared posting-index memo), so nothing hands out a
+    * silently-unpersisted plan after release. */
+  def onRelease(cb: () => Unit): Unit = synchronized { tracked += cb }
+
   /** Release everything tracked (blocking=false; safe on dead sessions). */
   def releaseAll(): Unit = synchronized {
     tracked.foreach { release =>

@@ -69,6 +69,110 @@ object Retrieval {
         .orderBy("source", "shard", "bin")
     },
 
+    // ---- tokenize-and-pack: the actual FINAL stage of a training-data
+    //      pipeline, end to end — BPE-encode every document to token
+    //      ids (q87's priority-merge kernel + a fixed vocabulary: ids
+    //      1..26 for 'a'..'z', 26+rank for each merge's output token)
+    //      and greedily concat-pack the id streams into fixed 2048-
+    //      token bins with per-document boundary offsets (q75's
+    //      sharded cumulative-sum packing over REAL token counts
+    //      instead of whitespace words). Per doc: its id-array digest
+    //      (sum + first/last id pin the id assignment end to end) and
+    //      its (bin, bin_offset) placement.
+    //
+    //      Scale shape: tokenization + id mapping are scan-local
+    //      (bpe_segment kernel + array transforms — no explode, no
+    //      vocabulary join: the vocabulary is a 42-entry plan
+    //      literal); packing is ONE window shuffle over 16
+    //      deterministic shards (q75's discipline — a single global
+    //      window would serialize the corpus through one task); no
+    //      joins anywhere. The oracle replays the BPE with q87's
+    //      recursive fixpoint-replacement formulation and the same
+    //      closed-form vocabulary. ----
+    {
+      import graft.functions.BpeOps.defaultMerges
+      val mergeRows = defaultMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"(${i + 1},'|$a|$b|','|$a$b|')"
+      }.mkString(",")
+      val m = defaultMerges.length
+      val mergeArr = defaultMerges.map { case (a, b) => s"'$a $b'" }.mkString(",")
+      val produced = defaultMerges.map { case (a, b) => s"'$a$b'" }.mkString(",")
+      def duckId(t: String): String =
+        s"CASE WHEN length($t) = 1 THEN ascii($t) - 96 " +
+          s"ELSE 26 + list_position([$produced], $t) END"
+      QueryDef.sql(
+        "q118_tokenize_pack",
+        s"""WITH RECURSIVE merges(i, pat, rep) AS (
+           |  SELECT * FROM (VALUES $mergeRows) t(i, pat, rep)
+           |),
+           |prep AS (
+           |  SELECT doc_id,
+           |    '|' || replace(regexp_replace(lower(regexp_replace(text, '[^A-Za-z]+', ' ', 'g')),
+           |                                  '([a-z])', '\\1|', 'g'),
+           |                   ' ', ' |') AS s
+           |  FROM documents
+           |),
+           |bpe(doc_id, s, i) AS (
+           |  SELECT doc_id, s, 1 FROM prep
+           |  UNION ALL
+           |  SELECT b.doc_id, replace(b.s, m.pat, m.rep),
+           |         CASE WHEN replace(b.s, m.pat, m.rep) = b.s THEN b.i + 1 ELSE b.i END
+           |  FROM bpe b JOIN merges m ON m.i = b.i
+           |  WHERE b.i <= $m
+           |),
+           |tok AS (
+           |  SELECT doc_id, list_filter(string_split(s, '|'),
+           |                             x -> regexp_matches(x, '^[a-z]+$$')) AS ts
+           |  FROM bpe WHERE i = $m + 1
+           |),
+           |ids AS (
+           |  SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+           |    coalesce(list_sum(list_transform(ts, t -> ${duckId("t")})), 0)::BIGINT AS id_sum,
+           |    (CASE WHEN len(ts) = 0 THEN NULL ELSE ${duckId("ts[1]")} END)::INT AS first_id,
+           |    (CASE WHEN len(ts) = 0 THEN NULL ELSE ${duckId("ts[-1]")} END)::INT AS last_id
+           |  FROM tok
+           |),
+           |c AS (
+           |  SELECT *, doc_id % 16 AS shard,
+           |    sum(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM ids
+           |)
+           |SELECT doc_id, shard, n_tokens, id_sum, first_id, last_id,
+           |  ((cum - n_tokens) // 2048)::BIGINT AS bin,
+           |  ((cum - n_tokens) % 2048)::BIGINT AS bin_offset
+           |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        def sparkId(t: String): String =
+          s"CASE WHEN length($t) = 1 THEN ascii($t) - 96 " +
+            s"ELSE 26 + cast(array_position(array($produced), $t) as int) END"
+        val win = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr(
+              s"""transform(
+                 |  flatten(transform(
+                 |    filter(split(lower(regexp_replace(text, '[^A-Za-z]+', ' ')), ' '),
+                 |           x -> x != ''),
+                 |    w -> bpe_segment(w, array($mergeArr)))),
+                 |  t -> ${sparkId("t")})""".stripMargin).as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_tokens"),
+            expr("aggregate(ids, cast(0 as bigint), (a, x) -> a + x)").as("id_sum"),
+            expr("CASE WHEN size(ids) = 0 THEN CAST(NULL AS INT) ELSE element_at(ids, 1) END")
+              .as("first_id"),
+            expr("CASE WHEN size(ids) = 0 THEN CAST(NULL AS INT) ELSE element_at(ids, -1) END")
+              .as("last_id"))
+          .withColumn("shard", col("doc_id") % 16)
+          .withColumn("cum", sum(col("n_tokens")).over(win))
+          .select(col("doc_id"), col("shard"), col("n_tokens"), col("id_sum"),
+            col("first_id"), col("last_id"),
+            expr("(cum - n_tokens) div 2048").as("bin"),
+            ((col("cum") - col("n_tokens")) % 2048).as("bin_offset"))
+          .orderBy("doc_id")
+      }
+    },
+
     // ---- BM25 scoring (k1=1.2, b=0.75, Lucene idf) for a fixed 3-term
     //      query, top 20 docs. Per-term tf via scan-local array filters;
     //      corpus stats are one 1-row agg broadcast back ----

@@ -305,7 +305,131 @@ class ZarrScanBuilder(
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     aggResult = answerMemo(agg)
-    aggResult.isDefined
+    if (aggResult.isDefined) return true
+    partialAggScan = answerPartialAggregation(agg)
+    partialAggScan.isDefined
+  }
+
+  private var partialAggScan: Option[ZarrPartialAggScan] = None
+
+  /** HYBRID aggregate pushdown for PARTIALLY stats-covered stores (a
+    * half-analyzed foreign store, a growing store whose tail appends
+    * postdate the last `analyze`): chunks whose segment records every
+    * needed statistic are served from metadata with zero chunk IO; only
+    * the uncovered chunks are read — so after `analyze` backfills 90%
+    * of a 100 TB store, MIN/MAX/SUM pay 10% of the scan instead of
+    * declining to a full one. Spark contract: `supportCompletePushDown`
+    * = false, so Spark plans its own FINAL aggregation over the rows
+    * this scan emits — one pre-merged row for all stats-served chunks
+    * plus one partial row per scanned-ordinal partition. Declines
+    * (falling back to the normal scan) on filters/limits/grouping,
+    * functions beyond MIN/MAX/SUM/COUNT, non-1-D grids, stores with no
+    * usable segment, or a served-sum overflow (the partial must be the
+    * mathematical sum). */
+  private def answerPartialAggregation(
+      agg: Aggregation): Option[ZarrPartialAggScan] = {
+    if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions.nonEmpty) return None
+    if (metas.isEmpty) return None
+    val byName = metas.map(m => m.name -> m).toMap
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          byName.contains(f.fieldNames.head) => Some(f.fieldNames.head)
+        case _ => None
+      }
+    val integerTyped: Set[ZarrType] = Set(ZarrType.Int8, ZarrType.Int16,
+      ZarrType.Int32, ZarrType.Int64, ZarrType.UInt8, ZarrType.UInt16,
+      ZarrType.UInt32)
+    val parsed: Seq[Option[(String, String)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct => colOf(c.column).map(("count", _))
+      case m: Min => colOf(m.column).map(("min", _))
+      case m: Max => colOf(m.column).map(("max", _))
+      case s: Sum if !s.isDistinct =>
+        // same type discipline as the complete path: only integer
+        // columns have exact, order-independent long sums
+        colOf(s.column).filter(n => integerTyped(byName(n).dataType)).map(("sum", _))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    val fns = parsed.flatten
+    // pure counts answer completely from shapes; partial mode only pays
+    // off when a stats-backed function is present
+    if (!fns.exists(f => f._1 == "min" || f._1 == "max" || f._1 == "sum")) return None
+    val refCols = fns.map(_._2).filter(_.nonEmpty).toSet
+    val aggMetas = if (refCols.nonEmpty) metas.filter(m => refCols(m.name)) else metas
+    val geom =
+      try ScanGeometry.resolve(aggMetas)
+      catch { case _: ZarrException => return None }
+    if (geom.ndim != 1 || geom.numRows == 0) return None
+    val segs = ChunkStats.partialSegments(store, aggMetas, geom)
+    if (segs.isEmpty) return None
+    val sorted = segs.sortBy(_.first)
+    val n0 = aggMetas.head.shape(0)
+    val cs0 = aggMetas.head.chunkShape(0).toLong
+    def extent(ord: Long): Long = math.min(cs0, n0 - ord * cs0)
+    // walk the grid once: a chunk is SERVED iff its segment records
+    // every needed statistic exactly; anything else is scanned
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    val sums = scala.collection.mutable.Map.empty[String, Long]
+    val needMin = fns.collect { case ("min", c) => c }.distinct
+    val needMax = fns.collect { case ("max", c) => c }.distinct
+    val needSum = fns.collect { case ("sum", c) => c }.distinct
+    var servedRows = 0L
+    var servedChunks = 0L
+    val uncovered = Seq.newBuilder[(Long, Long)]
+    var runStart = -1L
+    var si = 0
+    var ord = 0L
+    try {
+      while (ord < geom.numChunks) {
+        while (si < sorted.length && sorted(si).first + sorted(si).chunks <= ord) si += 1
+        val seg = if (si < sorted.length && sorted(si).contains(ord)) Some(sorted(si)) else None
+        val answers = seg.exists { s =>
+          needMin.forall(c => s.exactRange(c, ord).isDefined) &&
+            needMax.forall(c => s.exactRange(c, ord).isDefined) &&
+            needSum.forall(c => s.sum(c, ord).isDefined)
+        }
+        if (answers) {
+          val s = seg.get
+          needMin.foreach { c =>
+            val lo = s.exactRange(c, ord).get._1
+            if (!mins.contains(c) || ChunkFilter.cmp(lo, mins(c)) < 0) mins(c) = lo
+          }
+          needMax.foreach { c =>
+            val hi = s.exactRange(c, ord).get._2
+            if (!maxs.contains(c) || ChunkFilter.cmp(hi, maxs(c)) > 0) maxs(c) = hi
+          }
+          needSum.foreach { c =>
+            sums(c) = Math.addExact(sums.getOrElse(c, 0L), s.sum(c, ord).get)
+          }
+          servedRows += extent(ord)
+          servedChunks += 1
+          if (runStart >= 0) { uncovered += ((runStart, ord)); runStart = -1L }
+        } else if (runStart < 0) runStart = ord
+        ord += 1
+      }
+    } catch { case _: ArithmeticException => return None }
+    if (runStart >= 0) uncovered += ((runStart, geom.numChunks))
+    if (servedChunks == 0) return None // nothing served: the plain scan wins
+    val fields = fns.map {
+      case ("count_star", _) => StructField("count_star", org.apache.spark.sql.types.LongType)
+      case ("count", c) => StructField(s"count_$c", org.apache.spark.sql.types.LongType)
+      case ("min", c) => StructField(s"min_$c", byName(c).dataType.sparkType)
+      case ("max", c) => StructField(s"max_$c", byName(c).dataType.sparkType)
+      case ("sum", c) => StructField(s"sum_$c", org.apache.spark.sql.types.LongType)
+      case other => throw new IllegalStateException(other.toString)
+    }
+    val servedRow: Seq[Any] = fns.map {
+      case ("count_star", _) | ("count", _) => servedRows: Any
+      case ("min", c) => mins(c)
+      case ("max", c) => maxs(c)
+      case ("sum", c) => sums(c): Any
+      case other => throw new IllegalStateException(other.toString)
+    }
+    Some(new ZarrPartialAggScan(store, aggMetas, StructType(fields),
+      fns, servedRow, servedChunks, uncovered.result(), options))
   }
 
   /** LIMIT pushdown (the reference accepts and ignores limit,
@@ -338,7 +462,8 @@ class ZarrScanBuilder(
 
   override def build(): Scan = aggResult match {
     case Some((schema, values)) => new ZarrAggScan(store.root, schema, values)
-    case None => new ZarrScan(store, metas, required, pushed, options, limit)
+    case None => partialAggScan.getOrElse(
+      new ZarrScan(store, metas, required, pushed, options, limit))
   }
 }
 
@@ -384,6 +509,164 @@ final case class ZarrAggReaderFactory(schemaJson: String, values: Seq[Any])
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
         org.apache.spark.sql.catalyst.InternalRow.fromSeq(internal.toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Hybrid partial-aggregate scan (see
+  * [[ZarrScanBuilder.answerPartialAggregation]]): one partition emits
+  * the driver-merged row for every stats-served chunk (zero chunk IO);
+  * the uncovered ordinal ranges are read and reduced executor-side, one
+  * partial row per partition. Spark's FINAL aggregate merges them. */
+class ZarrPartialAggScan(
+    store: ZarrStore,
+    aggMetas: Seq[ZarrArrayMeta],
+    schema: StructType,
+    fns: Seq[(String, String)],
+    servedRow: Seq[Any],
+    servedChunks: Long,
+    uncovered: Seq[(Long, Long)],
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZarrPartialAggScan ${store.root} served=$servedChunks " +
+      s"uncoveredChunks=${uncovered.map(r => r._2 - r._1).sum} " +
+      s"[${schema.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // partition the uncovered ordinals like the plain scan would; the
+    // served row rides a sentinel partition (lo = -1)
+    val totalUncovered = uncovered.map(r => r._2 - r._1).sum
+    val requested = Option(options.get("partitions")).map(_.toInt)
+    val default =
+      try math.max(2 * SparkSession.active.sparkContext.defaultParallelism, 1)
+      catch { case _: Throwable => 32 }
+    val n = math.max(1L, math.min(totalUncovered, requested.getOrElse(default).toLong))
+    val per = math.max(1L, (totalUncovered + n - 1) / n)
+    val parts = Array.newBuilder[InputPartition]
+    parts += ZarrInputPartition(-1L, -1L)
+    uncovered.foreach { case (lo, hi) =>
+      var s = lo
+      while (s < hi) {
+        val e = math.min(hi, s + per)
+        parts += ZarrInputPartition(s, e)
+        s = e
+      }
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val metaJsons = aggMetas.map(m => m.name -> m.sourceJson)
+    val mparts = ChunkManifest.requiredParts(store, metaJsons.map(_._2))
+    ZarrPartialAggReaderFactory(store, metaJsons, schema.json, fns,
+      servedRow.map(ZarrPartialAggScan.box), mparts)
+  }
+}
+
+object ZarrPartialAggScan {
+  /** JVM-serializable boxing for served values (same trick as
+    * [[ZarrAggScan]]: strings/decimals travel as strings). */
+  def box(v: Any): Any = v match {
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => other
+  }
+
+  /** Re-box a JVM value as the Catalyst internal value for `dt`. */
+  def internal(dt: org.apache.spark.sql.types.DataType, v: Any): Any = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(v.asInstanceOf[String])
+    case d: org.apache.spark.sql.types.DecimalType =>
+      org.apache.spark.sql.types.Decimal(v match {
+        case s: String => new java.math.BigDecimal(s)
+        case b: java.math.BigDecimal => b
+      }, d.precision, d.scale)
+    case _ => v
+  }
+}
+
+final case class ZarrPartialAggReaderFactory(
+    store: ZarrStore,
+    metaJsons: Seq[(String, String)],
+    schemaJson: String,
+    fns: Seq[(String, String)],
+    servedRow: Seq[Any],
+    manifestParts: Vector[(Long, String, Int)])
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      p: InputPartition): org.apache.spark.sql.connector.read.PartitionReader[
+      org.apache.spark.sql.catalyst.InternalRow] = {
+    val part = p.asInstanceOf[ZarrInputPartition]
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+    val row: Seq[Any] =
+      if (part.lo < 0) {
+        schema.fields.zip(servedRow).toSeq.map { case (f, v) =>
+          ZarrPartialAggScan.internal(f.dataType, v)
+        }
+      } else {
+        val metas = metaJsons.map { case (n, j) => ZarrMeta.parse(n, j) }
+        val byName = metas.map(m => m.name -> m).toMap
+        val mani = ChunkManifest(manifestParts)
+        val n0 = metas.head.shape(0)
+        val cs0 = metas.head.chunkShape(0).toLong
+        val needCols = fns.map(_._2).filter(_.nonEmpty).distinct
+        val mins = scala.collection.mutable.Map.empty[String, Any]
+        val maxs = scala.collection.mutable.Map.empty[String, Any]
+        val sums = scala.collection.mutable.Map.empty[String, Long]
+        var rows = 0L
+        var ord = part.lo
+        while (ord < part.hi) {
+          val idx = Array(ord.toInt)
+          val extent = math.min(cs0, n0 - ord * cs0).toInt
+          rows += extent
+          needCols.foreach { c =>
+            val m = byName(c)
+            val key = if (mani.isEmpty) m.chunkKey(idx)
+              else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+            val col = ChunkColumn.decode(m, store.readChunk(c, key))
+            val wantMin = fns.contains(("min", c))
+            val wantMax = fns.contains(("max", c))
+            val wantSum = fns.contains(("sum", c))
+            var e = 0
+            while (e < extent) {
+              val v = col.get(e)
+              if (wantMin && (!mins.contains(c) || ChunkFilter.cmp(v, mins(c)) < 0))
+                mins(c) = v
+              if (wantMax && (!maxs.contains(c) || ChunkFilter.cmp(v, maxs(c)) > 0))
+                maxs(c) = v
+              if (wantSum)
+                // ANSI-faithful: a long overflow on the true sum throws,
+                // exactly as Spark's Sum over the scanned rows would
+                sums(c) = Math.addExact(sums.getOrElse(c, 0L),
+                  (v: Any) match {
+                    case n: Number => n.longValue()
+                    case other => throw new ZarrException(s"unsummable value $other")
+                  })
+              e += 1
+            }
+          }
+          ord += 1
+        }
+        fns.zip(schema.fields).map {
+          case (("count_star", _), _) | (("count", _), _) => rows: Any
+          case (("min", c), f) => ZarrPartialAggScan.internal(f.dataType, mins(c))
+          case (("max", c), f) => ZarrPartialAggScan.internal(f.dataType, maxs(c))
+          case (("sum", c), _) => sums(c): Any
+          case other => throw new IllegalStateException(other.toString)
+        }
+      }
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(row.toIndexedSeq)
       override def close(): Unit = ()
     }
   }

@@ -191,12 +191,53 @@ object ScanBench {
     spark.read.format("zarr").load(latUrl("sidecarstru"))
       .filter($"s0" >= strLit).agg(sum($"c1")).collect() // warm
 
+    // ---- runtime-filtering latency model (round 10): dynamic
+    //      partition pruning for array stores, quantified like the
+    //      sidecar rows above. A selective broadcast-join build side
+    //      delivers an IN-set to the scan at runtime
+    //      (SupportsRuntimeFiltering); with the stats sidecar that
+    //      prunes every chunk outside the joined key range BEFORE any
+    //      GET. The control run disables DPP on the same store/query:
+    //      the scan must fetch every chunk of both columns. ----
+    val dimPath = s"$latBase/dimkeys"
+    if (!new java.io.File(dimPath).exists()) {
+      // the build side must not fold to a LocalRelation or the pruning
+      // rule never fires — stage through parquet like a real dimension
+      Seq((1000L, "a"), (2000L, "b"), (3000L, "c"), (-1L, "zz"))
+        .toDF("k", "tag").write.mode("overwrite").parquet(dimPath)
+    }
+    val dppKey = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    def rtfRun(nm: String, store: String, dpp: Boolean): (Double, Int) = {
+      spark.conf.set(dppKey, dpp.toString)
+      try {
+        val keys = spark.read.parquet(dimPath).where($"tag" =!= "zz")
+        LatencyFileSystem.reset(latMs)
+        val t0 = System.nanoTime()
+        val s = spark.read.format("zarr").load(latUrl(store))
+          .join(broadcast(keys), $"c0" === $"k")
+          .agg(sum($"c1")).collect()(0).getDouble(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(s == 12000.0, s"$nm: wrong sum $s != 12000.0")
+        val gets = LatencyFileSystem.chunkGets(store)
+        System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+          f"(${LatencyFileSystem.allGets(store)} total)")
+        (dt, gets)
+      } finally spark.conf.set(dppKey, "true")
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("sidecar"))
+      .join(broadcast(spark.read.parquet(dimPath).where($"tag" =!= "zz")),
+        $"c0" === $"k")
+      .agg(sum($"c1")).collect() // warm the join shape's codegen
+
     val lat = Map(
       "lat_sidecar" -> latRun("sidecar skip (zero-GET)", "sidecar", pushable = true),
       "lat_decode" -> latRun("decode-and-test (GET predicate col of every chunk)", "plain", pushable = true),
       "lat_fullfetch" -> latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false),
       "lat_str_sidecar" -> strRun("non-ASCII string-prefix sidecar skip", "sidecarstru"),
-      "lat_str_decode" -> strRun("non-ASCII string decode-and-test", "plainstru"))
+      "lat_str_decode" -> strRun("non-ASCII string decode-and-test", "plainstru"),
+      "lat_rtf_on" -> rtfRun("runtime-filter DPP skip (join keys in 1 chunk)", "sidecar", dpp = true),
+      "lat_rtf_off" -> rtfRun("runtime filtering disabled (fetch everything)", "sidecar", dpp = false))
     LatencyFileSystem.reset(0)
 
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${

@@ -371,6 +371,32 @@ object ChunkStats {
     * describe phantom chunk ordinals and must not be trusted; a
     * corrupt/unreadable segment declines (the sidecar is auxiliary and
     * must never fail the query). */
+  /** Whatever valid sidecar segments exist — NO full-coverage
+    * requirement — for the hybrid aggregate pushdown: chunks a segment
+    * describes are served from metadata, the rest scan. Soundness
+    * filters match the full-coverage path's discipline: overlapping
+    * segments were already dropped pairwise by `listStatsSegments`
+    * (stale vs live is undecidable), segments describing ordinals past
+    * the committed grid are phantom leftovers of a failed append and
+    * are dropped here, and any unreadable/corrupt segment degrades to
+    * "no segments" (the sidecar is auxiliary and must never fail a
+    * query). */
+  def partialSegments(
+      store: ZarrStore,
+      metas: Seq[ZarrArrayMeta],
+      geom: ScanGeometry): Seq[Segment] = {
+    if (geom.ndim != 1) return Nil
+    val total = geom.numChunks
+    val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
+    try {
+      store.listStatsSegments()
+        .filter { case (first, n) => first >= 0 && first + n <= total }
+        .flatMap { case (first, n) =>
+          store.readText(segmentKey(first, n)).map(json => parse(first, n, json, ztOf))
+        }
+    } catch { case _: Throwable => Nil }
+  }
+
   def coverageSegments(
       store: ZarrStore,
       metas: Seq[ZarrArrayMeta],

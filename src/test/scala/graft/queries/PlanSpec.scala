@@ -80,6 +80,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("SortMergeJoin"), p)
   }
 
+  test("posting index: ONE exchange for the shared build; q35/q108 reuse the same persist") {
+    graft.CacheRegistry.releaseAll() // fresh memo
+    val idx = graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = false)
+    val p = idx.queryExecution.executedPlan.toString
+    // the only hash exchange is the df-cap's hot-key aggregate; the
+    // postings themselves are never reshuffled (hot list broadcasts
+    // back as a left-anti join)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"the shared posting build must cost one exchange\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the memo hands the SAME persisted plan to repeated callers —
+    // one build per (dir, variant) for the whole query batch
+    val again = graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = false)
+    assert(idx eq again, "repeated queries must share one posting build")
+    // q35 reads postings through the shared InMemoryRelation
+    val p35 = plan("q35_ngram_jaccard")
+    assert(p35.contains("InMemoryTableScan") || p35.contains("InMemoryRelation"),
+      s"q35 must read the persisted posting index\n$p35")
+    graft.CacheRegistry.releaseAll()
+    val fresh = graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = false)
+    assert(!(fresh eq idx), "releaseAll must invalidate the memo with the persist")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("q108: cross-lingual near-dup is a posting equi join + top-k — never all-pairs") {
     val p = plan("q108_crosslingual_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -320,6 +344,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the scoring pass must not shuffle the corpus\n$p")
     assert("Scan parquet".r.findAllIn(p).length == 1,
       s"the scoring pass scans documents exactly once\n$p")
+  }
+
+  test("q118: tokenize-and-pack is scan-local encode + one window shuffle, no joins") {
+    val p = plan("q118_tokenize_pack")
+    assert(!p.contains("Join"),
+      s"id mapping must fold against the 42-token plan literal, not join a vocabulary\n$p")
+    assert(!p.contains("Explode"),
+      s"tokenization must stay array-local (no token explode)\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"documents must be scanned exactly once\n$p")
+    // the sharded packing window + the output sort — nothing more
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$p")
   }
 
   test("q110: incremental dedup joins new-batch bands to corpus bands — never all-pairs") {

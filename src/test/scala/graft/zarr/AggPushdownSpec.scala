@@ -111,7 +111,7 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains("ZarrAggScan"))
   }
 
-  test("sum/avg decline on partial sidecar coverage; scan stays exact") {
+  test("partial sidecar coverage: complete pushdown declines, HYBRID serves what it can") {
     val sp = spark; import sp.implicits._
     val url = s"file://$base/partialsum"
     (0 until 80).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
@@ -123,11 +123,60 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("chunk_size", "16").option("stats", "false").save(url)
     val df = spark.read.format("zarr").load(url)
     val plan = df.agg(sum("id")).queryExecution.executedPlan.toString
-    assert(!plan.contains("ZarrAggScan"), s"partial coverage must scan\n$plan")
+    assert(!plan.contains("ZarrAggScan"),
+      s"partial coverage must not claim a complete metadata answer\n$plan")
+    assert(plan.contains("ZarrPartialAggScan"),
+      s"partial coverage should serve covered chunks from stats\n$plan")
     assert(df.agg(sum("id")).collect()(0).getLong(0) == (0L until 96L).sum)
     // count still answers from shapes alone
     assert(df.agg(count(lit(1))).queryExecution.executedPlan.toString
       .contains("ZarrAggScan"))
+  }
+
+  test("HYBRID pushdown on a half-covered store: chunk GETs ∝ uncovered chunks only") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/halfcov"
+    def rows(r: Range) = r.map(i => (i.toLong, 100.5 - i, "k%03d".format(i)))
+    rows(0 until 64).toDF("id", "v", "name")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(url)
+    // the second half appends with stats disabled — the shape of a
+    // foreign/partially-analyzed store: chunks 4..7 have no segment
+    rows(64 until 128).toDF("id", "v", "name")
+      .coalesce(1).write.format("zarr").mode("append")
+      .option("chunk_size", "16").option("stats", "false").save(url)
+    val df = spark.read.format("zarr").load(url)
+    val agg = df.agg(min("id").as("mn"), max("id").as("mx"),
+      sum("id").as("s"), count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrPartialAggScan"), plan)
+    assert(plan.contains("served=4"), plan)
+    assert(plan.contains("uncoveredChunks=4"), plan)
+    RecordingFileSystem.opened.clear()
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 0 && r.getLong(1) == 127)
+    assert(r.getLong(2) == (0L until 128L).sum && r.getLong(3) == 128)
+    // appended chunks commit rename-free under manifest-staged keys, so
+    // count every data open under the array dirs (exclude metadata/stats)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/halfcov/(id|v|name)/.*"))
+      .filterNot(p => p.contains("_stats") || p.endsWith("zarr.json") || p.endsWith(".zarray"))
+    assert(chunkOpens.nonEmpty && chunkOpens.forall(_.contains("/id/")),
+      s"only the referenced column may be read: ${chunkOpens.mkString(", ")}")
+    assert(chunkOpens.distinct.length == 4,
+      s"hybrid must read exactly the 4 uncovered chunks, got ${chunkOpens.distinct.mkString(", ")}")
+    assert(!chunkOpens.exists(_.matches(".*/id/c/[0-3]$")),
+      s"covered chunks must be served from stats, not read: ${chunkOpens.mkString(", ")}")
+    // string min/max across the covered/uncovered boundary
+    val r2 = df.agg(min("name"), max("name")).collect()(0)
+    assert(r2.getString(0) == "k000" && r2.getString(1) == "k127")
+    // avg stays exact whichever path Spark picks for it in partial mode
+    assert(df.agg(avg("id")).collect()(0).getDouble(0)
+      == (0L until 128L).sum.toDouble / 128)
+    // filters and grouping still decline to the plain scan
+    val fplan = df.filter("id >= 5").agg(min("id")).queryExecution.executedPlan.toString
+    assert(!fplan.contains("AggScan"), fplan)
+    assert(df.filter("id >= 5").agg(min("id")).collect()(0).getLong(0) == 5)
   }
 
   test("count(*) pushes even without a stats sidecar; min/max falls back") {
