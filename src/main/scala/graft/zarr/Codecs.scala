@@ -152,6 +152,102 @@ object Codecs {
     }
   }
 
+  /** numcodecs `FixedScaleOffset` filter: lossy float→int quantization
+    * (`enc = round_half_even((x - offset) * scale)` stored in `astype`;
+    * decode `x = enc / scale + offset` computed in float64 then cast to
+    * the array dtype). The third common climate-store filter after
+    * delta/shuffle. `astypeWidth`/`astypeSigned`/`astypeBig` describe
+    * the stored integer; `dtypeWidth`∈{4,8} selects float32/float64
+    * output. Encode exists for roundtrip tests only (reads are the
+    * product surface); out-of-range encode values wrap exactly like
+    * numpy's astype C-cast. */
+  final case class V2FixedScaleOffset(
+      offset: Double, scale: Double,
+      dtypeWidth: Int, astypeWidth: Int, astypeSigned: Boolean, astypeBig: Boolean)
+      extends BytesCodec {
+    private def aOrder = if (astypeBig) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      if (enc.length % astypeWidth != 0)
+        throw new ZarrException(
+          s"fixedscaleoffset buffer of ${enc.length} bytes is not a multiple of $astypeWidth")
+      val n = enc.length / astypeWidth
+      val ib = ByteBuffer.wrap(enc).order(aOrder)
+      val out = new Array[Byte](n * dtypeWidth)
+      // the decoded floats are little-endian: the v2 translation puts
+      // this codec BEFORE the dtype's endian marker cannot apply —
+      // ZarrMeta emits a little-endian "bytes" codec alongside it
+      val ob = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) {
+        val stored: Double = astypeWidth match {
+          case 1 => val b = ib.get(i); if (astypeSigned) b.toDouble else (b & 0xff).toDouble
+          case 2 => val s = ib.getShort(i * 2); if (astypeSigned) s.toDouble else (s & 0xffff).toDouble
+          case 4 => val v = ib.getInt(i * 4); if (astypeSigned) v.toDouble else (v & 0xffffffffL).toDouble
+          case 8 => ib.getLong(i * 8).toDouble // u8 beyond 2^63 unsupported upstream
+          case w => throw new ZarrException(s"fixedscaleoffset astype width $w")
+        }
+        val v = stored / scale + offset
+        if (dtypeWidth == 4) ob.putFloat(i * 4, v.toFloat) else ob.putDouble(i * 8, v)
+        i += 1
+      }
+      out
+    }
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val n = raw.length / dtypeWidth
+      val ib = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Byte](n * astypeWidth)
+      val ob = ByteBuffer.wrap(out).order(aOrder)
+      var i = 0
+      while (i < n) {
+        val x = if (dtypeWidth == 4) ib.getFloat(i * 4).toDouble else ib.getDouble(i * 8)
+        val q = Math.rint((x - offset) * scale).toLong
+        astypeWidth match {
+          case 1 => ob.put(i, q.toByte)
+          case 2 => ob.putShort(i * 2, q.toShort)
+          case 4 => ob.putInt(i * 4, q.toInt)
+          case 8 => ob.putLong(i * 8, q)
+          case w => throw new ZarrException(s"fixedscaleoffset astype width $w")
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** numcodecs `PackBits` filter (bool arrays): one leading byte holds
+    * the count of MSB-first padding bits, then `packbits` bytes; decode
+    * expands back to one 0/1 byte per element. */
+  case object V2PackBits extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val n = raw.length
+      val leftover = n % 8
+      val padded = if (leftover == 0) 0 else 8 - leftover
+      val out = new Array[Byte](1 + (n + 7) / 8)
+      out(0) = padded.toByte
+      var i = 0
+      while (i < n) {
+        if (raw(i) != 0) out(1 + i / 8) = (out(1 + i / 8) | (0x80 >> (i % 8))).toByte
+        i += 1
+      }
+      out
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      if (enc.isEmpty) throw new ZarrException("packbits chunk is empty")
+      val padded = enc(0) & 0xff
+      if (padded > 7)
+        throw new ZarrException(s"packbits padding byte $padded out of range")
+      val nBits = (enc.length - 1) * 8 - padded
+      if (nBits < 0) throw new ZarrException("packbits chunk shorter than its padding")
+      val out = new Array[Byte](nBits)
+      var i = 0
+      while (i < nBits) {
+        out(i) = if ((enc(1 + i / 8) & (0x80 >> (i % 8))) != 0) 1 else 0
+        i += 1
+      }
+      out
+    }
+  }
+
   /** numcodecs standalone `Shuffle` filter: byte-transpose so all 0th
     * element bytes come first, then all 1st bytes, …; a trailing
     * remainder shorter than one element is carried verbatim at the end
@@ -492,7 +588,8 @@ object Codecs {
       // internal names minted by the v2 metadata translation only —
       // numcodecs filters and fixed-width string dtypes
       // ([[ZarrMeta.parseV2]]); never valid in a v3 zarr.json
-      "v2-delta", "v2-shuffle", "v2-fixed-bytes-str", "v2-fixed-ucs4")
+      "v2-delta", "v2-shuffle", "v2-fixed-bytes-str", "v2-fixed-ucs4",
+      "v2-fso", "v2-packbits")
 
   /** Validate a codec list for an array (or shard inner chain) of rank
     * `ndim`: unknown names are hard errors, a `transpose` order must be a
@@ -625,6 +722,15 @@ object Codecs {
           big = cfg.get("endian").exists(_.asText("little") == "big"))
       case CodecSpec("v2-shuffle", cfg) =>
         V2Shuffle(cfg.get("elementsize").map(_.asInt(1)).getOrElse(1))
+      case CodecSpec("v2-fso", cfg) =>
+        V2FixedScaleOffset(
+          offset = cfg.get("offset").map(_.asDouble(0)).getOrElse(0d),
+          scale = cfg.get("scale").map(_.asDouble(1)).getOrElse(1d),
+          dtypeWidth = cfg.get("dtype_width").map(_.asInt(8)).getOrElse(8),
+          astypeWidth = cfg.get("astype_width").map(_.asInt(1)).getOrElse(1),
+          astypeSigned = cfg.get("astype_signed").exists(_.asBoolean(false)),
+          astypeBig = cfg.get("astype_big").exists(_.asBoolean(false)))
+      case CodecSpec("v2-packbits", _) => V2PackBits
       case CodecSpec("blosc", cfg) =>
         Blosc(
           cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4"),

@@ -300,7 +300,17 @@ object ZarrMeta {
         case ZarrType.Str => "" // numpy's zero for S/U/O is the empty string
         case _ => parseFill(mapper.readTree("0"), dtype)
       }
-      else parseFill(fillNode, dtype)
+      else if (v2t.strKind == V2StrKind.FixedBytes) {
+        // v2 spec: fill_value for 'S' (and 'V') dtypes is Base64-encoded
+        try new String(
+          java.util.Base64.getDecoder.decode(fillNode.asText("")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new ZarrException(
+              s"fill_value for S dtype must be Base64 for $arrayName", e)
+        }
+      } else parseFill(fillNode, dtype)
 
     val specs = Seq.newBuilder[CodecSpec]
     if (root.path("order").asText("C") == "F") {
@@ -308,28 +318,19 @@ object ZarrMeta {
       (shape.indices.reverse).foreach(order.add)
       specs += CodecSpec("transpose", Map("order" -> order))
     }
-    // array→bytes interpretation: endian marker for numerics, the
-    // string-element layout marker for S/U, vlen-utf8 for |O (added
-    // below when the object codec is seen in `filters`)
-    v2t.strKind match {
-      case V2StrKind.NotStr =>
-        specs += CodecSpec("bytes",
-          Map("endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
-      case V2StrKind.FixedBytes =>
-        specs += CodecSpec("v2-fixed-bytes-str",
-          Map("width" -> mapper.readTree(v2t.strWidth.toString)))
-      case V2StrKind.FixedUcs4 =>
-        specs += CodecSpec("v2-fixed-ucs4", Map(
-          "width" -> mapper.readTree(v2t.strWidth.toString),
-          "endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
-      case V2StrKind.Obj => // requires the vlen-utf8 object codec, checked below
-    }
-
     // numcodecs filters apply AFTER the array layout and BEFORE the
-    // compressor on encode; listing them here in encode order makes the
+    // compressor on encode; listing them in encode order makes the
     // existing reverse-fold decode apply them correctly (decompress →
-    // un-shuffle → un-delta → interpret)
+    // un-shuffle → un-delta → un-scale → interpret). `cur` tracks the
+    // STORED element repr through the stack (fixedscaleoffset re-types
+    // floats to a small integer astype, so a later delta/shuffle acts
+    // on THAT, not the array dtype).
     var sawVlen = false
+    var sawFso = false
+    // (width, isFloat, bigEndian) of the element repr entering each filter
+    var cur: (Int, Boolean, Boolean) =
+      (dtype.byteWidth, dtype == ZarrType.Float32 || dtype == ZarrType.Float64, bigEndian)
+    val filterSpecs = Seq.newBuilder[CodecSpec]
     filterNodes.foreach { fn =>
       fn.path("id").asText("") match {
         case "vlen-utf8" =>
@@ -339,7 +340,7 @@ object ZarrMeta {
           if (sawVlen)
             throw new ZarrException(s"Duplicate vlen-utf8 filter for $arrayName")
           sawVlen = true
-          specs += CodecSpec("vlen-utf8", Map.empty)
+          filterSpecs += CodecSpec("vlen-utf8", Map.empty)
         case "delta" =>
           if (dtype == ZarrType.Str || dtype == ZarrType.Bool)
             throw new ZarrException(
@@ -351,33 +352,102 @@ object ZarrMeta {
             throw new ZarrException(
               s"numcodecs delta with astype != dtype is not supported for $arrayName")
           // the stored element repr is the filter's dtype (usually the
-          // array dtype verbatim); its width/order drive the cumsum
-          val dd = if (fDt.isEmpty) v2t else v2Dtype(fDt, s"$arrayName delta filter")
-          if (dd.t.byteWidth != dtype.byteWidth)
+          // incoming repr verbatim); its width/order drive the cumsum
+          val dd = fDt match {
+            case "" => cur
+            case ts =>
+              val d = v2Dtype(ts, s"$arrayName delta filter")
+              (d.t.byteWidth, d.t == ZarrType.Float32 || d.t == ZarrType.Float64, d.big)
+          }
+          if (dd._1 != cur._1)
             throw new ZarrException(
-              s"numcodecs delta dtype '$fDt' width differs from array dtype for $arrayName")
-          val float = dd.t == ZarrType.Float32 || dd.t == ZarrType.Float64
-          specs += CodecSpec("v2-delta", Map(
-            "width" -> mapper.readTree(dd.t.byteWidth.toString),
-            "float" -> mapper.readTree(float.toString),
-            "endian" -> mapper.readTree(if (dd.big) "\"big\"" else "\"little\"")))
+              s"numcodecs delta dtype '$fDt' width differs from the stored repr for $arrayName")
+          filterSpecs += CodecSpec("v2-delta", Map(
+            "width" -> mapper.readTree(dd._1.toString),
+            "float" -> mapper.readTree(dd._2.toString),
+            "endian" -> mapper.readTree(if (dd._3) "\"big\"" else "\"little\"")))
         case "shuffle" =>
-          val es = fn.path("elementsize").asInt(
-            if (dtype.byteWidth > 0) dtype.byteWidth else 1)
+          val es = fn.path("elementsize").asInt(if (cur._1 > 0) cur._1 else 1)
           if (es <= 0)
             throw new ZarrException(s"Bad shuffle elementsize $es for $arrayName")
-          specs += CodecSpec("v2-shuffle",
+          filterSpecs += CodecSpec("v2-shuffle",
             Map("elementsize" -> mapper.readTree(es.toString)))
+        case "fixedscaleoffset" =>
+          if (dtype != ZarrType.Float32 && dtype != ZarrType.Float64)
+            throw new ZarrException(
+              s"numcodecs fixedscaleoffset requires a float array dtype for $arrayName")
+          if (sawFso)
+            throw new ZarrException(s"Duplicate fixedscaleoffset filter for $arrayName")
+          sawFso = true
+          val fDt = fn.path("dtype").asText("")
+          if (fDt.nonEmpty) {
+            val d = v2Dtype(fDt, s"$arrayName fixedscaleoffset dtype")
+            if (d.t != dtype)
+              throw new ZarrException(
+                s"fixedscaleoffset dtype '$fDt' differs from array dtype for $arrayName")
+          }
+          val aTs = fn.path("astype").asText("")
+          val at =
+            if (aTs.isEmpty) v2t
+            else v2Dtype(aTs, s"$arrayName fixedscaleoffset astype")
+          val aKind = if (aTs.length >= 2) aTs.charAt(1) else ' '
+          if (aKind != 'i' && aKind != 'u')
+            throw new ZarrException(
+              s"fixedscaleoffset astype '$aTs' must be an integer type for $arrayName")
+          val scale = fn.path("scale").asDouble(0)
+          if (!(scale > 0))
+            throw new ZarrException(s"fixedscaleoffset scale must be > 0 for $arrayName")
+          filterSpecs += CodecSpec("v2-fso", Map(
+            "offset" -> fn.path("offset"),
+            "scale" -> fn.path("scale"),
+            "dtype_width" -> mapper.readTree(dtype.byteWidth.toString),
+            "astype_width" -> mapper.readTree(at.t.byteWidth.toString),
+            "astype_signed" -> mapper.readTree((aKind == 'i').toString),
+            "astype_big" -> mapper.readTree(at.big.toString)))
+          cur = (at.t.byteWidth, false, at.big)
+        case "packbits" =>
+          if (dtype != ZarrType.Bool)
+            throw new ZarrException(
+              s"numcodecs packbits requires a bool array dtype for $arrayName")
+          filterSpecs += CodecSpec("v2-packbits", Map.empty)
+        case "quantize" | "bitround" =>
+          // lossy float rounding applied at WRITE time; decode is the
+          // identity, and this reader is read-only for v2 — accept and
+          // emit nothing (zarrs does the same passthrough)
+          if (dtype != ZarrType.Float32 && dtype != ZarrType.Float64)
+            throw new ZarrException(
+              s"numcodecs ${fn.path("id").asText("")} requires a float dtype for $arrayName")
         case other =>
           throw new ZarrException(
-            s"Unsupported Zarr v2 filter '$other' for $arrayName " +
-              "(supported: delta, shuffle, vlen-utf8)")
+            s"Unsupported Zarr v2 filter '$other' for $arrayName (supported: " +
+              "delta, shuffle, fixedscaleoffset, packbits, quantize, bitround, vlen-utf8)")
       }
     }
     if (v2t.strKind == V2StrKind.Obj && !sawVlen)
       throw new ZarrException(
         s"Object dtype '|O' without a vlen-utf8 object codec for $arrayName " +
           "(other object codecs are not supported)")
+
+    // array→bytes interpretation: endian marker for numerics (LITTLE
+    // when fixedscaleoffset is present — its decode re-emits normalized
+    // little-endian floats regardless of the astype's order), the
+    // string-element layout marker for S/U, vlen-utf8 for |O (already
+    // appended from `filters` above)
+    v2t.strKind match {
+      case V2StrKind.NotStr =>
+        val little = sawFso || !bigEndian
+        specs += CodecSpec("bytes",
+          Map("endian" -> mapper.readTree(if (little) "\"little\"" else "\"big\"")))
+      case V2StrKind.FixedBytes =>
+        specs += CodecSpec("v2-fixed-bytes-str",
+          Map("width" -> mapper.readTree(v2t.strWidth.toString)))
+      case V2StrKind.FixedUcs4 =>
+        specs += CodecSpec("v2-fixed-ucs4", Map(
+          "width" -> mapper.readTree(v2t.strWidth.toString),
+          "endian" -> mapper.readTree(if (bigEndian) "\"big\"" else "\"little\"")))
+      case V2StrKind.Obj => // vlen-utf8 spec appended from filters
+    }
+    specs ++= filterSpecs.result()
     val comp = root.path("compressor")
     if (!comp.isNull && !comp.isMissingNode) {
       comp.path("id").asText("") match {

@@ -262,6 +262,31 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 fixedscaleoffset: decode formula, wraps like numpy on encode, loud on misaligned") {
+    val fso = Codecs.V2FixedScaleOffset(offset = 5.0, scale = 4.0,
+      dtypeWidth = 8, astypeWidth = 2, astypeSigned = true, astypeBig = true)
+    // exact quarters roundtrip losslessly through the quantizer
+    val xs = Array(5.25, 4.75, 12.0, -3.5)
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putDouble)
+    val dec = java.nio.ByteBuffer.wrap(fso.decode(fso.encode(bb.array())))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xs.indices.foreach(i => assert(dec.getDouble(i * 8) == xs(i), s"x[$i]"))
+    intercept[ZarrException] { fso.decode(new Array[Byte](3)) }
+  }
+
+  test("v2 packbits: roundtrip all lengths incl. 0 and non-multiples of 8; bad padding is loud") {
+    (0 to 19).foreach { n =>
+      val bools = Array.tabulate[Byte](n)(i => if ((i * 5 + 3) % 7 < 3) 1 else 0)
+      val enc = Codecs.V2PackBits.encode(bools)
+      assert(enc.length == 1 + (n + 7) / 8)
+      assert(Codecs.V2PackBits.decode(enc).sameElements(bools), s"n=$n")
+    }
+    intercept[ZarrException] { Codecs.V2PackBits.decode(Array.emptyByteArray) }
+    intercept[ZarrException] { Codecs.V2PackBits.decode(Array[Byte](9, 0)) }
+  }
+
   test("v2 standalone shuffle filter: inverse, tail bytes carried verbatim") {
     forAll2(Gen.choose(1, 16), Gen.choose(0, 200)) { (es: Int, len: Int) =>
       val b = Array.tabulate[Byte](len)(i => (i * 37 + 11).toByte)

@@ -162,6 +162,13 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getString(3) == unames(i), s"uname[$i] (<U5 UCS-4 LE)")
       assert(r.getString(4) == tags(i), s"tag[$i] (>U3 UCS-4 BE)")
     }
+    // S-dtype fill_value is Base64 per the v2 spec: pad's fill is
+    // b64("NA") and its chunk 1 (indices 4..7) is absent
+    val pad = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "pad").orderBy("ds").collect().map(_.getString(1))
+    val expectPad = Seq("p0", "p1", "p2", "p3", "NA", "NA", "NA", "NA",
+      "p8", "p9", "p10")
+    assert(pad.toSeq == expectPad, pad.mkString(","))
   }
 
   test("v2 numcodecs filters: delta(<i4,+zlib), delta(<f8), delta+shuffle(<i8,+zlib)") {
@@ -174,6 +181,52 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getInt(1) == dv(i), s"dv[$i] (delta int32)")
       assert(r.getDouble(2) == 0.5 * i * i - 3.0 * i, s"dd[$i] (delta float64)")
     }
+  }
+
+  test("v2 numcodecs filters: fixedscaleoffset, fso→delta re-typing, packbits, quantize") {
+    val rows = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "fso", "fsod", "pb", "qz").orderBy("ds").collect()
+    assert(rows.length == 11)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      // decode = stored/scale + offset in float64 (numcodecs semantics),
+      // with stored = round_half_even((x-offset)*scale) = exact 3i / 7i²
+      assert(r.getDouble(1) == 3.0 * i / 10.0 + 1000.0, s"fso[$i]")
+      assert(r.getDouble(2) == 7.0 * i * i / 100.0, s"fsod[$i] (delta over the i2 astype)")
+      assert(r.getBoolean(3) == (i % 3 == 1), s"pb[$i] (packbits)")
+      assert(r.getFloat(4) == 0.5f * i, s"qz[$i] (quantize = identity decode)")
+    }
+  }
+
+  test("v2 filter translation rejects unsound stacks, loudly") {
+    def v2(dtype: String, filters: String): String =
+      s"""{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C",
+         |"fill_value":0,"filters":$filters,"compressor":null,
+         |"dtype":"$dtype"}""".stripMargin
+    intercept[ZarrException] { // fso on an int array
+      ZarrMeta.parse("a", v2("<i4",
+        """[{"id":"fixedscaleoffset","offset":0,"scale":10,"dtype":"<i4","astype":"|u1"}]"""))
+    }
+    intercept[ZarrException] { // fso with a float astype
+      ZarrMeta.parse("a", v2("<f8",
+        """[{"id":"fixedscaleoffset","offset":0,"scale":10,"dtype":"<f8","astype":"<f4"}]"""))
+    }
+    intercept[ZarrException] { // delta width must match the RE-TYPED repr
+      ZarrMeta.parse("a", v2("<f8",
+        """[{"id":"fixedscaleoffset","offset":0,"scale":10,"dtype":"<f8","astype":"|u1"},
+          |{"id":"delta","dtype":"<f8"}]""".stripMargin))
+    }
+    intercept[ZarrException] { // packbits needs bool
+      ZarrMeta.parse("a", v2("<i4", """[{"id":"packbits"}]"""))
+    }
+    intercept[ZarrException] { // fso scale 0 would divide by zero on decode
+      ZarrMeta.parse("a", v2("<f8",
+        """[{"id":"fixedscaleoffset","offset":0,"scale":0,"dtype":"<f8","astype":"|u1"}]"""))
+    }
+    // the happy re-typing path parses with delta bound to the astype
+    val m = ZarrMeta.parse("a", v2("<f8",
+      """[{"id":"fixedscaleoffset","offset":0,"scale":100,"dtype":"<f8","astype":"<i2"},
+        |{"id":"delta","dtype":"<i2"}]""".stripMargin))
+    assert(m.codecs.map(_.name) == Seq("bytes", "v2-fso", "v2-delta"))
   }
 
   test("v2 string predicates evaluate over the translated decode") {

@@ -296,6 +296,23 @@ def main():
         tag_chunks.append(raw)
     write_raw_array("tag", v2meta(">U3", None, None, ""), tag_chunks)
 
+    # |S3 raw with a BASE64 fill_value ("NA") and chunk 1 ABSENT — the
+    # v2 spec Base64-encodes fill_value for S dtypes
+    import base64
+    pads = ["p0", "p1", "p2", "p3", "", "", "", "", "p8", "p9", "p10"]
+    pad_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        raw = b""
+        for i in range(chunk):
+            g = ci * chunk + i
+            s = pads[g] if g < n else ""
+            raw += s.encode("ascii").ljust(3, b"\x00")
+        pad_chunks.append(raw)
+    write_raw_array(
+        "pad",
+        v2meta("|S3", None, None, base64.b64encode(b"NA").decode("ascii")),
+        pad_chunks, skip={1})
+
     # <i4 + delta filter + zlib (values non-monotonic to get negative
     # diffs) — the canonical climate-store stack
     dv = [1000, 1007, 995, 1020, 1020, 980, 1001, 1002, 999, 1050, 1049]
@@ -336,6 +353,71 @@ def main():
                      [{"id": "delta", "dtype": "<i8"},
                       {"id": "shuffle", "elementsize": 8}], 0),
         ds_chunks)
+
+    # <f8 + fixedscaleoffset(offset=1000, scale=10, astype |u1) + zlib:
+    # x_i = 1000 + 0.3*i quantizes to exact small ints 3*i
+    fso_meta = v2meta("<f8", zl, [{"id": "fixedscaleoffset", "offset": 1000,
+                                   "scale": 10, "dtype": "<f8",
+                                   "astype": "|u1"}], 0.0)
+    fso_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        q = []
+        for i in range(chunk):
+            g = ci * chunk + i
+            x = 1000 + 0.3 * g if g < n else 0.0
+            # round-half-to-even, exactly numpy.around
+            q.append(int(round((x - 1000) * 10)) & 0xFF)
+        fso_chunks.append(zlib.compress(struct.pack("<%dB" % len(q), *q), 6))
+    write_raw_array("fso", fso_meta, fso_chunks)
+
+    # <f8 + [fixedscaleoffset(astype <i2), delta(<i2)] — a RE-TYPING
+    # two-filter stack: the delta operates on the i2 quantized repr, not
+    # the f8 array dtype (pins the translator's stored-repr tracking)
+    fsod_meta = v2meta("<f8", zl,
+                       [{"id": "fixedscaleoffset", "offset": 0, "scale": 100,
+                         "dtype": "<f8", "astype": "<i2"},
+                        {"id": "delta", "dtype": "<i2"}], 0.0)
+    fsod_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        q = []
+        for i in range(chunk):
+            g = ci * chunk + i
+            x = 0.07 * g * g if g < n else 0.0
+            q.append(int(round(x * 100)))
+        enc = [q[0]] + [q[i] - q[i - 1] for i in range(1, len(q))]
+        fsod_chunks.append(zlib.compress(struct.pack("<%dh" % len(enc), *enc), 6))
+    write_raw_array("fsod", fsod_meta, fsod_chunks)
+
+    # |b1 + packbits (leading byte = count of padding bits, MSB-first)
+    pb_meta = v2meta("|b1", None, [{"id": "packbits"}], False)
+    pb_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        bits = []
+        for i in range(chunk):
+            g = ci * chunk + i
+            bits.append(1 if (g < n and g % 3 == 1) else 0)
+        nbits = len(bits)
+        pad = (8 - nbits % 8) % 8
+        packed = bytearray([pad])
+        for byte_i in range((nbits + 7) // 8):
+            b = 0
+            for k in range(8):
+                idx = byte_i * 8 + k
+                if idx < nbits and bits[idx]:
+                    b |= 0x80 >> k
+            packed.append(b)
+        pb_chunks.append(bytes(packed))
+    write_raw_array("pb", pb_meta, pb_chunks)
+
+    # <f4 + quantize (lossy at write time; decode is the identity)
+    qz_meta = v2meta("<f4", None,
+                     [{"id": "quantize", "digits": 3, "dtype": "<f4"}], 0.0)
+    qz_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [0.5 * (ci * chunk + i) if ci * chunk + i < n else 0.0
+                for i in range(chunk)]
+        qz_chunks.append(struct.pack("<%df" % len(vals), *vals))
+    write_raw_array("qz", qz_meta, qz_chunks)
 
     print("wrote", root)
     print("wrote", root1)
