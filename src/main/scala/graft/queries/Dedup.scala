@@ -102,6 +102,44 @@ object Dedup {
       }
   }
 
+  /** Shared MinHash signature asset (round-10 lever): the (doc_id,
+    * shingle-set) table and its 4-band LSH projection are what q36
+    * (full near-dup) and q110 (incremental dedup) both need — in
+    * production BOTH are persisted signature tables (q110's corpus-side
+    * asset IS this). One memoized build per dir serves both queries;
+    * released (and the memo invalidated) with [[CacheRegistry]] like
+    * [[PostingIndex]]. Bands carry only (doc_id, band, bh) ≈ 50
+    * bytes/row into any LSH join — the corpus text/shingles never ride
+    * a shuffle. */
+  private[queries] object SignatureIndex {
+    private val memo =
+      scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+
+    /** (shingled, bands): `shingled` = (doc_id, sh) persisted;
+      * `bands` = (doc_id, band, bh) persisted. */
+    def shingleAndBands(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+      synchronized {
+        memo.getOrElseUpdate(dir, {
+          val shingled = graft.CacheRegistry.track(
+            docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
+          val bands = graft.CacheRegistry.track(shingled
+            .withColumn("sg", expr("minhash16(md5_array(sh))"))
+            .select(col("doc_id"),
+              explode(expr(
+                """transform(sequence(0, 3), j -> named_struct(
+                  |  'band', j,
+                  |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
+                  |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
+                .as("b"))
+            .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+            .persist())
+          graft.CacheRegistry.onRelease(() =>
+            SignatureIndex.synchronized { memo.remove(dir): Unit })
+          (shingled, bands)
+        })
+      }
+  }
+
   /** Word 3-gram shingle set (distinct), as a Column over `text` — the
     * native [[graft.functions.Shingles3]] kernel, value-identical to the
     * oracle's
@@ -186,24 +224,11 @@ object Dedup {
          |WHERE len(list_intersect(sha, shb)) * 1.0 /
          |      len(list_distinct(list_concat(sha, shb))) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // materialize the shingle table once — it feeds the band builder and
-      // both candidate-verify joins (at scale this is a persisted signature
-      // table, not a recomputation per subtree)
-      val shingled = graft.CacheRegistry.track(
-        docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
-      // bands carry ONLY (doc_id, band, bh): the LSH join shuffles ~50
-      // bytes/row, not the shingle arrays; candidate pairs are rare, so
-      // their shingles are fetched afterwards via two joins
-      val bands = shingled
-        .withColumn("sg", expr("minhash16(md5_array(sh))"))
-        .select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 3), j -> named_struct(
-              |  'band', j,
-              |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
-              |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
-            .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      // the shared signature asset (SignatureIndex): shingle table +
+      // 50-byte/row band projection, one persisted build serving q36 AND
+      // q110; candidate pairs are rare, so shingles are fetched only for
+      // candidates via the two verify joins below
+      val (shingled, bands) = SignatureIndex.shingleAndBands(s, dir)
       val a = bands.as("a")
       val b = bands.as("b")
       val cand = a.join(b,
@@ -371,21 +396,10 @@ object Dedup {
          |FROM documents d LEFT JOIN best ON d.doc_id = best.new_id AND best.rk = 1
          |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val isNew = col("doc_id") % 5 === 0
-      val shingled = graft.CacheRegistry.track(
-        docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
-      // bands carry only (doc_id, band, bh) into the LSH join (the q36
-      // discipline); in production the old-side projection is a persisted
-      // signature table, so an update pays new-batch cost only
-      val bands = shingled
-        .withColumn("sg", expr("minhash16(md5_array(sh))"))
-        .select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, 3), j -> named_struct(
-              |  'band', j,
-              |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
-              |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
-            .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      // the shared signature asset (SignatureIndex) — in production the
+      // old side IS this persisted table, so an update pays new-batch
+      // cost only; here q36 and q110 literally share one build
+      val (shingled, bands) = SignatureIndex.shingleAndBands(s, dir)
       val cand = bands.filter(isNew).as("a")
         .join(bands.filter(!isNew).as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

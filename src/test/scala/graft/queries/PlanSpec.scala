@@ -104,6 +104,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("signature index: q36/q110 share one shingle+band build; bands read from cache") {
+    graft.CacheRegistry.releaseAll()
+    val (sh1, b1) = graft.queries.Dedup.SignatureIndex.shingleAndBands(spark, dir)
+    val (sh2, b2) = graft.queries.Dedup.SignatureIndex.shingleAndBands(spark, dir)
+    assert((sh1 eq sh2) && (b1 eq b2), "one signature build per dir")
+    // both q36 and q110 must read the persisted band projection, not
+    // recompute minhash signatures per subtree
+    val p36 = plan("q36_minhash_lsh")
+    assert(p36.contains("InMemoryTableScan"), s"q36 must read the cached asset\n$p36")
+    val p110 = plan("q110_incremental_dedup")
+    assert(p110.contains("InMemoryTableScan"), s"q110 must read the cached asset\n$p110")
+    graft.CacheRegistry.releaseAll()
+    val (sh3, _) = graft.queries.Dedup.SignatureIndex.shingleAndBands(spark, dir)
+    assert(!(sh3 eq sh1), "releaseAll must invalidate the signature memo")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("q108: cross-lingual near-dup is a posting equi join + top-k — never all-pairs") {
     val p = plan("q108_crosslingual_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -363,11 +380,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q110_incremental_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // every text read comes from the shingle cache (band build ×2 +
-    // verify fetch ×2); the only LIVE parquet scan is the final
+    // every text read comes from the persisted signature asset (the
+    // shared bands cache ×2 — whose not-yet-materialized build plan
+    // embeds its own shingle-cache read in the plan string — + the
+    // verify fetches ×2); the only LIVE parquet scan is the final
     // new-batch attach, column-pruned to doc_id
-    assert("InMemoryTableScan".r.findAllIn(p).length == 4,
-      s"band build and verify joins must read the shingle cache\n$p")
+    // (plan-string counts include the caches' embedded build plans, so
+    // the live-scan count is not directly assertable here; the doc_id
+    // ReadSchema below pins the one live attach scan's pruning)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 4,
+      s"band build and verify joins must read the signature caches\n$p")
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
       s"the new-batch attach scan must prune to doc_id only\n$p")
   }
