@@ -35,5 +35,13 @@ v2 = spark.read.format("zarr").load(os.path.abspath("src/test/resources/zarr_v2_
 assert v2.count() == 24, "v2 row count"
 assert v2.where("lat >= 39.0 AND lon < -116.5").count() == 4, "v2 coord filter"
 
+# v2 string dtypes + numcodecs filter stacks through Python too
+vt = spark.read.format("zarr").load(os.path.abspath("src/test/resources/zarr_v2_typed"))
+assert vt.count() == 11, "v2 typed row count"
+assert vt.where("uname = 'übèr'").count() == 1, "v2 UCS-4 string predicate"
+assert vt.where("pb").count() == 4, "v2 packbits bools"  # i%3==1 for i<11
+got = [r[0] for r in vt.select("dv").orderBy("ds").collect()]
+assert got[:3] == [1000, 1007, 995], "v2 delta ints"
+
 spark.stop()
 print("PYTHON SURFACE OK")
