@@ -288,6 +288,43 @@ object Codecs {
     }
   }
 
+  /** numcodecs `BZ2` (Zarr v2 compressor) via the Spark-bundled
+    * commons-compress. */
+  final case class Bz2(level: Int = 9) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val out = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos, math.max(1, math.min(9, level)))
+      out.write(raw); out.close()
+      bos.toByteArray
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(enc))
+      try in.readAllBytes() finally in.close()
+    }
+  }
+
+  /** numcodecs `LZMA` (Zarr v2 compressor): its default container is
+    * the XZ format (python `lzma.FORMAT_XZ`), decoded via the
+    * Spark-bundled org.tukaani.xz. Non-XZ formats (FORMAT_ALONE/RAW)
+    * are not produced by default numcodecs configs and fail loudly in
+    * the XZ reader rather than decoding garbage. */
+  final case class Lzma(preset: Int = 1) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val opts = new org.tukaani.xz.LZMA2Options(math.max(0, math.min(9, preset)))
+      val out = new org.tukaani.xz.XZOutputStream(bos, opts)
+      out.write(raw); out.close()
+      bos.toByteArray
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      val in = new org.tukaani.xz.XZInputStream(
+        new java.io.ByteArrayInputStream(enc))
+      try in.readAllBytes() finally in.close()
+    }
+  }
+
   final case class Zstd(level: Int = 3) extends BytesCodec {
     def encode(raw: Array[Byte]): Array[Byte] =
       com.github.luben.zstd.Zstd.compress(raw, level)
@@ -589,7 +626,7 @@ object Codecs {
       // numcodecs filters and fixed-width string dtypes
       // ([[ZarrMeta.parseV2]]); never valid in a v3 zarr.json
       "v2-delta", "v2-shuffle", "v2-fixed-bytes-str", "v2-fixed-ucs4",
-      "v2-fso", "v2-packbits")
+      "v2-fso", "v2-packbits", "v2-bz2", "v2-lzma")
 
   /** Validate a codec list for an array (or shard inner chain) of rank
     * `ndim`: unknown names are hard errors, a `transpose` order must be a
@@ -731,6 +768,10 @@ object Codecs {
           astypeSigned = cfg.get("astype_signed").exists(_.asBoolean(false)),
           astypeBig = cfg.get("astype_big").exists(_.asBoolean(false)))
       case CodecSpec("v2-packbits", _) => V2PackBits
+      case CodecSpec("v2-bz2", cfg) =>
+        Bz2(cfg.get("level").map(_.asInt(9)).getOrElse(9))
+      case CodecSpec("v2-lzma", cfg) =>
+        Lzma(cfg.get("preset").map(_.asInt(1)).getOrElse(1))
       case CodecSpec("blosc", cfg) =>
         Blosc(
           cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4"),

@@ -465,6 +465,20 @@ object ZarrMeta {
         case "zlib" => specs += CodecSpec("zlib", Map("level" -> comp.path("level")))
         case "gzip" => specs += CodecSpec("gzip", Map("level" -> comp.path("level")))
         case "zstd" => specs += CodecSpec("zstd", Map("level" -> comp.path("level")))
+        case "bz2" => specs += CodecSpec("v2-bz2", Map("level" -> comp.path("level")))
+        case "lzma" =>
+          // numcodecs LZMA default container is XZ (format=1); the
+          // legacy ALONE/RAW containers and custom filter chains would
+          // decode garbage through an XZ reader — loud errors
+          val fmt = comp.path("format")
+          if (!fmt.isMissingNode && !fmt.isNull && fmt.asInt(1) != 1)
+            throw new ZarrException(
+              s"lzma compressor format ${fmt.asInt(1)} (non-XZ) is not supported for $arrayName")
+          val lzFilters = comp.path("filters")
+          if (lzFilters.isArray && lzFilters.size() > 0)
+            throw new ZarrException(
+              s"lzma compressor custom filter chains are not supported for $arrayName")
+          specs += CodecSpec("v2-lzma", Map("preset" -> comp.path("preset")))
         case other =>
           throw new ZarrException(
             s"Unsupported Zarr v2 compressor '$other' for $arrayName")

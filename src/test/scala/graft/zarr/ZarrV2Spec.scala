@@ -109,7 +109,7 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       ZarrMeta.parse("a", v2("<i4", filters = """[{"id":"fixedscaleoffset"}]"""))
     }
     intercept[ZarrException] { // unknown compressor
-      ZarrMeta.parse("a", v2("<i4", compressor = """{"id":"lzma"}"""))
+      ZarrMeta.parse("a", v2("<i4", compressor = """{"id":"snappy"}"""))
     }
     intercept[ZarrException] { // '=' writer-native order is ambiguous
       ZarrMeta.parse("a", v2("=i4"))
@@ -194,6 +194,23 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getDouble(2) == 7.0 * i * i / 100.0, s"fsod[$i] (delta over the i2 astype)")
       assert(r.getBoolean(3) == (i % 3 == 1), s"pb[$i] (packbits)")
       assert(r.getFloat(4) == 0.5f * i, s"qz[$i] (quantize = identity decode)")
+    }
+  }
+
+  test("v2 bz2 and lzma(XZ) compressors decode via the bundled codecs") {
+    val rows = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "bzv", "xzv").orderBy("ds").collect()
+    assert(rows.length == 11)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(1) == 13 * i - 40, s"bzv[$i] (bz2)")
+      assert(r.getDouble(2) == 2.5 * i - 7.0, s"xzv[$i] (lzma/XZ)")
+    }
+    // non-XZ lzma container formats are loud errors, not garbage
+    intercept[ZarrException] {
+      ZarrMeta.parse("a",
+        """{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C","fill_value":0,
+          |"filters":null,"dtype":"<i4",
+          |"compressor":{"id":"lzma","format":2,"preset":null,"filters":null}}""".stripMargin)
     }
   }
 

@@ -409,6 +409,32 @@ def main():
         pb_chunks.append(bytes(packed))
     write_raw_array("pb", pb_meta, pb_chunks)
 
+    # <i4 + bz2 compressor and <f8 + lzma (XZ container) compressor —
+    # the remaining numcodecs compressors the JVM classpath can decode
+    import bz2 as _bz2
+    import lzma as _lzma
+    bzv = [13 * i - 40 for i in range(n)]
+    bzv_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [bzv[ci * chunk + i] if ci * chunk + i < n else 0
+                for i in range(chunk)]
+        bzv_chunks.append(_bz2.compress(struct.pack("<%di" % len(vals), *vals), 5))
+    write_raw_array("bzv", v2meta("<i4", {"id": "bz2", "level": 5}, None, 0),
+                    bzv_chunks)
+
+    xzv = [2.5 * i - 7.0 for i in range(n)]
+    xzv_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [xzv[ci * chunk + i] if ci * chunk + i < n else 0.0
+                for i in range(chunk)]
+        xzv_chunks.append(_lzma.compress(struct.pack("<%dd" % len(vals), *vals),
+                                         format=_lzma.FORMAT_XZ))
+    write_raw_array(
+        "xzv",
+        v2meta("<f8", {"id": "lzma", "format": 1, "check": -1,
+                       "preset": None, "filters": None}, None, 0.0),
+        xzv_chunks)
+
     # <f4 + quantize (lossy at write time; decode is the identity)
     qz_meta = v2meta("<f4", None,
                      [{"id": "quantize", "digits": 3, "dtype": "<f4"}], 0.0)
