@@ -44,12 +44,19 @@ object CacheRegistry {
     * silently-unpersisted plan after release. */
   def onRelease(cb: () => Unit): Unit = synchronized { tracked += cb }
 
-  /** Release everything tracked (blocking=false; safe on dead sessions). */
-  def releaseAll(): Unit = synchronized {
-    tracked.foreach { release =>
+  /** Release everything tracked (blocking=false; safe on dead sessions).
+    * The callbacks run OUTSIDE this object's monitor: holding it while a
+    * callback re-enters another lock (e.g. a memo object that also calls
+    * [[track]] under its own monitor) would be an ABBA deadlock. */
+  def releaseAll(): Unit = {
+    val snapshot = synchronized {
+      val s = tracked.toList
+      tracked.clear()
+      s
+    }
+    snapshot.foreach { release =>
       try release()
       catch { case _: Throwable => () }
     }
-    tracked.clear()
   }
 }

@@ -79,14 +79,17 @@ object Dedup {
     * aggregate whose above-cap survivors broadcast back as a left-anti
     * join, so the postings themselves are never reshuffled. */
   private[queries] object PostingIndex {
-    private val memo =
-      scala.collection.mutable.Map.empty[(String, Boolean), DataFrame]
+    // keyed by the SESSION too: a cached plan is bound to the session it
+    // was built on, and handing it to a different/stopped session would
+    // execute on the wrong conf or throw
+    private val memo = scala.collection.mutable.Map
+      .empty[(SparkSession, String, Boolean), DataFrame]
 
     /** The df-capped posting table for `dir`; `normalized` selects the
       * `normalize_text` (cross-lingual) variant. */
     def postings(s: SparkSession, dir: String, normalized: Boolean): DataFrame =
       synchronized {
-        memo.getOrElseUpdate((dir, normalized), {
+        memo.getOrElseUpdate((s, dir, normalized), {
           val shExpr =
             if (normalized) "shingles3(normalize_text(text))" else shinglesExpr
           val sized = docs(s, dir)
@@ -96,7 +99,7 @@ object Dedup {
               size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
           val ex = graft.CacheRegistry.track(sized.persist())
           graft.CacheRegistry.onRelease(() =>
-            PostingIndex.synchronized { memo.remove((dir, normalized)): Unit })
+            PostingIndex.synchronized { memo.remove((s, dir, normalized)): Unit })
           dropHotPostings(ex, Seq("source", "shingle"))
         })
       }
@@ -112,14 +115,15 @@ object Dedup {
     * bytes/row into any LSH join — the corpus text/shingles never ride
     * a shuffle. */
   private[queries] object SignatureIndex {
-    private val memo =
-      scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
+    // session-keyed for the same reason as PostingIndex's memo
+    private val memo = scala.collection.mutable.Map
+      .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
     /** (shingled, bands): `shingled` = (doc_id, sh) persisted;
       * `bands` = (doc_id, band, bh) persisted. */
     def shingleAndBands(s: SparkSession, dir: String): (DataFrame, DataFrame) =
       synchronized {
-        memo.getOrElseUpdate(dir, {
+        memo.getOrElseUpdate((s, dir), {
           val shingled = graft.CacheRegistry.track(
             docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
           val bands = graft.CacheRegistry.track(shingled
@@ -134,7 +138,7 @@ object Dedup {
             .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
             .persist())
           graft.CacheRegistry.onRelease(() =>
-            SignatureIndex.synchronized { memo.remove(dir): Unit })
+            SignatureIndex.synchronized { memo.remove((s, dir)): Unit })
           (shingled, bands)
         })
       }

@@ -563,8 +563,15 @@ class ZarrPartialAggScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val metaJsons = aggMetas.map(m => m.name -> m.sourceJson)
     val mparts = ChunkManifest.requiredParts(store, metaJsons.map(_._2))
+    // overflow semantics of the executor-side partial SUM must match
+    // what Spark's Sum over the same scanned rows would do: throw under
+    // ANSI (the 4.x default), wrap otherwise — resolved at plan time
+    // because executors cannot read the session conf
+    val ansi =
+      try org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+      catch { case _: Throwable => true }
     ZarrPartialAggReaderFactory(store, metaJsons, schema.json, fns,
-      servedRow.map(ZarrPartialAggScan.box), mparts)
+      servedRow.map(ZarrPartialAggScan.box), mparts, ansi)
   }
 }
 
@@ -595,7 +602,8 @@ final case class ZarrPartialAggReaderFactory(
     schemaJson: String,
     fns: Seq[(String, String)],
     servedRow: Seq[Any],
-    manifestParts: Vector[(Long, String, Int)])
+    manifestParts: Vector[(Long, String, Int)],
+    ansiSum: Boolean)
     extends PartitionReaderFactory {
 
   override def createReader(
@@ -615,7 +623,14 @@ final case class ZarrPartialAggReaderFactory(
         val mani = ChunkManifest(manifestParts)
         val n0 = metas.head.shape(0)
         val cs0 = metas.head.chunkShape(0).toLong
-        val needCols = fns.map(_._2).filter(_.nonEmpty).distinct
+        // COUNT needs no chunk bytes (row counts come from the extent;
+        // zarr reads never produce nulls) — fetch/decode only the
+        // columns whose VALUES a function consumes
+        val needCols = fns.collect {
+          case ("min", c) => c
+          case ("max", c) => c
+          case ("sum", c) => c
+        }.distinct
         val mins = scala.collection.mutable.Map.empty[String, Any]
         val maxs = scala.collection.mutable.Map.empty[String, Any]
         val sums = scala.collection.mutable.Map.empty[String, Long]
@@ -640,14 +655,17 @@ final case class ZarrPartialAggReaderFactory(
                 mins(c) = v
               if (wantMax && (!maxs.contains(c) || ChunkFilter.cmp(v, maxs(c)) > 0))
                 maxs(c) = v
-              if (wantSum)
-                // ANSI-faithful: a long overflow on the true sum throws,
-                // exactly as Spark's Sum over the scanned rows would
-                sums(c) = Math.addExact(sums.getOrElse(c, 0L),
-                  (v: Any) match {
-                    case n: Number => n.longValue()
-                    case other => throw new ZarrException(s"unsummable value $other")
-                  })
+              if (wantSum) {
+                val x = (v: Any) match {
+                  case n: Number => n.longValue()
+                  case other => throw new ZarrException(s"unsummable value $other")
+                }
+                // overflow matches Spark's Sum over the same rows:
+                // throw under ANSI, wrap otherwise
+                sums(c) =
+                  if (ansiSum) Math.addExact(sums.getOrElse(c, 0L), x)
+                  else sums.getOrElse(c, 0L) + x
+              }
               e += 1
             }
           }

@@ -301,14 +301,28 @@ object ZarrMeta {
         case _ => parseFill(mapper.readTree("0"), dtype)
       }
       else if (v2t.strKind == V2StrKind.FixedBytes) {
-        // v2 spec: fill_value for 'S' (and 'V') dtypes is Base64-encoded
-        try new String(
-          java.util.Base64.getDecoder.decode(fillNode.asText("")),
-          java.nio.charset.StandardCharsets.UTF_8)
+        // v2 spec: fill_value for 'S' (and 'V') dtypes is Base64-encoded.
+        // Same treatment as stored elements (ChunkColumn.decodeFixedBytesStr):
+        // strip the trailing NUL padding a writer may have included, then
+        // STRICT UTF-8 — a non-UTF-8 fill must fail as loudly as a
+        // non-UTF-8 chunk, not materialize replacement chars
+        val bytes =
+          try java.util.Base64.getDecoder.decode(fillNode.asText(""))
+          catch {
+            case e: IllegalArgumentException =>
+              throw new ZarrException(
+                s"fill_value for S dtype must be Base64 for $arrayName", e)
+          }
+        var end = bytes.length
+        while (end > 0 && bytes(end - 1) == 0) end -= 1
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        try dec.decode(java.nio.ByteBuffer.wrap(bytes, 0, end)).toString
         catch {
-          case e: IllegalArgumentException =>
+          case e: java.nio.charset.CharacterCodingException =>
             throw new ZarrException(
-              s"fill_value for S dtype must be Base64 for $arrayName", e)
+              s"fill_value for S dtype is not valid UTF-8 for $arrayName", e)
         }
       } else parseFill(fillNode, dtype)
 
@@ -327,11 +341,19 @@ object ZarrMeta {
     // on THAT, not the array dtype).
     var sawVlen = false
     var sawFso = false
-    // (width, isFloat, bigEndian) of the element repr entering each filter
+    val fsoIdx = filterNodes.indexWhere(_.path("id").asText("") == "fixedscaleoffset")
+    // (width, isFloat, bigEndian) of the element repr entering each
+    // filter ON THE DECODE SIDE. When a fixedscaleoffset appears later
+    // in the stack, un-fso re-emits the dtype's floats as LITTLE-endian
+    // bytes regardless of the dtype's declared order, so every filter
+    // BEFORE the fso must bind little-endian for its values to survive
+    // (a value filter like delta is endian-portable once read in the
+    // right order; the byte-layout-sensitive shuffle is rejected below).
     var cur: (Int, Boolean, Boolean) =
-      (dtype.byteWidth, dtype == ZarrType.Float32 || dtype == ZarrType.Float64, bigEndian)
+      (dtype.byteWidth, dtype == ZarrType.Float32 || dtype == ZarrType.Float64,
+        bigEndian && fsoIdx < 0)
     val filterSpecs = Seq.newBuilder[CodecSpec]
-    filterNodes.foreach { fn =>
+    filterNodes.zipWithIndex.foreach { case (fn, fIdx) =>
       fn.path("id").asText("") match {
         case "vlen-utf8" =>
           if (v2t.strKind != V2StrKind.Obj)
@@ -357,7 +379,11 @@ object ZarrMeta {
             case "" => cur
             case ts =>
               val d = v2Dtype(ts, s"$arrayName delta filter")
-              (d.t.byteWidth, d.t == ZarrType.Float32 || d.t == ZarrType.Float64, d.big)
+              // the config dtype describes the ENCODE-side layout; on the
+              // decode side a downstream un-fso has already normalized
+              // the bytes to little-endian (values unchanged)
+              (d.t.byteWidth, d.t == ZarrType.Float32 || d.t == ZarrType.Float64,
+                d.big && !(fsoIdx >= 0 && fIdx < fsoIdx))
           }
           if (dd._1 != cur._1)
             throw new ZarrException(
@@ -367,7 +393,14 @@ object ZarrMeta {
             "float" -> mapper.readTree(dd._2.toString),
             "endian" -> mapper.readTree(if (dd._3) "\"big\"" else "\"little\"")))
         case "shuffle" =>
-          val es = fn.path("elementsize").asInt(if (cur._1 > 0) cur._1 else 1)
+          if (fsoIdx >= 0 && fIdx < fsoIdx && bigEndian)
+            throw new ZarrException(
+              s"numcodecs shuffle before fixedscaleoffset on a big-endian dtype " +
+                s"is not supported for $arrayName (the un-scaled bytes change layout)")
+          // numcodecs' Shuffle default elementsize is 4 — NOT the dtype
+          // width; defaulting to the width would silently unshuffle with
+          // the wrong stride on stores whose config omits the key
+          val es = fn.path("elementsize").asInt(4)
           if (es <= 0)
             throw new ZarrException(s"Bad shuffle elementsize $es for $arrayName")
           filterSpecs += CodecSpec("v2-shuffle",

@@ -177,6 +177,40 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fplan = df.filter("id >= 5").agg(min("id")).queryExecution.executedPlan.toString
     assert(!fplan.contains("AggScan"), fplan)
     assert(df.filter("id >= 5").agg(min("id")).collect()(0).getLong(0) == 5)
+    // COUNT needs no chunk bytes: count(v) alongside min(id) must not
+    // fetch any v chunk — rows come from the extent
+    RecordingFileSystem.opened.clear()
+    val r3 = df.agg(count(col("v")).as("cv"), min("id").as("mn")).collect()(0)
+    assert(r3.getLong(0) == 128 && r3.getLong(1) == 0)
+    val vOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(p => p.contains("/halfcov/v/") && !p.contains("_stats")
+        && !p.endsWith("zarr.json") && !p.endsWith(".zarray"))
+    assert(vOpens.isEmpty,
+      s"count-only columns must not be fetched: ${vOpens.mkString(", ")}")
+  }
+
+  test("HYBRID sum wraps like Spark's non-ANSI Sum when ANSI is off") {
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/wrapsum"
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      (0 until 16).map(_ => Tuple1(1L)).toDF("x")
+        .coalesce(1).write.format("zarr").mode("overwrite")
+        .option("chunk_size", "16").save(url)
+      // uncovered chunks hold values whose partial sums overflow a long
+      (0 until 32).map(_ => Tuple1(Long.MaxValue / 4)).toDF("x")
+        .coalesce(1).write.format("zarr").mode("append")
+        .option("chunk_size", "16").option("stats", "false").save(url)
+      val df = spark.read.format("zarr").load(url)
+      val plan = df.agg(sum("x")).queryExecution.executedPlan.toString
+      assert(plan.contains("ZarrPartialAggScan"), plan)
+      // wrapping addition is associative, so the expected value is
+      // partitioning-independent
+      var expected = 16L
+      (0 until 32).foreach(_ => expected += Long.MaxValue / 4)
+      assert(df.agg(sum("x")).collect()(0).getLong(0) == expected,
+        "hybrid partial sums must wrap, not throw, under non-ANSI")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
   test("count(*) pushes even without a stats sidecar; min/max falls back") {

@@ -246,6 +246,50 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.codecs.map(_.name) == Seq("bytes", "v2-fso", "v2-delta"))
   }
 
+  test("v2 filter ordering/default soundness: es default 4, pre-fso little binding") {
+    def v2(dtype: String, filters: String): String =
+      s"""{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C",
+         |"fill_value":0,"filters":$filters,"compressor":null,
+         |"dtype":"$dtype"}""".stripMargin
+    // numcodecs Shuffle() defaults elementsize to 4, NOT the dtype width —
+    // an omitted key on an f8 array must unshuffle with stride 4
+    val sh = ZarrMeta.parse("a", v2("<f8", """[{"id":"shuffle"}]"""))
+    assert(sh.codecs.find(_.name == "v2-shuffle").get
+      .config("elementsize").asInt() == 4)
+    // a delta BEFORE a fixedscaleoffset on a big-endian dtype must bind
+    // little on the decode side: un-fso re-emits little-endian floats
+    val df = ZarrMeta.parse("a", v2(">f8",
+      """[{"id":"delta","dtype":">f8"},
+        |{"id":"fixedscaleoffset","offset":0,"scale":10,"dtype":">f8","astype":"<i2"}]""".stripMargin))
+    val d = df.codecs.find(_.name == "v2-delta").get
+    assert(d.config("endian").asText() == "little",
+      "pre-fso delta must read the normalized little-endian floats")
+    assert(df.codecs.find(_.name == "bytes").get
+      .config("endian").asText() == "little",
+      "the final interpretation after un-fso is little-endian")
+    // shuffle BEFORE fso on a big-endian dtype cannot be byte-faithful
+    intercept[ZarrException] {
+      ZarrMeta.parse("a", v2(">f8",
+        """[{"id":"shuffle","elementsize":8},
+          |{"id":"fixedscaleoffset","offset":0,"scale":10,"dtype":">f8","astype":"<i2"}]""".stripMargin))
+    }
+  }
+
+  test("v2 S-dtype Base64 fills: NUL-stripped and strictly UTF-8, like chunk data") {
+    def v2(fill: String): String =
+      s"""{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C",
+         |"fill_value":"$fill","filters":null,"compressor":null,
+         |"dtype":"|S4"}""".stripMargin
+    // b64("NA\0\0") — a writer that encodes the full padded element
+    val padded = java.util.Base64.getEncoder
+      .encodeToString(Array[Byte]('N', 'A', 0, 0))
+    assert(ZarrMeta.parse("a", v2(padded)).fillValue == "NA")
+    // a non-UTF-8 fill byte fails as loudly as a non-UTF-8 chunk
+    val latin1 = java.util.Base64.getEncoder.encodeToString(Array(0xe9.toByte))
+    intercept[ZarrException] { ZarrMeta.parse("a", v2(latin1)) }
+    intercept[ZarrException] { ZarrMeta.parse("a", v2("not-base64!!")) }
+  }
+
   test("v2 string predicates evaluate over the translated decode") {
     val df = spark.read.format("zarr").load(storeTyped)
     assert(df.where("label = ''").count() == 4) // written "" + 3 filled
