@@ -142,7 +142,40 @@ object ZarrRoundtrip {
         .select(col("label"), col("code"), col("uname"), col("tag"),
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"))
         .orderBy("ds")
-    })
+    }) :+ q119
+
+  /** q119: BINARY payloads in the array store — the multimodal-blob
+    * shape (image/audio bytes co-located with their features) through
+    * the v2 `|O`+vlen-bytes object codec, NEW in round 10 and beyond
+    * the reference's 12-type surface. The fixture's payloads are
+    * closed-form (`payload(i) = bytes((7i+j) mod 256, j < i mod 5 + 1)`;
+    * chunk 1 absent → empty payload) and the oracle states their
+    * lengths and md5 digests as literals — a wrong byte anywhere in the
+    * vlen-bytes framing, the zlib chain, or the fill path breaks the
+    * hash. Fixed 11 rows at every SF (format certification, like
+    * q115/q117). */
+  // lazy: declared after `defs` in the object body, which references it
+  private lazy val q119 = QueryDef.sql(
+    "q119_zarr_v2_binary",
+    """SELECT * FROM (VALUES
+      |  (1000000000::BIGINT, 1::INT, '93b885adfe0da089cdf634904fd59f71'),
+      |  (1000000017::BIGINT, 2::INT, '31540cf0b21cd8513d3dbc7192d8cad1'),
+      |  (1000000068::BIGINT, 3::INT, 'a44a5dcba6073a51073e491e36fe8542'),
+      |  (1000000153::BIGINT, 4::INT, '8ceba1d1015c95c8e3c14a9635edb54e'),
+      |  (1000000272::BIGINT, 0::INT, 'd41d8cd98f00b204e9800998ecf8427e'),
+      |  (1000000425::BIGINT, 0::INT, 'd41d8cd98f00b204e9800998ecf8427e'),
+      |  (1000000612::BIGINT, 0::INT, 'd41d8cd98f00b204e9800998ecf8427e'),
+      |  (1000000833::BIGINT, 0::INT, 'd41d8cd98f00b204e9800998ecf8427e'),
+      |  (1000001088::BIGINT, 4::INT, 'bf9d4d1cd1bcddc532f1d2c993cd920c'),
+      |  (1000001377::BIGINT, 5::INT, '06c87027492f3b1cd98b8e730858a727'),
+      |  (1000001700::BIGINT, 1::INT, '800618943025315f869e4e1f09471012')
+      |) t(ds, blob_len, blob_md5)
+      |ORDER BY ds""".stripMargin) { (s, dir) =>
+    s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
+      .select(col("ds"), length(col("blob")).as("blob_len"),
+        md5(col("blob")).as("blob_md5"))
+      .orderBy("ds")
+  }
 
   /** Locate a checked-in fixture store without assuming a container
     * path: explicit override (`-Dgraft.fixture.dir` / `GRAFT_FIXTURE_DIR`)

@@ -45,6 +45,7 @@ final class PrimColumn(val zt: ZarrType, buf0: Array[Byte], order: ByteOrder)
     case ZarrType.Float32 => buf.getFloat(elem * 4)
     case ZarrType.Float64 => buf.getDouble(elem * 8)
     case ZarrType.Str => throw new ZarrException("string in PrimColumn")
+    case ZarrType.Bytes => throw new ZarrException("binary in PrimColumn")
   }
 
   def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit = {
@@ -98,6 +99,7 @@ final class PrimColumn(val zt: ZarrType, buf0: Array[Byte], order: ByteOrder)
       case ZarrType.Float64 =>
         while (r < nRows) { vec.putDouble(off + r, buf.getDouble(m(mapping, r) * 8)); r += 1 }
       case ZarrType.Str => throw new ZarrException("string in PrimColumn")
+      case ZarrType.Bytes => throw new ZarrException("binary in PrimColumn")
     }
   }
 
@@ -153,6 +155,23 @@ final class FillColumn(val zt: ZarrType, fill: Any) extends ChunkColumn {
       case ZarrType.Str =>
         val b = fill.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
         while (r < nRows) { vec.putByteArray(off + r, b); r += 1 }
+      case ZarrType.Bytes =>
+        val b = fill.asInstanceOf[Array[Byte]]
+        while (r < nRows) { vec.putByteArray(off + r, b); r += 1 }
+    }
+  }
+}
+
+/** Variable-length binary payloads (v2 `|O` + numcodecs `vlen-bytes`):
+  * the multimodal-blob column type. */
+final class BytesColumn(values: Array[Array[Byte]]) extends ChunkColumn {
+  val zt: ZarrType = ZarrType.Bytes
+  def get(elem: Int): Any = values(elem)
+  def writeTo(vec: WritableColumnVector, mapping: Array[Int], nRows: Int, off: Int): Unit = {
+    var r = 0
+    while (r < nRows) {
+      vec.putByteArray(off + r, values(if (mapping eq null) r else mapping(r)))
+      r += 1
     }
   }
 }
@@ -190,6 +209,11 @@ object ChunkColumn {
                   decodeVlenUtf8(plain)
               }
               new StrColumn(tperm.map(untransposeStrings(strs, _)).getOrElse(strs))
+            } else if (meta.dataType == ZarrType.Bytes) {
+              if (!meta.codecs.exists(_.name == "vlen-bytes"))
+                throw new ZarrException(s"binary array ${meta.name} requires vlen-bytes codec")
+              val bufs = decodeVlenBytes(plain)
+              new BytesColumn(tperm.map(untransposeObjects(bufs, _)).getOrElse(bufs))
             } else {
               val ordered = tperm.map(Codecs.untransposeBytes(plain, _, ts)).getOrElse(plain)
               new PrimColumn(meta.dataType, ordered, Codecs.endianness(meta.codecs))
@@ -206,6 +230,39 @@ object ChunkColumn {
     val out = new Array[String](strs.length)
     var b = 0
     while (b < perm.length) { out(perm(b)) = strs(b); b += 1 }
+    out
+  }
+
+  /** Scatter transposed-order object elements back to row-major chunk
+    * order (same contract as [[untransposeStrings]]). */
+  def untransposeObjects[T >: Null <: AnyRef: scala.reflect.ClassTag](
+      objs: Array[T], perm: Array[Int]): Array[T] = {
+    if (objs.length != perm.length)
+      throw new ZarrException(
+        s"transposed chunk has ${objs.length} elements, expected ${perm.length}")
+    val out = new Array[T](objs.length)
+    var b = 0
+    while (b < perm.length) { out(perm(b)) = objs(b); b += 1 }
+    out
+  }
+
+  /** numcodecs VLenBytes layout — identical framing to VLenUTF8 (u32-LE
+    * item count, then per item u32-LE length + raw bytes) without the
+    * UTF-8 interpretation. */
+  def decodeVlenBytes(b: Array[Byte]): Array[Array[Byte]] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val n = bb.getInt
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining())
+        throw new ZarrException(s"vlen-bytes element $i has bad length $len")
+      val v = new Array[Byte](len)
+      bb.get(v)
+      out(i) = v
+      i += 1
+    }
     out
   }
 

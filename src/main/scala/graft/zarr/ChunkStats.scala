@@ -78,6 +78,9 @@ object ChunkStats {
 
   def minMaxBound(zt: ZarrType, vals: scala.collection.Seq[Any]): Option[Bound] = {
     if (vals.isEmpty) return None
+    // binary payloads carry no order the skip machinery could use, and
+    // cmp's equality fallback on arrays would record garbage bounds
+    if (zt == ZarrType.Bytes) return None
     zt match {
       case ZarrType.Float32 =>
         if (vals.exists(v => !java.lang.Float.isFinite(v.asInstanceOf[Float]))) return None
@@ -243,9 +246,13 @@ object ChunkStats {
     case ZarrType.Float32 => arr.add(v.asInstanceOf[Float])
     case ZarrType.Float64 => arr.add(v.asInstanceOf[Double])
     case ZarrType.Str => arr.add(v.asInstanceOf[String])
+    case ZarrType.Bytes =>
+      throw new ZarrException("binary columns carry no recorded stats")
   }
 
   private def readVal(n: JsonNode, zt: ZarrType): Any = zt match {
+    case ZarrType.Bytes =>
+      throw new ZarrException("binary columns carry no recorded stats")
     case ZarrType.Bool => n.asBoolean()
     case ZarrType.Int8 => n.asInt().toByte
     case ZarrType.Int16 => n.asInt().toShort
@@ -306,7 +313,8 @@ object ChunkStats {
       val it = colsNode.fieldNames()
       while (it.hasNext) {
         val name = it.next()
-        ztOf(name).filter(zt => cpOrdered || zt != ZarrType.Str).foreach { zt =>
+        ztOf(name).filter(zt => (cpOrdered || zt != ZarrType.Str)
+            && zt != ZarrType.Bytes).foreach { zt =>
           val c = colsNode.get(name)
           val minsN = c.get("min")
           val maxsN = c.get("max")

@@ -626,7 +626,10 @@ object Codecs {
       // numcodecs filters and fixed-width string dtypes
       // ([[ZarrMeta.parseV2]]); never valid in a v3 zarr.json
       "v2-delta", "v2-shuffle", "v2-fixed-bytes-str", "v2-fixed-ucs4",
-      "v2-fso", "v2-packbits", "v2-bz2", "v2-lzma")
+      "v2-fso", "v2-packbits", "v2-bz2", "v2-lzma",
+      // variable-length binary object codec (v2 |O object arrays; also
+      // zarr-python's experimental v3 name) — [[ChunkColumn.decodeVlenBytes]]
+      "vlen-bytes")
 
   /** Validate a codec list for an array (or shard inner chain) of rank
     * `ndim`: unknown names are hard errors, a `transpose` order must be a

@@ -279,6 +279,7 @@ object Sharding {
       case ZarrType.Float32 => one.putFloat(meta.fillValue.asInstanceOf[Float])
       case ZarrType.Float64 => one.putDouble(meta.fillValue.asInstanceOf[Double])
       case ZarrType.Str => throw new ZarrException("fillPattern on string array")
+      case ZarrType.Bytes => throw new ZarrException("fillPattern on binary array")
     }
     val pat = one.array()
     if (pat.exists(_ != 0)) {

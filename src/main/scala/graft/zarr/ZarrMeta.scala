@@ -92,9 +92,14 @@ object ZarrType {
   case object Float32 extends ZarrType("float32", FloatType, 4)
   case object Float64 extends ZarrType("float64", DoubleType, 8)
   case object Str extends ZarrType("string", StringType, -1)
+  /** Variable-length raw bytes (v2 `|O` + numcodecs `vlen-bytes`):
+    * Spark BinaryType — array-native storage for opaque multimodal
+    * payloads (image/audio blobs co-located with their features).
+    * Read-only: the v3 writer has no registered vlen-bytes codec. */
+  case object Bytes extends ZarrType("bytes", org.apache.spark.sql.types.BinaryType, -1)
 
   val all: Seq[ZarrType] = Seq(Bool, Int8, Int16, Int32, Int64,
-    UInt8, UInt16, UInt32, UInt64, Float32, Float64, Str)
+    UInt8, UInt16, UInt32, UInt64, Float32, Float64, Str, Bytes)
 
   def fromName(n: String): ZarrType =
     all.find(_.zarrName == n).getOrElse(
@@ -278,13 +283,22 @@ object ZarrMeta {
       throw new ZarrException(s"chunks rank != shape rank for $arrayName")
 
     val v2t = v2Dtype(root.path("dtype").asText(""), arrayName)
-    val dtype = v2t.t
     val bigEndian = v2t.big
 
     val filterNodes = {
       val f = root.path("filters")
       if (f.isArray) iter(f).toSeq else Seq.empty[JsonNode]
     }
+
+    // `|O` element format comes from the object codec (filters[0] in
+    // zarr-python): vlen-utf8 → Spark string, vlen-bytes → Spark binary
+    // (the multimodal-blob column type). The dtype is resolved here so
+    // every later stage (fill, codecs, decode) sees the real type.
+    val dtype =
+      if (v2t.strKind == V2StrKind.Obj &&
+          filterNodes.headOption.exists(_.path("id").asText("") == "vlen-bytes"))
+        ZarrType.Bytes
+      else v2t.t
 
     val sep = root.path("dimension_separator").asText(".")
     if (sep != "." && sep != "/")
@@ -363,8 +377,16 @@ object ZarrMeta {
             throw new ZarrException(s"Duplicate vlen-utf8 filter for $arrayName")
           sawVlen = true
           filterSpecs += CodecSpec("vlen-utf8", Map.empty)
+        case "vlen-bytes" =>
+          if (v2t.strKind != V2StrKind.Obj || fIdx != 0)
+            throw new ZarrException(
+              s"vlen-bytes object codec requires dtype '|O' as filters[0] for $arrayName")
+          if (sawVlen)
+            throw new ZarrException(s"Duplicate object codec for $arrayName")
+          sawVlen = true
+          filterSpecs += CodecSpec("vlen-bytes", Map.empty)
         case "delta" =>
-          if (dtype == ZarrType.Str || dtype == ZarrType.Bool)
+          if (dtype == ZarrType.Str || dtype == ZarrType.Bytes || dtype == ZarrType.Bool)
             throw new ZarrException(
               s"numcodecs delta filter on non-numeric dtype for $arrayName")
           val fDt = fn.path("dtype").asText("")
@@ -458,7 +480,7 @@ object ZarrMeta {
     }
     if (v2t.strKind == V2StrKind.Obj && !sawVlen)
       throw new ZarrException(
-        s"Object dtype '|O' without a vlen-utf8 object codec for $arrayName " +
+        s"Object dtype '|O' without a vlen-utf8/vlen-bytes object codec for $arrayName " +
           "(other object codecs are not supported)")
 
     // array→bytes interpretation: endian marker for numerics (LITTLE
@@ -693,6 +715,7 @@ object ZarrMeta {
     case ZarrType.Float32 => java.lang.Float.valueOf(floatish(n).toFloat)
     case ZarrType.Float64 => java.lang.Double.valueOf(floatish(n))
     case ZarrType.Str => n.asText("")
+    case ZarrType.Bytes => Array.emptyByteArray // v2 object fill is null → empty payload
   }
 
   private def floatish(n: JsonNode): Double =

@@ -187,6 +187,10 @@ object ZarrWriter {
       case ZarrType.Float32 => vals.foreach(v => bb.putFloat(num(v).floatValue()))
       case ZarrType.Float64 => vals.foreach(v => bb.putDouble(num(v).doubleValue()))
       case ZarrType.Str => ()
+      case ZarrType.Bytes =>
+        // the v3 writer has no registered vlen-bytes codec; binary
+        // columns are a read-only (v2 object-array) surface
+        throw new ZarrException("binary columns are not writable")
     }
     bb.array()
   }

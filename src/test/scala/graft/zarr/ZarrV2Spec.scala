@@ -197,6 +197,32 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("v2 |O + vlen-bytes object arrays read as Spark BinaryType (multimodal blobs)") {
+    val df = spark.read.format("zarr").load(storeTyped)
+    assert(df.schema("blob").dataType.typeName == "binary")
+    val rows = df.select("ds", "blob").orderBy("ds").collect()
+    assert(rows.length == 11)
+    def payload(i: Int): Array[Byte] =
+      Array.tabulate[Byte](i % 5 + 1)(j => ((i * 7 + j) % 256).toByte)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val got = r.getAs[Array[Byte]](1)
+      // chunk 1 (indices 4..7) is absent -> fill = empty payload
+      val expect = if (i >= 4 && i <= 7) Array.emptyByteArray else payload(i)
+      assert(got.sameElements(expect), s"blob[$i]: ${got.mkString(",")}")
+    }
+    // binary payloads flow through Spark SQL functions (the multimodal
+    // decode surface takes exactly this column shape)
+    val lens = df.selectExpr("length(blob) AS l").orderBy(org.apache.spark.sql.functions.col("l"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(lens.sum == (0 until 11).map(i => if (i >= 4 && i <= 7) 0 else i % 5 + 1).sum)
+    // binary columns never record stats (no sound order for bounds)
+    intercept[ZarrException] { // and a non-object dtype cannot claim the codec
+      ZarrMeta.parse("a",
+        """{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C","fill_value":0,
+          |"filters":[{"id":"vlen-bytes"}],"compressor":null,"dtype":"<i4"}""".stripMargin)
+    }
+  }
+
   test("v2 bz2 and lzma(XZ) compressors decode via the bundled codecs") {
     val rows = spark.read.format("zarr").load(storeTyped)
       .select("ds", "bzv", "xzv").orderBy("ds").collect()

@@ -409,6 +409,27 @@ def main():
         pb_chunks.append(bytes(packed))
     write_raw_array("pb", pb_meta, pb_chunks)
 
+    # |O + vlen-bytes object codec (+ zlib): variable-length BINARY
+    # payloads — the multimodal-blob column shape — with chunk 1 ABSENT
+    # (fill → empty payload). Same framing as vlen-utf8: u32-LE count,
+    # then u32-LE length + raw bytes per element.
+    def payload(i):
+        return bytes((i * 7 + j) % 256 for j in range(i % 5 + 1))
+
+    def vlen_bytes(vals):
+        out = struct.pack("<I", len(vals))
+        for b in vals:
+            out += struct.pack("<I", len(b)) + b
+        return out
+
+    blob_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [payload(ci * chunk + i) if ci * chunk + i < n else b""
+                for i in range(chunk)]
+        blob_chunks.append(zlib.compress(vlen_bytes(vals), 6))
+    write_raw_array("blob", v2meta("|O", zl, [{"id": "vlen-bytes"}], None),
+                    blob_chunks, skip={1})
+
     # <i4 + bz2 compressor and <f8 + lzma (XZ container) compressor —
     # the remaining numcodecs compressors the JVM classpath can decode
     import bz2 as _bz2
