@@ -223,15 +223,8 @@ object ChunkColumn {
 
   /** Scatter transposed-order strings back to row-major chunk order
     * (A(perm(b)) = B(b), see [[Codecs.transposePerm]]). */
-  def untransposeStrings(strs: Array[String], perm: Array[Int]): Array[String] = {
-    if (strs.length != perm.length)
-      throw new ZarrException(
-        s"transposed chunk has ${strs.length} strings, expected ${perm.length}")
-    val out = new Array[String](strs.length)
-    var b = 0
-    while (b < perm.length) { out(perm(b)) = strs(b); b += 1 }
-    out
-  }
+  def untransposeStrings(strs: Array[String], perm: Array[Int]): Array[String] =
+    untransposeObjects(strs, perm)
 
   /** Scatter transposed-order object elements back to row-major chunk
     * order (same contract as [[untransposeStrings]]). */
@@ -246,18 +239,27 @@ object ChunkColumn {
     out
   }
 
-  /** numcodecs VLenBytes layout — identical framing to VLenUTF8 (u32-LE
-    * item count, then per item u32-LE length + raw bytes) without the
-    * UTF-8 interpretation. */
+  /** numcodecs VLenBytes layout — u32-LE item count, then per item a
+    * u32-LE length + raw bytes. Every count/length is validated against
+    * the buffer so a corrupt chunk fails with a [[ZarrException]]
+    * instead of a raw JVM allocation/underflow error. */
   def decodeVlenBytes(b: Array[Byte]): Array[Array[Byte]] = {
+    if (b.length < 4)
+      throw new ZarrException(s"vlen chunk of ${b.length} bytes has no item count")
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     val n = bb.getInt
+    // each item costs at least its 4-byte length header, bounding any
+    // claimed count by the remaining bytes
+    if (n < 0 || n.toLong * 4L > bb.remaining().toLong)
+      throw new ZarrException(s"vlen chunk claims $n items in ${bb.remaining()} bytes")
     val out = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
+      if (bb.remaining() < 4)
+        throw new ZarrException(s"vlen chunk truncated at element $i")
       val len = bb.getInt
       if (len < 0 || len > bb.remaining())
-        throw new ZarrException(s"vlen-bytes element $i has bad length $len")
+        throw new ZarrException(s"vlen element $i has bad length $len")
       val v = new Array[Byte](len)
       bb.get(v)
       out(i) = v
@@ -266,22 +268,10 @@ object ChunkColumn {
     out
   }
 
-  /** numcodecs VLenUTF8 layout: u32-LE item count, then per item a u32-LE
-    * byte length followed by the UTF-8 bytes. */
-  def decodeVlenUtf8(b: Array[Byte]): Array[String] = {
-    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    val n = bb.getInt
-    val out = new Array[String](n)
-    var i = 0
-    while (i < n) {
-      val len = bb.getInt
-      val s = new String(b, bb.position(), len, StandardCharsets.UTF_8)
-      bb.position(bb.position() + len)
-      out(i) = s
-      i += 1
-    }
-    out
-  }
+  /** numcodecs VLenUTF8 layout: the [[decodeVlenBytes]] framing with the
+    * payloads interpreted as UTF-8. */
+  def decodeVlenUtf8(b: Array[Byte]): Array[String] =
+    decodeVlenBytes(b).map(new String(_, StandardCharsets.UTF_8))
 
   /** numpy `|S<n>` elements: n raw bytes each, NUL-padded on the right.
     * The byte→string mapping is strict UTF-8 (ASCII-compatible) — numpy

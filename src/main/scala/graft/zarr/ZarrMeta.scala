@@ -312,6 +312,7 @@ object ZarrMeta {
         case ZarrType.Float32 => java.lang.Float.valueOf(0f)
         case ZarrType.Float64 => java.lang.Double.valueOf(0d)
         case ZarrType.Str => "" // numpy's zero for S/U/O is the empty string
+        case ZarrType.Bytes => Array.emptyByteArray
         case _ => parseFill(mapper.readTree("0"), dtype)
       }
       else if (v2t.strKind == V2StrKind.FixedBytes) {
@@ -475,7 +476,8 @@ object ZarrMeta {
         case other =>
           throw new ZarrException(
             s"Unsupported Zarr v2 filter '$other' for $arrayName (supported: " +
-              "delta, shuffle, fixedscaleoffset, packbits, quantize, bitround, vlen-utf8)")
+              "delta, shuffle, fixedscaleoffset, packbits, quantize, bitround, " +
+              "vlen-utf8, vlen-bytes)")
       }
     }
     if (v2t.strKind == V2StrKind.Obj && !sawVlen)
@@ -715,7 +717,13 @@ object ZarrMeta {
     case ZarrType.Float32 => java.lang.Float.valueOf(floatish(n).toFloat)
     case ZarrType.Float64 => java.lang.Double.valueOf(floatish(n))
     case ZarrType.Str => n.asText("")
-    case ZarrType.Bytes => Array.emptyByteArray // v2 object fill is null → empty payload
+    case ZarrType.Bytes =>
+      // object/binary arrays have no meaningful declared fill beyond
+      // null (→ empty payload); silently coercing one would be the
+      // garbage-decode class every other branch refuses
+      if (n.isNull || n.isMissingNode) Array.emptyByteArray
+      else throw new ZarrException(
+        s"non-null fill_value is not supported for binary arrays: $n")
   }
 
   private def floatish(n: JsonNode): Double =

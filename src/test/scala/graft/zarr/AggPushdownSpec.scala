@@ -192,6 +192,7 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("HYBRID sum wraps like Spark's non-ANSI Sum when ANSI is off") {
     val sp = spark; import sp.implicits._
     val url = s"file://$base/wrapsum"
+    val priorAnsi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try {
       (0 until 16).map(_ => Tuple1(1L)).toDF("x")
@@ -210,7 +211,7 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 32).foreach(_ => expected += Long.MaxValue / 4)
       assert(df.agg(sum("x")).collect()(0).getLong(0) == expected,
         "hybrid partial sums must wrap, not throw, under non-ANSI")
-    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    } finally spark.conf.set("spark.sql.ansi.enabled", priorAnsi)
   }
 
   test("count(*) pushes even without a stats sidecar; min/max falls back") {

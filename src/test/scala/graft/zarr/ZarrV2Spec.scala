@@ -215,7 +215,11 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val lens = df.selectExpr("length(blob) AS l").orderBy(org.apache.spark.sql.functions.col("l"))
       .collect().map(_.getInt(0)).toSeq
     assert(lens.sum == (0 until 11).map(i => if (i >= 4 && i <= 7) 0 else i % 5 + 1).sum)
-    // binary columns never record stats (no sound order for bounds)
+    // binary columns never record stats: raw bytes have no order the
+    // skip machinery could soundly use
+    assert(ChunkStats.minMaxBound(ZarrType.Bytes,
+      Seq(Array[Byte](1, 2), Array[Byte](3))).isEmpty)
+    assert(ChunkStats.chunkSum(ZarrType.Bytes, Seq(Array[Byte](1))).isEmpty)
     intercept[ZarrException] { // and a non-object dtype cannot claim the codec
       ZarrMeta.parse("a",
         """{"zarr_format":2,"shape":[4],"chunks":[2],"order":"C","fill_value":0,
