@@ -142,7 +142,7 @@ object ZarrRoundtrip {
         .select(col("label"), col("code"), col("uname"), col("tag"),
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"))
         .orderBy("ds")
-    }) :+ q119
+    }) :+ q119 :+ q120
 
   /** q119: BINARY payloads in the array store — the multimodal-blob
     * shape (image/audio bytes co-located with their features) through
@@ -174,6 +174,50 @@ object ZarrRoundtrip {
     s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
       .select(col("ds"), length(col("blob")).as("blob_len"),
         md5(col("blob")).as("blob_md5"))
+      .orderBy("ds")
+  }
+
+  /** q120: the multimodal pipeline over ARRAY-NATIVE storage, end to
+    * end — real PNGs live as vlen-bytes blobs in the v2 store (encoded
+    * by the independent stdlib generator: hand-built IHDR/IDAT/IEND
+    * with CRC32s, NOT ImageIO), the DSv2 scan surfaces them as a Spark
+    * binary column, and the REAL JDK ImageIO decode runs on executors
+    * (q112's path). The oracle states the closed-form decoded truth —
+    * dimensions and integer-exact mean luminance of each solid-color
+    * image — so a defect anywhere in the chain (vlen framing, PNG
+    * parsing, luma arithmetic) breaks the hash. Scale shape: decode is
+    * mapPartitions on the scanned partitions; only the narrow feature
+    * rows leave the executor. */
+  private lazy val q120 = QueryDef.sql(
+    "q120_zarr_multimodal",
+    """SELECT * FROM (VALUES
+      |  (1000000000::BIGINT, 2::INT, 2::INT, 40000::BIGINT),
+      |  (1000000017::BIGINT, 3::INT, 3::INT, 470000::BIGINT),
+      |  (1000000068::BIGINT, 4::INT, 2::INT, 900000::BIGINT),
+      |  (1000000153::BIGINT, 2::INT, 3::INT, 1320000::BIGINT),
+      |  (1000000272::BIGINT, 3::INT, 2::INT, 1750000::BIGINT),
+      |  (1000000425::BIGINT, 4::INT, 3::INT, 680000::BIGINT),
+      |  (1000000612::BIGINT, 2::INT, 2::INT, 1100000::BIGINT),
+      |  (1000000833::BIGINT, 3::INT, 3::INT, 1530000::BIGINT),
+      |  (1000001088::BIGINT, 4::INT, 2::INT, 1960000::BIGINT),
+      |  (1000001377::BIGINT, 2::INT, 3::INT, 120000::BIGINT),
+      |  (1000001700::BIGINT, 3::INT, 2::INT, 540000::BIGINT)
+      |) t(ds, width, height, luma_e4)
+      |ORDER BY ds""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Multimodal
+    s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
+      .select(col("ds"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (ds, payload) =>
+        val f = Multimodal.decodeImage(Multimodal.MediaBlob(ds, "image", payload))
+          .getOrElse(throw new IllegalStateException(
+            s"q120: PNG at ds=$ds failed to decode"))
+        val luma = Multimodal.meanLumaE4(payload).getOrElse(
+          throw new IllegalStateException(s"q120: luma at ds=$ds failed"))
+        (ds, f.width, f.height, luma)
+      })
+      .toDF("ds", "width", "height", "luma_e4")
       .orderBy("ds")
   }
 

@@ -430,6 +430,33 @@ def main():
     write_raw_array("blob", v2meta("|O", zl, [{"id": "vlen-bytes"}], None),
                     blob_chunks, skip={1})
 
+    # |O + vlen-bytes holding REAL PNGs (spec-from-scratch encoder:
+    # signature + IHDR + IDAT(zlib, filter-0 scanlines) + IEND with
+    # CRC32s) — solid-color truecolor images with closed-form dims and
+    # luma, so the JDK decode path can be oracle-certified end to end.
+    def png(w, h, r, g, b):
+        def chunk_png(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data +
+                    struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes([r, g, b]) * w for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n" + chunk_png(b"IHDR", ihdr) +
+                chunk_png(b"IDAT", zlib.compress(raw, 6)) + chunk_png(b"IEND", b""))
+
+    png_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = []
+        for i in range(chunk):
+            g = ci * chunk + i
+            if g < n:
+                vals.append(png((g % 3) + 2, (g % 2) + 2,
+                                (g * 31) % 256, (g * 57) % 256, 42))
+            else:
+                vals.append(b"")
+        png_chunks.append(vlen_bytes(vals))
+    write_raw_array("png", v2meta("|O", None, [{"id": "vlen-bytes"}], None),
+                    png_chunks)
+
     # <i4 + bz2 compressor and <f8 + lzma (XZ container) compressor —
     # the remaining numcodecs compressors the JVM classpath can decode
     import bz2 as _bz2
