@@ -178,20 +178,31 @@ object Bench {
       try {
         val bestPath = java.nio.file.Paths.get("/root/repo/BENCH_BEST.json")
         val newCal = math.min(calStart, calEnd)
-        val storedCal =
+        // a stored record over a DIFFERENT query set (registry grew or
+        // shrank) is stale — its total is not comparable to the current
+        // sweep's, so the current sweep replaces it regardless of probe
+        val stored: Option[(Double, Int)] =
           if (java.nio.file.Files.exists(bestPath)) {
-            val s = new String(java.nio.file.Files.readAllBytes(bestPath),
-              java.nio.charset.StandardCharsets.UTF_8)
-            val re = """"calibration":\{"start":([0-9.]+),"end":([0-9.]+)\}""".r
-            re.findFirstMatchIn(s).map(m =>
-              math.min(m.group(1).toDouble, m.group(2).toDouble))
+            try {
+              val root = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(java.nio.file.Files.readAllBytes(bestPath))
+              val cal = root.path("calibration")
+              Some((math.min(cal.path("start").asDouble(Double.MaxValue),
+                cal.path("end").asDouble(Double.MaxValue)),
+                root.path("queries").size()))
+            } catch { case _: Throwable => None }
           } else None
-        if (storedCal.forall(newCal <= _)) {
+        val replace = stored match {
+          case None => true
+          case Some((_, n)) if n != ok.size => true // registry changed
+          case Some((cal, _)) => newCal <= cal
+        }
+        if (replace) {
           java.nio.file.Files.write(bestPath,
             (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           System.err.println(f"[bench] BENCH_BEST updated (probe $newCal%.2f)")
         } else System.err.println(
-          f"[bench] BENCH_BEST kept (probe $newCal%.2f vs stored ${storedCal.get}%.2f)")
+          f"[bench] BENCH_BEST kept (probe $newCal%.2f vs stored ${stored.get._1}%.2f)")
       } catch { case e: Throwable => System.err.println(s"[bench] best write failed: ${e.getMessage}") }
     }
     spark.stop()
