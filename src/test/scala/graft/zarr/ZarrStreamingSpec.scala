@@ -35,6 +35,34 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until n).map(_ * 1.0), None, ZarrWriter.CodecChain.gzip)
   }
 
+  test("streaming source reads a FOREIGN Zarr v2 store (strings, filters, binary)") {
+    // the typed v2 fixture: vlen-utf8/S/U strings, delta/shuffle/fso/
+    // packbits filter stacks, bz2/lzma chunks, vlen-bytes blobs — all
+    // riding the SAME micro-batch machinery as engine-written v3 stores
+    // (ingest-from-foreign-store, the migration-tail shape). The store
+    // is terminal with a 3-element edge chunk, so emit_partial_tail
+    // delivers it.
+    val fixture = new java.io.File("src/test/resources/zarr_v2_typed").getAbsolutePath
+    val out = s"$base/v2out"
+    val q = spark.readStream.format("zarr")
+      .option("emit_partial_tail", "true")
+      .load(fixture)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$base/v2ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(out).orderBy("ds").collect()
+    assert(rows.length == 11, s"got ${rows.length} rows")
+    assert(rows.map(_.getAs[Int]("dv")).toSeq ==
+      Seq(1000, 1007, 995, 1020, 1020, 980, 1001, 1002, 999, 1050, 1049))
+    assert(rows.head.getAs[String]("uname") == "αβ")
+    assert(rows.last.getAs[String]("code") == "K")
+    assert(rows(1).getAs[Array[Byte]]("blob").toSeq == Seq[Byte](7, 8))
+    assert(rows(9).getAs[Double]("xzv") == 2.5 * 9 - 7.0)
+  }
+
   test("micro-batch stream picks up appended chunks exactly once") {
     val dir = s"$base/grow"
     val ckpt = s"$base/ckpt"

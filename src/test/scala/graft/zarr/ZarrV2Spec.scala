@@ -372,6 +372,18 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZarrStore(dst).readMeta("id64").formatVersion == 3)
   }
 
+  test("typed store .zmetadata: one-GET snapshot covers all 16 arrays incl. strings/filters/binary") {
+    val snap = ZarrStore(storeTyped).readRootSnapshot()
+    assert(snap.isDefined, "typed-store .zmetadata must satisfy readRootSnapshot")
+    val (metas, manifest) = snap.get
+    assert(metas.length == 16, metas.map(_.name).mkString(","))
+    assert(manifest.isEmpty)
+    assert(metas.find(_.name == "blob").get.dataType == ZarrType.Bytes)
+    assert(metas.find(_.name == "label").get.dataType == ZarrType.Str)
+    assert(metas.find(_.name == "fsod").get.codecs.map(_.name) ==
+      Seq("bytes", "v2-fso", "v2-delta", "zlib"))
+  }
+
   test("compact migrates v2 STRING columns to v3 vlen-utf8, value-identical") {
     // a small |O+vlen-utf8 v2 store written in-test (the READ side is
     // independently fixture-validated; this pins the MIGRATION path:

@@ -493,6 +493,17 @@ def main():
         qz_chunks.append(struct.pack("<%df" % len(vals), *vals))
     write_raw_array("qz", qz_meta, qz_chunks)
 
+    # consolidated metadata over every typed array: one-GET inference on
+    # the richest store (16 arrays x string/filter/compressor variety)
+    meta_entries = {".zgroup": {"zarr_format": 2}}
+    for name in sorted(os.listdir(root3)):
+        zp = os.path.join(root3, name, ".zarray")
+        if os.path.isfile(zp):
+            with open(zp) as f:
+                meta_entries[f"{name}/.zarray"] = json.load(f)
+    with open(os.path.join(root3, ".zmetadata"), "w") as f:
+        json.dump({"zarr_consolidated_format": 1, "metadata": meta_entries}, f)
+
     print("wrote", root)
     print("wrote", root1)
     print("wrote", root2)
