@@ -230,7 +230,51 @@ object ScanBench {
         $"c0" === $"k")
       .agg(sum($"c1")).collect() // warm the join shape's codegen
 
+    // ---- hybrid partial-coverage aggregate pushdown at latency
+    //      (round 10): a store whose first half carries stats and whose
+    //      second half was appended without them (the post-analyze-
+    //      append shape). An ungrouped SUM serves the covered half from
+    //      segments and GETs only the uncovered chunks; the control is
+    //      the same query on the never-analyzed store (full scan). ----
+    if (!new java.io.File(s"$latBase/halfstats/c0/zarr.json").exists()) {
+      System.err.println("[scan-bench] building half-covered store (one-time)...")
+      val half = latN / 2
+      spark.range(0, half, 1, 4).select($"id".as("c0"), ($"id" * 2.0).as("c1"))
+        .write.format("zarr").mode("overwrite")
+        .option("chunk_size", latChunk.toString)
+        .option("rows_per_partition", (half / 4).toString)
+        .option("stats", "true").save(latUrl("halfstats"))
+      spark.range(half, latN, 1, 4).select($"id".as("c0"), ($"id" * 2.0).as("c1"))
+        .write.format("zarr").mode("append")
+        .option("chunk_size", latChunk.toString)
+        .option("rows_per_partition", (half / 4).toString)
+        .option("stats", "false").save(latUrl("halfstats"))
+      System.err.println("[scan-bench] half-covered store built")
+    }
+    def hybridRun(nm: String, store: String, expectHybrid: Boolean): (Double, Int) = {
+      val df0 = spark.read.format("zarr").load(latUrl(store))
+      val plan = df0.agg(sum($"c0")).queryExecution.executedPlan.toString
+      require(plan.contains("ZarrPartialAggScan") == expectHybrid,
+        s"$nm: unexpected plan\n$plan")
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val s = df0.agg(sum($"c0")).collect()(0).getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(s == latN.toLong * (latN - 1) / 2, s"$nm: wrong sum $s")
+      val gets = LatencyFileSystem.chunkGets(store)
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets(store)} total)")
+      (dt, gets)
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("halfstats")).agg(sum($"c0")).collect() // warm
+
     val lat = Map(
+      "lat_hybrid_agg" -> hybridRun(
+        "hybrid agg (half-covered: GETs = uncovered chunks)", "halfstats",
+        expectHybrid = true),
+      "lat_fullscan_agg" -> hybridRun(
+        "full-scan agg (no stats anywhere)", "plain", expectHybrid = false),
       "lat_sidecar" -> latRun("sidecar skip (zero-GET)", "sidecar", pushable = true),
       "lat_decode" -> latRun("decode-and-test (GET predicate col of every chunk)", "plain", pushable = true),
       "lat_fullfetch" -> latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false),
