@@ -167,11 +167,13 @@ class ZarrScanBuilder(
     * (its statistics are empty, `opener.rs:171-173`): ungrouped
     * COUNT(*)/COUNT(col) answer from array shapes alone (zarr reads never
     * produce nulls, SURVEY §1.3), and MIN/MAX(col) answer from the
-    * `_stats` sidecar when its segments cover every chunk of the 1-D
-    * grid with a recorded range. On a 100 TB store that turns a full
-    * scan into a handful of driver-side metadata reads. Anything not
-    * provably answerable (filters, grouping, partial stats coverage,
-    * coordinate cross-products) declines the pushdown and scans. */
+    * `_stats` sidecar when its segments cover every chunk of the scan
+    * grid (1-D tabular or N-D via `analyze`'s grid-signed segments) with
+    * a recorded range. On a 100 TB store that turns a full scan into a
+    * handful of driver-side metadata reads. Anything not provably
+    * answerable (filters, grouping, partial stats coverage, a selection
+    * resolving to a grid the segments don't describe) declines the
+    * pushdown and scans. */
   private def answerAggregation(agg: Aggregation): Option[(StructType, Seq[Any])] = {
     if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions.nonEmpty) return None
     if (metas.isEmpty) return None
@@ -321,11 +323,12 @@ class ZarrScanBuilder(
     * declining to a full one. Spark contract: `supportCompletePushDown`
     * = false, so Spark plans its own FINAL aggregation over the rows
     * this scan emits — one pre-merged row for all stats-served chunks
-    * plus one partial row per scanned-ordinal partition. Declines
-    * (falling back to the normal scan) on filters/limits/grouping,
-    * functions beyond MIN/MAX/SUM/COUNT, non-1-D grids, stores with no
-    * usable segment, or a served-sum overflow (the partial must be the
-    * mathematical sum). */
+    * plus one partial row per scanned-ordinal partition. Works on 1-D
+    * AND N-D grids (segments carry a grid signature; `analyze` records
+    * N-D bounds per row-major target-chunk ordinal). Declines (falling
+    * back to the normal scan) on filters/limits/grouping, functions
+    * beyond MIN/MAX/SUM/COUNT, stores with no usable segment, or a
+    * served-sum overflow (the partial must be the mathematical sum). */
   private def answerPartialAggregation(
       agg: Aggregation): Option[ZarrPartialAggScan] = {
     if (pushed.nonEmpty || limit >= 0 || agg.groupByExpressions.nonEmpty) return None
@@ -361,13 +364,12 @@ class ZarrScanBuilder(
     val geom =
       try ScanGeometry.resolve(aggMetas)
       catch { case _: ZarrException => return None }
-    if (geom.ndim != 1 || geom.numRows == 0) return None
+    if (geom.numRows == 0) return None
     val segs = ChunkStats.partialSegments(store, aggMetas, geom)
     if (segs.isEmpty) return None
     val sorted = segs.sortBy(_.first)
-    val n0 = aggMetas.head.shape(0)
-    val cs0 = aggMetas.head.chunkShape(0).toLong
-    def extent(ord: Long): Long = math.min(cs0, n0 - ord * cs0)
+    def extent(ord: Long): Long =
+      geom.chunkExtent(geom.chunkIndex(ord)).map(_.toLong).product
     // walk the grid once: a chunk is SERVED iff its segment records
     // every needed statistic exactly; anything else is scanned
     val mins = scala.collection.mutable.Map.empty[String, Any]
@@ -621,8 +623,12 @@ final case class ZarrPartialAggReaderFactory(
         val metas = metaJsons.map { case (n, j) => ZarrMeta.parse(n, j) }
         val byName = metas.map(m => m.name -> m).toMap
         val mani = ChunkManifest(manifestParts)
-        val n0 = metas.head.shape(0)
-        val cs0 = metas.head.chunkShape(0).toLong
+        // same geometry the planner walked: ordinals are row-major over
+        // this grid, and coordinate columns broadcast via the mapping
+        val geom = ScanGeometry.resolve(metas)
+        val roleOf: Map[String, ColumnRole] =
+          metas.map(_.name).zip(geom.roles).toMap
+        val coordCache = new java.util.HashMap[String, ChunkColumn]()
         // COUNT needs no chunk bytes (row counts come from the extent;
         // zarr reads never produce nulls) — fetch/decode only the
         // columns whose VALUES a function consumes
@@ -637,20 +643,38 @@ final case class ZarrPartialAggReaderFactory(
         var rows = 0L
         var ord = part.lo
         while (ord < part.hi) {
-          val idx = Array(ord.toInt)
-          val extent = math.min(cs0, n0 - ord * cs0).toInt
-          rows += extent
+          val idx = geom.chunkIndex(ord)
+          val extent = geom.chunkExtent(idx)
+          val nRows = extent.map(_.toLong).product
+          rows += nRows
           needCols.foreach { c =>
             val m = byName(c)
-            val key = if (mani.isEmpty) m.chunkKey(idx)
-              else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-            val col = ChunkColumn.decode(m, store.readChunk(c, key))
+            val role = roleOf(c)
+            val col = role match {
+              case CoordCol(_, dim) =>
+                val ck = s"$c/${idx(dim)}"
+                val cached = coordCache.get(ck)
+                if (cached != null) cached
+                else {
+                  val cc = ChunkColumn.decode(
+                    m, store.readChunk(c, m.chunkKey(Array(idx(dim)))))
+                  coordCache.put(ck, cc)
+                  cc
+                }
+              case DataCol(_) =>
+                val key =
+                  if (geom.ndim == 1 && !mani.isEmpty)
+                    mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                  else m.chunkKey(idx)
+                ChunkColumn.decode(m, store.readChunk(c, key))
+            }
+            val mapping = ChunkColumn.mapping(role, geom.targetChunk, extent)
             val wantMin = fns.contains(("min", c))
             val wantMax = fns.contains(("max", c))
             val wantSum = fns.contains(("sum", c))
             var e = 0
-            while (e < extent) {
-              val v = col.get(e)
+            while (e < nRows) {
+              val v = col.get(if (mapping == null) e.toInt else mapping(e.toInt))
               if (wantMin && (!mins.contains(c) || ChunkFilter.cmp(v, mins(c)) < 0))
                 mins(c) = v
               if (wantMax && (!maxs.contains(c) || ChunkFilter.cmp(v, maxs(c)) > 0))

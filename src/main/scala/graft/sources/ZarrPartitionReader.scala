@@ -102,11 +102,13 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * BEFORE any chunk fetch is submitted: a chunk whose recorded ranges
     * cannot satisfy the filters is skipped with zero chunk IO. Stores
     * without sidecars (empty index) fall back to the reference's
-    * decode-and-test skip unchanged. Stats ordinals are dim-0 chunk
-    * indices, so they only apply to 1-D scan grids (the shape every
-    * DSv2-written store has). */
+    * decode-and-test skip unchanged. Stats ordinals enumerate a SPECIFIC
+    * chunk grid row-major: grid-less segments (the 1-D write path) apply
+    * to 1-D scan grids only; `analyze` segments carry a grid signature
+    * and apply exactly when it matches this scan's geometry — so an N-D
+    * (e.g. lat/lon) store skips chunks with zero GETs after analyze. */
   private val statsSegments: Seq[ChunkStats.Segment] =
-    if (filters.isEmpty || segIndex.isEmpty || geometry.ndim != 1) Seq.empty
+    if (filters.isEmpty || segIndex.isEmpty) Seq.empty
     else {
       val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
       segIndex
@@ -118,6 +120,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
             .map(json => ChunkStats.parse(first, n, json, ztOf))
           catch { case _: Throwable => None }
         }
+        .filter(ChunkStats.gridCompatible(_, geometry))
     }
 
   /** Read-free skip: true iff the sidecar proves no row of chunk `o` can

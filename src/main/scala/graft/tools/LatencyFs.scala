@@ -34,11 +34,13 @@ object LatencyFileSystem {
 
   /** Opens of chunk data objects under `store` (metadata and sidecar
     * segments excluded) — the number a real object store would bill.
-    * Matches both canonical `c/<ord>` keys and the manifest-keyed
-    * `c.part<writeId>-<pid>/<j>` layout of staged commits. */
+    * Matches canonical `c/<ord>` keys (N-D: `c/<i>/<j>/...`) and the
+    * manifest-keyed `c.part<writeId>-<pid>/<j>` layout of staged
+    * commits. */
   def chunkGets(store: String): Int =
     opened.toArray.map(_.toString)
-      .count(p => p.contains(s"/$store/") && p.matches(".*/(c|c\\.part[^/]*)/\\d+$"))
+      .count(p => p.contains(s"/$store/") &&
+        p.matches(".*/(c|c\\.part[^/]*)/\\d+(/\\d+)*$"))
 
   /** All opens under `store` (chunks + metadata + sidecar). */
   def allGets(store: String): Int =

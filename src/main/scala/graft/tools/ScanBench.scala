@@ -269,6 +269,86 @@ object ScanBench {
     LatencyFileSystem.reset(0)
     spark.read.format("zarr").load(latUrl("halfstats")).agg(sum($"c0")).collect() // warm
 
+    // ---- N-D (2-D lat/lon) filtered scan at latency (round 11): the
+    //      reference's flagship 2-D geo shape (`table_provider.rs:
+    //      417-423`) pays decode-and-test GETs on EVERY chunk; after
+    //      `analyze`, grid-signed sidecar segments prune 2-D chunks
+    //      before any GET — same lever the 1-D rows above measure, now
+    //      on the shape climate/geo 100 TB stores actually have. ----
+    val ndSide = 2048
+    val ndChunk = 64 // 32x32 grid = 1024 chunks, 4096 elems each
+    val ndRows = ndSide.toLong * ndSide
+    if (!new java.io.File(s"$latBase/nd2d/${graft.zarr.ChunkStats.dirName}").exists()) {
+      System.err.println("[scan-bench] building 2-D stores (one-time)...")
+      LatencyFileSystem.reset(0)
+      Seq("nd2d", "nd2dplain").foreach { nm =>
+        val st = ZarrStore(latUrl(nm),
+          Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+        st.writeStoreRootMeta()
+        ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(ndSide), Seq(ndChunk),
+          (0 until ndSide).map(_.toDouble: Any), Some(Seq("lat")),
+          ZarrWriter.CodecChain.bloscLz4)
+        ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(ndSide), Seq(ndChunk),
+          (0 until ndSide).map(_.toDouble: Any), Some(Seq("lon")),
+          ZarrWriter.CodecChain.bloscLz4)
+        val dataVals = new IndexedSeq[Any] {
+          def length: Int = ndRows.toInt
+          def apply(i: Int): Any = i.toDouble
+        }
+        ZarrWriter.writeArray(st, "data", ZarrType.Float64,
+          Seq(ndSide, ndSide), Seq(ndChunk, ndChunk), dataVals,
+          Some(Seq("lat", "lon")), ZarrWriter.CodecChain.bloscLz4)
+      }
+      graft.zarr.ZarrMaintenance.analyze(spark, latUrl("nd2d"))
+      System.err.println("[scan-bench] 2-D stores built (nd2d analyzed)")
+    }
+    // values are row-major 0..N-1: > N - 10*side keeps the last 10 data
+    // rows, all inside grid row 31 -> 32 of 1024 chunks can match
+    val ndCut = ndRows - 10L * ndSide
+    def ndRun(nm: String, store: String): (Double, Int) = {
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val s = spark.read.format("zarr").load(latUrl(store))
+        .filter($"data" > ndCut).agg(sum($"data")).collect()(0).getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // integer-valued doubles, partials < 2^53: sums are exact
+      val expected = ((ndCut + 1) until ndRows).map(_.toDouble).sum
+      require(s == expected, s"$nm: wrong sum $s != $expected")
+      val gets = LatencyFileSystem.chunkGets(store)
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets(store)} total)")
+      (dt, gets)
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("nd2d"))
+      .filter($"data" > ndCut).agg(sum($"data")).collect() // warm
+
+    // ---- grouped aggregate over a filtered stats-backed scan (round
+    //      11): GROUP BY declines the aggregate PUSHDOWN by contract,
+    //      but the pushed FILTER still chunk-skips via the sidecar —
+    //      a selective grouped rollup pays GETs ∝ matching chunks, not
+    //      corpus. Control: same query on the sidecar-less twin. ----
+    def groupedRun(nm: String, store: String): (Double, Int) = {
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val rows = spark.read.format("zarr").load(latUrl(store))
+        .filter($"c0" > cut).groupBy(($"c0" % 4).as("g"))
+        .agg(sum($"c1").as("s")).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(rows.length == 4, s"$nm: expected 4 groups, got ${rows.length}")
+      val tot = rows.map(_.getDouble(1)).sum
+      val expected = ((cut + 1) until latN).map(_ * 2.0).sum
+      require(tot == expected, s"$nm: wrong grouped total $tot != $expected")
+      val gets = LatencyFileSystem.chunkGets(store)
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets(store)} total)")
+      (dt, gets)
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("sidecar"))
+      .filter($"c0" > cut).groupBy(($"c0" % 4).as("g"))
+      .agg(sum($"c1").as("s")).collect() // warm
+
     val lat = Map(
       "lat_hybrid_agg" -> hybridRun(
         "hybrid agg (half-covered: GETs = uncovered chunks)", "halfstats",
@@ -281,7 +361,11 @@ object ScanBench {
       "lat_str_sidecar" -> strRun("non-ASCII string-prefix sidecar skip", "sidecarstru"),
       "lat_str_decode" -> strRun("non-ASCII string decode-and-test", "plainstru"),
       "lat_rtf_on" -> rtfRun("runtime-filter DPP skip (join keys in 1 chunk)", "sidecar", dpp = true),
-      "lat_rtf_off" -> rtfRun("runtime filtering disabled (fetch everything)", "sidecar", dpp = false))
+      "lat_rtf_off" -> rtfRun("runtime filtering disabled (fetch everything)", "sidecar", dpp = false),
+      "lat_nd_sidecar" -> ndRun("2-D analyzed store: grid-signed sidecar skip", "nd2d"),
+      "lat_nd_decode" -> ndRun("2-D plain store: decode-and-test every chunk", "nd2dplain"),
+      "lat_grouped_sidecar" -> groupedRun("grouped agg over filtered stats-backed scan", "sidecar"),
+      "lat_grouped_decode" -> groupedRun("grouped agg over filtered plain scan", "plain"))
     LatencyFileSystem.reset(0)
 
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${

@@ -200,9 +200,20 @@ object ChunkStats {
   private val strOrderCp = "cp"
 
   def encodeBounds(cols: Seq[(String, ZarrType, IndexedSeq[Option[Bound]],
-      IndexedSeq[Option[Long]])]): String = {
+      IndexedSeq[Option[Long]])],
+      grid: Seq[Int] = Nil,
+      dims: Seq[String] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put(strOrderField, strOrderCp)
+    // grid signature: which chunk grid (row-major) the segment's ordinals
+    // enumerate. Absent on the 1-D write path (final shape unknown until
+    // commit) — readers accept grid-less segments for 1-D scans only.
+    if (grid.nonEmpty) {
+      val g = root.putArray("grid")
+      grid.foreach(g.add)
+      val d = root.putArray("dims")
+      dims.foreach(d.add)
+    }
     val colsNode = root.putObject("cols")
     cols.foreach { case (name, zt, ranges, sums) =>
       val c = colsNode.putObject(name)
@@ -272,7 +283,10 @@ object ChunkStats {
       first: Long, chunks: Int,
       cols: Map[String, (Array[Any], Array[Any])],
       sums: Map[String, Array[java.lang.Long]] = Map.empty,
-      approx: Map[String, Set[Int]] = Map.empty) {
+      approx: Map[String, Set[Int]] = Map.empty,
+      /** (chunk-grid shape, per-dim identity) the ordinals enumerate;
+        * None = legacy 1-D write-path segment (valid for 1-D scans). */
+      grid: Option[(Array[Int], Array[String])] = None) {
     def contains(ord: Long): Boolean = ord >= first && ord < first + chunks
     /** Range of `col` at ordinal `ord`, or None when unrecorded. May be a
       * CLAMPED superset interval (long strings) — sound for skip proofs. */
@@ -365,7 +379,34 @@ object ChunkStats {
         }
       }
     }
-    Segment(first, chunks, b.result(), sb.result(), ab.result())
+    val gridSig = {
+      val g = root.get("grid")
+      if (g == null || !g.isArray) None
+      else {
+        val gs = Array.tabulate(g.size())(i => g.get(i).asInt())
+        val d = root.get("dims")
+        val ds =
+          if (d != null && d.isArray && d.size() == gs.length)
+            Array.tabulate(d.size())(i => d.get(i).asText())
+          else Array.fill(gs.length)("")
+        Some((gs, ds))
+      }
+    }
+    Segment(first, chunks, b.result(), sb.result(), ab.result(), gridSig)
+  }
+
+  /** May `seg`'s ordinals be interpreted against `geom`'s grid?
+    *  - grid recorded: shape must match exactly; for N-D (where a
+    *    same-shape grid in a different dimension order enumerates
+    *    DIFFERENT chunks) the per-dim identity must match too.
+    *  - grid absent (legacy write-path segments): 1-D scans only — a
+    *    single dimension cannot permute, so the ordinal space is
+    *    unambiguous there and only there. */
+  def gridCompatible(seg: Segment, geom: ScanGeometry): Boolean = seg.grid match {
+    case None => geom.ndim == 1
+    case Some((gs, ds)) =>
+      gs.sameElements(geom.gridShape) &&
+        (geom.ndim == 1 || ds.sameElements(geom.dimIdentity))
   }
 
   // ---- sound interval evaluation -----------------------------------------
@@ -373,7 +414,8 @@ object ChunkStats {
   /** Can any row with column values inside `range` satisfy ALL filters?
     * `range(col)` = None ⇒ that column is unconstrained (conservative). */
   /** Sidecar segments parsed and proven to cover EXACTLY every chunk of
-    * the 1-D grid — the precondition for any metadata-only answer
+    * the scan grid (1-D or, via grid-signed `analyze` segments, N-D) —
+    * the precondition for any metadata-only answer
     * (aggregate pushdown, CBO column statistics). Over-coverage
     * (covered > total) means stale segments from a failed append
     * describe phantom chunk ordinals and must not be trusted; a
@@ -393,7 +435,6 @@ object ChunkStats {
       store: ZarrStore,
       metas: Seq[ZarrArrayMeta],
       geom: ScanGeometry): Seq[Segment] = {
-    if (geom.ndim != 1) return Nil
     val total = geom.numChunks
     val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
     try {
@@ -402,6 +443,10 @@ object ChunkStats {
         .flatMap { case (first, n) =>
           store.readText(segmentKey(first, n)).map(json => parse(first, n, json, ztOf))
         }
+        // a segment recorded against a DIFFERENT grid (a 1-D coordinate
+        // scan over an N-D-analyzed store, a reordered cross product)
+        // enumerates different chunks under the same ordinals — unusable
+        .filter(gridCompatible(_, geom))
     } catch { case _: Throwable => Nil }
   }
 
@@ -409,7 +454,6 @@ object ChunkStats {
       store: ZarrStore,
       metas: Seq[ZarrArrayMeta],
       geom: ScanGeometry): Option[Seq[Segment]] = {
-    if (geom.ndim != 1) return None
     val total = geom.numChunks
     val segs = store.listStatsSegments()
     val covered = segs.foldLeft(0L) { case (next, (first, n)) =>
@@ -423,6 +467,9 @@ object ChunkStats {
           .map(json => parse(first, n, json, ztOf))
       } catch { case _: Throwable => return None }
     if (parsed.map(_.chunks.toLong).sum < total) return None
+    // every segment must describe THIS grid: a full-coverage set recorded
+    // against another enumeration order proves nothing about these chunks
+    if (!parsed.forall(gridCompatible(_, geom))) return None
     Some(parsed)
   }
 

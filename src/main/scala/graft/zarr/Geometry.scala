@@ -60,6 +60,25 @@ final case class ScanGeometry(
     idx
   }
 
+  /** Per-dimension identity for stats-grid matching: a 2-D-and-up chunk
+    * ordinal is only meaningful relative to a row-major enumeration of a
+    * SPECIFIC dimension order, and an all-coordinates cross product takes
+    * its order from the selection (`zarr_data_stream.rs:146-158`) — so a
+    * `_stats` segment recorded under one order must not be applied to a
+    * scan whose grid merely has the same SHAPE in a different order.
+    * Dimension d is named by the coordinate broadcast along it, else by
+    * the data arrays' `dimension_names[d]`, else "" (unnamed dims cannot
+    * permute ambiguously: all data arrays are congruent). */
+  def dimIdentity: Seq[String] =
+    (0 until ndim).map { d =>
+      roles.collectFirst { case CoordCol(m, `d`) => m.name }
+        .orElse(roles.collectFirst {
+          case DataCol(m) if m.dimensionNames.exists(_.length == ndim) =>
+            m.dimensionNames.get(d)
+        })
+        .getOrElse("")
+    }
+
   /** Split [0, numChunks) into `n` contiguous ranges (reference
     * `zarr_data_stream.rs:805-817`); over-partitioning yields empty
     * ranges, which the reader treats as an empty stream. */

@@ -101,27 +101,40 @@ object ZarrMaintenance {
   def countChunkObjects(path: String): Long =
     countChunkObjects(path, new Configuration())
 
-  /** Backfill the chunk-stats sidecar for an existing 1-D (tabular)
-    * store this engine did NOT write — a Zarr v2 store, a foreign v3
-    * store, or a store whose sidecar was lost. The engine's own writer
-    * emits stats at write time; everything else arrives sidecar-less,
-    * which silently degrades scans to decode-and-test exactly where a
-    * big store needs chunk skipping most. The ANALYZE of this engine.
+  /** Backfill the chunk-stats sidecar for an existing store this engine
+    * did NOT write — a Zarr v2 store, a foreign v3 store, or a store
+    * whose sidecar was lost. The engine's own writer emits stats at
+    * write time; everything else arrives sidecar-less, which silently
+    * degrades scans to decode-and-test exactly where a big store needs
+    * chunk skipping most. The ANALYZE of this engine.
+    *
+    * Works on 1-D tabular stores AND N-D coordinate stores (the
+    * reference's flagship lat/lon shape, `table_provider.rs:417-423`):
+    * the store's arrays resolve to ONE scan geometry (data arrays
+    * congruent, 1-D arrays broadcast as coordinates — the same rules
+    * every scan enforces), chunks are enumerated by row-major ordinal
+    * over that grid, and per-chunk bounds are recorded over the chunk's
+    * OUTPUT rows (coordinate broadcast applied — min/max of a repeated
+    * slice equal the slice's, and sums count repetitions exactly as a
+    * scan's SUM would). Segments carry the grid signature so a scan
+    * whose selection resolves to a DIFFERENT grid (a lone-coordinate
+    * scan, a reordered cross product) safely ignores them.
     *
     * One distributed pass: each task decodes a CONTIGUOUS ordinal range
     * of every column's chunks (`spark.range` partitions are contiguous),
     * records per-chunk min/max bounds (+ integral sums), and writes ONE
-    * committed segment document covering its range — the same layout
-    * the write path stages, so after analyze the chunk-skip scan,
-    * metadata-only COUNT/MIN/MAX/SUM pushdown and CBO column statistics
-    * work exactly as on engine-written stores. Existing segments are
-    * purged first (re-analyze refreshes a stale sidecar).
+    * committed segment document covering its range — so after analyze
+    * the chunk-skip scan, metadata-only COUNT/MIN/MAX/SUM pushdown,
+    * hybrid partial pushdown and CBO column statistics work exactly as
+    * on engine-written stores. Existing segments are purged first
+    * (re-analyze refreshes a stale sidecar).
     *
     * Returns the number of chunks analyzed. Manifest-keyed stores
-    * (staged engine commits whose sidecar was since lost) resolve
-    * chunk keys through the root-doc manifest, exactly as the scan
-    * does. Refuses sharded arrays (shard decode lives in the scan
-    * pipeline, and sharded stores are engine-written). */
+    * (staged engine commits whose sidecar was since lost — 1-D only,
+    * the only shape the DSv2 writer produces) resolve chunk keys
+    * through the root-doc manifest, exactly as the scan does. Refuses
+    * sharded arrays (shard decode lives in the scan pipeline, and
+    * sharded stores are engine-written). */
   def analyze(spark: SparkSession, path: String): Long = {
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
@@ -130,31 +143,29 @@ object ZarrMaintenance {
     val store = ZarrStore(path, hadoopPairs)
     val metas = store.listArrays().map(store.readMeta).sortBy(_.name)
     metas.foreach { m =>
-      if (m.ndim != 1)
-        throw new ZarrException(
-          s"analyze: array ${m.name} is ${m.ndim}-D; stats segments " +
-            "describe the 1-D tabular layout only")
       if (m.shardingSpec.isDefined)
         throw new ZarrException(
           s"analyze: array ${m.name} is sharded — sharded stores are " +
             "engine-written and carry write-time stats")
     }
-    val manifestParts = store.readChunkManifest().parts
-    val n0 = metas.head.shape(0)
-    val cs0 = metas.head.chunkShape(0)
-    metas.foreach { m =>
-      if (m.shape(0) != n0 || m.chunkShape(0) != cs0)
-        throw new ZarrException(
-          s"analyze: array ${m.name} grid (${m.shape(0)}/${m.chunkShape(0)}) " +
-            s"differs from ${metas.head.name} ($n0/$cs0); segment ordinals " +
-            "require congruent grids")
-    }
-    val numChunks = (n0 + cs0 - 1) / cs0
+    // the SAME consistency rules every scan applies: congruent data
+    // arrays, 1-D arrays as coordinates; an incoherent store fails loud
+    val geom =
+      try ScanGeometry.resolve(metas)
+      catch {
+        case e: ZarrException =>
+          throw new ZarrException(s"analyze: ${e.getMessage}")
+      }
+    val manifestParts =
+      if (geom.ndim == 1) store.readChunkManifest().parts else Vector.empty
+    val numChunks = geom.numChunks
     store.cleanStatsSegmentsFrom(0L)
-    // empty store (shape[0] == 0): nothing to analyze, and reduce on an
-    // empty Dataset would throw rather than return 0
+    // empty store: nothing to analyze, and reduce on an empty Dataset
+    // would throw rather than return 0
     if (numChunks == 0) return 0L
     val metaJsons = metas.map(m => m.name -> m.sourceJson)
+    val gridShape = geom.gridShape.toSeq
+    val dimIdent = geom.dimIdentity
     import spark.implicits._
     spark.range(0, numChunks) // partitions are contiguous ordinal ranges
       .mapPartitions { it =>
@@ -164,6 +175,11 @@ object ZarrMaintenance {
           val st = ZarrStore(path, hadoopPairs)
           val mani = ChunkManifest(manifestParts)
           val ms = metaJsons.map { case (nm, j) => ZarrMeta.parse(nm, j) }
+          val g = ScanGeometry.resolve(ms)
+          val roleOf: Map[String, ColumnRole] = ms.map(_.name).zip(g.roles).toMap
+          // a coordinate chunk is shared by every target chunk in its
+          // row/column — decode it once per task, not once per ordinal
+          val coordCache = new java.util.HashMap[String, ChunkColumn]()
           // bound each segment DOCUMENT: a reader GETs whole overlapping
           // segments, so one giant per-task segment (1M chunks / few
           // tasks) would turn every scan task's metadata read into
@@ -172,16 +188,37 @@ object ZarrMaintenance {
           var written = 0L
           ords.grouped(maxSegChunks).foreach { seg =>
             val cols = ms.map { m =>
+              val role = roleOf(m.name)
               val bounds = Vector.newBuilder[Option[ChunkStats.Bound]]
               val sums = Vector.newBuilder[Option[Long]]
               seg.foreach { ord =>
-                val idx = Array(ord.toInt)
-                val key =
-                  if (mani.isEmpty) m.chunkKey(idx)
-                  else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-                val col = ChunkColumn.decode(m, st.readChunk(m.name, key))
-                val extent = m.chunkExtent(idx)(0)
-                val vals = (0 until extent).map(col.get)
+                val idx = g.chunkIndex(ord)
+                val extent = g.chunkExtent(idx)
+                val col = role match {
+                  case CoordCol(_, dim) =>
+                    val ck = s"${m.name}/${idx(dim)}"
+                    val cached = coordCache.get(ck)
+                    if (cached != null) cached
+                    else {
+                      val c = ChunkColumn.decode(
+                        m, st.readChunk(m.name, m.chunkKey(Array(idx(dim)))))
+                      coordCache.put(ck, c)
+                      c
+                    }
+                  case DataCol(_) =>
+                    val key =
+                      if (mani.isEmpty) m.chunkKey(idx)
+                      else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                    ChunkColumn.decode(m, st.readChunk(m.name, key))
+                }
+                // bounds/sums over the chunk's OUTPUT rows: the mapping
+                // realizes edge truncation and coordinate broadcast, so
+                // recorded stats agree with what a scan of this chunk emits
+                val mapping = ChunkColumn.mapping(role, g.targetChunk, extent)
+                val nRows = extent.product
+                val vals =
+                  if (mapping == null) (0 until nRows).map(col.get)
+                  else (0 until nRows).map(r => col.get(mapping(r)))
                 bounds += ChunkStats.minMaxBound(m.dataType, vals)
                 sums += ChunkStats.chunkSum(m.dataType, vals)
               }
@@ -189,7 +226,7 @@ object ZarrMaintenance {
             }
             st.writeText(
               ChunkStats.segmentKey(seg.head, seg.length),
-              ChunkStats.encodeBounds(cols))
+              ChunkStats.encodeBounds(cols, gridShape, dimIdent))
             written += seg.length
           }
           Iterator.single(written)

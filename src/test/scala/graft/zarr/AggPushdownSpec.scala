@@ -229,6 +229,61 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.agg(min("id")).collect()(0).getLong(0) == 0)
   }
 
+  test("N-D store: metadata-only MIN/MAX/SUM after analyze; HYBRID after losing a segment") {
+    val url = s"graftstat://$base/nd"
+    val store = ZarrStore(url,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    store.writeStoreRootMeta()
+    // integer 2-D data (exact sums) + float coordinates, 8x8 / 3x3 grid
+    ZarrWriter.writeArray(store, "row", ZarrType.Float64, Seq(8), Seq(3),
+      (0 until 8).map(i => 38.0 + i * 0.1), Some(Seq("row")), ZarrWriter.CodecChain.raw)
+    ZarrWriter.writeArray(store, "col", ZarrType.Float64, Seq(8), Seq(3),
+      (0 until 8).map(i => -117.0 + i * 0.1), Some(Seq("col")), ZarrWriter.CodecChain.raw)
+    ZarrWriter.writeArray(store, "v", ZarrType.Int64, Seq(8, 8), Seq(3, 3),
+      (0 until 64).map(_.toLong: Any), Some(Seq("row", "col")), ZarrWriter.CodecChain.raw)
+    assert(ZarrMaintenance.analyze(spark, url) == 9)
+    val df = spark.read.format("zarr").load(url)
+
+    // full coverage: complete metadata-only answer, zero chunk GETs
+    RecordingFileSystem.opened.clear()
+    val full = df.agg(min("v").as("mn"), max("v").as("mx"),
+      sum("v").as("s"), avg("v").as("a"), count(lit(1)).as("n"))
+    assert(full.queryExecution.executedPlan.toString.contains("ZarrAggScan"))
+    val r = full.collect()(0)
+    assert(r.getLong(0) == 0 && r.getLong(1) == 63)
+    assert(r.getLong(2) == (0L until 64L).sum && r.getLong(4) == 64)
+    assert(r.getDouble(3) == (0L until 64L).sum.toDouble / 64)
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/nd/(row|col|v)/c/.*")) == 0)
+
+    // lose ONE segment: the hybrid serves the remaining chunks from
+    // stats and reads exactly the uncovered ordinals' v chunks
+    val segs = store.listStatsSegments()
+    val (lostFirst, lostN) = segs.find { case (f, n) => f <= 4 && 4 < f + n }.get
+    store.deleteKey(ChunkStats.segmentKey(lostFirst, lostN))
+    val agg = df.agg(min("v").as("mn"), max("v").as("mx"), sum("v").as("s"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrPartialAggScan"), plan)
+    assert(plan.contains(s"served=${9 - lostN}"), plan)
+    assert(plan.contains(s"uncoveredChunks=$lostN"), plan)
+    RecordingFileSystem.opened.clear()
+    val r2 = agg.collect()(0)
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 63)
+    assert(r2.getLong(2) == (0L until 64L).sum)
+    val vOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/nd/v/c/\\d+/\\d+$")).distinct
+    val expected = (lostFirst until lostFirst + lostN)
+      .map(o => s"$base/nd/v/c/${o / 3}/${o % 3}").toSet
+    assert(vOpens.toSet == expected,
+      s"hybrid must read exactly the uncovered chunks: got ${vOpens.mkString(", ")}")
+
+    // SUM over a BROADCAST coordinate: selecting only `row` resolves to
+    // the 1-D coordinate grid, which the 2-D segments do not describe —
+    // declines safely and scans the 8-value coordinate
+    val rowSum = df.select("row").agg(sum("row")).collect()(0)
+    assert(math.abs(rowSum.getDouble(0) - (0 until 8).map(38.0 + _ * 0.1).sum) < 1e-9)
+  }
+
   test("fixture N-D / coordinate stores decline min-max but keep exact count") {
     val store = ZarrStore(s"$base/fixture")
     ZarrWriter.writeArray(store, "x", ZarrType.Int64,

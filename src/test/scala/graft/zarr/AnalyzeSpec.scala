@@ -83,12 +83,57 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restored sidecar must serve the aggregate: ${chunkOpens.mkString(", ")}")
   }
 
-  test("analyze refuses N-D stores and is loud about it") {
+  test("analyze a 2-D v2 store: metadata-only count/min/max/sum with zero chunk reads") {
     copyDir(Paths.get("src/test/resources/zarr_v2_2d"), Paths.get(s"$base/v2nd"))
-    val e = intercept[ZarrException] {
-      ZarrMaintenance.analyze(spark, s"$base/v2nd")
-    }
-    assert(e.getMessage.contains("1-D"), e.getMessage)
+    val url = s"graftstat://$base/v2nd"
+    val n = ZarrMaintenance.analyze(spark, url)
+    assert(n == 4, s"(5,7) grid with (3,4) chunks = 2x2 = 4 chunks, analyzed $n")
+    val df = spark.read.format("zarr").load(url)
+    RecordingFileSystem.opened.clear()
+    // temp[i][j] = 10i+j+0.5 with chunk (1,1) ABSENT (fill 99.5);
+    // counts[i][j] = 100i+j (int32, F order) — sum is exact
+    val r = df.agg(count(lit(1)), min("temp"), max("temp"),
+      min("counts"), max("counts"), sum("counts")).collect()(0)
+    assert(r.getLong(0) == 35)
+    assert(r.getDouble(1) == 0.5 && r.getDouble(2) == 99.5)
+    assert(r.getInt(3) == 0 && r.getInt(4) == 406)
+    assert(r.getLong(5) == (for (i <- 0 until 5; j <- 0 until 7) yield 100L * i + j).sum)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/v2nd/(temp|counts|pressure)/\\d+\\.\\d+$"))
+    assert(chunkOpens.isEmpty,
+      s"post-analyze 2-D metadata-only aggregate read chunks: ${chunkOpens.mkString(", ")}")
+    assert(df.agg(min("temp")).queryExecution.executedPlan.toString
+      .contains("ZarrAggScan"))
+  }
+
+  test("analyze a lat/lon v3 store (the reference's flagship shape): segments carry the grid signature") {
+    val url = s"graftstat://$base/latlon"
+    val store = ZarrStore(url,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    ZarrWriter.writeLatLonStore(store)
+    assert(ZarrMaintenance.analyze(spark, url) == 9) // 8x8 / 3x3 -> 3x3 grid
+    val segs = ZarrStore(url).listStatsSegments()
+    assert(segs.map(_._2).sum == 9 && segs.head._1 == 0L, segs.toString)
+    val df = spark.read.format("zarr").load(url)
+    RecordingFileSystem.opened.clear()
+    // MIN/MAX over the 2-D data array AND a broadcast coordinate answer
+    // metadata-only (coordinate bounds were recorded per target chunk)
+    val r = df.agg(count(lit(1)), min("data"), max("data"),
+      min("lat"), max("lat")).collect()(0)
+    assert(r.getLong(0) == 64)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 63.0)
+    assert(r.getDouble(3) == 38.0 && r.getDouble(4) == 38.7)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/latlon/(lat|lon|data)/c/.*"))
+    assert(chunkOpens.isEmpty,
+      s"lat/lon metadata-only aggregate read chunks: ${chunkOpens.mkString(", ")}")
+    // a LONE-coordinate selection resolves to a 1-D grid the 2-D
+    // segments do not describe — the grid signature makes them decline
+    // (scan) rather than misread ordinals; result stays exact
+    val lone = df.select("lat").agg(min("lat"), max("lat")).collect()(0)
+    assert(lone.getDouble(0) == 38.0 && lone.getDouble(1) == 38.7)
+    assert(!df.select("lat").agg(min("lat")).queryExecution.executedPlan
+      .toString.contains("ZarrAggScan"))
   }
 
   test("re-analyze refreshes: stale segments are purged, coverage stays whole") {

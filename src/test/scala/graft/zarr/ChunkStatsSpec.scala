@@ -334,6 +334,53 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seg2.range("name", 0).contains(("a", "z")))
   }
 
+  test("N-D store after analyze: coordinate + data filters skip chunks with ZERO GETs") {
+    val url = s"graftstat://$base/latlon2d"
+    val store = ZarrStore(url,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    // the reference's flagship shape: lat/lon coords + 8x8 data, 3x3 chunks
+    ZarrWriter.writeLatLonStore(store)
+    assert(ZarrMaintenance.analyze(spark, url) == 9)
+    val df = spark.read.format("zarr").load(url)
+
+    // a coordinate predicate prunes a whole grid ROW: lat > 38.55 keeps
+    // lat chunk 2 only -> target chunks (2,0),(2,1),(2,2)
+    RecordingFileSystem.opened.clear()
+    val rows = df.filter("lat > 38.55").select("lat", "lon", "data").collect()
+    assert(rows.length == 16) // lat in {38.6, 38.7} x 8 lons
+    assert(rows.map(_.getDouble(2)).sorted.toSeq == (48 until 64).map(_.toDouble))
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/latlon2d/data/c/\\d+/\\d+$")).distinct
+    assert(dataOpens.length == 3 && dataOpens.forall(_.contains("/c/2/")),
+      s"only grid row 2 may be fetched: ${dataOpens.mkString(", ")}")
+    val latOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/latlon2d/lat/c/\\d+$")).distinct
+    assert(latOpens.forall(_.endsWith("/2")),
+      s"stats-skipped lat chunks were fetched: ${latOpens.mkString(", ")}")
+
+    // a DATA predicate prunes to the matching chunks: row-major values
+    // 0..63, so data > 59 (values 60..63, bottom row) lives in chunks
+    // (2,1) and (2,2) only
+    RecordingFileSystem.opened.clear()
+    val hot = df.filter("data > 59.0").select("data").collect()
+    assert(hot.map(_.getDouble(0)).sorted.toSeq == (60 until 64).map(_.toDouble))
+    val hotOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/latlon2d/data/c/\\d+/\\d+$")).distinct.sorted.toSeq
+    assert(hotOpens == Seq(s"$base/latlon2d/data/c/2/1", s"$base/latlon2d/data/c/2/2"),
+      s"data > 59 must touch exactly chunks (2,1),(2,2): ${hotOpens.mkString(", ")}")
+
+    // all-coordinates cross product (SELECT lat, lon) shares the same
+    // grid signature -> the sidecar prunes it too, with zero lon GETs
+    // for non-matching lon chunks
+    RecordingFileSystem.opened.clear()
+    val cross = df.filter("lon > -116.45").select("lat", "lon").collect()
+    assert(cross.length == 8 * 2) // lon in {-116.4, -116.3}
+    val lonOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/latlon2d/lon/c/\\d+$")).distinct
+    assert(lonOpens.forall(_.endsWith("/2")),
+      s"cross-product scan fetched stats-skipped lon chunks: ${lonOpens.mkString(", ")}")
+  }
+
   test("MIN/MAX pushdown declines on clamped string bounds and scans the true value") {
     val sp = spark; import sp.implicits._
     val url = s"file://$base/s8"
