@@ -63,25 +63,54 @@ object Dedup {
     postings.join(broadcast(hot), keys, "left_anti")
   }
 
-  /** Shared shingle-posting builder (round-10 consolidation): the
-    * inverted index — (doc_id, source, lang, set size, exploded
-    * shingle), df-capped per (source, shingle) — is THE expensive asset
-    * of every near-dup/contamination query; at 100 TB production would
-    * persist it as a table exactly like q110's corpus band asset. Here
-    * one builder feeds q35 (raw text) and q108 (`normalize_text`
-    * cross-lingual variant), memoized per (dir, variant) for the life
-    * of a query batch so back-to-back queries share ONE build instead
-    * of one each; [[CacheRegistry.releaseAll]] invalidates the memo
-    * with the persist so a released plan is never handed out.
-    *
-    * Plan shape (PlanSpec-pinned): shingle explode is scan-local into
-    * the persist — zero exchanges; the df-cap adds ONE hot-key
-    * aggregate whose above-cap survivors broadcast back as a left-anti
-    * join, so the postings themselves are never reshuffled. */
-  private[queries] object PostingIndex {
+  /** Shared shingle-array base (round-11 consolidation): ONE pass over
+    * the documents text computes BOTH shingle variants — raw
+    * `shingles3(text)` and cross-lingual
+    * `shingles3(normalize_text(text))` — into one persisted
+    * (doc_id, source, lang, sh, shn) table. Every dedup asset derives
+    * from it: [[PostingIndex]] explodes it (q35/q108) and
+    * [[SignatureIndex]] minhashes it (q36/q110), so the first-build
+    * batch of all four near-dup queries scans the documents parquet
+    * exactly ONCE (PlanSpec-pinned) where round 10 scanned it three
+    * times (raw postings, normalized postings, signature shingles) into
+    * three overlapping persists. At 100 TB this is the production
+    * shape: the shingle base is the persisted corpus asset, and
+    * postings/signatures are cheap scan-local derivations of it.
+    * Memoized per (session, dir); [[CacheRegistry.releaseAll]]
+    * invalidates the memo with the persist. */
+  private[queries] object ShingleBase {
     // keyed by the SESSION too: a cached plan is bound to the session it
     // was built on, and handing it to a different/stopped session would
     // execute on the wrong conf or throw
+    private val memo = scala.collection.mutable.Map
+      .empty[(SparkSession, String), DataFrame]
+
+    def base(s: SparkSession, dir: String): DataFrame = synchronized {
+      memo.getOrElseUpdate((s, dir), {
+        val b = graft.CacheRegistry.track(docs(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"),
+            expr(shinglesExpr).as("sh"),
+            expr("shingles3(normalize_text(text))").as("shn"))
+          .persist())
+        graft.CacheRegistry.onRelease(() =>
+          ShingleBase.synchronized { memo.remove((s, dir)): Unit })
+        b
+      })
+    }
+  }
+
+  /** Shared shingle-posting view (round-10 consolidation, round-11
+    * re-based onto [[ShingleBase]]): the inverted index — (doc_id,
+    * source, lang, set size, exploded shingle), df-capped per
+    * (source, shingle) — feeds q35 (raw) and q108 (normalized). The
+    * explode is a scan-local derivation of the persisted base (arrays
+    * are cached once; re-exploding them is cheap columnar compute), so
+    * the only exchange in a posting build is the df-cap's hot-key
+    * aggregate, whose above-cap survivors broadcast back as a
+    * left-anti join — the postings themselves are never reshuffled
+    * (PlanSpec-pinned). Memoized per (dir, variant) so repeated
+    * callers share one plan; invalidated with the base's persist. */
+  private[queries] object PostingIndex {
     private val memo = scala.collection.mutable.Map
       .empty[(SparkSession, String, Boolean), DataFrame]
 
@@ -90,42 +119,38 @@ object Dedup {
     def postings(s: SparkSession, dir: String, normalized: Boolean): DataFrame =
       synchronized {
         memo.getOrElseUpdate((s, dir, normalized), {
-          val shExpr =
-            if (normalized) "shingles3(normalize_text(text))" else shinglesExpr
-          val sized = docs(s, dir)
+          val shCol = if (normalized) "shn" else "sh"
+          val sized = ShingleBase.base(s, dir)
             .select(col("doc_id"), col("source"), col("lang"),
-              expr(shExpr).as("sh"))
-            .select(col("doc_id"), col("source"), col("lang"),
-              size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-          val ex = graft.CacheRegistry.track(sized.persist())
+              size(col(shCol)).as("sz"), explode(col(shCol)).as("shingle"))
           graft.CacheRegistry.onRelease(() =>
             PostingIndex.synchronized { memo.remove((s, dir, normalized)): Unit })
-          dropHotPostings(ex, Seq("source", "shingle"))
+          dropHotPostings(sized, Seq("source", "shingle"))
         })
       }
   }
 
-  /** Shared MinHash signature asset (round-10 lever): the (doc_id,
-    * shingle-set) table and its 4-band LSH projection are what q36
-    * (full near-dup) and q110 (incremental dedup) both need — in
-    * production BOTH are persisted signature tables (q110's corpus-side
-    * asset IS this). One memoized build per dir serves both queries;
-    * released (and the memo invalidated) with [[CacheRegistry]] like
-    * [[PostingIndex]]. Bands carry only (doc_id, band, bh) ≈ 50
-    * bytes/row into any LSH join — the corpus text/shingles never ride
-    * a shuffle. */
+  /** Shared MinHash signature asset (round-10 lever, round-11 re-based
+    * onto [[ShingleBase]]): the (doc_id, shingle-set) view and its
+    * 4-band LSH projection are what q36 (full near-dup) and q110
+    * (incremental dedup) both need — in production BOTH are persisted
+    * signature tables (q110's corpus-side asset IS this). The shingle
+    * view reads the shared base; the band projection (the minhash
+    * compute) persists separately since bands carry only
+    * (doc_id, band, bh) ≈ 50 bytes/row into any LSH join — the corpus
+    * text/shingles never ride a shuffle. Memo invalidated with the
+    * persists via [[CacheRegistry]]. */
   private[queries] object SignatureIndex {
-    // session-keyed for the same reason as PostingIndex's memo
+    // session-keyed for the same reason as ShingleBase's memo
     private val memo = scala.collection.mutable.Map
       .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-    /** (shingled, bands): `shingled` = (doc_id, sh) persisted;
-      * `bands` = (doc_id, band, bh) persisted. */
+    /** (shingled, bands): `shingled` = (doc_id, sh) from the shared
+      * base; `bands` = (doc_id, band, bh) persisted. */
     def shingleAndBands(s: SparkSession, dir: String): (DataFrame, DataFrame) =
       synchronized {
         memo.getOrElseUpdate((s, dir), {
-          val shingled = graft.CacheRegistry.track(
-            docs(s, dir).select(col("doc_id"), expr(shinglesExpr).as("sh")).persist())
+          val shingled = ShingleBase.base(s, dir).select(col("doc_id"), col("sh"))
           val bands = graft.CacheRegistry.track(shingled
             .withColumn("sg", expr("minhash16(md5_array(sh))"))
             .select(col("doc_id"),

@@ -104,6 +104,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("shingle base: all four dedup queries derive from ONE documents text scan") {
+    graft.CacheRegistry.releaseAll()
+    // the base computes BOTH shingle variants in one pass over text
+    val base = graft.queries.Dedup.ShingleBase.base(spark, dir)
+    val bp = base.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(bp).length +
+      "FileScan".r.findAllIn(bp).length >= 1, bp)
+    assert(base eq graft.queries.Dedup.ShingleBase.base(spark, dir),
+      "one base build per dir")
+    // postings (both variants) and signatures all read the SAME persist:
+    // after the base exists, none of the four dedup queries' plans may
+    // scan the documents text column from parquet again
+    graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = false)
+    graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = true)
+    graft.queries.Dedup.SignatureIndex.shingleAndBands(spark, dir)
+    Seq("q35_ngram_jaccard", "q36_minhash_lsh",
+      "q108_crosslingual_neardup", "q110_incremental_dedup").foreach { q =>
+      val p = plan(q)
+      // an InMemoryRelation PRINTS its original (cached) child, so each
+      // substituted site legitimately shows one text FileScan inside its
+      // relation dump — a REAL re-scan is any text FileScan beyond those
+      val textScans = p.linesIterator.count(l =>
+        (l.contains("Scan parquet") || l.contains("FileScan")) && l.contains("text"))
+      val cachedSites = p.linesIterator.count(_.contains("InMemoryRelation"))
+      assert(cachedSites > 0, s"$q must read the persisted base\n$p")
+      assert(textScans <= cachedSites,
+        s"$q re-scans documents text instead of the shared shingle base " +
+          s"($textScans text scans > $cachedSites cached sites)\n$p")
+    }
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("signature index: q36/q110 share one shingle+band build; bands read from cache") {
     graft.CacheRegistry.releaseAll()
     val (sh1, b1) = graft.queries.Dedup.SignatureIndex.shingleAndBands(spark, dir)
