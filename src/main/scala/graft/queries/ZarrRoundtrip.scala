@@ -120,27 +120,31 @@ object ZarrRoundtrip {
     //      delta+shuffle int64 stack under zlib. The oracle states the
     //      closed-form content as literals; any decode defect (wrong
     //      unshuffle order, UCS-4 endianness, padding strip, cumsum
-    //      wrap) breaks the row hash. Fixed 11 rows at every SF — the
-    //      fixture certifies the FORMAT; scaling is q99's job. ----
+    //      wrap, LZ4 match copy) breaks the row hash. Fixed 11 rows at
+    //      every SF — the fixture certifies the FORMAT; scaling is
+    //      q99's job. `lzv` rides the numcodecs LZ4 block container
+    //      (u32-LE size prefix + raw LZ4 block), emitted by the
+    //      generator's own pure-Python encoder with both literal-only
+    //      and handcrafted match-bearing blocks. ----
     QueryDef.sql(
       "q117_zarr_v2_typed",
       """SELECT * FROM (VALUES
-        |  ('',        'AA',   'αβ',    'ab',  1000::INT, 0.0::DOUBLE,  1000000000::BIGINT, -40::INT, -7.0::DOUBLE),
-        |  ('néé',     'BBB',  'übèr',  'ω',   1007::INT, -2.5::DOUBLE, 1000000017::BIGINT, -27::INT, -4.5::DOUBLE),
-        |  ('doc-2',   'C',    'ζ',     'xyz', 995::INT,  -4.0::DOUBLE, 1000000068::BIGINT, -14::INT, -2.0::DOUBLE),
-        |  ('αβγ',     'DDDD', 'north', 't',   1020::INT, -4.5::DOUBLE, 1000000153::BIGINT, -1::INT,  0.5::DOUBLE),
-        |  ('doc-4',   'E',    'süd',   'ββ',  1020::INT, -4.0::DOUBLE, 1000000272::BIGINT, 12::INT,  3.0::DOUBLE),
-        |  ('xxxxxxx', 'FF',   'ωμέγα', 'qq',  980::INT,  -2.5::DOUBLE, 1000000425::BIGINT, 25::INT,  5.5::DOUBLE),
-        |  ('doc-6',   'GGG',  'east',  'r',   1001::INT, 0.0::DOUBLE,  1000000612::BIGINT, 38::INT,  8.0::DOUBLE),
-        |  ('doc-7',   'H',    'wést',  'sss', 1002::INT, 3.5::DOUBLE,  1000000833::BIGINT, 51::INT,  10.5::DOUBLE),
-        |  ('',        'II',   'ñ',     'tt',  999::INT,  8.0::DOUBLE,  1000001088::BIGINT, 64::INT,  13.0::DOUBLE),
-        |  ('',        'JJJ',  'δέλτα', 'u',   1050::INT, 13.5::DOUBLE, 1000001377::BIGINT, 77::INT,  15.5::DOUBLE),
-        |  ('',        'K',    'x',     'vvv', 1049::INT, 20.0::DOUBLE, 1000001700::BIGINT, 90::INT,  18.0::DOUBLE)
-        |) t(label, code, uname, tag, dv, dd, ds, bzv, xzv)
+        |  ('',        'AA',   'αβ',    'ab',  1000::INT, 0.0::DOUBLE,  1000000000::BIGINT, -40::INT, -7.0::DOUBLE, 500::BIGINT),
+        |  ('néé',     'BBB',  'übèr',  'ω',   1007::INT, -2.5::DOUBLE, 1000000017::BIGINT, -27::INT, -4.5::DOUBLE, 500::BIGINT),
+        |  ('doc-2',   'C',    'ζ',     'xyz', 995::INT,  -4.0::DOUBLE, 1000000068::BIGINT, -14::INT, -2.0::DOUBLE, 500::BIGINT),
+        |  ('αβγ',     'DDDD', 'north', 't',   1020::INT, -4.5::DOUBLE, 1000000153::BIGINT, -1::INT,  0.5::DOUBLE, 500::BIGINT),
+        |  ('doc-4',   'E',    'süd',   'ββ',  1020::INT, -4.0::DOUBLE, 1000000272::BIGINT, 12::INT,  3.0::DOUBLE, 511::BIGINT),
+        |  ('xxxxxxx', 'FF',   'ωμέγα', 'qq',  980::INT,  -2.5::DOUBLE, 1000000425::BIGINT, 25::INT,  5.5::DOUBLE, 511::BIGINT),
+        |  ('doc-6',   'GGG',  'east',  'r',   1001::INT, 0.0::DOUBLE,  1000000612::BIGINT, 38::INT,  8.0::DOUBLE, 511::BIGINT),
+        |  ('doc-7',   'H',    'wést',  'sss', 1002::INT, 3.5::DOUBLE,  1000000833::BIGINT, 51::INT,  10.5::DOUBLE, 511::BIGINT),
+        |  ('',        'II',   'ñ',     'tt',  999::INT,  8.0::DOUBLE,  1000001088::BIGINT, 64::INT,  13.0::DOUBLE, 522::BIGINT),
+        |  ('',        'JJJ',  'δέλτα', 'u',   1050::INT, 13.5::DOUBLE, 1000001377::BIGINT, 77::INT,  15.5::DOUBLE, 522::BIGINT),
+        |  ('',        'K',    'x',     'vvv', 1049::INT, 20.0::DOUBLE, 1000001700::BIGINT, 90::INT,  18.0::DOUBLE, 522::BIGINT)
+        |) t(label, code, uname, tag, dv, dd, ds, bzv, xzv, lzv)
         |ORDER BY ds""".stripMargin) { (s, dir) =>
       s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
         .select(col("label"), col("code"), col("uname"), col("tag"),
-          col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"))
+          col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"))
         .orderBy("ds")
     }) :+ q119 :+ q120
 

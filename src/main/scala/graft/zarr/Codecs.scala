@@ -325,6 +325,40 @@ object Codecs {
     }
   }
 
+  /** numcodecs `LZ4` (Zarr v2 compressor): a 4-byte LITTLE-ENDIAN
+    * uncompressed-size prefix followed by ONE raw LZ4 block — NOT the
+    * LZ4 frame format (no magic, no frame header), so it must not be
+    * routed through a frame decoder. Decoded via the Spark-bundled
+    * lz4-java block API ([[Blosc]] uses the same factory for its
+    * per-block inner codec). `acceleration` affects compression effort
+    * only; the block format is identical at every setting, so decode
+    * ignores it. */
+  final case class V2Lz4(acceleration: Int = 1) extends BytesCodec {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val c = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
+      val max = c.maxCompressedLength(raw.length)
+      val out = new Array[Byte](4 + max)
+      ByteBuffer.wrap(out, 0, 4).order(ByteOrder.LITTLE_ENDIAN).putInt(raw.length)
+      val n = c.compress(raw, 0, raw.length, out, 4, max)
+      java.util.Arrays.copyOf(out, 4 + n)
+    }
+    def decode(enc: Array[Byte]): Array[Byte] = {
+      if (enc.length < 4)
+        throw new ZarrException(s"truncated lz4 chunk (${enc.length} bytes)")
+      val n = ByteBuffer.wrap(enc, 0, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      if (n < 0)
+        throw new ZarrException(s"invalid lz4 uncompressed size $n")
+      val out = new Array[Byte](n)
+      if (n > 0) {
+        val read = net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+          .safeDecompressor().decompress(enc, 4, enc.length - 4, out, 0)
+        if (read != n)
+          throw new ZarrException(s"lz4 chunk decoded $read bytes, expected $n")
+      }
+      out
+    }
+  }
+
   final case class Zstd(level: Int = 3) extends BytesCodec {
     def encode(raw: Array[Byte]): Array[Byte] =
       com.github.luben.zstd.Zstd.compress(raw, level)
@@ -626,7 +660,7 @@ object Codecs {
       // numcodecs filters and fixed-width string dtypes
       // ([[ZarrMeta.parseV2]]); never valid in a v3 zarr.json
       "v2-delta", "v2-shuffle", "v2-fixed-bytes-str", "v2-fixed-ucs4",
-      "v2-fso", "v2-packbits", "v2-bz2", "v2-lzma",
+      "v2-fso", "v2-packbits", "v2-bz2", "v2-lzma", "v2-lz4",
       // variable-length binary object codec (v2 |O object arrays; also
       // zarr-python's experimental v3 name) — [[ChunkColumn.decodeVlenBytes]]
       "vlen-bytes")
@@ -775,6 +809,8 @@ object Codecs {
         Bz2(cfg.get("level").map(_.asInt(9)).getOrElse(9))
       case CodecSpec("v2-lzma", cfg) =>
         Lzma(cfg.get("preset").map(_.asInt(1)).getOrElse(1))
+      case CodecSpec("v2-lz4", cfg) =>
+        V2Lz4(cfg.get("acceleration").map(_.asInt(1)).getOrElse(1))
       case CodecSpec("blosc", cfg) =>
         Blosc(
           cname = cfg.get("cname").map(_.asText("lz4")).getOrElse("lz4"),

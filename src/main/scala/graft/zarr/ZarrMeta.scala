@@ -520,6 +520,11 @@ object ZarrMeta {
             "shuffle" -> mapper.readTree("\"" + shuffleName + "\""),
             "blocksize" -> comp.path("blocksize")))
         case "zlib" => specs += CodecSpec("zlib", Map("level" -> comp.path("level")))
+        case "lz4" =>
+          // numcodecs LZ4 block container (u32-LE size prefix + one raw
+          // LZ4 block) — distinct from blosc-lz4 (blosc framing) and
+          // from the LZ4 frame format
+          specs += CodecSpec("v2-lz4", Map("acceleration" -> comp.path("acceleration")))
         case "gzip" => specs += CodecSpec("gzip", Map("level" -> comp.path("level")))
         case "zstd" => specs += CodecSpec("zstd", Map("level" -> comp.path("level")))
         case "bz2" => specs += CodecSpec("v2-bz2", Map("level" -> comp.path("level")))

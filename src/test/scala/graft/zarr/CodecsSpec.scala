@@ -287,6 +287,39 @@ class CodecsSpec extends AnyFunSuite {
     intercept[ZarrException] { Codecs.V2PackBits.decode(Array[Byte](9, 0)) }
   }
 
+  test("v2 lz4: block-container roundtrip, pinned layouts, loud on bad input") {
+    val c = Codecs.V2Lz4()
+    // roundtrip arbitrary buffers (incl. empty) through our own encode
+    forAll(Gen.choose(0, 4096)) { n =>
+      val data = Array.tabulate[Byte](n)(i => ((i * 37 + n) % 251).toByte)
+      assert(java.util.Arrays.equals(c.decode(c.encode(data)), data))
+    }
+    // PINNED layout 1 — literal-only block with extended length (the
+    // generator's independent pure-Python encoder emits exactly this):
+    // u32-LE size prefix, token F0, extLen, literals
+    val raw = "hello lz4 block container!".getBytes("UTF-8") // 26 bytes
+    val lit = Array[Byte]((15 << 4).toByte, (raw.length - 15).toByte) ++ raw
+    val encLit = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(raw.length).array() ++ lit
+    assert(java.util.Arrays.equals(c.decode(encLit), raw))
+    // PINNED layout 2 — match-bearing block with an OVERLAPPING copy
+    // (the generator's pattern shape: 8 literals, match len 12 at
+    // offset 8, 12-literal tail)
+    val pat = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val full = pat ++ pat ++ pat ++ pat
+    val mblk = Array[Byte](((8 << 4) | (12 - 4)).toByte) ++ pat ++
+      Array[Byte](8, 0) ++ Array[Byte]((12 << 4).toByte) ++ full.slice(20, 32)
+    val encM = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(32).array() ++ mblk
+    assert(java.util.Arrays.equals(c.decode(encM), full))
+    // truncated prefix, negative size, and wrong decoded length are loud
+    intercept[ZarrException](c.decode(Array[Byte](1, 2)))
+    intercept[ZarrException](c.decode(Array[Byte](-1, -1, -1, -1, 0)))
+    val shortEnc = java.nio.ByteBuffer.allocate(5)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(64).put(0.toByte).array()
+    intercept[Exception](c.decode(shortEnc))
+  }
+
   test("v2 standalone shuffle filter: inverse, tail bytes carried verbatim") {
     forAll2(Gen.choose(1, 16), Gen.choose(0, 200)) { (es: Int, len: Int) =>
       val b = Array.tabulate[Byte](len)(i => (i * 37 + 11).toByte)

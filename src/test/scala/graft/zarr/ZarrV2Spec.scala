@@ -372,11 +372,23 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZarrStore(dst).readMeta("id64").formatVersion == 3)
   }
 
-  test("typed store .zmetadata: one-GET snapshot covers all 16 arrays incl. strings/filters/binary") {
+  test("v2 lz4 compressor: numcodecs block container decodes (match + literal blocks)") {
+    val df = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "lzv").orderBy("ds").collect()
+    // constant-per-chunk values: full chunks are HANDCRAFTED
+    // match-bearing LZ4 blocks, the padded tail chunk is literal-only
+    assert(df.map(_.getLong(1)).toSeq ==
+      Seq(500L, 500L, 500L, 500L, 511L, 511L, 511L, 511L, 522L, 522L, 522L))
+    val meta = ZarrStore(storeTyped).readMeta("lzv")
+    assert(meta.codecs.map(_.name) == Seq("bytes", "v2-lz4"),
+      meta.codecs.map(_.name).mkString(","))
+  }
+
+  test("typed store .zmetadata: one-GET snapshot covers all 17 arrays incl. strings/filters/binary") {
     val snap = ZarrStore(storeTyped).readRootSnapshot()
     assert(snap.isDefined, "typed-store .zmetadata must satisfy readRootSnapshot")
     val (metas, manifest) = snap.get
-    assert(metas.length == 16, metas.map(_.name).mkString(","))
+    assert(metas.length == 17, metas.map(_.name).mkString(","))
     assert(manifest.isEmpty)
     assert(metas.find(_.name == "blob").get.dataType == ZarrType.Bytes)
     assert(metas.find(_.name == "label").get.dataType == ZarrType.Str)

@@ -483,6 +483,58 @@ def main():
                        "preset": None, "filters": None}, None, 0.0),
         xzv_chunks)
 
+    # <i8 + lz4 compressor — the numcodecs LZ4 block container: u32-LE
+    # uncompressed-size prefix + ONE raw LZ4 block (not the frame
+    # format). Emitted WITHOUT any lz4 library so this stays an
+    # independent check: a literal-only sequence is always a valid LZ4
+    # block, and chunks whose 32 bytes are one 8-byte pattern repeated
+    # get a HANDCRAFTED match-bearing block (8 literals + overlapping
+    # match of length 12 at offset 8 + 12-literal tail, satisfying the
+    # spec's end-of-block rules) so the reader's match/copy path is
+    # exercised too, not just literal runs.
+    def lz4_literal_block(raw):
+        out = bytearray()
+        nb = len(raw)
+        tok = min(nb, 15)
+        out.append(tok << 4)
+        if tok == 15:
+            rem = nb - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out += raw
+        return bytes(out)
+
+    def lz4_pattern_block(raw):
+        assert len(raw) == 32 and raw[:8] * 4 == raw
+        out = bytearray()
+        out.append((8 << 4) | (12 - 4))   # 8 literals, matchlen 12
+        out += raw[:8]
+        out += struct.pack("<H", 8)       # match offset (overlapping copy)
+        out.append(12 << 4)               # final sequence: literals only
+        out += raw[20:32]
+        return bytes(out)
+
+    def numcodecs_lz4(raw):
+        if len(raw) == 32 and raw[:8] * 4 == raw:
+            blk = lz4_pattern_block(raw)
+        else:
+            blk = lz4_literal_block(raw)
+        return struct.pack("<i", len(raw)) + blk
+
+    # constant within each full chunk -> those chunks take the
+    # match-bearing path; the padded tail chunk is literal-only
+    lzv = [500 + 11 * (i // chunk) for i in range(n)]
+    lzv_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [lzv[ci * chunk + i] if ci * chunk + i < n else 0
+                for i in range(chunk)]
+        lzv_chunks.append(numcodecs_lz4(struct.pack("<%dq" % len(vals), *vals)))
+    write_raw_array("lzv", v2meta("<i8", {"id": "lz4", "acceleration": 1},
+                                  None, 0),
+                    lzv_chunks)
+
     # <f4 + quantize (lossy at write time; decode is the identity)
     qz_meta = v2meta("<f4", None,
                      [{"id": "quantize", "digits": 3, "dtype": "<f4"}], 0.0)
