@@ -396,18 +396,24 @@ object ChunkStats {
   }
 
   /** May `seg`'s ordinals be interpreted against `geom`'s grid?
-    *  - grid recorded: shape must match exactly; for N-D (where a
-    *    same-shape grid in a different dimension order enumerates
-    *    DIFFERENT chunks) the per-dim identity must match too.
-    *  - grid absent (legacy write-path segments): 1-D scans only — a
-    *    single dimension cannot permute, so the ordinal space is
-    *    unambiguous there and only there. */
-  def gridCompatible(seg: Segment, geom: ScanGeometry): Boolean = seg.grid match {
-    case None => geom.ndim == 1
-    case Some((gs, ds)) =>
-      gs.sameElements(geom.gridShape) &&
-        (geom.ndim == 1 || ds.sameElements(geom.dimIdentity))
-  }
+    *  - 1-D scan: any 1-D signature (or none — the write path's
+    *    segments) is accepted. A single dimension cannot permute, and
+    *    1-D ordinals are APPEND-STABLE (dim-0 chunk index never moves
+    *    when the array grows), so requiring an exact chunk-count match
+    *    would silently orphan an analyzed store's segments after its
+    *    first append. Phantom ordinals past the committed grid are
+    *    rejected by the callers' `first + n <= total` filters, and
+    *    every rewrite path purges segments before changing the layout.
+    *  - N-D scan: the signature must match exactly — shape AND per-dim
+    *    identity, because a same-shape grid in a different dimension
+    *    order (a reordered coordinate cross product) enumerates
+    *    DIFFERENT chunks under the same ordinals, and N-D row-major
+    *    ordinals are NOT append-stable. */
+  def gridCompatible(seg: Segment, geom: ScanGeometry): Boolean =
+    if (geom.ndim == 1) seg.grid.forall(_._1.length == 1)
+    else seg.grid.exists { case (gs, ds) =>
+      gs.sameElements(geom.gridShape) && ds.sameElements(geom.dimIdentity)
+    }
 
   // ---- sound interval evaluation -----------------------------------------
 

@@ -132,9 +132,9 @@ object ZarrMaintenance {
     * Returns the number of chunks analyzed. Manifest-keyed stores
     * (staged engine commits whose sidecar was since lost — 1-D only,
     * the only shape the DSv2 writer produces) resolve chunk keys
-    * through the root-doc manifest, exactly as the scan does. Refuses
-    * sharded arrays (shard decode lives in the scan pipeline, and
-    * sharded stores are engine-written). */
+    * through the root-doc manifest, exactly as the scan does. Sharded
+    * arrays analyze per OUTER chunk (= one stored shard, decoded
+    * through the same [[ChunkColumn.decode]] path the scan uses). */
   def analyze(spark: SparkSession, path: String): Long = {
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
@@ -142,12 +142,11 @@ object ZarrMaintenance {
       .filter(_._1.startsWith("fs.")).toSeq
     val store = ZarrStore(path, hadoopPairs)
     val metas = store.listArrays().map(store.readMeta).sortBy(_.name)
-    metas.foreach { m =>
-      if (m.shardingSpec.isDefined)
-        throw new ZarrException(
-          s"analyze: array ${m.name} is sharded — sharded stores are " +
-            "engine-written and carry write-time stats")
-    }
+    // sharded arrays analyze fine: a stored object is one outer chunk
+    // (the shard), ChunkColumn.decode unpacks it exactly as the scan
+    // does, and stats are recorded per outer chunk — the granularity
+    // the skip machinery keys on. (Engine-written sharded stores carry
+    // write-time stats, but a LOST sidecar must be rebuildable.)
     // the SAME consistency rules every scan applies: congruent data
     // arrays, 1-D arrays as coordinates; an incoherent store fails loud
     val geom =

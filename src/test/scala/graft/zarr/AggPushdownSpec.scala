@@ -284,6 +284,24 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rowSum.getDouble(0) - (0 until 8).map(38.0 + _ * 0.1).sum) < 1e-9)
   }
 
+  test("CBO column statistics reach N-D stores after analyze") {
+    val url = s"graftstat://$base/nd" // the (restored) analyzed 2-D store
+    ZarrMaintenance.analyze(spark, url) // re-cover after the hybrid test's deletion
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.read.format("zarr").load(url).select("v", "row")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(64)), st.rowCount)
+      val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+      val v = byName("v")
+      assert(v.min.contains(0L) && v.max.contains(63L), v)
+      // the broadcast coordinate gets exact bounds too (recorded per
+      // target chunk over its output rows)
+      val rw = byName("row")
+      assert(rw.min.contains(38.0), rw)
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("fixture N-D / coordinate stores decline min-max but keep exact count") {
     val store = ZarrStore(s"$base/fixture")
     ZarrWriter.writeArray(store, "x", ZarrType.Int64,

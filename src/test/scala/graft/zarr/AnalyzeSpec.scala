@@ -136,6 +136,58 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toString.contains("ZarrAggScan"))
   }
 
+  test("analyze rebuilds a SHARDED store's lost sidecar (per-shard stats via the scan decode)") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/sharded"
+    (0 until 64).map(i => (i.toLong, 1.5 * i)).toDF("id", "x")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").option("inner_chunk_size", "4").save(url)
+    val statsDir = Paths.get(s"$base/sharded/${ChunkStats.dirName}")
+    Files.walk(statsDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    assert(ZarrMaintenance.analyze(spark, url) == 4) // 64/16 outer shards
+    val df = spark.read.format("zarr").load(url)
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(min("x"), max("x"), sum("id")).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 1.5 * 63)
+    assert(r.getLong(2) == (0L until 64L).sum)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/sharded/(id|x)/(c|c\\.part[^/]*)/\\d+$"))
+    assert(chunkOpens.isEmpty,
+      s"restored sharded sidecar must serve the aggregate: ${chunkOpens.mkString(", ")}")
+    // and a filtered scan skips whole shards via the rebuilt stats
+    RecordingFileSystem.opened.clear()
+    val rows = df.filter("id >= 48").select("id").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (48L until 64L))
+    val opens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/sharded/id/(c|c\\.part[^/]*)/\\d+$")).distinct
+    assert(opens.nonEmpty && opens.forall(_.endsWith("/3")),
+      s"shards 0-2 must be stats-skipped: ${opens.mkString(", ")}")
+  }
+
+  test("1-D analyze segments survive a later append (ordinals are append-stable)") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/grow"
+    (0 until 32).map(i => Tuple1(i.toLong)).toDF("id")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").option("stats", "false").save(url)
+    assert(ZarrMaintenance.analyze(spark, url) == 2) // grid-signed [2]
+    // append WITH stats: the grid is now [3], but the analyze segments'
+    // 1-D signature must stay live — dim-0 ordinals never move
+    (32 until 48).map(i => Tuple1(i.toLong)).toDF("id")
+      .coalesce(1).write.format("zarr").mode("append")
+      .option("chunk_size", "16").save(url)
+    val df = spark.read.format("zarr").load(url)
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(count(lit(1)), min("id"), max("id"), sum("id")).collect()(0)
+    assert(r.getLong(0) == 48 && r.getLong(1) == 0 && r.getLong(2) == 47)
+    assert(r.getLong(3) == (0L until 48L).sum)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/grow/id/(c|c\\.part[^/]*)/\\d+$"))
+    assert(chunkOpens.isEmpty,
+      s"pre-append analyze segments must still serve the aggregate: ${chunkOpens.mkString(", ")}")
+  }
+
   test("re-analyze refreshes: stale segments are purged, coverage stays whole") {
     val url = s"graftstat://$base/v2"
     assert(ZarrMaintenance.analyze(spark, url) == 3) // second run, same store
