@@ -104,21 +104,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.CacheRegistry.releaseAll()
   }
 
-  test("shingle base: all four dedup queries derive from ONE documents text scan") {
+  test("shingle base: q35/q36/q110 share ONE raw text scan; q108 adds only its normalized variant") {
     graft.CacheRegistry.releaseAll()
-    // the base computes BOTH shingle variants in one pass over text
-    val base = graft.queries.Dedup.ShingleBase.base(spark, dir)
-    val bp = base.queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(bp).length +
-      "FileScan".r.findAllIn(bp).length >= 1, bp)
-    assert(base eq graft.queries.Dedup.ShingleBase.base(spark, dir),
-      "one base build per dir")
-    // postings (both variants) and signatures all read the SAME persist:
-    // after the base exists, none of the four dedup queries' plans may
-    // scan the documents text column from parquet again
+    val raw = graft.queries.Dedup.ShingleBase.base(spark, dir, normalized = false)
+    assert(raw eq graft.queries.Dedup.ShingleBase.base(spark, dir, normalized = false),
+      "one raw base build per dir")
+    // the signature view derives from the SAME object the posting view
+    // reads — the raw shingle arrays are computed once for all three
     graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = false)
-    graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = true)
     graft.queries.Dedup.SignatureIndex.shingleAndBands(spark, dir)
+    graft.queries.Dedup.PostingIndex.postings(spark, dir, normalized = true)
     Seq("q35_ngram_jaccard", "q36_minhash_lsh",
       "q108_crosslingual_neardup", "q110_incremental_dedup").foreach { q =>
       val p = plan(q)
