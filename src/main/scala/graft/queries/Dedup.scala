@@ -460,5 +460,128 @@ object Dedup {
         .select(col("doc_id"), col("new_id").isNotNull.as("is_dup"),
           col("old_id").as("match_id"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_id")
+    },
+
+    // ---- exact substring dedup (round 11): the suffix-array dedup of
+    //      Lee et al. ("Deduplicating Training Data Makes Language
+    //      Models Better") re-expressed Spark-shaped — a LONG exact
+    //      word k-gram (k=20) shared verbatim between documents marks
+    //      copied boilerplate that Jaccard-style whole-doc similarity
+    //      (q35/q36) under-weights. Per document: how many distinct
+    //      20-grams it has, how many also occur in ANOTHER document,
+    //      and the duplicated fraction — the per-doc removable-span
+    //      signal a substring-dedup pass acts on. Docs under 20 words
+    //      carry no gram and report 0.
+    //
+    //      100 TB shape: ONE gram co-location (window over the gram
+    //      hash — the same single-exchange posting shape as q107), a
+    //      doc_id re-aggregate, and a broadcast-size left join back to
+    //      doc ids; never a pair join, never all-pairs. Grams ride the
+    //      shuffle as 32-char md5 keys, not 100+-byte strings. ----
+    QueryDef.sql(
+      "q121_substring_dedup",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(ws) - 19, 0)),
+        |    i -> array_to_string(ws[i:i+19], ' ')))) AS gram
+        |  FROM d
+        |), c AS (
+        |  SELECT gram, count(*) AS df FROM g GROUP BY gram
+        |), p AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN c.df > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM g JOIN c USING (gram) GROUP BY g.doc_id
+        |)
+        |SELECT d0.doc_id,
+        |  coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+        |  round(coalesce(p.n_dup * 1.0 / p.n_grams, 0), 4) AS dup_frac
+        |FROM documents d0 LEFT JOIN p ON d0.doc_id = p.doc_id
+        |ORDER BY d0.doc_id""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), explode(expr("shingles_k(text, 20)")).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("gh"))
+      // ONE exchange: df rides a window over the gram hash, so the
+      // doc/gram postings are co-located once and never joined back
+      val withDf = g.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("gh"))))
+      val per = withDf.groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      docs(s, dir).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup") * 1.0 / col("n_grams"), lit(0.0)), 4)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup observability (round 11): per-source duplication rate —
+    //      the fraction of each source's documents with at least one
+    //      VERIFIED near-duplicate (jaccard >= 0.5) anywhere in the
+    //      corpus. The QA dashboard number a production dedup pass is
+    //      judged by (which crawls are dirty, which are clean), computed
+    //      on the SAME shared signature asset q36/q110 use: band equi
+    //      join for candidates, shingle-fetch verify for rare pairs,
+    //      then a doc-level distinct and one source aggregate — the
+    //      corpus never rides a pair join. ----
+    QueryDef.sql(
+      "q122_dedup_rate_by_source",
+      s"""WITH s AS (
+         |  SELECT doc_id, $shingleSql AS sh FROM documents
+         |), hs AS (
+         |  SELECT doc_id, sh, list_transform(sh, x -> md5(x) || md5(x)) AS hh FROM s
+         |), sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(0, 15),
+         |      i -> list_min(list_transform(hh, h -> substr(h, i + 1, 16)))) AS sg
+         |  FROM hs
+         |), bands AS (
+         |  SELECT doc_id, sh, j AS band,
+         |    md5(sg[4*j+1] || sg[4*j+2] || sg[4*j+3] || sg[4*j+4]) AS bh
+         |  FROM sig, range(0, 4) t(j)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), ver AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  WHERE len(list_intersect(sha, shb)) * 1.0 /
+         |        len(list_distinct(list_concat(sha, shb))) >= 0.5
+         |), dup AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_a AS doc_id FROM ver
+         |    UNION ALL SELECT doc_b AS doc_id FROM ver)
+         |)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  count(dup.doc_id)::BIGINT AS n_dup,
+         |  round(count(dup.doc_id) * 1.0 / count(*), 4) AS dup_rate
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin) { (s, dir) =>
+      val (shingled, bands) = SignatureIndex.shingleAndBands(s, dir)
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val withSh = cand
+        .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      val j = size(array_intersect(col("sha"), col("shb"))) * 1.0 /
+        size(array_union(col("sha"), col("shb")))
+      val dup = withSh.where(j >= 0.5)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(dup.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_dup"),
+          round(count(col("hit")) * 1.0 / count(lit(1)), 4).as("dup_rate"))
+        .orderBy("source")
     })
 }

@@ -421,6 +421,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the new-batch attach scan must prune to doc_id only\n$p")
   }
 
+  test("q121: substring dedup co-locates grams ONCE — window over gram hash, no pair join") {
+    val p = plan("q121_substring_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // gram df rides a window, not a groupBy-then-join-back on the gram
+    assert(p.contains("Window"), p)
+    // exactly one exchange keyed by the gram hash
+    assert("Exchange hashpartitioning\\(gh".r.findAllIn(p).length == 1, p)
+  }
+
   test("q111: Zipf fit is count-shuffle + vocab window + 5-sum agg — no join") {
     val p = plan("q111_zipf_fit")
     assert(!p.contains("Join"), s"OLS sums must aggregate in place, not join\n$p")
