@@ -69,4 +69,44 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunkOpens.length <= 2 && chunkOpens.forall(_.endsWith("/0")),
       s"runtime IN-filter must skip chunks 1..4 via the sidecar, read: ${chunkOpens.mkString(", ")}")
   }
+
+  test("runtime filtering prunes N-D grids: a coordinate join key skips whole 2-D rows") {
+    val sp = spark; import sp.implicits._
+    val base = Files.createTempDirectory("zarr-rtf-nd").toString
+    val ndUrl = s"graftstat://$base/nd"
+    val store = ZarrStore(ndUrl,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    store.writeStoreRootMeta()
+    // INT coordinates: Spark wraps FLOAT join keys in
+    // KnownFloatingPointNormalized(NormalizeNaNAndZero(...)), which its
+    // own runtime-filter translation refuses ("Can't translate ... to
+    // source filter"), so float-keyed joins never deliver an IN-set to
+    // ANY DSv2 source (1-D or N-D alike) — an upstream translation
+    // limit, not a connector one. Integer-keyed dims are the common
+    // join shape anyway.
+    ZarrWriter.writeArray(store, "row", ZarrType.Int64, Seq(8), Seq(3),
+      (0 until 8).map(_.toLong: Any), Some(Seq("row")), ZarrWriter.CodecChain.raw)
+    ZarrWriter.writeArray(store, "col", ZarrType.Int64, Seq(8), Seq(3),
+      (100 until 108).map(_.toLong: Any), Some(Seq("col")), ZarrWriter.CodecChain.raw)
+    ZarrWriter.writeArray(store, "data", ZarrType.Float64, Seq(8, 8), Seq(3, 3),
+      (0 until 64).map(_.toDouble: Any), Some(Seq("row", "col")), ZarrWriter.CodecChain.raw)
+    assert(ZarrMaintenance.analyze(spark, ndUrl) == 9)
+    val fact = spark.read.format("zarr").load(ndUrl)
+    val keysPath = Files.createTempDirectory("rtf-nd-keys").toString + "/keys"
+    // one live key = row 0 (grid row 0), one filtered decoy
+    Seq((0L, "a"), (99L, "zz")).toDF("k", "tag").write.parquet(keysPath)
+    val keys = spark.read.parquet(keysPath).where(col("tag") =!= "zz")
+    val joined = fact.join(broadcast(keys), col("row") === col("k"))
+    RecordingFileSystem.opened.clear()
+    val rows = joined.select(col("row"), col("col"), col("data"))
+      .collect().sortBy(_.getDouble(2))
+    assert(rows.length == 8) // one grid row x 8 cols
+    assert(rows.map(_.getDouble(2)).toSeq == (0 until 8).map(_.toDouble))
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/nd/data/c/\\d+/\\d+$")).distinct
+    // row = 0 lives in grid row 0 only: the runtime IN-set plus the
+    // grid-signed sidecar must keep data GETs to chunks (0,0),(0,1),(0,2)
+    assert(dataOpens.nonEmpty && dataOpens.forall(_.contains("/c/0/")),
+      s"N-D runtime filter must prune to grid row 0: ${dataOpens.mkString(", ")}")
+  }
 }
