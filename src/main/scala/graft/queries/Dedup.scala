@@ -473,11 +473,14 @@ object Dedup {
     //      signal a substring-dedup pass acts on. Docs under 20 words
     //      carry no gram and report 0.
     //
-    //      100 TB shape: ONE gram co-location (window over the gram
-    //      hash — the same single-exchange posting shape as q107), a
-    //      doc_id re-aggregate, and a broadcast-size left join back to
-    //      doc ids; never a pair join, never all-pairs. Grams ride the
-    //      shuffle as 32-char md5 keys, not 100+-byte strings. ----
+    //      100 TB shape: gram df via groupBy (map-side combine keeps a
+    //      boilerplate gram shared by millions of docs skew-safe — a
+    //      WINDOW over the gram hash would materialize that gram's
+    //      whole posting list in one task), flags joined back on the
+    //      gram hash where ReuseExchange serves both consumers from ONE
+    //      postings shuffle (PlanSpec-pinned), then a doc_id
+    //      re-aggregate; never a pair join, never all-pairs. Grams ride
+    //      the shuffle as 32-char md5 keys, not 100+-byte strings. ----
     QueryDef.sql(
       "q121_substring_dedup",
       """WITH d AS (
@@ -503,10 +506,11 @@ object Dedup {
       val g = docs(s, dir)
         .select(col("doc_id"), explode(expr("shingles_k(text, 20)")).as("gram"))
         .select(col("doc_id"), md5(col("gram")).as("gh"))
-      // ONE exchange: df rides a window over the gram hash, so the
-      // doc/gram postings are co-located once and never joined back
-      val withDf = g.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("gh"))))
+      // skew-safe df: partial (map-side) counts shrink even a
+      // corpus-wide boilerplate gram to one row per partition before
+      // the exchange; the postings' gh-shuffle is REUSED by the join
+      val dfByGram = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      val withDf = g.join(dfByGram, "gh")
       val per = withDf.groupBy("doc_id").agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))

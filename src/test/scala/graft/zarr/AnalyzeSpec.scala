@@ -165,6 +165,42 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"shards 0-2 must be stats-skipped: ${opens.mkString(", ")}")
   }
 
+  test("3-D store: analyze, metadata-only aggregates, and chunk skip all work") {
+    val url = s"graftstat://$base/cube"
+    val store = ZarrStore(url,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    store.writeStoreRootMeta()
+    // 4x4x4 int64 cube, 2x2x2 chunks -> 2x2x2 grid = 8 chunks, plus a
+    // `time` coordinate on dim 0
+    ZarrWriter.writeArray(store, "time", ZarrType.Int64, Seq(4), Seq(2),
+      (0 until 4).map(i => 1000L + i: Any), Some(Seq("time")),
+      ZarrWriter.CodecChain.raw)
+    ZarrWriter.writeArray(store, "val", ZarrType.Int64, Seq(4, 4, 4), Seq(2, 2, 2),
+      (0 until 64).map(_.toLong: Any), Some(Seq("time", "y", "x")),
+      ZarrWriter.CodecChain.raw)
+    assert(ZarrMaintenance.analyze(spark, url) == 8)
+    val df = spark.read.format("zarr").load(url)
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(count(lit(1)), min("val"), max("val"), sum("val"),
+      min("time"), max("time")).collect()(0)
+    assert(r.getLong(0) == 64)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 63)
+    assert(r.getLong(3) == (0L until 64L).sum)
+    assert(r.getLong(4) == 1000L && r.getLong(5) == 1003L)
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/cube/(time|val)/c/.*")) == 0,
+      "3-D metadata-only aggregate must read no chunks")
+    // a time-coordinate filter keeps grid slab 0 only: row-major 2x2x2
+    // grid -> ordinals 0..3 (time chunk 0); chunks 4..7 skip with no GET
+    RecordingFileSystem.opened.clear()
+    val rows = df.filter("time <= 1001").select("val").collect()
+    assert(rows.length == 32)
+    val valOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/cube/val/c/\\d+/\\d+/\\d+$")).distinct
+    assert(valOpens.length == 4 && valOpens.forall(_.contains("/c/0/")),
+      s"time filter must prune to the first grid slab: ${valOpens.mkString(", ")}")
+  }
+
   test("1-D analyze segments survive a later append (ordinals are append-stable)") {
     val sp = spark; import sp.implicits._
     val url = s"graftstat://$base/grow"
