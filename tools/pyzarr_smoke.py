@@ -42,6 +42,8 @@ assert vt.where("uname = 'übèr'").count() == 1, "v2 UCS-4 string predicate"
 assert vt.where("pb").count() == 4, "v2 packbits bools"  # i%3==1 for i<11
 got = [r[0] for r in vt.select("dv").orderBy("ds").collect()]
 assert got[:3] == [1000, 1007, 995], "v2 delta ints"
+lz = [r[0] for r in vt.select("lzv").orderBy("ds").collect()]
+assert lz == [500] * 4 + [511] * 4 + [522] * 3, "v2 numcodecs lz4 blocks"
 
 spark.stop()
 print("PYTHON SURFACE OK")
