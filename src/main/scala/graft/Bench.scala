@@ -151,6 +151,17 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"spread":$spread,"failed":$failedJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(line)
+    // The driver's per-round stdout capture stores only a ~2 KB tail
+    // window, and the full line above has outgrown it four rounds
+    // running (BENCH_r7..r10 "parsed": null, tails cut mid-spread). Emit
+    // a bounded-size digest LAST so any tail window ends with one
+    // complete, parseable record: same schema, 20 slowest queries only
+    // (2-decimal), explicitly flagged as truncated. The full data stays
+    // in the line above and in BENCH_LOCAL.json.
+    val digestQs = ok.toSeq.sortBy { case (_, t) => -t(runs / 2) }.take(20)
+      .map { case (k, t) => "\"" + k + "\":" + f"${t(runs / 2)}%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"stat":"median","queries":$digestQs,"queries_truncated":true,"n_queries":${ok.size},"failed":$failedJson,"calibration":$cal,"sf":"$sfDir"}""")
     // durable copy of the FULL sweep: the driver's stdout capture has
     // truncated the per-query map two rounds running (BENCH_r7/r8 held
     // 43/108 entries, parsed:null) — the repo file is the inspectable
