@@ -641,12 +641,34 @@ final case class ZarrPartialAggReaderFactory(
         val maxs = scala.collection.mutable.Map.empty[String, Any]
         val sums = scala.collection.mutable.Map.empty[String, Long]
         var rows = 0L
+        // data-column bytes ride a depth-bounded prefetch window so
+        // decode overlaps IO across the uncovered range (same
+        // discipline as the scan pipeline and analyze)
+        val pf = new ChunkPrefetcher[Long, Map[String, Option[Array[Byte]]]](
+          (part.lo until part.hi).toIndexedSeq,
+          o => {
+            val idx = geom.chunkIndex(o)
+            needCols.flatMap { c =>
+              roleOf(c) match {
+                case DataCol(_) =>
+                  val m = byName(c)
+                  val key =
+                    if (geom.ndim == 1 && !mani.isEmpty)
+                      mani.keyFor(o).getOrElse(m.chunkKey(idx))
+                    else m.chunkKey(idx)
+                  Some(c -> store.readChunk(c, key))
+                case CoordCol(_, _) => None // tiny + cached below
+              }
+            }.toMap
+          })
+        try {
         var ord = part.lo
         while (ord < part.hi) {
           val idx = geom.chunkIndex(ord)
           val extent = geom.chunkExtent(idx)
           val nRows = extent.map(_.toLong).product
           rows += nRows
+          val raw = pf.next()
           needCols.foreach { c =>
             val m = byName(c)
             val role = roleOf(c)
@@ -661,12 +683,7 @@ final case class ZarrPartialAggReaderFactory(
                   coordCache.put(ck, cc)
                   cc
                 }
-              case DataCol(_) =>
-                val key =
-                  if (geom.ndim == 1 && !mani.isEmpty)
-                    mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-                  else m.chunkKey(idx)
-                ChunkColumn.decode(m, store.readChunk(c, key))
+              case DataCol(_) => ChunkColumn.decode(m, raw(c))
             }
             val mapping = ChunkColumn.mapping(role, geom.targetChunk, extent)
             val wantMin = fns.contains(("min", c))
@@ -695,6 +712,7 @@ final case class ZarrPartialAggReaderFactory(
           }
           ord += 1
         }
+        } finally pf.close()
         fns.zip(schema.fields).map {
           case (("count_star", _), _) | (("count", _), _) => rows: Any
           case (("min", c), f) => ZarrPartialAggScan.internal(f.dataType, mins(c))

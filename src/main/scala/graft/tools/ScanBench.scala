@@ -349,7 +349,39 @@ object ScanBench {
       .filter($"c0" > cut).groupBy(($"c0" % 4).as("g"))
       .agg(sum($"c1").as("s")).collect() // warm
 
+    // ---- analyze at latency (round 11): the sidecar backfill is
+    //      itself a full-corpus read (one GET per chunk per column,
+    //      4096 here). With blocking per-chunk GETs each task would
+    //      wait 64 chunks x 2 cols x 20 ms = 2.56 s serially; the
+    //      depth-4 CONCURRENT prefetch window divides the wait by the
+    //      window. Runs on a throwaway copy so the sidecar-less control
+    //      stores stay sidecar-less across bench invocations. ----
+    def analyzeRun(nm: String): (Double, Int) = {
+      val srcDir = java.nio.file.Paths.get(s"$latBase/plain")
+      val dstDir = java.nio.file.Paths.get(s"$latBase/analyzeme")
+      if (java.nio.file.Files.exists(dstDir)) {
+        java.nio.file.Files.walk(dstDir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      java.nio.file.Files.walk(srcDir).forEach { p =>
+        val t = dstDir.resolve(srcDir.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val nChunks = graft.zarr.ZarrMaintenance.analyze(spark, latUrl("analyzeme"))
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(nChunks == latN / latChunk, s"$nm: analyzed $nChunks chunks")
+      val gets = LatencyFileSystem.chunkGets("analyzeme")
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets("analyzeme")} total)")
+      (dt, gets)
+    }
+
     val lat = Map(
+      "lat_analyze" -> analyzeRun("analyze backfill (4096 GETs, depth-4 concurrent prefetch)"),
       "lat_hybrid_agg" -> hybridRun(
         "hybrid agg (half-covered: GETs = uncovered chunks)", "halfstats",
         expectHybrid = true),

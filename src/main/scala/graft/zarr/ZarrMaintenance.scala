@@ -186,42 +186,61 @@ object ZarrMaintenance {
           val maxSegChunks = 4096
           var written = 0L
           ords.grouped(maxSegChunks).foreach { seg =>
-            val cols = ms.map { m =>
-              val role = roleOf(m.name)
-              val bounds = Vector.newBuilder[Option[ChunkStats.Bound]]
-              val sums = Vector.newBuilder[Option[Long]]
+            val bounds = ms.map(_ => Vector.newBuilder[Option[ChunkStats.Bound]])
+            val sums = ms.map(_ => Vector.newBuilder[Option[Long]])
+            // data-column bytes ride a depth-bounded prefetch window so
+            // decode overlaps IO — a blocking GET per chunk per column
+            // would serialize the whole range at object-store latency
+            val pf = new ChunkPrefetcher[Long, Map[String, Option[Array[Byte]]]](
+              seg.toIndexedSeq.map(_.toLong),
+              ord => {
+                val idx = g.chunkIndex(ord)
+                ms.flatMap { m =>
+                  roleOf(m.name) match {
+                    case DataCol(_) =>
+                      val key =
+                        if (mani.isEmpty) m.chunkKey(idx)
+                        else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                      Some(m.name -> st.readChunk(m.name, key))
+                    case CoordCol(_, _) => None // tiny + cached below
+                  }
+                }.toMap
+              })
+            try {
               seg.foreach { ord =>
                 val idx = g.chunkIndex(ord)
                 val extent = g.chunkExtent(idx)
-                val col = role match {
-                  case CoordCol(_, dim) =>
-                    val ck = s"${m.name}/${idx(dim)}"
-                    val cached = coordCache.get(ck)
-                    if (cached != null) cached
-                    else {
-                      val c = ChunkColumn.decode(
-                        m, st.readChunk(m.name, m.chunkKey(Array(idx(dim)))))
-                      coordCache.put(ck, c)
-                      c
-                    }
-                  case DataCol(_) =>
-                    val key =
-                      if (mani.isEmpty) m.chunkKey(idx)
-                      else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-                    ChunkColumn.decode(m, st.readChunk(m.name, key))
-                }
-                // bounds/sums over the chunk's OUTPUT rows: the mapping
-                // realizes edge truncation and coordinate broadcast, so
-                // recorded stats agree with what a scan of this chunk emits
-                val mapping = ChunkColumn.mapping(role, g.targetChunk, extent)
                 val nRows = extent.product
-                val vals =
-                  if (mapping == null) (0 until nRows).map(col.get)
-                  else (0 until nRows).map(r => col.get(mapping(r)))
-                bounds += ChunkStats.minMaxBound(m.dataType, vals)
-                sums += ChunkStats.chunkSum(m.dataType, vals)
+                val raw = pf.next()
+                ms.zipWithIndex.foreach { case (m, i) =>
+                  val role = roleOf(m.name)
+                  val col = role match {
+                    case CoordCol(_, dim) =>
+                      val ck = s"${m.name}/${idx(dim)}"
+                      val cached = coordCache.get(ck)
+                      if (cached != null) cached
+                      else {
+                        val c = ChunkColumn.decode(
+                          m, st.readChunk(m.name, m.chunkKey(Array(idx(dim)))))
+                        coordCache.put(ck, c)
+                        c
+                      }
+                    case DataCol(_) => ChunkColumn.decode(m, raw(m.name))
+                  }
+                  // bounds/sums over the chunk's OUTPUT rows: the mapping
+                  // realizes edge truncation and coordinate broadcast, so
+                  // recorded stats agree with what a scan of this chunk emits
+                  val mapping = ChunkColumn.mapping(role, g.targetChunk, extent)
+                  val vals =
+                    if (mapping == null) (0 until nRows).map(col.get)
+                    else (0 until nRows).map(r => col.get(mapping(r)))
+                  bounds(i) += ChunkStats.minMaxBound(m.dataType, vals)
+                  sums(i) += ChunkStats.chunkSum(m.dataType, vals)
+                }
               }
-              (m.name, m.dataType, bounds.result(), sums.result())
+            } finally pf.close()
+            val cols = ms.zipWithIndex.map { case (m, i) =>
+              (m.name, m.dataType, bounds(i).result(), sums(i).result())
             }
             st.writeText(
               ChunkStats.segmentKey(seg.head, seg.length),
