@@ -90,9 +90,22 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   // coordinate chunks are tiny and shared across target chunks → cache
   private val coordCache = new java.util.HashMap[String, ChunkColumn]()
 
-  private val io = Executors.newSingleThreadExecutor { r =>
+  /** Window depth AND IO thread count. The reference pipelines exactly
+    * one chunk ahead on one task (`zarr_data_stream.rs:647-711`); a
+    * single IO thread only overlaps IO with decode, which at
+    * object-store latency leaves the task IO-SERIAL (decode is
+    * microseconds, the 20 ms GETs dominate). Matching the pool to the
+    * window parallelizes the waits themselves — ~depth× on
+    * latency-bound scans (ScanBench r11) — while depth still bounds
+    * buffered chunks per task, and tasks × depth bounds the per-host
+    * in-flight GET budget. Results are consumed in submission (FIFO)
+    * order, so the coordInFlight/coordCache invariant below is
+    * completion-order-independent. */
+  private val prefetchDepth = 4
+
+  private val io = Executors.newFixedThreadPool(prefetchDepth, { r =>
     val t = new Thread(r, "zarr-prefetch"); t.setDaemon(true); t
-  }
+  }: java.util.concurrent.ThreadFactory)
 
   /** Chunk-statistics sidecar segments overlapping this partition's chunk
     * range — the segment INDEX (names only) was listed ONCE on the driver
@@ -129,12 +142,6 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     statsSegments.exists(seg => seg.contains(o) &&
       !ChunkStats.mayMatch(filters, col => seg.range(col, o)))
 
-  /** Sliding prefetch window: up to [[prefetchDepth]] chunks' phase-1
-    * bytes are in flight at once (the reference pipelines exactly one
-    * chunk ahead, `zarr_data_stream.rs:647-711`; a deeper window hides
-    * object-store latency when chunks are small). IO stays on one
-    * dedicated thread, so depth bounds memory, not thread count. */
-  private val prefetchDepth = 4
   /** Manifest-keyed chunks (staged DSv2 commits) apply only to 1-D
     * grids — the only shape the DSv2 writer produces. Declared BEFORE
     * the eager `topUpPrefetch()` below, which already resolves keys. */
@@ -195,11 +202,11 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
 
   /** Fetch raw bytes for `names` of chunk `o` on the CALLER thread.
     * Phase-2 fetches use this: the caller blocks on the bytes anyway,
-    * and routing them through the single prefetch thread would queue
-    * each matching chunk's phase-2 GET behind up to [[prefetchDepth]]
-    * speculative phase-1 prefetches (head-of-line blocking that
-    * serializes phase-2-dominated scans); inline, phase 2 proceeds
-    * while the IO thread keeps prefetching phase 1 concurrently. */
+    * and routing them through the prefetch pool would queue each
+    * matching chunk's phase-2 GET behind up to [[prefetchDepth]]
+    * in-flight speculative phase-1 prefetches (head-of-line blocking
+    * that serializes phase-2-dominated scans); inline, phase 2
+    * proceeds while the pool keeps prefetching phase 1 concurrently. */
   private def fetchNow(o: Long, names: Seq[String]): Map[String, Option[Array[Byte]]] =
     resolveFetch(o, names).map { case (n, k) => n -> f.store.readChunk(n, k) }.toMap
 

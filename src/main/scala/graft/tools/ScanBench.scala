@@ -380,24 +380,32 @@ object ScanBench {
       (dt, gets)
     }
 
+    // single-shot latency timings scatter ±30% run-to-run (sleep-based
+    // GETs + scheduler jitter); GET counts are deterministic, so take
+    // the min wall of two runs as the cited number
+    def best2(f: => (Double, Int)): (Double, Int) = {
+      val a = f; val b = f
+      (math.min(a._1, b._1), b._2)
+    }
+
     val lat = Map(
-      "lat_analyze" -> analyzeRun("analyze backfill (4096 GETs, depth-4 concurrent prefetch)"),
-      "lat_hybrid_agg" -> hybridRun(
+      "lat_analyze" -> best2(analyzeRun("analyze backfill (4096 GETs, depth-4 concurrent prefetch)")),
+      "lat_hybrid_agg" -> best2(hybridRun(
         "hybrid agg (half-covered: GETs = uncovered chunks)", "halfstats",
-        expectHybrid = true),
-      "lat_fullscan_agg" -> hybridRun(
-        "full-scan agg (no stats anywhere)", "plain", expectHybrid = false),
-      "lat_sidecar" -> latRun("sidecar skip (zero-GET)", "sidecar", pushable = true),
-      "lat_decode" -> latRun("decode-and-test (GET predicate col of every chunk)", "plain", pushable = true),
-      "lat_fullfetch" -> latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false),
-      "lat_str_sidecar" -> strRun("non-ASCII string-prefix sidecar skip", "sidecarstru"),
-      "lat_str_decode" -> strRun("non-ASCII string decode-and-test", "plainstru"),
-      "lat_rtf_on" -> rtfRun("runtime-filter DPP skip (join keys in 1 chunk)", "sidecar", dpp = true),
-      "lat_rtf_off" -> rtfRun("runtime filtering disabled (fetch everything)", "sidecar", dpp = false),
-      "lat_nd_sidecar" -> ndRun("2-D analyzed store: grid-signed sidecar skip", "nd2d"),
-      "lat_nd_decode" -> ndRun("2-D plain store: decode-and-test every chunk", "nd2dplain"),
-      "lat_grouped_sidecar" -> groupedRun("grouped agg over filtered stats-backed scan", "sidecar"),
-      "lat_grouped_decode" -> groupedRun("grouped agg over filtered plain scan", "plain"))
+        expectHybrid = true)),
+      "lat_fullscan_agg" -> best2(hybridRun(
+        "full-scan agg (no stats anywhere)", "plain", expectHybrid = false)),
+      "lat_sidecar" -> best2(latRun("sidecar skip (zero-GET)", "sidecar", pushable = true)),
+      "lat_decode" -> best2(latRun("decode-and-test (GET predicate col of every chunk)", "plain", pushable = true)),
+      "lat_fullfetch" -> best2(latRun("no pushdown (GET every col of every chunk)", "plain", pushable = false)),
+      "lat_str_sidecar" -> best2(strRun("non-ASCII string-prefix sidecar skip", "sidecarstru")),
+      "lat_str_decode" -> best2(strRun("non-ASCII string decode-and-test", "plainstru")),
+      "lat_rtf_on" -> best2(rtfRun("runtime-filter DPP skip (join keys in 1 chunk)", "sidecar", dpp = true)),
+      "lat_rtf_off" -> best2(rtfRun("runtime filtering disabled (fetch everything)", "sidecar", dpp = false)),
+      "lat_nd_sidecar" -> best2(ndRun("2-D analyzed store: grid-signed sidecar skip", "nd2d")),
+      "lat_nd_decode" -> best2(ndRun("2-D plain store: decode-and-test every chunk", "nd2dplain")),
+      "lat_grouped_sidecar" -> best2(groupedRun("grouped agg over filtered stats-backed scan", "sidecar")),
+      "lat_grouped_decode" -> best2(groupedRun("grouped agg over filtered plain scan", "plain")))
     LatencyFileSystem.reset(0)
 
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${
