@@ -92,6 +92,50 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.sameElements((0 until 20).map(_ * 1.0)))
   }
 
+  test("micro-batch stream over a GROWING 2-D store (time-slab ingestion, coords broadcast)") {
+    // the climate-cube append pattern: shape[0] (time) advances, the
+    // grid suffix (sensor dim) is fixed — offsets stay exactly-once
+    // because the row-major slab per dim-0 chunk is constant
+    val dir = s"$base/cube"
+    def writeCube(t: Int): Unit = {
+      val store = ZarrStore(dir)
+      store.writeStoreRootMeta()
+      ZarrWriter.writeArray(store, "sensor", ZarrType.Int64, Seq(8), Seq(4),
+        (0 until 8).map(i => 100L + i: Any), Some(Seq("sensor")),
+        ZarrWriter.CodecChain.raw)
+      ZarrWriter.writeArray(store, "temp", ZarrType.Float64, Seq(t, 8), Seq(2, 4),
+        (0 until t * 8).map(_ * 1.0: Any), Some(Seq("time", "sensor")),
+        ZarrWriter.CodecChain.raw)
+    }
+    writeCube(4) // 2 time slabs of 2x8
+    val outDir = s"$base/cubeout"
+    val ckpt = s"$base/cubeckpt"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(outDir).collect()
+    assert(first.length == 32, s"got ${first.length}")
+    // grow time 4 -> 8 (two more slabs); earlier rows must not re-emit
+    writeCube(8)
+    runOnce()
+    val all = spark.read.parquet(outDir).collect()
+    assert(all.length == 64, s"expected 64 rows after growth, got ${all.length}")
+    val temps = all.map(_.getAs[Double]("temp")).sorted
+    assert(temps.sameElements((0 until 64).map(_ * 1.0)))
+    // coordinate broadcast held across slabs: sensor = 100 + (temp % 8)
+    all.foreach { r =>
+      assert(r.getAs[Long]("sensor") ==
+        100L + (r.getAs[Double]("temp").toLong % 8), r.toString)
+    }
+  }
+
   test("partial trailing chunk is not consumed until complete (ADVICE r1 #4)") {
     val dir = s"$base/partial"
     val ckpt = s"$base/partial-ckpt"
