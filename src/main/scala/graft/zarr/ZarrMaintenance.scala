@@ -47,6 +47,7 @@ object ZarrMaintenance {
         s"compact destination $dstPath already holds arrays; compaction " +
           "writes a FRESH store — delete the destination (a prior/partial " +
           "run) and re-run")
+    requireTabular(spark, srcPath)
     val df = spark.read.format("zarr").load(srcPath)
     // the source scan partitions at the OLD chunk granularity; re-align
     // to the new chunk size so the writer's aligned fast path applies
@@ -59,6 +60,33 @@ object ZarrMaintenance {
       .save(dstPath)
     val conf = spark.sessionState.newHadoopConf()
     (countChunkObjects(srcPath, conf), countChunkObjects(dstPath, conf))
+  }
+
+  /** N-D stores must be refused by [[compact]], not silently flattened:
+    * the DSv2 writer produces a 1-D TABULAR store, so compacting a
+    * lat/lon grid would (a) demote coordinates to full broadcast
+    * columns, losing the array/coordinate model, and (b) emit rows in
+    * CHUNK-major scan order, violating compact's value-AND-order-
+    * identical contract (row-major flattening and chunk enumeration
+    * disagree for ndim > 1; a probe showed 0,1,2,8,9,... row order).
+    * A named method, deliberately: as a bare `{ ... }` block after the
+    * destination check's `throw new ZarrException(...)` the parser
+    * glues the block on as an anonymous-subclass BODY and the guard
+    * never executes — the exact silent-skip this guard exists to
+    * prevent. */
+  private def requireTabular(spark: SparkSession, srcPath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val pairs = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val srcStore = ZarrStore(srcPath, pairs)
+    val metas = srcStore.listArrays().map(srcStore.readMeta)
+    val g = ScanGeometry.resolve(metas)
+    if (g.ndim != 1)
+      throw new ZarrException(
+        s"compact: store at $srcPath is ${g.ndim}-D; compaction rewrites " +
+          "1-D tabular stores only (an N-D grid would be flattened to a " +
+          "table in chunk order, losing the array/coordinate model)")
   }
 
   /** Stored chunk objects across all columns (files under each array's

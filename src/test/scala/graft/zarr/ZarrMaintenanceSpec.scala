@@ -70,6 +70,20 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a refused re-run must leave the destination untouched")
   }
 
+  test("compact refuses N-D stores — flattening would lose the array model and row order") {
+    val base = Files.createTempDirectory("zarr-compact-nd").toString
+    val store = ZarrStore(s"$base/src")
+    ZarrWriter.writeLatLonStore(store)
+    val e = intercept[ZarrException] {
+      ZarrMaintenance.compact(spark, s"$base/src", s"$base/dst")
+    }
+    // the probe that motivated this guard: an unguarded compact emitted
+    // the 2-D grid as a 1-D table in CHUNK-major order (0,1,2,8,9,...),
+    // silently breaking the value-AND-order-identical contract
+    assert(e.getMessage.contains("2-D") && e.getMessage.contains("tabular"),
+      e.getMessage)
+  }
+
   test("compact resets an accumulated chunk manifest to zero parts") {
     val base = Files.createTempDirectory("zarr-compact-manifest").toString
     val src = s"$base/src"
