@@ -277,6 +277,17 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vOpens.toSet == expected,
       s"hybrid must read exactly the uncovered chunks: got ${vOpens.mkString(", ")}")
 
+    // HYBRID with a BROADCAST-coordinate aggregate alongside the data
+    // column: served chunks answer min/max(row) from the per-target-
+    // chunk coordinate bounds; the uncovered ordinals decode the
+    // coordinate through the cache + broadcast mapping
+    val mixed = df.agg(min("row").as("mnr"), max("row").as("mxr"),
+      sum("v").as("s"))
+    assert(mixed.queryExecution.executedPlan.toString.contains("ZarrPartialAggScan"))
+    val rm = mixed.collect()(0)
+    assert(rm.getDouble(0) == 38.0 && rm.getDouble(1) == 38.0 + 7 * 0.1)
+    assert(rm.getLong(2) == (0L until 64L).sum)
+
     // SUM over a BROADCAST coordinate: selecting only `row` resolves to
     // the 1-D coordinate grid, which the 2-D segments do not describe —
     // declines safely and scans the 8-value coordinate
