@@ -473,5 +473,54 @@ object Similarity {
         .select(col("qid"), col("pos_id"), col("pos_cos"),
           col("neg1_id"), col("neg1_cos"), col("neg2_id"), col("neg2_cos"))
         .orderBy("qid")
+    },
+
+    // ---- embedding diversity per label (round 11): the data-curation
+    //      dial between dedup aggressiveness and coverage — a
+    //      low-diversity cluster is near-duplicate mass (SemDeDup's
+    //      premise), a high-diversity one should be left alone. The
+    //      mean pairwise squared distance has an O(n²) definition but a
+    //      ONE-PASS identity: E||x − μ||² = E||x||² − ||μ||² (and mean
+    //      pairwise sq distance = 2·that), so the metric needs exactly
+    //      two bounded aggregates — mean squared norm per label and the
+    //      per-position centroid (labels × dim keys, q42's recipe with
+    //      the same round-to-6 cross-engine discipline) — never a pair
+    //      join. 100 TB shape: both aggregates are map-side-combinable
+    //      shuffles on tiny keys; the label join is broadcast-size. ----
+    QueryDef.sql(
+      "q123_embedding_diversity",
+      s"""WITH pos AS (
+         |  SELECT label, j, round(avg(embedding[j]::DOUBLE), 6) AS m
+         |  FROM embeddings, generate_series(1, 64) t(j)
+         |  GROUP BY label, j
+         |), cent AS (
+         |  SELECT label, round(sum(m * m), 6) AS c2 FROM pos GROUP BY label
+         |), nrm AS (
+         |  SELECT label, count(*) AS n,
+         |    round(avg(list_sum(list_transform(embedding,
+         |      x -> x::DOUBLE * x::DOUBLE))), 6) AS msq
+         |  FROM embeddings GROUP BY label
+         |)
+         |SELECT nrm.label, nrm.n::BIGINT AS n, nrm.msq AS mean_sq_norm,
+         |  cent.c2 AS centroid_sq_norm, round(nrm.msq - cent.c2, 6) AS diversity
+         |FROM nrm JOIN cent USING (label)
+         |ORDER BY nrm.label""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+      val posM = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("j0", "x")))
+        .groupBy(col("label"), (col("j0") + 1).as("j"))
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      val cent = posM.groupBy("label")
+        .agg(round(sum(col("m") * col("m")), 6).as("c2"))
+      val nrm = e.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        round(avg(expr(
+          "aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS double) * CAST(x AS double))")), 6)
+          .as("msq"))
+      nrm.join(cent, "label")
+        .select(col("label"), col("n"), col("msq").as("mean_sq_norm"),
+          col("c2").as("centroid_sq_norm"),
+          round(col("msq") - col("c2"), 6).as("diversity"))
+        .orderBy("label")
     })
 }

@@ -438,6 +438,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Exchange hashpartitioning\\(gh".r.findAllIn(executed).length <= 2, executed)
   }
 
+  test("q123: embedding diversity is two bounded aggregates — no pair join, no corpus broadcast") {
+    val p = plan("q123_embedding_diversity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the one-pass E||x||^2 - ||mu||^2 identity: the corpus is scanned,
+    // aggregated on (label, pos) / label keys, and ONLY label-keyed
+    // aggregate rows meet in the final join (broadcast-size)
+    assert(p.contains("partial_"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
+  }
+
   test("q111: Zipf fit is count-shuffle + vocab window + 5-sum agg — no join") {
     val p = plan("q111_zipf_fit")
     assert(!p.contains("Join"), s"OLS sums must aggregate in place, not join\n$p")
