@@ -125,26 +125,29 @@ object ZarrRoundtrip {
     //      q99's job. `lzv` rides the numcodecs LZ4 block container
     //      (u32-LE size prefix + raw LZ4 block), emitted by the
     //      generator's own pure-Python encoder with both literal-only
-    //      and handcrafted match-bearing blocks. ----
+    //      and handcrafted match-bearing blocks. `ts` is `<M8[ns]`
+    //      datetime64 (the xarray time dtype) surfaced as raw epoch-ns
+    //      BIGINT with one NaT sentinel (int64 min) passed through. ----
     QueryDef.sql(
       "q117_zarr_v2_typed",
       """SELECT * FROM (VALUES
-        |  ('',        'AA',   'αβ',    'ab',  1000::INT, 0.0::DOUBLE,  1000000000::BIGINT, -40::INT, -7.0::DOUBLE, 500::BIGINT),
-        |  ('néé',     'BBB',  'übèr',  'ω',   1007::INT, -2.5::DOUBLE, 1000000017::BIGINT, -27::INT, -4.5::DOUBLE, 500::BIGINT),
-        |  ('doc-2',   'C',    'ζ',     'xyz', 995::INT,  -4.0::DOUBLE, 1000000068::BIGINT, -14::INT, -2.0::DOUBLE, 500::BIGINT),
-        |  ('αβγ',     'DDDD', 'north', 't',   1020::INT, -4.5::DOUBLE, 1000000153::BIGINT, -1::INT,  0.5::DOUBLE, 500::BIGINT),
-        |  ('doc-4',   'E',    'süd',   'ββ',  1020::INT, -4.0::DOUBLE, 1000000272::BIGINT, 12::INT,  3.0::DOUBLE, 511::BIGINT),
-        |  ('xxxxxxx', 'FF',   'ωμέγα', 'qq',  980::INT,  -2.5::DOUBLE, 1000000425::BIGINT, 25::INT,  5.5::DOUBLE, 511::BIGINT),
-        |  ('doc-6',   'GGG',  'east',  'r',   1001::INT, 0.0::DOUBLE,  1000000612::BIGINT, 38::INT,  8.0::DOUBLE, 511::BIGINT),
-        |  ('doc-7',   'H',    'wést',  'sss', 1002::INT, 3.5::DOUBLE,  1000000833::BIGINT, 51::INT,  10.5::DOUBLE, 511::BIGINT),
-        |  ('',        'II',   'ñ',     'tt',  999::INT,  8.0::DOUBLE,  1000001088::BIGINT, 64::INT,  13.0::DOUBLE, 522::BIGINT),
-        |  ('',        'JJJ',  'δέλτα', 'u',   1050::INT, 13.5::DOUBLE, 1000001377::BIGINT, 77::INT,  15.5::DOUBLE, 522::BIGINT),
-        |  ('',        'K',    'x',     'vvv', 1049::INT, 20.0::DOUBLE, 1000001700::BIGINT, 90::INT,  18.0::DOUBLE, 522::BIGINT)
-        |) t(label, code, uname, tag, dv, dd, ds, bzv, xzv, lzv)
+        |  ('',        'AA',   'αβ',    'ab',  1000::INT, 0.0::DOUBLE,  1000000000::BIGINT, -40::INT, -7.0::DOUBLE, 500::BIGINT, 1700000000000000000::BIGINT),
+        |  ('néé',     'BBB',  'übèr',  'ω',   1007::INT, -2.5::DOUBLE, 1000000017::BIGINT, -27::INT, -4.5::DOUBLE, 500::BIGINT, 1700086400000000000::BIGINT),
+        |  ('doc-2',   'C',    'ζ',     'xyz', 995::INT,  -4.0::DOUBLE, 1000000068::BIGINT, -14::INT, -2.0::DOUBLE, 500::BIGINT, 1700172800000000000::BIGINT),
+        |  ('αβγ',     'DDDD', 'north', 't',   1020::INT, -4.5::DOUBLE, 1000000153::BIGINT, -1::INT,  0.5::DOUBLE, 500::BIGINT, (-9223372036854775807 - 1)::BIGINT),
+        |  ('doc-4',   'E',    'süd',   'ββ',  1020::INT, -4.0::DOUBLE, 1000000272::BIGINT, 12::INT,  3.0::DOUBLE, 511::BIGINT, 1700345600000000000::BIGINT),
+        |  ('xxxxxxx', 'FF',   'ωμέγα', 'qq',  980::INT,  -2.5::DOUBLE, 1000000425::BIGINT, 25::INT,  5.5::DOUBLE, 511::BIGINT, 1700432000000000000::BIGINT),
+        |  ('doc-6',   'GGG',  'east',  'r',   1001::INT, 0.0::DOUBLE,  1000000612::BIGINT, 38::INT,  8.0::DOUBLE, 511::BIGINT, 1700518400000000000::BIGINT),
+        |  ('doc-7',   'H',    'wést',  'sss', 1002::INT, 3.5::DOUBLE,  1000000833::BIGINT, 51::INT,  10.5::DOUBLE, 511::BIGINT, 1700604800000000000::BIGINT),
+        |  ('',        'II',   'ñ',     'tt',  999::INT,  8.0::DOUBLE,  1000001088::BIGINT, 64::INT,  13.0::DOUBLE, 522::BIGINT, 1700691200000000000::BIGINT),
+        |  ('',        'JJJ',  'δέλτα', 'u',   1050::INT, 13.5::DOUBLE, 1000001377::BIGINT, 77::INT,  15.5::DOUBLE, 522::BIGINT, 1700777600000000000::BIGINT),
+        |  ('',        'K',    'x',     'vvv', 1049::INT, 20.0::DOUBLE, 1000001700::BIGINT, 90::INT,  18.0::DOUBLE, 522::BIGINT, 1700864000000000000::BIGINT)
+        |) t(label, code, uname, tag, dv, dd, ds, bzv, xzv, lzv, ts)
         |ORDER BY ds""".stripMargin) { (s, dir) =>
       s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
         .select(col("label"), col("code"), col("uname"), col("tag"),
-          col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"))
+          col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
+          col("ts"))
         .orderBy("ds")
     }) :+ q119 :+ q120
 

@@ -101,7 +101,19 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
 
 object ZarrDataSource {
   def schemaOf(metas: Seq[ZarrArrayMeta]): StructType =
-    StructType(metas.map(m => StructField(m.name, m.dataType.sparkType, nullable = true)))
+    StructType(metas.map { m =>
+      // v2 datetime64/timedelta64 decode as raw int64 counts; the
+      // kind/unit ride the field metadata so a reader can interpret
+      // (e.g. `timestamp_micros(ts DIV 1000)` for zarr_time_unit 'ns')
+      val md = m.timeMeta match {
+        case Some((kind, unit)) => new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("zarr_time_kind", kind)
+          .putString("zarr_time_unit", unit)
+          .build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
+      StructField(m.name, m.dataType.sparkType, nullable = true, metadata = md)
+    })
 
   /** All array metadata of a store: ONE root-document read on
     * consolidated stores (ZarrWrite output), falling back to the

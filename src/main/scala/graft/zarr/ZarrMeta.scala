@@ -28,7 +28,12 @@ final case class ZarrArrayMeta(
       * ([[ZarrMeta.parseV2]]); affects only chunk-key naming. Executors
       * re-parse `sourceJson` (the ORIGINAL v2 doc), so the version
       * survives serialization by construction. */
-    formatVersion: Int = 3) {
+    formatVersion: Int = 3,
+    /** ("datetime64"|"timedelta64", unit) for v2 `M8[..]`/`m8[..]`
+      * dtypes — decoded as raw int64 counts; surfaced as Spark field
+      * metadata by the connector. Survives serialization via
+      * `sourceJson` re-parse like `formatVersion`. */
+    timeMeta: Option[(String, String)] = None) {
 
   def ndim: Int = shape.length
 
@@ -564,7 +569,8 @@ object ZarrMeta {
     }
 
     ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs,
-      dimensionNames = dims, sourceJson = json, formatVersion = 2)
+      dimensionNames = dims, sourceJson = json, formatVersion = 2,
+      timeMeta = v2t.timeMeta)
   }
 
   /** Embed a v2 `.zattrs` document into its `.zarray` doc under
@@ -596,10 +602,13 @@ object ZarrMeta {
 
   /** Parsed numpy typestr: the internal type, byte order, and — for the
     * fixed-width string dtypes `S`/`U` — the declared per-element width
-    * (bytes for `S`, code points for `U`; 0 otherwise). */
+    * (bytes for `S`, code points for `U`; 0 otherwise). `timeMeta`
+    * carries ("datetime64"|"timedelta64", unit) for `M8[..]`/`m8[..]`
+    * dtypes, which decode as their raw int64 counts. */
   private[zarr] final case class V2Dtype(
       t: ZarrType, big: Boolean, strWidth: Int = 0,
-      strKind: V2StrKind = V2StrKind.NotStr)
+      strKind: V2StrKind = V2StrKind.NotStr,
+      timeMeta: Option[(String, String)] = None)
 
   /** numpy typestr → [[V2Dtype]]. Byte-order discipline (zarr-python
     * always normalizes to explicit `<`/`>` on write):
@@ -652,6 +661,34 @@ object ZarrMeta {
             s"Bad v2 dtype '$ts' for $ctx: 'U' elements are 4-byte code points and need '<'/'>'")
         V2Dtype(ZarrType.Str, big, strWidth = n, strKind = V2StrKind.FixedUcs4)
       }
+    } else if (kind == 'M' || kind == 'm') {
+      // numpy datetime64 ('M8[unit]') / timedelta64 ('m8[unit]'):
+      // stored as int64 counts of `unit` since the epoch (or as a
+      // duration). Decoded as the RAW int64 — lossless for every unit
+      // incl. [ns] (a TIMESTAMP mapping would truncate ns to Spark's
+      // microseconds and turn numpy's NaT sentinel into a "valid"
+      // instant) and consistent with this engine's epoch-integer time
+      // convention (events.ts). The kind/unit ride the Spark schema as
+      // field metadata (`zarr_time_kind`/`zarr_time_unit`); NaT passes
+      // through as Long.MinValue.
+      val TimeRe = """8\[(\w+)\]""".r
+      val unit = width match {
+        case TimeRe(u) => u
+        case _ =>
+          throw new ZarrException(
+            s"Bad v2 datetime dtype '$ts' for $ctx (expected e.g. '<M8[ns]')")
+      }
+      val validUnits = Set("Y", "M", "W", "D", "h", "m", "s", "ms", "us", "ns",
+        "ps", "fs", "as")
+      if (!validUnits(unit))
+        throw new ZarrException(
+          s"Bad v2 datetime dtype '$ts' for $ctx: unknown unit '$unit'")
+      if (order == '|')
+        throw new ZarrException(
+          s"Bad v2 dtype '$ts' for $ctx: datetime64/timedelta64 are 8-byte " +
+            "and need an explicit '<'/'>'")
+      val kindName = if (kind == 'M') "datetime64" else "timedelta64"
+      V2Dtype(ZarrType.Int64, big, timeMeta = Some((kindName, unit)))
     } else {
       if (order == '|' && width != "1")
         throw new ZarrException(

@@ -384,11 +384,34 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       meta.codecs.map(_.name).mkString(","))
   }
 
-  test("typed store .zmetadata: one-GET snapshot covers all 17 arrays incl. strings/filters/binary") {
+  test("v2 datetime64[ns]: raw int64 counts, NaT passthrough, unit in field metadata") {
+    val df = spark.read.format("zarr").load(storeTyped)
+    val f = df.schema("ts")
+    assert(f.dataType.typeName == "long", f.dataType.toString)
+    assert(f.metadata.getString("zarr_time_kind") == "datetime64")
+    assert(f.metadata.getString("zarr_time_unit") == "ns")
+    val got = df.select("ts").orderBy("ds").collect().map(_.getLong(0)).toSeq
+    val day = 86400L * 1000000000L
+    val expected = (0 until 11).map {
+      case 3 => Long.MinValue // numpy NaT sentinel, passed through raw
+      case i => 1700000000000000000L + i * day
+    }
+    assert(got == expected, got.mkString(","))
+    // malformed datetime dtypes are loud, not guessed
+    intercept[ZarrException](ZarrMeta.v2Dtype("<M8", "t"))
+    intercept[ZarrException](ZarrMeta.v2Dtype("<M8[parsec]", "t"))
+    intercept[ZarrException](ZarrMeta.v2Dtype("|M8[ns]", "t"))
+    // timedelta64 parses with its own kind marker
+    val td = ZarrMeta.v2Dtype(">m8[us]", "t")
+    assert(td.t == ZarrType.Int64 && td.big &&
+      td.timeMeta.contains(("timedelta64", "us")))
+  }
+
+  test("typed store .zmetadata: one-GET snapshot covers all 18 arrays incl. strings/filters/binary") {
     val snap = ZarrStore(storeTyped).readRootSnapshot()
     assert(snap.isDefined, "typed-store .zmetadata must satisfy readRootSnapshot")
     val (metas, manifest) = snap.get
-    assert(metas.length == 17, metas.map(_.name).mkString(","))
+    assert(metas.length == 18, metas.map(_.name).mkString(","))
     assert(manifest.isEmpty)
     assert(metas.find(_.name == "blob").get.dataType == ZarrType.Bytes)
     assert(metas.find(_.name == "label").get.dataType == ZarrType.Str)

@@ -535,6 +535,21 @@ def main():
                                   None, 0),
                     lzv_chunks)
 
+    # <M8[ns] datetime64 + zlib: the xarray time-coordinate dtype.
+    # Stored as int64 epoch-ns counts; the reader surfaces the RAW
+    # counts as BIGINT (lossless incl. the NaT sentinel = int64 min,
+    # which a timestamp mapping would corrupt into a "valid" instant).
+    NAT = -(2 ** 63)
+    DAY_NS = 86400 * 10 ** 9
+    tsv = [1700000000000000000 + i * DAY_NS for i in range(n)]
+    tsv[3] = NAT  # one missing timestamp
+    ts_chunks = []
+    for ci in range((n + chunk - 1) // chunk):
+        vals = [tsv[ci * chunk + i] if ci * chunk + i < n else 0
+                for i in range(chunk)]
+        ts_chunks.append(zlib.compress(struct.pack("<%dq" % len(vals), *vals), 6))
+    write_raw_array("ts", v2meta("<M8[ns]", zl, None, 0), ts_chunks)
+
     # <f4 + quantize (lossy at write time; decode is the identity)
     qz_meta = v2meta("<f4", None,
                      [{"id": "quantize", "digits": 3, "dtype": "<f4"}], 0.0)
