@@ -407,6 +407,51 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       td.timeMeta.contains(("timedelta64", "us")))
   }
 
+  test("v2 CLIMATE cube end to end: time x lat x lon with a datetime64 time coordinate") {
+    // the canonical xarray layout — a 3-D data cube whose dims carry
+    // 1-D coordinates, time typed <M8[ns]: read, broadcast, filter by
+    // time, then analyze for zero-GET aggregates and slab-level skip
+    val store = new java.io.File("src/test/resources/zarr_v2_climate").getAbsolutePath
+    val df = spark.read.format("zarr").load(store)
+    assert(df.schema("time").metadata.getString("zarr_time_unit") == "ns")
+    assert(df.count() == 4 * 5 * 7)
+    val day = 86400L * 1000000000L
+    val t0 = 1700000000000000000L
+    // temp[t][i][j] = 1000t + 10i + j; time filter keeps t in {2, 3}
+    val rows = df.filter(org.apache.spark.sql.functions.col("time") >= t0 + 2 * day)
+      .select("time", "lat", "lon", "temp").collect()
+    assert(rows.length == 2 * 5 * 7)
+    rows.foreach { r =>
+      val t = (r.getLong(0) - t0) / day
+      val i = math.round((r.getDouble(1) - 38.0) / 0.5)
+      val j = math.round((r.getDouble(2) + 117.0) / 0.25)
+      assert(r.getDouble(3) == 1000.0 * t + 10.0 * i + j, r.toString)
+    }
+    // analyze the FOREIGN climate cube (copy: fixtures are read-only)
+    val base = java.nio.file.Files.createTempDirectory("v2climate").toString
+    val copied = java.nio.file.Paths.get(base, "cube")
+    val src = java.nio.file.Paths.get(store)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = copied.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    }
+    assert(ZarrMaintenance.analyze(spark, copied.toString) == 8) // 2x2x2 grid
+    val adf = spark.read.format("zarr").load(copied.toString)
+    val agg = adf.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.min("temp"),
+      org.apache.spark.sql.functions.max("temp"),
+      org.apache.spark.sql.functions.min("time"),
+      org.apache.spark.sql.functions.max("time"))
+    assert(agg.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      "analyzed climate cube must answer aggregates metadata-only")
+    val a = agg.collect()(0)
+    assert(a.getLong(0) == 140)
+    assert(a.getDouble(1) == 0.0 && a.getDouble(2) == 1000.0 * 3 + 10 * 4 + 6)
+    assert(a.getLong(3) == t0 && a.getLong(4) == t0 + 3 * day)
+  }
+
   test("typed store .zmetadata: one-GET snapshot covers all 18 arrays incl. strings/filters/binary") {
     val snap = ZarrStore(storeTyped).readRootSnapshot()
     assert(snap.isDefined, "typed-store .zmetadata must satisfy readRootSnapshot")

@@ -186,6 +186,73 @@ def main():
     write_array_1d(root2, "lon", lon, "<f8", "<%dd", None, 0.0, 0.0,
                    nlon, 3, dims=["lon"])
 
+    # ---- store 3b: the CANONICAL xarray climate layout — a 3-D
+    #      time x lat x lon cube whose time coordinate is <M8[ns]
+    #      datetime64. temp[t][i][j] = 1000*t + 10*i + j (closed form),
+    #      chunks (2,3,4) with edge chunks on every dim. ----
+    rootc = os.path.join(RES, "zarr_v2_climate")
+    shutil.rmtree(rootc, ignore_errors=True)
+    os.makedirs(rootc)
+    with open(os.path.join(rootc, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    nt, nlat2, nlon2 = 4, 5, 7
+    ct, clat, clon = 2, 3, 4
+    DAY = 86400 * 10 ** 9
+    t0 = 1700000000000000000
+
+    def write_cube(name, meta, chunks_bytes):
+        d = os.path.join(rootc, name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, ".zarray"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(d, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": meta.pop("_dims")}, f)
+        for key, raw in chunks_bytes:
+            with open(os.path.join(d, key), "wb") as f:
+                f.write(raw)
+
+    def cube_chunks():
+        out = []
+        for tc in range((nt + ct - 1) // ct):
+            for ic in range((nlat2 + clat - 1) // clat):
+                for jc in range((nlon2 + clon - 1) // clon):
+                    vals = []
+                    for dt in range(ct):
+                        for di in range(clat):
+                            for dj in range(clon):
+                                t, i, j = tc * ct + dt, ic * clat + di, jc * clon + dj
+                                if t < nt and i < nlat2 and j < nlon2:
+                                    vals.append(1000.0 * t + 10.0 * i + j)
+                                else:
+                                    vals.append(0.0)  # full-chunk pad
+                    raw = zlib.compress(struct.pack("<%dd" % len(vals), *vals), 6)
+                    out.append((f"{tc}.{ic}.{jc}", raw))
+        return out
+
+    write_cube("temp",
+               {"zarr_format": 2, "shape": [nt, nlat2, nlon2],
+                "chunks": [ct, clat, clon], "dtype": "<f8",
+                "compressor": zlib6, "fill_value": 0.0, "order": "C",
+                "filters": None, "_dims": ["time", "lat", "lon"]},
+               cube_chunks())
+    for nm, nvals, cch, dtype, fmt, mk in [
+        ("time", nt, ct, "<M8[ns]", "<%dq", lambda k: t0 + k * DAY),
+        ("lat", nlat2, clat, "<f8", "<%dd", lambda k: 38.0 + 0.5 * k),
+        ("lon", nlon2, clon, "<f8", "<%dd", lambda k: -117.0 + 0.25 * k)]:
+        chunks_b = []
+        for ci in range((nvals + cch - 1) // cch):
+            vals = [mk(ci * cch + i) if ci * cch + i < nvals
+                    else (0 if dtype.startswith("<M") else 0.0)
+                    for i in range(cch)]
+            chunks_b.append((str(ci), struct.pack(fmt % len(vals), *vals)))
+        write_cube(nm,
+                   {"zarr_format": 2, "shape": [nvals], "chunks": [cch],
+                    "dtype": dtype, "compressor": None,
+                    "fill_value": (0 if dtype.startswith("<M") else 0.0),
+                    "order": "C", "filters": None, "_dims": [nm]},
+                   chunks_b)
+    print("wrote", rootc)
+
     # ---- store 4: string dtypes + numcodecs filter stacks ----
     # Everything here is encoded from the Zarr v2 / numcodecs format
     # docs with stdlib only (struct/zlib), independent of the repo's
