@@ -149,7 +149,32 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120
+    }) :+ q119 :+ q120 :+ q124
+
+  /** q124: the CANONICAL xarray climate layout through the oracle gate —
+    * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
+    * 1-D coordinates broadcast across the grid and whose time axis is
+    * `<M8[ns]` datetime64 surfaced as raw epoch-ns BIGINT. The pushed
+    * time-range predicate exercises the datetime column in the
+    * chunk-skip path; the oracle states the closed-form cube
+    * (temp[t][i][j] = 1000t + 10i + j). Fixed 70 rows at every SF
+    * (format certification, like q115/q117). */
+  private lazy val q124 = QueryDef.sql(
+    "q124_zarr_climate",
+    """SELECT (1700000000000000000 + t * 86400000000000)::BIGINT AS time,
+      |  (38.0 + 0.5 * i)::DOUBLE AS lat,
+      |  (-117.0 + 0.25 * j)::DOUBLE AS lon,
+      |  (1000.0 * t + 10.0 * i + j)::DOUBLE AS temp
+      |FROM range(0, 4) a(t), range(0, 5) b(i), range(0, 7) c(j)
+      |WHERE t >= 2
+      |ORDER BY temp""".stripMargin) { (s, dir) =>
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    s.read.format("zarr").load(fixturePath("zarr_v2_climate"))
+      .filter(col("time") >= t0 + 2 * day)
+      .select(col("time"), col("lat"), col("lon"), col("temp"))
+      .orderBy("temp")
+  }
 
   /** q119: BINARY payloads in the array store — the multimodal-blob
     * shape (image/audio bytes co-located with their features) through
