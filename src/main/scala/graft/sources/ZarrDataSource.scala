@@ -25,7 +25,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `SELECT lat` yields the 1-D coordinate (8 rows on the canonical
   * fixture) while `SELECT lat, lon` yields the 64-row cross product, so
   * aggressive column pruning (e.g. `count()` over a join) can legally
-  * reduce cardinality.
+  * reduce cardinality. The sharpest corner:
+  * `df.filter($"time" >= x).count()` on an N-D cube prunes every column
+  * but the predicate's, so it counts surviving COORDINATE values, not
+  * cube rows — keep a data column in the aggregate
+  * (`agg(count($"temp"))`) to count over the full grid
+  * (pyzarr_smoke pins both behaviors).
   *
   * Scale design: one input partition per contiguous range of chunks
   * (reference `zarr_data_stream.rs:805-817`); Spark schedules them as

@@ -45,5 +45,22 @@ assert got[:3] == [1000, 1007, 995], "v2 delta ints"
 lz = [r[0] for r in vt.select("lzv").orderBy("ds").collect()]
 assert lz == [500] * 4 + [511] * 4 + [522] * 3, "v2 numcodecs lz4 blocks"
 
+# the canonical xarray climate cube: 3-D time x lat x lon with a
+# datetime64[ns] time coordinate (raw epoch-ns BIGINT + field metadata)
+cc = spark.read.format("zarr").load(os.path.abspath("src/test/resources/zarr_v2_climate"))
+assert cc.count() == 4 * 5 * 7, "climate cube rows"
+assert cc.schema["time"].metadata["zarr_time_unit"] == "ns", "time unit metadata"
+t0, day = 1700000000000000000, 86400 * 10 ** 9
+# the coordinate model's documented cardinality caveat (shared with the
+# reference): the PROJECTED column set determines the grid, and count()
+# prunes every column but the predicate's — so a coordinate-only count
+# counts coordinate values (2 surviving time steps), while any
+# aggregate that keeps a data column in the projection sees the cube
+from pyspark.sql import functions as F
+filt = cc.where(cc.time >= t0 + 2 * day)
+assert filt.count() == 2, "count() prunes to the time coordinate (documented caveat)"
+assert filt.agg(F.count("temp")).collect()[0][0] == 2 * 5 * 7, \
+    "data-column aggregate sees the full cube slab"
+
 spark.stop()
 print("PYTHON SURFACE OK")
