@@ -320,6 +320,37 @@ class CodecsSpec extends AnyFunSuite {
     intercept[Exception](c.decode(shortEnc))
   }
 
+  test("v2 dtype fuzz: every typestr either parses or fails LOUD — never a silent guess") {
+    // random-ish typestrs over the full alphabet the parser touches:
+    // orders x kinds x widths/units, plus malformed tails
+    val orders = Seq("<", ">", "|", "=", "?", "")
+    val kinds = Seq("b", "i", "u", "f", "S", "U", "O", "M", "m", "x")
+    val tails = Seq("", "1", "2", "4", "8", "16", "0", "-1", "8[ns]", "8[s]",
+      "8[parsec]", "8[", "8]", "3", "abc", "8[ns]x")
+    var parsed = 0
+    var refused = 0
+    for (o <- orders; k <- kinds; t <- tails) {
+      val ts = o + k + t
+      try {
+        val d = ZarrMeta.v2Dtype(ts, "fuzz")
+        parsed += 1
+        // anything that parses must carry a concrete internal type and,
+        // for time dtypes, a validated unit
+        assert(d.t != null)
+        d.timeMeta.foreach { case (kind, unit) =>
+          assert(Set("datetime64", "timedelta64")(kind) && unit.nonEmpty)
+        }
+      } catch {
+        case _: ZarrException => refused += 1 // loud is the contract
+      }
+    }
+    assert(parsed > 0 && refused > 0, s"parsed=$parsed refused=$refused")
+    // spot-pin the accept set hasn't silently widened: only these kinds
+    // may parse at all
+    for (o <- orders; k <- Seq("x", "?", "q"); t <- tails)
+      intercept[ZarrException](ZarrMeta.v2Dtype(o + k + t, "fuzz"))
+  }
+
   test("v2 standalone shuffle filter: inverse, tail bytes carried verbatim") {
     forAll2(Gen.choose(1, 16), Gen.choose(0, 200)) { (es: Int, len: Int) =>
       val b = Array.tabulate[Byte](len)(i => (i * 37 + 11).toByte)
