@@ -224,6 +224,32 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pre-append analyze segments must still serve the aggregate: ${chunkOpens.mkString(", ")}")
   }
 
+  test("analyze a PURE cross-product store (coordinates only, no data array)") {
+    val url = s"graftstat://$base/cross"
+    val store = ZarrStore(url,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "aa", ZarrType.Int64, Seq(6), Seq(2),
+      (0 until 6).map(i => 10L + i: Any), Some(Seq("aa")), ZarrWriter.CodecChain.raw)
+    ZarrWriter.writeArray(store, "bb", ZarrType.Int64, Seq(4), Seq(2),
+      (0 until 4).map(i => 100L + i: Any), Some(Seq("bb")), ZarrWriter.CodecChain.raw)
+    // all-coords geometry: cross product in (sorted) field order -> 3x2 grid
+    assert(ZarrMaintenance.analyze(spark, url) == 6)
+    val df = spark.read.format("zarr").load(url) // SELECT aa, bb = cross product
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(count(lit(1)), min("aa"), max("aa"), sum("bb")).collect()(0)
+    assert(r.getLong(0) == 24)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 15L)
+    assert(r.getLong(3) == 6L * (100 + 101 + 102 + 103)) // each bb repeats 6x
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/cross/(aa|bb)/c/.*")) == 0,
+      "cross-product metadata-only aggregate must read no chunks")
+    // a lone-coordinate selection (1-D grid [3]) must not consume the
+    // [3,2] segments — declines to a plain scan, stays exact
+    val lone = df.select("aa").agg(min("aa"), max("aa"), count(lit(1))).collect()(0)
+    assert(lone.getLong(0) == 10L && lone.getLong(1) == 15L && lone.getLong(2) == 6)
+  }
+
   test("re-analyze refreshes: stale segments are purged, coverage stays whole") {
     val url = s"graftstat://$base/v2"
     assert(ZarrMaintenance.analyze(spark, url) == 3) // second run, same store
