@@ -68,6 +68,12 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val store = storeFor(options)
+    // `dims` marks an N-D CUBE write target: the table declares the
+    // V1_BATCH_WRITE capability so Spark routes the write through the
+    // V1Write whole-query seam (ZarrWriteBuilder returns one); read
+    // capabilities are unchanged, and tables resolved WITHOUT the option
+    // (every read, every tabular write) keep the pure-V2 path
+    val cubeWrite = options.containsKey("dims")
     // a missing/empty store with a caller-supplied schema is a WRITE
     // target (df.write.format("zarr").save(path))
     val metas =
@@ -75,7 +81,7 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       catch {
         case _: ZarrException if schema != null && schema.nonEmpty => Seq.empty[ZarrArrayMeta]
       }
-    if (metas.isEmpty) return new ZarrTable(store, schema, Seq.empty)
+    if (metas.isEmpty) return new ZarrTable(store, schema, Seq.empty, cubeWrite = cubeWrite)
     val inferred = ZarrDataSource.schemaOf(metas)
     // a user-supplied schema is a column selection + type assertion for
     // READS (reference `table_provider.rs:147-163`) — but the same entry
@@ -83,7 +89,7 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     // is only an error if the table is then scanned (validated lazily in
     // newScanBuilder)
     if (schema == null || schema.isEmpty || schema == inferred)
-      return new ZarrTable(store, inferred, metas)
+      return new ZarrTable(store, inferred, metas, cubeWrite = cubeWrite)
     val byName = inferred.fields.map(f => f.name -> f).toMap
     val mismatch: Option[String] = schema.fields.iterator.flatMap { f =>
       byName.get(f.name) match {
@@ -95,11 +101,11 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       }
     }.take(1).toSeq.headOption
     mismatch match {
-      case Some(err) => new ZarrTable(store, schema, metas, Some(err))
+      case Some(err) => new ZarrTable(store, schema, metas, Some(err), cubeWrite = cubeWrite)
       case None =>
         val effective = StructType(schema.fields.map(f => byName(f.name)))
         val selected = effective.fields.map(_.name).toSet
-        new ZarrTable(store, effective, metas.filter(m => selected(m.name)))
+        new ZarrTable(store, effective, metas.filter(m => selected(m.name)), cubeWrite = cubeWrite)
     }
   }
 }
@@ -131,18 +137,27 @@ object ZarrDataSource {
 
 class ZarrTable(
     store: ZarrStore, tableSchema: StructType, metas: Seq[ZarrArrayMeta],
-    schemaError: Option[String] = None)
+    schemaError: Option[String] = None, cubeWrite: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"zarr:${store.root}"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+    // V1_BATCH_WRITE re-routes DataSourceV2Strategy to the V1Write
+    // whole-query seam, and a table declaring it MUST return V1Write
+    // from every write build — so it is declared only on tables
+    // resolved with the cube `dims` option (whose builder always does).
+    // BATCH_WRITE stays declared: DataFrameWriter's save() gate checks
+    // it regardless of which write seam the strategy then picks.
+    if (cubeWrite) caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     schemaError.foreach(e => throw new ZarrException(e))
     // a missing/empty store with a user schema is tolerated at getTable

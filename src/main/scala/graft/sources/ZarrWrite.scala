@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.zarr._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{V1Write, _}
 import org.apache.spark.sql.types._
 
 /** DSv2 write path: each DataFrame column becomes a 1-D Zarr v3 array;
@@ -99,7 +99,39 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
     truncate()
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = {
+    // `dims` selects the N-D CUBE write path. The cube layout is a
+    // global property of the whole input (coordinate axes = global
+    // sorted distincts, density = a full-cross-product proof), which a
+    // single streaming DSv2 pass cannot compute — so this returns
+    // Spark's sanctioned whole-query seam, `V1Write` (the same seam the
+    // built-in JDBC v2 source uses), and ZarrCubeWrite runs the
+    // multi-job pipeline with executor-side chunk writes.
+    Option(info.options.get("dims")).map(ZarrCubeWrite.parseDims) match {
+      case Some(dims) =>
+        if (info.options.containsKey("rows_per_partition") ||
+          info.options.containsKey("inner_chunk_size"))
+          throw new ZarrException(
+            "cube writes (dims option) do not take rows_per_partition/" +
+              "inner_chunk_size; chunking is set via chunk_shape")
+        val chunkShape = Option(info.options.get("chunk_shape"))
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+        val codec = Option(info.options.get("codec")).getOrElse("blosc")
+        val stats = Option(info.options.get("stats")).forall(_.toBoolean)
+        val maxAxis = Option(info.options.get("max_axis_len")).map(_.toInt)
+          .getOrElse(1 << 22)
+        val wasTruncate = doTruncate
+        new V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
+              ZarrCubeWrite.write(data, store.root, dims, chunkShape, codec,
+                stats, truncate = wasTruncate || overwrite, maxAxisLen = maxAxis)
+        }
+      case None => buildTabular()
+    }
+  }
+
+  private def buildTabular(): Write = new Write {
     override def toBatch: BatchWrite = new ZarrBatchWrite(
       store, info.schema(),
       Option(info.options.get("chunk_size")).map(_.toInt).getOrElse(65536),

@@ -27,13 +27,32 @@ object ZarrMaintenance {
 
   /** Rewrite `srcPath` into `dstPath` with the given chunking. Returns
     * (objects before, objects after) counted across all columns —
-    * the GET/LIST economy the compaction buys. */
+    * the GET/LIST economy the compaction buys.
+    *
+    * 1-D tabular stores take the aligned append path (`chunkSize` rows
+    * per chunk packed `innerChunkSize` per inner chunk via
+    * sharding_indexed). N-D stores (round 12) take the CUBE path: the
+    * chunked scan flattens the grid to coordinate+data rows — exactly
+    * the dense cross product ZarrCubeWrite requires by construction on
+    * any coherent store — and the cube writer re-chunks it at
+    * `chunkShapeNd` (or its default sizing). Both paths preserve values
+    * AND row order (the dst cube enumerates the same row-major coord
+    * order the src scan produced), and both serve as the v2→v3
+    * migration: a v2 climate cube compacts into a v3 cube store. One
+    * deliberate narrowing: v2 `datetime64` columns ride through as the
+    * raw int64 the scan surfaces (values exact, NaT = Long.MinValue);
+    * the v3 dst has no datetime dtype so the unit annotation lives only
+    * in the field metadata of the ORIGINAL store — record keeping, not
+    * data loss. N-D dims without a coordinate array are refused: rows
+    * are the only transport between the stores, and only a coordinate
+    * column can re-rank a dim's positions. */
   def compact(
       spark: SparkSession,
       srcPath: String,
       dstPath: String,
       chunkSize: Int = 65536,
-      innerChunkSize: Int = 8192): (Long, Long) = {
+      innerChunkSize: Int = 8192,
+      chunkShapeNd: Seq[Int] = Nil): (Long, Long) = {
     // refuse a non-empty destination: the write below uses append
     // semantics, so a re-run (orchestrator retry, ambiguous failure)
     // against an existing dst would silently append a SECOND full copy
@@ -47,46 +66,51 @@ object ZarrMaintenance {
         s"compact destination $dstPath already holds arrays; compaction " +
           "writes a FRESH store — delete the destination (a prior/partial " +
           "run) and re-run")
-    requireTabular(spark, srcPath)
+    val geom = sourceGeometry(spark, srcPath)
     val df = spark.read.format("zarr").load(srcPath)
-    // the source scan partitions at the OLD chunk granularity; re-align
-    // to the new chunk size so the writer's aligned fast path applies
-    // (one write task per new-layout partition, order preserved)
-    graft.sources.ZarrWriteSupport.alignForWrite(df, chunkSize)
-      .write.format("zarr").mode("append")
-      .option("chunk_size", chunkSize.toString)
-      .option("inner_chunk_size", innerChunkSize.toString)
-      .option("rows_per_partition", chunkSize.toString)
-      .save(dstPath)
+    if (geom.ndim == 1) {
+      // the source scan partitions at the OLD chunk granularity; re-align
+      // to the new chunk size so the writer's aligned fast path applies
+      // (one write task per new-layout partition, order preserved)
+      graft.sources.ZarrWriteSupport.alignForWrite(df, chunkSize)
+        .write.format("zarr").mode("append")
+        .option("chunk_size", chunkSize.toString)
+        .option("inner_chunk_size", innerChunkSize.toString)
+        .option("rows_per_partition", chunkSize.toString)
+        .save(dstPath)
+    } else {
+      // cube path: every dim needs a coordinate array — rows are the
+      // only transport between the stores, and only a coordinate column
+      // can re-rank a dim's positions in the destination grid
+      val coordNames = (0 until geom.ndim).map { d =>
+        geom.roles.collectFirst { case CoordCol(m, `d`) => m.name }.getOrElse(
+          throw new ZarrException(
+            s"compact: N-D store at $srcPath has no coordinate array for " +
+              s"dimension $d; cube compaction rebuilds positions from coordinates"))
+      }
+      graft.sources.ZarrCubeWrite.write(
+        df, dstPath, coordNames,
+        if (chunkShapeNd.nonEmpty) Some(chunkShapeNd) else None,
+        codec = "blosc", stats = true, truncate = false)
+    }
     val conf = spark.sessionState.newHadoopConf()
     (countChunkObjects(srcPath, conf), countChunkObjects(dstPath, conf))
   }
 
-  /** N-D stores must be refused by [[compact]], not silently flattened:
-    * the DSv2 writer produces a 1-D TABULAR store, so compacting a
-    * lat/lon grid would (a) demote coordinates to full broadcast
-    * columns, losing the array/coordinate model, and (b) emit rows in
-    * CHUNK-major scan order, violating compact's value-AND-order-
-    * identical contract (row-major flattening and chunk enumeration
-    * disagree for ndim > 1; a probe showed 0,1,2,8,9,... row order).
-    * A named method, deliberately: as a bare `{ ... }` block after the
-    * destination check's `throw new ZarrException(...)` the parser
-    * glues the block on as an anonymous-subclass BODY and the guard
-    * never executes — the exact silent-skip this guard exists to
-    * prevent. */
-  private def requireTabular(spark: SparkSession, srcPath: String): Unit = {
+  /** Resolve the source store's scan geometry (the same consistency
+    * rules every scan applies); dispatches [[compact]] between the 1-D
+    * tabular path and the N-D cube path. A named method, deliberately:
+    * as a bare `{ ... }` block after the destination check's
+    * `throw new ZarrException(...)` the parser glues the block on as an
+    * anonymous-subclass BODY and the code never executes. */
+  private def sourceGeometry(spark: SparkSession, srcPath: String): ScanGeometry = {
     import scala.jdk.CollectionConverters._
     val pairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toSeq
     val srcStore = ZarrStore(srcPath, pairs)
     val metas = srcStore.listArrays().map(srcStore.readMeta)
-    val g = ScanGeometry.resolve(metas)
-    if (g.ndim != 1)
-      throw new ZarrException(
-        s"compact: store at $srcPath is ${g.ndim}-D; compaction rewrites " +
-          "1-D tabular stores only (an N-D grid would be flattened to a " +
-          "table in chunk order, losing the array/coordinate model)")
+    ScanGeometry.resolve(metas)
   }
 
   /** Stored chunk objects across all columns (files under each array's

@@ -1,0 +1,208 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** N-D cube write (`dims` option): relational rows → coordinate + data
+  * arrays — the write half of the reference's flagship lat/lon shape
+  * (`table_provider.rs:417-423`). Roundtrips pin value equality on cubes
+  * with EDGE CHUNKS ON EVERY DIMENSION; refusal tests pin the loud-not-
+  * silent contract for ragged/duplicate/NULL grids; stats tests pin that
+  * a cube write lands with the full grid-signed sidecar (zero-GET
+  * metadata aggregates, chunk-skip) exactly like `analyze` would build. */
+class ZarrCubeWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zarr-cube-write-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.graftstat.impl", classOf[RecordingFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-cube").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Dense 4×5×7 climate-shaped frame: time (epoch-ns long), lat, lon
+    * doubles, temp = 1000t + 10i + j, n = cell ordinal. Shuffled row
+    * order (the writer must not rely on input order). */
+  private def climateDf(): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    val rows = for (t <- 0 until 4; i <- 0 until 5; j <- 0 until 7) yield (
+      t0 + t * day, 38.0 + 0.5 * i, -117.0 + 0.25 * j,
+      1000.0 * t + 10.0 * i + j, (t * 35 + i * 7 + j).toLong)
+    scala.util.Random.shuffle(rows).toDF("time", "lat", "lon", "temp", "n")
+      .repartition(4)
+  }
+
+  test("3-D roundtrip with edge chunks on every dim; values and coordinates exact") {
+    val path = s"$base/climate"
+    climateDf().write.format("zarr").mode("append")
+      .option("dims", "time,lat,lon").option("chunk_shape", "3,2,4")
+      .save(path)
+    val back = spark.read.format("zarr").load(path)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("lat", "lon", "n", "temp", "time"))
+    assert(back.count() == 140)
+    val exp = climateDf().select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val got = back.select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == exp)
+    // store shape: 1-D coordinate arrays + 3-D data arrays
+    val store = ZarrStore(path, Nil)
+    val metas = store.listArrays().map(store.readMeta).map(m => m.name -> m).toMap
+    assert(metas("time").ndim == 1 && metas("time").isCoordinate)
+    assert(metas("lat").ndim == 1 && metas("lon").ndim == 1)
+    assert(metas("temp").ndim == 3)
+    assert(metas("temp").shape.toSeq == Seq(4L, 5L, 7L))
+    assert(metas("temp").chunkShape.toSeq == Seq(3, 2, 4))
+    assert(metas("temp").dimensionNames.contains(Seq("time", "lat", "lon")))
+    assert(metas("n").ndim == 3)
+  }
+
+  test("pushed coordinate predicate prunes cube chunks (write-time sidecar, zero extra IO)") {
+    val path = s"graftstat://$base/climate_stat"
+    climateDf().write.format("zarr").mode("append")
+      .option("dims", "time,lat,lon").option("chunk_shape", "1,2,4")
+      .save(path)
+    val df = spark.read.format("zarr").load(path)
+    // metadata-only aggregates answer with ZERO chunk GETs
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(count(lit(1)).as("cnt"), min("temp"), max("temp"),
+      min("time"), max("time"), sum("n")).collect()(0)
+    assert(r.getLong(0) == 140L)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 3046.0)
+    assert(r.getLong(5) == (0 until 140).map(_.toLong).sum)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/climate_stat/(time|lat|lon|temp|n)/c/.*"))
+    assert(chunkOpens.isEmpty, s"metadata-only agg read chunks: ${chunkOpens.mkString(", ")}")
+    // time-slab predicate reads only the matching slab's data chunks
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    RecordingFileSystem.opened.clear()
+    val slab = df.filter(col("time") >= t0 + 3 * day)
+      .agg(sum("n").as("s")).collect()(0).getLong(0)
+    assert(slab == (105 until 140).map(_.toLong).sum)
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/climate_stat/(temp|n)/c/.*")).distinct
+    // grid is 4×3×2 = 24 chunks; the t=3 slab is 6 of them, 2 data cols
+    assert(dataOpens.length <= 12, s"slab scan read ${dataOpens.length}: ${dataOpens.mkString(", ")}")
+  }
+
+  test("2-D and 1-D cubes roundtrip") {
+    val sp = spark; import sp.implicits._
+    val df2 = (for (i <- 0 until 8; j <- 0 until 8)
+      yield (38.0 + 0.1 * i, -117.0 + 0.1 * j, (i * 8 + j).toDouble))
+      .toDF("lat", "lon", "data")
+    df2.write.format("zarr").mode("append").option("dims", "lat,lon")
+      .option("chunk_shape", "3,3").save(s"$base/latlon")
+    val back2 = spark.read.format("zarr").load(s"$base/latlon")
+    assert(back2.count() == 64)
+    assert(back2.agg(sum("data")).collect()(0).getDouble(0) == (0 until 64).sum.toDouble)
+    // the reference's own fixture shape: lat/lon coords chunk 3, data 8×8 chunk 3×3
+    val m = ZarrStore(s"$base/latlon", Nil).readMeta("data")
+    assert(m.ndim == 2 && m.chunkShape.toSeq == Seq(3, 3))
+
+    val df1 = (0 until 10).map(i => (i.toLong * 100, s"v$i")).toDF("t", "label")
+    df1.write.format("zarr").mode("append").option("dims", "t").option("chunk_shape", "4")
+      .save(s"$base/one")
+    val back1 = spark.read.format("zarr").load(s"$base/one")
+    assert(back1.orderBy("t").select("label").as[String].collect().toSeq ==
+      (0 until 10).map(i => s"v$i"))
+  }
+
+  test("string coordinate axis sorts and roundtrips") {
+    val sp = spark; import sp.implicits._
+    val df = (for (s <- Seq("alpha", "beta", "gamma"); k <- 0 until 4)
+      yield (s, k.toLong, s.length.toLong * 10 + k)).toDF("src", "k", "v")
+    df.write.format("zarr").mode("append").option("dims", "src,k").save(s"$base/strcoord")
+    val back = spark.read.format("zarr").load(s"$base/strcoord")
+    assert(back.count() == 12)
+    assert(back.filter(col("src") === "beta").agg(sum("v")).collect()(0).getLong(0)
+      == (40L + 41 + 42 + 43))
+  }
+
+  test("refusals: duplicates, ragged grid, NULL coordinate, no data cols, bad dims") {
+    val sp = spark; import sp.implicits._
+    val dup = Seq((1L, 1.0, 10.0), (1L, 1.0, 11.0), (1L, 2.0, 12.0), (2L, 1.0, 13.0))
+      .toDF("t", "x", "v")
+    val e1 = intercept[ZarrException] {
+      dup.write.format("zarr").mode("append").option("dims", "t,x").save(s"$base/dup")
+    }
+    assert(e1.getMessage.contains("duplicate coordinate tuples"), e1.getMessage)
+
+    val ragged = Seq((1L, 1.0, 10.0), (1L, 2.0, 11.0), (2L, 1.0, 12.0))
+      .toDF("t", "x", "v")
+    val e2 = intercept[ZarrException] {
+      ragged.write.format("zarr").mode("append").option("dims", "t,x").save(s"$base/ragged")
+    }
+    assert(e2.getMessage.contains("not dense"), e2.getMessage)
+
+    val nullCoord = Seq((Some(1L), 1.0), (None, 2.0)).toDF("t", "v")
+    val e3 = intercept[ZarrException] {
+      nullCoord.write.format("zarr").mode("append").option("dims", "t").save(s"$base/nullc")
+    }
+    assert(e3.getMessage.contains("NULL"), e3.getMessage)
+
+    val noData = Seq((1L, 2.0)).toDF("t", "x")
+    val e4 = intercept[ZarrException] {
+      noData.write.format("zarr").mode("append").option("dims", "t,x").save(s"$base/nodata")
+    }
+    assert(e4.getMessage.contains("at least one non-dim data column"), e4.getMessage)
+
+    val e5 = intercept[ZarrException] {
+      Seq((1L, 2.0)).toDF("t", "v").write.format("zarr").mode("append")
+        .option("dims", "t,missing").save(s"$base/baddim")
+    }
+    assert(e5.getMessage.contains("missing"), e5.getMessage)
+    // a refused write must not leave a half-store behind
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/dup/zarr.json")))
+  }
+
+  test("fresh-only: existing store refused without overwrite; overwrite replaces") {
+    val sp = spark; import sp.implicits._
+    val df = (for (t <- 0 until 3; x <- 0 until 3)
+      yield (t.toLong, x.toDouble, (t * 3 + x).toLong)).toDF("t", "x", "v")
+    df.write.format("zarr").mode("append").option("dims", "t,x").save(s"$base/fresh")
+    val e = intercept[Exception] {
+      df.write.format("zarr").mode("append").option("dims", "t,x").save(s"$base/fresh")
+    }
+    assert(e.getMessage.contains("FRESH"), e.getMessage)
+    val df2 = (for (t <- 0 until 2; x <- 0 until 2)
+      yield (t.toLong, x.toDouble, (100 + t * 2 + x).toLong)).toDF("t", "x", "v")
+    df2.write.format("zarr").mode("overwrite").option("dims", "t,x").save(s"$base/fresh")
+    val back = spark.read.format("zarr").load(s"$base/fresh")
+    assert(back.count() == 4)
+    assert(back.agg(min("v")).collect()(0).getLong(0) == 100L)
+  }
+
+  test("NULL in a data cell is refused loudly") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((0L, Some(1.0)), (1L, None)).toDF("t", "v")
+    val e = intercept[Exception] {
+      df.write.format("zarr").mode("append").option("dims", "t").save(s"$base/nulldata")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
+  test("default chunk shape halves the largest extent to <= 2^18 elements") {
+    assert(ZarrCubeWrite_defaultChunk(Seq(4L, 5L, 7L)) == Seq(4, 5, 7))
+    val big = ZarrCubeWrite_defaultChunk(Seq(4000L, 2000L, 100L))
+    assert(big.map(_.toLong).product <= (1L << 18), big)
+    assert(big.forall(_ >= 1))
+  }
+  private def ZarrCubeWrite_defaultChunk(s: Seq[Long]) =
+    graft.sources.ZarrCubeWrite.defaultChunkShape(s)
+}

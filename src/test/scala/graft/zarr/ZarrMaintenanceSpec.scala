@@ -70,18 +70,55 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a refused re-run must leave the destination untouched")
   }
 
-  test("compact refuses N-D stores — flattening would lose the array model and row order") {
+  test("compact N-D: cube → cube, value- and order-identical, re-chunked") {
+    // round 11 REFUSED N-D outright (an unguarded run flattened the 2-D
+    // grid to chunk-order rows); round 12's cube writer gives N-D its
+    // migration path: scan → dense rows → ZarrCubeWrite re-ranks them
     val base = Files.createTempDirectory("zarr-compact-nd").toString
     val store = ZarrStore(s"$base/src")
     ZarrWriter.writeLatLonStore(store)
+    ZarrMaintenance.compact(spark, s"$base/src", s"$base/dst",
+      chunkShapeNd = Seq(4, 4))
+    val a = spark.read.format("zarr").load(s"$base/src")
+      .select("lat", "lon", "data").collect()
+    val b = spark.read.format("zarr").load(s"$base/dst")
+      .select("lat", "lon", "data").collect()
+    assert(a.length == 64 && b.length == 64)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "compacted cube must be value- and order-identical")
+    val dstStore = ZarrStore(s"$base/dst")
+    val m = dstStore.readMeta("data")
+    assert(m.ndim == 2 && m.chunkShape.toSeq == Seq(4, 4))
+    assert(dstStore.readMeta("lat").isCoordinate)
+  }
+
+  test("compact N-D: v2 climate cube migrates to a v3 cube (datetime64 → raw int64)") {
+    val fixture = new java.io.File("src/test/resources/zarr_v2_climate")
+    assume(fixture.isDirectory, "fixture store present")
+    val base = Files.createTempDirectory("zarr-compact-v2nd").toString
+    ZarrMaintenance.compact(spark, fixture.getPath, s"$base/dst")
+    val a = spark.read.format("zarr").load(fixture.getPath)
+      .select("time", "lat", "lon", "temp").collect()
+    val b = spark.read.format("zarr").load(s"$base/dst")
+      .select("time", "lat", "lon", "temp").collect()
+    assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // the dst is v3: its metadata parses as format 3 with 3-D data
+    val m = ZarrStore(s"$base/dst").readMeta("temp")
+    assert(m.formatVersion == 3 && m.ndim == 3)
+  }
+
+  test("compact N-D refuses a dim without a coordinate array") {
+    val base = Files.createTempDirectory("zarr-compact-nocoord").toString
+    val store = ZarrStore(s"$base/src")
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "lat", ZarrType.Float64, Seq(8), Seq(3),
+      (0 until 8).map(i => 38.0 + i * 0.1), Some(Seq("lat")))
+    ZarrWriter.writeArray(store, "data", ZarrType.Float64, Seq(8, 8), Seq(3, 3),
+      (0 until 64).map(_.toDouble), Some(Seq("lat", "lon")))
     val e = intercept[ZarrException] {
       ZarrMaintenance.compact(spark, s"$base/src", s"$base/dst")
     }
-    // the probe that motivated this guard: an unguarded compact emitted
-    // the 2-D grid as a 1-D table in CHUNK-major order (0,1,2,8,9,...),
-    // silently breaking the value-AND-order-identical contract
-    assert(e.getMessage.contains("2-D") && e.getMessage.contains("tabular"),
-      e.getMessage)
+    assert(e.getMessage.contains("no coordinate array"), e.getMessage)
   }
 
   test("compact resets an accumulated chunk manifest to zero parts") {
