@@ -110,15 +110,42 @@ object ZarrCubeWrite {
 
     // fresh-store-only: a cube's shape is a global property of one
     // dataset; "appending" would need coordinate re-alignment — refuse
-    // rather than guess (the 1-D tabular path owns append)
+    // rather than guess (the 1-D tabular path owns append). The gate
+    // also decides the FAILURE-CLEANUP scope: we may only delete the
+    // root wholesale if this write created it (or the caller asked for
+    // overwrite) — a mistyped path pointing at a user's existing
+    // directory must never be wiped by a validation refusal.
+    val hconf = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      hadoopPairs.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val rootHPath = new org.apache.hadoop.fs.Path(path)
+    val rootFs = rootHPath.getFileSystem(hconf)
+    val rootExisted = rootFs.exists(rootHPath)
     if (truncate) store.delete()
-    else {
-      val existing = try store.listArrays() catch { case _: ZarrException => Seq.empty }
-      if (existing.nonEmpty)
+    else if (rootExisted) {
+      val entries = rootFs.listStatus(rootHPath).toSeq
+      val arrays = entries.filter(st => st.isDirectory &&
+        (rootFs.exists(new org.apache.hadoop.fs.Path(st.getPath, "zarr.json")) ||
+          rootFs.exists(new org.apache.hadoop.fs.Path(st.getPath, ".zarray"))))
+        .map(_.getPath.getName).sorted
+      if (arrays.nonEmpty)
         throw new ZarrException(
           s"cube write targets a FRESH store but $path already holds arrays " +
-            s"(${existing.mkString(",")}); use mode('overwrite') to replace it")
+            s"(${arrays.mkString(",")}); use mode('overwrite') to replace it")
+      if (entries.nonEmpty)
+        throw new ZarrException(
+          s"cube write target $path is an existing non-empty directory that " +
+            "is not a zarr store (refusing to write into — and potentially " +
+            "clean up over — unrelated files); point at a fresh path or use " +
+            "mode('overwrite') on a zarr store")
     }
+    // cleanup scope decided ABOVE any store IO: wholesale root delete only
+    // when we created or (on explicit overwrite) truncated it; a
+    // pre-existing EMPTY directory keeps its entry — only this write's
+    // contents inside it are removed
+    val ownRoot = truncate || !rootExisted
 
     try {
       // ---- coordinate axes: global sorted distincts (axis-sized) ----
@@ -188,14 +215,26 @@ object ZarrCubeWrite {
       // ---- per-array metadata documents (the writers derive codec
       //      chain / separator / element type from these; the commit
       //      persists these exact documents) ----
+      // a column scanned from a v2 datetime64/timedelta64 array carries
+      // zarr_time_kind/zarr_time_unit Spark field metadata — thread it
+      // into the destination's v3 attributes so a migrated time axis
+      // stays an ANNOTATED int64, not an anonymous one
+      def timeMetaOf(name: String): Option[(String, String)] = {
+        val md = fieldByName(name).metadata
+        if (md.contains("zarr_time_kind") && md.contains("zarr_time_unit"))
+          Some((md.getString("zarr_time_kind"), md.getString("zarr_time_unit")))
+        else None
+      }
       val dataMetaJsons: Seq[(String, String)] = dataCols.zip(dataZts).map { case (f, zt) =>
         f.name -> ZarrWriter.metaJson(zt, shape, chunkShape,
-          ZarrBatchWrite.defaultFillJson(zt), Some(dims), chain)
+          ZarrBatchWrite.defaultFillJson(zt), Some(dims), chain,
+          timeMeta = timeMetaOf(f.name))
       }
       val coordMetaJsons: Seq[(String, String)] = dims.zip(dimZts).zipWithIndex.map {
         case ((d, zt), i) =>
           d -> ZarrWriter.metaJson(zt, Seq(shape(i)), Seq(chunkShape(i)),
-            ZarrBatchWrite.defaultFillJson(zt), Some(Seq(d)), chain)
+            ZarrBatchWrite.defaultFillJson(zt), Some(Seq(d)), chain,
+            timeMeta = timeMetaOf(d))
       }
 
       // ---- attach grid indices via per-dim BROADCAST joins ----
@@ -269,17 +308,24 @@ object ZarrCubeWrite {
       dims.zipWithIndex.foreach { case (d, i) =>
         ZarrWriter.writeArray(store, d, dimZts(i), Seq(shape(i)), Seq(chunkShape(i)),
           axes(i).toIndexedSeq, Some(Seq(d)), chain,
-          ZarrBatchWrite.defaultFillJson(dimZts(i)))
+          ZarrBatchWrite.defaultFillJson(dimZts(i)),
+          timeMeta = timeMetaOf(d))
       }
       dataMetaJsons.foreach { case (n, j) => store.writeMeta(n, j) }
       val allJsons = coordMetaJsons ++ dataMetaJsons
       store.writeStoreRootMeta(allJsons, ChunkManifest.empty)
     } catch {
       case e: Throwable =>
-        // cube writes are fresh-only: anything in the store is this
-        // write's partial output — remove it rather than leave a
-        // rootless half-store
-        try store.delete() catch { case _: Throwable => () }
+        // cube writes are fresh-only, so everything under the root is
+        // this write's partial output — but the DELETION scope follows
+        // ownership: wholesale root delete only if we created/truncated
+        // the root; for a pre-existing (verified-empty) directory remove
+        // the contents and keep the user's directory entry
+        try {
+          if (ownRoot) store.delete()
+          else if (rootFs.exists(rootHPath))
+            rootFs.listStatus(rootHPath).foreach(st => rootFs.delete(st.getPath, true))
+        } catch { case _: Throwable => () }
         throw e
     }
   }

@@ -110,10 +110,11 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
     Option(info.options.get("dims")).map(ZarrCubeWrite.parseDims) match {
       case Some(dims) =>
         if (info.options.containsKey("rows_per_partition") ||
-          info.options.containsKey("inner_chunk_size"))
+          info.options.containsKey("inner_chunk_size") ||
+          info.options.containsKey("chunk_size"))
           throw new ZarrException(
             "cube writes (dims option) do not take rows_per_partition/" +
-              "inner_chunk_size; chunking is set via chunk_shape")
+              "inner_chunk_size/chunk_size; chunking is set via chunk_shape")
         val chunkShape = Option(info.options.get("chunk_shape"))
           .map(_.split(",").map(_.trim.toInt).toSeq)
         val codec = Option(info.options.get("codec")).getOrElse("blosc")

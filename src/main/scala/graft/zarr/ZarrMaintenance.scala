@@ -35,15 +35,19 @@ object ZarrMaintenance {
     * chunked scan flattens the grid to coordinate+data rows — exactly
     * the dense cross product ZarrCubeWrite requires by construction on
     * any coherent store — and the cube writer re-chunks it at
-    * `chunkShapeNd` (or its default sizing). Both paths preserve values
-    * AND row order (the dst cube enumerates the same row-major coord
-    * order the src scan produced), and both serve as the v2→v3
-    * migration: a v2 climate cube compacts into a v3 cube store. One
-    * deliberate narrowing: v2 `datetime64` columns ride through as the
-    * raw int64 the scan surfaces (values exact, NaT = Long.MinValue);
-    * the v3 dst has no datetime dtype so the unit annotation lives only
-    * in the field metadata of the ORIGINAL store — record keeping, not
-    * data loss. N-D dims without a coordinate array are refused: rows
+    * `chunkShapeNd` (or its default sizing). The 1-D path preserves
+    * values AND row order (aligned append commits in partition order);
+    * the N-D contract is PER-COORDINATE VALUE IDENTITY: a chunked scan
+    * enumerates chunk-major order of its own grid, so a re-chunked
+    * destination legitimately emits a different permutation of the same
+    * tuples. Both serve as the v2→v3
+    * migration: a v2 climate cube compacts into a v3 cube store. v2
+    * `datetime64` columns ride through as the raw int64 the scan
+    * surfaces (values exact, NaT = Long.MinValue), and the kind/unit
+    * annotation survives: the scan's `zarr_time_kind`/`zarr_time_unit`
+    * field metadata is written as v3 array ATTRIBUTES on the
+    * destination and surfaces identically on re-read.
+    * N-D dims without a coordinate array are refused: rows
     * are the only transport between the stores, and only a coordinate
     * column can re-rank a dim's positions. */
   def compact(
@@ -52,7 +56,8 @@ object ZarrMaintenance {
       dstPath: String,
       chunkSize: Int = 65536,
       innerChunkSize: Int = 8192,
-      chunkShapeNd: Seq[Int] = Nil): (Long, Long) = {
+      chunkShapeNd: Seq[Int] = Nil,
+      codec: String = ""): (Long, Long) = {
     // refuse a non-empty destination: the write below uses append
     // semantics, so a re-run (orchestrator retry, ambiguous failure)
     // against an existing dst would silently append a SECOND full copy
@@ -66,7 +71,17 @@ object ZarrMaintenance {
         s"compact destination $dstPath already holds arrays; compaction " +
           "writes a FRESH store — delete the destination (a prior/partial " +
           "run) and re-run")
-    val geom = sourceGeometry(spark, srcPath)
+    val (geom, srcStore, srcMetas) = sourceGeometry(spark, srcPath)
+    // codec: explicit parameter wins; otherwise mirror the SOURCE store's
+    // compression (a gzip or uncompressed source must not silently become
+    // blosc — r12 ADVICE). Derivation looks at the bytes→bytes stage of
+    // the first data array's chain; unknown/none → "none".
+    val dstCodec =
+      if (codec.nonEmpty) codec
+      else {
+        val names = srcMetas.flatMap(_.codecs.map(_.name)).toSet
+        Seq("blosc", "zstd", "gzip").find(names.contains).getOrElse("none")
+      }
     val df = spark.read.format("zarr").load(srcPath)
     if (geom.ndim == 1) {
       // the source scan partitions at the OLD chunk granularity; re-align
@@ -77,6 +92,7 @@ object ZarrMaintenance {
         .option("chunk_size", chunkSize.toString)
         .option("inner_chunk_size", innerChunkSize.toString)
         .option("rows_per_partition", chunkSize.toString)
+        .option("codec", dstCodec)
         .save(dstPath)
     } else {
       // cube path: every dim needs a coordinate array — rows are the
@@ -88,10 +104,19 @@ object ZarrMaintenance {
             s"compact: N-D store at $srcPath has no coordinate array for " +
               s"dimension $d; cube compaction rebuilds positions from coordinates"))
       }
+      // the cube writer rebuilds every axis as a sorted-ASCENDING
+      // distinct; a descending or unsorted source axis (descending
+      // latitude is the norm in real climate datasets) would compact
+      // into a silently re-ordered store — axis direction, chunk
+      // layout and scan order all changed. Loud refusal, never guess.
+      coordNames.foreach { cn =>
+        val m = srcMetas.find(_.name == cn).get
+        requireAscendingAxis(srcStore, m, srcPath)
+      }
       graft.sources.ZarrCubeWrite.write(
         df, dstPath, coordNames,
         if (chunkShapeNd.nonEmpty) Some(chunkShapeNd) else None,
-        codec = "blosc", stats = true, truncate = false)
+        codec = dstCodec, stats = true, truncate = false)
     }
     val conf = spark.sessionState.newHadoopConf()
     (countChunkObjects(srcPath, conf), countChunkObjects(dstPath, conf))
@@ -103,14 +128,47 @@ object ZarrMaintenance {
     * as a bare `{ ... }` block after the destination check's
     * `throw new ZarrException(...)` the parser glues the block on as an
     * anonymous-subclass BODY and the code never executes. */
-  private def sourceGeometry(spark: SparkSession, srcPath: String): ScanGeometry = {
+  private def sourceGeometry(
+      spark: SparkSession,
+      srcPath: String): (ScanGeometry, ZarrStore, Seq[ZarrArrayMeta]) = {
     import scala.jdk.CollectionConverters._
     val pairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toSeq
     val srcStore = ZarrStore(srcPath, pairs)
     val metas = srcStore.listArrays().map(srcStore.readMeta)
-    ScanGeometry.resolve(metas)
+    (ScanGeometry.resolve(metas), srcStore, metas)
+  }
+
+  /** Driver-side check that a 1-D coordinate axis is strictly ascending —
+    * the order the cube writer will rebuild it in. Axis arrays are
+    * axis-sized (bounded by the cube writer's own max_axis_len), so a
+    * sequential decode is cheap relative to the compaction job. */
+  private def requireAscendingAxis(
+      store: ZarrStore, m: ZarrArrayMeta, srcPath: String): Unit = {
+    val n = m.shape(0)
+    val cs = m.chunkShape(0)
+    val numChunks = ((n + cs - 1) / cs).toInt
+    var prev: Any = null
+    var pos = 0L
+    (0 until numChunks).foreach { ci =>
+      val col = ChunkColumn.decode(m, store.readChunk(m.name, m.chunkKey(Array(ci))))
+      val extent = math.min(cs.toLong, n - ci.toLong * cs).toInt
+      var e = 0
+      while (e < extent) {
+        val v = col.get(e)
+        if (prev != null && ChunkFilter.cmp(v, prev) <= 0)
+          throw new ZarrException(
+            s"compact: coordinate axis '${m.name}' of N-D store $srcPath is " +
+              s"not strictly ascending at position $pos; the cube writer " +
+              "rebuilds axes sorted ascending, which would silently re-order " +
+              "this store's axis direction and chunk layout — re-order the " +
+              "source (or write the cube directly) instead")
+        prev = v
+        pos += 1
+        e += 1
+      }
+    }
   }
 
   /** Stored chunk objects across all columns (files under each array's

@@ -242,7 +242,22 @@ object ZarrMeta {
           s"Unsupported storage transformer '$n' for $arrayName")
     }
 
-    ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs, dimNames, json)
+    // v3 has no datetime dtype; this engine records a migrated v2
+    // datetime64/timedelta64 axis's kind/unit as array ATTRIBUTES
+    // (ZarrWriter.metaJson) so the annotation survives cube write /
+    // compact. Surface them exactly like parseV2 does — only meaningful
+    // on the int64 representation.
+    val timeMeta = {
+      val at = root.path("attributes")
+      val k = at.path("zarr_time_kind")
+      val u = at.path("zarr_time_unit")
+      if (dtype == ZarrType.Int64 && k.isTextual && u.isTextual)
+        Some((k.asText(), u.asText()))
+      else None
+    }
+
+    ZarrArrayMeta(arrayName, shape, dtype, chunkShape, sep, fill, codecs, dimNames, json,
+      timeMeta = timeMeta)
   }
 
   /** Zarr v2 `.zarray` metadata, translated into the v3-shaped internal

@@ -48,7 +48,8 @@ object ZarrWriter {
       fillJson: String,
       dimensionNames: Option[Seq[String]],
       chain: CodecChain,
-      separator: String = "/"): String = {
+      separator: String = "/",
+      timeMeta: Option[(String, String)] = None): String = {
     val arrayBytesCodec =
       if (dtype == ZarrType.Str) """{"name":"vlen-utf8"}"""
       else """{"name":"bytes","configuration":{"endian":"little"}}"""
@@ -70,6 +71,13 @@ object ZarrWriter {
     val dims = dimensionNames
       .map(ns => s""","dimension_names":[${ns.map(n => s""""$n"""").mkString(",")}]""")
       .getOrElse("")
+    // a migrated v2 datetime64/timedelta64 axis keeps its kind/unit as
+    // v3 attributes — the annotation a downstream xarray-style reader
+    // needs to re-interpret the raw int64 counts (ZarrMeta.parse
+    // surfaces them back as timeMeta)
+    val attrs = timeMeta.map { case (k, u) =>
+      s""","attributes":{"zarr_time_kind":"$k","zarr_time_unit":"$u"}"""
+    }.getOrElse("")
     s"""{
        |  "zarr_format": 3,
        |  "node_type": "array",
@@ -78,7 +86,7 @@ object ZarrWriter {
        |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunkShape.mkString(",")}]}},
        |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "$separator"}},
        |  "fill_value": $fillJson,
-       |  "codecs": [$codecs]$dims
+       |  "codecs": [$codecs]$dims$attrs
        |}""".stripMargin
   }
 
@@ -96,11 +104,12 @@ object ZarrWriter {
       chain: CodecChain = CodecChain.bloscLz4,
       fillJson: String = "0.0",
       skipChunks: Set[Seq[Int]] = Set.empty,
-      separator: String = "/"): Unit = {
+      separator: String = "/",
+      timeMeta: Option[(String, String)] = None): Unit = {
     require(values.length == shape.product,
       s"values ${values.length} != shape ${shape.product}")
     val meta = ZarrMeta.parse(name,
-      metaJson(dtype, shape, chunkShape, fillJson, dimensionNames, chain, separator))
+      metaJson(dtype, shape, chunkShape, fillJson, dimensionNames, chain, separator, timeMeta))
     store.writeMeta(name, meta.sourceJson)
 
     val ndim = shape.length

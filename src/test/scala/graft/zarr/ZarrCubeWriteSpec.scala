@@ -167,6 +167,14 @@ class ZarrCubeWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("dims", "t,missing").save(s"$base/baddim")
     }
     assert(e5.getMessage.contains("missing"), e5.getMessage)
+
+    // tabular chunking options don't apply to cubes — including chunk_size,
+    // the one a user most likely carries over from a 1-D write
+    val e6 = intercept[ZarrException] {
+      Seq((1L, 2.0)).toDF("t", "v").write.format("zarr").mode("append")
+        .option("dims", "t").option("chunk_size", "64").save(s"$base/chunksz")
+    }
+    assert(e6.getMessage.contains("chunk_shape"), e6.getMessage)
     // a refused write must not leave a half-store behind
     assert(!Files.exists(java.nio.file.Paths.get(s"$base/dup/zarr.json")))
   }
@@ -186,6 +194,41 @@ class ZarrCubeWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = spark.read.format("zarr").load(s"$base/fresh")
     assert(back.count() == 4)
     assert(back.agg(min("v")).collect()(0).getLong(0) == 100L)
+  }
+
+  test("existing non-empty non-zarr directory is refused and left untouched") {
+    // the r12 ADVICE safety break: a mistyped path at a directory of
+    // unrelated user files must not pass the fresh gate and then be
+    // recursively deleted by the failure cleanup of a common refusal
+    val sp = spark; import sp.implicits._
+    val victim = s"$base/victim"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(victim))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$victim/precious.txt"),
+      "do not delete".getBytes)
+    // duplicate tuples — the exact "designed-to-be-common" refusal shape
+    val dup = Seq((1L, 10.0), (1L, 11.0), (2L, 12.0)).toDF("t", "v")
+    val e = intercept[Exception] {
+      dup.write.format("zarr").mode("append").option("dims", "t").save(victim)
+    }
+    assert(e.getMessage.contains("non-empty directory"), e.getMessage)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$victim/precious.txt"))) == "do not delete",
+      "pre-existing user file must survive a refused cube write")
+  }
+
+  test("validation failure into a pre-existing EMPTY dir keeps the directory entry") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$base/preexisting_empty"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dup = Seq((1L, 10.0), (1L, 11.0), (2L, 12.0)).toDF("t", "v")
+    intercept[Exception] {
+      dup.write.format("zarr").mode("append").option("dims", "t").save(dir)
+    }
+    val p = java.nio.file.Paths.get(dir)
+    assert(java.nio.file.Files.isDirectory(p),
+      "a pre-existing empty directory must keep its entry after cleanup")
+    assert(!java.nio.file.Files.list(p).iterator().hasNext,
+      "cleanup must remove only this write's partial output")
   }
 
   test("NULL in a data cell is refused loudly") {

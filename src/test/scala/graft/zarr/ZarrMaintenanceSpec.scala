@@ -70,22 +70,26 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a refused re-run must leave the destination untouched")
   }
 
-  test("compact N-D: cube → cube, value- and order-identical, re-chunked") {
+  test("compact N-D: cube → cube, per-coordinate value identity, re-chunked") {
     // round 11 REFUSED N-D outright (an unguarded run flattened the 2-D
     // grid to chunk-order rows); round 12's cube writer gives N-D its
-    // migration path: scan → dense rows → ZarrCubeWrite re-ranks them
+    // migration path: scan → dense rows → ZarrCubeWrite re-ranks them.
+    // The N-D contract is PER-COORDINATE VALUE IDENTITY, not scan order:
+    // a chunked scan enumerates chunk-major order of its OWN grid, so a
+    // re-chunked destination (3×3 → 4×4) legitimately enumerates a
+    // different permutation of the same tuples — compare orderBy(dims).
     val base = Files.createTempDirectory("zarr-compact-nd").toString
     val store = ZarrStore(s"$base/src")
     ZarrWriter.writeLatLonStore(store)
     ZarrMaintenance.compact(spark, s"$base/src", s"$base/dst",
       chunkShapeNd = Seq(4, 4))
     val a = spark.read.format("zarr").load(s"$base/src")
-      .select("lat", "lon", "data").collect()
+      .select("lat", "lon", "data").orderBy("lat", "lon").collect()
     val b = spark.read.format("zarr").load(s"$base/dst")
-      .select("lat", "lon", "data").collect()
+      .select("lat", "lon", "data").orderBy("lat", "lon").collect()
     assert(a.length == 64 && b.length == 64)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
-      "compacted cube must be value- and order-identical")
+      "compacted cube must hold identical values at every coordinate")
     val dstStore = ZarrStore(s"$base/dst")
     val m = dstStore.readMeta("data")
     assert(m.ndim == 2 && m.chunkShape.toSeq == Seq(4, 4))
@@ -97,14 +101,63 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(fixture.isDirectory, "fixture store present")
     val base = Files.createTempDirectory("zarr-compact-v2nd").toString
     ZarrMaintenance.compact(spark, fixture.getPath, s"$base/dst")
+    // per-coordinate value identity (re-chunking permutes scan order)
     val a = spark.read.format("zarr").load(fixture.getPath)
-      .select("time", "lat", "lon", "temp").collect()
+      .select("time", "lat", "lon", "temp").orderBy("time", "lat", "lon").collect()
     val b = spark.read.format("zarr").load(s"$base/dst")
-      .select("time", "lat", "lon", "temp").collect()
+      .select("time", "lat", "lon", "temp").orderBy("time", "lat", "lon").collect()
     assert(a.nonEmpty && a.map(_.toString).toSeq == b.map(_.toString).toSeq)
     // the dst is v3: its metadata parses as format 3 with 3-D data
-    val m = ZarrStore(s"$base/dst").readMeta("temp")
-    assert(m.formatVersion == 3 && m.ndim == 3)
+    val m = ZarrStore(s"$base/dst").readMeta("time")
+    assert(m.formatVersion == 3)
+    assert(ZarrStore(s"$base/dst").readMeta("temp").ndim == 3)
+    // the datetime64 kind/unit annotation survives the migration as v3
+    // attributes and surfaces on re-read exactly like parseV2 did
+    assert(m.timeMeta.contains(("datetime64", "ns")),
+      s"migrated time axis lost its datetime64 annotation: ${m.timeMeta}")
+    val timeField = spark.read.format("zarr").load(s"$base/dst")
+      .schema.fields.find(_.name == "time").get
+    assert(timeField.metadata.getString("zarr_time_kind") == "datetime64")
+    assert(timeField.metadata.getString("zarr_time_unit") == "ns")
+  }
+
+  test("compact N-D refuses a descending coordinate axis (silent re-order hazard)") {
+    // descending latitude is the norm in real climate stores; the cube
+    // writer rebuilds axes sorted ASCENDING, so compacting would silently
+    // flip the axis direction and chunk layout — must refuse loudly
+    val base = Files.createTempDirectory("zarr-compact-desc").toString
+    val store = ZarrStore(s"$base/src")
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "lat", ZarrType.Float64, Seq(8), Seq(3),
+      (0 until 8).map(i => 45.0 - i * 0.1), Some(Seq("lat")))
+    ZarrWriter.writeArray(store, "lon", ZarrType.Float64, Seq(8), Seq(3),
+      (0 until 8).map(i => -117.0 + i * 0.1), Some(Seq("lon")))
+    ZarrWriter.writeArray(store, "data", ZarrType.Float64, Seq(8, 8), Seq(3, 3),
+      (0 until 64).map(_.toDouble), Some(Seq("lat", "lon")))
+    val e = intercept[ZarrException] {
+      ZarrMaintenance.compact(spark, s"$base/src", s"$base/dst")
+    }
+    assert(e.getMessage.contains("not strictly ascending"), e.getMessage)
+  }
+
+  test("compact mirrors the source codec instead of forcing blosc") {
+    val base = Files.createTempDirectory("zarr-compact-codec").toString
+    val src = s"$base/src"
+    spark.range(0L, 64L).selectExpr("id", "cast(id as double) as x").coalesce(1)
+      .write.format("zarr").mode("append")
+      .option("chunk_size", "16").option("codec", "gzip").save(src)
+    ZarrMaintenance.compact(spark, src, s"$base/dst", chunkSize = 32, innerChunkSize = 16)
+    // 1-D compaction shards: the compression codec nests inside
+    // sharding_indexed's inner chain — assert on the metadata document
+    val dstJson = ZarrStore(s"$base/dst").readMeta("x").sourceJson
+    assert(dstJson.contains("gzip") && !dstJson.contains("blosc"),
+      s"dst codec chain must mirror the gzip source: $dstJson")
+    // N-D: a gzip-chained cube source compacts into a gzip cube
+    val srcNd = s"$base/srcnd"
+    ZarrWriter.writeLatLonStore(ZarrStore(srcNd), ZarrWriter.CodecChain.gzip)
+    ZarrMaintenance.compact(spark, srcNd, s"$base/dstnd", chunkShapeNd = Seq(4, 4))
+    val ndNames = ZarrStore(s"$base/dstnd").readMeta("data").codecs.map(_.name)
+    assert(ndNames.contains("gzip") && !ndNames.contains("blosc"), ndNames.toString)
   }
 
   test("compact N-D refuses a dim without a coordinate array") {
