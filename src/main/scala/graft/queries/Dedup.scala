@@ -524,6 +524,87 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- substring-span REMOVAL (round 13): q121 detects duplicated
+    //      20-gram spans; this pass REMOVES them — the act half of Lee
+    //      et al.'s suffix-array dedup, Spark-shaped. First-occurrence-
+    //      wins: for each distinct 20-gram the corpus-minimal
+    //      (doc_id, pos) occurrence is kept; every other occurrence
+    //      marks its 20-token span for removal. A token is dropped when
+    //      ANY removed span covers it; cleaned text = the surviving
+    //      tokens re-joined. Output: per-doc token counts + the cleaned
+    //      text's md5 (content-hashed, so a single misplaced token
+    //      breaks the gate).
+    //
+    //      100 TB shape: same gram-postings spine as q121 — occurrences
+    //      carry (gh, doc_id, pos) where gh is a 32-char md5 (grams
+    //      never ride a shuffle as 100+-byte strings); per-gram df and
+    //      the winning first occurrence come from ONE partial-agg'd
+    //      groupBy (min(struct) is map-side combinable — no Window, no
+    //      posting-list materialization); the join-back reuses the gh
+    //      exchange; span flags re-aggregate doc-locally; the final
+    //      token filter is a scan-local higher-order expression over
+    //      (text, spans) — the corpus never rides a pair join. ----
+    QueryDef.sql(
+      "q126_substring_removal",
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 19, 0))) AS pos, ws FROM d
+        |), occ AS (
+        |  SELECT doc_id, pos, array_to_string(ws[pos:pos+19], ' ') AS gram FROM g
+        |), marked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ
+        |), spans AS (
+        |  SELECT doc_id, pos AS s FROM marked WHERE rn > 1
+        |), tok AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS p, ws FROM d
+        |), tk AS (
+        |  SELECT t.doc_id, t.p, t.ws[t.p] AS w,
+        |    EXISTS (SELECT 1 FROM spans sp WHERE sp.doc_id = t.doc_id
+        |            AND sp.s <= t.p AND t.p <= sp.s + 19) AS rm
+        |  FROM tok t
+        |)
+        |SELECT d.doc_id,
+        |  len(d.ws)::BIGINT AS n_tokens,
+        |  coalesce(sum(CASE WHEN tk.rm THEN 1 ELSE 0 END), 0)::BIGINT AS removed_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN NOT tk.rm THEN tk.w END, ' ' ORDER BY tk.p), '')) AS clean_md5
+        |FROM d LEFT JOIN tk ON d.doc_id = tk.doc_id
+        |GROUP BY d.doc_id, len(d.ws)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // all gram OCCURRENCES with word positions (1-based); grams ride
+      // shuffles as md5 keys only
+      val occ = d.select(col("doc_id"),
+          posexplode(when(size(col("ws")) >= 20,
+            expr("transform(sequence(1, size(ws) - 19), i -> array_join(slice(ws, i, 20), ' '))"))
+            .otherwise(array())))
+        .withColumnRenamed("pos", "pos0")
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), md5(col("col")).as("gh"))
+      // per-gram df + corpus-minimal occurrence, ONE partial-agg'd
+      // groupBy (min over struct combines map-side — skew-safe where a
+      // Window would pin a boilerplate gram's postings in one task)
+      val stats = occ.groupBy("gh").agg(
+        count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("fst"))
+      val spans = occ.join(stats, "gh")
+        .filter(col("df") > 1 &&
+          !(col("doc_id") === col("fst.doc_id") && col("pos") === col("fst.pos")))
+        .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
+      d.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ws"),
+          coalesce(col("spans"), expr("array()").cast("array<int>")).as("spans"))
+        .withColumn("kept", expr(
+          "filter(transform(ws, (w, i) -> named_struct('w', w, 'p', i + 1)), " +
+            "x -> !exists(spans, sp -> sp <= x.p AND x.p <= sp + 19))"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tokens"),
+          md5(array_join(expr("transform(kept, x -> x.w)"), " ")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // ---- dedup observability (round 11): per-source duplication rate —
     //      the fraction of each source's documents with at least one
     //      VERIFIED near-duplicate (jaccard >= 0.5) anywhere in the

@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124
+    }) :+ q119 :+ q120 :+ q124 :+ q125
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -251,6 +251,82 @@ object ZarrRoundtrip {
       })
       .toDF("ds", "width", "height", "luma_e4")
       .orderBy("ds")
+  }
+
+  /** q125: the N-D CUBE WRITE under the oracle gate — the q99 pattern
+    * for the round-12 cube path. A dense source×bucket grid of document
+    * statistics is built from the sf parquet (densified with zero
+    * cells), written via `option("dims", "source,bucket")` — string +
+    * int coordinate axes, TWO 2-D data arrays, edge chunks on both
+    * dimensions — and read back through the DSv2 scan. The query
+    * returns EVERY cell, so a misplaced chunk, a mis-ranked coordinate,
+    * or a wrong edge-truncation breaks the row hash against the DuckDB
+    * closed form computed from the original parquet.
+    *
+    * Scale shape: the cube build is the writer's own pipeline (axis
+    * distincts, broadcast grid-index joins, ONE clustered shuffle,
+    * direct final-key chunk writes); the store is memoized per SF like
+    * q99's. The read-back is the chunked scan + a cell-count-bounded
+    * sort. */
+  private lazy val q125 = QueryDef.sql(
+    "q125_zarr_cube_write",
+    """WITH cells AS (
+      |  SELECT source, (doc_id % 8)::BIGINT AS bucket,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, b.range::BIGINT AS bucket
+      |  FROM (SELECT DISTINCT source FROM documents) s, range(8) b)
+      |SELECT g.source, g.bucket,
+      |  coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |  coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |FROM grid g LEFT JOIN cells c ON g.source = c.source AND g.bucket = c.bucket
+      |ORDER BY g.source, g.bucket""".stripMargin) { (s, dir) =>
+    val store = ensureCubeStore(s, dir)
+    s.read.format("zarr").load(store)
+      .select(col("source"), col("bucket"), col("n_docs"), col("sum_chars"))
+      .orderBy("source", "bucket")
+  }
+
+  /** Build the q125 cube store once per (dir, source size/mtime);
+    * bench/verify re-runs reuse it. Same memoize-and-rename discipline
+    * as [[ensureStore]]. */
+  private def ensureCubeStore(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cube|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = s"/tmp/graft_zarr_cube/$key/doc_cells"
+    if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) rm(storeDir)
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(Paths.get(store).getParent)
+      val docs = Tables.load(s, dir, "documents")
+      val cells = docs
+        .groupBy(col("source"), pmod(col("doc_id"), lit(8L)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      // densify: the cube layout requires the full cross product — zero
+      // cells for (source, bucket) combinations with no documents. Both
+      // grid sides are axis-sized (20 sources × 8 buckets).
+      val grid = docs.select(col("source")).distinct()
+        .crossJoin(s.range(8).select(col("id").as("bucket")))
+      val dense = grid.join(cells, Seq("source", "bucket"), "left")
+        .select(col("source"), col("bucket"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      dense.write.format("zarr").mode("append")
+        .option("dims", "source,bucket")
+        .option("chunk_shape", "6,5")
+        .save(build.getPath)
+      if (!build.renameTo(storeDir)) rm(build)
+    }
+    store
   }
 
   /** Locate a checked-in fixture store without assuming a container

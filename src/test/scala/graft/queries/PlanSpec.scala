@@ -438,6 +438,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Exchange hashpartitioning\\(gh".r.findAllIn(executed).length <= 2, executed)
   }
 
+  test("q126: substring removal keeps q121's postings spine — no Window, no pair join, scan-local cleanup") {
+    val df = graft.SparkEntry.queries("q126_substring_removal")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // first-occurrence-wins comes from min(struct) inside the SAME
+    // partial-agg'd groupBy as df — NOT a per-gram Window (which would
+    // materialize a boilerplate gram's posting list in one task)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") && p.contains("partial_min"), p)
+    // the postings' gh-shuffle feeds both the stats aggregate and the
+    // join probe: the second consumer must reuse, not re-shuffle
+    df.write.format("noop").mode("overwrite").save()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(gh".r.findAllIn(executed).length <= 2, executed)
+  }
+
+  test("q125: cube-write read-back is one zarr scan + cell-bounded sort — no joins") {
+    val df = graft.SparkEntry.queries("q125_zarr_cube_write")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the build pipeline ran inside ensureCubeStore (memoized); the
+    // REGISTERED query plan must be the DSv2 scan + ORDER BY only
+    assert(p.contains("BatchScan"), p)
+    assert(!p.contains("Join"), s"cube read-back must not join\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1, s"only the sort may shuffle\n$p")
+  }
+
   test("q123: embedding diversity is two bounded aggregates — no pair join, no corpus broadcast") {
     val p = plan("q123_embedding_diversity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
