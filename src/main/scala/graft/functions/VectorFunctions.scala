@@ -211,7 +211,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => KmvSketch(children(0), children(1))),
       (FunctionIdentifier("mg_heavy"),
         new ExpressionInfo(classOf[MgHeavy].getName, "mg_heavy"),
-        (children: Seq[Expression]) => MgHeavy(children(0), children(1))))
+        (children: Seq[Expression]) => MgHeavy(children(0), children(1))),
+      (FunctionIdentifier("zarr_timestamp"),
+        new ExpressionInfo(classOf[ZarrTimestampExpr].getName, "zarr_timestamp"),
+        (children: Seq[Expression]) => ZarrTimestampExpr(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

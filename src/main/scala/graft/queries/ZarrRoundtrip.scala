@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -286,6 +286,40 @@ object ZarrRoundtrip {
     s.read.format("zarr").load(store)
       .select(col("source"), col("bucket"), col("n_docs"), col("sum_chars"))
       .orderBy("source", "bucket")
+  }
+
+  /** q127: the documented datetime64 → TIMESTAMP ergonomics helper under
+    * the oracle gate. The engine surfaces v2 `datetime64` as raw int64
+    * (lossless, NaT preserved — SURVEY §7.11.11); `zarr_timestamp` is the
+    * EXPLICIT opt-in conversion: ns truncates (floorDiv) to whole
+    * microseconds, NaT (int64 min) becomes SQL NULL, multiply units are
+    * overflow-checked. The fixture's `ts` column is `<M8[ns]` with one
+    * NaT; `ds` doubles as an epoch-seconds column to exercise a multiply
+    * unit. The oracle states the converted instants as DuckDB
+    * make_timestamp literals — TIMESTAMP_NTZ and DuckDB TIMESTAMP agree
+    * byte-for-byte through the parquet handoff. */
+  private lazy val q127 = QueryDef.sql(
+    "q127_zarr_datetime",
+    """SELECT * FROM (VALUES
+      |  (1000000000::BIGINT, make_timestamp(1700000000000000), make_timestamp(1000000000000000)),
+      |  (1000000017::BIGINT, make_timestamp(1700086400000000), make_timestamp(1000000017000000)),
+      |  (1000000068::BIGINT, make_timestamp(1700172800000000), make_timestamp(1000000068000000)),
+      |  (1000000153::BIGINT, NULL::TIMESTAMP,                  make_timestamp(1000000153000000)),
+      |  (1000000272::BIGINT, make_timestamp(1700345600000000), make_timestamp(1000000272000000)),
+      |  (1000000425::BIGINT, make_timestamp(1700432000000000), make_timestamp(1000000425000000)),
+      |  (1000000612::BIGINT, make_timestamp(1700518400000000), make_timestamp(1000000612000000)),
+      |  (1000000833::BIGINT, make_timestamp(1700604800000000), make_timestamp(1000000833000000)),
+      |  (1000001088::BIGINT, make_timestamp(1700691200000000), make_timestamp(1000001088000000)),
+      |  (1000001377::BIGINT, make_timestamp(1700777600000000), make_timestamp(1000001377000000)),
+      |  (1000001700::BIGINT, make_timestamp(1700864000000000), make_timestamp(1000001700000000))
+      |) t(ds, ts_utc, ds_ts)
+      |ORDER BY ds""".stripMargin) { (s, dir) =>
+    graft.functions.VectorFunctions.register(s)
+    s.read.format("zarr").load(fixturePath("zarr_v2_typed"))
+      .selectExpr("ds",
+        "zarr_timestamp(ts, 'ns') AS ts_utc",
+        "zarr_timestamp(ds, 's') AS ds_ts")
+      .orderBy("ds")
   }
 
   /** Build the q125 cube store once per (dir, source size/mtime);

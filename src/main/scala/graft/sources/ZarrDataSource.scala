@@ -232,7 +232,34 @@ class ZarrScanBuilder(
       try ScanGeometry.resolve(aggMetas)
       catch { case _: ZarrException => return None }
     lazy val covSegs: Option[Seq[ChunkStats.Segment]] = fullCoverageSegments(geom)
-    lazy val ranges: Option[Map[String, (Any, Any)]] = covSegs.map(rangesFrom)
+    // Lone-coordinate MIN/MAX on an N-D analyzed store (SURVEY §7.11
+    // lever 2): a coordinate-only selection resolves to its own 1-D (or
+    // cross-product) grid, which the sidecar's grid-signed segments do
+    // not describe — but MIN/MAX are ORDER statistics, invariant under
+    // broadcast multiplicity, so a full-coverage segment set over the
+    // STORE grid bounds every axis value exactly. Served only when every
+    // min/max column is a coordinate axis of the store geometry and the
+    // store-grid coverage proof holds. COUNT still answers from shapes
+    // (pruned-grid semantics); SUM/AVG stay declined — their values DO
+    // depend on broadcast multiplicity, which differs between the pruned
+    // grid and the store grid.
+    lazy val coordAxisRanges: Option[Map[String, (Any, Any)]] = {
+      val minMaxCols = funcs.flatMap {
+        case m: Min => colOf(m.column)
+        case m: Max => colOf(m.column)
+        case _ => None
+      }.toSet
+      if (minMaxCols.isEmpty) None
+      else try {
+        val fullGeom = ScanGeometry.resolve(metas)
+        val dimNames = fullGeom.dimIdentity.toSet
+        if (fullGeom.ndim <= geom.ndim || !minMaxCols.forall(dimNames.contains)) None
+        else ChunkStats.coverageSegments(store, metas, fullGeom)
+          .map(segs => ChunkStats.exactRanges(minMaxCols.toSeq, segs))
+      } catch { case _: ZarrException => None }
+    }
+    lazy val ranges: Option[Map[String, (Any, Any)]] =
+      covSegs.map(rangesFrom).orElse(coordAxisRanges)
     lazy val sums: Option[Map[String, Long]] = covSegs.map(sumsFrom)
     val integerTyped: Set[ZarrType] = Set(ZarrType.Int8, ZarrType.Int16,
       ZarrType.Int32, ZarrType.Int64, ZarrType.UInt8, ZarrType.UInt16,

@@ -349,6 +349,68 @@ object ScanBench {
       .filter($"c0" > cut).groupBy(($"c0" % 4).as("g"))
       .agg(sum($"c1").as("s")).collect() // warm
 
+    // ---- 3-D CLIMATE CUBE at latency (round 13): the canonical xarray
+    //      time×lat×lon shape with a time-slab predicate — the query a
+    //      climate/geo pipeline actually runs ("last week of data").
+    //      After `analyze`, the grid-signed per-chunk TIME bounds prune
+    //      whole slabs before any GET; the plain twin must GET the time
+    //      coordinate chunk per task to decode-and-test every target
+    //      chunk. time is epoch-ns int64 (the datetime64 convention). ----
+    val cubeT = 64; val cubeLat = 256; val cubeLon = 256
+    val cubeChunks = Seq(8, 64, 64) // 8x4x4 = 128 chunks, 32768 elems each
+    val cubeT0 = 1700000000000000000L
+    val cubeDay = 86400L * 1000000000L
+    val cubeRows = cubeT.toLong * cubeLat * cubeLon
+    if (!new java.io.File(s"$latBase/cube3d/${graft.zarr.ChunkStats.dirName}").exists()) {
+      System.err.println("[scan-bench] building 3-D cube stores (one-time)...")
+      LatencyFileSystem.reset(0)
+      Seq("cube3d", "cube3dplain").foreach { nm =>
+        val st = ZarrStore(latUrl(nm),
+          Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+        st.writeStoreRootMeta()
+        ZarrWriter.writeArray(st, "time", ZarrType.Int64, Seq(cubeT), Seq(cubeChunks(0)),
+          (0 until cubeT).map(k => cubeT0 + k * cubeDay: Any), Some(Seq("time")),
+          ZarrWriter.CodecChain.bloscLz4)
+        ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(cubeLat), Seq(cubeChunks(1)),
+          (0 until cubeLat).map(i => -60.0 + i * 0.5: Any), Some(Seq("lat")),
+          ZarrWriter.CodecChain.bloscLz4)
+        ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(cubeLon), Seq(cubeChunks(2)),
+          (0 until cubeLon).map(j => -180.0 + j * 0.7: Any), Some(Seq("lon")),
+          ZarrWriter.CodecChain.bloscLz4)
+        val tempVals = new IndexedSeq[Any] {
+          def length: Int = cubeRows.toInt
+          def apply(i: Int): Any = i.toDouble
+        }
+        ZarrWriter.writeArray(st, "temp", ZarrType.Float64,
+          Seq(cubeT, cubeLat, cubeLon), cubeChunks, tempVals,
+          Some(Seq("time", "lat", "lon")), ZarrWriter.CodecChain.bloscLz4)
+      }
+      graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3d"))
+      System.err.println("[scan-bench] 3-D cube stores built (cube3d analyzed)")
+    }
+    // keep the LAST time chunk's slab: t >= 56 -> 16 of 128 chunks
+    val cubeCutT = cubeT - cubeChunks(0)
+    val cubeCut = cubeT0 + cubeCutT * cubeDay
+    def cubeRun(nm: String, store: String): (Double, Int) = {
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val s = spark.read.format("zarr").load(latUrl(store))
+        .filter($"time" >= cubeCut).agg(sum($"temp")).collect()(0).getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // temp is the row-major ordinal and time is the FIRST dim: the
+      // kept slab is the contiguous ordinal tail — exact integer sum
+      val lo = cubeCutT.toLong * cubeLat * cubeLon
+      val expected = (lo until cubeRows).map(_.toDouble).sum
+      require(s == expected, s"$nm: wrong sum $s != $expected")
+      val gets = LatencyFileSystem.chunkGets(store)
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets(store)} total)")
+      (dt, gets)
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("cube3d"))
+      .filter($"time" >= cubeCut).agg(sum($"temp")).collect() // warm
+
     // ---- analyze at latency (round 11): the sidecar backfill is
     //      itself a full-corpus read (one GET per chunk per column,
     //      4096 here). With blocking per-chunk GETs each task would
@@ -404,6 +466,8 @@ object ScanBench {
       "lat_rtf_off" -> best2(rtfRun("runtime filtering disabled (fetch everything)", "sidecar", dpp = false)),
       "lat_nd_sidecar" -> best2(ndRun("2-D analyzed store: grid-signed sidecar skip", "nd2d")),
       "lat_nd_decode" -> best2(ndRun("2-D plain store: decode-and-test every chunk", "nd2dplain")),
+      "lat_cube_sidecar" -> best2(cubeRun("3-D analyzed climate cube: time-slab sidecar skip", "cube3d")),
+      "lat_cube_decode" -> best2(cubeRun("3-D plain climate cube: decode-and-test", "cube3dplain")),
       "lat_grouped_sidecar" -> best2(groupedRun("grouped agg over filtered stats-backed scan", "sidecar")),
       "lat_grouped_decode" -> best2(groupedRun("grouped agg over filtered plain scan", "plain")))
     LatencyFileSystem.reset(0)

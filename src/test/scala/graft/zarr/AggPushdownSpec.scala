@@ -313,6 +313,48 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("lone-coordinate MIN/MAX on an analyzed N-D climate cube: zero GETs") {
+    // SURVEY §7.11 lever 2: selecting only a coordinate resolves to its
+    // own 1-D grid, which the store-grid segments don't describe — but
+    // MIN/MAX are order statistics, invariant under broadcast
+    // multiplicity, so the full-coverage STORE-grid segment set answers
+    // them exactly. SUM/AVG must keep declining (multiplicity differs).
+    val fixture = new java.io.File("src/test/resources/zarr_v2_climate")
+    assume(fixture.isDirectory, "fixture store present")
+    val dst = new java.io.File(s"$base/climate_lone")
+    def cp(src: java.io.File, to: java.io.File): Unit = {
+      if (src.isDirectory) { to.mkdirs(); src.listFiles().foreach(f => cp(f, new java.io.File(to, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, to.toPath): Unit
+    }
+    cp(fixture, dst)
+    val url = s"graftstat://$base/climate_lone"
+    assert(ZarrMaintenance.analyze(spark, url) > 0)
+    val df = spark.read.format("zarr").load(url)
+
+    RecordingFileSystem.opened.clear()
+    val agg = df.agg(min("time").as("mn"), max("time").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      agg.queryExecution.executedPlan.toString)
+    val r = agg.collect()(0)
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    assert(r.getLong(0) == t0 && r.getLong(1) == t0 + 3 * day, r.toString)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/climate_lone/(time|lat|lon|temp)/.*"))
+      .filterNot(_.contains("zattrs")).filterNot(_.contains("zarray"))
+    assert(chunkOpens.isEmpty,
+      s"lone-coordinate min/max must be metadata-only: ${chunkOpens.mkString(", ")}")
+
+    // two different lone coordinate axes in one aggregate
+    val r2 = df.agg(min("lat").as("a"), max("lon").as("b")).collect()(0)
+    assert(r2.getDouble(0) == 38.0 && r2.getDouble(1) == -117.0 + 0.25 * 6)
+
+    // SUM over a lone coordinate still declines to the (tiny) axis scan
+    val sumPlan = df.select("time").agg(sum("time"))
+    assert(!sumPlan.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      "broadcast-multiplicity-dependent SUM must not serve from store-grid segments")
+  }
+
   test("fixture N-D / coordinate stores decline min-max but keep exact count") {
     val store = ZarrStore(s"$base/fixture")
     ZarrWriter.writeArray(store, "x", ZarrType.Int64,

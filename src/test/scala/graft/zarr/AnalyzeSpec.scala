@@ -128,11 +128,21 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunkOpens.isEmpty,
       s"lat/lon metadata-only aggregate read chunks: ${chunkOpens.mkString(", ")}")
     // a LONE-coordinate selection resolves to a 1-D grid the 2-D
-    // segments do not describe — the grid signature makes them decline
-    // (scan) rather than misread ordinals; result stays exact
-    val lone = df.select("lat").agg(min("lat"), max("lat")).collect()(0)
+    // segments do not describe — but MIN/MAX are order statistics,
+    // invariant under broadcast multiplicity, so (round 13) they serve
+    // from the full-coverage STORE-grid segments, metadata-only
+    RecordingFileSystem.opened.clear()
+    val loneAgg = df.select("lat").agg(min("lat"), max("lat"))
+    assert(loneAgg.queryExecution.executedPlan.toString.contains("ZarrAggScan"),
+      loneAgg.queryExecution.executedPlan.toString)
+    val lone = loneAgg.collect()(0)
     assert(lone.getDouble(0) == 38.0 && lone.getDouble(1) == 38.7)
-    assert(!df.select("lat").agg(min("lat")).queryExecution.executedPlan
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/latlon/(lat|lon|data)/c/.*")) == 0,
+      "lone-coordinate min/max must be metadata-only")
+    // SUM over the lone coordinate DOES depend on multiplicity (the 1-D
+    // selection has none) — store-grid sums must keep declining
+    assert(!df.select("lat").agg(sum("lat")).queryExecution.executedPlan
       .toString.contains("ZarrAggScan"))
   }
 

@@ -407,6 +407,36 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       td.timeMeta.contains(("timedelta64", "us")))
   }
 
+  test("zarr_timestamp: unit-aware TIMESTAMP conversion, NaT -> NULL, loud on bad units") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = spark.read.format("zarr").load(storeTyped)
+    val got = df.selectExpr("zarr_timestamp(ts, 'ns') AS t").orderBy("ds")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getAs[java.time.LocalDateTime](0))
+    assert(got(3) == null, "NaT must convert to SQL NULL")
+    // ns truncates to whole microseconds: 1700000000000000000 ns -> µs
+    assert(got(0) == java.time.LocalDateTime.ofEpochSecond(
+      1700000000L, 0, java.time.ZoneOffset.UTC), got(0).toString)
+    val day = java.time.Duration.ofDays(1)
+    assert(got(1) == got(0).plus(day) && got(10) == got(0).plus(day.multipliedBy(10)))
+    // multiply units scale exactly; 's' on an epoch-seconds column
+    val s0 = df.selectExpr("zarr_timestamp(ds, 's') AS t").orderBy("ds").collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    assert(s0 == java.time.LocalDateTime.ofEpochSecond(1000000000L, 0,
+      java.time.ZoneOffset.UTC), s0.toString)
+    // ns truncation is floorDiv (toward -inf), visible on a pre-epoch tick
+    assert(graft.functions.ZarrTimestampExpr.toMicros(-1L, "ns") == -1L)
+    assert(graft.functions.ZarrTimestampExpr.toMicros(999L, "ns") == 0L)
+    // calendar units and garbage refuse at ANALYSIS, not row 1
+    val e = intercept[Exception](
+      df.selectExpr("zarr_timestamp(ts, 'M')").collect())
+    assert(e.getMessage.contains("unsupported unit") ||
+      e.getCause != null && e.getCause.getMessage.contains("unsupported unit"),
+      e.getMessage)
+    // multiply overflow is a loud error, never a wrapped instant
+    intercept[ArithmeticException](
+      graft.functions.ZarrTimestampExpr.toMicros(Long.MaxValue / 2, "s"))
+  }
+
   test("v2 CLIMATE cube end to end: time x lat x lon with a datetime64 time coordinate") {
     // the canonical xarray layout — a 3-D data cube whose dims carry
     // 1-D coordinates, time typed <M8[ns]: read, broadcast, filter by
