@@ -62,5 +62,25 @@ assert filt.count() == 2, "count() prunes to the time coordinate (documented cav
 assert filt.agg(F.count("temp")).collect()[0][0] == 2 * 5 * 7, \
     "data-column aggregate sees the full cube slab"
 
+# N-D CUBE WRITE from plain PySpark (round 12/13): dense rows + the
+# `dims` option -> coordinate + data arrays; read back through the scan
+cube_path = "/tmp/pyzarr-cube"
+rows = [(t, x * 0.5, float(t * 10 + x)) for t in range(4) for x in range(6)]
+cdf = spark.createDataFrame(rows, "t LONG, x DOUBLE, v DOUBLE")
+cdf.write.format("zarr").mode("overwrite") \
+    .option("dims", "t,x").option("chunk_shape", "3,4").save(cube_path)
+back = spark.read.format("zarr").load(cube_path)
+assert back.count() == 24, "cube roundtrip rows"
+assert back.agg(F.sum("v")).collect()[0][0] == sum(r[2] for r in rows), "cube values"
+
+# zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
+# registered SQL function (native expression), callable from Python SQL
+spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
+cc.createOrReplaceTempView("climate")
+ts = spark.sql(
+    "SELECT zarr_timestamp(time, 'ns') AS ts FROM climate ORDER BY time LIMIT 1"
+).collect()[0][0]
+assert str(ts) == "2023-11-14 22:13:20", f"zarr_timestamp from Python SQL: {ts}"
+
 spark.stop()
 print("PYTHON SURFACE OK")
