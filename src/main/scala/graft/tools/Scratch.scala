@@ -1,47 +1,35 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Throwaway profiling harness for operator iteration — not registered
-  * anywhere; contents change per investigation. */
+/** Ad-hoc probe main (contents vary round to round; not part of the
+  * library surface). Currently: decompose ZarrBench's theta-join time
+  * into scan vs join. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.VectorFunctions.register(spark)
-
-    def docs = graft.Tables.load(spark, sfDir, "documents")
-    def grams = docs.select(col("doc_id"), col("source"),
-      explode(expr("shingles_k(text, 4)")).as("gram"))
-
-    def time(label: String)(f: => Unit): Unit = {
-      f // warm
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "target/zarr-bench-store"
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW zarr_table USING zarr OPTIONS (path '$dir')")
+    def t(nm: String, sql: String): Unit = {
+      spark.sql(sql).write.format("noop").mode("overwrite").save()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"SCRATCH $label median=${ts(1)}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      System.err.println(f"[probe] $nm: ${runs(1)}%.2f s (min ${runs(0)}%.2f)")
     }
-
-
-    graft.functions.VectorFunctions.register(spark)
-    import spark.implicits._
-    val zarrDir = "target/scan-bench-zarr"
-    val z = spark.read.format("zarr").load(zarrDir)
-    println("=== plan sum(c2):")
-    val q = z.agg(sum($"c2"))
-    println(q.queryExecution.executedPlan.toString.take(2500))
-    time("sum-c2")(q.collect())
-    time("sum-4col")(z.agg(sum($"c0"), sum($"c1"), sum($"c2"), sum($"c3")).collect())
-    time("select-c2-noop")(z.select($"c2").write.format("noop").mode("overwrite").save())
+    t("full-scan-1col", "SELECT var1 FROM zarr_table")
+    t("full-scan-all", "SELECT * FROM zarr_table")
+    t("filtered-t1-side", "SELECT * FROM zarr_table WHERE var1 % 12 = 0")
+    t("theta", """SELECT t1.*, t2.* FROM zarr_table t1 JOIN zarr_table t2
+      ON t1.var1 % 12 = 0 AND t1.var1 < t2.var1 + 1 AND t1.var1 >= t2.var1 - 1""")
     spark.stop()
   }
 }

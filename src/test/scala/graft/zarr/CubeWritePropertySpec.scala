@@ -1,0 +1,100 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property test for the N-D cube write → DSv2 scan roundtrip: for
+  * ARBITRARY grids (1–3 dims, axis lengths that force edge chunks on
+  * any dimension, long/double/string coordinate types, multiple data
+  * columns, chunk shapes that may exceed the axis) the store must hold
+  * exactly the input's value at every coordinate, and the write-time
+  * stats sidecar must cover the full grid. The example-based
+  * ZarrCubeWriteSpec pins specific shapes; this spec walks the shape
+  * space the examples can't enumerate — seeded-random generation, same
+  * style as ChunkStatsPropertySpec / GeometryPropertySpec. */
+class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+  private val rnd = new scala.util.Random(20260814L)
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("cube-write-property-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    base = Files.createTempDirectory("zarr-cube-prop").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** One axis: (spark type, SORTED distinct values). Values are distinct
+    * by construction (the cube contract); the INPUT rows are shuffled so
+    * the writer must rank coordinates itself. */
+  private def genAxis(): (DataType, IndexedSeq[Any]) = {
+    val len = 1 + rnd.nextInt(9)
+    rnd.nextInt(3) match {
+      case 0 => (LongType, (0 until len).map(i => (i * 7 + 3).toLong: Any))
+      case 1 => (DoubleType, (0 until len).map(i => -4.25 + i * 0.5: Any))
+      case _ => (StringType, (0 until len).map(i => f"k$i%02d-§": Any))
+    }
+  }
+
+  test("roundtrip: arbitrary 1-3D grids, mixed coord types, edge chunks — per-coordinate value identity") {
+    (1 to 30).foreach { caseNo =>
+      val path = s"$base/case$caseNo"
+      val ndim = 1 + rnd.nextInt(3)
+      val axes = IndexedSeq.fill(ndim)(genAxis())
+      // chunk extent may EXCEED the axis (single padded chunk) — a shape
+      // the example spec never tries
+      val chunkShape = axes.map(a => 1 + rnd.nextInt(a._2.length + 1))
+      val dimNames = (0 until ndim).map(d => s"d$d")
+
+      def cells(axs: Seq[Seq[Any]]): Seq[Seq[Any]] =
+        axs.foldLeft(Seq(Seq.empty[Any]))((acc, ax) => acc.flatMap(p => ax.map(v => p :+ v)))
+      val tuples = cells(axes.map(_._2.toSeq))
+      val rows = tuples.zipWithIndex.map { case (coord, i) =>
+        Row.fromSeq(coord :+ i.toLong :+ (i * 0.25 - 3.0))
+      }
+      val schema = StructType(
+        axes.zipWithIndex.map { case ((dt, _), d) => StructField(s"d$d", dt) } ++
+          Seq(StructField("v1", LongType), StructField("v2", DoubleType)))
+      val shuffled = new java.util.ArrayList[Row](rows.length)
+      rnd.shuffle(rows).foreach(shuffled.add)
+      val df = spark.createDataFrame(shuffled, schema).repartition(3)
+
+      graft.sources.ZarrCubeWrite.write(
+        df, path, dimNames, Some(chunkShape), codec = "blosc",
+        stats = true, truncate = false)
+
+      val back = spark.read.format("zarr").load(path)
+        .select((dimNames :+ "v1" :+ "v2").map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(dimNames.map(org.apache.spark.sql.functions.col): _*)
+        .collect()
+      // the input's axes were generated sorted, so the dense cross
+      // product in generation order IS the expected per-coordinate order
+      val expected = tuples.zipWithIndex.map { case (coord, i) =>
+        (coord :+ i.toLong :+ (i * 0.25 - 3.0)).map(String.valueOf).mkString("|")
+      }
+      val got = back.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq
+      assert(got == expected,
+        s"case $caseNo: axes=${axes.map(a => a._1.simpleString + ":" + a._2.length)} " +
+          s"chunks=$chunkShape")
+
+      // the write-time stats sidecar must cover the full grid on every
+      // generated shape (the zero-GET aggregate surface)
+      val store = ZarrStore(path)
+      val geomChunks = ScanGeometry.resolve(
+        store.listArrays().map(store.readMeta)).numChunks
+      assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
+        s"case $caseNo: sidecar does not cover the grid")
+    }
+  }
+}
