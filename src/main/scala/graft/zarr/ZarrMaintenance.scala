@@ -80,7 +80,15 @@ object ZarrMaintenance {
       if (codec.nonEmpty) codec
       else {
         val names = srcMetas.flatMap(_.codecs.map(_.name)).toSet
-        Seq("blosc", "zstd", "gzip").find(names.contains).getOrElse("none")
+        // v2 compressors without a same-name v3 writer chain map to the
+        // nearest family — a compressed source must stay compressed
+        // (zlib is the same DEFLATE stream gzip wraps; bz2/lzma are
+        // high-ratio codecs, zstd is the closest the writer offers)
+        if (names.contains("blosc")) "blosc"
+        else if (names.contains("zstd")) "zstd"
+        else if (names.contains("gzip") || names.contains("zlib")) "gzip"
+        else if (names.contains("bz2") || names.contains("lzma")) "zstd"
+        else "none"
       }
     val df = spark.read.format("zarr").load(srcPath)
     if (geom.ndim == 1) {

@@ -158,6 +158,20 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     ZarrMaintenance.compact(spark, srcNd, s"$base/dstnd", chunkShapeNd = Seq(4, 4))
     val ndNames = ZarrStore(s"$base/dstnd").readMeta("data").codecs.map(_.name)
     assert(ndNames.contains("gzip") && !ndNames.contains("blosc"), ndNames.toString)
+
+    // v2 zlib (the common v2 compressor, no same-name v3 writer chain)
+    // maps to gzip — the same DEFLATE family; a compressed source must
+    // never silently migrate to an UNCOMPRESSED store
+    val v2Fixture = new java.io.File("src/test/resources/zarr_v2_latlon")
+    assume(v2Fixture.isDirectory, "v2 fixture present")
+    ZarrMaintenance.compact(spark, v2Fixture.getPath, s"$base/dstv2zlib")
+    val v2Names = ZarrStore(s"$base/dstv2zlib").readMeta("data").codecs.map(_.name)
+    assert(v2Names.contains("gzip") && !v2Names.contains("blosc"), v2Names.toString)
+    val a2 = spark.read.format("zarr").load(v2Fixture.getPath)
+      .select("lat", "lon", "data").orderBy("lat", "lon").collect()
+    val b2 = spark.read.format("zarr").load(s"$base/dstv2zlib")
+      .select("lat", "lon", "data").orderBy("lat", "lon").collect()
+    assert(a2.nonEmpty && a2.map(_.toString).toSeq == b2.map(_.toString).toSeq)
   }
 
   test("compact N-D refuses a dim without a coordinate array") {
