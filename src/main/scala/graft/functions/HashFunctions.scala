@@ -275,6 +275,54 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** md5 hex of every word k-gram OCCURRENCE of `text`, in position
+    * order: element i is the hash of the gram starting at 0-based word
+    * position i. Value-identical to
+    * `transform(sequence(1, n-k+1), i -> md5(array_join(slice(ws, i, k), ' ')))`
+    * — the digest is fed the words' UTF-8 bytes with ' ' separators, so
+    * the hashed bytes ARE the joined gram's bytes — but without
+    * materializing one ~100-byte gram string (plus its UTF8String box)
+    * per occurrence. The substring-dedup spine (q121 detect / q126
+    * remove) hashes every occurrence of every document; at corpus scale
+    * the gram strings exist only to be hashed, so never building them
+    * is the whole win. */
+  def gramHashes(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val wb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      wb(i) = words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val sp = ' '.toByte
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = i
+      while (j < i + k) {
+        if (j > i) md.update(sp)
+        md.update(wb(j))
+        j += 1
+      }
+      val d = md.digest()
+      val cs = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        cs(2 * b) = hex((d(b) >> 4) & 0xf)
+        cs(2 * b + 1) = hex(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(cs))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of elements of `arr` present in `set` (duplicates counted,
     * null elements never match) — the exact arithmetic of
     * `size(filter(arr, x -> array_contains(set, x)))` without a
@@ -410,6 +458,31 @@ case class ShinglesK(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kRef = k.toString
     defineCodeGen(ctx, ev, (t, _) => s"graft.functions.HashOps.shinglesK($t, $kRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `gram_hashes(text, k)` — md5 hex of every word k-gram OCCURRENCE in
+  * position order (see [[HashOps.gramHashes]]); `posexplode` over it
+  * yields (0-based position, gram hash) without ever materializing the
+  * gram strings. */
+case class GramHashes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_hashes"
+  @transient private lazy val k: Int = {
+    require(right.foldable, "gram_hashes: k must be a literal")
+    val kv = right.eval(null).asInstanceOf[Number].intValue()
+    require(kv >= 1, s"gram_hashes: k must be >= 1, got $kv")
+    kv
+  }
+  override def nullSafeEval(text: Any, kv: Any): Any =
+    HashOps.gramHashes(text.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = k.toString
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.HashOps.gramHashes($t, $kRef)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

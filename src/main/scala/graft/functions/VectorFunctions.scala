@@ -214,7 +214,10 @@ object VectorFunctions {
         (children: Seq[Expression]) => MgHeavy(children(0), children(1))),
       (FunctionIdentifier("zarr_timestamp"),
         new ExpressionInfo(classOf[ZarrTimestampExpr].getName, "zarr_timestamp"),
-        (children: Seq[Expression]) => ZarrTimestampExpr(children(0), children(1))))
+        (children: Seq[Expression]) => ZarrTimestampExpr(children(0), children(1))),
+      (FunctionIdentifier("gram_hashes"),
+        new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+        (children: Seq[Expression]) => GramHashes(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

@@ -503,9 +503,12 @@ object Dedup {
         |  round(coalesce(p.n_dup * 1.0 / p.n_grams, 0), 4) AS dup_frac
         |FROM documents d0 LEFT JOIN p ON d0.doc_id = p.doc_id
         |ORDER BY d0.doc_id""".stripMargin) { (s, dir) =>
+      // distinct gram hashes per doc without materializing gram strings
+      // (native gram_hashes kernel — same identity as md5 of the joined
+      // gram, hashed from the word bytes directly)
       val g = docs(s, dir)
-        .select(col("doc_id"), explode(expr("shingles_k(text, 20)")).as("gram"))
-        .select(col("doc_id"), md5(col("gram")).as("gh"))
+        .select(col("doc_id"),
+          explode(expr("array_distinct(gram_hashes(text, 20))")).as("gh"))
       // skew-safe df: partial (map-side) counts shrink even a
       // corpus-wide boilerplate gram to one row per partition before
       // the exchange; the postings' gh-shuffle is REUSED by the join
@@ -575,13 +578,12 @@ object Dedup {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
       // all gram OCCURRENCES with word positions (1-based); grams ride
-      // shuffles as md5 keys only
-      val occ = d.select(col("doc_id"),
-          posexplode(when(size(col("ws")) >= 20,
-            expr("transform(sequence(1, size(ws) - 19), i -> array_join(slice(ws, i, 20), ' '))"))
-            .otherwise(array())))
-        .withColumnRenamed("pos", "pos0")
-        .select(col("doc_id"), (col("pos0") + 1).as("pos"), md5(col("col")).as("gh"))
+      // shuffles as md5 keys only — and are hashed WITHOUT materializing
+      // the ~100-byte gram strings (native gram_hashes kernel: the md5
+      // is fed the word bytes + ' ' separators directly)
+      val occ = docs(s, dir)
+        .select(col("doc_id"), posexplode(expr("gram_hashes(text, 20)")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
       // per-gram df + corpus-minimal occurrence, ONE partial-agg'd
       // groupBy (min over struct combines map-side — skew-safe where a
       // Window would pin a boilerplate gram's postings in one task)

@@ -35,6 +35,34 @@ class KernelEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getDouble(0) == (3.0 + 8.0 + 30.0))
   }
 
+  test("gram_hashes == md5 of the joined slice, per occurrence, incl. edge shapes") {
+    // the kernel hashes word bytes + ' ' separators directly; it must be
+    // value-identical to building each gram string and md5-ing it
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",  // n > k
+      "a b c",                                        // n == k
+      "a b",                                          // n < k -> empty
+      "",                                             // one empty word
+      "x  y   z w",                                   // consecutive spaces -> empty words
+      "αβ ñ 漢字 § e")                                 // multi-byte UTF-8
+    cases.foreach { text =>
+      val r = spark.sql(
+        s"""SELECT gram_hashes('$text', 3) AS fast,
+           |  CASE WHEN size(split('$text', ' ', -1)) >= 3 THEN
+           |    transform(sequence(1, size(split('$text', ' ', -1)) - 2),
+           |      i -> md5(array_join(slice(split('$text', ' ', -1), i, 3), ' ')))
+           |  ELSE array() END AS slow""".stripMargin).collect()(0)
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"text='$text'")
+    }
+    // null text propagates
+    assert(spark.sql("SELECT gram_hashes(cast(null as string), 3)").collect()(0).isNullAt(0))
+    // two instances in one projection compile under codegen
+    val two = spark.sql(
+      "SELECT size(gram_hashes('a b c d', 2)) + size(gram_hashes('p q', 2)) AS s")
+      .collect()(0).getInt(0)
+    assert(two == 3 + 1)
+  }
+
   test("md5_array maps null elements to null (transform semantics)") {
     val r = spark.sql(
       "SELECT md5_array(array('a', cast(null as string), 'b')) AS h").collect()
