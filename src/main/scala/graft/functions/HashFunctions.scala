@@ -136,27 +136,34 @@ object HashOps {
     acc
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a 16-byte digest (shared by every md5-emitting
+    * kernel so the encoding cannot drift between them). */
+  private def digestHex(d: Array[Byte]): String = {
+    val cs = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      cs(2 * j) = hexDigits((d(j) >> 4) & 0xf)
+      cs(2 * j + 1) = hexDigits(d(j) & 0xf)
+      j += 1
+    }
+    new String(cs)
+  }
+
   /** md5 hex (lowercase) of every element — value-identical to
     * `transform(arr, x -> md5(x))` without per-element lambda dispatch. */
   def md5Array(arr: ArrayData): ArrayData = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = arr.numElements()
     val out = new Array[AnyRef](n)
-    val hex = "0123456789abcdef".toCharArray
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) { out(i) = null; i += 1 }
       else {
       md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      val cs = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        cs(2 * j) = hex((d(j) >> 4) & 0xf)
-        cs(2 * j + 1) = hex(d(j) & 0xf)
-        j += 1
-      }
-      out(i) = UTF8String.fromString(new String(cs))
+      out(i) = UTF8String.fromString(
+        digestHex(md.digest(arr.getUTF8String(i).getBytes)))
       i += 1
       }
     }
@@ -297,7 +304,6 @@ object HashOps {
       i += 1
     }
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = "0123456789abcdef".toCharArray
     val sp = ' '.toByte
     val out = new Array[Any](n - k + 1)
     i = 0
@@ -309,15 +315,7 @@ object HashOps {
         md.update(wb(j))
         j += 1
       }
-      val d = md.digest()
-      val cs = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        cs(2 * b) = hex((d(b) >> 4) & 0xf)
-        cs(2 * b + 1) = hex(d(b) & 0xf)
-        b += 1
-      }
-      out(i) = UTF8String.fromString(new String(cs))
+      out(i) = UTF8String.fromString(digestHex(md.digest()))
       i += 1
     }
     new GenericArrayData(out)

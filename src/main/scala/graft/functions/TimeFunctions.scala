@@ -39,9 +39,20 @@ case class ZarrTimestampExpr(left: Expression, right: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "zarr_timestamp expects a literal unit string ('W','D','h','m','s','ms','us','ns')")
     else {
-      // resolve the unit at analysis: a bad unit fails the QUERY, not row 1
-      ZarrTimestampExpr.scaleOf(right.eval().toString)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      // resolve the unit at analysis: a bad (or NULL) unit fails the
+      // QUERY with a typed error, not row 1 (and never an NPE)
+      val u = right.eval()
+      if (u == null)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "zarr_timestamp: unit must be a non-null literal string")
+      else
+        try {
+          ZarrTimestampExpr.scaleOf(u.toString)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        } catch {
+          case e: IllegalArgumentException =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(e.getMessage)
+        }
     }
   }
 

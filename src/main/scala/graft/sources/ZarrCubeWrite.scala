@@ -115,37 +115,32 @@ object ZarrCubeWrite {
     // root wholesale if this write created it (or the caller asked for
     // overwrite) — a mistyped path pointing at a user's existing
     // directory must never be wiped by a validation refusal.
-    val hconf = {
-      val c = new org.apache.hadoop.conf.Configuration()
-      hadoopPairs.foreach { case (k, v) => c.set(k, v) }
-      c
-    }
-    val rootHPath = new org.apache.hadoop.fs.Path(path)
-    val rootFs = rootHPath.getFileSystem(hconf)
-    val rootExisted = rootFs.exists(rootHPath)
+    val inventory = store.rootInventory()
     if (truncate) store.delete()
-    else if (rootExisted) {
-      val entries = rootFs.listStatus(rootHPath).toSeq
-      val arrays = entries.filter(st => st.isDirectory &&
-        (rootFs.exists(new org.apache.hadoop.fs.Path(st.getPath, "zarr.json")) ||
-          rootFs.exists(new org.apache.hadoop.fs.Path(st.getPath, ".zarray"))))
-        .map(_.getPath.getName).sorted
+    else inventory.foreach { entries =>
+      val arrays = entries.collect { case (n, true) => n }.sorted
       if (arrays.nonEmpty)
         throw new ZarrException(
           s"cube write targets a FRESH store but $path already holds arrays " +
             s"(${arrays.mkString(",")}); use mode('overwrite') to replace it")
-      if (entries.nonEmpty)
+      // an EMPTY zarr store root (a bare root doc / stats sidecar, no
+      // arrays) is a legitimate fresh target; anything else present is
+      // unrelated user data this write must not touch — refuse before
+      // any IO so the failure cleanup can never reach it
+      val foreign = entries.collect { case (n, false)
+        if n != "zarr.json" && n != graft.zarr.ChunkStats.dirName => n }.sorted
+      if (foreign.nonEmpty)
         throw new ZarrException(
-          s"cube write target $path is an existing non-empty directory that " +
-            "is not a zarr store (refusing to write into — and potentially " +
-            "clean up over — unrelated files); point at a fresh path or use " +
-            "mode('overwrite') on a zarr store")
+          s"cube write target $path is an existing directory holding non-zarr " +
+            s"entries (${foreign.take(5).mkString(",")}); refusing to write " +
+            "into — and potentially clean up over — unrelated files; point at " +
+            "a fresh path or use mode('overwrite') on a zarr store")
     }
     // cleanup scope decided ABOVE any store IO: wholesale root delete only
     // when we created or (on explicit overwrite) truncated it; a
-    // pre-existing EMPTY directory keeps its entry — only this write's
-    // contents inside it are removed
-    val ownRoot = truncate || !rootExisted
+    // pre-existing empty dir / bare store root keeps its directory entry —
+    // only the contents (this write's partial output) are removed
+    val ownRoot = truncate || inventory.isEmpty
 
     try {
       // ---- coordinate axes: global sorted distincts (axis-sized) ----
@@ -322,9 +317,7 @@ object ZarrCubeWrite {
         // the root; for a pre-existing (verified-empty) directory remove
         // the contents and keep the user's directory entry
         try {
-          if (ownRoot) store.delete()
-          else if (rootFs.exists(rootHPath))
-            rootFs.listStatus(rootHPath).foreach(st => rootFs.delete(st.getPath, true))
+          if (ownRoot) store.delete() else store.deleteRootContents()
         } catch { case _: Throwable => () }
         throw e
     }

@@ -79,7 +79,17 @@ object ZarrMaintenance {
     val dstCodec =
       if (codec.nonEmpty) codec
       else {
-        val names = srcMetas.flatMap(_.codecs.map(_.name)).toSet
+        // a SHARDED array nests its whole chain inside sharding_indexed
+        // (every 1-D compact output is shaped this way) — look through
+        // to the inner codecs or a re-compaction of a compacted store
+        // would silently read "sharding_indexed" only and decompress
+        val names = srcMetas.flatMap { m =>
+          m.codecs.flatMap { c =>
+            c.name +: (if (c.name == "sharding_indexed")
+              Sharding.specOf(Seq(c)).map(_.innerCodecs.map(_.name)).getOrElse(Nil)
+            else Nil)
+          }
+        }.toSet
         // v2 compressors without a same-name v3 writer chain map to the
         // nearest family — a compressed source must stay compressed
         // (zlib is the same DEFLATE stream gzip wraps; bz2/lzma are

@@ -161,6 +161,27 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
 
   def delete(): Unit = if (fs.exists(rootPath)) fs.delete(rootPath, true)
 
+  /** Entries directly under the root as (name, isArrayDir), or None when
+    * the root does not exist. An "array dir" carries a v3 `zarr.json` or
+    * v2 `.zarray` document — the same detection [[listArrays]] applies.
+    * The cube writer's fresh-gate/cleanup view, kept here so ALL store
+    * filesystem access stays behind this one abstraction. */
+  def rootInventory(): Option[Seq[(String, Boolean)]] =
+    if (!fs.exists(rootPath)) None
+    else Some(fs.listStatus(rootPath).toSeq.map { st =>
+      val isArray = st.isDirectory &&
+        (fs.exists(new Path(st.getPath, "zarr.json")) ||
+          fs.exists(new Path(st.getPath, ".zarray")))
+      st.getPath.getName -> isArray
+    })
+
+  /** Delete every entry under the root but KEEP the root directory
+    * entry itself — the failure-cleanup scope for a write into a
+    * pre-existing (verified safe) directory the caller does not own. */
+  def deleteRootContents(): Unit =
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).foreach(st => fs.delete(st.getPath, true))
+
   // ---- chunk-statistics sidecar (`_stats/` segments, ChunkStats) ----
 
   def writeText(key: String, text: String): Unit = {

@@ -210,10 +210,20 @@ class ZarrCubeWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[Exception] {
       dup.write.format("zarr").mode("append").option("dims", "t").save(victim)
     }
-    assert(e.getMessage.contains("non-empty directory"), e.getMessage)
+    assert(e.getMessage.contains("non-zarr entries"), e.getMessage)
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$victim/precious.txt"))) == "do not delete",
       "pre-existing user file must survive a refused cube write")
+  }
+
+  test("a pre-existing EMPTY zarr store root (bare root doc, no arrays) is a legit target") {
+    val sp = spark; import sp.implicits._
+    val path = s"$base/bare_root"
+    ZarrStore(path).writeStoreRootMeta() // empty store: zarr.json, no arrays
+    val df = (for (t <- 0 until 2; x <- 0 until 2)
+      yield (t.toLong, x.toDouble, (t * 2 + x).toLong)).toDF("t", "x", "v")
+    df.write.format("zarr").mode("append").option("dims", "t,x").save(path)
+    assert(spark.read.format("zarr").load(path).count() == 4)
   }
 
   test("validation failure into a pre-existing EMPTY dir keeps the directory entry") {

@@ -152,6 +152,15 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dstJson = ZarrStore(s"$base/dst").readMeta("x").sourceJson
     assert(dstJson.contains("gzip") && !dstJson.contains("blosc"),
       s"dst codec chain must mirror the gzip source: $dstJson")
+    // RE-compacting the (sharded) output must still see gzip: the
+    // derivation has to look through sharding_indexed's inner chain,
+    // or every second compaction silently writes an uncompressed store
+    ZarrMaintenance.compact(spark, s"$base/dst", s"$base/dst2",
+      chunkSize = 16, innerChunkSize = 8)
+    val dst2Json = ZarrStore(s"$base/dst2").readMeta("x").sourceJson
+    assert(dst2Json.contains("gzip") && !dst2Json.contains("blosc"),
+      s"re-compaction must keep the inner-chain codec: $dst2Json")
+    assert(spark.read.format("zarr").load(s"$base/dst2").count() == 64L)
     // N-D: a gzip-chained cube source compacts into a gzip cube
     val srcNd = s"$base/srcnd"
     ZarrWriter.writeLatLonStore(ZarrStore(srcNd), ZarrWriter.CodecChain.gzip)
