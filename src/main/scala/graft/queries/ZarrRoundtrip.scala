@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -320,6 +320,86 @@ object ZarrRoundtrip {
         "zarr_timestamp(ts, 'ns') AS ts_utc",
         "zarr_timestamp(ds, 's') AS ds_ts")
       .orderBy("ds")
+  }
+
+  /** q128: the N-D CUBE APPEND under the oracle gate — the q125 pattern
+    * for the round-13 append path. A dense day×source grid of document
+    * statistics is built from the sf parquet, the FIRST 8 days are
+    * written as a fresh cube (`dims = "day,source"`, day chunk 4 — the
+    * base extent is chunk-aligned) and the LAST 4 days are APPENDED via
+    * `option("append_dim", "day")` — the xarray daily-ingest shape. The
+    * query reads EVERY cell of the grown store back through the DSv2
+    * scan, so a misplaced slab chunk, a mis-extended day axis, a stale
+    * shape, or a broken trailing-axis re-rank breaks the row hash
+    * against the DuckDB closed form computed from the original parquet
+    * (which never saw the split).
+    *
+    * Scale shape: the append is ONE clustered shuffle of the slab's
+    * rows + executor-direct final-key chunk writes; the commit (axis
+    * extension, sidecar re-sign, root rewrite) is O(store metadata) —
+    * a daily ingest pays for the day, not the store. Memoized per SF
+    * like q125's store. */
+  private lazy val q128 = QueryDef.sql(
+    "q128_zarr_cube_append",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s)
+      |SELECT g.day, g.source,
+      |  coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |  coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source
+      |ORDER BY g.day, g.source""".stripMargin) { (s, dir) =>
+    val store = ensureAppendStore(s, dir)
+    s.read.format("zarr").load(store)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
+  }
+
+  /** Build the q128 store once per (dir, source size/mtime): fresh cube
+    * of days 0-7, then a REAL `append_dim` append of days 8-11. Same
+    * memoize-and-rename discipline as [[ensureCubeStore]]. */
+  private def ensureAppendStore(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cubeappend|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = s"/tmp/graft_zarr_cube_append/$key/day_cells"
+    if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) rm(storeDir)
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(Paths.get(store).getParent)
+      val docs = Tables.load(s, dir, "documents")
+      val cells = docs
+        .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      // densify over the FULL 12×sources grid, then split: both slabs
+      // share the source axis by construction (trailing dims must align)
+      val grid = s.range(12).select(col("id").as("day"))
+        .crossJoin(docs.select(col("source")).distinct())
+      val dense = grid.join(cells, Seq("day", "source"), "left")
+        .select(col("day"), col("source"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      dense.filter(col("day") < 8).write.format("zarr").mode("append")
+        .option("dims", "day,source")
+        .option("chunk_shape", "4,6")
+        .save(build.getPath)
+      dense.filter(col("day") >= 8).write.format("zarr").mode("append")
+        .option("append_dim", "day")
+        .save(build.getPath)
+      if (!build.renameTo(storeDir)) rm(build)
+    }
+    store
   }
 
   /** Build the q125 cube store once per (dir, source size/mtime);

@@ -122,7 +122,9 @@ object ZarrCubeWrite {
       if (arrays.nonEmpty)
         throw new ZarrException(
           s"cube write targets a FRESH store but $path already holds arrays " +
-            s"(${arrays.mkString(",")}); use mode('overwrite') to replace it")
+            s"(${arrays.mkString(",")}); use mode('overwrite') to replace it, " +
+            "or mode('append') with option('append_dim', <dim>) to extend it " +
+            "along its first dimension")
       // an EMPTY zarr store root (a bare root doc / stats sidecar, no
       // arrays) is a legitimate fresh target; anything else present is
       // unrelated user data this write must not touch — refuse before
@@ -144,26 +146,7 @@ object ZarrCubeWrite {
 
     try {
       // ---- coordinate axes: global sorted distincts (axis-sized) ----
-      val axes: Seq[Array[Any]] = dims.map { d =>
-        val rows = df.select(col(d)).distinct().orderBy(col(d))
-          .limit(maxAxisLen + 1).collect()
-        if (rows.length > maxAxisLen)
-          throw new ZarrException(
-            s"coordinate axis '$d' exceeds $maxAxisLen distinct values; " +
-              "raise max_axis_len if the driver can hold the axis")
-        if (rows.exists(_.isNullAt(0)))
-          throw new ZarrException(
-            s"coordinate column '$d' contains NULL; zarr coordinates are total orders")
-        val vals = rows.map(_.get(0))
-        vals.foreach {
-          case f: Float if !java.lang.Float.isFinite(f) =>
-            throw new ZarrException(s"coordinate column '$d' contains non-finite $f")
-          case x: Double if !java.lang.Double.isFinite(x) =>
-            throw new ZarrException(s"coordinate column '$d' contains non-finite $x")
-          case _ => ()
-        }
-        vals
-      }
+      val axes: Seq[Array[Any]] = dims.map(d => collectAxis(df, d, maxAxisLen))
       val shape: Seq[Long] = axes.map(_.length.toLong)
       val totalCells: Long = shape.foldLeft(1L)((a, b) =>
         try Math.multiplyExact(a, b)
@@ -232,71 +215,14 @@ object ZarrCubeWrite {
             timeMeta = timeMetaOf(d))
       }
 
-      // ---- attach grid indices via per-dim BROADCAST joins ----
-      // each build side is one axis (value, index); equality semantics
-      // (float normalization, -0.0, NaN) are Spark's own, i.e. exactly
-      // the semantics of the distinct() that produced the axis
-      var indexed = df
-      dims.zipWithIndex.foreach { case (d, i) =>
-        val axisDf = spark.createDataFrame(
-          new java.util.ArrayList[Row](axes(i).zipWithIndex.map { case (v, g) =>
-            Row(v, g.toLong)
-          }.toSeq.asJava),
-          StructType(Seq(
-            StructField(s"__zarr_v$i", fieldByName(d).dataType, nullable = false),
-            StructField(s"__zarr_g$i", LongType, nullable = false))))
-        indexed = indexed.join(broadcast(axisDf), col(d) === col(s"__zarr_v$i"))
-      }
-      // row-major chunk ordinal and offset within the (padded) chunk —
-      // pure integer Column arithmetic, whole-stage-codegen'd. Spark's
-      // `/` is double division, so integral div is (g - g % c) / c: the
-      // numerator is an exact multiple and the quotient < 2^53 (axis
-      // length is capped), so the double division is exact
-      var ordCol: Column = lit(0L)
-      var offCol: Column = lit(0L)
-      dims.indices.foreach { i =>
-        val g = col(s"__zarr_g$i")
-        val inChunk = g % chunkShape(i)
-        ordCol = ordCol * grid(i) + ((g - inChunk) / chunkShape(i)).cast(LongType)
-        offCol = offCol * chunkShape(i) + inChunk
-      }
-
-      // ---- one clustered shuffle; contiguous ordinal blocks per task ----
-      val chunksPerBlock: Long = math.max(1L, rowsPerTask / math.max(1L, chunkElems))
-      val nBlocks: Int = math.min(1 << 16,
-        ((numChunks + chunksPerBlock - 1) / chunksPerBlock)).toInt
-      val shuffled = indexed
-        .select((dataCols.map(f => col(f.name)) :+
-          ordCol.as("__zarr_ord") :+ offCol.as("__zarr_off")): _*)
-        .repartition(nBlocks, (col("__zarr_ord") / chunksPerBlock).cast(LongType))
-        .sortWithinPartitions(col("__zarr_ord"), col("__zarr_off"))
-
-      val gridArr = grid.toArray
-      val chunkArr = chunkShape.toArray
-      val shapeArr = shape.toArray
-      val dimsArr = dims.toArray
-      val dimZtArr = dimZts.toArray
-      val dataNames = dataCols.map(_.name).toArray
-      val dataJsonArr = dataMetaJsons.map(_._2).toArray
-      val axesB = spark.sparkContext.broadcast(axes.map(_.toIndexedSeq))
-      val statsOn = stats
-      val root = store.root
-      val pairs = hadoopPairs
-
-      import spark.implicits._
-      val written = shuffled.mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else Iterator.single(ZarrCubeWrite.assemblePartition(
-          it, root, pairs, dataNames, dataJsonArr, dimsArr, dimZtArr,
-          axesB.value, shapeArr, chunkArr, gridArr, statsOn))
-      }.collect()
-
-      val rowsWritten = written.map(_._1).sum
-      val chunksWritten = written.map(_._2).sum
-      if (rowsWritten != totalCells || chunksWritten != numChunks)
-        throw new ZarrException(
-          s"cube write incomplete: $rowsWritten/$totalCells rows, " +
-            s"$chunksWritten/$numChunks chunks reached the store")
+      writeSlab(df, store, hadoopPairs, dims, fieldByName,
+        joinAxes = axes.map(a => (a, 0L)),
+        fullAxes = axes.map(_.toIndexedSeq),
+        shape = shape, chunkShape = chunkShape, grid = grid,
+        dimZts = dimZts, dataCols = dataCols,
+        dataMetaJsons = dataMetaJsons.map(_._2),
+        stats = stats, rowsPerTask = rowsPerTask,
+        expectRows = totalCells, expectChunks = numChunks)
 
       // ---- driver commit: axis arrays (axis-sized), per-array metadata,
       //      consolidated root LAST (the atomic commit point) ----
@@ -323,6 +249,511 @@ object ZarrCubeWrite {
     }
   }
   // scalastyle:on method.length
+
+  // scalastyle:off method.length
+  /** Append a slab along the FIRST dimension of an existing cube store —
+    * the daily-ingest shape of real zarr pipelines (xarray's
+    * `append_dim`): a climate store grows along `time`, everything else
+    * stays put. Surfaced as
+    * `df.write.format("zarr").mode("append").option("append_dim", "time").save(path)`.
+    *
+    * Contract (loud, never guess):
+    *  - the target must be a coherent cube store (one coordinate array
+    *    per dim, congruent N-D data arrays this writer can encode); the
+    *    DataFrame's columns must be exactly dims + data arrays with
+    *    matching types; the existing chunking and codec chain win —
+    *    `chunk_shape`/`codec` options are refused;
+    *  - `append_dim` must be the store's FIRST (slowest-varying) dim:
+    *    row-major chunk keys and ordinals of existing chunks are
+    *    functions of the TRAILING dims only, so a dim-0 append leaves
+    *    every existing chunk object and stats ordinal untouched — an
+    *    append along any other dim would re-key the whole store
+    *    (refused; rewrite through a fresh cube write instead);
+    *  - the existing dim-0 extent must be a whole number of chunks (a
+    *    partial boundary slab would need read-modify-write of existing
+    *    chunks — refused, exactly like the 1-D tabular append);
+    *  - new dim-0 coordinates must sort strictly AFTER the existing
+    *    axis (the axis stays ascending; interleaving would re-rank
+    *    existing positions); trailing-dim coordinates must match the
+    *    stored axes exactly;
+    *  - the new slab must be dense: one row per (new dim-0 value ×
+    *    existing trailing cross-section) cell.
+    *
+    * Scale: the slab goes through the same pipeline as a fresh cube
+    * write (ONE clustered shuffle of the slab's rows, executor-direct
+    * final-key chunk writes, write-time stats segments); the commit is
+    * O(store metadata) — the sidecar re-sign rewrites numChunks/4096
+    * text documents and the axis extension is axis-sized. A daily
+    * ingest costs ∝ each day's data, not the store.
+    *
+    * Crash safety mirrors the 1-D aligned append: new chunks land at
+    * final keys BEYOND the committed shape (invisible until the root
+    * document advances; a retry overwrites the same keys); stats
+    * segments at ordinals past the committed grid are purged up front
+    * and on failure. Existing segments are re-signed to the grown grid
+    * before the commit and restored on failure — a crash inside that
+    * window only DECLINES stats pushdown on those ranges (scans fall
+    * back to decode-and-test), never misdescribes data. A crash between
+    * the per-array metadata writes and the root document leaves the
+    * slab invisible to consolidated readers; the next append (or any
+    * root rewrite) heals the root from the per-array documents. */
+  def append(
+      df: DataFrame,
+      path: String,
+      dimsOpt: Option[Seq[String]],
+      appendDim: String,
+      stats: Boolean,
+      maxAxisLen: Int = 1 << 22,
+      rowsPerTask: Long = 1L << 22): Unit = {
+    val spark = df.sparkSession
+    if (maxAxisLen > (1 << 30))
+      throw new ZarrException(
+        s"max_axis_len $maxAxisLen exceeds 2^30 (grid-index arithmetic bound)")
+    import scala.jdk.CollectionConverters._
+    val hadoopPairs = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, hadoopPairs)
+
+    // ---- resolve and validate the existing store, all before any IO ----
+    val names =
+      try store.listArrays()
+      catch { case e: ZarrException =>
+        throw new ZarrException(
+          s"append_dim: $path is not a readable zarr store (${e.getMessage})")
+      }
+    if (names.isEmpty)
+      throw new ZarrException(
+        s"append_dim: $path has no arrays; write the initial cube with " +
+          "option('dims', ...) first")
+    val metas = names.map(store.readMeta)
+    metas.find(_.formatVersion == 2).foreach { m =>
+      throw new ZarrException(
+        s"append_dim: $path is a Zarr v2 store (array ${m.name}); the writer " +
+          "is v3-only — compact it to a v3 store first")
+    }
+    if (store.readChunkManifest().parts.nonEmpty)
+      throw new ZarrException(
+        s"append_dim: $path carries a chunk manifest (staged tabular " +
+          "commits); cube append targets canonical-keyed cube stores — compact first")
+
+    val (coordMetasAll, dataMetas) = metas.partition(_.isCoordinate)
+    if (dataMetas.isEmpty)
+      throw new ZarrException(
+        s"append_dim: $path holds only coordinate arrays; cube append " +
+          "needs at least one data array")
+    val dims: Seq[String] = dataMetas.head.dimensionNames.getOrElse(
+      throw new ZarrException(
+        s"append_dim: data array ${dataMetas.head.name} in $path has no " +
+          "dimension_names; cannot identify the append axis (not a cube store)"))
+    dimsOpt.foreach { ds =>
+      if (ds != dims)
+        throw new ZarrException(
+          s"dims option (${ds.mkString(",")}) does not match the store's " +
+            s"dims (${dims.mkString(",")}); omit dims on append — the store defines them")
+    }
+    // shape/chunkShape are Arrays on the meta — compare by VALUE
+    val targetShape: IndexedSeq[Long] = dataMetas.head.shape.toIndexedSeq
+    val targetChunk: IndexedSeq[Int] = dataMetas.head.chunkShape.toIndexedSeq
+    if (dims.length != targetShape.length)
+      throw new ZarrException(
+        s"append_dim: data array ${dataMetas.head.name} has ${targetShape.length} " +
+          s"dims but dimension_names lists ${dims.length}")
+    dataMetas.foreach { m =>
+      if (!m.shape.sameElements(targetShape) || !m.chunkShape.sameElements(targetChunk) ||
+        !m.dimensionNames.contains(dims))
+        throw new ZarrException(
+          s"append_dim: data array ${m.name} is not congruent with " +
+            s"${dataMetas.head.name} (shape/chunking/dimension_names differ)")
+    }
+    val stray = coordMetasAll.map(_.name).toSet -- dims.toSet
+    if (stray.nonEmpty)
+      throw new ZarrException(
+        s"append_dim: $path holds coordinate arrays (${stray.toSeq.sorted.mkString(",")}) " +
+          "that are not dims of the data arrays; not a coherent cube store")
+    val coordMetas: Seq[ZarrArrayMeta] = dims.zipWithIndex.map { case (d, i) =>
+      val m = coordMetasAll.find(_.name == d).getOrElse(throw new ZarrException(
+        s"append_dim: store has no coordinate array '$d' (dim $i); cube " +
+          "append re-ranks positions from coordinates"))
+      if (m.shape(0) != targetShape(i) || m.chunkShape(0) != targetChunk(i))
+        throw new ZarrException(
+          s"append_dim: coordinate '$d' extent/chunking disagrees with " +
+            s"dimension $i of the data arrays")
+      m
+    }
+    (coordMetas ++ dataMetas).foreach { m =>
+      // the slab writer emits plain canonical chunks; a sharded array's
+      // chunk objects are whole shards this kernel cannot assemble
+      if (m.codecs.exists(_.name == "sharding_indexed"))
+        throw new ZarrException(
+          s"append_dim: array ${m.name} uses sharding_indexed; cube append " +
+            "writes plain chunks — compact to a plain-chunk layout first")
+      ZarrBatchWrite.validateEncodable(m, store.root)
+    }
+
+    val k = dims.indexOf(appendDim)
+    if (k < 0)
+      throw new ZarrException(
+        s"append_dim '$appendDim' is not a dim of the store (${dims.mkString(",")})")
+    if (k != 0)
+      throw new ZarrException(
+        s"append_dim '$appendDim' is dim $k; only the FIRST (slowest-varying) " +
+          s"dim '${dims.head}' can grow in place — row-major chunk keys and " +
+          "stats ordinals of existing chunks are functions of the trailing " +
+          "dims, so any other axis would re-key the whole store. Rewrite " +
+          "through a fresh cube write instead")
+
+    // ---- schema: exactly dims + data arrays, types as stored ----
+    val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
+    if (df.columns.exists(_.startsWith("__zarr_")))
+      throw new ZarrException(
+        "column names starting with __zarr_ collide with cube-write internals")
+    val wantCols = (dims ++ dataMetas.map(_.name)).toSet
+    val gotCols = df.columns.toSet
+    if (gotCols != wantCols)
+      throw new ZarrException(
+        s"append_dim: DataFrame columns (${df.columns.sorted.mkString(",")}) != " +
+          s"store arrays (${wantCols.toSeq.sorted.mkString(",")})")
+    (coordMetas ++ dataMetas).foreach { m =>
+      val f = fieldByName(m.name)
+      if (f.dataType != m.dataType.sparkType)
+        throw new ZarrException(
+          s"append_dim: column ${m.name} type ${f.dataType.sql} != stored " +
+            s"${m.dataType.sparkType.sql}")
+    }
+
+    // ---- alignment: existing dim-0 extent is a whole number of chunks ----
+    val l0 = targetShape.head
+    val c0 = targetChunk.head
+    if (l0 % c0 != 0)
+      throw new ZarrException(
+        s"append_dim: existing ${dims.head} extent $l0 is not a multiple of " +
+          s"its chunk extent $c0 (partial boundary slab would need " +
+          "read-modify-write of existing chunks); compact to an aligned " +
+          "chunking first")
+
+    // ---- axes: existing from the store, new slab from the DataFrame ----
+    val existingAxes: Seq[Array[Any]] = coordMetas.map(m =>
+      readAscendingAxis(store, m, path,
+        "cube layouts require an ascending axis — rewrite the store instead"))
+    val newAxis0 = collectAxis(df, dims.head, maxAxisLen)
+    if (newAxis0.isEmpty)
+      throw new ZarrException("cube append: input DataFrame is empty")
+    if (l0 + newAxis0.length > maxAxisLen)
+      throw new ZarrException(
+        s"append_dim: combined ${dims.head} axis (${l0 + newAxis0.length}) " +
+          s"exceeds $maxAxisLen; raise max_axis_len if the driver can hold the axis")
+    val lastExisting = existingAxes.head.last
+    if (ChunkFilter.cmp(newAxis0.head, lastExisting) <= 0)
+      throw new ZarrException(
+        s"append_dim: new ${dims.head} values must sort strictly after the " +
+          s"existing axis (existing max $lastExisting, new min ${newAxis0.head}); " +
+          "interleaving would re-rank existing positions — rewrite the store instead")
+    dims.zipWithIndex.drop(1).foreach { case (d, i) =>
+      val got = collectAxis(df, d, maxAxisLen)
+      val want = existingAxes(i)
+      if (got.length != want.length ||
+        got.indices.exists(j => ChunkFilter.cmp(got(j), want(j)) != 0))
+        throw new ZarrException(
+          s"append_dim: the slab's '$d' axis (${got.length} values) does not " +
+            s"match the store's (${want.length}); trailing dims must align " +
+            "exactly — the slab covers the same cross-section the store does")
+    }
+
+    // ---- density proof over the slab: every cell exactly once ----
+    val trailingCells = existingAxes.tail.foldLeft(1L)((a, ax) =>
+      Math.multiplyExact(a, ax.length.toLong))
+    val slabCells = Math.multiplyExact(newAxis0.length.toLong, trailingCells)
+    val proof = df.groupBy(dims.map(col): _*).agg(count(lit(1)).as("__zarr_c"))
+      .agg(sum(col("__zarr_c")), max(col("__zarr_c"))).collect()(0)
+    val nRows = proof.getLong(0)
+    val maxMult = proof.getLong(1)
+    if (maxMult > 1L)
+      throw new ZarrException(
+        s"cube append: duplicate coordinate tuples (a (${dims.mkString(",")}) " +
+          s"combination appears $maxMult times); deduplicate or aggregate first")
+    if (nRows != slabCells)
+      throw new ZarrException(
+        s"cube append: slab is not dense — ${newAxis0.length}x$trailingCells = " +
+          s"$slabCells cells but $nRows rows (${slabCells - nRows} missing); " +
+          "densify (cross join the axes and fill) before appending")
+
+    // ---- final geometry ----
+    val newL0 = l0 + newAxis0.length
+    val newShape: Seq[Long] = newL0 +: targetShape.tail
+    val newGrid: Seq[Int] = newShape.zip(targetChunk)
+      .map { case (s, c) => ((s + c - 1) / c).toInt }
+    val oldGrid0 = (l0 / c0).toInt
+    val trailingGrid = newGrid.tail.foldLeft(1L)(_ * _.toLong)
+    val oldNumChunks = oldGrid0.toLong * trailingGrid
+    val newNumChunks = newGrid.head.toLong * trailingGrid
+    val dimZts = coordMetas.map(_.dataType)
+    val dataCols = dataMetas.map(m => fieldByName(m.name))
+    val newDataJsons = dataMetas.map(m => ZarrMeta.withShape0(m.sourceJson, newL0))
+
+    // a previously-failed append may have left final-keyed segments at
+    // ordinals this append is about to (re)use — purge before writing
+    store.cleanStatsSegmentsFrom(oldNumChunks)
+    var resigned = false
+    try {
+      writeSlab(df, store, hadoopPairs, dims, fieldByName,
+        joinAxes = (newAxis0, l0) +: existingAxes.tail.map(a => (a, 0L)),
+        fullAxes = (existingAxes.head.toIndexedSeq ++ newAxis0) +:
+          existingAxes.tail.map(_.toIndexedSeq),
+        shape = newShape, chunkShape = targetChunk, grid = newGrid,
+        dimZts = dimZts, dataCols = dataCols, dataMetaJsons = newDataJsons,
+        stats = stats, rowsPerTask = rowsPerTask,
+        expectRows = slabCells, expectChunks = newNumChunks - oldNumChunks)
+
+      // extend the dim-0 coordinate array (aligned: new chunks only)
+      writeCoordChunks(store, coordMetas.head, newAxis0, oldGrid0, newL0)
+
+      // re-sign existing segments to the grown grid — grid[0] is the only
+      // field that moves; ordinals and bounds stay exact (see Scaladoc).
+      // Unconditional: even with stats=false on THIS append, an existing
+      // sidecar must follow the store's grid or every old segment declines
+      resignSegments(store, oldNumChunks, newGrid.head, dims)
+      resigned = true
+
+      // ---- per-array metadata with the grown shape, root LAST ----
+      val newJsonByName: Map[String, String] =
+        (dataMetas.map(_.name) zip newDataJsons).toMap +
+          (dims.head -> ZarrMeta.withShape0(coordMetas.head.sourceJson, newL0))
+      newJsonByName.foreach { case (n, j) => store.writeMeta(n, j) }
+      val allJsons = metas.map(m =>
+        m.name -> newJsonByName.getOrElse(m.name, m.sourceJson))
+      store.writeStoreRootMeta(allJsons, ChunkManifest.empty)
+    } catch {
+      case e: Throwable =>
+        // mirror the 1-D aligned-append abort: phantom chunks beyond the
+        // committed shape are invisible (and a retry overwrites the same
+        // final keys); stats must never describe chunks the store does
+        // not own, and existing segments go back to the committed grid
+        try {
+          store.cleanStatsSegmentsFrom(oldNumChunks)
+          if (resigned) resignSegments(store, oldNumChunks, oldGrid0, dims)
+        } catch { case _: Throwable => () }
+        throw e
+    }
+  }
+  // scalastyle:on method.length
+
+  /** Decode a 1-D coordinate axis driver-side, enforcing the strictly
+    * ascending order every cube-layout invariant rests on. Axis-sized
+    * (bounded by the cube writer's own max_axis_len). */
+  private[graft] def readAscendingAxis(
+      store: ZarrStore, m: ZarrArrayMeta, path: String, advice: String): Array[Any] = {
+    val n = m.shape(0)
+    if (n > Int.MaxValue)
+      throw new ZarrException(
+        s"coordinate axis '${m.name}' of $path has $n values (driver bound)")
+    val cs = m.chunkShape(0)
+    val numChunks = ((n + cs - 1) / cs).toInt
+    val out = new Array[Any](n.toInt)
+    var pos = 0
+    (0 until numChunks).foreach { ci =>
+      val colv = ChunkColumn.decode(m, store.readChunk(m.name, m.chunkKey(Array(ci))))
+      val extent = math.min(cs.toLong, n - ci.toLong * cs).toInt
+      var e = 0
+      while (e < extent) {
+        val v = colv.get(e)
+        if (pos > 0 && ChunkFilter.cmp(v, out(pos - 1)) <= 0)
+          throw new ZarrException(
+            s"coordinate axis '${m.name}' of store $path is not strictly " +
+              s"ascending at position $pos; $advice")
+        out(pos) = v
+        pos += 1
+        e += 1
+      }
+    }
+    out
+  }
+
+  /** Extend a 1-D coordinate array in place: write the NEW chunks
+    * (`fromChunk` onward — the old extent is chunk-aligned, so no
+    * existing object is touched) with the array's own codec chain,
+    * padding the final edge chunk with the declared fill value. */
+  private def writeCoordChunks(
+      store: ZarrStore, m: ZarrArrayMeta, newVals: Array[Any],
+      fromChunk: Int, newLen: Long): Unit = {
+    val cs = m.chunkShape(0)
+    val chain = Codecs.bytesCodecs(m.codecs,
+      if (m.dataType.byteWidth > 0) m.dataType.byteWidth else 1)
+    val order = Codecs.endianness(m.codecs)
+    val base = fromChunk.toLong * cs
+    val nChunks = ((newLen + cs - 1) / cs).toInt
+    (fromChunk until nChunks).foreach { ci =>
+      val lo = (ci.toLong * cs - base).toInt
+      val hi = math.min(newVals.length.toLong, lo.toLong + cs).toInt
+      val vals = new scala.collection.mutable.ArrayBuffer[Any](cs)
+      (lo until hi).foreach(j => vals += newVals(j))
+      while (vals.length < cs) vals += m.fillValue
+      val enc = ZarrDataWriter.encode(m.dataType, vals.toSeq, order)
+      val packed = chain.foldLeft(enc)((b, cc) => cc.encode(b))
+      store.writeChunk(m.name, m.chunkKey(Array(ci)), packed)
+    }
+  }
+
+  /** Rewrite the `grid[0]` entry of every committed stats segment below
+    * `belowOrdinal` to `grid0`. A dim-0 append grows only the leading
+    * grid extent, and row-major ordinals are functions of the TRAILING
+    * extents, so each segment's ordinal range and bounds stay exact —
+    * only the signature must follow the store's new grid. Grid-less
+    * (1-D tabular write-path) segments and segments signed for a
+    * different dim order are left untouched: they are incompatible with
+    * this grid before AND after. Driver-side, O(numChunks/4096) small
+    * text rewrites. */
+  private def resignSegments(
+      store: ZarrStore, belowOrdinal: Long, grid0: Int, dims: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    store.listStatsSegments().foreach { case (first, n) =>
+      if (first < belowOrdinal) {
+        val key = ChunkStats.segmentKey(first, n)
+        store.readText(key).foreach { doc =>
+          val root = mapper.readTree(doc)
+          val g = root.get("grid")
+          val d = root.get("dims")
+          val dimsMatch = d != null && d.isArray && d.size() == dims.length &&
+            dims.indices.forall(i => d.get(i).asText() == dims(i))
+          if (g != null && g.isArray && g.size() == dims.length && dimsMatch &&
+            g.get(0).asInt(-1) != grid0) {
+            val arr = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .withArray("grid")
+            val rest = (1 until arr.size()).map(arr.get(_).asInt())
+            arr.removeAll()
+            arr.add(grid0)
+            rest.foreach(arr.add)
+            store.writeText(key, mapper.writeValueAsString(root))
+          }
+        }
+      }
+    }
+  }
+
+  /** One coordinate axis as a global sorted distinct, with the cube
+    * layout's validity checks (bounded, non-NULL, finite). */
+  private def collectAxis(df: DataFrame, d: String, maxAxisLen: Int): Array[Any] = {
+    val rows = df.select(col(d)).distinct().orderBy(col(d))
+      .limit(maxAxisLen + 1).collect()
+    if (rows.length > maxAxisLen)
+      throw new ZarrException(
+        s"coordinate axis '$d' exceeds $maxAxisLen distinct values; " +
+          "raise max_axis_len if the driver can hold the axis")
+    if (rows.exists(_.isNullAt(0)))
+      throw new ZarrException(
+        s"coordinate column '$d' contains NULL; zarr coordinates are total orders")
+    val vals = rows.map(_.get(0))
+    vals.foreach {
+      case f: Float if !java.lang.Float.isFinite(f) =>
+        throw new ZarrException(s"coordinate column '$d' contains non-finite $f")
+      case x: Double if !java.lang.Double.isFinite(x) =>
+        throw new ZarrException(s"coordinate column '$d' contains non-finite $x")
+      case _ => ()
+    }
+    vals
+  }
+
+  /** The distributed middle of both cube write and cube append: attach
+    * grid indices via per-dim broadcast joins, shuffle ONCE into
+    * contiguous chunk-ordinal blocks, assemble and write chunks at their
+    * final keys, and verify the expected (rows, chunks) all landed.
+    *
+    * `joinAxes(i)` is (values to index, base grid offset) — the fresh
+    * write indexes every axis from 0; an append indexes the append dim's
+    * NEW values from the existing axis length. `fullAxes` is the complete
+    * final axis per dim (what stats coordinate views read). `shape`/
+    * `grid` describe the FINAL store. */
+  // scalastyle:off parameter.number
+  private def writeSlab(
+      df: DataFrame,
+      store: ZarrStore,
+      hadoopPairs: Seq[(String, String)],
+      dims: Seq[String],
+      fieldByName: Map[String, StructField],
+      joinAxes: Seq[(Array[Any], Long)],
+      fullAxes: Seq[IndexedSeq[Any]],
+      shape: Seq[Long],
+      chunkShape: Seq[Int],
+      grid: Seq[Int],
+      dimZts: Seq[ZarrType],
+      dataCols: Seq[StructField],
+      dataMetaJsons: Seq[String],
+      stats: Boolean,
+      rowsPerTask: Long,
+      expectRows: Long,
+      expectChunks: Long): Unit = {
+    // scalastyle:on parameter.number
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val chunkElems: Long = chunkShape.foldLeft(1L)(_ * _.toLong)
+
+    // ---- attach grid indices via per-dim BROADCAST joins ----
+    // each build side is one axis (value, index); equality semantics
+    // (float normalization, -0.0, NaN) are Spark's own, i.e. exactly
+    // the semantics of the distinct() that produced the axis
+    var indexed = df
+    dims.zipWithIndex.foreach { case (d, i) =>
+      val (vals, base) = joinAxes(i)
+      val axisDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](vals.zipWithIndex.map { case (v, g) =>
+          Row(v, base + g.toLong)
+        }.toSeq.asJava),
+        StructType(Seq(
+          StructField(s"__zarr_v$i", fieldByName(d).dataType, nullable = false),
+          StructField(s"__zarr_g$i", LongType, nullable = false))))
+      indexed = indexed.join(broadcast(axisDf), col(d) === col(s"__zarr_v$i"))
+    }
+    // row-major chunk ordinal and offset within the (padded) chunk —
+    // pure integer Column arithmetic, whole-stage-codegen'd. Spark's
+    // `/` is double division, so integral div is (g - g % c) / c: the
+    // numerator is an exact multiple and the quotient < 2^53 (axis
+    // length is capped), so the double division is exact
+    var ordCol: Column = lit(0L)
+    var offCol: Column = lit(0L)
+    dims.indices.foreach { i =>
+      val g = col(s"__zarr_g$i")
+      val inChunk = g % chunkShape(i)
+      ordCol = ordCol * grid(i) + ((g - inChunk) / chunkShape(i)).cast(LongType)
+      offCol = offCol * chunkShape(i) + inChunk
+    }
+
+    // ---- one clustered shuffle; contiguous ordinal blocks per task ----
+    val chunksPerBlock: Long = math.max(1L, rowsPerTask / math.max(1L, chunkElems))
+    val nBlocks: Int = math.min(1 << 16,
+      ((expectChunks + chunksPerBlock - 1) / chunksPerBlock)).toInt
+    val shuffled = indexed
+      .select((dataCols.map(f => col(f.name)) :+
+        ordCol.as("__zarr_ord") :+ offCol.as("__zarr_off")): _*)
+      .repartition(math.max(1, nBlocks), (col("__zarr_ord") / chunksPerBlock).cast(LongType))
+      .sortWithinPartitions(col("__zarr_ord"), col("__zarr_off"))
+
+    val gridArr = grid.toArray
+    val chunkArr = chunkShape.toArray
+    val shapeArr = shape.toArray
+    val dimsArr = dims.toArray
+    val dimZtArr = dimZts.toArray
+    val dataNames = dataCols.map(_.name).toArray
+    val dataJsonArr = dataMetaJsons.toArray
+    val axesB = spark.sparkContext.broadcast(fullAxes)
+    val statsOn = stats
+    val root = store.root
+    val pairs = hadoopPairs
+
+    import spark.implicits._
+    val written = shuffled.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else Iterator.single(ZarrCubeWrite.assemblePartition(
+        it, root, pairs, dataNames, dataJsonArr, dimsArr, dimZtArr,
+        axesB.value, shapeArr, chunkArr, gridArr, statsOn))
+    }.collect()
+
+    val rowsWritten = written.map(_._1).sum
+    val chunksWritten = written.map(_._2).sum
+    if (rowsWritten != expectRows || chunksWritten != expectChunks)
+      throw new ZarrException(
+        s"cube write incomplete: $rowsWritten/$expectRows rows, " +
+          s"$chunksWritten/$expectChunks chunks reached the store")
+  }
 
   /** Task kernel: rows arrive sorted by (ordinal, offset); assemble and
     * write one chunk at a time at its FINAL key, flush grid-signed stats

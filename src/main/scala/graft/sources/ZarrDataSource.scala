@@ -68,12 +68,13 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val store = storeFor(options)
-    // `dims` marks an N-D CUBE write target: the table declares the
-    // V1_BATCH_WRITE capability so Spark routes the write through the
-    // V1Write whole-query seam (ZarrWriteBuilder returns one); read
-    // capabilities are unchanged, and tables resolved WITHOUT the option
-    // (every read, every tabular write) keep the pure-V2 path
-    val cubeWrite = options.containsKey("dims")
+    // `dims` marks an N-D CUBE write target and `append_dim` a cube
+    // APPEND: either way the table declares the V1_BATCH_WRITE
+    // capability so Spark routes the write through the V1Write
+    // whole-query seam (ZarrWriteBuilder returns one); read
+    // capabilities are unchanged, and tables resolved WITHOUT the
+    // options (every read, every tabular write) keep the pure-V2 path
+    val cubeWrite = options.containsKey("dims") || options.containsKey("append_dim")
     // a missing/empty store with a caller-supplied schema is a WRITE
     // target (df.write.format("zarr").save(path))
     val metas =

@@ -107,29 +107,53 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
     // Spark's sanctioned whole-query seam, `V1Write` (the same seam the
     // built-in JDBC v2 source uses), and ZarrCubeWrite runs the
     // multi-job pipeline with executor-side chunk writes.
-    Option(info.options.get("dims")).map(ZarrCubeWrite.parseDims) match {
-      case Some(dims) =>
-        if (info.options.containsKey("rows_per_partition") ||
-          info.options.containsKey("inner_chunk_size") ||
-          info.options.containsKey("chunk_size"))
-          throw new ZarrException(
-            "cube writes (dims option) do not take rows_per_partition/" +
-              "inner_chunk_size/chunk_size; chunking is set via chunk_shape")
-        val chunkShape = Option(info.options.get("chunk_shape"))
-          .map(_.split(",").map(_.trim.toInt).toSeq)
-        val codec = Option(info.options.get("codec")).getOrElse("blosc")
-        val stats = Option(info.options.get("stats")).forall(_.toBoolean)
-        val maxAxis = Option(info.options.get("max_axis_len")).map(_.toInt)
-          .getOrElse(1 << 22)
-        val wasTruncate = doTruncate
-        new V1Write {
-          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
-              ZarrCubeWrite.write(data, store.root, dims, chunkShape, codec,
-                stats, truncate = wasTruncate || overwrite, maxAxisLen = maxAxis)
-        }
-      case None => buildTabular()
-    }
+    val dimsOpt = Option(info.options.get("dims")).map(ZarrCubeWrite.parseDims)
+    val appendDim = Option(info.options.get("append_dim"))
+    if (dimsOpt.isDefined || appendDim.isDefined) {
+      if (info.options.containsKey("rows_per_partition") ||
+        info.options.containsKey("inner_chunk_size") ||
+        info.options.containsKey("chunk_size"))
+        throw new ZarrException(
+          "cube writes (dims/append_dim options) do not take rows_per_partition/" +
+            "inner_chunk_size/chunk_size; chunking is set via chunk_shape")
+      val stats = Option(info.options.get("stats")).forall(_.toBoolean)
+      val maxAxis = Option(info.options.get("max_axis_len")).map(_.toInt)
+        .getOrElse(1 << 22)
+      val wasTruncate = doTruncate
+      appendDim match {
+        case Some(ad) =>
+          // cube APPEND: the existing store's layout wins wholesale —
+          // a chunk_shape or codec option could only be ignored or
+          // contradict it, so both are refused rather than dropped
+          if (info.options.containsKey("chunk_shape") ||
+            info.options.containsKey("codec"))
+            throw new ZarrException(
+              "cube append (append_dim) takes neither chunk_shape nor codec; " +
+                "the existing store's chunking and codec chain win")
+          new V1Write {
+            override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+                if (wasTruncate || overwrite)
+                  throw new ZarrException(
+                    "append_dim extends an existing store and conflicts with " +
+                      "overwrite mode; use mode('append')")
+                ZarrCubeWrite.append(data, store.root, dimsOpt, ad, stats,
+                  maxAxisLen = maxAxis)
+              }
+          }
+        case None =>
+          val dims = dimsOpt.get
+          val chunkShape = Option(info.options.get("chunk_shape"))
+            .map(_.split(",").map(_.trim.toInt).toSeq)
+          val codec = Option(info.options.get("codec")).getOrElse("blosc")
+          new V1Write {
+            override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
+                ZarrCubeWrite.write(data, store.root, dims, chunkShape, codec,
+                  stats, truncate = wasTruncate || overwrite, maxAxisLen = maxAxis)
+          }
+      }
+    } else buildTabular()
   }
 
   private def buildTabular(): Write = new Write {

@@ -164,29 +164,11 @@ object ZarrMaintenance {
     * sequential decode is cheap relative to the compaction job. */
   private def requireAscendingAxis(
       store: ZarrStore, m: ZarrArrayMeta, srcPath: String): Unit = {
-    val n = m.shape(0)
-    val cs = m.chunkShape(0)
-    val numChunks = ((n + cs - 1) / cs).toInt
-    var prev: Any = null
-    var pos = 0L
-    (0 until numChunks).foreach { ci =>
-      val col = ChunkColumn.decode(m, store.readChunk(m.name, m.chunkKey(Array(ci))))
-      val extent = math.min(cs.toLong, n - ci.toLong * cs).toInt
-      var e = 0
-      while (e < extent) {
-        val v = col.get(e)
-        if (prev != null && ChunkFilter.cmp(v, prev) <= 0)
-          throw new ZarrException(
-            s"compact: coordinate axis '${m.name}' of N-D store $srcPath is " +
-              s"not strictly ascending at position $pos; the cube writer " +
-              "rebuilds axes sorted ascending, which would silently re-order " +
-              "this store's axis direction and chunk layout — re-order the " +
-              "source (or write the cube directly) instead")
-        prev = v
-        pos += 1
-        e += 1
-      }
-    }
+    graft.sources.ZarrCubeWrite.readAscendingAxis(store, m, srcPath,
+      "the cube writer rebuilds axes sorted ascending, which would silently " +
+        "re-order this store's axis direction and chunk layout — re-order " +
+        "the source (or write the cube directly) instead")
+    ()
   }
 
   /** Stored chunk objects across all columns (files under each array's

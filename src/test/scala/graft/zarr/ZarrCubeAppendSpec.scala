@@ -1,0 +1,261 @@
+package graft.zarr
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** N-D cube APPEND (`append_dim` option): grow an existing cube store
+  * along its first dimension — the xarray daily-ingest shape. Pins:
+  * value-exact roundtrip of base+slab, existing chunk objects untouched
+  * (byte-identical), the stats sidecar stays whole-store valid (zero-GET
+  * metadata aggregates over base AND slab after the grid re-sign), and
+  * the loud-refusal contract for every way an append can be unsound
+  * (unaligned base, interleaved/duplicate coordinates, trailing-axis
+  * drift, non-first append dim, schema mismatch). */
+class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zarr-cube-append-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.graftstat.impl", classOf[RecordingFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-cube-append").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val t0 = 1700000000000000000L
+  private val day = 86400L * 1000000000L
+
+  /** Dense climate-shaped frame for days [tFrom, tUntil): 5 lats × 7
+    * lons, temp = 1000t + 10i + j, n = global cell ordinal. Shuffled. */
+  private def slab(tFrom: Int, tUntil: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val rows = for (t <- tFrom until tUntil; i <- 0 until 5; j <- 0 until 7) yield (
+      t0 + t * day, 38.0 + 0.5 * i, -117.0 + 0.25 * j,
+      1000.0 * t + 10.0 * i + j, (t * 35 + i * 7 + j).toLong)
+    scala.util.Random.shuffle(rows).toDF("time", "lat", "lon", "temp", "n")
+      .repartition(3)
+  }
+
+  private def writeBase(path: String, days: Int, chunk0: Int = 2): Unit =
+    slab(0, days).write.format("zarr").mode("append")
+      .option("dims", "time,lat,lon").option("chunk_shape", s"$chunk0,2,4")
+      .save(path)
+
+  private def appendSlab(df: DataFrame, path: String): Unit =
+    df.write.format("zarr").mode("append").option("append_dim", "time").save(path)
+
+  test("3-D append: base + slab roundtrip value-exact; existing objects untouched") {
+    val path = s"$base/grow"
+    writeBase(path, 4) // 4×5×7, chunk 2×2×4 — dim-0 aligned
+    val store = ZarrStore(path, Nil)
+    val oldTempChunk = Files.readAllBytes(
+      Paths.get(path, "temp", "c", "0", "0", "0"))
+    val oldTimeChunk = Files.readAllBytes(Paths.get(path, "time", "c", "0"))
+
+    appendSlab(slab(4, 7), path) // +3 days → 7×5×7 (edge chunk on dim 0)
+
+    val back = spark.read.format("zarr").load(path)
+    assert(back.count() == 7 * 35)
+    val exp = slab(0, 7).select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val got = back.select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == exp)
+
+    // metadata advanced; dim-0 axis extended; trailing axes untouched
+    val metas = store.listArrays().map(store.readMeta).map(m => m.name -> m).toMap
+    assert(metas("temp").shape.toSeq == Seq(7L, 5L, 7L))
+    assert(metas("time").shape.toSeq == Seq(7L))
+    assert(metas("lat").shape.toSeq == Seq(5L))
+    // a dim-0 append must not rewrite existing chunk objects
+    assert(java.util.Arrays.equals(oldTempChunk,
+      Files.readAllBytes(Paths.get(path, "temp", "c", "0", "0", "0"))),
+      "existing data chunk must be byte-identical after append")
+    assert(java.util.Arrays.equals(oldTimeChunk,
+      Files.readAllBytes(Paths.get(path, "time", "c", "0"))),
+      "existing coordinate chunk must be byte-identical after append")
+  }
+
+  test("appended store keeps full stats coverage: zero-GET aggregates, slab prune") {
+    val path = s"graftstat://$base/grow_stat"
+    writeBase(path, 4, chunk0 = 1)
+    appendSlab(slab(4, 6), path) // 6×5×7, grid 6×3×2
+
+    val df = spark.read.format("zarr").load(path)
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(count(lit(1)).as("cnt"), min("time"), max("time"),
+      min("temp"), max("temp"), sum("n")).collect()(0)
+    assert(r.getLong(0) == 6 * 35L)
+    assert(r.getLong(1) == t0 && r.getLong(2) == t0 + 5 * day)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 5046.0)
+    assert(r.getLong(5) == (0 until 210).map(_.toLong).sum)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/grow_stat/(time|lat|lon|temp|n)/c/.*"))
+    assert(chunkOpens.isEmpty,
+      s"metadata-only agg on an appended store read chunks: ${chunkOpens.mkString(", ")}")
+
+    // predicate over the APPENDED slab prunes to that slab's data chunks
+    RecordingFileSystem.opened.clear()
+    val s5 = df.filter(col("time") >= t0 + 5 * day)
+      .agg(sum("n").as("s")).collect()(0).getLong(0)
+    assert(s5 == (175 until 210).map(_.toLong).sum)
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/grow_stat/(temp|n)/c/.*")).distinct
+    assert(dataOpens.length <= 12,
+      s"slab scan read ${dataOpens.length}: ${dataOpens.mkString(", ")}")
+  }
+
+  test("double append; second slab lands aligned on the grown extent") {
+    val path = s"$base/twice"
+    writeBase(path, 2) // 2×5×7 chunk0=2
+    appendSlab(slab(2, 4), path) // → 4, still aligned
+    appendSlab(slab(4, 5), path) // → 5 (edge chunk)
+    val back = spark.read.format("zarr").load(path)
+    assert(back.count() == 5 * 35)
+    assert(back.agg(sum("n")).collect()(0).getLong(0) ==
+      (0 until 175).map(_.toLong).sum)
+    // a third append onto the UNALIGNED extent (5 % 2 != 0) refuses
+    val e = intercept[Exception] { appendSlab(slab(5, 6), path) }
+    assert(e.getMessage.contains("not a multiple"), e.getMessage)
+  }
+
+  test("1-D cube append") {
+    val sp = spark; import sp.implicits._
+    val path = s"$base/one"
+    (0 until 8).map(i => (i.toLong * 10, s"v$i")).toDF("t", "label")
+      .write.format("zarr").mode("append").option("dims", "t")
+      .option("chunk_shape", "4").save(path)
+    (8 until 11).map(i => (i.toLong * 10, s"v$i")).toDF("t", "label")
+      .write.format("zarr").mode("append").option("append_dim", "t").save(path)
+    val back = spark.read.format("zarr").load(path)
+    assert(back.orderBy("t").select("label").as[String].collect().toSeq ==
+      (0 until 11).map(i => s"v$i"))
+  }
+
+  test("datetime64 kind/unit attributes survive an append") {
+    val sp = spark; import sp.implicits._
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("zarr_time_kind", "datetime64")
+      .putString("zarr_time_unit", "ns").build()
+    val path = s"$base/timeattr"
+    val baseDf = (for (t <- 0 until 2; x <- 0 until 3)
+      yield (t0 + t * day, x.toDouble, (t * 3 + x).toLong)).toDF("time", "x", "v")
+      .withColumn("time", col("time").as("time", md))
+    baseDf.write.format("zarr").mode("append").option("dims", "time,x")
+      .option("chunk_shape", "2,3").save(path)
+    val slab2 = (for (t <- 2 until 3; x <- 0 until 3)
+      yield (t0 + t * day, x.toDouble, (t * 3 + x).toLong)).toDF("time", "x", "v")
+    slab2.write.format("zarr").mode("append").option("append_dim", "time").save(path)
+    val m = ZarrStore(path, Nil).readMeta("time")
+    assert(m.timeMeta.contains(("datetime64", "ns")),
+      s"time axis annotation lost on append: ${m.timeMeta}")
+    assert(m.shape.toSeq == Seq(3L))
+  }
+
+  test("refusals: every unsound append is loud, store left exactly as committed") {
+    val sp = spark; import sp.implicits._
+    val path = s"$base/guard"
+    writeBase(path, 4)
+    val before = spark.read.format("zarr").load(path)
+      .orderBy("time", "lat", "lon").collect().toSeq
+
+    // interleaved / overlapping dim-0 coordinates
+    val e1 = intercept[Exception] { appendSlab(slab(3, 6), path) }
+    assert(e1.getMessage.contains("strictly after"), e1.getMessage)
+    // trailing-axis drift (6 lats instead of 5)
+    val badLat = (for (t <- 4 until 5; i <- 0 until 6; j <- 0 until 7) yield (
+      t0 + t * day, 38.0 + 0.5 * i, -117.0 + 0.25 * j, 1.0, 1L))
+      .toDF("time", "lat", "lon", "temp", "n")
+    val e2 = intercept[Exception] { appendSlab(badLat, path) }
+    assert(e2.getMessage.contains("trailing dims must align"), e2.getMessage)
+    // only the FIRST dim can grow
+    val e3 = intercept[Exception] {
+      slab(4, 5).write.format("zarr").mode("append")
+        .option("append_dim", "lat").save(path)
+    }
+    assert(e3.getMessage.contains("FIRST"), e3.getMessage)
+    // unknown append dim
+    val e4 = intercept[Exception] {
+      slab(4, 5).write.format("zarr").mode("append")
+        .option("append_dim", "altitude").save(path)
+    }
+    assert(e4.getMessage.contains("not a dim"), e4.getMessage)
+    // schema drift: missing data column
+    val e5 = intercept[Exception] {
+      appendSlab(slab(4, 5).drop("n"), path)
+    }
+    assert(e5.getMessage.contains("store arrays"), e5.getMessage)
+    // type drift
+    val e6 = intercept[Exception] {
+      appendSlab(slab(4, 5).withColumn("temp", col("temp").cast("long")), path)
+    }
+    assert(e6.getMessage.contains("type"), e6.getMessage)
+    // duplicate tuples in the slab
+    val e7 = intercept[Exception] {
+      appendSlab(slab(4, 5).union(slab(4, 5).limit(1)), path)
+    }
+    assert(e7.getMessage.contains("duplicate coordinate tuples"), e7.getMessage)
+    // ragged slab
+    val e8 = intercept[Exception] {
+      appendSlab(slab(4, 5).limit(30), path)
+    }
+    assert(e8.getMessage.contains("not dense"), e8.getMessage)
+    // layout options cannot apply on append
+    val e9 = intercept[Exception] {
+      slab(4, 5).write.format("zarr").mode("append")
+        .option("append_dim", "time").option("chunk_shape", "2,2,4").save(path)
+    }
+    assert(e9.getMessage.contains("neither chunk_shape nor codec"), e9.getMessage)
+    // append conflicts with overwrite
+    val e10 = intercept[Exception] {
+      slab(4, 5).write.format("zarr").mode("overwrite")
+        .option("append_dim", "time").save(path)
+    }
+    assert(e10.getMessage.contains("conflicts with overwrite"), e10.getMessage)
+    // dims cross-check when both options are given
+    val e11 = intercept[Exception] {
+      slab(4, 5).write.format("zarr").mode("append")
+        .option("append_dim", "time").option("dims", "time,lon,lat").save(path)
+    }
+    assert(e11.getMessage.contains("does not match the store's"), e11.getMessage)
+
+    // after every refusal the store reads back exactly as committed
+    val after = spark.read.format("zarr").load(path)
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(after == before, "a refused append must leave the store untouched")
+  }
+
+  test("non-cube targets are refused: tabular store, missing store") {
+    val sp = spark; import sp.implicits._
+    val tab = s"$base/tabular"
+    (0 until 10).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+      .coalesce(1).write.format("zarr").mode("append").save(tab)
+    val e1 = intercept[Exception] {
+      (0 until 3).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+        .write.format("zarr").mode("append").option("append_dim", "a").save(tab)
+    }
+    // a staged tabular store trips the manifest gate; an aligned one the
+    // dimension_names gate — either way the refusal is loud and names why
+    assert(e1.getMessage.contains("dimension_names") ||
+      e1.getMessage.contains("coordinate") ||
+      e1.getMessage.contains("chunk manifest"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      (0 until 3).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+        .write.format("zarr").mode("append").option("append_dim", "a")
+        .save(s"$base/missing_store")
+    }
+    assert(e2.getMessage.contains("append_dim"), e2.getMessage)
+  }
+}
