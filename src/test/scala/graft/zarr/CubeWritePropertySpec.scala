@@ -38,8 +38,9 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   /** One axis: (spark type, SORTED distinct values). Values are distinct
     * by construction (the cube contract); the INPUT rows are shuffled so
     * the writer must rank coordinates itself. */
-  private def genAxis(): (DataType, IndexedSeq[Any]) = {
-    val len = 1 + rnd.nextInt(9)
+  private def genAxis(): (DataType, IndexedSeq[Any]) = genAxisOfLength(1 + rnd.nextInt(9))
+
+  private def genAxisOfLength(len: Int): (DataType, IndexedSeq[Any]) = {
     rnd.nextInt(3) match {
       case 0 => (LongType, (0 until len).map(i => (i * 7 + 3).toLong: Any))
       case 1 => (DoubleType, (0 until len).map(i => -4.25 + i * 0.5: Any))
@@ -95,6 +96,66 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         store.listArrays().map(store.readMeta)).numChunks
       assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
         s"case $caseNo: sidecar does not cover the grid")
+    }
+  }
+
+  test("append roundtrip: arbitrary grids split along dim 0 — per-coordinate value identity") {
+    (1 to 15).foreach { caseNo =>
+      val path = s"$base/app$caseNo"
+      val ndim = 1 + rnd.nextInt(3)
+      // dim-0: a chunk-ALIGNED base extent (the append contract) plus a
+      // nonempty slab whose final extent may leave an edge chunk
+      val chunk0 = 1 + rnd.nextInt(4)
+      val baseLen = chunk0 * (1 + rnd.nextInt(3))
+      val slabLen = 1 + rnd.nextInt(5)
+      val (dt0, axis0) = genAxisOfLength(baseLen + slabLen)
+      val trailing = IndexedSeq.fill(ndim - 1)(genAxis())
+      val axes = (dt0, axis0) +: trailing
+      val chunkShape = chunk0 +: trailing.map(a => 1 + rnd.nextInt(a._2.length + 1))
+      val dimNames = (0 until ndim).map(d => s"d$d")
+
+      def cells(axs: Seq[Seq[Any]]): Seq[Seq[Any]] =
+        axs.foldLeft(Seq(Seq.empty[Any]))((acc, ax) => acc.flatMap(p => ax.map(v => p :+ v)))
+      val tuples = cells(axes.map(_._2.toSeq))
+      val rows = tuples.zipWithIndex.map { case (coord, i) =>
+        Row.fromSeq(coord :+ i.toLong :+ (i * 0.25 - 3.0))
+      }
+      val schema = StructType(
+        axes.zipWithIndex.map { case ((dt, _), d) => StructField(s"d$d", dt) } ++
+          Seq(StructField("v1", LongType), StructField("v2", DoubleType)))
+      val basePrefix = axis0.take(baseLen).toSet
+      def frame(part: Seq[Row]) = {
+        val l = new java.util.ArrayList[Row](part.length)
+        rnd.shuffle(part).foreach(l.add)
+        spark.createDataFrame(l, schema).repartition(3)
+      }
+      val (baseRows, slabRows) = rows.partition(r => basePrefix(r.get(0)))
+
+      graft.sources.ZarrCubeWrite.write(
+        frame(baseRows), path, dimNames, Some(chunkShape), codec = "blosc",
+        stats = true, truncate = false)
+      graft.sources.ZarrCubeWrite.append(
+        frame(slabRows), path, dimsOpt = None, appendDim = "d0", stats = true)
+
+      val back = spark.read.format("zarr").load(path)
+        .select((dimNames :+ "v1" :+ "v2").map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(dimNames.map(org.apache.spark.sql.functions.col): _*)
+        .collect()
+      val expected = tuples.zipWithIndex.map { case (coord, i) =>
+        (coord :+ i.toLong :+ (i * 0.25 - 3.0)).map(String.valueOf).mkString("|")
+      }
+      val got = back.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq
+      assert(got == expected,
+        s"append case $caseNo: axes=${axes.map(a => a._1.simpleString + ":" + a._2.length)} " +
+          s"chunks=$chunkShape baseLen=$baseLen")
+
+      // the grown store's sidecar must cover the FULL grid: the slab's
+      // fresh segments plus the re-signed base segments
+      val store = ZarrStore(path)
+      val geomChunks = ScanGeometry.resolve(
+        store.listArrays().map(store.readMeta)).numChunks
+      assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
+        s"append case $caseNo: sidecar does not cover the grown grid")
     }
   }
 }

@@ -73,6 +73,20 @@ back = spark.read.format("zarr").load(cube_path)
 assert back.count() == 24, "cube roundtrip rows"
 assert back.agg(F.sum("v")).collect()[0][0] == sum(r[2] for r in rows), "cube values"
 
+# N-D CUBE APPEND from plain PySpark (round 13): grow the store along
+# its first dim via `append_dim` -- the xarray daily-ingest shape.
+# Base dim-0 extent (4) must be chunk-aligned (chunk 2).
+ap_path = "/tmp/pyzarr-cube-append"
+cdf.write.format("zarr").mode("overwrite") \
+    .option("dims", "t,x").option("chunk_shape", "2,4").save(ap_path)
+slab_rows = [(t, x * 0.5, float(t * 10 + x)) for t in range(4, 6) for x in range(6)]
+spark.createDataFrame(slab_rows, "t LONG, x DOUBLE, v DOUBLE") \
+    .write.format("zarr").mode("append").option("append_dim", "t").save(ap_path)
+grown = spark.read.format("zarr").load(ap_path)
+assert grown.count() == 36, "appended cube rows"
+assert grown.agg(F.sum("v")).collect()[0][0] == \
+    sum(r[2] for r in rows) + sum(r[2] for r in slab_rows), "appended cube values"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
