@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -357,6 +357,91 @@ object ZarrRoundtrip {
     s.read.format("zarr").load(store)
       .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
       .orderBy("day", "source")
+  }
+
+  /** q129: the N-D cube REGION overwrite under the oracle gate. The
+    * full day×source grid is written as one cube, then days 4-7 are
+    * REPROCESSED — replaced in place via `option("region_dim", "day")`
+    * with transformed values (`n_docs*2+5`, `sum_chars+7`) — and every
+    * cell read back. The DuckDB closed form applies the same transform
+    * as a CASE over the untouched parquet, so a swap that leaks outside
+    * the region, misses a cell inside it, or moves any coordinate
+    * breaks the row hash.
+    *
+    * Scale shape: the region write is ONE clustered shuffle of the
+    * region's rows + in-place final-key chunk writes; nothing else in
+    * the store (chunks, axes, metadata, root) is touched — reprocessing
+    * one day of a 100 TB store costs one day's data. Memoized per SF. */
+  private lazy val q129 = QueryDef.sql(
+    "q129_zarr_cube_region",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s),
+      |dense AS (
+      |  SELECT g.day, g.source,
+      |    coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |    coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source)
+      |SELECT day, source,
+      |  (CASE WHEN day BETWEEN 4 AND 7 THEN n_docs * 2 + 5 ELSE n_docs END)::BIGINT AS n_docs,
+      |  (CASE WHEN day BETWEEN 4 AND 7 THEN sum_chars + 7 ELSE sum_chars END)::BIGINT AS sum_chars
+      |FROM dense
+      |ORDER BY day, source""".stripMargin) { (s, dir) =>
+    val store = ensureRegionStore(s, dir)
+    s.read.format("zarr").load(store)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
+  }
+
+  /** Build the q129 store once per (dir, source size/mtime): the full
+    * 12-day cube, then a REAL `region_dim` overwrite of days 4-7 with
+    * transformed values. Same memoize-and-rename discipline as
+    * [[ensureCubeStore]]. */
+  private def ensureRegionStore(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cuberegion|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = s"/tmp/graft_zarr_cube_region/$key/day_cells"
+    if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) rm(storeDir)
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(Paths.get(store).getParent)
+      val docs = Tables.load(s, dir, "documents")
+      val cells = docs
+        .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val grid = s.range(12).select(col("id").as("day"))
+        .crossJoin(docs.select(col("source")).distinct())
+      val dense = grid.join(cells, Seq("day", "source"), "left")
+        .select(col("day"), col("source"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      dense.write.format("zarr").mode("append")
+        .option("dims", "day,source")
+        .option("chunk_shape", "4,6")
+        .save(build.getPath)
+      // reprocess days 4-7 in place: region [4,8) is chunk-aligned (4)
+      dense.filter(col("day").between(4, 7))
+        .select(col("day"), col("source"),
+          (col("n_docs") * 2 + 5).as("n_docs"),
+          (col("sum_chars") + 7).as("sum_chars"))
+        .write.format("zarr").mode("overwrite")
+        .option("region_dim", "day")
+        .save(build.getPath)
+      if (!build.renameTo(storeDir)) rm(build)
+    }
+    store
   }
 
   /** Build the q128 store once per (dir, source size/mtime): fresh cube

@@ -315,81 +315,13 @@ object ZarrCubeWrite {
       .filter(_._1.startsWith("fs.")).toSeq
     val store = ZarrStore(path, hadoopPairs)
 
-    // ---- resolve and validate the existing store, all before any IO ----
-    val names =
-      try store.listArrays()
-      catch { case e: ZarrException =>
-        throw new ZarrException(
-          s"append_dim: $path is not a readable zarr store (${e.getMessage})")
-      }
-    if (names.isEmpty)
-      throw new ZarrException(
-        s"append_dim: $path has no arrays; write the initial cube with " +
-          "option('dims', ...) first")
-    val metas = names.map(store.readMeta)
-    metas.find(_.formatVersion == 2).foreach { m =>
-      throw new ZarrException(
-        s"append_dim: $path is a Zarr v2 store (array ${m.name}); the writer " +
-          "is v3-only — compact it to a v3 store first")
-    }
-    if (store.readChunkManifest().parts.nonEmpty)
-      throw new ZarrException(
-        s"append_dim: $path carries a chunk manifest (staged tabular " +
-          "commits); cube append targets canonical-keyed cube stores — compact first")
-
-    val (coordMetasAll, dataMetas) = metas.partition(_.isCoordinate)
-    if (dataMetas.isEmpty)
-      throw new ZarrException(
-        s"append_dim: $path holds only coordinate arrays; cube append " +
-          "needs at least one data array")
-    val dims: Seq[String] = dataMetas.head.dimensionNames.getOrElse(
-      throw new ZarrException(
-        s"append_dim: data array ${dataMetas.head.name} in $path has no " +
-          "dimension_names; cannot identify the append axis (not a cube store)"))
-    dimsOpt.foreach { ds =>
-      if (ds != dims)
-        throw new ZarrException(
-          s"dims option (${ds.mkString(",")}) does not match the store's " +
-            s"dims (${dims.mkString(",")}); omit dims on append — the store defines them")
-    }
-    // shape/chunkShape are Arrays on the meta — compare by VALUE
-    val targetShape: IndexedSeq[Long] = dataMetas.head.shape.toIndexedSeq
-    val targetChunk: IndexedSeq[Int] = dataMetas.head.chunkShape.toIndexedSeq
-    if (dims.length != targetShape.length)
-      throw new ZarrException(
-        s"append_dim: data array ${dataMetas.head.name} has ${targetShape.length} " +
-          s"dims but dimension_names lists ${dims.length}")
-    dataMetas.foreach { m =>
-      if (!m.shape.sameElements(targetShape) || !m.chunkShape.sameElements(targetChunk) ||
-        !m.dimensionNames.contains(dims))
-        throw new ZarrException(
-          s"append_dim: data array ${m.name} is not congruent with " +
-            s"${dataMetas.head.name} (shape/chunking/dimension_names differ)")
-    }
-    val stray = coordMetasAll.map(_.name).toSet -- dims.toSet
-    if (stray.nonEmpty)
-      throw new ZarrException(
-        s"append_dim: $path holds coordinate arrays (${stray.toSeq.sorted.mkString(",")}) " +
-          "that are not dims of the data arrays; not a coherent cube store")
-    val coordMetas: Seq[ZarrArrayMeta] = dims.zipWithIndex.map { case (d, i) =>
-      val m = coordMetasAll.find(_.name == d).getOrElse(throw new ZarrException(
-        s"append_dim: store has no coordinate array '$d' (dim $i); cube " +
-          "append re-ranks positions from coordinates"))
-      if (m.shape(0) != targetShape(i) || m.chunkShape(0) != targetChunk(i))
-        throw new ZarrException(
-          s"append_dim: coordinate '$d' extent/chunking disagrees with " +
-            s"dimension $i of the data arrays")
-      m
-    }
-    (coordMetas ++ dataMetas).foreach { m =>
-      // the slab writer emits plain canonical chunks; a sharded array's
-      // chunk objects are whole shards this kernel cannot assemble
-      if (m.codecs.exists(_.name == "sharding_indexed"))
-        throw new ZarrException(
-          s"append_dim: array ${m.name} uses sharding_indexed; cube append " +
-            "writes plain chunks — compact to a plain-chunk layout first")
-      ZarrBatchWrite.validateEncodable(m, store.root)
-    }
+    val t = resolveCubeTarget(store, path, dimsOpt, "append_dim")
+    val metas = t.metas
+    val dims = t.dims
+    val coordMetas = t.coordMetas
+    val dataMetas = t.dataMetas
+    val targetShape = t.targetShape
+    val targetChunk = t.targetChunk
 
     val k = dims.indexOf(appendDim)
     if (k < 0)
@@ -403,24 +335,7 @@ object ZarrCubeWrite {
           "dims, so any other axis would re-key the whole store. Rewrite " +
           "through a fresh cube write instead")
 
-    // ---- schema: exactly dims + data arrays, types as stored ----
-    val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
-    if (df.columns.exists(_.startsWith("__zarr_")))
-      throw new ZarrException(
-        "column names starting with __zarr_ collide with cube-write internals")
-    val wantCols = (dims ++ dataMetas.map(_.name)).toSet
-    val gotCols = df.columns.toSet
-    if (gotCols != wantCols)
-      throw new ZarrException(
-        s"append_dim: DataFrame columns (${df.columns.sorted.mkString(",")}) != " +
-          s"store arrays (${wantCols.toSeq.sorted.mkString(",")})")
-    (coordMetas ++ dataMetas).foreach { m =>
-      val f = fieldByName(m.name)
-      if (f.dataType != m.dataType.sparkType)
-        throw new ZarrException(
-          s"append_dim: column ${m.name} type ${f.dataType.sql} != stored " +
-            s"${m.dataType.sparkType.sql}")
-    }
+    val fieldByName = validateSlabSchema(df, t, "append_dim")
 
     // ---- alignment: existing dim-0 extent is a whole number of chunks ----
     val l0 = targetShape.head
@@ -538,6 +453,284 @@ object ZarrCubeWrite {
   }
   // scalastyle:on method.length
 
+  /** A resolved, validated cube-store modification target. */
+  private final case class CubeTarget(
+      metas: Seq[ZarrArrayMeta],
+      dims: Seq[String],
+      coordMetas: Seq[ZarrArrayMeta],
+      dataMetas: Seq[ZarrArrayMeta],
+      targetShape: IndexedSeq[Long],
+      targetChunk: IndexedSeq[Int])
+
+  /** Resolve an existing store as a coherent, modifiable cube: v3,
+    * canonical-keyed, one coordinate array per dim, congruent data
+    * arrays this writer can encode. Shared by [[append]] and
+    * [[overwriteRegion]]; every refusal is prefixed with the option
+    * name (`opName`) the caller surfaced. */
+  private def resolveCubeTarget(
+      store: ZarrStore, path: String, dimsOpt: Option[Seq[String]],
+      opName: String): CubeTarget = {
+    val names =
+      try store.listArrays()
+      catch { case e: ZarrException =>
+        throw new ZarrException(
+          s"$opName: $path is not a readable zarr store (${e.getMessage})")
+      }
+    if (names.isEmpty)
+      throw new ZarrException(
+        s"$opName: $path has no arrays; write the initial cube with " +
+          "option('dims', ...) first")
+    val metas = names.map(store.readMeta)
+    metas.find(_.formatVersion == 2).foreach { m =>
+      throw new ZarrException(
+        s"$opName: $path is a Zarr v2 store (array ${m.name}); the writer " +
+          "is v3-only — compact it to a v3 store first")
+    }
+    if (store.readChunkManifest().parts.nonEmpty)
+      throw new ZarrException(
+        s"$opName: $path carries a chunk manifest (staged tabular " +
+          "commits); cube modification targets canonical-keyed cube stores — compact first")
+
+    val (coordMetasAll, dataMetas) = metas.partition(_.isCoordinate)
+    if (dataMetas.isEmpty)
+      throw new ZarrException(
+        s"$opName: $path holds only coordinate arrays; cube modification " +
+          "needs at least one data array")
+    val dims: Seq[String] = dataMetas.head.dimensionNames.getOrElse(
+      throw new ZarrException(
+        s"$opName: data array ${dataMetas.head.name} in $path has no " +
+          "dimension_names; cannot identify the target axis (not a cube store)"))
+    dimsOpt.foreach { ds =>
+      if (ds != dims)
+        throw new ZarrException(
+          s"dims option (${ds.mkString(",")}) does not match the store's " +
+            s"dims (${dims.mkString(",")}); omit dims — the store defines them")
+    }
+    // shape/chunkShape are Arrays on the meta — compare by VALUE
+    val targetShape: IndexedSeq[Long] = dataMetas.head.shape.toIndexedSeq
+    val targetChunk: IndexedSeq[Int] = dataMetas.head.chunkShape.toIndexedSeq
+    if (dims.length != targetShape.length)
+      throw new ZarrException(
+        s"$opName: data array ${dataMetas.head.name} has ${targetShape.length} " +
+          s"dims but dimension_names lists ${dims.length}")
+    dataMetas.foreach { m =>
+      if (!m.shape.sameElements(targetShape) || !m.chunkShape.sameElements(targetChunk) ||
+        !m.dimensionNames.contains(dims))
+        throw new ZarrException(
+          s"$opName: data array ${m.name} is not congruent with " +
+            s"${dataMetas.head.name} (shape/chunking/dimension_names differ)")
+    }
+    val stray = coordMetasAll.map(_.name).toSet -- dims.toSet
+    if (stray.nonEmpty)
+      throw new ZarrException(
+        s"$opName: $path holds coordinate arrays (${stray.toSeq.sorted.mkString(",")}) " +
+          "that are not dims of the data arrays; not a coherent cube store")
+    val coordMetas: Seq[ZarrArrayMeta] = dims.zipWithIndex.map { case (d, i) =>
+      val m = coordMetasAll.find(_.name == d).getOrElse(throw new ZarrException(
+        s"$opName: store has no coordinate array '$d' (dim $i); cube " +
+          "modification re-ranks positions from coordinates"))
+      if (m.shape(0) != targetShape(i) || m.chunkShape(0) != targetChunk(i))
+        throw new ZarrException(
+          s"$opName: coordinate '$d' extent/chunking disagrees with " +
+            s"dimension $i of the data arrays")
+      m
+    }
+    (coordMetas ++ dataMetas).foreach { m =>
+      // the slab writer emits plain canonical chunks; a sharded array's
+      // chunk objects are whole shards this kernel cannot assemble
+      if (m.codecs.exists(_.name == "sharding_indexed"))
+        throw new ZarrException(
+          s"$opName: array ${m.name} uses sharding_indexed; the cube slab " +
+            "writer emits plain chunks — compact to a plain-chunk layout first")
+      ZarrBatchWrite.validateEncodable(m, store.root)
+    }
+    CubeTarget(metas, dims, coordMetas, dataMetas, targetShape, targetChunk)
+  }
+
+  /** The slab DataFrame must carry exactly dims + data arrays with the
+    * stored types. Returns the field-by-name map the join/stat plumbing
+    * uses. */
+  private def validateSlabSchema(
+      df: DataFrame, t: CubeTarget, opName: String): Map[String, StructField] = {
+    val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
+    if (df.columns.exists(_.startsWith("__zarr_")))
+      throw new ZarrException(
+        "column names starting with __zarr_ collide with cube-write internals")
+    val wantCols = (t.dims ++ t.dataMetas.map(_.name)).toSet
+    if (df.columns.toSet != wantCols)
+      throw new ZarrException(
+        s"$opName: DataFrame columns (${df.columns.sorted.mkString(",")}) != " +
+          s"store arrays (${wantCols.toSeq.sorted.mkString(",")})")
+    (t.coordMetas ++ t.dataMetas).foreach { m =>
+      val f = fieldByName(m.name)
+      if (f.dataType != m.dataType.sparkType)
+        throw new ZarrException(
+          s"$opName: column ${m.name} type ${f.dataType.sql} != stored " +
+            s"${m.dataType.sparkType.sql}")
+    }
+    fieldByName
+  }
+
+  // scalastyle:off method.length
+  /** Overwrite a REGION of an existing cube in place along its first
+    * dimension — xarray's `region=` write, the reprocessing shape: one
+    * day of a climate store (or one ingest batch of a feature cube) is
+    * recomputed and swapped without touching the rest of the store or
+    * its geometry. Surfaced as
+    * `df.write.format("zarr").mode("overwrite").option("region_dim", "time").save(path)`.
+    *
+    * Contract (loud, never guess) — [[append]]'s target rules plus:
+    *  - the slab's `region_dim` coordinates must EXACTLY equal a
+    *    contiguous run of the existing axis (same values, same order);
+    *    coordinates are identity here, so a value not already on the
+    *    axis is a refusal, not an insert;
+    *  - the run must be chunk-aligned on BOTH ends (a partial boundary
+    *    chunk would need read-modify-write of rows outside the region);
+    *  - trailing-dim coordinates must match the stored axes exactly
+    *    (the region spans the full cross-section);
+    *  - the slab must be dense over region × cross-section.
+    *
+    * The store's geometry is untouched: no metadata or root rewrite at
+    * all — data chunks are overwritten at their final keys and the
+    * affected ordinals' stats segments are replaced. Atomicity is chunk
+    * granularity, like every zarr region write (xarray's included): a
+    * crash mid-write leaves some chunks new and some old, with the
+    * affected stats purged first so nothing misdescribes; re-running
+    * the same overwrite completes it (idempotent final keys).
+    *
+    * Sidecar note: a pre-existing segment that STRADDLES the region
+    * boundary is deleted whole — its out-of-region chunks fall back to
+    * decode-and-test and full-coverage metadata aggregates decline
+    * until the sidecar is whole again. The region's own ordinals get
+    * fresh segments at write time; after heavy region churn run
+    * `ZarrMaintenance.analyze` to restore full coverage. */
+  def overwriteRegion(
+      df: DataFrame,
+      path: String,
+      dimsOpt: Option[Seq[String]],
+      regionDim: String,
+      stats: Boolean,
+      maxAxisLen: Int = 1 << 22,
+      rowsPerTask: Long = 1L << 22): Unit = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val hadoopPairs = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, hadoopPairs)
+
+    val t = resolveCubeTarget(store, path, dimsOpt, "region_dim")
+    val dims = t.dims
+    val k = dims.indexOf(regionDim)
+    if (k < 0)
+      throw new ZarrException(
+        s"region_dim '$regionDim' is not a dim of the store (${dims.mkString(",")})")
+    if (k != 0)
+      throw new ZarrException(
+        s"region_dim '$regionDim' is dim $k; only FIRST-dim regions can be " +
+          "swapped in place — a trailing-dim region intersects every " +
+          "chunk-row of the store. Rewrite through a fresh cube write instead")
+    val fieldByName = validateSlabSchema(df, t, "region_dim")
+
+    // ---- locate the region on the existing axis ----
+    val existingAxes: Seq[Array[Any]] = t.coordMetas.map(m =>
+      readAscendingAxis(store, m, path,
+        "cube layouts require an ascending axis — rewrite the store instead"))
+    val regionAxis = collectAxis(df, dims.head, maxAxisLen)
+    if (regionAxis.isEmpty)
+      throw new ZarrException("region overwrite: input DataFrame is empty")
+    val axis0 = existingAxes.head
+    val start = axis0.indices.find(i => ChunkFilter.cmp(axis0(i), regionAxis(0)) == 0)
+      .getOrElse(throw new ZarrException(
+        s"region_dim: first ${dims.head} value ${regionAxis(0)} is not on the " +
+          "store's axis; region coordinates must already exist (regions " +
+          "replace values, never positions — use append_dim to grow)"))
+    if (start + regionAxis.length > axis0.length ||
+      regionAxis.indices.exists(j => ChunkFilter.cmp(regionAxis(j), axis0(start + j)) != 0))
+      throw new ZarrException(
+        s"region_dim: the slab's ${regionAxis.length} ${dims.head} values do not " +
+          s"form a contiguous run of the store's axis at position $start; " +
+          "region coordinates must match the axis exactly")
+    val end = start + regionAxis.length
+    val c0 = t.targetChunk.head
+    if (start % c0 != 0 || (end % c0 != 0 && end != axis0.length))
+      throw new ZarrException(
+        s"region_dim: region [$start,$end) of ${dims.head} is not chunk-aligned " +
+          s"(chunk extent $c0); a partial boundary chunk would need " +
+          "read-modify-write of rows outside the region — align the region " +
+          "or rewrite the store")
+    dims.zipWithIndex.drop(1).foreach { case (d, i) =>
+      val got = collectAxis(df, d, maxAxisLen)
+      val want = existingAxes(i)
+      if (got.length != want.length ||
+        got.indices.exists(j => ChunkFilter.cmp(got(j), want(j)) != 0))
+        throw new ZarrException(
+          s"region_dim: the slab's '$d' axis (${got.length} values) does not " +
+            s"match the store's (${want.length}); a region spans the full " +
+            "trailing cross-section")
+    }
+
+    // ---- density proof over the region ----
+    val trailingCells = existingAxes.tail.foldLeft(1L)((a, ax) =>
+      Math.multiplyExact(a, ax.length.toLong))
+    val regionCells = Math.multiplyExact(regionAxis.length.toLong, trailingCells)
+    val proof = df.groupBy(dims.map(col): _*).agg(count(lit(1)).as("__zarr_c"))
+      .agg(sum(col("__zarr_c")), max(col("__zarr_c"))).collect()(0)
+    if (proof.getLong(1) > 1L)
+      throw new ZarrException(
+        s"region overwrite: duplicate coordinate tuples (a (${dims.mkString(",")}) " +
+          s"combination appears ${proof.getLong(1)} times); deduplicate or aggregate first")
+    if (proof.getLong(0) != regionCells)
+      throw new ZarrException(
+        s"region overwrite: region is not dense — ${regionAxis.length}x$trailingCells = " +
+          s"$regionCells cells but ${proof.getLong(0)} rows " +
+          s"(${regionCells - proof.getLong(0)} missing); densify before overwriting")
+
+    // ---- geometry is the store's own; only the ordinal window moves ----
+    val grid: Seq[Int] = t.targetShape.zip(t.targetChunk)
+      .map { case (s, c) => ((s + c - 1) / c).toInt }
+    val trailingGrid = grid.tail.foldLeft(1L)(_ * _.toLong)
+    val ordLo = (start / c0).toLong * trailingGrid
+    val ordHi = ((end + c0 - 1) / c0).toLong * trailingGrid
+    val dataCols = t.dataMetas.map(m => fieldByName(m.name))
+
+    // every stats segment whose range INTERSECTS the region's ordinals
+    // must stop describing them — after the overwrite it would describe
+    // replaced bytes. Unconditional (even with stats=false on THIS
+    // write): a stale segment over rewritten chunks would misdescribe
+    // data. A straddling segment is TRIMMED — its kept ranges are
+    // rewritten as narrower segments so whole-store coverage (zero-GET
+    // aggregates) survives the region swap; an untrimmable doc (foreign
+    // signature) is dropped whole, which only declines.
+    store.listStatsSegments().foreach { case (first, n) =>
+      if (first < ordHi && first + n > ordLo) {
+        val doc = store.readText(ChunkStats.segmentKey(first, n))
+        store.deleteKey(ChunkStats.segmentKey(first, n))
+        doc.foreach { d =>
+          if (first < ordLo)
+            trimSegment(d, (ordLo - first).toInt, 0)
+              .foreach(store.writeText(ChunkStats.segmentKey(first, (ordLo - first).toInt), _))
+          if (first + n > ordHi)
+            trimSegment(d, (first + n - ordHi).toInt, (ordHi - first).toInt)
+              .foreach(store.writeText(
+                ChunkStats.segmentKey(ordHi, (first + n - ordHi).toInt), _))
+        }
+      }
+    }
+
+    writeSlab(df, store, hadoopPairs, dims, fieldByName,
+      joinAxes = (regionAxis, start.toLong) +: existingAxes.tail.map(a => (a, 0L)),
+      fullAxes = existingAxes.map(_.toIndexedSeq),
+      shape = t.targetShape, chunkShape = t.targetChunk, grid = grid,
+      dimZts = t.coordMetas.map(_.dataType), dataCols = dataCols,
+      dataMetaJsons = t.dataMetas.map(_.sourceJson),
+      stats = stats, rowsPerTask = rowsPerTask,
+      expectRows = regionCells, expectChunks = ordHi - ordLo)
+    // no commit: shapes, axes, metadata and root are all unchanged —
+    // the overwritten chunks and their fresh segments ARE the result
+  }
+  // scalastyle:on method.length
+
   /** Decode a 1-D coordinate axis driver-side, enforcing the strictly
     * ascending order every cube-layout invariant rests on. Axis-sized
     * (bounded by the cube writer's own max_axis_len). */
@@ -592,6 +785,54 @@ object ZarrCubeWrite {
       val packed = chain.foldLeft(enc)((b, cc) => cc.encode(b))
       store.writeChunk(m.name, m.chunkKey(Array(ci)), packed)
     }
+  }
+
+  /** Slice a stats-segment document to the `keepLen` chunks starting at
+    * segment-relative position `fromRel`: per-chunk arrays (min/max/sum)
+    * are sliced, `approx` indices filtered and re-based, everything else
+    * (string-order marker, grid signature, dims) carried verbatim.
+    * Returns None — caller drops the doc whole — when the doc is not a
+    * grid-signed cube segment or its arrays disagree with the name-coded
+    * length (reinterpreting a malformed doc could misdescribe data). */
+  private def trimSegment(doc: String, keepLen: Int, fromRel: Int): Option[String] = {
+    if (keepLen <= 0) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val root = mapper.readTree(doc).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val g = root.get("grid")
+      if (g == null || !g.isArray) return None
+      val cols = root.get("cols")
+      if (cols == null || !cols.isObject) return None
+      val it = cols.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        def slice(name: String): Boolean = {
+          val arr = c.get(name)
+          if (arr == null) true // absent array (e.g. no sums) is fine
+          else if (!arr.isArray || arr.size() < fromRel + keepLen) false
+          else {
+            val kept = (fromRel until fromRel + keepLen).map(arr.get)
+            val out = c.putArray(name)
+            kept.foreach(out.add)
+            true
+          }
+        }
+        if (!slice("min") || !slice("max") || !slice("sum")) return None
+        val ap = c.get("approx")
+        if (ap != null) {
+          if (!ap.isArray) return None
+          val kept = (0 until ap.size()).map(ap.get(_).asInt())
+            .filter(i => i >= fromRel && i < fromRel + keepLen).map(_ - fromRel)
+          if (kept.isEmpty) c.remove("approx")
+          else {
+            val out = c.putArray("approx")
+            kept.foreach(out.add)
+          }
+        }
+      }
+      Some(mapper.writeValueAsString(root))
+    } catch { case _: Exception => None }
   }
 
   /** Rewrite the `grid[0]` entry of every committed stats segment below

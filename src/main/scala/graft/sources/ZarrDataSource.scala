@@ -74,7 +74,8 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
     // whole-query seam (ZarrWriteBuilder returns one); read
     // capabilities are unchanged, and tables resolved WITHOUT the
     // options (every read, every tabular write) keep the pure-V2 path
-    val cubeWrite = options.containsKey("dims") || options.containsKey("append_dim")
+    val cubeWrite = options.containsKey("dims") ||
+      options.containsKey("append_dim") || options.containsKey("region_dim")
     // a missing/empty store with a caller-supplied schema is a WRITE
     // target (df.write.format("zarr").save(path))
     val metas =

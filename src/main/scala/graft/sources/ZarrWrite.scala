@@ -109,27 +109,34 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
     // multi-job pipeline with executor-side chunk writes.
     val dimsOpt = Option(info.options.get("dims")).map(ZarrCubeWrite.parseDims)
     val appendDim = Option(info.options.get("append_dim"))
-    if (dimsOpt.isDefined || appendDim.isDefined) {
+    val regionDim = Option(info.options.get("region_dim"))
+    if (appendDim.isDefined && regionDim.isDefined)
+      throw new ZarrException(
+        "append_dim (grow the store) and region_dim (replace a slab) are " +
+          "mutually exclusive")
+    if (dimsOpt.isDefined || appendDim.isDefined || regionDim.isDefined) {
       if (info.options.containsKey("rows_per_partition") ||
         info.options.containsKey("inner_chunk_size") ||
         info.options.containsKey("chunk_size"))
         throw new ZarrException(
-          "cube writes (dims/append_dim options) do not take rows_per_partition/" +
-            "inner_chunk_size/chunk_size; chunking is set via chunk_shape")
+          "cube writes (dims/append_dim/region_dim options) do not take " +
+            "rows_per_partition/inner_chunk_size/chunk_size; chunking is " +
+            "set via chunk_shape")
       val stats = Option(info.options.get("stats")).forall(_.toBoolean)
       val maxAxis = Option(info.options.get("max_axis_len")).map(_.toInt)
         .getOrElse(1 << 22)
       val wasTruncate = doTruncate
-      appendDim match {
-        case Some(ad) =>
-          // cube APPEND: the existing store's layout wins wholesale —
-          // a chunk_shape or codec option could only be ignored or
-          // contradict it, so both are refused rather than dropped
-          if (info.options.containsKey("chunk_shape") ||
-            info.options.containsKey("codec"))
-            throw new ZarrException(
-              "cube append (append_dim) takes neither chunk_shape nor codec; " +
-                "the existing store's chunking and codec chain win")
+      // cube APPEND / REGION overwrite: the existing store's layout wins
+      // wholesale — a chunk_shape or codec option could only be ignored
+      // or contradict it, so both are refused rather than dropped
+      if ((appendDim.isDefined || regionDim.isDefined) &&
+        (info.options.containsKey("chunk_shape") || info.options.containsKey("codec")))
+        throw new ZarrException(
+          "cube append/region (append_dim/region_dim) take neither " +
+            "chunk_shape nor codec; the existing store's chunking and " +
+            "codec chain win")
+      (appendDim, regionDim) match {
+        case (Some(ad), _) =>
           new V1Write {
             override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
               (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -141,7 +148,21 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
                   maxAxisLen = maxAxis)
               }
           }
-        case None =>
+        case (None, Some(rd)) =>
+          new V1Write {
+            override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+                // region REPLACES committed data — require the overwrite
+                // verb, and never truncate (the region write is in-place)
+                if (!(wasTruncate || overwrite))
+                  throw new ZarrException(
+                    "region_dim replaces a slab of an existing store; use " +
+                      "mode('overwrite') to state that intent")
+                ZarrCubeWrite.overwriteRegion(data, store.root, dimsOpt, rd,
+                  stats, maxAxisLen = maxAxis)
+              }
+          }
+        case (None, None) =>
           val dims = dimsOpt.get
           val chunkShape = Option(info.options.get("chunk_shape"))
             .map(_.split(",").map(_.trim.toInt).toSeq)

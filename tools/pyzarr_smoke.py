@@ -87,6 +87,17 @@ assert grown.count() == 36, "appended cube rows"
 assert grown.agg(F.sum("v")).collect()[0][0] == \
     sum(r[2] for r in rows) + sum(r[2] for r in slab_rows), "appended cube values"
 
+# N-D CUBE REGION overwrite from plain PySpark (round 13): reprocess a
+# chunk-aligned dim-0 slab in place via `region_dim`
+region_rows = [(t, x * 0.5, float(t * 100 + x)) for t in range(2, 4) for x in range(6)]
+spark.createDataFrame(region_rows, "t LONG, x DOUBLE, v DOUBLE") \
+    .write.format("zarr").mode("overwrite").option("region_dim", "t").save(ap_path)
+swapped = spark.read.format("zarr").load(ap_path)
+assert swapped.count() == 36, "region overwrite keeps the shape"
+assert swapped.agg(F.sum("v")).collect()[0][0] == \
+    sum(r[2] for r in rows if r[0] < 2) + sum(r[2] for r in region_rows) + \
+    sum(r[2] for r in slab_rows), "region overwrite swaps exactly the slab"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
