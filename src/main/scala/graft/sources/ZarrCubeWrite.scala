@@ -613,6 +613,9 @@ object ZarrCubeWrite {
       maxAxisLen: Int = 1 << 22,
       rowsPerTask: Long = 1L << 22): Unit = {
     val spark = df.sparkSession
+    if (maxAxisLen > (1 << 30))
+      throw new ZarrException(
+        s"max_axis_len $maxAxisLen exceeds 2^30 (grid-index arithmetic bound)")
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
@@ -706,12 +709,12 @@ object ZarrCubeWrite {
       if (first < ordHi && first + n > ordLo) {
         val doc = store.readText(ChunkStats.segmentKey(first, n))
         store.deleteKey(ChunkStats.segmentKey(first, n))
-        doc.foreach { d =>
+        doc.flatMap(parseSegment).foreach { parsed =>
           if (first < ordLo)
-            trimSegment(d, (ordLo - first).toInt, 0)
+            trimSegment(parsed.deepCopy(), (ordLo - first).toInt, 0)
               .foreach(store.writeText(ChunkStats.segmentKey(first, (ordLo - first).toInt), _))
           if (first + n > ordHi)
-            trimSegment(d, (first + n - ordHi).toInt, (ordHi - first).toInt)
+            trimSegment(parsed, (first + n - ordHi).toInt, (ordHi - first).toInt)
               .foreach(store.writeText(
                 ChunkStats.segmentKey(ordHi, (first + n - ordHi).toInt), _))
         }
@@ -787,22 +790,33 @@ object ZarrCubeWrite {
     }
   }
 
-  /** Slice a stats-segment document to the `keepLen` chunks starting at
-    * segment-relative position `fromRel`: per-chunk arrays (min/max/sum)
-    * are sliced, `approx` indices filtered and re-based, everything else
-    * (string-order marker, grid signature, dims) carried verbatim.
-    * Returns None — caller drops the doc whole — when the doc is not a
-    * grid-signed cube segment or its arrays disagree with the name-coded
-    * length (reinterpreting a malformed doc could misdescribe data). */
-  private def trimSegment(doc: String, keepLen: Int, fromRel: Int): Option[String] = {
-    if (keepLen <= 0) return None
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** Parse a stats-segment document for trimming. Returns None — caller
+    * drops the doc whole — when it is not a grid-signed cube segment
+    * (reinterpreting a malformed doc could misdescribe data). */
+  private def parseSegment(
+      doc: String): Option[com.fasterxml.jackson.databind.node.ObjectNode] =
     try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.readTree(doc).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val g = root.get("grid")
-      if (g == null || !g.isArray) return None
       val cols = root.get("cols")
-      if (cols == null || !cols.isObject) return None
+      if (g == null || !g.isArray || cols == null || !cols.isObject) None
+      else Some(root)
+    } catch { case _: Exception => None }
+
+  /** Slice a parsed stats-segment document to the `keepLen` chunks
+    * starting at segment-relative position `fromRel`: per-chunk arrays
+    * (min/max/sum) are sliced, `approx` indices filtered and re-based,
+    * everything else (string-order marker, grid signature, dims) carried
+    * verbatim. Mutates `root` (callers keeping both straddle pieces pass
+    * a deepCopy for the first). Returns None — caller drops the piece —
+    * when an array disagrees with the name-coded segment length. */
+  private def trimSegment(
+      root: com.fasterxml.jackson.databind.node.ObjectNode,
+      keepLen: Int, fromRel: Int): Option[String] = {
+    if (keepLen <= 0) return None
+    try {
+      val cols = root.get("cols")
       val it = cols.fields()
       while (it.hasNext) {
         val e = it.next()
@@ -831,7 +845,7 @@ object ZarrCubeWrite {
           }
         }
       }
-      Some(mapper.writeValueAsString(root))
+      Some(new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(root))
     } catch { case _: Exception => None }
   }
 

@@ -158,4 +158,75 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"append case $caseNo: sidecar does not cover the grown grid")
     }
   }
+
+  test("region roundtrip: arbitrary grids, chunk-aligned dim-0 swaps — new values in, rest untouched") {
+    (1 to 15).foreach { caseNo =>
+      val path = s"$base/reg$caseNo"
+      val ndim = 1 + rnd.nextInt(3)
+      // dim-0 long enough for several chunk rows; region = a random
+      // chunk-aligned run (may start at 0, may end at the axis end —
+      // including a ragged final chunk)
+      val chunk0 = 1 + rnd.nextInt(3)
+      val len0 = chunk0 * (2 + rnd.nextInt(3)) + rnd.nextInt(chunk0)
+      val (dt0, axis0) = genAxisOfLength(len0)
+      val trailing = IndexedSeq.fill(ndim - 1)(genAxis())
+      val axes = (dt0, axis0) +: trailing
+      val chunkShape = chunk0 +: trailing.map(a => 1 + rnd.nextInt(a._2.length + 1))
+      val dimNames = (0 until ndim).map(d => s"d$d")
+      val chunkRows = (len0 + chunk0 - 1) / chunk0
+      val startRow = rnd.nextInt(chunkRows)
+      val start = startRow * chunk0
+      val end = math.min(len0, (startRow + 1 + rnd.nextInt(chunkRows - startRow)) * chunk0)
+      val inRegion = axis0.slice(start, end).toSet
+
+      def cells(axs: Seq[Seq[Any]]): Seq[Seq[Any]] =
+        axs.foldLeft(Seq(Seq.empty[Any]))((acc, ax) => acc.flatMap(p => ax.map(v => p :+ v)))
+      val tuples = cells(axes.map(_._2.toSeq))
+      val rows = tuples.zipWithIndex.map { case (coord, i) =>
+        Row.fromSeq(coord :+ i.toLong :+ (i * 0.25 - 3.0))
+      }
+      val schema = StructType(
+        axes.zipWithIndex.map { case ((dt, _), d) => StructField(s"d$d", dt) } ++
+          Seq(StructField("v1", LongType), StructField("v2", DoubleType)))
+      def frame(part: Seq[Row]) = {
+        val l = new java.util.ArrayList[Row](part.length)
+        rnd.shuffle(part).foreach(l.add)
+        spark.createDataFrame(l, schema).repartition(3)
+      }
+
+      graft.sources.ZarrCubeWrite.write(
+        frame(rows), path, dimNames, Some(chunkShape), codec = "blosc",
+        stats = true, truncate = false)
+      // reprocess the region with a value transform the oracle can mirror
+      val regionRows = rows.filter(r => inRegion(r.get(0))).map { r =>
+        Row.fromSeq(r.toSeq.dropRight(2) :+
+          (r.getLong(ndim) + 1000000L) :+ (r.getDouble(ndim + 1) + 0.5))
+      }
+      graft.sources.ZarrCubeWrite.overwriteRegion(
+        frame(regionRows), path, dimsOpt = None, regionDim = "d0", stats = true)
+
+      val back = spark.read.format("zarr").load(path)
+        .select((dimNames :+ "v1" :+ "v2").map(org.apache.spark.sql.functions.col): _*)
+        .orderBy(dimNames.map(org.apache.spark.sql.functions.col): _*)
+        .collect()
+      val expected = tuples.zipWithIndex.map { case (coord, i) =>
+        val swap = inRegion(coord.head)
+        (coord :+ (if (swap) i.toLong + 1000000L else i.toLong)
+          :+ (if (swap) i * 0.25 - 2.5 else i * 0.25 - 3.0))
+          .map(String.valueOf).mkString("|")
+      }
+      val got = back.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq
+      assert(got == expected,
+        s"region case $caseNo: axes=${axes.map(a => a._1.simpleString + ":" + a._2.length)} " +
+          s"chunks=$chunkShape region=[$start,$end)")
+
+      // after trim + fresh region segments the sidecar must still cover
+      // the FULL grid (zero-GET aggregates survive any aligned swap)
+      val store = ZarrStore(path)
+      val geomChunks = ScanGeometry.resolve(
+        store.listArrays().map(store.readMeta)).numChunks
+      assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
+        s"region case $caseNo: sidecar does not cover the grid after the swap")
+    }
+  }
 }

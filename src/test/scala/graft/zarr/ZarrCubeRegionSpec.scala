@@ -161,6 +161,14 @@ class ZarrCubeRegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("time", "lat", "lon", "temp")
     val e8 = intercept[Exception] { rewrite(badLat, path) }
     assert(e8.getMessage.contains("trailing cross-section"), e8.getMessage)
+    // max_axis_len beyond the grid-index arithmetic bound (same guard
+    // as write/append — an oversized value would overflow collectAxis)
+    val e9 = intercept[Exception] {
+      slab(2, 4).write.format("zarr").mode("overwrite")
+        .option("region_dim", "time")
+        .option("max_axis_len", Int.MaxValue.toString).save(path)
+    }
+    assert(e9.getMessage.contains("exceeds 2^30"), e9.getMessage)
 
     val after = spark.read.format("zarr").load(path)
       .orderBy("time", "lat", "lon").collect().toSeq
