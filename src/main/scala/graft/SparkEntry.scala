@@ -10,8 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    HLL + KMV distinct sketches, exact length quantiles (q25-q29, q89, q93)
   *  - [[graft.queries.TextOps]]    — token/quality/lang-id/fingerprint/
   *    exact-dedup, BPE token counting AND BPE tokenizer training,
-  *    two-pass exact heavy hitters, global and per-source
-  *    (q30-q34, q44, q87, q98, q104, q116)
+  *    two-pass exact heavy hitters, global and per-source, PII
+  *    redaction (q30-q34, q44, q87, q98, q104, q116, q130)
   *  - [[graft.queries.Dedup]]      — n-gram Jaccard, MinHash-LSH, SimHash,
   *    cross-lingual near-dup over normalize_text, incremental
   *    new-batch-vs-corpus dedup (q35-q37, q108, q110)

@@ -438,5 +438,58 @@ object TextOps {
         .where(col("freq") > expr("n div 32"))
         .select(col("source"), col("word"), col("freq"))
         .orderBy(col("source"), col("freq").desc, col("word"))
+    },
+
+    // ---- PII redaction: the masking pass every released corpus runs
+    //      (emails / IPv4s / phone numbers → typed placeholders, plus
+    //      per-type match counts for the removal report). Patterns use
+    //      only char classes + bounded quantifiers, the regex subset
+    //      Java regex (Spark, codegen'd) and RE2 (DuckDB) match
+    //      identically. The corpus text is synthetic, so each doc is
+    //      AUGMENTED with deterministic doc_id-derived PII before
+    //      redaction — the oracle rebuilds the same string, so the
+    //      match counts are real (nonzero) and the cleaned-text md5
+    //      breaks on any masking drift. Scan-local narrow plan: one
+    //      text pass per pattern, no shuffle except the final ORDER BY;
+    //      at 100 TB this fuses into the scan like q30-q33. ----
+    QueryDef.sql(
+      "q130_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |      '@mail.example.com from 10.' || (doc_id % 256) || '.0.' ||
+        |      (doc_id % 100) || ' or call +1-555-' ||
+        |      lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+        |  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS clean_fp
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      docs(s, dir)
+        .select(col("doc_id"), concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_count(col("t"), lit(ipRe)).as("n_ip"),
+          regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailRe, "[EMAIL]"), ipRe, "[IP]"), phoneRe, "[PHONE]"))
+            .as("clean_fp"))
+        .orderBy("doc_id")
     })
 }
