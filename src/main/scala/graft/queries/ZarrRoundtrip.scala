@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -481,6 +481,77 @@ object ZarrRoundtrip {
         .save(build.getPath)
       dense.filter(col("day") >= 8).write.format("zarr").mode("append")
         .option("append_dim", "day")
+        .save(build.getPath)
+      if (!build.renameTo(storeDir)) rm(build)
+    }
+    store
+  }
+
+  /** q131: the SHARDED N-D cube write under the oracle gate — q125's
+    * grid written with `shard_shape` (ZEP 2 sharding: the stored object
+    * packs whole inner chunks; stored grid 3×3 shards over a 6×ceil
+    * inner grid with edge shards on both dims). Every cell reads back
+    * through the shard decode path and hash-matches the same DuckDB
+    * closed form as a plain write would — a mis-packed inner chunk, a
+    * wrong shard index, or a mis-skipped padding chunk breaks the hash.
+    *
+    * Scale shape: identical pipeline to q125 (ONE clustered shuffle,
+    * final-key writes) but the OBJECT COUNT follows shards, not chunks —
+    * the 100 TB listing/request-cost lever. Memoized per SF. */
+  private lazy val q131 = QueryDef.sql(
+    "q131_zarr_cube_sharded",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s)
+      |SELECT g.day, g.source,
+      |  coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |  coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source
+      |ORDER BY g.day, g.source""".stripMargin) { (s, dir) =>
+    val store = ensureShardedCubeStore(s, dir)
+    s.read.format("zarr").load(store)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
+  }
+
+  /** Build the q131 sharded cube store once per (dir, source
+    * size/mtime): q129's dense day×source grid written with
+    * `chunk_shape` 2×4 inner chunks packed into 4×8 shards. Same
+    * memoize-and-rename discipline as [[ensureCubeStore]]. */
+  private def ensureShardedCubeStore(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cubeshard|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = s"/tmp/graft_zarr_cube_shard/$key/day_cells"
+    if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) rm(storeDir)
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(Paths.get(store).getParent)
+      val docs = Tables.load(s, dir, "documents")
+      val cells = docs
+        .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val grid = s.range(12).select(col("id").as("day"))
+        .crossJoin(docs.select(col("source")).distinct())
+      val dense = grid.join(cells, Seq("day", "source"), "left")
+        .select(col("day"), col("source"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+      dense.write.format("zarr").mode("append")
+        .option("dims", "day,source")
+        .option("chunk_shape", "2,4")
+        .option("shard_shape", "4,8")
         .save(build.getPath)
       if (!build.renameTo(storeDir)) rm(build)
     }

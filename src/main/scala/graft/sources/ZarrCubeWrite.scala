@@ -78,7 +78,8 @@ object ZarrCubeWrite {
       stats: Boolean,
       truncate: Boolean,
       maxAxisLen: Int = 1 << 22,
-      rowsPerTask: Long = 1L << 22): Unit = {
+      rowsPerTask: Long = 1L << 22,
+      shardShapeOpt: Option[Seq[Int]] = None): Unit = {
     val spark = df.sparkSession
     if (maxAxisLen > (1 << 30))
       throw new ZarrException(
@@ -183,12 +184,34 @@ object ZarrCubeWrite {
           cs
         case None => defaultChunkShape(shape)
       }
-      val grid: Seq[Int] = shape.zip(chunkShape)
+      // sharding (ZEP 2): `shard_shape` makes the STORED object a shard
+      // of inner `chunk_shape` chunks — at 100 TB the object-count lever
+      // (a million-chunk cube becomes thousands of shards; listing and
+      // request costs follow the shard count while logical chunks stay
+      // small). Engine geometry — grid, ordinals, the clustered shuffle,
+      // chunk-skip stats — all key on the OUTER (stored) shape; only the
+      // per-object encode branches (Sharding.encode packs the inner
+      // chunks + index into one object).
+      shardShapeOpt.foreach { ss =>
+        if (ss.length != dims.length)
+          throw new ZarrException(
+            s"shard_shape has ${ss.length} entries for ${dims.length} dims")
+        ss.zip(chunkShape).zipWithIndex.foreach { case ((sh, c), i) =>
+          if (sh < c || sh % c != 0)
+            throw new ZarrException(
+              s"shard_shape entry $sh (dim $i) must be a positive multiple of " +
+                s"chunk_shape $c — a shard holds whole inner chunks")
+        }
+      }
+      val outerShape: Seq[Int] = shardShapeOpt.getOrElse(chunkShape)
+      val grid: Seq[Int] = shape.zip(outerShape)
         .map { case (s, c) => ((s + c - 1) / c).toInt }
       val numChunks: Long = grid.foldLeft(1L)(_ * _.toLong)
-      val chunkElems: Long = chunkShape.foldLeft(1L)(_ * _.toLong)
+      val chunkElems: Long = outerShape.foldLeft(1L)(_ * _.toLong)
       if (chunkElems > Int.MaxValue / 2)
-        throw new ZarrException(s"chunk_shape too large: $chunkElems elements")
+        throw new ZarrException(
+          s"${shardShapeOpt.map(_ => "shard_shape").getOrElse("chunk_shape")} " +
+            s"too large: $chunkElems elements")
 
       // ---- per-array metadata documents (the writers derive codec
       //      chain / separator / element type from these; the commit
@@ -203,14 +226,21 @@ object ZarrCubeWrite {
           Some((md.getString("zarr_time_kind"), md.getString("zarr_time_unit")))
         else None
       }
+      // data arrays: sharded when shard_shape was given (the stored
+      // chunk_grid is the OUTER shape; the inner chunk_shape nests in
+      // sharding_indexed). Coordinate arrays stay plain — they are
+      // axis-sized, and their chunk extent mirrors the data arrays'
+      // outer extent so every cube-target invariant (coord chunk ==
+      // data chunk per dim) holds on read-back and append/region.
+      val dataChain = shardShapeOpt.map(_ => chain.sharded(chunkShape)).getOrElse(chain)
       val dataMetaJsons: Seq[(String, String)] = dataCols.zip(dataZts).map { case (f, zt) =>
-        f.name -> ZarrWriter.metaJson(zt, shape, chunkShape,
-          ZarrBatchWrite.defaultFillJson(zt), Some(dims), chain,
+        f.name -> ZarrWriter.metaJson(zt, shape, outerShape,
+          ZarrBatchWrite.defaultFillJson(zt), Some(dims), dataChain,
           timeMeta = timeMetaOf(f.name))
       }
       val coordMetaJsons: Seq[(String, String)] = dims.zip(dimZts).zipWithIndex.map {
         case ((d, zt), i) =>
-          d -> ZarrWriter.metaJson(zt, Seq(shape(i)), Seq(chunkShape(i)),
+          d -> ZarrWriter.metaJson(zt, Seq(shape(i)), Seq(outerShape(i)),
             ZarrBatchWrite.defaultFillJson(zt), Some(Seq(d)), chain,
             timeMeta = timeMetaOf(d))
       }
@@ -218,7 +248,7 @@ object ZarrCubeWrite {
       writeSlab(df, store, hadoopPairs, dims, fieldByName,
         joinAxes = axes.map(a => (a, 0L)),
         fullAxes = axes.map(_.toIndexedSeq),
-        shape = shape, chunkShape = chunkShape, grid = grid,
+        shape = shape, chunkShape = outerShape, grid = grid,
         dimZts = dimZts, dataCols = dataCols,
         dataMetaJsons = dataMetaJsons.map(_._2),
         stats = stats, rowsPerTask = rowsPerTask,
@@ -227,7 +257,7 @@ object ZarrCubeWrite {
       // ---- driver commit: axis arrays (axis-sized), per-array metadata,
       //      consolidated root LAST (the atomic commit point) ----
       dims.zipWithIndex.foreach { case (d, i) =>
-        ZarrWriter.writeArray(store, d, dimZts(i), Seq(shape(i)), Seq(chunkShape(i)),
+        ZarrWriter.writeArray(store, d, dimZts(i), Seq(shape(i)), Seq(outerShape(i)),
           axes(i).toIndexedSeq, Some(Seq(d)), chain,
           ZarrBatchWrite.defaultFillJson(dimZts(i)),
           timeMeta = timeMetaOf(d))
@@ -536,12 +566,10 @@ object ZarrCubeWrite {
       m
     }
     (coordMetas ++ dataMetas).foreach { m =>
-      // the slab writer emits plain canonical chunks; a sharded array's
-      // chunk objects are whole shards this kernel cannot assemble
-      if (m.codecs.exists(_.name == "sharding_indexed"))
-        throw new ZarrException(
-          s"$opName: array ${m.name} uses sharding_indexed; the cube slab " +
-            "writer emits plain chunks — compact to a plain-chunk layout first")
+      // sharded targets are fine: the slab kernel packs each assembled
+      // outer chunk into a shard object (Sharding.encode), and
+      // validateEncodable recursed into the inner chain; plain arrays
+      // with a top-level transpose store each chunk permuted
       ZarrBatchWrite.validateEncodable(m, store.root)
     }
     CubeTarget(metas, dims, coordMetas, dataMetas, targetShape, targetChunk)
@@ -784,8 +812,14 @@ object ZarrCubeWrite {
       val vals = new scala.collection.mutable.ArrayBuffer[Any](cs)
       (lo until hi).foreach(j => vals += newVals(j))
       while (vals.length < cs) vals += m.fillValue
-      val enc = ZarrDataWriter.encode(m.dataType, vals.toSeq, order)
-      val packed = chain.foldLeft(enc)((b, cc) => cc.encode(b))
+      val packed = m.shardingSpec match {
+        // a foreign store may shard even its coordinate axes; pack the
+        // padded chunk exactly like the data-array kernel does
+        case Some(sp) => Sharding.encode(m.dataType, Seq(cs), sp, vals.toIndexedSeq)
+        case None =>
+          val enc = ZarrDataWriter.encode(m.dataType, vals.toSeq, order)
+          chain.foldLeft(enc)((b, cc) => cc.encode(b))
+      }
       store.writeChunk(m.name, m.chunkKey(Array(ci)), packed)
     }
   }
@@ -1036,6 +1070,43 @@ object ZarrCubeWrite {
     val orders = metas.map(m => Codecs.endianness(m.codecs))
     val fills = metas.map(_.fillValue)
     val chunkElems = chunkShape.map(_.toLong).product.toInt
+    // sharded arrays: the assembled outer chunk is packed into one shard
+    // object; plain arrays with a top-level transpose codec store each
+    // chunk dimension-permuted (same gather as ZarrWriter.writeArray)
+    val shardSpecs = metas.map(_.shardingSpec)
+    val topPerms: Array[Array[Int]] =
+      metas.map(m => if (m.shardingSpec.isDefined) null else m.transposePerm.orNull)
+
+    /** Inner chunks of an edge shard that lie ENTIRELY beyond the array
+      * extent (pure fill padding): omitted from the shard and indexed
+      * absent — no reader ever requests them, and the object shrinks. */
+    def skipInnerOf(sp: Sharding.Spec, extent: Array[Int]): Set[Int] = {
+      var full = true
+      var d0 = 0
+      while (d0 < ndim) { if (extent(d0) != chunkShape(d0)) full = false; d0 += 1 }
+      if (full) Set.empty
+      else {
+        val inner = sp.innerShape
+        val ig = Array.tabulate(ndim)(d => chunkShape(d) / inner(d))
+        val nInner = ig.product
+        val b = Set.newBuilder[Int]
+        var gi = 0
+        while (gi < nInner) {
+          var rem = gi
+          var skip = false
+          var d = ndim - 1
+          while (d >= 0) {
+            val id = (rem % ig(d)).toInt
+            rem /= ig(d)
+            if (id.toLong * inner(d) >= extent(d)) skip = true
+            d -= 1
+          }
+          if (skip) b += gi
+          gi += 1
+        }
+        b.result()
+      }
+    }
 
     val buf: Array[Array[Any]] = Array.tabulate(ncols)(_ => new Array[Any](chunkElems))
     // real (in-extent) values per data column, for stats over output rows
@@ -1096,9 +1167,19 @@ object ZarrCubeWrite {
             s"expected $nReal — density proof violated mid-write")
       var c = 0
       while (c < ncols) {
-        val enc = ZarrDataWriter.encode(zts(c),
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(buf(c)), orders(c))
-        val packed = chains(c).foldLeft(enc)((b, cc) => cc.encode(b))
+        val packed = shardSpecs(c) match {
+          case Some(sp) =>
+            Sharding.encode(zts(c), chunkShape.toSeq, sp,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(buf(c)),
+              skipInner = skipInnerOf(sp, extent))
+          case None =>
+            val stored =
+              if (topPerms(c) == null) buf(c)
+              else Codecs.transposeValues(buf(c), topPerms(c))
+            val enc = ZarrDataWriter.encode(zts(c),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(stored), orders(c))
+            chains(c).foldLeft(enc)((b, cc) => cc.encode(b))
+        }
         store.writeChunk(dataNames(c), metas(c).chunkKey(idx), packed)
         c += 1
       }

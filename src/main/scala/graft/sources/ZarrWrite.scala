@@ -130,11 +130,12 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
       // wholesale — a chunk_shape or codec option could only be ignored
       // or contradict it, so both are refused rather than dropped
       if ((appendDim.isDefined || regionDim.isDefined) &&
-        (info.options.containsKey("chunk_shape") || info.options.containsKey("codec")))
+        (info.options.containsKey("chunk_shape") || info.options.containsKey("codec") ||
+          info.options.containsKey("shard_shape")))
         throw new ZarrException(
           "cube append/region (append_dim/region_dim) take neither " +
-            "chunk_shape nor codec; the existing store's chunking and " +
-            "codec chain win")
+            "chunk_shape, shard_shape nor codec; the existing store's " +
+            "chunking, sharding and codec chain win")
       (appendDim, regionDim) match {
         case (Some(ad), _) =>
           new V1Write {
@@ -166,12 +167,23 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
           val dims = dimsOpt.get
           val chunkShape = Option(info.options.get("chunk_shape"))
             .map(_.split(",").map(_.trim.toInt).toSeq)
+          // shard_shape (ZEP 2 sharding, zarr-python's `shards=`): the
+          // stored object packs whole inner chunks; requires an explicit
+          // chunk_shape — sharding with a DEFAULTED inner chunking would
+          // pin an arbitrary layout into the store's metadata
+          val shardShape = Option(info.options.get("shard_shape"))
+            .map(_.split(",").map(_.trim.toInt).toSeq)
+          if (shardShape.isDefined && chunkShape.isEmpty)
+            throw new ZarrException(
+              "shard_shape requires chunk_shape (the inner chunk layout " +
+                "readers address); give both, inner dividing outer")
           val codec = Option(info.options.get("codec")).getOrElse("blosc")
           new V1Write {
             override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
               (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
                 ZarrCubeWrite.write(data, store.root, dims, chunkShape, codec,
-                  stats, truncate = wasTruncate || overwrite, maxAxisLen = maxAxis)
+                  stats, truncate = wasTruncate || overwrite, maxAxisLen = maxAxis,
+                  shardShapeOpt = shardShape)
           }
       }
     } else buildTabular()

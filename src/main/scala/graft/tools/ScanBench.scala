@@ -388,6 +388,36 @@ object ScanBench {
       graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3d"))
       System.err.println("[scan-bench] 3-D cube stores built (cube3d analyzed)")
     }
+    // SHARDED twin of the same cube (ZEP 2): the 8x64x64 logical chunks
+    // pack 2x2x2 per stored shard -> 16 objects instead of 128. The GET
+    // economy of sharding is the whole point at latency.
+    val cubeShards = Seq(16, 128, 128)
+    if (!new java.io.File(s"$latBase/cube3dshard/${graft.zarr.ChunkStats.dirName}").exists()) {
+      System.err.println("[scan-bench] building SHARDED 3-D cube store (one-time)...")
+      LatencyFileSystem.reset(0)
+      val st = ZarrStore(latUrl("cube3dshard"),
+        Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+      st.writeStoreRootMeta()
+      ZarrWriter.writeArray(st, "time", ZarrType.Int64, Seq(cubeT), Seq(cubeShards(0)),
+        (0 until cubeT).map(k => cubeT0 + k * cubeDay: Any), Some(Seq("time")),
+        ZarrWriter.CodecChain.bloscLz4)
+      ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(cubeLat), Seq(cubeShards(1)),
+        (0 until cubeLat).map(i => -60.0 + i * 0.5: Any), Some(Seq("lat")),
+        ZarrWriter.CodecChain.bloscLz4)
+      ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(cubeLon), Seq(cubeShards(2)),
+        (0 until cubeLon).map(j => -180.0 + j * 0.7: Any), Some(Seq("lon")),
+        ZarrWriter.CodecChain.bloscLz4)
+      val tempVals2 = new IndexedSeq[Any] {
+        def length: Int = cubeRows.toInt
+        def apply(i: Int): Any = i.toDouble
+      }
+      ZarrWriter.writeArray(st, "temp", ZarrType.Float64,
+        Seq(cubeT, cubeLat, cubeLon), cubeShards, tempVals2,
+        Some(Seq("time", "lat", "lon")),
+        ZarrWriter.CodecChain.bloscLz4.sharded(cubeChunks))
+      graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3dshard"))
+      System.err.println("[scan-bench] sharded 3-D cube built + analyzed")
+    }
     // keep the LAST time chunk's slab: t >= 56 -> 16 of 128 chunks
     val cubeCutT = cubeT - cubeChunks(0)
     val cubeCut = cubeT0 + cubeCutT * cubeDay
@@ -407,9 +437,28 @@ object ScanBench {
         f"(${LatencyFileSystem.allGets(store)} total)")
       (dt, gets)
     }
+    // FULL-scan sum (double sums are never servable from the sidecar, so
+    // both layouts must fetch every data object): the plain cube pays one
+    // GET per chunk, the sharded twin one GET per SHARD — the pure
+    // object-count economy, same bytes decoded either way
+    def cubeFullRun(nm: String, store: String): (Double, Int) = {
+      LatencyFileSystem.reset(latMs)
+      val t0 = System.nanoTime()
+      val s = spark.read.format("zarr").load(latUrl(store))
+        .agg(sum($"temp")).collect()(0).getDouble(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val expected = (cubeRows - 1).toDouble * cubeRows / 2
+      require(s == expected, s"$nm: wrong sum $s != $expected")
+      val gets = LatencyFileSystem.chunkGets(store)
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs " +
+        f"(${LatencyFileSystem.allGets(store)} total)")
+      (dt, gets)
+    }
     LatencyFileSystem.reset(0)
     spark.read.format("zarr").load(latUrl("cube3d"))
       .filter($"time" >= cubeCut).agg(sum($"temp")).collect() // warm
+    spark.read.format("zarr").load(latUrl("cube3dshard"))
+      .agg(sum($"temp")).collect() // warm the sharded twin
 
     // ---- analyze at latency (round 11): the sidecar backfill is
     //      itself a full-corpus read (one GET per chunk per column,
@@ -468,6 +517,9 @@ object ScanBench {
       "lat_nd_decode" -> best2(ndRun("2-D plain store: decode-and-test every chunk", "nd2dplain")),
       "lat_cube_sidecar" -> best2(cubeRun("3-D analyzed climate cube: time-slab sidecar skip", "cube3d")),
       "lat_cube_decode" -> best2(cubeRun("3-D plain climate cube: decode-and-test", "cube3dplain")),
+      "lat_cube_shard_slab" -> best2(cubeRun("SHARDED climate cube: time-slab skip at shard granularity", "cube3dshard")),
+      "lat_cube_fullscan_plain" -> best2(cubeFullRun("full-scan sum, plain cube (GET per chunk)", "cube3dplain")),
+      "lat_cube_fullscan_shard" -> best2(cubeFullRun("full-scan sum, SHARDED cube (GET per shard)", "cube3dshard")),
       "lat_grouped_sidecar" -> best2(groupedRun("grouped agg over filtered stats-backed scan", "sidecar")),
       "lat_grouped_decode" -> best2(groupedRun("grouped agg over filtered plain scan", "plain")))
     LatencyFileSystem.reset(0)

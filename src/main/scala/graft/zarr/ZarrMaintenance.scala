@@ -57,7 +57,8 @@ object ZarrMaintenance {
       chunkSize: Int = 65536,
       innerChunkSize: Int = 8192,
       chunkShapeNd: Seq[Int] = Nil,
-      codec: String = ""): (Long, Long) = {
+      codec: String = "",
+      shardShapeNd: Seq[Int] = Nil): (Long, Long) = {
     // refuse a non-empty destination: the write below uses append
     // semantics, so a re-run (orchestrator retry, ambiguous failure)
     // against an existing dst would silently append a SECOND full copy
@@ -131,10 +132,15 @@ object ZarrMaintenance {
         val m = srcMetas.find(_.name == cn).get
         requireAscendingAxis(srcStore, m, srcPath)
       }
+      // `shardShapeNd` is the N-D analog of the 1-D path's
+      // sharding_indexed packing: the compacted cube's stored objects
+      // become shards of `chunkShapeNd` inner chunks — the same
+      // object-count compaction, N dimensions up
       graft.sources.ZarrCubeWrite.write(
         df, dstPath, coordNames,
         if (chunkShapeNd.nonEmpty) Some(chunkShapeNd) else None,
-        codec = dstCodec, stats = true, truncate = false)
+        codec = dstCodec, stats = true, truncate = false,
+        shardShapeOpt = if (shardShapeNd.nonEmpty) Some(shardShapeNd) else None)
     }
     val conf = spark.sessionState.newHadoopConf()
     (countChunkObjects(srcPath, conf), countChunkObjects(dstPath, conf))

@@ -56,6 +56,12 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       // chunk extent may EXCEED the axis (single padded chunk) — a shape
       // the example spec never tries
       val chunkShape = axes.map(a => 1 + rnd.nextInt(a._2.length + 1))
+      // a third of the cases write SHARDED (ZEP 2): the stored object
+      // packs 1-3 inner chunks per dim; the scan must decode both layouts
+      // to the same values
+      val shardShape =
+        if (rnd.nextInt(3) == 0) Some(chunkShape.map(_ * (1 + rnd.nextInt(3))))
+        else None
       val dimNames = (0 until ndim).map(d => s"d$d")
 
       def cells(axs: Seq[Seq[Any]]): Seq[Seq[Any]] =
@@ -73,7 +79,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
       graft.sources.ZarrCubeWrite.write(
         df, path, dimNames, Some(chunkShape), codec = "blosc",
-        stats = true, truncate = false)
+        stats = true, truncate = false, shardShapeOpt = shardShape)
 
       val back = spark.read.format("zarr").load(path)
         .select((dimNames :+ "v1" :+ "v2").map(org.apache.spark.sql.functions.col): _*)
@@ -87,7 +93,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = back.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq
       assert(got == expected,
         s"case $caseNo: axes=${axes.map(a => a._1.simpleString + ":" + a._2.length)} " +
-          s"chunks=$chunkShape")
+          s"chunks=$chunkShape shards=$shardShape")
 
       // the write-time stats sidecar must cover the full grid on every
       // generated shape (the zero-GET aggregate surface)

@@ -217,7 +217,7 @@ class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
       slab(4, 5).write.format("zarr").mode("append")
         .option("append_dim", "time").option("chunk_shape", "2,2,4").save(path)
     }
-    assert(e9.getMessage.contains("neither chunk_shape nor codec"), e9.getMessage)
+    assert(e9.getMessage.contains("neither chunk_shape, shard_shape nor codec"), e9.getMessage)
     // append conflicts with overwrite
     val e10 = intercept[Exception] {
       slab(4, 5).write.format("zarr").mode("overwrite")

@@ -154,7 +154,7 @@ class ZarrCubeRegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       slab(2, 4).write.format("zarr").mode("overwrite")
         .option("region_dim", "time").option("codec", "zstd").save(path)
     }
-    assert(e7.getMessage.contains("neither chunk_shape nor codec"), e7.getMessage)
+    assert(e7.getMessage.contains("neither chunk_shape, shard_shape nor codec"), e7.getMessage)
     // trailing-axis drift
     val badLat = (for (t <- 2 until 4; i <- 0 until 6; j <- 0 until 7) yield (
       t0 + t * day, 38.0 + 0.5 * i, -117.0 + 0.25 * j, 1.0))

@@ -96,6 +96,25 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dstStore.readMeta("lat").isCoordinate)
   }
 
+  test("compact N-D into a SHARDED cube: fewer stored objects, values identical") {
+    val base = Files.createTempDirectory("zarr-compact-ndshard").toString
+    ZarrWriter.writeLatLonStore(ZarrStore(s"$base/src")) // 8x8, chunk 3x3 -> 9 objects/array
+    val (srcObjs, dstObjs) = ZarrMaintenance.compact(
+      spark, s"$base/src", s"$base/dst",
+      chunkShapeNd = Seq(2, 2), shardShapeNd = Seq(8, 8))
+    assert(dstObjs < srcObjs,
+      s"sharded compaction must shrink the object count ($srcObjs -> $dstObjs)")
+    val a = spark.read.format("zarr").load(s"$base/src")
+      .select("lat", "lon", "data").orderBy("lat", "lon").collect()
+    val b = spark.read.format("zarr").load(s"$base/dst")
+      .select("lat", "lon", "data").orderBy("lat", "lon").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val m = ZarrStore(s"$base/dst").readMeta("data")
+    assert(m.chunkShape.toSeq == Seq(8, 8), "stored grid is the shard shape")
+    assert(m.shardingSpec.exists(_.innerShape == Seq(2, 2)),
+      "inner chunks stay addressable at 2x2")
+  }
+
   test("compact N-D: v2 climate cube migrates to a v3 cube (datetime64 → raw int64)") {
     val fixture = new java.io.File("src/test/resources/zarr_v2_climate")
     assume(fixture.isDirectory, "fixture store present")

@@ -98,6 +98,17 @@ assert swapped.agg(F.sum("v")).collect()[0][0] == \
     sum(r[2] for r in rows if r[0] < 2) + sum(r[2] for r in region_rows) + \
     sum(r[2] for r in slab_rows), "region overwrite swaps exactly the slab"
 
+# SHARDED cube write from plain PySpark (round 13): shard_shape packs
+# whole inner chunks into one stored object (ZEP 2)
+sh_path = "/tmp/pyzarr-cube-sharded"
+spark.createDataFrame(rows + slab_rows, "t LONG, x DOUBLE, v DOUBLE") \
+    .write.format("zarr").mode("overwrite").option("dims", "t,x") \
+    .option("chunk_shape", "1,3").option("shard_shape", "2,6").save(sh_path)
+sharded = spark.read.format("zarr").load(sh_path)
+assert sharded.count() == 36, "sharded cube rows"
+assert sharded.agg(F.sum("v")).collect()[0][0] == \
+    sum(r[2] for r in rows) + sum(r[2] for r in slab_rows), "sharded cube values"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
