@@ -397,16 +397,55 @@ object ZarrRoundtrip {
       .orderBy("day", "source")
   }
 
-  /** Build the q129 store once per (dir, source size/mtime): the full
-    * 12-day cube, then a REAL `region_dim` overwrite of days 4-7 with
-    * transformed values. Same memoize-and-rename discipline as
+  /** Build the q129 store: the full 12-day cube, then a REAL
+    * `region_dim` overwrite of days 4-7 with transformed values
+    * (region [4,8) is chunk-aligned at day chunk 4). */
+  private def ensureRegionStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cuberegion", "/tmp/graft_zarr_cube_region") {
+      (dense, path) =>
+        dense.write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "4,6")
+          .save(path)
+        dense.filter(col("day").between(4, 7))
+          .select(col("day"), col("source"),
+            (col("n_docs") * 2 + 5).as("n_docs"),
+            (col("sum_chars") + 7).as("sum_chars"))
+          .write.format("zarr").mode("overwrite")
+          .option("region_dim", "day")
+          .save(path)
+    }
+
+  /** The dense 12-day × source grid of document stats — the ONE
+    * cube-shaped frame the q128/q129/q131 stores all write (densified
+    * over the full cross product, zero cells where a (day, source) has
+    * no documents). Shared so the three oracles cannot silently drift
+    * onto different grids. */
+  private def denseDayCells(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cells = docs
+      .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val grid = s.range(12).select(col("id").as("day"))
+      .crossJoin(docs.select(col("source")).distinct())
+    grid.join(cells, Seq("day", "source"), "left")
+      .select(col("day"), col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+  }
+
+  /** Memoize-and-rename a day-cells store once per (key, dir, source
+    * size/mtime): `write` builds it at a scratch path, an atomic rename
+    * publishes it; bench/verify re-runs reuse it. Same discipline as
     * [[ensureCubeStore]]. */
-  private def ensureRegionStore(s: SparkSession, dir: String): String = {
+  private def ensureDayGridStore(
+      s: SparkSession, dir: String, keyTag: String, root: String)(
+      write: (DataFrame, String) => Unit): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"cuberegion|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .digest(s"$keyTag|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_cube_region/$key/day_cells"
+    val store = s"$root/$key/day_cells"
     if (!Files.exists(Paths.get(store, "zarr.json"))) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -417,83 +456,36 @@ object ZarrRoundtrip {
       val build = new java.io.File(
         s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(Paths.get(store).getParent)
-      val docs = Tables.load(s, dir, "documents")
-      val cells = docs
-        .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      val grid = s.range(12).select(col("id").as("day"))
-        .crossJoin(docs.select(col("source")).distinct())
-      val dense = grid.join(cells, Seq("day", "source"), "left")
-        .select(col("day"), col("source"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
-      dense.write.format("zarr").mode("append")
-        .option("dims", "day,source")
-        .option("chunk_shape", "4,6")
-        .save(build.getPath)
-      // reprocess days 4-7 in place: region [4,8) is chunk-aligned (4)
-      dense.filter(col("day").between(4, 7))
-        .select(col("day"), col("source"),
-          (col("n_docs") * 2 + 5).as("n_docs"),
-          (col("sum_chars") + 7).as("sum_chars"))
-        .write.format("zarr").mode("overwrite")
-        .option("region_dim", "day")
-        .save(build.getPath)
+      write(denseDayCells(s, dir), build.getPath)
       if (!build.renameTo(storeDir)) rm(build)
     }
     store
   }
 
-  /** Build the q128 store once per (dir, source size/mtime): fresh cube
-    * of days 0-7, then a REAL `append_dim` append of days 8-11. Same
-    * memoize-and-rename discipline as [[ensureCubeStore]]. */
-  private def ensureAppendStore(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"cubeappend|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_cube_append/$key/day_cells"
-    if (!Files.exists(Paths.get(store, "zarr.json"))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val storeDir = new java.io.File(store)
-      if (storeDir.exists()) rm(storeDir)
-      val build = new java.io.File(
-        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(Paths.get(store).getParent)
-      val docs = Tables.load(s, dir, "documents")
-      val cells = docs
-        .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      // densify over the FULL 12×sources grid, then split: both slabs
-      // share the source axis by construction (trailing dims must align)
-      val grid = s.range(12).select(col("id").as("day"))
-        .crossJoin(docs.select(col("source")).distinct())
-      val dense = grid.join(cells, Seq("day", "source"), "left")
-        .select(col("day"), col("source"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
-      dense.filter(col("day") < 8).write.format("zarr").mode("append")
-        .option("dims", "day,source")
-        .option("chunk_shape", "4,6")
-        .save(build.getPath)
-      dense.filter(col("day") >= 8).write.format("zarr").mode("append")
-        .option("append_dim", "day")
-        .save(build.getPath)
-      if (!build.renameTo(storeDir)) rm(build)
+  /** Build the q128 store: fresh cube of days 0-7, then a REAL
+    * `append_dim` append of days 8-11 (both slabs share the source axis
+    * by construction — trailing dims must align). */
+  private def ensureAppendStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubeappend", "/tmp/graft_zarr_cube_append") {
+      (dense, path) =>
+        dense.filter(col("day") < 8).write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "4,6")
+          .save(path)
+        dense.filter(col("day") >= 8).write.format("zarr").mode("append")
+          .option("append_dim", "day")
+          .save(path)
     }
-    store
-  }
 
-  /** q131: the SHARDED N-D cube write under the oracle gate — q125's
-    * grid written with `shard_shape` (ZEP 2 sharding: the stored object
-    * packs whole inner chunks; stored grid 3×3 shards over a 6×ceil
-    * inner grid with edge shards on both dims). Every cell reads back
-    * through the shard decode path and hash-matches the same DuckDB
-    * closed form as a plain write would — a mis-packed inner chunk, a
-    * wrong shard index, or a mis-skipped padding chunk breaks the hash.
+  /** q131: the SHARDED N-D cube write under the oracle gate — the
+    * q129 day×source grid written with `shard_shape` (ZEP 2 sharding:
+    * the stored object packs whole inner chunks). Shards are 8×8 over
+    * 2×4 inner chunks, so BOTH dims end in edge shards (day 12 % 8 and
+    * the source axis % 8) with all-padding inner chunks to omit. Every
+    * cell reads back through the shard decode path and hash-matches the
+    * same DuckDB closed form as a plain write would — a mis-packed
+    * inner chunk, a wrong shard index, or a mis-skipped padding chunk
+    * breaks the hash.
     *
     * Scale shape: identical pipeline to q125 (ONE clustered shuffle,
     * final-key writes) but the OBJECT COUNT follows shards, not chunks —
@@ -518,45 +510,19 @@ object ZarrRoundtrip {
       .orderBy("day", "source")
   }
 
-  /** Build the q131 sharded cube store once per (dir, source
-    * size/mtime): q129's dense day×source grid written with
-    * `chunk_shape` 2×4 inner chunks packed into 4×8 shards. Same
-    * memoize-and-rename discipline as [[ensureCubeStore]]. */
-  private def ensureShardedCubeStore(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"cubeshard|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_cube_shard/$key/day_cells"
-    if (!Files.exists(Paths.get(store, "zarr.json"))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val storeDir = new java.io.File(store)
-      if (storeDir.exists()) rm(storeDir)
-      val build = new java.io.File(
-        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(Paths.get(store).getParent)
-      val docs = Tables.load(s, dir, "documents")
-      val cells = docs
-        .groupBy(pmod(col("doc_id"), lit(12L)).as("day"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      val grid = s.range(12).select(col("id").as("day"))
-        .crossJoin(docs.select(col("source")).distinct())
-      val dense = grid.join(cells, Seq("day", "source"), "left")
-        .select(col("day"), col("source"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
-      dense.write.format("zarr").mode("append")
-        .option("dims", "day,source")
-        .option("chunk_shape", "2,4")
-        .option("shard_shape", "4,8")
-        .save(build.getPath)
-      if (!build.renameTo(storeDir)) rm(build)
+  /** Build the q131 sharded cube store: the shared day×source grid
+    * written with 2×4 inner chunks packed into 8×8 shards (edge shards
+    * on both dims). The key tag carries the layout so a layout change
+    * can never silently reuse a stale memoized store. */
+  private def ensureShardedCubeStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubeshard|c2x4|s8x8", "/tmp/graft_zarr_cube_shard") {
+      (dense, path) =>
+        dense.write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "2,4")
+          .option("shard_shape", "8,8")
+          .save(path)
     }
-    store
-  }
 
   /** Build the q125 cube store once per (dir, source size/mtime);
     * bench/verify re-runs reuse it. Same memoize-and-rename discipline

@@ -814,8 +814,14 @@ object ZarrCubeWrite {
       while (vals.length < cs) vals += m.fillValue
       val packed = m.shardingSpec match {
         // a foreign store may shard even its coordinate axes; pack the
-        // padded chunk exactly like the data-array kernel does
-        case Some(sp) => Sharding.encode(m.dataType, Seq(cs), sp, vals.toIndexedSeq)
+        // padded chunk exactly like the data-array kernel does — incl.
+        // omitting all-padding inner chunks of the final edge shard
+        case Some(sp) =>
+          val real = hi - lo
+          val inner = sp.innerShape.head
+          val skip = (0 until cs / inner)
+            .filter(gi => gi.toLong * inner >= real).toSet
+          Sharding.encode(m.dataType, Seq(cs), sp, vals.toIndexedSeq, skipInner = skip)
         case None =>
           val enc = ZarrDataWriter.encode(m.dataType, vals.toSeq, order)
           chain.foldLeft(enc)((b, cc) => cc.encode(b))

@@ -177,6 +177,20 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
             throw new ZarrException(
               "shard_shape requires chunk_shape (the inner chunk layout " +
                 "readers address); give both, inner dividing outer")
+          // arity/divisibility are checkable from the two option strings
+          // alone — refuse HERE, before the axis-collection and
+          // density-proof jobs run over the (possibly TB-scale) input
+          for (ss <- shardShape; cs <- chunkShape) {
+            if (ss.length != dims.length)
+              throw new ZarrException(
+                s"shard_shape has ${ss.length} entries for ${dims.length} dims")
+            ss.zip(cs).zipWithIndex.foreach { case ((sh, c), i) =>
+              if (sh < c || c < 1 || sh % c != 0)
+                throw new ZarrException(
+                  s"shard_shape entry $sh (dim $i) must be a positive multiple " +
+                    s"of chunk_shape $c — a shard holds whole inner chunks")
+            }
+          }
           val codec = Option(info.options.get("codec")).getOrElse("blosc")
           new V1Write {
             override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
@@ -186,7 +200,15 @@ class ZarrWriteBuilder(store: ZarrStore, info: LogicalWriteInfo)
                   shardShapeOpt = shardShape)
           }
       }
-    } else buildTabular()
+    } else {
+      // loud-refusal convention: a cube-only option on the tabular path
+      // would otherwise be silently dropped (an unsharded store, no error)
+      if (info.options.containsKey("shard_shape"))
+        throw new ZarrException(
+          "shard_shape applies to cube writes (with the dims option); the " +
+            "1-D tabular path packs shards via inner_chunk_size")
+      buildTabular()
+    }
   }
 
   private def buildTabular(): Write = new Write {

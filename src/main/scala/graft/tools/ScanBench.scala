@@ -361,59 +361,44 @@ object ScanBench {
     val cubeT0 = 1700000000000000000L
     val cubeDay = 86400L * 1000000000L
     val cubeRows = cubeT.toLong * cubeLat * cubeLon
-    if (!new java.io.File(s"$latBase/cube3d/${graft.zarr.ChunkStats.dirName}").exists()) {
-      System.err.println("[scan-bench] building 3-D cube stores (one-time)...")
-      LatencyFileSystem.reset(0)
-      Seq("cube3d", "cube3dplain").foreach { nm =>
-        val st = ZarrStore(latUrl(nm),
-          Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
-        st.writeStoreRootMeta()
-        ZarrWriter.writeArray(st, "time", ZarrType.Int64, Seq(cubeT), Seq(cubeChunks(0)),
-          (0 until cubeT).map(k => cubeT0 + k * cubeDay: Any), Some(Seq("time")),
-          ZarrWriter.CodecChain.bloscLz4)
-        ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(cubeLat), Seq(cubeChunks(1)),
-          (0 until cubeLat).map(i => -60.0 + i * 0.5: Any), Some(Seq("lat")),
-          ZarrWriter.CodecChain.bloscLz4)
-        ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(cubeLon), Seq(cubeChunks(2)),
-          (0 until cubeLon).map(j => -180.0 + j * 0.7: Any), Some(Seq("lon")),
-          ZarrWriter.CodecChain.bloscLz4)
-        val tempVals = new IndexedSeq[Any] {
-          def length: Int = cubeRows.toInt
-          def apply(i: Int): Any = i.toDouble
-        }
-        ZarrWriter.writeArray(st, "temp", ZarrType.Float64,
-          Seq(cubeT, cubeLat, cubeLon), cubeChunks, tempVals,
-          Some(Seq("time", "lat", "lon")), ZarrWriter.CodecChain.bloscLz4)
-      }
-      graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3d"))
-      System.err.println("[scan-bench] 3-D cube stores built (cube3d analyzed)")
-    }
     // SHARDED twin of the same cube (ZEP 2): the 8x64x64 logical chunks
     // pack 2x2x2 per stored shard -> 16 objects instead of 128. The GET
-    // economy of sharding is the whole point at latency.
+    // economy of sharding is the whole point at latency. ONE builder for
+    // all three stores so the axes can never drift between the twins the
+    // rows compare.
     val cubeShards = Seq(16, 128, 128)
-    if (!new java.io.File(s"$latBase/cube3dshard/${graft.zarr.ChunkStats.dirName}").exists()) {
-      System.err.println("[scan-bench] building SHARDED 3-D cube store (one-time)...")
+    def buildCube(nm: String, stored: Seq[Int], dataChain: ZarrWriter.CodecChain): Unit = {
       LatencyFileSystem.reset(0)
-      val st = ZarrStore(latUrl("cube3dshard"),
+      val st = ZarrStore(latUrl(nm),
         Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
       st.writeStoreRootMeta()
-      ZarrWriter.writeArray(st, "time", ZarrType.Int64, Seq(cubeT), Seq(cubeShards(0)),
+      ZarrWriter.writeArray(st, "time", ZarrType.Int64, Seq(cubeT), Seq(stored(0)),
         (0 until cubeT).map(k => cubeT0 + k * cubeDay: Any), Some(Seq("time")),
         ZarrWriter.CodecChain.bloscLz4)
-      ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(cubeLat), Seq(cubeShards(1)),
+      ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(cubeLat), Seq(stored(1)),
         (0 until cubeLat).map(i => -60.0 + i * 0.5: Any), Some(Seq("lat")),
         ZarrWriter.CodecChain.bloscLz4)
-      ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(cubeLon), Seq(cubeShards(2)),
+      ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(cubeLon), Seq(stored(2)),
         (0 until cubeLon).map(j => -180.0 + j * 0.7: Any), Some(Seq("lon")),
         ZarrWriter.CodecChain.bloscLz4)
-      val tempVals2 = new IndexedSeq[Any] {
+      val tempVals = new IndexedSeq[Any] {
         def length: Int = cubeRows.toInt
         def apply(i: Int): Any = i.toDouble
       }
       ZarrWriter.writeArray(st, "temp", ZarrType.Float64,
-        Seq(cubeT, cubeLat, cubeLon), cubeShards, tempVals2,
-        Some(Seq("time", "lat", "lon")),
+        Seq(cubeT, cubeLat, cubeLon), stored, tempVals,
+        Some(Seq("time", "lat", "lon")), dataChain)
+    }
+    if (!new java.io.File(s"$latBase/cube3d/${graft.zarr.ChunkStats.dirName}").exists()) {
+      System.err.println("[scan-bench] building 3-D cube stores (one-time)...")
+      buildCube("cube3d", cubeChunks, ZarrWriter.CodecChain.bloscLz4)
+      buildCube("cube3dplain", cubeChunks, ZarrWriter.CodecChain.bloscLz4)
+      graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3d"))
+      System.err.println("[scan-bench] 3-D cube stores built (cube3d analyzed)")
+    }
+    if (!new java.io.File(s"$latBase/cube3dshard/${graft.zarr.ChunkStats.dirName}").exists()) {
+      System.err.println("[scan-bench] building SHARDED 3-D cube store (one-time)...")
+      buildCube("cube3dshard", cubeShards,
         ZarrWriter.CodecChain.bloscLz4.sharded(cubeChunks))
       graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3dshard"))
       System.err.println("[scan-bench] sharded 3-D cube built + analyzed")

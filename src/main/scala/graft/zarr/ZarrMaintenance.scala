@@ -59,6 +59,13 @@ object ZarrMaintenance {
       chunkShapeNd: Seq[Int] = Nil,
       codec: String = "",
       shardShapeNd: Seq[Int] = Nil): (Long, Long) = {
+    // mirror the DSv2 option surface: sharding with a DEFAULTED inner
+    // layout would pin an arbitrary heuristic chunking into the store's
+    // metadata — and refuse BEFORE the source scan / density jobs run
+    if (shardShapeNd.nonEmpty && chunkShapeNd.isEmpty)
+      throw new ZarrException(
+        "compact: shardShapeNd requires chunkShapeNd (the inner chunk " +
+          "layout readers address); give both, inner dividing outer")
     // refuse a non-empty destination: the write below uses append
     // semantics, so a re-run (orchestrator retry, ambiguous failure)
     // against an existing dst would silently append a SECOND full copy

@@ -232,5 +232,19 @@ class ZarrCubeShardSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("append_dim", "time").option("shard_shape", "2,4,4").save(path)
     }
     assert(e4.getMessage.contains("shard_shape"), e4.getMessage)
+    // the 1-D tabular path must refuse (not silently drop) shard_shape
+    val sp0 = spark; import sp0.implicits._
+    val e5 = intercept[Exception] {
+      Seq((1L, 2.0)).toDF("id", "v").write.format("zarr").mode("overwrite")
+        .option("shard_shape", "4").save(s"$base/refuse_tab")
+    }
+    assert(e5.getMessage.contains("inner_chunk_size"), e5.getMessage)
+    // compact mirrors the option surface: sharding with a DEFAULTED
+    // inner layout is refused before any Spark job runs
+    val e6 = intercept[Exception] {
+      ZarrMaintenance.compact(spark, path, s"$base/refuse_compact",
+        shardShapeNd = Seq(4, 4, 4))
+    }
+    assert(e6.getMessage.contains("requires chunkShapeNd"), e6.getMessage)
   }
 }
