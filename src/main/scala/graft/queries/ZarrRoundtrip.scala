@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -508,6 +508,31 @@ object ZarrRoundtrip {
     s.read.format("zarr").load(store)
       .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
       .orderBy("day", "source")
+  }
+
+  /** q132: store observability under the oracle gate —
+    * `ZarrInfo.describe` on the q131 SHARDED store, every layout fact
+    * (dtype, shape, stored-chunk/shard layout, inner chunking, codec
+    * chain, dimension names, sidecar coverage) pinned as a closed-form
+    * VALUES literal. Metadata-only: one consolidated root GET + a
+    * sidecar LIST, zero chunk reads — describing a 100 TB store costs
+    * the same as this 12×20 one. The grid shape is SF-independent
+    * (12 days × the fixed 20 sources), so one literal serves all SFs. */
+  private lazy val q132 = QueryDef.sql(
+    "q132_zarr_describe",
+    """SELECT * FROM (VALUES
+      |  ('day','coordinate',3,'int64','12','8',NULL,'bytes,blosc','day',2::BIGINT,6::BIGINT),
+      |  ('n_docs','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT),
+      |  ('source','coordinate',3,'string','20','8',NULL,'vlen-utf8,blosc','source',3::BIGINT,6::BIGINT),
+      |  ('sum_chars','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT)
+      |) t(array_name, kind, format_version, dtype, shape, chunk_shape,
+      |    shard_inner_shape, codecs, dimension_names, n_stored_chunks,
+      |    stats_covered_chunks)
+      |ORDER BY array_name""".stripMargin) { (s, dir) =>
+    val store = ensureShardedCubeStore(s, dir)
+    graft.zarr.ZarrInfo.describe(s, store)
+      .withColumnRenamed("array", "array_name")
+      .orderBy("array_name")
   }
 
   /** Build the q131 sharded cube store: the shared day×source grid

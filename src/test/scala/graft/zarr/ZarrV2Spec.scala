@@ -572,4 +572,17 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     assert(bb.getDouble(0) == 0.5) // temp[0][0]
   }
+
+  test("ZarrInfo.describe surfaces v2 layout facts, zero-coverage sidecar") {
+    val latlon = new java.io.File("src/test/resources/zarr_v2_latlon").getAbsolutePath
+    val rows = graft.zarr.ZarrInfo.describe(spark, latlon).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getString(4), r.getLong(10))).toSeq
+    // coordinates first, then data; v2 stores carry no sidecar -> 0 covered
+    assert(rows.map(t => (t._1, t._2, t._3)) ==
+      Seq(("lat", "coordinate", 2), ("lon", "coordinate", 2), ("data", "data", 2)))
+    assert(rows.forall(_._6 == 0L), "a never-analyzed v2 store has zero stats coverage")
+    val data = rows.find(_._1 == "data").get
+    assert(data._4 == "float64" && data._5.contains("x"), data.toString)
+  }
 }
