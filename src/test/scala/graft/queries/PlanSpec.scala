@@ -502,4 +502,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // codegen stages render as "*(n) Operator" in the final plan
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
   }
+
+  test("q130: PII redaction is scan-local — one pruned scan, the only exchange is the ORDER BY") {
+    val p = plan("q130_pii_redact")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"redaction must add no shuffle beyond the final sort\n$p")
+    assert(p.contains("rangepartitioning"), p)
+    // column pruning: only doc_id + text reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read exactly doc_id+text\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
