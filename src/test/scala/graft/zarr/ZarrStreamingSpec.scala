@@ -136,6 +136,49 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cube written via dims and grown via append_dim feeds the stream exactly once") {
+    // r13 integration: the CUBE writer's append (dim-0 coordinate
+    // extension + root-doc-last commit) is exactly the growth shape the
+    // streaming source consumes — new slabs appear atomically with the
+    // root commit, earlier chunk ordinals stay stable
+    val sp = spark; import sp.implicits._
+    val dir = s"$base/cubedsv2"
+    def slab(tFrom: Int, tUntil: Int) =
+      (for (t <- tFrom until tUntil; x <- 0 until 6) yield
+        (t.toLong, 100L + x, (t * 10 + x).toDouble))
+        .toDF("time", "sensor", "temp").repartition(2)
+    slab(0, 4).write.format("zarr").mode("append")
+      .option("dims", "time,sensor").option("chunk_shape", "2,3").save(dir)
+    val outDir = s"$base/cubedsv2out"
+    val ckpt = s"$base/cubedsv2ckpt"
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 24)
+    // grow time 4 -> 8 through the cube append; prior rows must not re-emit
+    slab(4, 8).write.format("zarr").mode("append")
+      .option("append_dim", "time").save(dir)
+    runOnce()
+    val all = spark.read.parquet(outDir).collect()
+    assert(all.length == 48, s"expected 48 rows after cube append, got ${all.length}")
+    val temps = all.map(_.getAs[Double]("temp")).sorted
+    assert(temps.sameElements(
+      (for (t <- 0 until 8; x <- 0 until 6) yield (t * 10 + x).toDouble).sorted))
+    // BOTH coordinates broadcast correctly across the appended slabs
+    all.foreach { r =>
+      val t = r.getAs[Double]("temp")
+      assert(r.getAs[Long]("time") == (t / 10).toLong, r.toString)
+      assert(r.getAs[Long]("sensor") == 100L + (t % 10).toLong, r.toString)
+    }
+  }
+
   test("partial trailing chunk is not consumed until complete (ADVICE r1 #4)") {
     val dir = s"$base/partial"
     val ckpt = s"$base/partial-ckpt"
