@@ -48,7 +48,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    bounded streaming dedup, streaming session_window sessions
   *    (q83-q85, q92, q103)
   *  - [[graft.queries.ZarrRoundtrip]] — the zarr connector in the
-  *    oracle gate: write documents → zarr store → DSv2 read → agg (q99)
+  *    oracle gate: write documents → zarr store → DSv2 read → agg
+  *    (q99), cube write/append/region/shard/describe/sink
+  *    (q125, q128, q129, q131, q132, q133)
   */
 object SparkEntry {
 

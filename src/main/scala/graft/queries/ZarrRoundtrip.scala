@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -534,6 +534,56 @@ object ZarrRoundtrip {
       .withColumnRenamed("array", "array_name")
       .orderBy("array_name")
   }
+
+  /** q133: the streaming CUBE SINK under the oracle gate — the shared
+    * day×source grid delivered as four 3-day micro-batch slabs through
+    * `ZarrCubeSink.appendBatch`, INCLUDING a replay of the third batch
+    * (the foreachBatch at-least-once delivery the sink turns into
+    * exactly-once via coordinate containment). Every cell of the grown
+    * store hash-matches the same closed form as a single batch write —
+    * a dropped slab, a double-applied replay, or a mis-ranked append
+    * breaks the hash.
+    *
+    * Scale shape: each batch is ONE clustered shuffle of the slab's
+    * rows + an O(store metadata) commit; the replay check is one
+    * slab-axis-sized driver read. A day's trigger costs the day, not
+    * the store. Memoized per SF. */
+  private lazy val q133 = QueryDef.sql(
+    "q133_zarr_cube_sink",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s)
+      |SELECT g.day, g.source,
+      |  coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |  coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source
+      |ORDER BY g.day, g.source""".stripMargin) { (s, dir) =>
+    val store = ensureSinkCubeStore(s, dir)
+    s.read.format("zarr").load(store)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
+  }
+
+  /** Build the q133 store: four 3-day slabs through the streaming cube
+    * sink (day chunk 3 keeps every batch chunk-aligned), with batch 2
+    * REPLAYED before batch 3 — the crash-after-commit delivery shape. */
+  private def ensureSinkCubeStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubesink|c3x6", "/tmp/graft_zarr_cube_sink") {
+      (dense, path) =>
+        def batch(lo: Int, hi: Int, id: Long): Unit =
+          graft.streaming.ZarrCubeSink.appendBatch(
+            dense.filter(col("day") >= lo && col("day") < hi), id, path,
+            Seq("day", "source"), chunkShape = Some(Seq(3, 6)))
+        batch(0, 3, 0L)
+        batch(3, 6, 1L)
+        batch(6, 9, 2L)
+        batch(6, 9, 2L) // at-least-once replay: must be a no-op
+        batch(9, 12, 3L)
+    }
 
   /** Build the q131 sharded cube store: the shared day×source grid
     * written with 2×4 inner chunks packed into 8×8 shards (edge shards

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.sources.ZarrCubeWrite
+import graft.zarr.{ChunkFilter, ZarrException, ZarrStore}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Streaming CUBE sink: grow an N-D cube store one dense slab per
+  * micro-batch —
+  * `ds.writeStream.foreachBatch(ZarrCubeSink.appendBatch(_, _, path,
+  * Seq("time","lat","lon"))).start()` — the continuous-ingest shape of
+  * a real array pipeline (each trigger delivers the next day/hour of a
+  * feature or climate cube).
+  *
+  * Semantics are EXACTLY-ONCE, keyed on coordinates rather than batch
+  * ids: the cube append commits its root document LAST, so the leading
+  * coordinate axis containing a slab's coordinates is equivalent to
+  * that slab being fully committed (chunks, stats, metadata and all).
+  * Each batch therefore splits three ways, all decided by ONE
+  * driver-side axis read:
+  *  - no slab coordinate on the axis → append (a replay of a crash
+  *    BEFORE the root commit re-runs the append; the orphaned
+  *    final-key chunks beyond the committed shape are overwritten);
+  *  - every slab coordinate on the axis → the batch already committed
+  *    (a replay of a crash AFTER the root commit) → no-op;
+  *  - a mix → not a replay shape at all (coordinate reuse / out-of-
+  *    order slabs) → loud refusal, like every cube-write violation.
+  * No marker file, no tail buffer, no per-query lifecycle: restarting
+  * from an older checkpoint (or a brand-new query over the same
+  * upstream) replays cleanly because identity lives in the data.
+  *
+  * Alignment contract (from [[ZarrCubeWrite.append]]): the store's
+  * existing dim-0 extent must be a whole number of chunks when a batch
+  * appends, so slab sizes must keep the axis chunk-aligned between
+  * triggers — size `chunk_shape`'s first entry to the per-trigger slab
+  * (1 is always safe). A ragged final slab is fine only as the LAST
+  * batch before the stream stops.
+  *
+  * Scale: identical to the batch cube append — ONE clustered shuffle of
+  * the slab's rows, executor-direct final-key chunk writes, O(store
+  * metadata) commit. A day's trigger costs the day, not the store. */
+object ZarrCubeSink {
+
+  /** foreachBatch body. `dims` names the cube layout (first = the
+    * append/growth dim); `chunkShape`/`shardShape`/`codec` apply only
+    * to the FIRST batch (store creation) — afterwards the store's
+    * layout wins, exactly like the DSv2 option surface. */
+  // scalastyle:off parameter.number
+  def appendBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      dims: Seq[String],
+      chunkShape: Option[Seq[Int]] = None,
+      shardShape: Option[Seq[Int]] = None,
+      codec: String = "blosc",
+      stats: Boolean = true,
+      maxAxisLen: Int = 1 << 22): Unit = {
+    // scalastyle:on parameter.number
+    if (dims.isEmpty)
+      throw new ZarrException("ZarrCubeSink: dims must name the cube layout")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    import scala.jdk.CollectionConverters._
+    val pairs = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, pairs)
+
+    val existingAxis: Option[Array[Any]] =
+      try {
+        val m = store.readMeta(dims.head)
+        Some(ZarrCubeWrite.readAscendingAxis(store, m, path,
+          "the cube sink appends to ascending-axis cube stores only"))
+      } catch { case _: Exception => None } // no store / no axis yet
+
+    existingAxis match {
+      case None =>
+        // first batch creates the store (same one-writer-at-a-time
+        // assumption as every streaming sink's first commit)
+        ZarrCubeWrite.write(batch, path, dims, chunkShape, codec,
+          stats = stats, truncate = false, maxAxisLen = maxAxisLen,
+          shardShapeOpt = shardShape)
+      case Some(axis) =>
+        // ONE slab-axis-sized driver job decides replay vs append
+        val slabCoords = batch.select(col(dims.head)).distinct()
+          .collect().map(_.get(0))
+        val onAxis = slabCoords.count(v =>
+          axis.exists(a => ChunkFilter.cmp(a, v) == 0))
+        if (onAxis == slabCoords.length) () // replayed batch: committed
+        else if (onAxis == 0)
+          ZarrCubeWrite.append(batch, path, dimsOpt = None,
+            appendDim = dims.head, stats = stats, maxAxisLen = maxAxisLen)
+        else
+          throw new ZarrException(
+            s"ZarrCubeSink batch $batchId: $onAxis of ${slabCoords.length} " +
+              s"'${dims.head}' coordinates already exist in $path — neither a " +
+              "fresh slab nor a replay; slabs must not reuse or interleave " +
+              "coordinates")
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming → CUBE: dense dim-0 slabs append through
+  * [[ZarrCubeSink.appendBatch]] with coordinate-keyed exactly-once
+  * semantics. Pins: a real writeStream growing a cube one slab per
+  * trigger, replayed batches as byte-identical no-ops, crash-window
+  * healing (phantom chunks beyond the committed shape overwritten on
+  * re-run), the mixed-coordinate refusal, and first-batch creation
+  * honoring chunk/shard layout. */
+class ZarrCubeSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zarr-cube-sink-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-cube-sink").toString
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Dense slab for days [tFrom, tUntil): 4 sensors. */
+  private def slab(tFrom: Int, tUntil: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    (for (t <- tFrom until tUntil; x <- 0 until 4) yield
+      (t.toLong, 100L + x, (t * 10 + x).toDouble))
+      .toDF("day", "sensor", "temp").repartition(2)
+  }
+
+  private def readBack(path: String): Seq[(Long, Long, Double)] =
+    spark.read.format("zarr").load(path)
+      .select("day", "sensor", "temp").orderBy("day", "sensor").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def storeBytes(path: String): Map[String, Int] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).map(f =>
+      f.getPath -> java.util.Arrays.hashCode(Files.readAllBytes(f.toPath))).toMap
+  }
+
+  test("a real stream grows a cube one dense slab per trigger") {
+    val sp = spark
+    implicit val sq = sp.sqlContext
+    import sp.implicits._
+    val path = s"$base/stream-cube"
+    val in = MemoryStream[Int] // each element = one day
+    val q = in.toDF()
+      .select(col("value").cast("long").as("day"))
+      .join(sp.range(4).select((col("id") + 100L).as("sensor")))
+      .select(col("day"), col("sensor"),
+        (col("day") * 10 + col("sensor") - 100L).cast("double").as("temp"))
+      .writeStream
+      .option("checkpointLocation", s"$base/stream-ckpt")
+      .foreachBatch((df: DataFrame, id: Long) =>
+        ZarrCubeSink.appendBatch(df, id, path, Seq("day", "sensor"),
+          chunkShape = Some(Seq(1, 4))))
+      .start()
+    in.addData(0, 1); q.processAllAvailable()
+    assert(readBack(path).size == 8)
+    in.addData(2); q.processAllAvailable()
+    in.addData(3, 4); q.processAllAvailable()
+    q.stop()
+    val exp = for (t <- 0L until 5L; x <- 0L until 4L)
+      yield (t, 100L + x, (t * 10 + x).toDouble)
+    assert(readBack(path) == exp.toSeq)
+  }
+
+  test("replayed batch is a byte-identical no-op; crash-window phantoms heal") {
+    val path = s"$base/replay"
+    ZarrCubeSink.appendBatch(slab(0, 2), 0L, path, Seq("day", "sensor"),
+      chunkShape = Some(Seq(2, 4)))
+    ZarrCubeSink.appendBatch(slab(2, 4), 1L, path, Seq("day", "sensor"))
+    val committed = storeBytes(path)
+    // replay of an already-committed batch (crash AFTER the root commit):
+    // every coordinate is on the axis -> no-op, nothing touched
+    ZarrCubeSink.appendBatch(slab(2, 4), 1L, path, Seq("day", "sensor"))
+    assert(storeBytes(path) == committed, "replay must not touch the store")
+
+    // crash BEFORE the root commit: phantom final-key chunks beyond the
+    // committed shape (exactly what a killed append leaves behind)
+    val phantom = new java.io.File(s"$path/temp/c/2/0")
+    phantom.getParentFile.mkdirs()
+    java.nio.file.Files.write(phantom.toPath, Array[Byte](1, 2, 3))
+    ZarrCubeSink.appendBatch(slab(4, 6), 2L, path, Seq("day", "sensor"))
+    val exp = for (t <- 0L until 6L; x <- 0L until 4L)
+      yield (t, 100L + x, (t * 10 + x).toDouble)
+    assert(readBack(path) == exp.toSeq, "re-run must overwrite phantom chunks")
+  }
+
+  test("mixed coordinates (neither fresh slab nor replay) refuse loudly") {
+    val path = s"$base/mixed"
+    ZarrCubeSink.appendBatch(slab(0, 2), 0L, path, Seq("day", "sensor"),
+      chunkShape = Some(Seq(1, 4)))
+    val e = intercept[Exception] {
+      ZarrCubeSink.appendBatch(slab(1, 3), 1L, path, Seq("day", "sensor"))
+    }
+    assert(e.getMessage.contains("neither a"), e.getMessage)
+    // empty batches are ignored (streams deliver them on idle triggers)
+    ZarrCubeSink.appendBatch(slab(0, 0), 2L, path, Seq("day", "sensor"))
+    assert(readBack(path).size == 8)
+  }
+
+  test("first batch creates the store with the given shard layout") {
+    val path = s"$base/sharded"
+    ZarrCubeSink.appendBatch(slab(0, 2), 0L, path, Seq("day", "sensor"),
+      chunkShape = Some(Seq(1, 2)), shardShape = Some(Seq(2, 4)))
+    ZarrCubeSink.appendBatch(slab(2, 4), 1L, path, Seq("day", "sensor"))
+    val m = graft.zarr.ZarrStore(path).readMeta("temp")
+    assert(m.chunkShape.toSeq == Seq(2, 4))
+    assert(m.shardingSpec.exists(_.innerShape == Seq(1, 2)))
+    val exp = for (t <- 0L until 4L; x <- 0L until 4L)
+      yield (t, 100L + x, (t * 10 + x).toDouble)
+    assert(readBack(path) == exp.toSeq)
+  }
+}
