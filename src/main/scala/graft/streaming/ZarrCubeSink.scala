@@ -82,11 +82,31 @@ object ZarrCubeSink {
           stats = stats, truncate = false, maxAxisLen = maxAxisLen,
           shardShapeOpt = shardShape)
       case Some(axis) =>
-        // ONE slab-axis-sized driver job decides replay vs append
-        val slabCoords = batch.select(col(dims.head)).distinct()
-          .collect().map(_.get(0))
-        val onAxis = slabCoords.count(v =>
-          axis.exists(a => ChunkFilter.cmp(a, v) == 0))
+        // ONE slab-axis-sized driver job decides replay vs append —
+        // bounded like every cube-write axis collect
+        val rows = batch.select(col(dims.head)).distinct()
+          .limit(maxAxisLen + 1).collect()
+        if (rows.length > maxAxisLen)
+          throw new ZarrException(
+            s"ZarrCubeSink batch $batchId: slab has more than $maxAxisLen " +
+              s"distinct '${dims.head}' values; raise max_axis_len if the " +
+              "driver can hold the axis")
+        val slabCoords = rows.map(_.get(0))
+        // the axis is strictly ascending (readAscendingAxis enforced it):
+        // binary-search containment, O(slab · log axis), never slab · axis
+        def onAxisCoord(v: Any): Boolean = {
+          var lo = 0
+          var hi = axis.length - 1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val c = ChunkFilter.cmp(axis(mid), v)
+            if (c == 0) return true
+            else if (c < 0) lo = mid + 1
+            else hi = mid - 1
+          }
+          false
+        }
+        val onAxis = slabCoords.count(onAxisCoord)
         if (onAxis == slabCoords.length) () // replayed batch: committed
         else if (onAxis == 0)
           ZarrCubeWrite.append(batch, path, dimsOpt = None,
