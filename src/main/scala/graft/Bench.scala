@@ -188,7 +188,10 @@ object Bench {
     if (only.isEmpty && failed.isEmpty && sfDir.endsWith("sf0.1")) {
       try {
         val bestPath = java.nio.file.Paths.get("/root/repo/BENCH_BEST.json")
-        val newCal = math.min(calStart, calEnd)
+        // quietness = the WORST of the two probes: a sweep that starts
+        // quiet but ends contended produced contended numbers (min()
+        // once let a degrading run replace a genuinely quiet record)
+        val newCal = math.max(calStart, calEnd)
         // a stored record over a DIFFERENT query set (registry grew or
         // shrank) is stale — its total is not comparable to the current
         // sweep's, so the current sweep replaces it regardless of probe
@@ -198,7 +201,7 @@ object Bench {
               val root = new com.fasterxml.jackson.databind.ObjectMapper()
                 .readTree(java.nio.file.Files.readAllBytes(bestPath))
               val cal = root.path("calibration")
-              Some((math.min(cal.path("start").asDouble(Double.MaxValue),
+              Some((math.max(cal.path("start").asDouble(Double.MaxValue),
                 cal.path("end").asDouble(Double.MaxValue)),
                 root.path("queries").size()))
             } catch { case _: Throwable => None }
