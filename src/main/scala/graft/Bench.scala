@@ -201,9 +201,14 @@ object Bench {
               val root = new com.fasterxml.jackson.databind.ObjectMapper()
                 .readTree(java.nio.file.Files.readAllBytes(bestPath))
               val cal = root.path("calibration")
-              Some((math.max(cal.path("start").asDouble(Double.MaxValue),
-                cal.path("end").asDouble(Double.MaxValue)),
-                root.path("queries").size()))
+              // a record without BOTH numeric probes is unguarded (old
+              // format / hand edit) — treat as absent so the current
+              // sweep replaces it, rather than defaulting one side and
+              // disabling the comparison
+              if (cal.path("start").isNumber && cal.path("end").isNumber)
+                Some((math.max(cal.path("start").asDouble,
+                  cal.path("end").asDouble), root.path("queries").size()))
+              else None
             } catch { case _: Throwable => None }
           } else None
         val replace = stored match {

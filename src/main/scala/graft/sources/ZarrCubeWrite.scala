@@ -927,7 +927,7 @@ object ZarrCubeWrite {
 
   /** One coordinate axis as a global sorted distinct, with the cube
     * layout's validity checks (bounded, non-NULL, finite). */
-  private def collectAxis(df: DataFrame, d: String, maxAxisLen: Int): Array[Any] = {
+  private[graft] def collectAxis(df: DataFrame, d: String, maxAxisLen: Int): Array[Any] = {
     val rows = df.select(col(d)).distinct().orderBy(col(d))
       .limit(maxAxisLen + 1).collect()
     if (rows.length > maxAxisLen)

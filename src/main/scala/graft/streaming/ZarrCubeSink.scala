@@ -60,6 +60,9 @@ object ZarrCubeSink {
     // scalastyle:on parameter.number
     if (dims.isEmpty)
       throw new ZarrException("ZarrCubeSink: dims must name the cube layout")
+    if (maxAxisLen > (1 << 30))
+      throw new ZarrException(
+        s"max_axis_len $maxAxisLen exceeds 2^30 (grid-index arithmetic bound)")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import scala.jdk.CollectionConverters._
@@ -82,16 +85,10 @@ object ZarrCubeSink {
           stats = stats, truncate = false, maxAxisLen = maxAxisLen,
           shardShapeOpt = shardShape)
       case Some(axis) =>
-        // ONE slab-axis-sized driver job decides replay vs append —
-        // bounded like every cube-write axis collect
-        val rows = batch.select(col(dims.head)).distinct()
-          .limit(maxAxisLen + 1).collect()
-        if (rows.length > maxAxisLen)
-          throw new ZarrException(
-            s"ZarrCubeSink batch $batchId: slab has more than $maxAxisLen " +
-              s"distinct '${dims.head}' values; raise max_axis_len if the " +
-              "driver can hold the axis")
-        val slabCoords = rows.map(_.get(0))
+        // ONE slab-axis-sized driver job decides replay vs append — the
+        // shared cube-write collect (bounded, NULL/non-finite refused)
+        val slabCoords =
+          ZarrCubeWrite.collectAxis(batch, dims.head, maxAxisLen)
         // the axis is strictly ascending (readAscendingAxis enforced it):
         // binary-search containment, O(slab · log axis), never slab · axis
         def onAxisCoord(v: Any): Boolean = {
