@@ -110,14 +110,24 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val path = s"$base/app$caseNo"
       val ndim = 1 + rnd.nextInt(3)
       // dim-0: a chunk-ALIGNED base extent (the append contract) plus a
-      // nonempty slab whose final extent may leave an edge chunk
+      // nonempty slab whose final extent may leave an edge chunk; a
+      // third of the cases SHARD — alignment is then at the stored
+      // (shard) extent, the contract append enforces
       val chunk0 = 1 + rnd.nextInt(4)
-      val baseLen = chunk0 * (1 + rnd.nextInt(3))
+      val sharded = rnd.nextInt(3) == 0
+      val mult0 = if (sharded) 1 + rnd.nextInt(2) else 1
+      val outer0 = chunk0 * mult0
+      val baseLen = outer0 * (1 + rnd.nextInt(3))
       val slabLen = 1 + rnd.nextInt(5)
       val (dt0, axis0) = genAxisOfLength(baseLen + slabLen)
       val trailing = IndexedSeq.fill(ndim - 1)(genAxis())
       val axes = (dt0, axis0) +: trailing
       val chunkShape = chunk0 +: trailing.map(a => 1 + rnd.nextInt(a._2.length + 1))
+      val shardShape =
+        if (sharded) Some(chunkShape.zipWithIndex.map { case (c, d) =>
+          c * (if (d == 0) mult0 else 1 + rnd.nextInt(2))
+        })
+        else None
       val dimNames = (0 until ndim).map(d => s"d$d")
 
       def cells(axs: Seq[Seq[Any]]): Seq[Seq[Any]] =
@@ -139,7 +149,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
       graft.sources.ZarrCubeWrite.write(
         frame(baseRows), path, dimNames, Some(chunkShape), codec = "blosc",
-        stats = true, truncate = false)
+        stats = true, truncate = false, shardShapeOpt = shardShape)
       graft.sources.ZarrCubeWrite.append(
         frame(slabRows), path, dimsOpt = None, appendDim = "d0", stats = true)
 
@@ -153,7 +163,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = back.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq
       assert(got == expected,
         s"append case $caseNo: axes=${axes.map(a => a._1.simpleString + ":" + a._2.length)} " +
-          s"chunks=$chunkShape baseLen=$baseLen")
+          s"chunks=$chunkShape shards=$shardShape baseLen=$baseLen")
 
       // the grown store's sidecar must cover the FULL grid: the slab's
       // fresh segments plus the re-signed base segments
@@ -173,16 +183,27 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       // chunk-aligned run (may start at 0, may end at the axis end —
       // including a ragged final chunk)
       val chunk0 = 1 + rnd.nextInt(3)
-      val len0 = chunk0 * (2 + rnd.nextInt(3)) + rnd.nextInt(chunk0)
+      // a third of the cases SHARD: region alignment is then at the
+      // stored (shard) extent, and the swap must trim/replace segments
+      // at shard granularity
+      val sharded = rnd.nextInt(3) == 0
+      val mult0 = if (sharded) 1 + rnd.nextInt(2) else 1
+      val outer0 = chunk0 * mult0
+      val len0 = outer0 * (2 + rnd.nextInt(3)) + rnd.nextInt(outer0)
       val (dt0, axis0) = genAxisOfLength(len0)
       val trailing = IndexedSeq.fill(ndim - 1)(genAxis())
       val axes = (dt0, axis0) +: trailing
       val chunkShape = chunk0 +: trailing.map(a => 1 + rnd.nextInt(a._2.length + 1))
+      val shardShape =
+        if (sharded) Some(chunkShape.zipWithIndex.map { case (c, d) =>
+          c * (if (d == 0) mult0 else 1 + rnd.nextInt(2))
+        })
+        else None
       val dimNames = (0 until ndim).map(d => s"d$d")
-      val chunkRows = (len0 + chunk0 - 1) / chunk0
+      val chunkRows = (len0 + outer0 - 1) / outer0
       val startRow = rnd.nextInt(chunkRows)
-      val start = startRow * chunk0
-      val end = math.min(len0, (startRow + 1 + rnd.nextInt(chunkRows - startRow)) * chunk0)
+      val start = startRow * outer0
+      val end = math.min(len0, (startRow + 1 + rnd.nextInt(chunkRows - startRow)) * outer0)
       val inRegion = axis0.slice(start, end).toSet
 
       def cells(axs: Seq[Seq[Any]]): Seq[Seq[Any]] =
@@ -202,7 +223,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
       graft.sources.ZarrCubeWrite.write(
         frame(rows), path, dimNames, Some(chunkShape), codec = "blosc",
-        stats = true, truncate = false)
+        stats = true, truncate = false, shardShapeOpt = shardShape)
       // reprocess the region with a value transform the oracle can mirror
       val regionRows = rows.filter(r => inRegion(r.get(0))).map { r =>
         Row.fromSeq(r.toSeq.dropRight(2) :+
@@ -224,7 +245,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = back.map(r => r.toSeq.map(String.valueOf).mkString("|")).toSeq
       assert(got == expected,
         s"region case $caseNo: axes=${axes.map(a => a._1.simpleString + ":" + a._2.length)} " +
-          s"chunks=$chunkShape region=[$start,$end)")
+          s"chunks=$chunkShape shards=$shardShape region=[$start,$end)")
 
       // after trim + fresh region segments the sidecar must still cover
       // the FULL grid (zero-GET aggregates survive any aligned swap)
