@@ -336,7 +336,9 @@ object ZarrRoundtrip {
     *
     * Scale shape: the append is ONE clustered shuffle of the slab's
     * rows + executor-direct final-key chunk writes; the commit (axis
-    * extension, sidecar re-sign, root rewrite) is O(store metadata) —
+    * extension, root rewrite) is O(slab metadata) — existing stats
+    * segments are never rewritten (ordinals are functions of trailing
+    * grid extents; the reader accepts the smaller leading extent), so
     * a daily ingest pays for the day, not the store. Memoized per SF
     * like q125's store. */
   private lazy val q128 = QueryDef.sql(

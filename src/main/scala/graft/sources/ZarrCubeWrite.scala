@@ -312,18 +312,20 @@ object ZarrCubeWrite {
     * Scale: the slab goes through the same pipeline as a fresh cube
     * write (ONE clustered shuffle of the slab's rows, executor-direct
     * final-key chunk writes, write-time stats segments); the commit is
-    * O(store metadata) — the sidecar re-sign rewrites numChunks/4096
-    * text documents and the axis extension is axis-sized. A daily
-    * ingest costs ∝ each day's data, not the store.
+    * O(slab metadata) — axis extension is axis-sized and EXISTING stats
+    * segments are never touched: row-major ordinals are functions of
+    * the trailing grid extents only, so dim-0 growth leaves every old
+    * segment's ordinals and bounds exact, and the reader accepts their
+    * smaller leading extent ([[graft.zarr.ChunkStats.gridCompatible]]).
+    * A daily ingest costs ∝ each day's data, not the store — no
+    * per-append rewrite of O(numChunks/4096) historical documents.
     *
     * Crash safety mirrors the 1-D aligned append: new chunks land at
     * final keys BEYOND the committed shape (invisible until the root
     * document advances; a retry overwrites the same keys); stats
     * segments at ordinals past the committed grid are purged up front
-    * and on failure. Existing segments are re-signed to the grown grid
-    * before the commit and restored on failure — a crash inside that
-    * window only DECLINES stats pushdown on those ranges (scans fall
-    * back to decode-and-test), never misdescribes data. A crash between
+    * and on failure, and committed segments are never modified, so no
+    * crash window can misdescribe data. A crash between
     * the per-array metadata writes and the root document leaves the
     * slab invisible to consolidated readers; the next append (or any
     * root rewrite) heals the root from the per-array documents. */
@@ -439,7 +441,6 @@ object ZarrCubeWrite {
     // a previously-failed append may have left final-keyed segments at
     // ordinals this append is about to (re)use — purge before writing
     store.cleanStatsSegmentsFrom(oldNumChunks)
-    var resigned = false
     try {
       writeSlab(df, store, hadoopPairs, dims, fieldByName,
         joinAxes = (newAxis0, l0) +: existingAxes.tail.map(a => (a, 0L)),
@@ -453,18 +454,22 @@ object ZarrCubeWrite {
       // extend the dim-0 coordinate array (aligned: new chunks only)
       writeCoordChunks(store, coordMetas.head, newAxis0, oldGrid0, newL0)
 
-      // re-sign existing segments to the grown grid — grid[0] is the only
-      // field that moves; ordinals and bounds stay exact (see Scaladoc).
-      // Unconditional: even with stats=false on THIS append, an existing
-      // sidecar must follow the store's grid or every old segment declines
-      resignSegments(store, oldNumChunks, newGrid.head, dims)
-      resigned = true
-
-      // ---- per-array metadata with the grown shape, root LAST ----
+      // ---- per-array metadata with the grown shape ----
+      // DATA arrays first in deterministic (store) order, the append-dim
+      // COORDINATE last, root document after all of them: the grown
+      // coordinate axis is the streaming sink's commit signal
+      // ([[graft.streaming.ZarrCubeSink]] classifies a batch as committed
+      // when its coordinates are on the axis), so the axis meta must only
+      // advance once every data meta already carries the grown shape — a
+      // crash anywhere inside this loop leaves the signal un-raised and a
+      // replay re-runs the append over the same final keys.
+      val coordJson = ZarrMeta.withShape0(coordMetas.head.sourceJson, newL0)
+      dataMetas.map(_.name).zip(newDataJsons).foreach { case (n, j) =>
+        store.writeMeta(n, j)
+      }
+      store.writeMeta(dims.head, coordJson)
       val newJsonByName: Map[String, String] =
-        (dataMetas.map(_.name) zip newDataJsons).toMap +
-          (dims.head -> ZarrMeta.withShape0(coordMetas.head.sourceJson, newL0))
-      newJsonByName.foreach { case (n, j) => store.writeMeta(n, j) }
+        (dataMetas.map(_.name) zip newDataJsons).toMap + (dims.head -> coordJson)
       val allJsons = metas.map(m =>
         m.name -> newJsonByName.getOrElse(m.name, m.sourceJson))
       store.writeStoreRootMeta(allJsons, ChunkManifest.empty)
@@ -473,11 +478,9 @@ object ZarrCubeWrite {
         // mirror the 1-D aligned-append abort: phantom chunks beyond the
         // committed shape are invisible (and a retry overwrites the same
         // final keys); stats must never describe chunks the store does
-        // not own, and existing segments go back to the committed grid
-        try {
-          store.cleanStatsSegmentsFrom(oldNumChunks)
-          if (resigned) resignSegments(store, oldNumChunks, oldGrid0, dims)
-        } catch { case _: Throwable => () }
+        // not own. Committed segments were never touched.
+        try store.cleanStatsSegmentsFrom(oldNumChunks)
+        catch { case _: Throwable => () }
         throw e
     }
   }
@@ -521,14 +524,14 @@ object ZarrCubeWrite {
         s"$opName: $path carries a chunk manifest (staged tabular " +
           "commits); cube modification targets canonical-keyed cube stores — compact first")
 
-    val (coordMetasAll, dataMetas) = metas.partition(_.isCoordinate)
-    if (dataMetas.isEmpty)
+    val (coordMetasAll0, dataMetas0) = metas.partition(_.isCoordinate)
+    if (dataMetas0.isEmpty)
       throw new ZarrException(
         s"$opName: $path holds only coordinate arrays; cube modification " +
           "needs at least one data array")
-    val dims: Seq[String] = dataMetas.head.dimensionNames.getOrElse(
+    val dims: Seq[String] = dataMetas0.head.dimensionNames.getOrElse(
       throw new ZarrException(
-        s"$opName: data array ${dataMetas.head.name} in $path has no " +
+        s"$opName: data array ${dataMetas0.head.name} in $path has no " +
           "dimension_names; cannot identify the target axis (not a cube store)"))
     dimsOpt.foreach { ds =>
       if (ds != dims)
@@ -536,6 +539,8 @@ object ZarrCubeWrite {
           s"dims option (${ds.mkString(",")}) does not match the store's " +
             s"dims (${dims.mkString(",")}); omit dims — the store defines them")
     }
+    val metasH = healTornShape0(store, metas, dims)
+    val (coordMetasAll, dataMetas) = metasH.partition(_.isCoordinate)
     // shape/chunkShape are Arrays on the meta — compare by VALUE
     val targetShape: IndexedSeq[Long] = dataMetas.head.shape.toIndexedSeq
     val targetChunk: IndexedSeq[Int] = dataMetas.head.chunkShape.toIndexedSeq
@@ -572,7 +577,66 @@ object ZarrCubeWrite {
       // with a top-level transpose store each chunk permuted
       ZarrBatchWrite.validateEncodable(m, store.root)
     }
-    CubeTarget(metas, dims, coordMetas, dataMetas, targetShape, targetChunk)
+    CubeTarget(metasH, dims, coordMetas, dataMetas, targetShape, targetChunk)
+  }
+
+  /** Repair the torn-metadata window of an interrupted append commit.
+    *
+    * The append protocol writes every chunk object (slab data AND the
+    * coordinate-axis extension) strictly BEFORE any metadata, then the
+    * data-array metas in store order, the dim-0 coordinate meta LAST
+    * (it is the commit signal — see [[graft.streaming.ZarrCubeSink]]),
+    * root after. `shape[0]` is the only field that commit changes, so a
+    * store whose arrays are congruent EXCEPT for `shape[0]` is the
+    * unique signature of a crash inside that loop — any other
+    * incongruence keeps the caller's loud refusal.
+    *
+    * The repair makes the coordinate meta's extent authoritative and
+    * sets every data array's `shape[0]` to it:
+    *  - coordinate BEHIND a data array (a crash after some data metas,
+    *    before the signal): the commit never signaled, so this ROLLS
+    *    the data metas back to the committed extent. The slab's chunks
+    *    stay orphaned at final keys beyond the shape — invisible, and a
+    *    replay of the same append overwrites them.
+    *  - coordinate AHEAD of a data array (a store torn by the pre-r14
+    *    unordered commit loop): the signal already raised, so this
+    *    COMPLETES the commit. Sound because chunks precede all meta
+    *    writes — the grown extent's data chunks are durably present the
+    *    moment any meta carries it.
+    * Either way the root is re-consolidated from the healed metas and
+    * stats segments beyond the healed grid are purged (a rolled-back
+    * slab's segments must not describe phantom ordinals). */
+  private def healTornShape0(
+      store: ZarrStore, metas: Seq[ZarrArrayMeta], dims: Seq[String]): Seq[ZarrArrayMeta] = {
+    val (coordsAll, datas) = metas.partition(_.isCoordinate)
+    val coord0 = coordsAll.find(_.name == dims.head).getOrElse(return metas)
+    val head = datas.head
+    if (head.ndim != dims.length || coord0.ndim != 1 ||
+      coord0.chunkShape(0) != head.chunkShape(0)) return metas
+    val congruentButShape0 = datas.forall { m =>
+      m.ndim == head.ndim &&
+        m.shape.drop(1).sameElements(head.shape.drop(1)) &&
+        m.chunkShape.sameElements(head.chunkShape) &&
+        m.dimensionNames == head.dimensionNames
+    }
+    if (!congruentButShape0) return metas
+    val committedS0 = coord0.shape(0)
+    if (datas.forall(_.shape(0) == committedS0)) return metas
+    val healed = metas.map { m =>
+      if (m.isCoordinate || m.shape(0) == committedS0) m
+      else {
+        store.writeMeta(m.name, ZarrMeta.withShape0(m.sourceJson, committedS0))
+        store.readMeta(m.name)
+      }
+    }
+    store.writeStoreRootMeta(
+      healed.map(m => m.name -> m.sourceJson), ChunkManifest.empty)
+    val grid0 = (committedS0 + head.chunkShape(0) - 1) / head.chunkShape(0)
+    val trailingGrid = (1 until head.ndim).foldLeft(1L) { (a, d) =>
+      a * ((head.shape(d) + head.chunkShape(d) - 1) / head.chunkShape(d))
+    }
+    store.cleanStatsSegmentsFrom(grid0 * trailingGrid)
+    healed
   }
 
   /** The slab DataFrame must carry exactly dims + data arrays with the
@@ -887,42 +951,6 @@ object ZarrCubeWrite {
       }
       Some(new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(root))
     } catch { case _: Exception => None }
-  }
-
-  /** Rewrite the `grid[0]` entry of every committed stats segment below
-    * `belowOrdinal` to `grid0`. A dim-0 append grows only the leading
-    * grid extent, and row-major ordinals are functions of the TRAILING
-    * extents, so each segment's ordinal range and bounds stay exact —
-    * only the signature must follow the store's new grid. Grid-less
-    * (1-D tabular write-path) segments and segments signed for a
-    * different dim order are left untouched: they are incompatible with
-    * this grid before AND after. Driver-side, O(numChunks/4096) small
-    * text rewrites. */
-  private def resignSegments(
-      store: ZarrStore, belowOrdinal: Long, grid0: Int, dims: Seq[String]): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    store.listStatsSegments().foreach { case (first, n) =>
-      if (first < belowOrdinal) {
-        val key = ChunkStats.segmentKey(first, n)
-        store.readText(key).foreach { doc =>
-          val root = mapper.readTree(doc)
-          val g = root.get("grid")
-          val d = root.get("dims")
-          val dimsMatch = d != null && d.isArray && d.size() == dims.length &&
-            dims.indices.forall(i => d.get(i).asText() == dims(i))
-          if (g != null && g.isArray && g.size() == dims.length && dimsMatch &&
-            g.get(0).asInt(-1) != grid0) {
-            val arr = root.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              .withArray("grid")
-            val rest = (1 until arr.size()).map(arr.get(_).asInt())
-            arr.removeAll()
-            arr.add(grid0)
-            rest.foreach(arr.add)
-            store.writeText(key, mapper.writeValueAsString(root))
-          }
-        }
-      }
-    }
   }
 
   /** One coordinate axis as a global sorted distinct, with the cube

@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions.col
   * batch before the stream stops.
   *
   * Scale: identical to the batch cube append — ONE clustered shuffle of
-  * the slab's rows, executor-direct final-key chunk writes, O(store
-  * metadata) commit. A day's trigger costs the day, not the store. */
+  * the slab's rows, executor-direct final-key chunk writes, O(slab
+  * metadata) commit (existing stats segments are never rewritten — the
+  * reader accepts their smaller leading grid extent). A day's trigger
+  * costs the day, not the store, and stays so as the store ages. */
 object ZarrCubeSink {
 
   /** foreachBatch body. `dims` names the cube layout (first = the

@@ -404,15 +404,30 @@ object ChunkStats {
     *    first append. Phantom ordinals past the committed grid are
     *    rejected by the callers' `first + n <= total` filters, and
     *    every rewrite path purges segments before changing the layout.
-    *  - N-D scan: the signature must match exactly — shape AND per-dim
-    *    identity, because a same-shape grid in a different dimension
-    *    order (a reordered coordinate cross product) enumerates
-    *    DIFFERENT chunks under the same ordinals, and N-D row-major
-    *    ordinals are NOT append-stable. */
+    *  - N-D scan: the TRAILING extents and per-dim identity must match
+    *    exactly — a same-shape grid in a different dimension order (a
+    *    reordered coordinate cross product) enumerates DIFFERENT chunks
+    *    under the same ordinals. The LEADING extent may be smaller than
+    *    the scan's: a row-major ordinal is a function of the trailing
+    *    extents only (`ord = i0·∏grid[1:] + …`), so the 1-D
+    *    append-stability argument generalizes to dim-0 growth — a
+    *    segment recorded before a `append_dim` append describes exactly
+    *    the same chunks afterwards, and appends never re-sign the
+    *    sidecar (an O(segments) serial rewrite per append otherwise).
+    *    Chunk-shape changes are covered by the store invariant every
+    *    relayout path (compact, fresh cube write) purges segments
+    *    before changing the layout; dim-0 growth itself preserves chunk
+    *    shape and (append refuses unaligned extents) never rewrites a
+    *    described chunk. A LARGER leading extent than the scan's is
+    *    rejected: it could only be a leftover of a failed append that
+    *    escaped its purge, and its ordinals prove nothing here. */
   def gridCompatible(seg: Segment, geom: ScanGeometry): Boolean =
     if (geom.ndim == 1) seg.grid.forall(_._1.length == 1)
     else seg.grid.exists { case (gs, ds) =>
-      gs.sameElements(geom.gridShape) && ds.sameElements(geom.dimIdentity)
+      gs.length == geom.gridShape.length &&
+        gs(0) <= geom.gridShape(0) &&
+        (1 until gs.length).forall(i => gs(i) == geom.gridShape(i)) &&
+        ds.sameElements(geom.dimIdentity)
     }
 
   // ---- sound interval evaluation -----------------------------------------

@@ -99,13 +99,16 @@ object ZarrMaintenance {
           }
         }.toSet
         // v2 compressors without a same-name v3 writer chain map to the
-        // nearest family — a compressed source must stay compressed
-        // (zlib is the same DEFLATE stream gzip wraps; bz2/lzma are
-        // high-ratio codecs, zstd is the closest the writer offers)
-        if (names.contains("blosc")) "blosc"
-        else if (names.contains("zstd")) "zstd"
+        // nearest family — a compressed source must stay compressed.
+        // ZarrMeta.parseV2 spells them "v2-bz2"/"v2-lzma"/"v2-lz4"
+        // ("zlib"/"gzip"/"zstd"/"blosc" keep their plain names): bz2 and
+        // lzma(xz) are high-ratio codecs and zstd is the closest the
+        // writer offers; numcodecs lz4 is a speed codec, blosc(lz4)'s
+        // family
+        if (names.contains("blosc") || names.contains("v2-lz4")) "blosc"
+        else if (names.contains("zstd") || names.contains("v2-bz2") ||
+          names.contains("v2-lzma")) "zstd"
         else if (names.contains("gzip") || names.contains("zlib")) "gzip"
-        else if (names.contains("bz2") || names.contains("lzma")) "zstd"
         else "none"
       }
     val df = spark.read.format("zarr").load(srcPath)

@@ -166,7 +166,8 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"chunks=$chunkShape shards=$shardShape baseLen=$baseLen")
 
       // the grown store's sidecar must cover the FULL grid: the slab's
-      // fresh segments plus the re-signed base segments
+      // fresh segments plus the base segments (never rewritten — the
+      // reader accepts their smaller leading grid extent)
       val store = ZarrStore(path)
       val geomChunks = ScanGeometry.resolve(
         store.listArrays().map(store.readMeta)).numChunks

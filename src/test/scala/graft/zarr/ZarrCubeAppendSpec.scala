@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * along its first dimension — the xarray daily-ingest shape. Pins:
   * value-exact roundtrip of base+slab, existing chunk objects untouched
   * (byte-identical), the stats sidecar stays whole-store valid (zero-GET
-  * metadata aggregates over base AND slab after the grid re-sign), and
+  * metadata aggregates over base AND slab) with ZERO rewrites of
+  * committed segments (the append commit is O(slab), not O(store)), and
   * the loud-refusal contract for every way an append can be unsound
   * (unaligned base, interleaved/duplicate coordinates, trailing-axis
   * drift, non-first append dim, schema mismatch). */
@@ -115,6 +116,61 @@ class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.matches(".*/grow_stat/(temp|n)/c/.*")).distinct
     assert(dataOpens.length <= 12,
       s"slab scan read ${dataOpens.length}: ${dataOpens.mkString(", ")}")
+  }
+
+  test("append is O(slab): committed stats segments are never rewritten") {
+    val path = s"$base/nosign"
+    writeBase(path, 4, chunk0 = 1) // grid 4×3×2 = 24 chunks, several segments
+    import scala.jdk.CollectionConverters._
+    def segs(): Map[String, Array[Byte]] =
+      Files.list(Paths.get(path, "_stats")).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.readAllBytes(p)).toMap
+    val before = segs()
+    assert(before.nonEmpty, "base write should carry a stats sidecar")
+
+    appendSlab(slab(4, 6), path)
+
+    val after = segs()
+    before.foreach { case (name, bytes) =>
+      assert(after.contains(name), s"committed segment $name deleted by append")
+      assert(java.util.Arrays.equals(bytes, after(name)),
+        s"committed segment $name was rewritten by append — the commit must " +
+          "be O(slab), not O(store)")
+    }
+    assert(after.size > before.size, "append must add fresh segments for the slab")
+  }
+
+  test("torn append commit heals: the coordinate meta is authoritative") {
+    // coordinate BEHIND (crash after data metas, before the axis signal)
+    // → the heal rolls data metas back to the committed extent and the
+    // replayed append succeeds
+    val path = s"$base/torn_back"
+    writeBase(path, 4)
+    val store = ZarrStore(path, Nil)
+    Seq("temp", "n").foreach { a =>
+      val m = store.readMeta(a)
+      store.writeMeta(a, ZarrMeta.withShape0(m.sourceJson, 6L))
+    }
+    appendSlab(slab(4, 6), path)
+    val back = spark.read.format("zarr").load(path)
+    assert(back.count() == 6 * 35)
+    assert(back.agg(sum("n")).collect()(0).getLong(0) ==
+      (0 until 210).map(_.toLong).sum)
+
+    // coordinate AHEAD (a store torn by a pre-r14 unordered commit loop)
+    // → the heal completes the commit: the data chunks are durably
+    // present because chunk writes strictly precede every meta write
+    val path2 = s"$base/torn_fwd"
+    writeBase(path2, 4)
+    appendSlab(slab(4, 6), path2) // real committed append: chunks present
+    val store2 = ZarrStore(path2, Nil)
+    val mTemp = store2.readMeta("temp")
+    store2.writeMeta("temp", ZarrMeta.withShape0(mTemp.sourceJson, 4L))
+    appendSlab(slab(6, 7), path2) // heals 'temp' forward to 6, appends day 6
+    val back2 = spark.read.format("zarr").load(path2)
+    assert(back2.count() == 7 * 35)
+    assert(back2.agg(sum("n")).collect()(0).getLong(0) ==
+      (0 until 245).map(_.toLong).sum)
   }
 
   test("double append; second slab lands aligned on the grown extent") {

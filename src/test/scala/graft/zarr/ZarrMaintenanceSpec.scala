@@ -202,6 +202,43 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a2.nonEmpty && a2.map(_.toString).toSeq == b2.map(_.toString).toSeq)
   }
 
+  test("compact maps v2 bz2/lzma/lz4 sources into a compressed family, never none") {
+    // parseV2 spells these compressors "v2-bz2"/"v2-lzma"/"v2-lz4" — the
+    // codec derivation must match those names or a compressed v2 source
+    // silently compacts into an UNCOMPRESSED store (r13 ADVICE). Solo
+    // per-column copies of the typed fixture (the full fixture carries
+    // binary columns the v3 writer refuses).
+    val base = Files.createTempDirectory("zarr-compact-v2fam").toString
+    val fixture = new java.io.File("src/test/resources/zarr_v2_typed")
+    assume(fixture.isDirectory, "v2 fixture present")
+    def solo(colName: String): String = {
+      val root = java.nio.file.Paths.get(base, s"src_$colName")
+      val dst = root.resolve(colName)
+      val srcDir = fixture.toPath.resolve(colName)
+      java.nio.file.Files.walk(srcDir).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val t = dst.resolve(srcDir.relativize(p).toString)
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t)
+        }
+      }
+      root.toString
+    }
+    Seq("bzv" -> "zstd", "xzv" -> "zstd", "lzv" -> "blosc").foreach { case (c, want) =>
+      val src = solo(c)
+      val dstPath = s"$base/dst_$c"
+      ZarrMaintenance.compact(spark, src, dstPath)
+      val json = ZarrStore(dstPath).readMeta(c).sourceJson
+      assert(json.contains(want),
+        s"v2 '$c' source must compact into a $want-compressed store, got: $json")
+      val a = spark.read.format("zarr").load(src)
+        .orderBy(c).collect().map(_.toString).toSeq
+      val b = spark.read.format("zarr").load(dstPath)
+        .orderBy(c).collect().map(_.toString).toSeq
+      assert(a.nonEmpty && a == b, s"column $c: compacted values differ")
+    }
+  }
+
   test("compact N-D refuses a dim without a coordinate array") {
     val base = Files.createTempDirectory("zarr-compact-nocoord").toString
     val store = ZarrStore(s"$base/src")
