@@ -515,24 +515,28 @@ object ZarrRoundtrip {
   /** q132: store observability under the oracle gate —
     * `ZarrInfo.describe` on the q131 SHARDED store, every layout fact
     * (dtype, shape, stored-chunk/shard layout, inner chunking, codec
-    * chain, dimension names, sidecar coverage) pinned as a closed-form
-    * VALUES literal. Metadata-only: one consolidated root GET + a
-    * sidecar LIST, zero chunk reads — describing a 100 TB store costs
-    * the same as this 12×20 one. The grid shape is SF-independent
-    * (12 days × the fixed 20 sources), so one literal serves all SFs. */
+    * chain, dimension names, grid capacity, TRUE stored-object count,
+    * per-array-clamped sidecar coverage) pinned as a closed-form
+    * VALUES literal. Metadata-only plus the opt-in stored-object LIST
+    * (`countStored = true`, one recursive LIST per array, zero chunk
+    * reads) — describing a 100 TB store costs the same as this 12×20
+    * one. The grid shape is SF-independent (12 days × the fixed 20
+    * sources), so one literal serves all SFs; the store is dense, so
+    * stored objects equal grid slots here (`ZarrV2Spec` pins the
+    * sparse divergence on a deleted-chunk store). */
   private lazy val q132 = QueryDef.sql(
     "q132_zarr_describe",
     """SELECT * FROM (VALUES
-      |  ('day','coordinate',3,'int64','12','8',NULL,'bytes,blosc','day',2::BIGINT,6::BIGINT),
-      |  ('n_docs','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT),
-      |  ('source','coordinate',3,'string','20','8',NULL,'vlen-utf8,blosc','source',3::BIGINT,6::BIGINT),
-      |  ('sum_chars','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT)
+      |  ('day','coordinate',3,'int64','12','8',NULL,'bytes,blosc','day',2::BIGINT,2::BIGINT,2::BIGINT),
+      |  ('n_docs','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT,6::BIGINT),
+      |  ('source','coordinate',3,'string','20','8',NULL,'vlen-utf8,blosc','source',3::BIGINT,3::BIGINT,3::BIGINT),
+      |  ('sum_chars','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT,6::BIGINT)
       |) t(array_name, kind, format_version, dtype, shape, chunk_shape,
-      |    shard_inner_shape, codecs, dimension_names, n_stored_chunks,
-      |    stats_covered_chunks)
+      |    shard_inner_shape, codecs, dimension_names, n_grid_chunks,
+      |    n_stored_objects, stats_covered_chunks)
       |ORDER BY array_name""".stripMargin) { (s, dir) =>
     val store = ensureShardedCubeStore(s, dir)
-    graft.zarr.ZarrInfo.describe(s, store)
+    graft.zarr.ZarrInfo.describe(s, store, countStored = true)
       .withColumnRenamed("array", "array_name")
       .orderBy("array_name")
   }

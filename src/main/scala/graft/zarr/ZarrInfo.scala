@@ -6,8 +6,9 @@ import org.apache.spark.sql.types._
 /** Store observability: `describe` returns one row per array with the
   * layout facts an operator of a large store needs BEFORE querying it —
   * dtype, shape, stored-chunk (shard) layout, inner chunking, codec
-  * chain, and how much of the store the chunk-stats sidecar covers (the
-  * zero-GET aggregate / chunk-skip surface). Driver-side metadata only:
+  * chain, grid capacity, optionally the TRUE stored-object count, and
+  * how much of the store the chunk-stats sidecar covers (the zero-GET
+  * aggregate / chunk-skip surface). Driver-side metadata only:
   * ONE consolidated root GET when the store carries it (engine-written
   * stores always do), else LIST + GET per array — never a chunk read,
   * so describing a 100 TB store costs the same as describing a 1 GB
@@ -24,10 +25,23 @@ object ZarrInfo {
     StructField("shard_inner_shape", StringType, nullable = true),
     StructField("codecs", StringType, nullable = false),
     StructField("dimension_names", StringType, nullable = true),
-    StructField("n_stored_chunks", LongType, nullable = false),
+    StructField("n_grid_chunks", LongType, nullable = false),
+    StructField("n_stored_objects", LongType, nullable = true),
     StructField("stats_covered_chunks", LongType, nullable = false)))
 
-  def describe(spark: SparkSession, path: String): DataFrame = {
+  /** One row per array. `n_grid_chunks` is the grid CAPACITY (number of
+    * addressable chunk slots — a zarr array may store fewer objects:
+    * absent chunks read as fill values, and a sharded array packs many
+    * inner chunks per stored shard object). `n_stored_objects` is the
+    * TRUE stored-object count, exact but costing one recursive LIST per
+    * array — opt-in via `countStored` so the default keeps the one-GET
+    * contract (NULL when not counted). An operator sizing a compaction
+    * or migration must use `n_stored_objects`, never the capacity.
+    * `stats_covered_chunks` is the store-level sidecar coverage clamped
+    * to each array's own grid (coverage counts grid ordinals, which can
+    * exceed a 1-D coordinate's chunk count on an N-D store). */
+  def describe(
+      spark: SparkSession, path: String, countStored: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     val pairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
@@ -36,10 +50,12 @@ object ZarrInfo {
     val metas = store.readConsolidatedMetas()
       .getOrElse(store.listArrays().map(store.readMeta))
     // sidecar coverage is a STORE-level fact (segments describe grid
-    // ordinals shared by every array of the grid); repeated per row so
-    // a bare `describe(...).show()` reads complete
+    // ordinals shared by every array of the grid); repeated per row —
+    // clamped to the row's own grid — so a bare `describe(...).show()`
+    // reads complete
     val covered = store.listStatsSegments().map(_._2.toLong).sum
     val rows = metas.sortBy(m => (!m.isCoordinate, m.name)).map { m =>
+      val gridChunks = m.gridShape.map(_.toLong).product
       Row(
         m.name,
         if (m.isCoordinate) "coordinate" else "data",
@@ -50,8 +66,9 @@ object ZarrInfo {
         m.shardingSpec.map(_.innerShape.mkString("x")).orNull,
         m.codecs.map(_.name).mkString(","),
         m.dimensionNames.map(_.mkString(",")).orNull,
-        m.gridShape.map(_.toLong).product,
-        covered)
+        gridChunks,
+        if (countStored) Long.box(store.countStoredChunkObjects(m.name)) else null,
+        math.min(covered, gridChunks))
     }
     spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
   }

@@ -297,6 +297,27 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
         }
       }
   }
+
+  /** Number of stored chunk OBJECTS under `arrayName` — a recursive
+    * LIST excluding metadata documents, counting whatever is physically
+    * present (canonical chunk keys, manifest part files, shard objects
+    * — a sharded array stores ONE object per outer shard). Exact, so an
+    * absent-chunk (fill-value) store reports fewer objects than its
+    * grid has slots. Costs one LIST per call: opt-in observability
+    * ([[ZarrInfo.describe]]), never the read path. */
+  def countStoredChunkObjects(arrayName: String): Long = {
+    val dir = new Path(rootPath, arrayName)
+    val metaNames = Set("zarr.json", ".zarray", ".zattrs", ".zgroup")
+    try {
+      val it = fs.listFiles(dir, true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !metaNames.contains(st.getPath.getName)) n += 1
+      }
+      n
+    } catch { case _: java.io.FileNotFoundException => 0L }
+  }
 }
 
 object ZarrStore {

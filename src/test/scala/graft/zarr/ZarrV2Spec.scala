@@ -577,12 +577,28 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     val latlon = new java.io.File("src/test/resources/zarr_v2_latlon").getAbsolutePath
     val rows = graft.zarr.ZarrInfo.describe(spark, latlon).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3),
-        r.getString(4), r.getLong(10))).toSeq
+        r.getString(4), r.getLong(11))).toSeq
     // coordinates first, then data; v2 stores carry no sidecar -> 0 covered
     assert(rows.map(t => (t._1, t._2, t._3)) ==
       Seq(("lat", "coordinate", 2), ("lon", "coordinate", 2), ("data", "data", 2)))
     assert(rows.forall(_._6 == 0L), "a never-analyzed v2 store has zero stats coverage")
     val data = rows.find(_._1 == "data").get
     assert(data._4 == "float64" && data._5.contains("x"), data.toString)
+  }
+
+  test("describe on a sparse store: grid capacity != stored objects; count is opt-in") {
+    // temp is 5x7 / chunks 3x4 -> a 2x2 grid (4 addressable slots), but
+    // chunk (1,1) was DELETED from the fixture (reads as fill values):
+    // the capacity column must not claim 4 stored objects, and the true
+    // count is only computed when asked for (one LIST per array)
+    val byName = graft.zarr.ZarrInfo.describe(spark, store2d, countStored = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val temp = byName("temp")
+    assert(temp.getLong(9) == 4L, s"temp grid capacity: $temp")
+    assert(temp.getLong(10) == 3L,
+      s"temp stored objects must exclude the deleted chunk: $temp")
+    val noCount = graft.zarr.ZarrInfo.describe(spark, store2d).collect()
+    assert(noCount.forall(_.isNullAt(10)),
+      "stored-object count must be NULL unless opted in (one-GET contract)")
   }
 }
