@@ -193,6 +193,16 @@ object ZarrCubeWrite {
       // per-object encode branches (Sharding.encode packs the inner
       // chunks + index into one object).
       shardShapeOpt.foreach { ss =>
+        // same contract as the DSv2 option surface, enforced HERE so
+        // every entry point (ZarrCubeSink included) shares it: sharding
+        // without an explicit inner chunk_shape would silently pin the
+        // derived default as the store's permanent inner layout (or fail
+        // later with a confusing divisibility error)
+        if (chunkShapeOpt.isEmpty)
+          throw new ZarrException(
+            "shard_shape requires an explicit chunk_shape (the inner chunk " +
+              "layout is a permanent property of the store — it must not be " +
+              "derived implicitly)")
         if (ss.length != dims.length)
           throw new ZarrException(
             s"shard_shape has ${ss.length} entries for ${dims.length} dims")
@@ -299,9 +309,11 @@ object ZarrCubeWrite {
     *    every existing chunk object and stats ordinal untouched — an
     *    append along any other dim would re-key the whole store
     *    (refused; rewrite through a fresh cube write instead);
-    *  - the existing dim-0 extent must be a whole number of chunks (a
-    *    partial boundary slab would need read-modify-write of existing
-    *    chunks — refused, exactly like the 1-D tabular append);
+    *  - an existing dim-0 extent that is NOT a whole number of chunks
+    *    is handled, not refused: the partial EDGE chunk-row's committed
+    *    rows are read back through the scan and folded into the slab,
+    *    so the edge chunks are rewritten complete — cost ∝ one
+    *    chunk-row + slab (xarray's ragged `append_dim` semantics);
     *  - new dim-0 coordinates must sort strictly AFTER the existing
     *    axis (the axis stays ascending; interleaving would re-rank
     *    existing positions); trailing-dim coordinates must match the
@@ -322,13 +334,17 @@ object ZarrCubeWrite {
     *
     * Crash safety mirrors the 1-D aligned append: new chunks land at
     * final keys BEYOND the committed shape (invisible until the root
-    * document advances; a retry overwrites the same keys); stats
-    * segments at ordinals past the committed grid are purged up front
-    * and on failure, and committed segments are never modified, so no
-    * crash window can misdescribe data. A crash between
-    * the per-array metadata writes and the root document leaves the
-    * slab invisible to consolidated readers; the next append (or any
-    * root rewrite) heals the root from the per-array documents. */
+    * document advances; a retry overwrites the same keys), and an
+    * unaligned base's edge chunk-row rewrite preserves every COMMITTED
+    * position's value — a reader or a crash mid-append sees the
+    * committed store unchanged. Stats segments over (re)written
+    * ordinals are retired up front (straddlers trimmed to keep their
+    * pre-edge coverage) and purged again on failure; segments below
+    * the edge are never modified, so no crash window can misdescribe
+    * data. A crash between the per-array metadata writes and the root
+    * document leaves the slab invisible to consolidated readers; the
+    * next cube modification heals it (coordinate meta is authoritative,
+    * [[resolveCubeTarget]]) and any root rewrite re-consolidates. */
   def append(
       df: DataFrame,
       path: String,
@@ -369,15 +385,13 @@ object ZarrCubeWrite {
 
     val fieldByName = validateSlabSchema(df, t, "append_dim")
 
-    // ---- alignment: existing dim-0 extent is a whole number of chunks ----
+    // ---- alignment: an unaligned dim-0 extent is handled by rewriting
+    //      the partial EDGE chunk-row (read its committed rows back
+    //      through the scan, fold them into the slab) — cost ∝ one
+    //      chunk-row + slab, never the store ----
     val l0 = targetShape.head
     val c0 = targetChunk.head
-    if (l0 % c0 != 0)
-      throw new ZarrException(
-        s"append_dim: existing ${dims.head} extent $l0 is not a multiple of " +
-          s"its chunk extent $c0 (partial boundary slab would need " +
-          "read-modify-write of existing chunks); compact to an aligned " +
-          "chunking first")
+    val l0f = (l0 / c0) * c0 // aligned floor; tail rows live in [l0f, l0)
 
     // ---- axes: existing from the store, new slab from the DataFrame ----
     val existingAxes: Seq[Array[Any]] = coordMetas.map(m =>
@@ -425,34 +439,89 @@ object ZarrCubeWrite {
           s"$slabCells cells but $nRows rows (${slabCells - nRows} missing); " +
           "densify (cross join the axes and fill) before appending")
 
+    // ---- unaligned base: fold the committed EDGE rows into the slab ----
+    // The partial chunk-row [l0f, l0) is read back through the scan
+    // (coordinate filter pushdown prunes to exactly that chunk-row) and
+    // MATERIALIZED before any chunk write: the rewrite targets the very
+    // objects the read would fetch, so the union must never lazily
+    // re-scan them mid-write. A lost-block recompute stays consistent —
+    // the plan's metas pin shape[0]=l0 and the rewrite preserves every
+    // committed position's value — but eager persistence keeps the
+    // normal path single-read.
+    val tailCoords: Array[Any] = existingAxes.head.slice(l0f.toInt, l0.toInt)
+    val tailDf: Option[DataFrame] =
+      if (tailCoords.isEmpty) None
+      else {
+        val cols = df.columns.toSeq
+        val td = spark.read.format("zarr").load(path)
+          .filter(col(dims.head).isin(tailCoords.toSeq: _*))
+          .select(cols.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val got = td.count()
+        val want = Math.multiplyExact(tailCoords.length.toLong, trailingCells)
+        if (got != want) {
+          td.unpersist()
+          throw new ZarrException(
+            s"cube append: edge chunk-row read returned $got rows, expected " +
+              s"$want — store and metadata disagree; run ZarrMaintenance.compact")
+        }
+        Some(td)
+      }
+    val slabWithTail = tailDf.map(td => td.unionByName(
+      df.select(df.columns.toSeq.map(col): _*))).getOrElse(df)
+    val writeAxis0: Array[Any] = tailCoords ++ newAxis0
+
     // ---- final geometry ----
     val newL0 = l0 + newAxis0.length
     val newShape: Seq[Long] = newL0 +: targetShape.tail
     val newGrid: Seq[Int] = newShape.zip(targetChunk)
       .map { case (s, c) => ((s + c - 1) / c).toInt }
-    val oldGrid0 = (l0 / c0).toInt
+    val edgeGrid0 = (l0f / c0).toInt // first chunk-row this append (re)writes
+    val oldGrid0 = ((l0 + c0 - 1) / c0).toInt
     val trailingGrid = newGrid.tail.foldLeft(1L)(_ * _.toLong)
+    val edgeStart = edgeGrid0.toLong * trailingGrid
     val oldNumChunks = oldGrid0.toLong * trailingGrid
     val newNumChunks = newGrid.head.toLong * trailingGrid
     val dimZts = coordMetas.map(_.dataType)
     val dataCols = dataMetas.map(m => fieldByName(m.name))
     val newDataJsons = dataMetas.map(m => ZarrMeta.withShape0(m.sourceJson, newL0))
 
-    // a previously-failed append may have left final-keyed segments at
-    // ordinals this append is about to (re)use — purge before writing
-    store.cleanStatsSegmentsFrom(oldNumChunks)
+    // stats segments describing ordinals this append (re)writes must be
+    // retired BEFORE any chunk write: a previously-failed append's
+    // leftovers (>= oldNumChunks) and — on an unaligned base — committed
+    // segments over the edge chunk-row, whose bounds/sums stop matching
+    // once the row gains rows. A straddling segment keeps its pre-edge
+    // prefix (trimmed), so whole-store coverage below the edge survives.
+    if (edgeStart < oldNumChunks)
+      store.listStatsSegments().foreach { case (first, n) =>
+        if (first + n > edgeStart) {
+          val doc = store.readText(ChunkStats.segmentKey(first, n))
+          store.deleteKey(ChunkStats.segmentKey(first, n))
+          if (first < edgeStart)
+            doc.flatMap(parseSegment).foreach { parsed =>
+              trimSegment(parsed, (edgeStart - first).toInt, 0)
+                .foreach(store.writeText(
+                  ChunkStats.segmentKey(first, (edgeStart - first).toInt), _))
+            }
+        }
+      }
+    else store.cleanStatsSegmentsFrom(oldNumChunks)
     try {
-      writeSlab(df, store, hadoopPairs, dims, fieldByName,
-        joinAxes = (newAxis0, l0) +: existingAxes.tail.map(a => (a, 0L)),
+      writeSlab(slabWithTail, store, hadoopPairs, dims, fieldByName,
+        joinAxes = (writeAxis0, l0f) +: existingAxes.tail.map(a => (a, 0L)),
         fullAxes = (existingAxes.head.toIndexedSeq ++ newAxis0) +:
           existingAxes.tail.map(_.toIndexedSeq),
         shape = newShape, chunkShape = targetChunk, grid = newGrid,
         dimZts = dimZts, dataCols = dataCols, dataMetaJsons = newDataJsons,
         stats = stats, rowsPerTask = rowsPerTask,
-        expectRows = slabCells, expectChunks = newNumChunks - oldNumChunks)
+        expectRows = Math.addExact(slabCells,
+          Math.multiplyExact(tailCoords.length.toLong, trailingCells)),
+        expectChunks = newNumChunks - edgeStart)
 
-      // extend the dim-0 coordinate array (aligned: new chunks only)
-      writeCoordChunks(store, coordMetas.head, newAxis0, oldGrid0, newL0)
+      // extend the dim-0 coordinate array from the edge chunk on (an
+      // aligned base touches new chunks only; an unaligned one rewrites
+      // the partial coordinate chunk with identical committed values)
+      writeCoordChunks(store, coordMetas.head, writeAxis0, edgeGrid0, newL0)
 
       // ---- per-array metadata with the grown shape ----
       // DATA arrays first in deterministic (store) order, the append-dim
@@ -477,12 +546,17 @@ object ZarrCubeWrite {
       case e: Throwable =>
         // mirror the 1-D aligned-append abort: phantom chunks beyond the
         // committed shape are invisible (and a retry overwrites the same
-        // final keys); stats must never describe chunks the store does
-        // not own. Committed segments were never touched.
-        try store.cleanStatsSegmentsFrom(oldNumChunks)
+        // final keys); a partially-rewritten edge chunk-row keeps every
+        // committed position's value, so the committed store still reads
+        // exactly as before. Stats must never describe chunks the store
+        // does not own — the interrupted write's fresh segments start at
+        // the edge and summarize content beyond the committed extent, so
+        // they are purged from the edge on; segments below it were never
+        // touched (or already trimmed to end there).
+        try store.cleanStatsSegmentsFrom(edgeStart)
         catch { case _: Throwable => () }
         throw e
-    }
+    } finally tailDf.foreach(_.unpersist())
   }
   // scalastyle:on method.length
 

@@ -30,12 +30,12 @@ import org.apache.spark.sql.functions.col
   * from an older checkpoint (or a brand-new query over the same
   * upstream) replays cleanly because identity lives in the data.
   *
-  * Alignment contract (from [[ZarrCubeWrite.append]]): the store's
-  * existing dim-0 extent must be a whole number of chunks when a batch
-  * appends, so slab sizes must keep the axis chunk-aligned between
-  * triggers — size `chunk_shape`'s first entry to the per-trigger slab
-  * (1 is always safe). A ragged final slab is fine only as the LAST
-  * batch before the stream stops.
+  * Slabs may be ANY size — triggers need not align to `chunk_shape`'s
+  * first entry: [[ZarrCubeWrite.append]] handles a ragged base by
+  * folding the committed edge chunk-row back into the next slab (cost
+  * ∝ one chunk-row + slab; committed positions keep their values, so
+  * replay semantics are unaffected — the replay probe only classifies
+  * the INCOMING batch's coordinates).
   *
   * Scale: identical to the batch cube append — ONE clustered shuffle of
   * the slab's rows, executor-direct final-key chunk writes, O(slab
@@ -72,12 +72,17 @@ object ZarrCubeSink {
       .map(e => e.getKey -> e.getValue).filter(_._1.startsWith("fs.")).toSeq
     val store = ZarrStore(path, pairs)
 
+    // only an ABSENT store/array is "no store yet" (the r9 ZarrWrite
+    // posture): a transient IO error, unreadable metadata, or a
+    // descending axis must surface as ITSELF — swallowed into the
+    // fresh-create path it would die as a misattributed fresh-gate
+    // refusal ("already holds arrays ... use mode(overwrite)")
+    val axisMeta =
+      try Some(store.readMeta(dims.head))
+      catch { case _: java.io.FileNotFoundException => None }
     val existingAxis: Option[Array[Any]] =
-      try {
-        val m = store.readMeta(dims.head)
-        Some(ZarrCubeWrite.readAscendingAxis(store, m, path,
-          "the cube sink appends to ascending-axis cube stores only"))
-      } catch { case _: Exception => None } // no store / no axis yet
+      axisMeta.map(m => ZarrCubeWrite.readAscendingAxis(store, m, path,
+        "the cube sink appends to ascending-axis cube stores only"))
 
     existingAxis match {
       case None =>

@@ -127,4 +127,84 @@ class ZarrCubeSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       yield (t, 100L + x, (t * 10 + x).toDouble)
     assert(readBack(path) == exp.toSeq)
   }
+
+  test("misaligned slabs stream correctly: ragged extents between triggers") {
+    val sp = spark
+    implicit val sq = sp.sqlContext
+    import sp.implicits._
+    // chunk0 = 2 but every trigger delivers 3 days: the store's extent
+    // is ragged after every odd batch and the sink (via the append's
+    // edge chunk-row rewrite) keeps growing it correctly
+    val path = s"$base/ragged-stream"
+    val in = MemoryStream[Int]
+    val q = in.toDF()
+      .select(col("value").cast("long").as("day"))
+      .join(sp.range(4).select((col("id") + 100L).as("sensor")))
+      .select(col("day"), col("sensor"),
+        (col("day") * 10 + col("sensor") - 100L).cast("double").as("temp"))
+      .writeStream
+      .option("checkpointLocation", s"$base/ragged-ckpt")
+      .foreachBatch((df: DataFrame, id: Long) =>
+        ZarrCubeSink.appendBatch(df, id, path, Seq("day", "sensor"),
+          chunkShape = Some(Seq(2, 4))))
+      .start()
+    in.addData(0, 1, 2); q.processAllAvailable() // extent 3 (ragged)
+    in.addData(3, 4, 5); q.processAllAvailable() // 6
+    in.addData(6, 7, 8); q.processAllAvailable() // 9 (ragged)
+    q.stop()
+    val exp = for (t <- 0L until 9L; x <- 0L until 4L)
+      yield (t, 100L + x, (t * 10 + x).toDouble)
+    assert(readBack(path) == exp.toSeq)
+
+    // a replay of the last (ragged-base) batch is still a no-op
+    val committed = storeBytes(path)
+    val replay = slab(6, 9)
+    ZarrCubeSink.appendBatch(replay, 2L, path, Seq("day", "sensor"))
+    assert(storeBytes(path) == committed, "ragged replay must not touch the store")
+  }
+
+  test("shard_shape without chunk_shape refuses on every entry point") {
+    // a sink caller sharding over the DERIVED default chunking would pin
+    // an arbitrary inner layout into the store permanently — the DSv2
+    // 'shard_shape requires chunk_shape' contract must hold here too
+    val e = intercept[Exception] {
+      ZarrCubeSink.appendBatch(slab(0, 2), 0L, s"$base/shard-only",
+        Seq("day", "sensor"), shardShape = Some(Seq(2, 4)))
+    }
+    assert(e.getMessage.contains("shard_shape requires an explicit chunk_shape"),
+      e.getMessage)
+  }
+
+  test("a broken store surfaces its own fault, not a fresh-gate refusal") {
+    import graft.zarr.{ZarrStore, ZarrType, ZarrWriter}
+    // descending day axis: the probe must propagate the ascending-axis
+    // message instead of swallowing it into the fresh-create path (whose
+    // eventual "already holds arrays ... use mode(overwrite)" refusal
+    // would misattribute the real fault)
+    val path = s"$base/desc"
+    val store = ZarrStore(path)
+    store.writeStoreRootMeta()
+    ZarrWriter.writeArray(store, "day", ZarrType.Int64, Seq(4), Seq(2),
+      (0 until 4).map(i => (3 - i).toLong), Some(Seq("day")))
+    ZarrWriter.writeArray(store, "sensor", ZarrType.Int64, Seq(4), Seq(4),
+      (0 until 4).map(i => 100L + i), Some(Seq("sensor")))
+    ZarrWriter.writeArray(store, "temp", ZarrType.Float64, Seq(4, 4), Seq(2, 4),
+      (0 until 16).map(_.toDouble), Some(Seq("day", "sensor")))
+    val e = intercept[Exception] {
+      ZarrCubeSink.appendBatch(slab(4, 5), 0L, path, Seq("day", "sensor"))
+    }
+    assert(e.getMessage.contains("ascending"), e.getMessage)
+    assert(!e.getMessage.contains("already holds arrays"), e.getMessage)
+
+    // unreadable coordinate metadata likewise propagates as itself
+    val path2 = s"$base/corrupt"
+    ZarrCubeSink.appendBatch(slab(0, 2), 0L, path2, Seq("day", "sensor"),
+      chunkShape = Some(Seq(1, 4)))
+    val metaFile = java.nio.file.Paths.get(path2, "day", "zarr.json")
+    Files.write(metaFile, "{not json".getBytes)
+    val e2 = intercept[Exception] {
+      ZarrCubeSink.appendBatch(slab(2, 4), 1L, path2, Seq("day", "sensor"))
+    }
+    assert(!e2.getMessage.contains("already holds arrays"), e2.getMessage)
+  }
 }

@@ -109,15 +109,16 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     (1 to 15).foreach { caseNo =>
       val path = s"$base/app$caseNo"
       val ndim = 1 + rnd.nextInt(3)
-      // dim-0: a chunk-ALIGNED base extent (the append contract) plus a
-      // nonempty slab whose final extent may leave an edge chunk; a
-      // third of the cases SHARD — alignment is then at the stored
-      // (shard) extent, the contract append enforces
+      // dim-0: base extent may be RAGGED (not a multiple of the stored
+      // chunk/shard extent — append folds the committed edge chunk-row
+      // back into the slab) plus a nonempty slab whose final extent may
+      // leave an edge chunk; a third of the cases SHARD — the edge
+      // rewrite is then at the stored (shard) extent
       val chunk0 = 1 + rnd.nextInt(4)
       val sharded = rnd.nextInt(3) == 0
       val mult0 = if (sharded) 1 + rnd.nextInt(2) else 1
       val outer0 = chunk0 * mult0
-      val baseLen = outer0 * (1 + rnd.nextInt(3))
+      val baseLen = outer0 * (1 + rnd.nextInt(3)) + rnd.nextInt(outer0)
       val slabLen = 1 + rnd.nextInt(5)
       val (dt0, axis0) = genAxisOfLength(baseLen + slabLen)
       val trailing = IndexedSeq.fill(ndim - 1)(genAxis())

@@ -173,7 +173,7 @@ class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 245).map(_.toLong).sum)
   }
 
-  test("double append; second slab lands aligned on the grown extent") {
+  test("double append; ragged extents keep growing (edge chunk-row rewrite)") {
     val path = s"$base/twice"
     writeBase(path, 2) // 2×5×7 chunk0=2
     appendSlab(slab(2, 4), path) // → 4, still aligned
@@ -182,9 +182,44 @@ class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() == 5 * 35)
     assert(back.agg(sum("n")).collect()(0).getLong(0) ==
       (0 until 175).map(_.toLong).sum)
-    // a third append onto the UNALIGNED extent (5 % 2 != 0) refuses
-    val e = intercept[Exception] { appendSlab(slab(5, 6), path) }
-    assert(e.getMessage.contains("not a multiple"), e.getMessage)
+    // a third append onto the UNALIGNED extent (5 % 2 != 0) folds the
+    // committed edge chunk-row into the slab and keeps growing
+    appendSlab(slab(5, 6), path)
+    val back2 = spark.read.format("zarr").load(path)
+    assert(back2.count() == 6 * 35)
+    val exp = slab(0, 6).select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val got = back2.select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == exp, "ragged append must preserve every committed value")
+  }
+
+  test("ragged appends: chunks below the edge untouched, sidecar stays whole") {
+    val path = s"$base/ragged"
+    writeBase(path, 3) // 3×5×7 chunk0=2 — UNALIGNED from the start
+    val chunk00 = Paths.get(path, "temp", "c", "0", "0", "0")
+    val before = Files.readAllBytes(chunk00)
+
+    appendSlab(slab(3, 5), path) // edge row (day 2) rewritten with day 3
+    appendSlab(slab(5, 7), path) // 5 % 2 != 0 again: edge (day 4) + 5,6
+
+    val back = spark.read.format("zarr").load(path)
+    assert(back.count() == 7 * 35)
+    val exp = slab(0, 7).select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val got = back.select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == exp, "ragged appends must be value-exact over base+slabs")
+    // the chunk-row BELOW the edge is never rewritten
+    assert(java.util.Arrays.equals(before, Files.readAllBytes(chunk00)),
+      "chunks below the edge row must stay byte-identical")
+    // the sidecar still covers the whole grown grid (straddling segments
+    // were trimmed at the edge; the rewrite re-covered the edge onward)
+    val store = ZarrStore(path, Nil)
+    val geomChunks = ScanGeometry.resolve(
+      store.listArrays().map(store.readMeta)).numChunks
+    assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
+      "sidecar must cover the full grid after ragged appends")
   }
 
   test("1-D cube append") {
