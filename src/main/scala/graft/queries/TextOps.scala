@@ -441,36 +441,56 @@ object TextOps {
     },
 
     // ---- PII redaction: the masking pass every released corpus runs
-    //      (emails / IPv4s / phone numbers → typed placeholders, plus
-    //      per-type match counts for the removal report). Patterns use
-    //      only char classes + bounded quantifiers, the regex subset
-    //      Java regex (Spark, codegen'd) and RE2 (DuckDB) match
-    //      identically. The corpus text is synthetic, so each doc is
-    //      AUGMENTED with deterministic doc_id-derived PII before
-    //      redaction — the oracle rebuilds the same string, so the
-    //      match counts are real (nonzero) and the cleaned-text md5
-    //      breaks on any masking drift. Scan-local narrow plan: one
-    //      text pass per pattern, no shuffle except the final ORDER BY;
-    //      at 100 TB this fuses into the scan like q30-q33. ----
+    //      (emails / IPv6+IPv4 / credit cards / national-ID-shaped runs
+    //      / phone numbers → typed placeholders, plus per-type match
+    //      counts for the removal report; card candidates additionally
+    //      get a LUHN checksum verdict — the report separates
+    //      card-SHAPED runs from checkable card numbers). Patterns use
+    //      only char classes + bounded quantifiers + grouped bounded
+    //      repetition, the regex subset Java regex (Spark, codegen'd)
+    //      and RE2 (DuckDB) match identically; the Luhn sum is the same
+    //      generated 16-term arithmetic on both sides. The corpus text
+    //      is synthetic, so each doc is AUGMENTED with deterministic
+    //      doc_id-derived PII before redaction — incl. one Luhn-VALID
+    //      and one Luhn-INVALID card — so the match counts are real
+    //      (nonzero), the Luhn filter provably separates, and the
+    //      cleaned-text md5 breaks on any masking drift. Scan-local
+    //      narrow plan: one text pass per pattern, no shuffle except
+    //      the final ORDER BY; at 100 TB this fuses into the scan like
+    //      q30-q33. ----
     QueryDef.sql(
       "q130_pii_redact",
-      """WITH aug AS (
+      s"""WITH aug AS (
         |  SELECT doc_id,
         |    text || ' contact user' || doc_id ||
         |      '@mail.example.com from 10.' || (doc_id % 256) || '.0.' ||
-        |      (doc_id % 100) || ' or call +1-555-' ||
-        |      lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+        |      (doc_id % 100) || ' ipv6 2001:db8:11:22:33:44:55:' ||
+        |      (doc_id % 9000 + 1000) ||
+        |      ' card 4111-1111-1111-1111 or 1234-5678-9012-3456 id ' ||
+        |      lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0') || '-' ||
+        |      lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
+        |      lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0') ||
+        |      ' or call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
         |  FROM documents)
         |SELECT doc_id,
         |  len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '$ipv6Re')) AS n_ipv6,
         |  len(regexp_extract_all(t,
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
-        |  len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
-        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS clean_fp
+        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
+        |  len(regexp_extract_all(t, '$ccRe')) AS n_cc,
+        |  len(list_filter(regexp_extract_all(t, '$ccRe'),
+        |    x -> ($luhnSum16) % 10 = 0)) AS n_cc_luhn,
+        |  len(regexp_extract_all(t, '$idRe')) AS n_id,
+        |  len(regexp_extract_all(t, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '$ipv6Re', '[IP6]', 'g'),
+        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '$ccRe', '[CC]', 'g'),
+        |    '$idRe', '[ID]', 'g'),
+        |    '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS clean_fp
         |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -480,16 +500,50 @@ object TextOps {
           col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
           lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" ipv6 2001:db8:11:22:33:44:55:"),
+          (col("doc_id") % 9000 + 1000).cast("string"),
+          lit(" card 4111-1111-1111-1111 or 1234-5678-9012-3456 id "),
+          lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+          lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
           lit(" or call +1-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
         .select(
           col("doc_id"),
           regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_count(col("t"), lit(ipv6Re)).as("n_ipv6"),
           regexp_count(col("t"), lit(ipRe)).as("n_ip"),
+          regexp_count(col("t"), lit(ccRe)).as("n_cc"),
+          expr(s"size(filter(regexp_extract_all(t, '$ccRe', 0), " +
+            s"x -> ($luhnSum16) % 10 = 0))").cast("long").as("n_cc_luhn"),
+          regexp_count(col("t"), lit(idRe)).as("n_id"),
           regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
-          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
-            emailRe, "[EMAIL]"), ipRe, "[IP]"), phoneRe, "[PHONE]"))
+          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(col("t"),
+            emailRe, "[EMAIL]"), ipv6Re, "[IP6]"), ipRe, "[IP]"),
+            ccRe, "[CC]"), idRe, "[ID]"), phoneRe, "[PHONE]"))
             .as("clean_fp"))
         .orderBy("doc_id")
     })
+
+  /** Full-form IPv6 (8 hextets) — grouped bounded repetition, identical
+    * in Java regex and RE2; no backslashes, so one literal serves the
+    * Spark DSL, Spark SQL `expr`, and the DuckDB oracle. */
+  private def ipv6Re = "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+  /** Dashed 16-digit card-shaped run. */
+  private def ccRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+  /** National-ID-shaped run (SSN format). Cannot match inside the card,
+    * phone, or IPv6 injections: their dash/colon spacings never produce
+    * the 3-2-4 digit grouping. */
+  private def idRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  /** Luhn checksum of the 16-digit dashed candidate `x` as a 16-term
+    * sum — generated once and interpolated into BOTH the Spark
+    * higher-order-function expression and the DuckDB lambda, so the
+    * two engines evaluate literally the same arithmetic. Doubles the
+    * odd (1-indexed, left-to-right) digits, i.e. every second from the
+    * right for a 16-digit number, with the >9 fold-down. */
+  private def luhnSum16: String = (1 to 16).map { i =>
+    val d = s"CAST(substr(replace(x, '-', ''), $i, 1) AS INT)"
+    if (i % 2 == 1) s"(CASE WHEN 2*$d > 9 THEN 2*$d - 9 ELSE 2*$d END)" else d
+  }.mkString(" + ")
 }
