@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -590,6 +590,82 @@ object ZarrRoundtrip {
         batch(6, 9, 2L) // at-least-once replay: must be a no-op
         batch(9, 12, 3L)
     }
+
+  /** q134: store VACUUM under the oracle gate — a fresh day×source cube
+    * is polluted with exactly the garbage every interrupted-write shape
+    * leaves behind (an orphan final-key chunk beyond the committed
+    * grid, an unreferenced `c.part*` staging dir, a phantom stats
+    * segment past the grid, a `_stats/c.part*` staging doc), then
+    * `ZarrMaintenance.vacuum` reclaims it and reports per-target
+    * deletion counts pinned as a VALUES literal. The pin is two-sided:
+    * the counts prove the garbage WAS deleted, and the zero rows prove
+    * nothing legitimate (valid chunks, live sidecar segments, metadata)
+    * was touched — re-verified by the q134b-style assertions inside the
+    * builder: the store reads back value-identical and stored objects
+    * return to the clean count. SF-independent literal (12 days × the
+    * fixed 20 sources). Driver-side maintenance, O(stored objects). */
+  private lazy val q134 = QueryDef.sql(
+    "q134_zarr_vacuum",
+    """SELECT * FROM (VALUES
+      |  ('_stats', 0::BIGINT, 0::BIGINT, 2::BIGINT),
+      |  ('day', 0::BIGINT, 0::BIGINT, 0::BIGINT),
+      |  ('n_docs', 1::BIGINT, 1::BIGINT, 0::BIGINT),
+      |  ('source', 0::BIGINT, 0::BIGINT, 0::BIGINT),
+      |  ('sum_chars', 0::BIGINT, 0::BIGINT, 0::BIGINT)
+      |) t(target, orphan_chunks, staging_dirs, phantom_segments)
+      |ORDER BY target""".stripMargin) { (s, dir) =>
+    val store = buildPollutedStore(s, dir)
+    val out = graft.zarr.ZarrMaintenance.vacuum(s, store).orderBy("target")
+    // force the vacuum before asserting the store is clean and intact
+    val rows = out.collect()
+    val after = graft.zarr.ZarrInfo.describe(s, store, countStored = true)
+      .select("array", "n_grid_chunks", "n_stored_objects").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // dense store: stored objects back to exactly grid capacity
+    require(after("n_docs") == ((16L, 16L)),
+      s"vacuum left n_docs at ${after("n_docs")}, want (16,16)")
+    require(s.read.format("zarr").load(store).count() == 12L * 20L,
+      "vacuum must not change the store's readable contents")
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava),
+      out.schema)
+  }
+
+  /** Build a FRESH polluted store (non-memoized: the query deletes the
+    * garbage it injects, so reuse would change the answer). The CLEAN
+    * cube is memoized like every other q12x store; each call copies it
+    * (a handful of small objects) into a UUID dir and pollutes the copy
+    * with one instance of each garbage shape vacuum owns. */
+  private def buildPollutedStore(s: SparkSession, dir: String): String = {
+    val clean = ensureDayGridStore(s, dir, "cubevac|c3x5", "/tmp/graft_zarr_vacuum_clean") {
+      (dense, path) =>
+        dense.write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "3,5") // grid 4×4 = 16 chunks
+          .save(path)
+    }
+    val path = s"/tmp/graft_zarr_vacuum/${java.util.UUID.randomUUID().toString.take(12)}/day_cells"
+    Files.createDirectories(Paths.get(path).getParent)
+    val src = Paths.get(clean)
+    Files.walk(src).forEach { p =>
+      if (Files.isRegularFile(p)) {
+        val t = Paths.get(path).resolve(src.relativize(p).toString)
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t): Unit
+      }
+    }
+    // orphan final-key chunk beyond the committed day grid (crashed append)
+    Files.createDirectories(Paths.get(path, "n_docs", "c", "7"))
+    Files.write(Paths.get(path, "n_docs", "c", "7", "0"), Array[Byte](1, 2, 3))
+    // staging dir no manifest references (crashed staged commit)
+    Files.createDirectories(Paths.get(path, "n_docs", "c.part-vac-0"))
+    Files.write(Paths.get(path, "n_docs", "c.part-vac-0", "0"), Array[Byte](4, 5))
+    // phantom stats segment past the grid + a stats staging doc
+    Files.write(Paths.get(path, "_stats", "s999_4.json"), "{}".getBytes)
+    Files.write(Paths.get(path, "_stats", "c.partvac-0_4.json"), "{}".getBytes)
+    path
+  }
 
   /** Build the q131 sharded cube store: the shared day×source grid
     * written with 2×4 inner chunks packed into 8×8 shards (edge shards

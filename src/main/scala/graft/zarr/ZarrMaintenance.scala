@@ -377,4 +377,127 @@ object ZarrMaintenance {
         }
       }.reduce(_ + _)
   }
+
+  /** Reclaim objects no committed state references — the garbage a
+    * store accumulates from interrupted writes over its lifetime:
+    *
+    *  - ORPHAN CHUNKS: key-shaped objects addressing a slot outside the
+    *    committed chunk grid (a crashed append's final-key chunks
+    *    beyond `shape[0]`). Invisible to every reader (the shape bounds
+    *    scans), but they cost storage and inflate `n_stored_objects`.
+    *  - STAGING DIRS: `c.part*` directories the root-doc manifest does
+    *    not reference (a crashed staged commit's uploads; the normal
+    *    abort path cleans its own writeId, a killed driver cannot).
+    *  - PHANTOM STATS SEGMENTS: sidecar docs describing ordinals past
+    *    the committed grid or signed for a grid the store no longer
+    *    has (every reader already ignores them), unreadable docs, and
+    *    `_stats/c.part*` staging leftovers.
+    *
+    * Never touched: metadata documents, valid chunk keys (absent
+    * chunks stay absent — fill-value semantics are state, not
+    * garbage), manifest-referenced part dirs, and files whose names
+    * are not key-shaped (foreign files are surfaced by the cube
+    * writer's refusals, not silently deleted here).
+    *
+    * Returns one row per array plus a `_stats` row:
+    * `(target, orphan_chunks, staging_dirs, phantom_segments)`.
+    * Driver-side, O(stored objects) LIST + parse — maintenance cost,
+    * like compact/analyze. Contract: one maintainer at a time (the
+    * same single-writer assumption every commit path documents) — a
+    * concurrent writer's in-flight staging would read as garbage. */
+  def vacuum(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val hadoopPairs = spark.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, hadoopPairs)
+    val metas = store.listArrays().map(store.readMeta)
+    val partDirs: Set[String] = store.readChunkManifest().parts.map(_._2).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val metaDocs = Set("zarr.json", ".zarray", ".zattrs", ".zgroup")
+
+    /** Chunk-grid indices a key-shaped relative path addresses, or None
+      * for non-key-shaped names. Handles every layout the engine reads:
+      * v3 '/'-separated (`c/0/1`), v3 '.'-separated flat (`c.0.1`), v2
+      * flat (`0.1`). */
+    def keyIndices(rel: String): Option[Seq[Long]] = {
+      val parts0 = rel.split('/').toSeq.flatMap(_.split('.').toSeq)
+      val parts = if (parts0.headOption.contains("c")) parts0.tail else parts0
+      if (parts.isEmpty || !parts.forall(p => p.nonEmpty && p.forall(_.isDigit))) None
+      else Some(parts.map(_.toLong))
+    }
+
+    val arrayRows = metas.sortBy(_.name).map { m =>
+      val grid = m.gridShape.map(_.toLong)
+      val arrayDir = new Path(root, m.name)
+      var orphans = 0L
+      var staging = 0L
+      def orphaned(rel: String): Boolean = keyIndices(rel).exists(idx =>
+        idx.length != grid.length ||
+          idx.zip(grid.toSeq).exists { case (i, g) => i >= g })
+      def walk(p: Path, rel: String): Unit =
+        fs.listStatus(p).foreach { st =>
+          val childRel = s"$rel/${st.getPath.getName}"
+          if (st.isDirectory) walk(st.getPath, childRel)
+          else if (orphaned(childRel)) { fs.delete(st.getPath, false); orphans += 1 }
+        }
+      fs.listStatus(arrayDir).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith("c.part")) {
+          if (!partDirs.contains(nm)) { fs.delete(st.getPath, true); staging += 1 }
+        } else if (!metaDocs.contains(nm)) {
+          if (st.isDirectory) walk(st.getPath, nm)
+          else if (orphaned(nm)) { fs.delete(st.getPath, false); orphans += 1 }
+        }
+      }
+      (m.name, orphans, staging, 0L)
+    }
+
+    // ---- sidecar: phantom / foreign-signed / unreadable segments ----
+    var phantoms = 0L
+    val geomOpt =
+      try Some(ScanGeometry.resolve(metas))
+      catch { case _: ZarrException => None } // incoherent store: leave sidecar
+    geomOpt.foreach { geom =>
+      val total = geom.numChunks
+      val ztOf: String => Option[ZarrType] =
+        n => metas.find(_.name == n).map(_.dataType)
+      store.listStatsSegments().foreach { case (first, n) =>
+        val key = ChunkStats.segmentKey(first, n)
+        val bad =
+          if (first < 0 || first + n > total) true
+          else store.readText(key) match {
+            case Some(doc) =>
+              try !ChunkStats.gridCompatible(
+                ChunkStats.parse(first, n, doc, ztOf), geom)
+              catch { case _: Exception => true } // unreadable: describes nothing
+            case None => false
+          }
+        if (bad) { store.deleteKey(key); phantoms += 1 }
+      }
+      val statsDir = new Path(root, ChunkStats.dirName)
+      if (fs.exists(statsDir))
+        fs.listStatus(statsDir).foreach { st =>
+          if (st.getPath.getName.startsWith("c.part")) {
+            fs.delete(st.getPath, false); phantoms += 1
+          }
+        }
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("target",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("orphan_chunks",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("staging_dirs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("phantom_segments",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = (arrayRows :+ (("_stats", 0L, 0L, phantoms)))
+      .map { case (t, o, s2, p) => org.apache.spark.sql.Row(t, o, s2, p) }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), schema)
+  }
 }

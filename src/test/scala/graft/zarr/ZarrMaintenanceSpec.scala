@@ -253,6 +253,81 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no coordinate array"), e.getMessage)
   }
 
+  test("vacuum: reclaims orphans/staging/phantoms, keeps every live object") {
+    val base = Files.createTempDirectory("zarr-vacuum").toString
+    val path = s"$base/cube"
+    val sp = spark; import sp.implicits._
+    (for (t <- 0 until 5; x <- 0 until 4) yield
+      (t.toLong, x.toLong, (t * 10 + x).toDouble))
+      .toDF("t", "x", "v").write.format("zarr").mode("append")
+      .option("dims", "t,x").option("chunk_shape", "2,2").save(path)
+    // append leaves the sidecar with smaller-leading-extent signatures —
+    // vacuum must KEEP those (they are live, not phantom)
+    (for (t <- 5 until 8; x <- 0 until 4) yield
+      (t.toLong, x.toLong, (t * 10 + x).toDouble))
+      .toDF("t", "x", "v").write.format("zarr").mode("append")
+      .option("append_dim", "t").save(path)
+    val cleanRead = spark.read.format("zarr").load(path)
+      .orderBy("t", "x").collect().toSeq
+    val segsBefore = ZarrStore(path).listStatsSegments()
+
+    // pollute: orphan chunk past the grid, unreferenced staging dir,
+    // phantom + staging stats docs, and a FOREIGN file that must survive
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v", "c", "9"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "v", "c", "9", "0"),
+      Array[Byte](1))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "v", "c.part-dead-3"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "v", "c.part-dead-3", "0"), Array[Byte](2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_stats", "s500_4.json"), "{}".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_stats", "c.partdead-0_4.json"), "{}".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "v", "NOTES.txt"), "keep me".getBytes)
+
+    val counts = ZarrMaintenance.vacuum(spark, path).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(counts("v") == ((1L, 1L, 0L)), counts.toString)
+    assert(counts("_stats") == ((0L, 0L, 2L)), counts.toString)
+    assert(counts("t") == ((0L, 0L, 0L)) && counts("x") == ((0L, 0L, 0L)))
+
+    // live state intact: values, live sidecar segments, the foreign file
+    assert(spark.read.format("zarr").load(path)
+      .orderBy("t", "x").collect().toSeq == cleanRead)
+    assert(ZarrStore(path).listStatsSegments() == segsBefore,
+      "vacuum must keep every live (incl. pre-append) sidecar segment")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "v", "NOTES.txt")),
+      "foreign files are surfaced elsewhere, never silently deleted")
+
+    // idempotent: a second vacuum finds nothing
+    val again = ZarrMaintenance.vacuum(spark, path).collect()
+    assert(again.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0),
+      again.mkString(","))
+  }
+
+  test("vacuum keeps manifest-referenced part dirs of a staged tabular store") {
+    val base = Files.createTempDirectory("zarr-vacuum-tab").toString
+    val path = s"$base/tab"
+    val sp = spark; import sp.implicits._
+    // staged (non-rows_per_partition) appends accumulate manifest parts
+    (0 until 3).foreach { b =>
+      (b * 32 until (b + 1) * 32).map(i => (i.toLong, s"v$i")).toDF("a", "b")
+        .coalesce(1).write.format("zarr").mode("append")
+        .option("chunk_size", "16").save(path)
+    }
+    val store = ZarrStore(path)
+    assume(store.readChunkManifest().parts.nonEmpty, "expected a staged commit")
+    val before = spark.read.format("zarr").load(path)
+      .orderBy("a").collect().toSeq
+    val counts = ZarrMaintenance.vacuum(spark, path).collect()
+    assert(counts.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0),
+      s"nothing is garbage in a freshly committed staged store: ${counts.mkString(",")}")
+    assert(spark.read.format("zarr").load(path)
+      .orderBy("a").collect().toSeq == before)
+  }
+
   test("compact resets an accumulated chunk manifest to zero parts") {
     val base = Files.createTempDirectory("zarr-compact-manifest").toString
     val src = s"$base/src"
