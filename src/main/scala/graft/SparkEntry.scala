@@ -50,7 +50,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.ZarrRoundtrip]] — the zarr connector in the
   *    oracle gate: write documents → zarr store → DSv2 read → agg
   *    (q99), cube write/append/region/shard/describe/sink
-  *    (q125, q128, q129, q131, q132, q133, q134)
+  *    (q125, q128, q129, q131, q132, q133, q134, q135)
   */
 object SparkEntry {
 

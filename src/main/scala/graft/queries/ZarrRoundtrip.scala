@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -631,6 +631,67 @@ object ZarrRoundtrip {
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava),
       out.schema)
   }
+
+  /** q135: a 4-D cube under the oracle gate — day × epoch × len_bucket
+    * × source (the time×level×lat×lon shape of real climate/feature
+    * stores, one dimension PAST the reference's `Only 1-3 dimensional
+    * arrays` cap). The store is written through the dimension-generic
+    * cube pipeline (chunk 3×1×2×6: edge chunks on three dims) and every
+    * cell is read back through the DSv2 scan — a mis-ranked axis, a
+    * wrong 4-D row-major ordinal, or a broken 4-D coordinate broadcast
+    * breaks the hash against the DuckDB closed form. Memoized per SF. */
+  private lazy val q135 = QueryDef.sql(
+    "q135_zarr_cube_4d",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, ((doc_id // 12) % 2)::BIGINT AS epoch,
+      |    (n_chars % 3)::BIGINT AS len_bucket, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2, 3, 4),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, e.range::BIGINT AS epoch,
+      |    b.range::BIGINT AS len_bucket, s.source
+      |  FROM range(12) d, range(2) e, range(3) b,
+      |    (SELECT DISTINCT source FROM documents) s)
+      |SELECT g.day, g.epoch, g.len_bucket, g.source,
+      |  coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |  coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.epoch = c.epoch
+      |  AND g.len_bucket = c.len_bucket AND g.source = c.source
+      |ORDER BY g.day, g.epoch, g.len_bucket, g.source""".stripMargin) { (s, dir) =>
+    val store = ensure4dCubeStore(s, dir)
+    s.read.format("zarr").load(store)
+      .select(col("day"), col("epoch"), col("len_bucket"), col("source"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("day", "epoch", "len_bucket", "source")
+  }
+
+  /** Build the q135 4-D store: the day×epoch×len_bucket×source dense
+    * grid (12×2×3×20) written with chunk 3×1×2×6 — edge chunks on the
+    * day, len_bucket and source dims. */
+  private def ensure4dCubeStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cube4d|c3x1x2x6", "/tmp/graft_zarr_cube_4d") {
+      (_, path) =>
+        // ensureDayGridStore's dense frame is 2-D; build the 4-D grid here
+        val docs = Tables.load(s, dir, "documents")
+        val cells = docs.groupBy(
+          pmod(col("doc_id"), lit(12L)).as("day"),
+          expr("(doc_id div 12) % 2").cast("long").as("epoch"),
+          pmod(col("n_chars"), lit(3L)).cast("long").as("len_bucket"),
+          col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        val grid = s.range(12).select(col("id").as("day"))
+          .crossJoin(s.range(2).select(col("id").as("epoch")))
+          .crossJoin(s.range(3).select(col("id").as("len_bucket")))
+          .crossJoin(docs.select(col("source")).distinct())
+        val dense = grid.join(cells, Seq("day", "epoch", "len_bucket", "source"), "left")
+          .select(col("day"), col("epoch"), col("len_bucket"), col("source"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("sum_chars"), lit(0L)).as("sum_chars"))
+        dense.write.format("zarr").mode("append")
+          .option("dims", "day,epoch,len_bucket,source")
+          .option("chunk_shape", "3,1,2,6")
+          .save(path)
+    }
 
   /** Build a FRESH polluted store (non-memoized: the query deletes the
     * garbage it injects, so reuse would change the answer). The CLEAN

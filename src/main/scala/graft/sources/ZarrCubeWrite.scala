@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   *  - coordinate values must be non-NULL and (for floats) finite: the
   *    chunk-skip machinery and xarray-style alignment both rely on a
   *    totally ordered axis;
-  *  - 1 to 3 dims (the scan geometry's supported range, mirroring the
-  *    reference's `Only 1-3 dimensional arrays` rule).
+  *  - 1 to 8 dims — BEYOND the reference's `Only 1-3 dimensional
+  *    arrays` rule: the 4-D time x level x lat x lon cube is the
+  *    canonical real climate shape, and every stage of this engine
+  *    (grid ordinals, coordinate broadcast, stats, append/region,
+  *    sharding) is dimension-generic.
   *
   * Scale design — why this is NOT the 1-D staged-commit path: a cube
   * row's target chunk ordinal is a PURE FUNCTION of its coordinates, so
@@ -91,9 +94,9 @@ object ZarrCubeWrite {
     val store = ZarrStore(path, hadoopPairs)
 
     // ---- schema validation, all driver-side and before any IO ----
-    if (dims.length > 3)
+    if (dims.length > 8)
       throw new ZarrException(
-        s"cube write supports 1-3 dims (scan geometry limit), got ${dims.length}")
+        s"cube write supports 1-8 dims, got ${dims.length}")
     val fieldByName = df.schema.fields.map(f => f.name -> f).toMap
     dims.foreach(d => if (!fieldByName.contains(d))
       throw new ZarrException(

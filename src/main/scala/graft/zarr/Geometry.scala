@@ -30,7 +30,12 @@ final case class ScanGeometry(
   val gridShape: Array[Int] =
     targetShape.zip(targetChunk).map { case (s, c) => ((s + c - 1) / c).toInt }
 
-  def numChunks: Long = gridShape.map(_.toLong).product
+  def numChunks: Long = gridShape.foldLeft(1L) { (a, g) =>
+    try Math.multiplyExact(a, g.toLong)
+    catch { case _: ArithmeticException =>
+      throw new ZarrException(s"chunk grid ${gridShape.mkString("x")} overflows Long")
+    }
+  }
 
   def numRows: Long = targetShape.product
 
@@ -113,9 +118,9 @@ object ScanGeometry {
     if (allCoords && metas.length > 1) {
       // full cross product in field order
       val shape = metas.map(_.shape(0)).toArray
-      if (shape.length > 3)
+      if (shape.length > 8)
         throw new ZarrException(
-          s"Only 1-3 dimensional arrays are supported, got ${shape.length}")
+          s"Only 1-8 dimensional arrays are supported, got ${shape.length}")
       val chunk = metas.map(_.chunkShape(0)).toArray
       val roles = metas.zipWithIndex.map { case (m, i) => CoordCol(m, i) }
       return ScanGeometry(shape, chunk, roles)

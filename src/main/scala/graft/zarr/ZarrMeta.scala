@@ -192,9 +192,9 @@ object ZarrMeta {
       throw new ZarrException(s"Not an array node: $arrayName")
 
     val shape = iter(root.path("shape")).map(_.asLong()).toArray
-    if (shape.length < 1 || shape.length > 3)
+    if (shape.length < 1 || shape.length > 8)
       throw new ZarrException(
-        s"Only 1-3 dimensional arrays are supported, got ${shape.length} for $arrayName")
+        s"Only 1-8 dimensional arrays are supported, got ${shape.length} for $arrayName")
 
     val dtype = ZarrType.fromName(root.path("data_type").asText(""))
 
@@ -295,9 +295,9 @@ object ZarrMeta {
       throw new ZarrException(s"Not Zarr v2 metadata: $arrayName")
 
     val shape = iter(root.path("shape")).map(_.asLong()).toArray
-    if (shape.length < 1 || shape.length > 3)
+    if (shape.length < 1 || shape.length > 8)
       throw new ZarrException(
-        s"Only 1-3 dimensional arrays are supported, got ${shape.length} for $arrayName")
+        s"Only 1-8 dimensional arrays are supported, got ${shape.length} for $arrayName")
     val chunkShape = iter(root.path("chunks")).map(_.asInt()).toArray
     if (chunkShape.length != shape.length)
       throw new ZarrException(s"chunks rank != shape rank for $arrayName")

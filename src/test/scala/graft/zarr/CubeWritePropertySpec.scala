@@ -8,7 +8,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property test for the N-D cube write → DSv2 scan roundtrip: for
-  * ARBITRARY grids (1–3 dims, axis lengths that force edge chunks on
+  * ARBITRARY grids (1–4 dims, axis lengths that force edge chunks on
   * any dimension, long/double/string coordinate types, multiple data
   * columns, chunk shapes that may exceed the axis) the store must hold
   * exactly the input's value at every coordinate, and the write-time
@@ -48,10 +48,10 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("roundtrip: arbitrary 1-3D grids, mixed coord types, edge chunks — per-coordinate value identity") {
+  test("roundtrip: arbitrary 1-4D grids, mixed coord types, edge chunks — per-coordinate value identity") {
     (1 to 30).foreach { caseNo =>
       val path = s"$base/case$caseNo"
-      val ndim = 1 + rnd.nextInt(3)
+      val ndim = 1 + rnd.nextInt(4)
       val axes = IndexedSeq.fill(ndim)(genAxis())
       // chunk extent may EXCEED the axis (single padded chunk) — a shape
       // the example spec never tries
@@ -108,7 +108,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("append roundtrip: arbitrary grids split along dim 0 — per-coordinate value identity") {
     (1 to 15).foreach { caseNo =>
       val path = s"$base/app$caseNo"
-      val ndim = 1 + rnd.nextInt(3)
+      val ndim = 1 + rnd.nextInt(4)
       // dim-0: base extent may be RAGGED (not a multiple of the stored
       // chunk/shard extent — append folds the committed edge chunk-row
       // back into the slab) plus a nonempty slab whose final extent may
@@ -180,7 +180,7 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("region roundtrip: arbitrary grids, chunk-aligned dim-0 swaps — new values in, rest untouched") {
     (1 to 15).foreach { caseNo =>
       val path = s"$base/reg$caseNo"
-      val ndim = 1 + rnd.nextInt(3)
+      val ndim = 1 + rnd.nextInt(4)
       // dim-0 long enough for several chunk rows; region = a random
       // chunk-aligned run (may start at 0, may end at the axis end —
       // including a ragged final chunk)

@@ -72,6 +72,62 @@ class ZarrCubeWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metas("n").ndim == 3)
   }
 
+  test("4-D cube (time×level×lat×lon): roundtrip, zero-GET agg, prune, append — beyond the reference's 3-dim cap") {
+    val sp = spark; import sp.implicits._
+    val t0 = 1700000000000000000L
+    val day = 86400L * 1000000000L
+    def frame(tFrom: Int, tUntil: Int): DataFrame = {
+      val rows = for (t <- tFrom until tUntil; l <- 0 until 3; i <- 0 until 4; j <- 0 until 5)
+        yield (t0 + t * day, 100.0 * l, 38.0 + 0.5 * i, -117.0 + 0.25 * j,
+          (t * 60 + l * 20 + i * 5 + j).toLong)
+      scala.util.Random.shuffle(rows)
+        .toDF("time", "level", "lat", "lon", "v").repartition(3)
+    }
+    val path = s"graftstat://$base/four_d"
+    frame(0, 4).write.format("zarr").mode("append")
+      .option("dims", "time,level,lat,lon")
+      .option("chunk_shape", "2,2,3,2") // edge chunks on every dim
+      .save(path)
+
+    val back = spark.read.format("zarr").load(path)
+    assert(back.count() == 4L * 3 * 4 * 5)
+    val exp = frame(0, 4).orderBy("time", "level", "lat", "lon")
+      .collect().map(_.toString).toSeq
+    val got = back.select("time", "level", "lat", "lon", "v")
+      .orderBy("time", "level", "lat", "lon").collect().map(_.toString).toSeq
+    assert(got == exp, "4-D roundtrip must be value-exact")
+
+    // zero-GET metadata aggregate over the 4-D grid-signed sidecar
+    RecordingFileSystem.opened.clear()
+    val agg = back.agg(count(lit(1)), min("v"), max("v"), sum("v")).collect()(0)
+    assert(agg.getLong(0) == 240L && agg.getLong(1) == 0L &&
+      agg.getLong(2) == 239L && agg.getLong(3) == (0 until 240).map(_.toLong).sum)
+    val chunkOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/four_d/(time|level|lat|lon|v)/c/.*"))
+    assert(chunkOpens.isEmpty,
+      s"4-D metadata-only agg read chunks: ${chunkOpens.mkString(", ")}")
+
+    // coordinate predicate prunes to one time-chunk-row of the grid
+    RecordingFileSystem.opened.clear()
+    val s3 = back.filter(col("time") >= t0 + 2 * day)
+      .agg(sum("v")).collect()(0).getLong(0)
+    assert(s3 == (120 until 240).map(_.toLong).sum)
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/four_d/v/c/.*")).distinct
+    assert(dataOpens.length <= 12,
+      s"4-D pruned scan read ${dataOpens.length} chunks: ${dataOpens.mkString(", ")}")
+
+    // dim-0 append keeps working in 4-D (incl. the ragged-edge rewrite)
+    frame(4, 5).write.format("zarr").mode("append")
+      .option("append_dim", "time").save(path)
+    frame(5, 6).write.format("zarr").mode("append")
+      .option("append_dim", "time").save(path) // 5 % 2 != 0: ragged base
+    val grown = spark.read.format("zarr").load(path)
+    assert(grown.count() == 6L * 60)
+    assert(grown.agg(sum("v")).collect()(0).getLong(0) ==
+      (0 until 360).map(_.toLong).sum)
+  }
+
   test("pushed coordinate predicate prunes cube chunks (write-time sidecar, zero extra IO)") {
     val path = s"graftstat://$base/climate_stat"
     climateDf().write.format("zarr").mode("append")
