@@ -7,6 +7,25 @@ import org.apache.spark.sql.SparkSession
   * every output column (no projection pruning), so timings reflect the
   * full operator cost. */
 object Bench {
+  /** BENCH_BEST replacement rule. `stored` = (worst probe, query count)
+    * of the current record, or None when no guarded record exists.
+    * A same-registry sweep must be at least as quiet as the record.
+    * A registry-CHANGED sweep (the record's total is stale — different
+    * query set) may reset the record, but only from a box at most 15%
+    * noisier than the one that set it: the r14 driver sweep (worst
+    * probe 2.43) walked through an unconditional registry-changed
+    * branch and displaced a probe-1.69 record, poisoning all 136
+    * per-query comparators with contended numbers. Since the registry
+    * grows almost every round, that hole made every growth round a
+    * record reset on whatever machine the driver was sharing. */
+  def shouldReplaceBest(
+      stored: Option[(Double, Int)], newCal: Double, nQueries: Int): Boolean =
+    stored match {
+      case None => true
+      case Some((cal, n)) if n != nQueries => newCal <= cal * 1.15
+      case Some((cal, _)) => newCal <= cal
+    }
+
   def main(args: Array[String]): Unit = {
     // optional args: query names to time (isolated A/B runs with the
     // same warmup + calibration discipline); the driver runs unfiltered
@@ -194,7 +213,8 @@ object Bench {
         val newCal = math.max(calStart, calEnd)
         // a stored record over a DIFFERENT query set (registry grew or
         // shrank) is stale — its total is not comparable to the current
-        // sweep's, so the current sweep replaces it regardless of probe
+        // sweep's — but it may only be reset from a comparably quiet
+        // box (see shouldReplaceBest)
         val stored: Option[(Double, Int)] =
           if (java.nio.file.Files.exists(bestPath)) {
             try {
@@ -211,11 +231,7 @@ object Bench {
               else None
             } catch { case _: Throwable => None }
           } else None
-        val replace = stored match {
-          case None => true
-          case Some((_, n)) if n != ok.size => true // registry changed
-          case Some((cal, _)) => newCal <= cal
-        }
+        val replace = shouldReplaceBest(stored, newCal, ok.size)
         if (replace) {
           java.nio.file.Files.write(bestPath,
             (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
