@@ -217,7 +217,13 @@ object VectorFunctions {
         (children: Seq[Expression]) => ZarrTimestampExpr(children(0), children(1))),
       (FunctionIdentifier("gram_hashes"),
         new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
-        (children: Seq[Expression]) => GramHashes(children(0), children(1))))
+        (children: Seq[Expression]) => GramHashes(children(0), children(1))),
+      (FunctionIdentifier("redact_typed"),
+        new ExpressionInfo(classOf[RedactTyped].getName, "redact_typed"),
+        (children: Seq[Expression]) => RedactTyped(children(0), children(1))),
+      (FunctionIdentifier("redact_report"),
+        new ExpressionInfo(classOf[RedactReport].getName, "redact_report"),
+        (children: Seq[Expression]) => RedactReport(children(0), children(1))))
 
   /** Register every kernel as a SQL-callable function on the session
     * (idempotent). */

@@ -454,9 +454,12 @@ object TextOps {
     //      doc_id-derived PII before redaction — incl. one Luhn-VALID
     //      and one Luhn-INVALID card — so the match counts are real
     //      (nonzero), the Luhn filter provably separates, and the
-    //      cleaned-text md5 breaks on any masking drift. Scan-local
-    //      narrow plan: one text pass per pattern, no shuffle except
-    //      the final ORDER BY; at 100 TB this fuses into the scan like
+    //      cleaned-text md5 breaks on any masking drift. Redaction is
+    //      a SINGLE fused alternation pass (split + extract + typed-tag
+    //      interleave), not one regexp_replace traversal per type; the
+    //      per-type counts stay independent single-pattern scans of the
+    //      raw text. Scan-local narrow plan: no shuffle except the
+    //      final ORDER BY; at 100 TB this fuses into the scan like
     //      q30-q33. ----
     QueryDef.sql(
       "q130_pii_redact",
@@ -471,30 +474,45 @@ object TextOps {
         |      lpad((doc_id % 100)::VARCHAR, 2, '0') || '-' ||
         |      lpad(((doc_id * 3) % 10000)::VARCHAR, 4, '0') ||
         |      ' or call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
-        |  FROM documents)
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(t, '$piiCombinedRe') AS parts,
+        |    regexp_extract_all(t, '$piiCombinedRe') AS toks
+        |  FROM aug)
         |SELECT doc_id,
-        |  len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(t, '$ipv6Re')) AS n_ipv6,
-        |  len(regexp_extract_all(t,
-        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip,
-        |  len(regexp_extract_all(t, '$ccRe')) AS n_cc,
-        |  len(list_filter(regexp_extract_all(t, '$ccRe'),
-        |    x -> ($luhnSum16) % 10 = 0)) AS n_cc_luhn,
-        |  len(regexp_extract_all(t, '$idRe')) AS n_id,
-        |  len(regexp_extract_all(t, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '$ipv6Re', '[IP6]', 'g'),
-        |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g'),
-        |    '$ccRe', '[CC]', 'g'),
-        |    '$idRe', '[ID]', 'g'),
-        |    '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS clean_fp
-        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+        |  len(list_filter(toks, x -> regexp_full_match(x, '$emailRe'))) AS n_email,
+        |  len(list_filter(toks, x -> regexp_full_match(x, '$ipv6Re'))) AS n_ipv6,
+        |  len(list_filter(toks, x -> regexp_full_match(x, '$ipRe'))) AS n_ip,
+        |  len(list_filter(toks, x -> regexp_full_match(x, '$ccRe'))) AS n_cc,
+        |  len(list_filter(toks, x -> CASE WHEN regexp_full_match(x, '$ccRe')
+        |    THEN ($luhnSum16) % 10 = 0 ELSE false END)) AS n_cc_luhn,
+        |  len(list_filter(toks, x -> regexp_full_match(x, '$idRe'))) AS n_id,
+        |  len(list_filter(toks, x -> regexp_full_match(x, '$phoneRe'))) AS n_phone,
+        |  md5(parts[1] || array_to_string(
+        |    list_transform(range(1, len(toks) + 1), i ->
+        |      $piiTagCaseSql || coalesce(parts[i + 1], '')), '')) AS clean_fp
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // fused redaction: the redact_report native kernel — ONE matcher
+      // pass over the combined alternation yields the cleaned text AND
+      // the matched spans, so the per-type counts are tiny array
+      // filters over ~10 tokens/doc instead of one more full-text regex
+      // scan per type (13 traversals of every document before; 1 now).
+      // The DuckDB oracle reproduces the identical position-priority
+      // result via split + extract + first-full-match tagging (see
+      // piiTagCaseSql for why first-full-match is exact); the six
+      // patterns are pairwise disjoint on FULL match (@ / colons /
+      // dots / dash groupings are mutually exclusive), so per-type
+      // token filters equal per-type tags on both sides.
+      graft.functions.VectorFunctions.register(s)
+      // Spark SQL string literals parse backslash escapes; double them
+      // so each regex reaches the kernel intact
+      def esc(r: String) = r.replace("\\", "\\\\")
+      val rulesSql = piiPatterns.map { case (r, tag) =>
+        s"'${esc(r)}', '$tag'"
+      }.mkString(", ")
+      def nOf(re: String) =
+        expr(s"size(filter(rep.toks, x -> x RLIKE '^(?:${esc(re)})$$'))")
       docs(s, dir)
         .select(col("doc_id"), concat(
           col("text"), lit(" contact user"), col("doc_id").cast("string"),
@@ -508,21 +526,25 @@ object TextOps {
           lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
           lit(" or call +1-555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        // separate projection so the struct is evaluated once per row:
+        // CollapseProject keeps a non-trivial expression referenced
+        // more than once in its own project instead of inlining it
+        .select(col("doc_id"),
+          expr(s"redact_report(t, array($rulesSql))").as("rep"))
         .select(
           col("doc_id"),
-          regexp_count(col("t"), lit(emailRe)).as("n_email"),
-          regexp_count(col("t"), lit(ipv6Re)).as("n_ipv6"),
-          regexp_count(col("t"), lit(ipRe)).as("n_ip"),
-          regexp_count(col("t"), lit(ccRe)).as("n_cc"),
-          expr(s"size(filter(regexp_extract_all(t, '$ccRe', 0), " +
-            s"x -> ($luhnSum16) % 10 = 0))").cast("long").as("n_cc_luhn"),
-          regexp_count(col("t"), lit(idRe)).as("n_id"),
-          regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
-          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-              regexp_replace(regexp_replace(col("t"),
-            emailRe, "[EMAIL]"), ipv6Re, "[IP6]"), ipRe, "[IP]"),
-            ccRe, "[CC]"), idRe, "[ID]"), phoneRe, "[PHONE]"))
-            .as("clean_fp"))
+          nOf(emailRe).as("n_email"),
+          nOf(ipv6Re).as("n_ipv6"),
+          nOf(ipRe).as("n_ip"),
+          nOf(ccRe).as("n_cc"),
+          // CASE, not AND: neither engine guarantees short-circuit
+          // inside a lambda, and the Luhn CAST must only see card tokens
+          expr(s"size(filter(rep.toks, x -> CASE WHEN x RLIKE '^(?:$ccRe)$$' " +
+            s"THEN ($luhnSum16) % 10 = 0 ELSE false END))")
+            .cast("long").as("n_cc_luhn"),
+          nOf(idRe).as("n_id"),
+          nOf(phoneRe).as("n_phone"),
+          md5(col("rep.clean")).as("clean_fp"))
         .orderBy("doc_id")
     })
 
@@ -530,6 +552,32 @@ object TextOps {
     * in Java regex and RE2; no backslashes, so one literal serves the
     * Spark DSL, Spark SQL `expr`, and the DuckDB oracle. */
   private def ipv6Re = "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+  private def emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private def ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private def phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  /** Redaction priority order: pattern -> typed placeholder. One list
+    * drives the fused alternation regex, the Spark tag CASE, and the
+    * DuckDB tag CASE, so the three can never drift apart. */
+  private def piiPatterns: Seq[(String, String)] = Seq(
+    emailRe -> "[EMAIL]", ipv6Re -> "[IP6]", ipRe -> "[IP]",
+    ccRe -> "[CC]", idRe -> "[ID]", phoneRe -> "[PHONE]")
+  /** All six PII shapes as ONE alternation, so redaction is a single
+    * left-to-right pass instead of six sequential full-text traversals.
+    * Priority at a shared start position = alternation order (Java and
+    * RE2 are both leftmost-first); matches at an earlier position win
+    * over later-starting higher-priority ones — position-priority
+    * semantics, applied identically in both engines. */
+  private def piiCombinedRe: String =
+    piiPatterns.map { case (r, _) => s"(?:$r)" }.mkString("|")
+  /** Token -> placeholder. Sound because the winning alternative
+    * full-matches its token while every HIGHER-priority alternative
+    * matched nothing at that position (else it would have won), so the
+    * first full-matching pattern in priority order is exactly the
+    * alternative that produced the match. */
+  private def piiTagCaseSql: String =
+    piiPatterns.init.map { case (r, tag) =>
+      s"WHEN regexp_full_match(toks[i], '$r') THEN '$tag'"
+    }.mkString("CASE ", " ", s" ELSE '${piiPatterns.last._2}' END")
   /** Dashed 16-digit card-shaped run. */
   private def ccRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
   /** National-ID-shaped run (SSN format). Cannot match inside the card,
