@@ -337,10 +337,17 @@ object ZarrCubeWrite {
     *
     * Crash safety mirrors the 1-D aligned append: new chunks land at
     * final keys BEYOND the committed shape (invisible until the root
-    * document advances; a retry overwrites the same keys), and an
-    * unaligned base's edge chunk-row rewrite preserves every COMMITTED
-    * position's value — a reader or a crash mid-append sees the
-    * committed store unchanged. Stats segments over (re)written
+    * document advances; a retry overwrites the same keys). An unaligned
+    * base's edge chunk-row is never truncated in place: the rewritten
+    * edge objects (data AND the partial coordinate chunk) are staged
+    * under a write-scoped `c.part*` dir and swapped over the committed
+    * keys with single-object replaces only after the whole slab is
+    * durable — a crash before the swap leaves the committed store
+    * byte-identical, a crash mid-swap leaves each edge object either
+    * old or new (both read identically over the committed extent, whose
+    * positions the rewrite preserves), and staging leftovers are
+    * removed by abort or reclaimed by ZarrMaintenance.vacuum. Stats
+    * segments over (re)written
     * ordinals are retired up front (straddlers trimmed to keep their
     * pre-edge coverage) and purged again on failure; segments below
     * the edge are never modified, so no crash window can misdescribe
@@ -495,12 +502,20 @@ object ZarrCubeWrite {
     // segments over the edge chunk-row, whose bounds/sums stop matching
     // once the row gains rows. A straddling segment keeps its pre-edge
     // prefix (trimmed), so whole-store coverage below the edge survives.
-    if (edgeStart < oldNumChunks)
-      store.listStatsSegments().foreach { case (first, n) =>
+    // The walk is over the RAW file listing: overlap-SUPPRESSED segment
+    // files (exactly the leftovers of a failed write whose ordinals are
+    // being reused) must be deleted too, or they survive to overlap the
+    // fresh slab segments and suppress both — committed pushdown
+    // coverage would silently degrade. Only an UNSUPPRESSED straddler
+    // earns the trimmed prefix: a suppressed one is ambiguous below the
+    // edge as well, so its prefix must not be re-legitimized.
+    if (edgeStart < oldNumChunks) {
+      val unsuppressed = store.listStatsSegments().toSet
+      store.listStatsSegmentsRaw().foreach { case (first, n) =>
         if (first + n > edgeStart) {
           val doc = store.readText(ChunkStats.segmentKey(first, n))
           store.deleteKey(ChunkStats.segmentKey(first, n))
-          if (first < edgeStart)
+          if (first < edgeStart && unsuppressed((first, n)))
             doc.flatMap(parseSegment).foreach { parsed =>
               trimSegment(parsed, (edgeStart - first).toInt, 0)
                 .foreach(store.writeText(
@@ -508,7 +523,13 @@ object ZarrCubeWrite {
             }
         }
       }
-    else store.cleanStatsSegmentsFrom(oldNumChunks)
+    } else store.cleanStatsSegmentsFrom(oldNumChunks)
+    // edge chunk-row rewrites are staged under this write-scoped c.part
+    // dir and swapped in only after the whole slab is durable (a c.part*
+    // dir is invisible to readers, removed by abort, and reclaimed by
+    // ZarrMaintenance.vacuum if both are missed)
+    val writeId = java.util.UUID.randomUUID().toString.take(8)
+    val stageDir = s"c.part$writeId-edge"
     try {
       writeSlab(slabWithTail, store, hadoopPairs, dims, fieldByName,
         joinAxes = (writeAxis0, l0f) +: existingAxes.tail.map(a => (a, 0L)),
@@ -519,12 +540,37 @@ object ZarrCubeWrite {
         stats = stats, rowsPerTask = rowsPerTask,
         expectRows = Math.addExact(slabCells,
           Math.multiplyExact(tailCoords.length.toLong, trailingCells)),
-        expectChunks = newNumChunks - edgeStart)
+        expectChunks = newNumChunks - edgeStart,
+        stageBelowOrd = oldNumChunks, stageDir = stageDir)
+
+      // swap the staged edge chunk-row over the committed objects, one
+      // single-object replace each, only now that EVERY slab chunk is
+      // durable: a crash before this loop leaves the committed store
+      // byte-identical (staging keys are invisible); a crash inside it
+      // leaves each edge object either old or new — both read identically
+      // over the committed extent, whose positions the rewrite preserves
+      if (edgeStart < oldNumChunks) {
+        var ord = edgeStart
+        while (ord < oldNumChunks) {
+          val idx = new Array[Int](newGrid.length)
+          var rem = ord
+          var d = newGrid.length - 1
+          while (d >= 0) { idx(d) = (rem % newGrid(d)).toInt; rem /= newGrid(d); d -= 1 }
+          dataMetas.foreach { m =>
+            val key = m.chunkKey(idx)
+            store.replaceKey(s"${m.name}/$stageDir/$key", s"${m.name}/$key")
+          }
+          ord += 1
+        }
+        dataMetas.foreach(m => store.cleanStaging(m.name, stageDir))
+      }
 
       // extend the dim-0 coordinate array from the edge chunk on (an
-      // aligned base touches new chunks only; an unaligned one rewrites
-      // the partial coordinate chunk with identical committed values)
-      writeCoordChunks(store, coordMetas.head, writeAxis0, edgeGrid0, newL0)
+      // aligned base touches new chunks only; an unaligned one replaces
+      // the partial coordinate chunk — identical committed values — via
+      // the same staged single-object swap)
+      writeCoordChunks(store, coordMetas.head, writeAxis0, edgeGrid0, newL0,
+        replaceBelow = ((l0 + c0 - 1) / c0).toInt, stageDir = stageDir)
 
       // ---- per-array metadata with the grown shape ----
       // DATA arrays first in deterministic (store) order, the append-dim
@@ -555,9 +601,14 @@ object ZarrCubeWrite {
         // does not own — the interrupted write's fresh segments start at
         // the edge and summarize content beyond the committed extent, so
         // they are purged from the edge on; segments below it were never
-        // touched (or already trimmed to end there).
+        // touched (or already trimmed to end there). Staged edge objects
+        // not yet swapped in are write-private — remove their c.part dir.
         try store.cleanStatsSegmentsFrom(edgeStart)
         catch { case _: Throwable => () }
+        try {
+          (dataMetas :+ coordMetas.head).foreach(m =>
+            store.cleanStaging(m.name, stageDir))
+        } catch { case _: Throwable => () }
         throw e
     } finally tailDf.foreach(_.unpersist())
   }
@@ -679,7 +730,11 @@ object ZarrCubeWrite {
     *    unordered commit loop): the signal already raised, so this
     *    COMPLETES the commit. Sound because chunks precede all meta
     *    writes — the grown extent's data chunks are durably present the
-    *    moment any meta carries it.
+    *    moment any meta carries it. Because the same signature can be
+    *    produced by hand-editing a foreign store, the forward direction
+    *    first PROBES that the grown region's expected chunk objects
+    *    exist and refuses loudly if not (fill values must never
+    *    silently replace a congruence refusal).
     * Either way the root is re-consolidated from the healed metas and
     * stats segments beyond the healed grid are purged (a rolled-back
     * slab's segments must not describe phantom ordinals). */
@@ -699,6 +754,39 @@ object ZarrCubeWrite {
     if (!congruentButShape0) return metas
     val committedS0 = coord0.shape(0)
     if (datas.forall(_.shape(0) == committedS0)) return metas
+    // forward-heal probe (arrays whose extent would GROW): advancing
+    // shape[0] makes the grown region readable, and if its chunks were
+    // never written the store would silently serve fill values where
+    // the pre-change behavior was a loud congruence refusal — the
+    // shape[0]-only signature can also be produced by a hand-edited or
+    // foreign store, not only by an interrupted commit. Require the
+    // physical evidence a real interrupted commit necessarily left:
+    // the coordinate axis's LAST chunk object plus, per growing array,
+    // the last dim-0 chunk (trailing indices 0) of the grown extent.
+    // (Growth confined to the committed edge chunk probes objects that
+    // predate the append and cannot distinguish — but there the edge
+    // object's committed fill padding is exactly what the grown
+    // positions would read anyway.)
+    val growing = datas.filter(_.shape(0) < committedS0)
+    if (growing.nonEmpty) {
+      def refuse(name: String, key: String): Nothing = throw new ZarrException(
+        s"torn shape[0] heal refused: coordinate '${dims.head}' extent " +
+          s"$committedS0 is ahead of data array(s) " +
+          s"${growing.map(_.name).mkString(",")}, but expected chunk " +
+          s"object '$name/$key' is absent — an interrupted append commit " +
+          "always writes chunks before metadata, so this store was torn " +
+          "some other way; fix the metadata by hand or rewrite the store")
+      val coordKey = coord0.chunkKey(
+        Array(((committedS0 - 1) / coord0.chunkShape(0)).toInt))
+      if (!store.chunkObjectExists(coord0.name, coordKey))
+        refuse(coord0.name, coordKey)
+      growing.foreach { m =>
+        val idx = new Array[Int](m.ndim)
+        idx(0) = ((committedS0 - 1) / m.chunkShape(0)).toInt
+        val key = m.chunkKey(idx)
+        if (!store.chunkObjectExists(m.name, key)) refuse(m.name, key)
+      }
+    }
     val healed = metas.map { m =>
       if (m.isCoordinate || m.shape(0) == committedS0) m
       else {
@@ -940,7 +1028,11 @@ object ZarrCubeWrite {
     * padding the final edge chunk with the declared fill value. */
   private def writeCoordChunks(
       store: ZarrStore, m: ZarrArrayMeta, newVals: Array[Any],
-      fromChunk: Int, newLen: Long): Unit = {
+      fromChunk: Int, newLen: Long,
+      // chunks below `replaceBelow` are COMMITTED objects: their rewrite
+      // is staged under `stageDir` and swapped in with a single-object
+      // replace, never truncated in place
+      replaceBelow: Int = 0, stageDir: String = ""): Unit = {
     val cs = m.chunkShape(0)
     val chain = Codecs.bytesCodecs(m.codecs,
       if (m.dataType.byteWidth > 0) m.dataType.byteWidth else 1)
@@ -967,8 +1059,15 @@ object ZarrCubeWrite {
           val enc = ZarrDataWriter.encode(m.dataType, vals.toSeq, order)
           chain.foldLeft(enc)((b, cc) => cc.encode(b))
       }
-      store.writeChunk(m.name, m.chunkKey(Array(ci)), packed)
+      val key = m.chunkKey(Array(ci))
+      if (ci < replaceBelow) {
+        store.writeChunk(m.name, s"$stageDir/$key", packed)
+        store.replaceKey(s"${m.name}/$stageDir/$key", s"${m.name}/$key")
+      } else store.writeChunk(m.name, key, packed)
     }
+    // the swap MOVES staged objects out; drop the emptied staging dir
+    if (stageDir.nonEmpty && fromChunk < replaceBelow)
+      store.cleanStaging(m.name, stageDir)
   }
 
   /** Parse a stats-segment document for trimming. Returns None — caller
@@ -1081,7 +1180,13 @@ object ZarrCubeWrite {
       stats: Boolean,
       rowsPerTask: Long,
       expectRows: Long,
-      expectChunks: Long): Unit = {
+      expectChunks: Long,
+      // chunks with ordinal < stageBelowOrd rewrite COMMITTED objects:
+      // they land under `<array>/<stageDir>/` (invisible to readers,
+      // vacuum-reclaimable) and the caller swaps them into place only
+      // after the whole slab is durable
+      stageBelowOrd: Long = 0L,
+      stageDir: String = ""): Unit = {
     // scalastyle:on parameter.number
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
@@ -1140,11 +1245,14 @@ object ZarrCubeWrite {
     val pairs = hadoopPairs
 
     import spark.implicits._
+    val stageBelow = stageBelowOrd
+    val stageDirName = stageDir
     val written = shuffled.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else Iterator.single(ZarrCubeWrite.assemblePartition(
         it, root, pairs, dataNames, dataJsonArr, dimsArr, dimZtArr,
-        axesB.value, shapeArr, chunkArr, gridArr, statsOn))
+        axesB.value, shapeArr, chunkArr, gridArr, statsOn,
+        stageBelow, stageDirName))
     }.collect()
 
     val rowsWritten = written.map(_._1).sum
@@ -1170,7 +1278,9 @@ object ZarrCubeWrite {
       shape: Array[Long],
       chunkShape: Array[Int],
       grid: Array[Int],
-      stats: Boolean): (Long, Long) = {
+      stats: Boolean,
+      stageBelowOrd: Long = 0L,
+      stageDir: String = ""): (Long, Long) = {
     val store = ZarrStore(root, hadoopPairs)
     val ndim = grid.length
     val ncols = dataNames.length
@@ -1291,7 +1401,12 @@ object ZarrCubeWrite {
               scala.collection.immutable.ArraySeq.unsafeWrapArray(stored), orders(c))
             chains(c).foldLeft(enc)((b, cc) => cc.encode(b))
         }
-        store.writeChunk(dataNames(c), metas(c).chunkKey(idx), packed)
+        // a committed object's rewrite is staged, never truncated in
+        // place: the caller swaps it in only after the slab is durable
+        val key =
+          if (curOrd < stageBelowOrd) s"$stageDir/${metas(c).chunkKey(idx)}"
+          else metas(c).chunkKey(idx)
+        store.writeChunk(dataNames(c), key, packed)
         c += 1
       }
       if (stats) {

@@ -203,13 +203,22 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   /** Committed stats segments: (firstChunkOrdinal, nChunks), sorted. One
     * LIST of `_stats/` — segment ordinal ranges live in the names, so a
     * reader learns which segments cover its chunk range without a read. */
-  def listStatsSegments(): Seq[(Long, Int)] = {
+  /** Every committed stats-segment file physically present, sorted by
+    * first ordinal, WITHOUT the overlap suppression [[listStatsSegments]]
+    * applies. Writers retiring segments must walk this raw listing:
+    * overlap-suppressed files are exactly the leftovers of a failed
+    * write whose ordinals are being reused, and skipping them would
+    * leave them on disk to overlap (and suppress) the fresh segments. */
+  def listStatsSegmentsRaw(): Seq[(Long, Int)] = {
     val dir = new Path(rootPath, ChunkStats.dirName)
-    val raw =
-      try fs.listStatus(dir).toSeq
-        .flatMap(st => ChunkStats.parseSegmentName(st.getPath.getName))
-        .sortBy(_._1)
-      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    try fs.listStatus(dir).toSeq
+      .flatMap(st => ChunkStats.parseSegmentName(st.getPath.getName))
+      .sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
+  def listStatsSegments(): Seq[(Long, Int)] = {
+    val raw = listStatsSegmentsRaw()
     // drop BOTH sides of any range overlap: two segments claiming one
     // chunk ordinal means one is stale (e.g. left by a failed write whose
     // ordinals a later append reused) and there is no way to tell which
@@ -264,6 +273,35 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     if (!fs.rename(new Path(rootPath, fromKey), to))
       throw new ZarrException(s"rename failed: $fromKey -> $toKey")
   }
+
+  /** Move a staged object over a COMMITTED key without a window in which
+    * the destination is absent or torn. Prefers FileContext rename with
+    * OVERWRITE (an atomic swap on POSIX and HDFS); falls back to
+    * [[rename]]'s delete-then-rename where FileContext is unsupported —
+    * there a crash between the two steps leaves the destination absent,
+    * but the staged source survives, so a retry of the same operation
+    * heals it. On single-object-PUT stores (S3) the replace is a
+    * single-object copy: a reader observes the old or the new object,
+    * never a partial one. */
+  def replaceKey(fromKey: String, toKey: String): Unit = {
+    val from = new Path(rootPath, fromKey)
+    val to = new Path(rootPath, toKey)
+    fs.mkdirs(to.getParent)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(rootPath).toUri, conf)
+      fc.rename(fs.makeQualified(from), fs.makeQualified(to),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        rename(fromKey, toKey)
+    }
+  }
+
+  /** Whether a chunk object is physically present (existence probe only;
+    * no bytes are read). */
+  def chunkObjectExists(arrayName: String, key: String): Boolean =
+    fs.exists(new Path(rootPath, s"$arrayName/$key"))
 
   def deleteKey(key: String): Unit = {
     val p = new Path(rootPath, key)

@@ -328,6 +328,96 @@ class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == before, "a refused append must leave the store untouched")
   }
 
+  test("ragged edge rewrite is staged + swapped: no c.part leftovers; a crashed attempt's staging is invisible and vacuum reclaims it") {
+    val path = s"$base/staged"
+    writeBase(path, 3) // extent 3, chunk0=2 — committed partial edge row
+    // simulate a CRASHED earlier ragged append: staged edge objects left
+    // under a write-scoped c.part dir (never swapped in)
+    val deadDir = Paths.get(path, "temp", "c.partdead00-edge", "c", "1", "0", "0")
+    Files.createDirectories(deadDir.getParent)
+    Files.write(deadDir, Array[Byte](1, 2, 3))
+    // staging keys are invisible to readers
+    val before = spark.read.format("zarr").load(path)
+      .select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(before == slab(0, 3).select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq,
+      "a crashed attempt's staging dir must not change what readers see")
+
+    appendSlab(slab(3, 5), path) // ragged: edge row staged, then swapped
+
+    val back = spark.read.format("zarr").load(path)
+      .select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(back == slab(0, 5).select("time", "lat", "lon", "temp", "n")
+      .orderBy("time", "lat", "lon").collect().toSeq)
+    // the append's own staging dirs are gone; only the dead one remains
+    import scala.jdk.CollectionConverters._
+    def stagingDirs(): Seq[String] =
+      ZarrStore(path, Nil).listArrays().flatMap { a =>
+        val d = Paths.get(path, a)
+        Files.list(d).iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("c.part"))
+          .map(p => s"$a/${p.getFileName}").toSeq
+      }
+    assert(stagingDirs() == Seq("temp/c.partdead00-edge"),
+      s"append must clean its own staging; got ${stagingDirs()}")
+    // vacuum reclaims the crashed attempt's staging dir
+    ZarrMaintenance.vacuum(spark, path).collect()
+    assert(stagingDirs().isEmpty, "vacuum must reclaim orphaned edge staging")
+    // and the store still reads value-exact afterwards
+    assert(spark.read.format("zarr").load(path).count() == 5 * 35)
+  }
+
+  test("forward heal refuses when the grown region's chunks are absent") {
+    val path = s"$base/heal_probe"
+    writeBase(path, 4) // aligned, grid0 = 2
+    val store = ZarrStore(path, Nil)
+    // hand-advance the coordinate meta past the data arrays WITHOUT any
+    // chunk objects for the grown region — the shape[0]-only-incongruent
+    // signature of a torn commit, but physically NOT one (an interrupted
+    // commit always writes chunks first)
+    val mTime = store.readMeta("time")
+    store.writeMeta("time", ZarrMeta.withShape0(mTime.sourceJson, 6L))
+    val e = intercept[Exception] { appendSlab(slab(6, 7), path) }
+    assert(e.getMessage.contains("heal refused"), e.getMessage)
+    assert(e.getMessage.contains("absent"), e.getMessage)
+    // the data arrays were NOT silently advanced
+    assert(store.readMeta("temp").shape(0) == 4L,
+      "a refused forward heal must not advance data extents")
+  }
+
+  test("crash leftovers of a failed append's stats segments are retired even when overlap-suppressed") {
+    val path = s"$base/stale_seg"
+    writeBase(path, 3, chunk0 = 2) // extent 3 (ragged), grid 2x3x2 = 12
+    val store = ZarrStore(path, Nil)
+    // simulate a crashed (no-abort) ragged append: its fresh segments
+    // start at the edge ordinal and survive on disk. edgeStart for
+    // chunk0=2, extent 3 is ordinal 6 (second chunk-row).
+    store.writeText(ChunkStats.segmentKey(6L, 6), "{\"not\":\"a real segment\"}")
+    // the leftover overlaps committed coverage, so the reader suppresses
+    // BOTH sides of the overlap — precisely why retirement must walk the
+    // raw listing, not this view
+    assert(!store.listStatsSegments().contains((6L, 6)))
+
+    appendSlab(slab(3, 5), path) // ragged append reuses ordinal 6+
+
+    // the leftover file is GONE and the fresh slab segments are
+    // unsuppressed: coverage from the edge ordinal onward is complete
+    // (grown grid 3x3x2 = 18 ordinals; the edge row starts at 6)
+    val segs = store.listStatsSegmentsRaw()
+    assert(!segs.contains((6L, 6)) ||
+      store.readText(ChunkStats.segmentKey(6L, 6)).exists(_.contains("zarr_grid")),
+      s"stale leftover must be deleted (raw: $segs)")
+    val covered = store.listStatsSegments()
+      .flatMap { case (f, n) => f until (f + n) }.toSet
+    assert((6L until 18L).forall(covered),
+      s"fresh slab segments must be unsuppressed; covered=$covered")
+    // value-exactness unaffected
+    assert(spark.read.format("zarr").load(path).count() == 5 * 35)
+  }
+
   test("non-cube targets are refused: tabular store, missing store") {
     val sp = spark; import sp.implicits._
     val tab = s"$base/tabular"
