@@ -521,25 +521,57 @@ object ZarrRoundtrip {
     * (`countStored = true`, one recursive LIST per array, zero chunk
     * reads) — describing a 100 TB store costs the same as this 12×20
     * one. The grid shape is SF-independent (12 days × the fixed 20
-    * sources), so one literal serves all SFs; the store is dense, so
-    * stored objects equal grid slots here (`ZarrV2Spec` pins the
-    * sparse divergence on a deleted-chunk store). */
+    * sources), so one literal serves all SFs. Two stores under one
+    * literal: the DENSE sharded store (stored objects equal grid
+    * slots) and a SPARSE sibling with one data chunk object deleted —
+    * its `n_stored_objects` row (15 < 16) oracle-pins that the stored
+    * count reports physical objects, not grid capacity, while the
+    * sidecar coverage stays whole (absent chunks are fill-value
+    * semantics, not missing stats). */
   private lazy val q132 = QueryDef.sql(
     "q132_zarr_describe",
     """SELECT * FROM (VALUES
-      |  ('day','coordinate',3,'int64','12','8',NULL,'bytes,blosc','day',2::BIGINT,2::BIGINT,2::BIGINT),
-      |  ('n_docs','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT,6::BIGINT),
-      |  ('source','coordinate',3,'string','20','8',NULL,'vlen-utf8,blosc','source',3::BIGINT,3::BIGINT,3::BIGINT),
-      |  ('sum_chars','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT,6::BIGINT)
-      |) t(array_name, kind, format_version, dtype, shape, chunk_shape,
+      |  ('sharded','day','coordinate',3,'int64','12','8',NULL,'bytes,blosc','day',2::BIGINT,2::BIGINT,2::BIGINT),
+      |  ('sharded','n_docs','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT,6::BIGINT),
+      |  ('sharded','source','coordinate',3,'string','20','8',NULL,'vlen-utf8,blosc','source',3::BIGINT,3::BIGINT,3::BIGINT),
+      |  ('sharded','sum_chars','data',3,'int64','12x20','8x8','2x4','sharding_indexed','day,source',6::BIGINT,6::BIGINT,6::BIGINT),
+      |  ('sparse','day','coordinate',3,'int64','12','3',NULL,'bytes,blosc','day',4::BIGINT,4::BIGINT,4::BIGINT),
+      |  ('sparse','n_docs','data',3,'int64','12x20','3x5',NULL,'bytes,blosc','day,source',16::BIGINT,15::BIGINT,16::BIGINT),
+      |  ('sparse','source','coordinate',3,'string','20','5',NULL,'vlen-utf8,blosc','source',4::BIGINT,4::BIGINT,4::BIGINT),
+      |  ('sparse','sum_chars','data',3,'int64','12x20','3x5',NULL,'bytes,blosc','day,source',16::BIGINT,16::BIGINT,16::BIGINT)
+      |) t(store, array_name, kind, format_version, dtype, shape, chunk_shape,
       |    shard_inner_shape, codecs, dimension_names, n_grid_chunks,
       |    n_stored_objects, stats_covered_chunks)
-      |ORDER BY array_name""".stripMargin) { (s, dir) =>
+      |ORDER BY store, array_name""".stripMargin) { (s, dir) =>
     val store = ensureShardedCubeStore(s, dir)
+    val sparse = ensureSparseDescribeStore(s, dir)
     graft.zarr.ZarrInfo.describe(s, store, countStored = true)
+      .withColumn("store", lit("sharded"))
+      .unionByName(graft.zarr.ZarrInfo.describe(s, sparse, countStored = true)
+        .withColumn("store", lit("sparse")))
       .withColumnRenamed("array", "array_name")
-      .orderBy("array_name")
+      .select(col("store"), col("array_name"), col("kind"),
+        col("format_version"), col("dtype"), col("shape"), col("chunk_shape"),
+        col("shard_inner_shape"), col("codecs"), col("dimension_names"),
+        col("n_grid_chunks"), col("n_stored_objects"),
+        col("stats_covered_chunks"))
+      .orderBy("store", "array_name")
   }
+
+  /** Build the q132 SPARSE store: the day×source cube (chunk 3×5, grid
+    * 4×4 = 16 chunks per data array) with ONE committed n_docs chunk
+    * object deleted — a legal sparse store (that chunk reads as fill
+    * values) whose true stored-object count diverges from grid
+    * capacity. */
+  private def ensureSparseDescribeStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubesparse|c3x5", "/tmp/graft_zarr_sparse_desc") {
+      (dense, path) =>
+        dense.write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "3,5")
+          .save(path)
+        Files.delete(Paths.get(path, "n_docs", "c", "0", "0"))
+    }
 
   /** q133: the streaming CUBE SINK under the oracle gate — the shared
     * day×source grid delivered as four 3-day micro-batch slabs through
@@ -626,6 +658,12 @@ object ZarrRoundtrip {
       s"vacuum left n_docs at ${after("n_docs")}, want (16,16)")
     require(s.read.format("zarr").load(store).count() == 12L * 20L,
       "vacuum must not change the store's readable contents")
+    // the polluted copy is single-use; reclaim its UUID dir now that the
+    // result is materialized — the vacuum demo must not itself litter
+    // /tmp across warmup + bench + verify invocations
+    val copyRoot = Paths.get(store).getParent
+    Files.walk(copyRoot).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p): Unit)
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava),

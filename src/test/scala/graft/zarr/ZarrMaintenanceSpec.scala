@@ -307,6 +307,86 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.mkString(","))
   }
 
+  test("vacuum on a SHARDED cube: orphan shard beyond the grid deleted, live edge shards kept") {
+    // a deleting walk must know that a sharded array's stored grid is
+    // the SHARD grid: judging shard keys against the inner-chunk grid
+    // would either spare orphans (grid too big) or delete live edge
+    // shards (extent-truncated, still holding committed data)
+    val base = Files.createTempDirectory("zarr-vacuum-shard").toString
+    val path = s"$base/cube"
+    val sp = spark; import sp.implicits._
+    (for (a <- 0 until 5; b <- 0 until 4) yield
+      (a.toLong, b.toLong, (a * 10 + b).toDouble))
+      .toDF("a", "b", "v").write.format("zarr").mode("append")
+      .option("dims", "a,b")
+      .option("chunk_shape", "2,2").option("shard_shape", "4,4")
+      .save(path)
+    val store = ZarrStore(path)
+    val mV = store.readMeta("v")
+    assume(mV.shardingSpec.isDefined, "expected a sharded data array")
+    // stored grid = shard grid: ceil(5/4) x ceil(4/4) = 2 x 1; c/1/0 is
+    // the live EDGE shard (1 of 4 inner rows real)
+    assert(mV.gridShape.toSeq == Seq(2, 1))
+    assert(store.chunkObjectExists("v", "c/1/0"), "edge shard present")
+    val cleanRead = spark.read.format("zarr").load(path)
+      .orderBy("a", "b").collect().toSeq
+
+    // orphan shard object beyond the committed shard grid (crashed write)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v", "c", "3"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "v", "c", "3", "0"), Array[Byte](7))
+
+    val counts = ZarrMaintenance.vacuum(spark, path).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(counts("v") == ((1L, 0L, 0L)), counts.toString)
+    assert(!store.chunkObjectExists("v", "c/3/0"), "orphan shard must be deleted")
+    assert(store.chunkObjectExists("v", "c/1/0"), "live edge shard must survive")
+    assert(spark.read.format("zarr").load(path)
+      .orderBy("a", "b").collect().toSeq == cleanRead,
+      "vacuum must not change a sharded store's readable contents")
+    val again = ZarrMaintenance.vacuum(spark, path).collect()
+    assert(again.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+  }
+
+  test("vacuum on a v2 dot-key store: absent chunks are not garbage; out-of-grid dot-keys are") {
+    val fixture = new java.io.File("src/test/resources/zarr_v2_2d")
+    assume(fixture.isDirectory, "v2 fixture present")
+    // vacuum deletes; always work on a copy of the committed fixture
+    val base = Files.createTempDirectory("zarr-vacuum-v2").toString
+    val path = s"$base/v2store"
+    val src = fixture.toPath
+    java.nio.file.Files.walk(src).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val t = java.nio.file.Paths.get(path).resolve(src.relativize(p).toString)
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+    // a DELETED chunk (legal sparse store: reads as fill values) …
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "temp", "0.1"))
+    val sparseRead = spark.read.format("zarr").load(path)
+      .orderBy("temp", "pressure", "counts").collect().toSeq
+    // … plus true garbage: dot-keys beyond the 2x2 grid / of wrong rank
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "temp", "9.9"), Array[Byte](1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "counts", "0.0.0"), Array[Byte](2))
+
+    val counts = ZarrMaintenance.vacuum(spark, path).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(counts("temp") == ((1L, 0L, 0L)), counts.toString)
+    assert(counts("counts") == ((1L, 0L, 0L)), counts.toString)
+    // the absent chunk stays absent (not "healed", nothing else deleted):
+    // identical sparse reads, and every surviving dot-key object intact
+    assert(spark.read.format("zarr").load(path)
+      .orderBy("temp", "pressure", "counts").collect().toSeq == sparseRead,
+      "vacuum must not change a sparse v2 store's readable contents")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "temp", "0.1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "temp", "0.0")))
+    val again = ZarrMaintenance.vacuum(spark, path).collect()
+    assert(again.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+  }
+
   test("vacuum keeps manifest-referenced part dirs of a staged tabular store") {
     val base = Files.createTempDirectory("zarr-vacuum-tab").toString
     val path = s"$base/tab"
