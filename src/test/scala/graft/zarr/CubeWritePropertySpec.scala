@@ -8,7 +8,9 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property test for the N-D cube write → DSv2 scan roundtrip: for
-  * ARBITRARY grids (1–4 dims, axis lengths that force edge chunks on
+  * ARBITRARY grids (1–8 dims — a third of the cases exercise the 5–8-D
+  * range up to the writer's cap, with short axes so the dense cell
+  * product stays cheap —, axis lengths that force edge chunks on
   * any dimension, long/double/string coordinate types, multiple data
   * columns, chunk shapes that may exceed the axis) the store must hold
   * exactly the input's value at every coordinate, and the write-time
@@ -48,11 +50,14 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("roundtrip: arbitrary 1-4D grids, mixed coord types, edge chunks — per-coordinate value identity") {
+  test("roundtrip: arbitrary 1-8D grids, mixed coord types, edge chunks — per-coordinate value identity") {
     (1 to 30).foreach { caseNo =>
       val path = s"$base/case$caseNo"
-      val ndim = 1 + rnd.nextInt(4)
-      val axes = IndexedSeq.fill(ndim)(genAxis())
+      // every third case probes the 5-8-D range (the writer's cap is 8);
+      // high-D axes stay short so the dense product stays <= 3^8
+      val ndim = if (caseNo % 3 == 0) 5 + rnd.nextInt(4) else 1 + rnd.nextInt(4)
+      val axes = IndexedSeq.fill(ndim)(
+        if (ndim > 4) genAxisOfLength(1 + rnd.nextInt(3)) else genAxis())
       // chunk extent may EXCEED the axis (single padded chunk) — a shape
       // the example spec never tries
       val chunkShape = axes.map(a => 1 + rnd.nextInt(a._2.length + 1))
@@ -108,7 +113,8 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("append roundtrip: arbitrary grids split along dim 0 — per-coordinate value identity") {
     (1 to 15).foreach { caseNo =>
       val path = s"$base/app$caseNo"
-      val ndim = 1 + rnd.nextInt(4)
+      // every fifth case appends at 5-6 dims (short trailing axes)
+      val ndim = if (caseNo % 5 == 0) 5 + rnd.nextInt(2) else 1 + rnd.nextInt(4)
       // dim-0: base extent may be RAGGED (not a multiple of the stored
       // chunk/shard extent — append folds the committed edge chunk-row
       // back into the slab) plus a nonempty slab whose final extent may
@@ -121,7 +127,8 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val baseLen = outer0 * (1 + rnd.nextInt(3)) + rnd.nextInt(outer0)
       val slabLen = 1 + rnd.nextInt(5)
       val (dt0, axis0) = genAxisOfLength(baseLen + slabLen)
-      val trailing = IndexedSeq.fill(ndim - 1)(genAxis())
+      val trailing = IndexedSeq.fill(ndim - 1)(
+        if (ndim > 4) genAxisOfLength(1 + rnd.nextInt(3)) else genAxis())
       val axes = (dt0, axis0) +: trailing
       val chunkShape = chunk0 +: trailing.map(a => 1 + rnd.nextInt(a._2.length + 1))
       val shardShape =
@@ -180,7 +187,8 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("region roundtrip: arbitrary grids, chunk-aligned dim-0 swaps — new values in, rest untouched") {
     (1 to 15).foreach { caseNo =>
       val path = s"$base/reg$caseNo"
-      val ndim = 1 + rnd.nextInt(4)
+      // every fifth case swaps a region at 5-6 dims (short trailing axes)
+      val ndim = if (caseNo % 5 == 0) 5 + rnd.nextInt(2) else 1 + rnd.nextInt(4)
       // dim-0 long enough for several chunk rows; region = a random
       // chunk-aligned run (may start at 0, may end at the axis end —
       // including a ragged final chunk)
@@ -193,7 +201,8 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val outer0 = chunk0 * mult0
       val len0 = outer0 * (2 + rnd.nextInt(3)) + rnd.nextInt(outer0)
       val (dt0, axis0) = genAxisOfLength(len0)
-      val trailing = IndexedSeq.fill(ndim - 1)(genAxis())
+      val trailing = IndexedSeq.fill(ndim - 1)(
+        if (ndim > 4) genAxisOfLength(1 + rnd.nextInt(3)) else genAxis())
       val axes = (dt0, axis0) +: trailing
       val chunkShape = chunk0 +: trailing.map(a => 1 + rnd.nextInt(a._2.length + 1))
       val shardShape =
