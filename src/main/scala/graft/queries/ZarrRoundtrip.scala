@@ -545,7 +545,9 @@ object ZarrRoundtrip {
       |ORDER BY store, array_name""".stripMargin) { (s, dir) =>
     val store = ensureShardedCubeStore(s, dir)
     val sparse = ensureSparseDescribeStore(s, dir)
-    graft.zarr.ZarrInfo.describe(s, store, countStored = true)
+    // one store counted DISTRIBUTED (sharded), one driver-side (sparse):
+    // both counting schedulers stay under the oracle gate
+    graft.zarr.ZarrInfo.describe(s, store, countStored = true, distributed = true)
       .withColumn("store", lit("sharded"))
       .unionByName(graft.zarr.ZarrInfo.describe(s, sparse, countStored = true)
         .withColumn("store", lit("sparse")))
@@ -647,7 +649,10 @@ object ZarrRoundtrip {
       |) t(target, orphan_chunks, staging_dirs, phantom_segments)
       |ORDER BY target""".stripMargin) { (s, dir) =>
     val store = buildPollutedStore(s, dir)
-    val out = graft.zarr.ZarrMaintenance.vacuum(s, store).orderBy("target")
+    // the DISTRIBUTED walk under the oracle gate (the driver-side twin
+    // is literal-pinned equal in ZarrMaintenanceSpec)
+    val out = graft.zarr.ZarrMaintenance.vacuum(s, store, distributed = true)
+      .orderBy("target")
     // force the vacuum before asserting the store is clean and intact
     val rows = out.collect()
     val after = graft.zarr.ZarrInfo.describe(s, store, countStored = true)

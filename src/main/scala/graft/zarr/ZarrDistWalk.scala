@@ -1,0 +1,142 @@
+package graft.zarr
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Sharded walks over a store's stored objects — the 100 TB shape of
+  * the maintenance/observability surface. A driver-side recursive LIST
+  * is exact but serial: on an object store holding millions of chunk
+  * objects it becomes the bottleneck of `vacuum` and
+  * `describe(countStored)`. This planner cuts each array's key space
+  * into independently walkable units after only TWO driver LIST levels
+  * (array dir + its child dirs): every grandchild DIRECTORY becomes a
+  * recursive `subtree` unit (for a cube that is one unit per dim-0
+  * chunk row — natural, even parallelism), and each child dir
+  * additionally yields one files-only unit for its direct file
+  * children (1-D layouts: `c/<i>` files). Units are plain strings, so
+  * they ship to executors; each task opens its own FileSystem from the
+  * same `fs.*` conf pairs every executor-side store access uses.
+  *
+  * The SAME planner and per-unit visitors serve the driver-side mode —
+  * one implementation, two schedulers — so distributed and local
+  * results cannot drift. */
+private[zarr] object ZarrDistWalk {
+
+  val metaDocNames: Set[String] =
+    Set("zarr.json", ".zarray", ".zattrs", ".zgroup")
+
+  /** One independently walkable slice of an array's key space:
+    * everything under `rel` when `subtree`, else only the direct FILE
+    * children of `rel`. `rel` is relative to the array dir. */
+  final case class WalkUnit(array: String, rel: String, subtree: Boolean)
+
+  private def openFs(root: String, pairs: Seq[(String, String)]): (FileSystem, Path) = {
+    val conf = new Configuration()
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    fs.setVerifyChecksum(false)
+    fs.setWriteChecksum(false)
+    (fs, p)
+  }
+
+  /** Chunk-grid indices a key-shaped relative path addresses, or None
+    * for non-key-shaped names. Handles every layout the engine reads:
+    * v3 '/'-separated (`c/0/1`), v3 '.'-separated flat (`c.0.1`), v2
+    * flat (`0.1`). */
+  def keyIndices(rel: String): Option[Seq[Long]] = {
+    val parts0 = rel.split('/').toSeq.flatMap(_.split('.').toSeq)
+    val parts = if (parts0.headOption.contains("c")) parts0.tail else parts0
+    if (parts.isEmpty || !parts.forall(p => p.nonEmpty && p.forall(_.isDigit))) None
+    else Some(parts.map(_.toLong))
+  }
+
+  /** A key-shaped path addressing a slot OUTSIDE the committed grid
+    * (wrong rank or any index past its extent). Non-key-shaped names
+    * are never orphans — foreign files are surfaced, not deleted. */
+  def orphaned(rel: String, grid: Seq[Long]): Boolean =
+    keyIndices(rel).exists(idx =>
+      idx.length != grid.length ||
+        idx.zip(grid).exists { case (i, g) => i >= g })
+
+  /** Two driver LISTs deep: returns (direct non-metadata FILE names of
+    * the array dir, `c.part*` child-dir names, walk units over every
+    * other child dir). Staging dirs are excluded from the units — the
+    * caller owns the manifest-aware staging decision (vacuum) or adds
+    * them back as subtree units (stored-object counting, which counts
+    * manifest part files too). */
+  def planArray(
+      fs: FileSystem, root: Path, array: String): (Seq[String], Seq[String], Seq[WalkUnit]) = {
+    val dir = new Path(root, array)
+    val children =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val topFiles = children.collect {
+      case st if !st.isDirectory && !metaDocNames.contains(st.getPath.getName) =>
+        st.getPath.getName
+    }.toSeq
+    val staging = children.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("c.part") =>
+        st.getPath.getName
+    }.toSeq
+    val units = children.toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("c.part"))
+      .flatMap { st =>
+        val c = st.getPath.getName
+        val grandkids =
+          try fs.listStatus(st.getPath)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        WalkUnit(array, c, subtree = false) +: grandkids.collect {
+          case g if g.isDirectory =>
+            WalkUnit(array, s"$c/${g.getPath.getName}", subtree = true)
+        }.toSeq
+      }
+    (topFiles, staging, units)
+  }
+
+  /** Count the unit's stored files (metadata-document names excluded at
+    * any depth — the [[ZarrStore.countStoredChunkObjects]] contract). */
+  def countUnit(root: String, pairs: Seq[(String, String)], u: WalkUnit): Long = {
+    val (fs, rp) = openFs(root, pairs)
+    val base = new Path(new Path(rp, u.array), u.rel)
+    var n = 0L
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (!metaDocNames.contains(st.getPath.getName)) n += 1
+    }
+    try {
+      if (u.subtree) walk(base)
+      else fs.listStatus(base).foreach { st =>
+        if (!st.isDirectory && !metaDocNames.contains(st.getPath.getName)) n += 1
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    n
+  }
+
+  /** Delete the unit's orphan key-shaped files (slots outside `grid`);
+    * returns how many were deleted. Never touches directories,
+    * metadata documents, or non-key-shaped (foreign) files. */
+  def vacuumUnit(
+      root: String, pairs: Seq[(String, String)], u: WalkUnit,
+      grid: Seq[Long]): Long = {
+    val (fs, rp) = openFs(root, pairs)
+    val base = new Path(new Path(rp, u.array), u.rel)
+    var deleted = 0L
+    def visitFile(p: Path, rel: String): Unit =
+      if (orphaned(rel, grid)) { fs.delete(p, false); deleted += 1 }
+    def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
+      val childRel = s"$rel/${st.getPath.getName}"
+      if (st.isDirectory) walk(st.getPath, childRel)
+      else visitFile(st.getPath, childRel)
+    }
+    try {
+      if (u.subtree) walk(base, u.rel)
+      else fs.listStatus(base).foreach { st =>
+        if (!st.isDirectory) visitFile(st.getPath, s"${u.rel}/${st.getPath.getName}")
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    deleted
+  }
+}

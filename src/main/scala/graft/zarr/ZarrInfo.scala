@@ -33,15 +33,20 @@ object ZarrInfo {
     * addressable chunk slots — a zarr array may store fewer objects:
     * absent chunks read as fill values, and a sharded array packs many
     * inner chunks per stored shard object). `n_stored_objects` is the
-    * TRUE stored-object count, exact but costing one recursive LIST per
+    * TRUE stored-object count, exact but costing a recursive LIST per
     * array — opt-in via `countStored` so the default keeps the one-GET
-    * contract (NULL when not counted). An operator sizing a compaction
-    * or migration must use `n_stored_objects`, never the capacity.
+    * contract (NULL when not counted); with `distributed = true` the
+    * LIST is sharded by [[ZarrDistWalk]] and counted in ONE Spark job —
+    * the 100 TB shape, where a serial driver LIST over millions of
+    * objects is the bottleneck (identical counts by construction; both
+    * modes are spec-pinned equal). An operator sizing a compaction or
+    * migration must use `n_stored_objects`, never the capacity.
     * `stats_covered_chunks` is the store-level sidecar coverage clamped
     * to each array's own grid (coverage counts grid ordinals, which can
     * exceed a 1-D coordinate's chunk count on an N-D store). */
   def describe(
-      spark: SparkSession, path: String, countStored: Boolean = false): DataFrame = {
+      spark: SparkSession, path: String, countStored: Boolean = false,
+      distributed: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
     val pairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
@@ -54,6 +59,37 @@ object ZarrInfo {
     // clamped to the row's own grid — so a bare `describe(...).show()`
     // reads complete
     val covered = store.listStatsSegments().map(_._2.toLong).sum
+    val storedCounts: Map[String, Long] =
+      if (!countStored) Map.empty
+      else if (!distributed)
+        metas.map(m => m.name -> store.countStoredChunkObjects(m.name)).toMap
+      else {
+        // shard every array's key space into units (staging dirs count
+        // too — manifest part files are stored objects) and count them
+        // in one job; top-level files were already listed by the plan
+        val conf = spark.sessionState.newHadoopConf()
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(conf)
+        val planned = metas.map { m =>
+          val (topFiles, stagingDirs, units) = ZarrDistWalk.planArray(fs, root, m.name)
+          (m.name, topFiles.size.toLong,
+            units ++ stagingDirs.map(sd =>
+              ZarrDistWalk.WalkUnit(m.name, sd, subtree = true)))
+        }
+        val jobUnits = planned.flatMap(_._3)
+        val unitCounts: Map[String, Long] =
+          if (jobUnits.isEmpty) Map.empty
+          else {
+            val parts = math.min(jobUnits.size,
+              math.max(1, spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(jobUnits, parts)
+              .map(u => u.array -> ZarrDistWalk.countUnit(path, pairs, u))
+              .reduceByKey(_ + _).collect().toMap
+          }
+        planned.map { case (name, top, _) =>
+          name -> (top + unitCounts.getOrElse(name, 0L))
+        }.toMap
+      }
     val rows = metas.sortBy(m => (!m.isCoordinate, m.name)).map { m =>
       val gridChunks = m.gridShape.map(_.toLong).product
       Row(
@@ -67,7 +103,7 @@ object ZarrInfo {
         m.codecs.map(_.name).mkString(","),
         m.dimensionNames.map(_.mkString(",")).orNull,
         gridChunks,
-        if (countStored) Long.box(store.countStoredChunkObjects(m.name)) else null,
+        if (countStored) Long.box(storedCounts(m.name)) else null,
         math.min(covered, gridChunks))
     }
     spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)

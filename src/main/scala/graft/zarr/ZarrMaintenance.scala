@@ -401,11 +401,20 @@ object ZarrMaintenance {
     *
     * Returns one row per array plus a `_stats` row:
     * `(target, orphan_chunks, staging_dirs, phantom_segments)`.
-    * Driver-side, O(stored objects) LIST + parse — maintenance cost,
-    * like compact/analyze. Contract: one maintainer at a time (the
-    * same single-writer assumption every commit path documents) — a
+    * Maintenance cost, like compact/analyze. The walk is planned by
+    * [[ZarrDistWalk]] (two driver LIST levels → independent units);
+    * `distributed = true` runs the units as ONE Spark job — the 100 TB
+    * shape, where a store can hold millions of objects and a serial
+    * driver LIST is the bottleneck — while `false` (default) runs them
+    * inline on the driver, appropriate for small stores where job
+    * dispatch would dominate. Both modes execute the SAME per-unit
+    * visitor, so their results are identical by construction (and
+    * spec-pinned). Contract: one maintainer at a time (the same
+    * single-writer assumption every commit path documents) — a
     * concurrent writer's in-flight staging would read as garbage. */
-  def vacuum(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+  def vacuum(
+      spark: SparkSession, path: String,
+      distributed: Boolean = false): org.apache.spark.sql.DataFrame = {
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
@@ -416,43 +425,47 @@ object ZarrMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val metaDocs = Set("zarr.json", ".zarray", ".zattrs", ".zgroup")
 
-    /** Chunk-grid indices a key-shaped relative path addresses, or None
-      * for non-key-shaped names. Handles every layout the engine reads:
-      * v3 '/'-separated (`c/0/1`), v3 '.'-separated flat (`c.0.1`), v2
-      * flat (`0.1`). */
-    def keyIndices(rel: String): Option[Seq[Long]] = {
-      val parts0 = rel.split('/').toSeq.flatMap(_.split('.').toSeq)
-      val parts = if (parts0.headOption.contains("c")) parts0.tail else parts0
-      if (parts.isEmpty || !parts.forall(p => p.nonEmpty && p.forall(_.isDigit))) None
-      else Some(parts.map(_.toLong))
-    }
-
-    val arrayRows = metas.sortBy(_.name).map { m =>
-      val grid = m.gridShape.map(_.toLong)
+    // driver pass (two LIST levels per array): direct-file orphans, the
+    // manifest-aware staging decision, and the walk-unit plan
+    val planned = metas.sortBy(_.name).map { m =>
+      val grid: Seq[Long] = m.gridShape.map(_.toLong).toSeq
       val arrayDir = new Path(root, m.name)
+      val (topFiles, stagingDirs, units) = ZarrDistWalk.planArray(fs, root, m.name)
       var orphans = 0L
       var staging = 0L
-      def orphaned(rel: String): Boolean = keyIndices(rel).exists(idx =>
-        idx.length != grid.length ||
-          idx.zip(grid.toSeq).exists { case (i, g) => i >= g })
-      def walk(p: Path, rel: String): Unit =
-        fs.listStatus(p).foreach { st =>
-          val childRel = s"$rel/${st.getPath.getName}"
-          if (st.isDirectory) walk(st.getPath, childRel)
-          else if (orphaned(childRel)) { fs.delete(st.getPath, false); orphans += 1 }
-        }
-      fs.listStatus(arrayDir).foreach { st =>
-        val nm = st.getPath.getName
-        if (st.isDirectory && nm.startsWith("c.part")) {
-          if (!partDirs.contains(nm)) { fs.delete(st.getPath, true); staging += 1 }
-        } else if (!metaDocs.contains(nm)) {
-          if (st.isDirectory) walk(st.getPath, nm)
-          else if (orphaned(nm)) { fs.delete(st.getPath, false); orphans += 1 }
+      topFiles.foreach { nm =>
+        if (ZarrDistWalk.orphaned(nm, grid)) {
+          fs.delete(new Path(arrayDir, nm), false); orphans += 1
         }
       }
-      (m.name, orphans, staging, 0L)
+      stagingDirs.foreach { nm =>
+        if (!partDirs.contains(nm)) {
+          fs.delete(new Path(arrayDir, nm), true); staging += 1
+        }
+      }
+      (m.name, grid, units, orphans, staging)
+    }
+    val jobUnits = planned.flatMap { case (_, grid, units, _, _) =>
+      units.map(u => (u, grid))
+    }
+    val unitOrphans: Map[String, Long] =
+      if (jobUnits.isEmpty) Map.empty
+      else if (distributed) {
+        val parts = math.min(jobUnits.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(jobUnits, parts)
+          .map { case (u, grid) =>
+            u.array -> ZarrDistWalk.vacuumUnit(path, hadoopPairs, u, grid)
+          }
+          .reduceByKey(_ + _).collect().toMap
+      } else jobUnits
+        .map { case (u, grid) =>
+          u.array -> ZarrDistWalk.vacuumUnit(path, hadoopPairs, u, grid)
+        }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val arrayRows = planned.map { case (name, _, _, orphans, staging) =>
+      (name, orphans + unitOrphans.getOrElse(name, 0L), staging, 0L)
     }
 
     // ---- sidecar: phantom / foreign-signed / unreadable segments ----

@@ -387,6 +387,93 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
   }
 
+  test("DISTRIBUTED vacuum: same reclaim, same keeps as the driver walk") {
+    // two stores polluted identically; one vacuumed driver-side, one as
+    // a Spark job — identical counts, identical surviving objects
+    val base = Files.createTempDirectory("zarr-vacuum-dist").toString
+    val sp = spark; import sp.implicits._
+    def build(path: String): Unit = {
+      (for (t <- 0 until 5; x <- 0 until 4) yield
+        (t.toLong, x.toLong, (t * 10 + x).toDouble))
+        .toDF("t", "x", "v").write.format("zarr").mode("append")
+        .option("dims", "t,x").option("chunk_shape", "2,2").save(path)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "v", "c", "9"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "v", "c", "9", "0"), Array[Byte](1))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(path, "v", "c.part-dead-7"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "v", "c.part-dead-7", "0"), Array[Byte](2))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_stats", "s500_4.json"), "{}".getBytes)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "v", "NOTES.txt"), "keep me".getBytes)
+    }
+    build(s"$base/a"); build(s"$base/b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("target").collect().map(_.toString).toSeq
+    val driver = rows(ZarrMaintenance.vacuum(spark, s"$base/a"))
+    val dist = rows(ZarrMaintenance.vacuum(spark, s"$base/b", distributed = true))
+    assert(dist == driver, s"distributed vacuum diverged:\n$dist\nvs\n$driver")
+    def survivors(path: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => root.relativize(p).toString).toSeq.sorted
+    }
+    assert(survivors(s"$base/b") == survivors(s"$base/a"),
+      "distributed vacuum must keep exactly what the driver walk keeps")
+    assert(spark.read.format("zarr").load(s"$base/b")
+      .orderBy("t", "x").collect().toSeq ==
+      spark.read.format("zarr").load(s"$base/a")
+        .orderBy("t", "x").collect().toSeq)
+  }
+
+  test("DISTRIBUTED stored-object counting equals the driver LIST on every layout") {
+    val base = Files.createTempDirectory("zarr-desc-dist").toString
+    val sp = spark; import sp.implicits._
+    // sharded cube with an extra orphan + a staged tabular store with
+    // manifest part dirs + a sparse v2 copy: the layouts whose object
+    // shapes differ most
+    val cube = s"$base/cube"
+    (for (a <- 0 until 5; b <- 0 until 4) yield
+      (a.toLong, b.toLong, (a * 10 + b).toDouble))
+      .toDF("a", "b", "v").write.format("zarr").mode("append")
+      .option("dims", "a,b")
+      .option("chunk_shape", "2,2").option("shard_shape", "4,4").save(cube)
+    val tab = s"$base/tab"
+    (0 until 3).foreach { n =>
+      (n * 32 until (n + 1) * 32).map(i => (i.toLong, s"v$i")).toDF("p", "q")
+        .coalesce(1).write.format("zarr").mode("append")
+        .option("chunk_size", "16").save(tab)
+    }
+    val fixture = new java.io.File("src/test/resources/zarr_v2_2d")
+    val stores = Seq(cube, tab) ++ (if (fixture.isDirectory) {
+      val v2 = s"$base/v2"
+      val src = fixture.toPath
+      java.nio.file.Files.walk(src).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val t = java.nio.file.Paths.get(v2).resolve(src.relativize(p).toString)
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t): Unit
+        }
+      }
+      java.nio.file.Files.delete(java.nio.file.Paths.get(v2, "temp", "0.1"))
+      Seq(v2)
+    } else Seq.empty)
+    stores.foreach { path =>
+      def counts(distributed: Boolean) =
+        ZarrInfo.describe(spark, path, countStored = true, distributed = distributed)
+          .select("array", "n_stored_objects").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val driver = counts(distributed = false)
+      val dist = counts(distributed = true)
+      assert(dist == driver, s"$path: distributed $dist != driver $driver")
+      assert(driver.values.sum > 0, s"$path: empty count proves nothing")
+    }
+  }
+
   test("vacuum keeps manifest-referenced part dirs of a staged tabular store") {
     val base = Files.createTempDirectory("zarr-vacuum-tab").toString
     val path = s"$base/tab"
