@@ -848,12 +848,16 @@ object ZarrCubeWrite {
     *  - the slab must be dense over region × cross-section.
     *
     * The store's geometry is untouched: no metadata or root rewrite at
-    * all — data chunks are overwritten at their final keys and the
-    * affected ordinals' stats segments are replaced. Atomicity is chunk
-    * granularity, like every zarr region write (xarray's included): a
-    * crash mid-write leaves some chunks new and some old, with the
-    * affected stats purged first so nothing misdescribes; re-running
-    * the same overwrite completes it (idempotent final keys).
+    * all — the region's chunks are STAGED under a write-scoped
+    * `c.part*` dir and swapped over the committed keys with
+    * single-object replaces only after the whole region is durable,
+    * and the affected ordinals' stats segments are replaced. A crash
+    * before the swap leaves the committed region byte-identical; a
+    * crash mid-swap is chunk-granularity — like every zarr region
+    * write (xarray's included) — but with no torn objects (each chunk
+    * is wholly old or wholly new), with the affected stats purged
+    * first so nothing misdescribes; re-running the same overwrite
+    * completes it (idempotent final keys).
     *
     * Sidecar note: a pre-existing segment that STRADDLES the region
     * boundary is deleted whole — its out-of-region chunks fall back to
@@ -961,31 +965,80 @@ object ZarrCubeWrite {
     // data. A straddling segment is TRIMMED — its kept ranges are
     // rewritten as narrower segments so whole-store coverage (zero-GET
     // aggregates) survives the region swap; an untrimmable doc (foreign
-    // signature) is dropped whole, which only declines.
-    store.listStatsSegments().foreach { case (first, n) =>
+    // signature) is dropped whole, which only declines. The walk is
+    // over the RAW file listing (a crashed earlier attempt's leftover
+    // segments overlap committed ones, so both read as suppressed —
+    // skipping them would let them survive and suppress THIS write's
+    // fresh segments); only an UNSUPPRESSED straddler earns trimmed
+    // prefixes — a suppressed one is ambiguous outside the region too.
+    val unsuppressed = store.listStatsSegments().toSet
+    store.listStatsSegmentsRaw().foreach { case (first, n) =>
       if (first < ordHi && first + n > ordLo) {
         val doc = store.readText(ChunkStats.segmentKey(first, n))
         store.deleteKey(ChunkStats.segmentKey(first, n))
-        doc.flatMap(parseSegment).foreach { parsed =>
-          if (first < ordLo)
-            trimSegment(parsed.deepCopy(), (ordLo - first).toInt, 0)
-              .foreach(store.writeText(ChunkStats.segmentKey(first, (ordLo - first).toInt), _))
-          if (first + n > ordHi)
-            trimSegment(parsed, (first + n - ordHi).toInt, (ordHi - first).toInt)
-              .foreach(store.writeText(
-                ChunkStats.segmentKey(ordHi, (first + n - ordHi).toInt), _))
-        }
+        if (unsuppressed((first, n)))
+          doc.flatMap(parseSegment).foreach { parsed =>
+            if (first < ordLo)
+              trimSegment(parsed.deepCopy(), (ordLo - first).toInt, 0)
+                .foreach(store.writeText(ChunkStats.segmentKey(first, (ordLo - first).toInt), _))
+            if (first + n > ordHi)
+              trimSegment(parsed, (first + n - ordHi).toInt, (ordHi - first).toInt)
+                .foreach(store.writeText(
+                  ChunkStats.segmentKey(ordHi, (first + n - ordHi).toInt), _))
+          }
       }
     }
 
-    writeSlab(df, store, hadoopPairs, dims, fieldByName,
-      joinAxes = (regionAxis, start.toLong) +: existingAxes.tail.map(a => (a, 0L)),
-      fullAxes = existingAxes.map(_.toIndexedSeq),
-      shape = t.targetShape, chunkShape = t.targetChunk, grid = grid,
-      dimZts = t.coordMetas.map(_.dataType), dataCols = dataCols,
-      dataMetaJsons = t.dataMetas.map(_.sourceJson),
-      stats = stats, rowsPerTask = rowsPerTask,
-      expectRows = regionCells, expectChunks = ordHi - ordLo)
+    // the region replaces COMMITTED objects: every chunk is staged under
+    // a write-scoped c.part dir and swapped in with single-object
+    // replaces only after the whole region is durable — a crash before
+    // the swap leaves the committed region byte-identical; a crash
+    // mid-swap is the documented chunk-granularity posture but with no
+    // torn objects (each chunk is wholly old or wholly new); a retry
+    // re-runs over the same final keys. Staging leftovers are removed
+    // on failure below and reclaimed by ZarrMaintenance.vacuum after a
+    // hard crash.
+    val writeId = java.util.UUID.randomUUID().toString.take(8)
+    val stageDir = s"c.part$writeId-region"
+    try {
+      writeSlab(df, store, hadoopPairs, dims, fieldByName,
+        joinAxes = (regionAxis, start.toLong) +: existingAxes.tail.map(a => (a, 0L)),
+        fullAxes = existingAxes.map(_.toIndexedSeq),
+        shape = t.targetShape, chunkShape = t.targetChunk, grid = grid,
+        dimZts = t.coordMetas.map(_.dataType), dataCols = dataCols,
+        dataMetaJsons = t.dataMetas.map(_.sourceJson),
+        stats = stats, rowsPerTask = rowsPerTask,
+        expectRows = regionCells, expectChunks = ordHi - ordLo,
+        stageBelowOrd = ordHi, stageDir = stageDir)
+      var ord = ordLo
+      while (ord < ordHi) {
+        val idx = new Array[Int](grid.length)
+        var rem = ord
+        var d = grid.length - 1
+        while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+        t.dataMetas.foreach { m =>
+          val key = m.chunkKey(idx)
+          store.replaceKey(s"${m.name}/$stageDir/$key", s"${m.name}/$key")
+        }
+        ord += 1
+      }
+      t.dataMetas.foreach(m => store.cleanStaging(m.name, stageDir))
+    } catch {
+      case e: Throwable =>
+        // stats over the region were already retired up front; fresh
+        // segments of the failed attempt lie within the region window
+        // and describe staged (never-swapped) bytes — purge exactly
+        // that window (committed segments beyond ordHi, including the
+        // trimmed tail, describe untouched chunks and stay), then drop
+        // the staging
+        try store.listStatsSegmentsRaw().foreach { case (first, n) =>
+          if (first < ordHi && first + n > ordLo)
+            store.deleteKey(ChunkStats.segmentKey(first, n))
+        } catch { case _: Throwable => () }
+        try t.dataMetas.foreach(m => store.cleanStaging(m.name, stageDir))
+        catch { case _: Throwable => () }
+        throw e
+    }
     // no commit: shapes, axes, metadata and root are all unchanged —
     // the overwritten chunks and their fresh segments ARE the result
   }

@@ -407,8 +407,10 @@ class ZarrCubeAppendSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unsuppressed: coverage from the edge ordinal onward is complete
     // (grown grid 3x3x2 = 18 ordinals; the edge row starts at 6)
     val segs = store.listStatsSegmentsRaw()
+    // gone, or legitimately re-created by the write as a REAL
+    // grid-signed segment (never the crash leftover's garbage doc)
     assert(!segs.contains((6L, 6)) ||
-      store.readText(ChunkStats.segmentKey(6L, 6)).exists(_.contains("zarr_grid")),
+      store.readText(ChunkStats.segmentKey(6L, 6)).exists(_.contains("\"grid\"")),
       s"stale leftover must be deleted (raw: $segs)")
     val covered = store.listStatsSegments()
       .flatMap { case (f, n) => f until (f + n) }.toSet

@@ -113,6 +113,55 @@ class ZarrCubeRegionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"metadata-only agg after a region swap read chunks: ${chunkOpens.mkString(", ")}")
   }
 
+  test("region swap is staged: no c.part leftovers; a crashed attempt's staging and stale segments are retired") {
+    val path = s"$base/staged"
+    writeBase(path, 6) // grid 3x3x2 = 18 ordinals; region days 2-3 = [6,12)
+    // simulate a CRASHED earlier attempt: a staged region object plus a
+    // leftover fresh segment inside the region window (overlapping the
+    // committed coverage, so the reader suppresses both sides)
+    val deadDir = Paths.get(path, "temp", "c.partdead11-region", "c", "1", "0", "0")
+    Files.createDirectories(deadDir.getParent)
+    Files.write(deadDir, Array[Byte](9, 9))
+    val store = ZarrStore(path, Nil)
+    store.writeText(ChunkStats.segmentKey(6L, 6), "{\"not\":\"a segment\"}")
+    assert(!store.listStatsSegments().contains((6L, 6)))
+
+    rewrite(slab(2, 4, vBase = 700000.0), path)
+
+    // values exact; the crashed attempt's segment is gone; fresh
+    // coverage over the region is unsuppressed
+    val got = spark.read.format("zarr").load(path)
+      .select("time", "lat", "lon", "temp")
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val exp = slab(0, 2).union(slab(2, 4, vBase = 700000.0)).union(slab(4, 6))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == exp)
+    // the stale doc is gone: either its key is absent or the write
+    // legitimately re-created it with a REAL grid-signed segment
+    assert(!store.listStatsSegmentsRaw().contains((6L, 6)) ||
+      store.readText(ChunkStats.segmentKey(6L, 6)).exists(_.contains("\"grid\"")),
+      "a crashed attempt's stale segment must be retired from the raw listing")
+    val covered = store.listStatsSegments()
+      .flatMap { case (f, n) => f until (f + n) }.toSet
+    assert((6L until 12L).forall(covered),
+      s"the region's fresh segments must be unsuppressed; covered=$covered")
+    // the write's own staging is gone; only the dead attempt's remains
+    // (vacuum's job), and it never reached readers
+    import scala.jdk.CollectionConverters._
+    val staging = store.listArrays().flatMap { a =>
+      Files.list(Paths.get(path, a)).iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("c.part"))
+        .map(p => s"$a/${p.getFileName}").toSeq
+    }
+    assert(staging == Seq("temp/c.partdead11-region"), staging.toString)
+    ZarrMaintenance.vacuum(spark, path).collect()
+    assert(store.listArrays().forall { a =>
+      !Files.list(Paths.get(path, a)).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("c.part"))
+    }, "vacuum must reclaim the crashed attempt's region staging")
+  }
+
   test("refusals: off-axis, non-contiguous, unaligned, wrong mode, option conflicts") {
     val sp = spark; import sp.implicits._
     val path = s"$base/guard"
