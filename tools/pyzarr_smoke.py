@@ -109,6 +109,30 @@ assert sharded.count() == 36, "sharded cube rows"
 assert sharded.agg(F.sum("v")).collect()[0][0] == \
     sum(r[2] for r in rows) + sum(r[2] for r in slab_rows), "sharded cube values"
 
+# Store observability + maintenance from Python (rounds 14/15): describe
+# with the TRUE stored-object count — driver and DISTRIBUTED counting
+# agree — and the distributed vacuum, all through the JVM gateway the
+# way a PySpark operator would call them
+from pyspark.sql import DataFrame as _PyDF
+_ZI = spark._jvm.graft.zarr.ZarrInfo
+def _stored_counts(distributed):
+    d = _PyDF(_ZI.describe(spark._jsparkSession, sh_path, True, distributed), spark)
+    return {r["array"]: r["n_stored_objects"] for r in d.collect()}
+_drv, _dist = _stored_counts(False), _stored_counts(True)
+assert _drv == _dist and all(v > 0 for v in _drv.values()), \
+    f"describe stored counts from Python: driver={_drv} distributed={_dist}"
+
+import os as _os
+_os.makedirs(f"{sh_path}/v/c/9", exist_ok=True)
+with open(f"{sh_path}/v/c/9/0", "wb") as _f:
+    _f.write(b"orphan")
+_ZM = spark._jvm.graft.zarr.ZarrMaintenance
+_vac = _PyDF(_ZM.vacuum(spark._jsparkSession, sh_path, True), spark)
+_vrows = {r["target"]: r for r in _vac.collect()}
+assert _vrows["v"]["orphan_chunks"] == 1, f"vacuum from Python: {_vrows}"
+assert spark.read.format("zarr").load(sh_path).count() == 36, \
+    "vacuum from Python must not change readable contents"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
