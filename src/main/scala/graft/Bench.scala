@@ -17,7 +17,11 @@ object Bench {
     * branch and displaced a probe-1.69 record, poisoning all 136
     * per-query comparators with contended numbers. Since the registry
     * grows almost every round, that hole made every growth round a
-    * record reset on whatever machine the driver was sharing. */
+    * record reset on whatever machine the driver was sharing. Known
+    * trade-off: if the box's quiet floor permanently worsens past the
+    * band, a count-stale record can pin — the deliberate escape hatch
+    * is deleting BENCH_BEST.json (a missing record is always replaced),
+    * an explicit human action rather than an automatic hole. */
   def shouldReplaceBest(
       stored: Option[(Double, Int)], newCal: Double, nQueries: Int): Boolean =
     stored match {

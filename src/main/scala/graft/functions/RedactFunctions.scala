@@ -52,6 +52,21 @@ object RedactOps {
     while (i < m) {
       val pat = arr.getUTF8String(2 * i).toString
       tags(i) = arr.getUTF8String(2 * i + 1).toString
+      // numeric backreferences would silently re-target once the
+      // patterns are concatenated into one alternation (group numbers
+      // rebase) — PII would leak unredacted with no error. Refuse them.
+      var j = 0
+      while (j < pat.length - 1) {
+        if (pat.charAt(j) == '\\') {
+          if (pat.charAt(j + 1).isDigit)
+            throw new IllegalArgumentException(
+              s"redact_typed: pattern '$pat' contains a numeric " +
+                "backreference; group numbers are rebased when rules are " +
+                "combined into one alternation, so backreferences are not " +
+                "supported")
+          j += 2 // an escape consumes the next char
+        } else j += 1
+      }
       if (i > 0) sb.append('|')
       groupIdx(i) = g
       sb.append('(').append(pat).append(')')

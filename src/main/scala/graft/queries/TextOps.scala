@@ -455,11 +455,12 @@ object TextOps {
     //      and one Luhn-INVALID card — so the match counts are real
     //      (nonzero), the Luhn filter provably separates, and the
     //      cleaned-text md5 breaks on any masking drift. Redaction is
-    //      a SINGLE fused alternation pass (split + extract + typed-tag
-    //      interleave), not one regexp_replace traversal per type; the
-    //      per-type counts stay independent single-pattern scans of the
-    //      raw text. Scan-local narrow plan: no shuffle except the
-    //      final ORDER BY; at 100 TB this fuses into the scan like
+    //      a SINGLE fused alternation pass (the redact_report kernel);
+    //      the per-type counts and the Luhn verdict are full-match
+    //      filters over the pass's matched spans — position-priority
+    //      token counts, identical in both engines — not independent
+    //      raw-text rescans. Scan-local narrow plan: no shuffle except
+    //      the final ORDER BY; at 100 TB this fuses into the scan like
     //      q30-q33. ----
     QueryDef.sql(
       "q130_pii_redact",

@@ -665,10 +665,13 @@ object ZarrRoundtrip {
       "vacuum must not change the store's readable contents")
     // the polluted copy is single-use; reclaim its UUID dir now that the
     // result is materialized — the vacuum demo must not itself litter
-    // /tmp across warmup + bench + verify invocations
+    // /tmp across warmup + bench + verify invocations (stream closed:
+    // Files.walk holds directory handles until then)
     val copyRoot = Paths.get(store).getParent
-    Files.walk(copyRoot).sorted(java.util.Comparator.reverseOrder())
+    val walk = Files.walk(copyRoot)
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p): Unit)
+    finally walk.close()
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.toSeq.asJava),
@@ -752,13 +755,14 @@ object ZarrRoundtrip {
     val path = s"/tmp/graft_zarr_vacuum/${java.util.UUID.randomUUID().toString.take(12)}/day_cells"
     Files.createDirectories(Paths.get(path).getParent)
     val src = Paths.get(clean)
-    Files.walk(src).forEach { p =>
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
       if (Files.isRegularFile(p)) {
         val t = Paths.get(path).resolve(src.relativize(p).toString)
         Files.createDirectories(t.getParent)
         Files.copy(p, t): Unit
       }
-    }
+    } finally walk.close()
     // orphan final-key chunk beyond the committed day grid (crashed append)
     Files.createDirectories(Paths.get(path, "n_docs", "c", "7"))
     Files.write(Paths.get(path, "n_docs", "c", "7", "0"), Array[Byte](1, 2, 3))

@@ -541,7 +541,13 @@ object ZarrCubeWrite {
         expectRows = Math.addExact(slabCells,
           Math.multiplyExact(tailCoords.length.toLong, trailingCells)),
         expectChunks = newNumChunks - edgeStart,
-        stageBelowOrd = oldNumChunks, stageDir = stageDir)
+        stageBelowOrd = oldNumChunks, stageDir = stageDir,
+        // ragged: the slab's stats segments stage with the chunks — a
+        // final-key segment must never describe staged bytes (when the
+        // growth stays inside the committed edge chunk the grid does
+        // not change, so the reader's grid-signature check would NOT
+        // reject such a segment pre-commit)
+        stageStatsWriteId = if (edgeStart < oldNumChunks) writeId else "")
 
       // swap the staged edge chunk-row over the committed objects, one
       // single-object replace each, only now that EVERY slab chunk is
@@ -591,6 +597,13 @@ object ZarrCubeWrite {
       val allJsons = metas.map(m =>
         m.name -> newJsonByName.getOrElse(m.name, m.sourceJson))
       store.writeStoreRootMeta(allJsons, ChunkManifest.empty)
+      // promote the ragged slab's staged segments to final keys only
+      // now: they describe the GROWN extent (on a same-grid growth a
+      // pre-commit reader would otherwise accept them while still
+      // reading the committed shape — edge-chunk bounds would include
+      // rows the reader cannot see). A crash before this point only
+      // declines coverage; vacuum reclaims the staged docs.
+      if (edgeStart < oldNumChunks) promoteStagedSegments(store, writeId)
     } catch {
       case e: Throwable =>
         // mirror the 1-D aligned-append abort: phantom chunks beyond the
@@ -605,6 +618,7 @@ object ZarrCubeWrite {
         // not yet swapped in are write-private — remove their c.part dir.
         try store.cleanStatsSegmentsFrom(edgeStart)
         catch { case _: Throwable => () }
+        try store.cleanStatsStaging(writeId) catch { case _: Throwable => () }
         try {
           (dataMetas :+ coordMetas.head).foreach(m =>
             store.cleanStaging(m.name, stageDir))
@@ -1009,7 +1023,13 @@ object ZarrCubeWrite {
         dataMetaJsons = t.dataMetas.map(_.sourceJson),
         stats = stats, rowsPerTask = rowsPerTask,
         expectRows = regionCells, expectChunks = ordHi - ordLo,
-        stageBelowOrd = ordHi, stageDir = stageDir)
+        stageBelowOrd = ordHi, stageDir = stageDir,
+        // the region's segments stage with its chunks: they carry the
+        // store's UNCHANGED grid signature, so readers would accept a
+        // final-key segment immediately — before the swap it would
+        // describe staged bytes (metadata aggregates answering with the
+        // new values while rows still read the old)
+        stageStatsWriteId = writeId)
       var ord = ordLo
       while (ord < ordHi) {
         val idx = new Array[Int](grid.length)
@@ -1023,6 +1043,8 @@ object ZarrCubeWrite {
         ord += 1
       }
       t.dataMetas.foreach(m => store.cleanStaging(m.name, stageDir))
+      // chunks are all final now; promote the staged segments
+      promoteStagedSegments(store, writeId)
     } catch {
       case e: Throwable =>
         // stats over the region were already retired up front; fresh
@@ -1035,6 +1057,7 @@ object ZarrCubeWrite {
           if (first < ordHi && first + n > ordLo)
             store.deleteKey(ChunkStats.segmentKey(first, n))
         } catch { case _: Throwable => () }
+        try store.cleanStatsStaging(writeId) catch { case _: Throwable => () }
         try t.dataMetas.foreach(m => store.cleanStaging(m.name, stageDir))
         catch { case _: Throwable => () }
         throw e
@@ -1122,6 +1145,22 @@ object ZarrCubeWrite {
     if (stageDir.nonEmpty && fromChunk < replaceBelow)
       store.cleanStaging(m.name, stageDir)
   }
+
+  /** Promote one write's staged cube segments to final keys —
+    * metadata-sized text copies (the 1-D staged-commit pattern,
+    * `ZarrWrite` commit). Called only once every chunk the segments
+    * describe is durable at its final key AND visible under the shape
+    * the segments were computed for; a crash mid-promotion leaves a mix
+    * of promoted and staged docs, which only declines coverage (staged
+    * `c.part*` names are invisible to readers and reclaimed by
+    * cleanStatsStaging / vacuum). */
+  private def promoteStagedSegments(store: ZarrStore, writeId: String): Unit =
+    store.listCubeStagedSegments(writeId).foreach { case (first, n) =>
+      val sk = ChunkStats.cubeStagingKey(writeId, first, n)
+      store.readText(sk).foreach(doc =>
+        store.writeText(ChunkStats.segmentKey(first, n), doc))
+      store.deleteKey(sk)
+    }
 
   /** Parse a stats-segment document for trimming. Returns None — caller
     * drops the doc whole — when it is not a grid-signed cube segment
@@ -1239,7 +1278,12 @@ object ZarrCubeWrite {
       // vacuum-reclaimable) and the caller swaps them into place only
       // after the whole slab is durable
       stageBelowOrd: Long = 0L,
-      stageDir: String = ""): Unit = {
+      stageDir: String = "",
+      // when nonEmpty, this slab's stats segments are staged too
+      // (ChunkStats.cubeStagingKey) — a durable FINAL-key segment must
+      // never describe chunk bytes that are still at staging keys; the
+      // caller promotes them after the chunk swap
+      stageStatsWriteId: String = ""): Unit = {
     // scalastyle:on parameter.number
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
@@ -1300,12 +1344,13 @@ object ZarrCubeWrite {
     import spark.implicits._
     val stageBelow = stageBelowOrd
     val stageDirName = stageDir
+    val stageStatsId = stageStatsWriteId
     val written = shuffled.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else Iterator.single(ZarrCubeWrite.assemblePartition(
         it, root, pairs, dataNames, dataJsonArr, dimsArr, dimZtArr,
         axesB.value, shapeArr, chunkArr, gridArr, statsOn,
-        stageBelow, stageDirName))
+        stageBelow, stageDirName, stageStatsId))
     }.collect()
 
     val rowsWritten = written.map(_._1).sum
@@ -1333,7 +1378,8 @@ object ZarrCubeWrite {
       grid: Array[Int],
       stats: Boolean,
       stageBelowOrd: Long = 0L,
-      stageDir: String = ""): (Long, Long) = {
+      stageDir: String = "",
+      stageStatsWriteId: String = ""): (Long, Long) = {
     val store = ZarrStore(root, hadoopPairs)
     val ndim = grid.length
     val ncols = dataNames.length
@@ -1403,7 +1449,14 @@ object ZarrCubeWrite {
         val cols = segColNames.indices.map { i =>
           (segColNames(i), segZts(i), segBounds(i).result(), segSums(i).result())
         }
-        store.writeText(ChunkStats.segmentKey(segFirst, segLen),
+        // when this slab stages chunk rewrites, its segments stage too:
+        // a durable final-key segment must never describe bytes readers
+        // cannot see yet (the caller promotes after the chunk swap)
+        val key =
+          if (stageStatsWriteId.nonEmpty)
+            ChunkStats.cubeStagingKey(stageStatsWriteId, segFirst, segLen)
+          else ChunkStats.segmentKey(segFirst, segLen)
+        store.writeText(key,
           ChunkStats.encodeBounds(cols, grid.toSeq, dims.toSeq))
       }
       segColNames.indices.foreach { i => segBounds(i).clear(); segSums(i).clear() }

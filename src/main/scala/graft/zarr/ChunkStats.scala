@@ -38,6 +38,17 @@ object ChunkStats {
   def stagingKey(writeId: String, partitionId: Int, chunks: Int): String =
     s"$dirName/c.part$writeId-${partitionId}_$chunks.json"
 
+  /** Staging key for cube-slab segments whose CHUNKS are themselves
+    * staged (ragged append edge rows, region overwrites): a durable
+    * final-key segment must never describe bytes readers cannot see
+    * yet, so these docs sit at `c.part*` names (invisible to
+    * [[graft.zarr.ZarrStore.listStatsSegments]], reclaimed by vacuum /
+    * cleanStatsStaging) until the caller promotes them to
+    * [[segmentKey]] AFTER the chunk swap. The final ordinal range is
+    * known at write time, so the name carries it for the promotion. */
+  def cubeStagingKey(writeId: String, first: Long, chunks: Int): String =
+    s"$dirName/c.part$writeId-s${first}_$chunks.json"
+
   private val NameRe = """s(\d+)_(\d+)\.json""".r
 
   def parseSegmentName(name: String): Option[(Long, Int)] = name match {

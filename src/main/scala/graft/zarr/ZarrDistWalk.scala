@@ -124,8 +124,12 @@ private[zarr] object ZarrDistWalk {
     val (fs, rp) = openFs(root, pairs)
     val base = new Path(new Path(rp, u.array), u.rel)
     var deleted = 0L
+    // count only confirmed deletions: a task retry (or a false return
+    // for an already-absent file) must not inflate the reclaim report —
+    // deletion itself is idempotent, the COUNT is what a re-run could
+    // otherwise distort
     def visitFile(p: Path, rel: String): Unit =
-      if (orphaned(rel, grid)) { fs.delete(p, false); deleted += 1 }
+      if (orphaned(rel, grid) && fs.delete(p, false)) deleted += 1
     def walk(p: Path, rel: String): Unit = fs.listStatus(p).foreach { st =>
       val childRel = s"$rel/${st.getPath.getName}"
       if (st.isDirectory) walk(st.getPath, childRel)

@@ -200,9 +200,6 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     }
   }
 
-  /** Committed stats segments: (firstChunkOrdinal, nChunks), sorted. One
-    * LIST of `_stats/` — segment ordinal ranges live in the names, so a
-    * reader learns which segments cover its chunk range without a read. */
   /** Every committed stats-segment file physically present, sorted by
     * first ordinal, WITHOUT the overlap suppression [[listStatsSegments]]
     * applies. Writers retiring segments must walk this raw listing:
@@ -217,6 +214,10 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
+  /** Committed stats segments READERS may trust: (firstChunkOrdinal,
+    * nChunks), sorted, overlaps suppressed. One LIST of `_stats/` —
+    * segment ordinal ranges live in the names, so a reader learns which
+    * segments cover its chunk range without a read. */
   def listStatsSegments(): Seq[(Long, Int)] = {
     val raw = listStatsSegmentsRaw()
     // drop BOTH sides of any range overlap: two segments claiming one
@@ -283,18 +284,24 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * heals it. On single-object-PUT stores (S3) the replace is a
     * single-object copy: a reader observes the old or the new object,
     * never a partial one. */
+  // one FileContext per store instance: building it constructs an
+  // AbstractFileSystem delegate (on object stores a full client), far
+  // too heavy to pay once per swapped chunk in a replaceKey loop
+  @transient private lazy val fileContext:
+      Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(rootPath).toUri, conf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
   def replaceKey(fromKey: String, toKey: String): Unit = {
     val from = new Path(rootPath, fromKey)
     val to = new Path(rootPath, toKey)
     fs.mkdirs(to.getParent)
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.makeQualified(rootPath).toUri, conf)
-      fc.rename(fs.makeQualified(from), fs.makeQualified(to),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        rename(fromKey, toKey)
+    fileContext match {
+      case Some(fc) =>
+        fc.rename(fs.makeQualified(from), fs.makeQualified(to),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None => rename(fromKey, toKey)
     }
   }
 
@@ -302,6 +309,23 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * no bytes are read). */
   def chunkObjectExists(arrayName: String, key: String): Boolean =
     fs.exists(new Path(rootPath, s"$arrayName/$key"))
+
+  /** Staged cube-slab segments of ONE write: the (first, n) ranges
+    * parsed from `_stats/c.part<writeId>-s<first>_<n>.json` names
+    * ([[ChunkStats.cubeStagingKey]]), for promotion to final keys after
+    * the chunk swap. */
+  def listCubeStagedSegments(writeId: String): Seq[(Long, Int)] = {
+    val prefix = s"c.part$writeId-s"
+    val re = "^s(\\d+)_(\\d+)\\.json$".r
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try fs.listStatus(dir).toSeq.flatMap { st =>
+      val nm = st.getPath.getName
+      if (!nm.startsWith(prefix)) None
+      else re.findFirstMatchIn(nm.drop(prefix.length - 1))
+        .map(m => (m.group(1).toLong, m.group(2).toInt))
+    }.sortBy(_._1)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
 
   def deleteKey(key: String): Unit = {
     val p = new Path(rootPath, key)

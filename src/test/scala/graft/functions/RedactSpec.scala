@@ -67,6 +67,17 @@ class RedactSpec extends AnyFunSuite {
     assert(row.getArray(1).numElements() == 0)
   }
 
+  test("numeric backreferences are refused (alternation rebases group numbers)") {
+    // in the combined (p1)|(p2) pattern, a later rule's \1 would point
+    // at the FIRST rule's wrapper group — PII would silently leak
+    val e = intercept[IllegalArgumentException] {
+      table("[a-z]+@x" -> "[EMAIL]", "([0-9])\\1" -> "[DD]")
+    }
+    assert(e.getMessage.contains("backreference"), e.getMessage)
+    // an escaped backslash before a digit is NOT a backreference
+    assert(redact("a\\1b", "\\\\1" -> "[ESC]") == "a[ESC]b")
+  }
+
   test("malformed rule arrays are refused loudly") {
     intercept[IllegalArgumentException] {
       table() // empty
