@@ -47,12 +47,13 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
   private def storeFor(options: CaseInsensitiveStringMap): ZarrStore = {
     val path = Option(options.get("path")).getOrElse(
       throw new ZarrException("zarr source requires a path"))
-    // carry fs.* credentials/endpoints (e.g. s3a) from the driver conf to
+    // carry fs.* credentials/endpoints (e.g. s3a) and graft.zarr.* reader
+    // toggles (e.g. graft.zarr.ranged.reads) from the driver conf to
     // executor-side FileSystem resolution
     val hadoopPairs = SparkSession.active.sparkContext.hadoopConfiguration
       .iterator().asScala
       .map(e => e.getKey -> e.getValue)
-      .filter(_._1.startsWith("fs."))
+      .filter(p => p._1.startsWith("fs.") || p._1.startsWith("graft.zarr."))
       .toSeq
     ZarrStore(path, hadoopPairs)
   }

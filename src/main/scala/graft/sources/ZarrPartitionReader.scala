@@ -87,8 +87,154 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   private val phase1 = if (filters.nonEmpty) predicateNames else f.outputNames
   private val phase2 = if (filters.nonEmpty) nonPredicateOutput else Seq.empty
 
-  // coordinate chunks are tiny and shared across target chunks → cache
-  private val coordCache = new java.util.HashMap[String, ChunkColumn]()
+  // coordinate chunks are tiny and shared across target chunks → cache.
+  // Concurrent: the prefetch IO threads also decode coords into it when
+  // computing inner-chunk masks for ranged shard reads (below).
+  private val coordCache = new java.util.concurrent.ConcurrentHashMap[String, ChunkColumn]()
+
+  // ---- ranged shard reads (inner-chunk masking) ----
+  //
+  // A sharded data column's outer chunk is ONE stored object packing many
+  // inner chunks. When the pushed filters include COORDINATE-only
+  // predicates, each inner chunk's coordinate box is known from the (tiny,
+  // cached) 1-D coordinate chunks alone — so inner chunks whose box
+  // refutes those predicates need never be fetched: [[Sharding.readRanged]]
+  // reads the shard index plus only the needed inner ranges, and the
+  // partial decode emits fill values in the skipped regions. Sound because
+  // the pushdown is INEXACT (Spark re-evaluates every filter on the
+  // emitted rows): a skipped region's rows carry their REAL coordinate
+  // values, which refute the coordinate predicate by construction, so the
+  // residual Filter drops them regardless of the fill-valued data columns.
+  // (Aggregate and limit pushdown both decline when filters are pushed, so
+  // no consumer ever aggregates the emitted rows without the residual.)
+  private val rangedReads = f.store.supportsRangedReads
+  private val coordDimOf: Map[String, Int] =
+    roleOf.collect { case (n, CoordCol(_, d)) => n -> d }
+  private val coordOnlyFilters: Seq[Filter] =
+    filters.filter { ft =>
+      val refs = ChunkFilter.references(ft)
+      refs.nonEmpty && refs.forall(coordDimOf.contains)
+    }
+
+  /** Coordinate chunk values for `name` at grid position `chunkIdx` —
+    * from the cache, else one (tiny) GET. Callable from IO threads. */
+  private def coordColumnFor(name: String, chunkIdx: Int): ChunkColumn = {
+    val key = s"$name/$chunkIdx"
+    val cached = coordCache.get(key)
+    if (cached != null) cached
+    else {
+      val m = roleOf(name).meta
+      val c = ChunkColumn.decode(m, f.store.readChunk(name, m.chunkKey(Array(chunkIdx))))
+      coordCache.putIfAbsent(key, c)
+      c
+    }
+  }
+
+  /** Row-major needed-mask over the inner grid of one sharded data
+    * column's outer chunk, or None when masking is not applicable or not
+    * worth the extra round-trip. An inner chunk is NOT needed iff it lies
+    * fully outside the valid extent, or the exact (min,max) of each
+    * filtered coordinate over its region refutes the coordinate-only
+    * filters ([[ChunkStats.mayMatch]] interval logic over REAL values —
+    * the same values the residual filter will see). Ranged reads pay one
+    * extra round-trip for the index, so the mask is only returned when at
+    * least half the in-extent inner chunks drop. */
+  private def innerMask(
+      spec: Sharding.Spec, idx: Array[Int], extent: Array[Int]): Option[Array[Boolean]] = {
+    val ndim = geometry.ndim
+    val inner = spec.innerShape.toArray
+    if (inner.length != ndim) return None
+    val grid = new Array[Int](ndim)
+    var d = 0
+    while (d < ndim) {
+      val c = geometry.targetChunk(d)
+      if (inner(d) <= 0 || c % inner(d) != 0) return None
+      grid(d) = c / inner(d)
+      d += 1
+    }
+    // exact per-dim, per-grid-position coordinate (min,max); None = empty
+    // region (fully past the valid extent along that dim)
+    val dimRanges: Map[String, Array[Option[(Any, Any)]]] =
+      coordOnlyFilters.flatMap(ChunkFilter.references).distinct.map { n =>
+        val dim = coordDimOf(n)
+        val col = coordColumnFor(n, idx(dim))
+        n -> Array.tabulate(grid(dim)) { gd =>
+          val lo = gd * inner(dim)
+          val hi = math.min((gd + 1).toLong * inner(dim), extent(dim).toLong).toInt
+          if (lo >= hi) None
+          else {
+            var mn = col.get(lo); var mx = mn
+            var i = lo + 1
+            while (i < hi) {
+              val v = col.get(i)
+              if (ChunkFilter.cmp(v, mn) < 0) mn = v
+              if (ChunkFilter.cmp(v, mx) > 0) mx = v
+              i += 1
+            }
+            Some((mn, mx))
+          }
+        }
+      }.toMap
+    val nInner = grid.product
+    val mask = new Array[Boolean](nInner)
+    var inExtent = 0
+    var kept = 0
+    val g = new Array[Int](ndim)
+    var gi = 0
+    while (gi < nInner) {
+      var rem = gi; var k = ndim - 1
+      while (k >= 0) { g(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      var inside = true
+      var dd = 0
+      while (dd < ndim) {
+        if (g(dd).toLong * inner(dd) >= extent(dd)) inside = false
+        dd += 1
+      }
+      if (inside) {
+        inExtent += 1
+        val keep = ChunkStats.mayMatch(coordOnlyFilters,
+          n => dimRanges.get(n).flatMap(rs => rs(g(coordDimOf(n)))))
+        mask(gi) = keep
+        if (keep) kept += 1
+      }
+      gi += 1
+    }
+    if (kept == inExtent || kept * 2 > inExtent) None else Some(mask)
+  }
+
+  /** Fetch raw bytes for the resolved (name, key) pairs of chunk `o` —
+    * coordinates first (their decoded values feed the inner masks and the
+    * reader-lifetime cache), then data columns, ranged when a mask
+    * applies. Runs on either the IO threads or the caller thread. */
+  private def fetchBytes(
+      o: Long, pairs: Seq[(String, String)]): Map[String, Option[Array[Byte]]] = {
+    if (pairs.isEmpty) return Map.empty
+    lazy val idx = geometry.chunkIndex(o)
+    lazy val extent = geometry.chunkExtent(idx)
+    val mayMask = rangedReads && coordOnlyFilters.nonEmpty
+    val out = Map.newBuilder[String, Option[Array[Byte]]]
+    val (coordPairs, rest) = pairs.partition { case (n, _) => coordDimOf.contains(n) }
+    coordPairs.foreach { case (n, k) =>
+      val bytes = f.store.readChunk(n, k)
+      if (mayMask)
+        coordCache.putIfAbsent(s"$n/${idx(coordDimOf(n))}",
+          ChunkColumn.decode(roleOf(n).meta, bytes))
+      out += (n -> bytes)
+    }
+    rest.foreach { case (n, k) =>
+      val ranged: Option[Option[Array[Byte]]] =
+        if (!mayMask) None
+        else roleOf(n) match {
+          case DataCol(m) => m.shardingSpec.flatMap { spec =>
+            innerMask(spec, idx, extent).map(mask =>
+              Sharding.readRanged(f.store, n, k, spec, m.chunkShape, mask))
+          }
+          case _ => None
+        }
+      out += (n -> ranged.getOrElse(f.store.readChunk(n, k)))
+    }
+    out.result()
+  }
 
   /** Window depth AND IO thread count. The reference pipelines exactly
     * one chunk ahead on one task (`zarr_data_stream.rs:647-711`); a
@@ -197,7 +343,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   /** Fetch raw bytes for `names` of chunk `o` on the IO thread. */
   private def submitFetch(o: Long, names: Seq[String]): JFuture[Map[String, Option[Array[Byte]]]] = {
     val keys = resolveFetch(o, names)
-    io.submit(() => keys.map { case (n, k) => n -> f.store.readChunk(n, k) }.toMap)
+    io.submit(() => fetchBytes(o, keys))
   }
 
   /** Fetch raw bytes for `names` of chunk `o` on the CALLER thread.
@@ -208,7 +354,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * that serializes phase-2-dominated scans); inline, phase 2
     * proceeds while the pool keeps prefetching phase 1 concurrently. */
   private def fetchNow(o: Long, names: Seq[String]): Map[String, Option[Array[Byte]]] =
-    resolveFetch(o, names).map { case (n, k) => n -> f.store.readChunk(n, k) }.toMap
+    fetchBytes(o, resolveFetch(o, names))
 
   private def decoded(
       name: String, idx: Array[Int],

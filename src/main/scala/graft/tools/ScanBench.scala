@@ -476,6 +476,74 @@ object ScanBench {
       (dt, gets)
     }
 
+    // ---- RANGED SHARD READS (round 16): big-shard stores are the
+    //      object-store layout this engine recommends at 100 TB, and a
+    //      selective coordinate-box query should not pay whole-object
+    //      GETs for them. The ranged path reads the shard index plus
+    //      only the inner chunks the box can match — BYTES proportional
+    //      to inner-chunk selectivity (1 of 16 here), at +1 GET for the
+    //      index. Per-stream bandwidth is modeled (64 MiB/s) alongside
+    //      the 20 ms GET latency so the byte saving shows in wall time
+    //      too; the control row is the same query with ranged reads
+    //      disabled (whole-shard fetch). ----
+    val selSide = 4096
+    val selInner = 256 // ONE 4096x4096 shard of 16x16=256 inner chunks
+    // measurement-like values (20 mixed bits) so lz4 cannot flatten the
+    // object: the shard is ~45 MB stored, like a real climate variable
+    def selVal(i: Int): Double = (((i * 0x9E3779B97F4A7C15L) >>> 40) & 0xFFFFFL).toDouble
+    if (!new java.io.File(s"$latBase/shardbox/data/zarr.json").exists()) {
+      System.err.println("[scan-bench] building ranged-shard store (one-time)...")
+      LatencyFileSystem.reset(0)
+      val st = ZarrStore(latUrl("shardbox"),
+        Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+      st.writeStoreRootMeta()
+      ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(selSide), Seq(selSide),
+        (0 until selSide).map(_.toDouble: Any), Some(Seq("lat")),
+        ZarrWriter.CodecChain.bloscLz4)
+      ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(selSide), Seq(selSide),
+        (0 until selSide).map(_.toDouble: Any), Some(Seq("lon")),
+        ZarrWriter.CodecChain.bloscLz4)
+      val selVals = new IndexedSeq[Any] {
+        def length: Int = selSide * selSide
+        def apply(i: Int): Any = selVal(i)
+      }
+      ZarrWriter.writeArray(st, "data", ZarrType.Float64,
+        Seq(selSide, selSide), Seq(selSide, selSide), selVals,
+        Some(Seq("lat", "lon")), ZarrWriter.CodecChain.bloscLz4.sharded(Seq(selInner, selInner)))
+      System.err.println("[scan-bench] ranged-shard store built")
+    }
+    def shardSelRun(nm: String, mode: String): (Double, Int, Long) = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("graft.zarr.ranged.reads", mode)
+      try {
+        // the box hits exactly inner chunk (4, 8) of the 16x16 inner grid
+        val df = spark.read.format("zarr").load(latUrl("shardbox"))
+          .filter($"lat" >= 1024 && $"lat" < 1280 && $"lon" >= 2048 && $"lon" < 2304)
+        LatencyFileSystem.reset(latMs, 64)
+        val t0 = System.nanoTime()
+        val s = df.agg(sum($"data")).collect()(0).getDouble(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // integer-valued doubles, partials < 2^53: exact in any order
+        var expected = 0.0
+        var i = 1024
+        while (i < 1280) {
+          var j = 2048
+          while (j < 2304) { expected += selVal(i * selSide + j); j += 1 }
+          i += 1
+        }
+        require(s == expected, s"$nm: wrong sum $s != $expected")
+        val gets = LatencyFileSystem.chunkGets("shardbox")
+        val bytes = LatencyFileSystem.chunkBytes("shardbox")
+        System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs, $bytes chunk bytes " +
+          f"(${LatencyFileSystem.allGets("shardbox")} total)")
+        (dt, gets, bytes)
+      } finally hc.unset("graft.zarr.ranged.reads")
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("shardbox"))
+      .filter($"lat" >= 1024 && $"lat" < 1280 && $"lon" >= 2048 && $"lon" < 2304)
+      .agg(sum($"data")).collect() // warm
+
     // single-shot latency timings scatter ±30% run-to-run (sleep-based
     // GETs + scheduler jitter); GET counts are deterministic, so take
     // the min wall of two runs as the cited number
@@ -483,6 +551,15 @@ object ScanBench {
       val a = f; val b = f
       (math.min(a._1, b._1), b._2)
     }
+    def best2b(f: => (Double, Int, Long)): (Double, Int, Long) = {
+      val a = f; val b = f
+      (math.min(a._1, b._1), b._2, b._3)
+    }
+    val latBytes = Map(
+      "lat_shard_ranged" -> best2b(shardSelRun(
+        "coord-box over big shards, RANGED (index + needed inner chunks)", "always")),
+      "lat_shard_whole" -> best2b(shardSelRun(
+        "coord-box over big shards, WHOLE-object GETs", "never")))
 
     val lat = Map(
       "lat_analyze" -> best2(analyzeRun("analyze backfill (4096 GETs, depth-4 concurrent prefetch)")),
@@ -511,7 +588,9 @@ object ScanBench {
 
     println(s"""{"metric":"scan_bench","unit":"sec","n_rows":$n,"queries":{${
       r.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"latency_model":{"latency_ms":$latMs,${
-      lat.map { case (k, (t, g)) => s""""$k":{"sec":$t,"chunk_gets":$g}""" }.mkString(",")}}}""")
+      lat.map { case (k, (t, g)) => s""""$k":{"sec":$t,"chunk_gets":$g}""" }.mkString(",")},${
+      latBytes.map { case (k, (t, g, b)) =>
+        s""""$k":{"sec":$t,"chunk_gets":$g,"chunk_bytes":$b}""" }.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -102,6 +102,12 @@ object Sharding {
     val slice =
       if (spec.indexAtEnd) java.util.Arrays.copyOfRange(shard, shard.length - encSize, shard.length)
       else java.util.Arrays.copyOfRange(shard, 0, encSize)
+    decodeIndexBytes(spec, slice, nInner)
+  }
+
+  /** Decode an already-extracted encoded index slice (exactly
+    * [[indexEncodedSize]] bytes) → flat array of 2*nInner longs. */
+  private def decodeIndexBytes(spec: Spec, slice: Array[Byte], nInner: Int): Array[Long] = {
     // crc32c stages strip in reverse chain order; "bytes" is a no-op here
     val raw = spec.indexCodecs.reverse.foldLeft(slice) {
       case (b, CodecSpec("crc32c", _)) => Codecs.Crc32c.decode(b)
@@ -113,6 +119,125 @@ object Sharding {
     while (i < out.length) { out(i) = bb.getLong; i += 1 }
     out
   }
+
+  private def encodeIndex(spec: Spec, index: Array[Long]): Array[Byte] = {
+    val idx = ByteBuffer.allocate(8 * index.length).order(indexOrder(spec))
+    index.foreach(idx.putLong)
+    spec.indexCodecs.foldLeft(idx.array()) {
+      case (b, CodecSpec("crc32c", _)) => Codecs.Crc32c.encode(b)
+      case (b, _) => b
+    }
+  }
+
+  /** Number of inner chunks of one outer chunk under `spec`. */
+  def innerCount(shardShape: Array[Int], spec: Spec): Int = gridOf(shardShape, spec).product
+
+  /** Fetch a shard PARTIALLY: the index plus only the inner chunks marked
+    * `needed` (row-major over the inner grid), reassembled into a
+    * synthetic shard object that [[decode]] accepts — non-fetched inner
+    * chunks are indexed as absent and decode to fill values.
+    *
+    * This is the object-store read shape for selective sharded scans: a
+    * shard can be hundreds of MB, and a scan whose (coordinate) predicate
+    * matches a fraction of its inner chunks should pay bytes proportional
+    * to that fraction, not the object size. Costs one metadata probe
+    * (object length, when the index is at the end) + one ranged GET for
+    * the index + one ranged GET per coalesced needed range (ranges with
+    * gaps below [[coalesceGapBytes]] merge: re-reading a small gap is
+    * cheaper than another round-trip). Callers gate on
+    * [[ZarrStore.supportsRangedReads]] — on local filesystems one
+    * sequential whole read wins.
+    *
+    * Returns None when the shard object is absent (fill-value semantics,
+    * matching [[ZarrStore.readChunk]]). A shard REPLACED between the
+    * index read and the range reads surfaces as a loud bounds/crc error,
+    * never silent garbage — same consistency contract as the whole-object
+    * path, which can equally read a mid-swap object. */
+  def readRanged(
+      store: ZarrStore,
+      arrayName: String,
+      key: String,
+      spec: Spec,
+      shardShape: Array[Int],
+      needed: Array[Boolean]): Option[Array[Byte]] = {
+    val nInner = innerCount(shardShape, spec)
+    require(needed.length == nInner, s"needed mask ${needed.length} != $nInner inner chunks")
+    val encSize = indexEncodedSize(spec, nInner)
+    val idxOff: Long =
+      if (!spec.indexAtEnd) 0L
+      else {
+        val len = store.objectLength(arrayName, key).getOrElse(return None)
+        if (len < encSize)
+          throw new ZarrException(
+            s"shard object too small for its index: $len < $encSize bytes")
+        len - encSize
+      }
+    val idxBytes = store.readRange(arrayName, key, idxOff, encSize).getOrElse(return None)
+    val index = decodeIndexBytes(spec, idxBytes, nInner)
+
+    // needed present inner chunks, sorted by stored offset for coalescing
+    val wanted = (0 until nInner).iterator.filter { gi =>
+      needed(gi) && !(index(2 * gi) == MISSING && index(2 * gi + 1) == MISSING)
+    }.toArray.sortBy(gi => index(2 * gi))
+    wanted.foreach { gi =>
+      val off = index(2 * gi); val len = index(2 * gi + 1)
+      if (off < 0 || len < 0 || len > Int.MaxValue)
+        throw new ZarrException(
+          s"shard index entry $gi out of range: offset=$off nbytes=$len")
+    }
+
+    // coalesce into ranged GETs
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (off, end)
+    wanted.foreach { gi =>
+      val off = index(2 * gi); val end = off + index(2 * gi + 1)
+      if (ranges.nonEmpty && off - ranges.last._2 <= coalesceGapBytes && off >= ranges.last._1)
+        ranges(ranges.length - 1) = (ranges.last._1, math.max(ranges.last._2, end))
+      else ranges += ((off, end))
+    }
+    val fetched: Seq[(Long, Array[Byte])] = ranges.toSeq.map { case (off, end) =>
+      val len = end - off
+      if (len > Int.MaxValue)
+        throw new ZarrException(s"coalesced shard range too large: $len bytes")
+      off -> store.readRange(arrayName, key, off, len.toInt).getOrElse(
+        throw new ZarrException(
+          s"shard $arrayName/$key vanished between index and range reads"))
+    }
+    def sliceOf(off: Long, len: Int): Array[Byte] = {
+      val (base, buf) = fetched.find { case (b, arr) =>
+        off >= b && off + len <= b + arr.length
+      }.getOrElse(throw new ZarrException(s"shard range bookkeeping hole at $off+$len"))
+      java.util.Arrays.copyOfRange(buf, (off - base).toInt, (off - base).toInt + len)
+    }
+
+    // reassemble: same spec layout, fetched chunks repacked contiguously,
+    // everything else indexed absent
+    val newIndex = Array.fill(2 * nInner)(MISSING)
+    val dataBase = if (spec.indexAtEnd) 0L else encSize.toLong
+    var pos = dataBase
+    wanted.foreach { gi =>
+      val len = index(2 * gi + 1)
+      newIndex(2 * gi) = pos
+      newIndex(2 * gi + 1) = len
+      pos += len
+    }
+    val dataLen = (pos - dataBase).toInt
+    val out = new Array[Byte](dataLen + encSize)
+    var cursor = dataBase.toInt
+    wanted.foreach { gi =>
+      val len = index(2 * gi + 1).toInt
+      System.arraycopy(sliceOf(index(2 * gi), len), 0, out, cursor, len)
+      cursor += len
+    }
+    val encIdx = encodeIndex(spec, newIndex)
+    assert(encIdx.length == encSize)
+    System.arraycopy(encIdx, 0, out, if (spec.indexAtEnd) dataLen else 0, encSize)
+    Some(out)
+  }
+
+  /** Gaps below this merge into one ranged GET: at object-store latency a
+    * round-trip costs ~20 ms ≈ 1-2 MB of streaming, so re-reading a small
+    * gap beats opening another range. */
+  private val coalesceGapBytes = 1L << 20
 
   /** Shared geometry between decode and encode: outer strides, run
     * shape, and the row-major walk over one inner chunk's rows. `copy`

@@ -301,7 +301,18 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
       case Some(fc) =>
         fc.rename(fs.makeQualified(from), fs.makeQualified(to),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      case None => rename(fromKey, toKey)
+      case None =>
+        // no FileContext binding: copy the staged bytes OVER the committed
+        // destination (create-with-overwrite is the store's atomic-PUT
+        // primitive on object stores) and only then delete the staged
+        // source. The previous delete-then-rename fallback had a window
+        // where the committed key was absent (concurrent readers saw fill
+        // values) and a crash inside it lost the committed object.
+        val in = fs.open(from)
+        val bytes = try in.readAllBytes() finally in.close()
+        val out = fs.create(to, true)
+        try out.write(bytes) finally out.close()
+        fs.delete(from, false)
     }
   }
 
@@ -309,6 +320,50 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * no bytes are read). */
   def chunkObjectExists(arrayName: String, key: String): Boolean =
     fs.exists(new Path(rootPath, s"$arrayName/$key"))
+
+  // ---- ranged sub-object reads (sharded scans, [[Sharding.readRanged]]) ----
+
+  /** Whether ranged sub-object reads are worth issuing on this store.
+    * On an object store, one shard is one object and a ranged GET costs
+    * the same round-trip as a full GET — fetching only the inner chunks
+    * a selective scan needs makes bytes proportional to selectivity. On
+    * a local filesystem the whole object is one cheap sequential read
+    * and splitting it only adds syscalls, so `auto` (the default) keys
+    * off the filesystem scheme. Override with hadoop conf
+    * `graft.zarr.ranged.reads` = `always` | `never` | `auto`
+    * (forwarded from the Spark session by the DSv2 like `fs.*` keys). */
+  @transient lazy val supportsRangedReads: Boolean =
+    conf.get("graft.zarr.ranged.reads", "auto") match {
+      case "always" | "true" => true
+      case "never" | "false" => false
+      case _ => fs.getScheme != "file"
+    }
+
+  /** Stored byte length of a chunk object, or None when absent. One
+    * metadata probe (HEAD on object stores) — callers that then issue
+    * ranged reads pay it once per object, and S3A-style clients HEAD on
+    * open() anyway. */
+  def objectLength(arrayName: String, key: String): Option[Long] =
+    try Some(fs.getFileStatus(new Path(rootPath, s"$arrayName/$key")).getLen)
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** One ranged GET: `len` bytes at `off` of a chunk object, or None when
+    * the object is absent. Each call opens the object once (on object
+    * stores: exactly one ranged GET), so a caller's GET count is its
+    * readRange call count — coalesce adjacent ranges before calling. */
+  def readRange(arrayName: String, key: String, off: Long, len: Int): Option[Array[Byte]] = {
+    val p = new Path(rootPath, s"$arrayName/$key")
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](len)
+        in.readFully(off, buf)
+        Some(buf)
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+  }
 
   /** Staged cube-slab segments of ONE write: the (first, n) ranges
     * parsed from `_stats/c.part<writeId>-s<first>_<n>.json` names

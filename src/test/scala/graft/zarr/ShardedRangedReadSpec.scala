@@ -1,0 +1,248 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import graft.tools.LatencyFileSystem
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranged shard reads: a selective scan over a sharded array fetches the
+  * shard index plus only the inner chunks its coordinate predicate can
+  * match, instead of whole shard objects — bytes proportional to
+  * inner-chunk selectivity (the 100 TB object-store lever; see
+  * [[Sharding.readRanged]] and the inner-mask logic in
+  * ZarrPartitionReader). */
+class ShardedRangedReadSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sharded-ranged-read-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.graftlat.impl", classOf[LatencyFileSystem].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-ranged").toString
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) {
+      spark.sparkContext.hadoopConfiguration.unset("graft.zarr.ranged.reads")
+      spark.stop()
+    }
+  }
+
+  // ---- Sharding.readRanged unit behavior ----
+
+  private def buildShardedArray(dir: String, skipInner: Set[Int] = Set.empty): ZarrStore = {
+    val st = ZarrStore(dir)
+    st.writeStoreRootMeta()
+    if (skipInner.isEmpty) {
+      ZarrWriter.writeArray(st, "v", ZarrType.Float64, Seq(16, 16), Seq(16, 16),
+        (0 until 256).map(_.toDouble), None,
+        ZarrWriter.CodecChain.bloscLz4.sharded(Seq(4, 4)), fillJson = "-1.0")
+    } else {
+      // hand-encode so specific inner chunks are ABSENT in the object
+      val metaJson = ZarrWriter.metaJson(ZarrType.Float64, Seq(16, 16), Seq(16, 16),
+        "-1.0", None, ZarrWriter.CodecChain.bloscLz4.sharded(Seq(4, 4)))
+      st.writeMeta("v", metaJson)
+      val meta = ZarrMeta.parse("v", metaJson)
+      val spec = meta.shardingSpec.get
+      val shard = Sharding.encode(ZarrType.Float64, Seq(16, 16), spec,
+        (0 until 256).map(_.toDouble), skipInner)
+      st.writeChunk("v", meta.chunkKey(Array(0, 0)), shard)
+    }
+    st
+  }
+
+  /** Decode a (possibly synthetic) shard and return the 256 doubles. */
+  private def valuesOf(st: ZarrStore, bytes: Array[Byte]): IndexedSeq[Double] = {
+    val meta = st.readMeta("v")
+    val col = ChunkColumn.decode(meta, Some(bytes))
+    (0 until 256).map(i => col.get(i).asInstanceOf[Double])
+  }
+
+  test("readRanged reassembles exactly the masked inner chunks; the rest decode to fill") {
+    val st = buildShardedArray(s"$base/unit")
+    val meta = st.readMeta("v")
+    val spec = meta.shardingSpec.get
+    val key = meta.chunkKey(Array(0, 0))
+    val whole = valuesOf(st, st.readChunk("v", key).get)
+    assert(whole == (0 until 256).map(_.toDouble))
+
+    // several masks, including scattered and all-false
+    val masks = Seq(
+      Array.tabulate(16)(gi => gi / 4 == 2), // one inner-row band
+      Array.tabulate(16)(gi => gi % 5 == 0), // scattered
+      Array.fill(16)(false),
+      Array.fill(16)(true))
+    masks.foreach { mask =>
+      val got = valuesOf(st,
+        Sharding.readRanged(st, "v", key, spec, meta.chunkShape, mask).get)
+      (0 until 256).foreach { i =>
+        // element (r, c) lives in inner chunk (r/4)*4 + c/4
+        val gi = (i / 16 / 4) * 4 + (i % 16) / 4
+        val expect = if (mask(gi)) whole(i) else -1.0
+        assert(got(i) == expect, s"elem $i (inner $gi, mask ${mask(gi)})")
+      }
+    }
+  }
+
+  test("readRanged over a shard with ABSENT inner chunks") {
+    val st = buildShardedArray(s"$base/absent", skipInner = Set(1, 6, 15))
+    val meta = st.readMeta("v")
+    val spec = meta.shardingSpec.get
+    val key = meta.chunkKey(Array(0, 0))
+    val mask = Array.tabulate(16)(gi => gi != 3) // wants absent ones too
+    val got = valuesOf(st,
+      Sharding.readRanged(st, "v", key, spec, meta.chunkShape, mask).get)
+    (0 until 256).foreach { i =>
+      val gi = (i / 16 / 4) * 4 + (i % 16) / 4
+      val expect =
+        if (gi == 3 || Set(1, 6, 15)(gi)) -1.0 // unneeded or absent → fill
+        else i.toDouble
+      assert(got(i) == expect, s"elem $i (inner $gi)")
+    }
+  }
+
+  test("readRanged honors index_location start") {
+    val dir = s"$base/idxstart"
+    val st = ZarrStore(dir)
+    st.writeStoreRootMeta()
+    val metaJson = ZarrWriter.metaJson(ZarrType.Float64, Seq(16, 16), Seq(16, 16),
+      "-1.0", None, ZarrWriter.CodecChain.bloscLz4.sharded(Seq(4, 4)))
+      .replace("\"index_location\":\"end\"", "\"index_location\":\"start\"")
+    st.writeMeta("v", metaJson)
+    val meta = ZarrMeta.parse("v", metaJson)
+    val spec = meta.shardingSpec.get
+    assert(!spec.indexAtEnd)
+    val shard = Sharding.encode(ZarrType.Float64, Seq(16, 16), spec,
+      (0 until 256).map(_.toDouble))
+    st.writeChunk("v", meta.chunkKey(Array(0, 0)), shard)
+    val mask = Array.tabulate(16)(_ < 8)
+    val got = valuesOf(st,
+      Sharding.readRanged(st, "v", meta.chunkKey(Array(0, 0)), spec, meta.chunkShape, mask).get)
+    (0 until 256).foreach { i =>
+      val gi = (i / 16 / 4) * 4 + (i % 16) / 4
+      assert(got(i) == (if (gi < 8) i.toDouble else -1.0), s"elem $i")
+    }
+  }
+
+  test("readRanged returns None for an absent shard object") {
+    val st = buildShardedArray(s"$base/missing")
+    val meta = st.readMeta("v")
+    val spec = meta.shardingSpec.get
+    assert(Sharding.readRanged(st, "v", "c/9/9", spec, meta.chunkShape,
+      Array.fill(16)(true)).isEmpty)
+  }
+
+  // ---- end-to-end scan behavior ----
+
+  /** lat/lon sharded store: data 32x32 in ONE 32x32 shard of 8x8 inner
+    * chunks (16 inner), coords plain-chunked at 32. */
+  private def buildLatLon(dir: String): Unit = {
+    LatencyFileSystem.reset(0)
+    val st = ZarrStore(dir,
+      Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(32), Seq(32),
+      (0 until 32).map(_.toDouble), Some(Seq("lat")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(32), Seq(32),
+      (0 until 32).map(_.toDouble), Some(Seq("lon")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "data", ZarrType.Float64, Seq(32, 32), Seq(32, 32),
+      (0 until 1024).map(_.toDouble), Some(Seq("lat", "lon")),
+      ZarrWriter.CodecChain.bloscLz4.sharded(Seq(8, 8)))
+  }
+
+  test("selective coord-predicate scan: ranged reads return identical rows with fewer bytes") {
+    val dir = s"$base/e2e"
+    buildLatLon(dir)
+    val url = s"graftlat://$dir"
+    val hc = spark.sparkContext.hadoopConfiguration
+    // predicate keeps lat rows 8..15 AND lon cols 16..23: 1 inner chunk of 16
+    // NOTE: no orderBy — a global sort adds a range-partitioner SAMPLING
+    // pass that executes the scan twice; sort driver-side instead
+    def run(): (Seq[String], Int, Long) = {
+      LatencyFileSystem.reset(0)
+      val rows = spark.read.format("zarr").load(url)
+        .filter("lat >= 8.0 AND lat < 16.0 AND lon >= 16.0 AND lon < 24.0")
+        .collect().map(_.toString).sorted.toSeq
+      (rows, LatencyFileSystem.chunkGets("e2e"), LatencyFileSystem.chunkBytes("e2e"))
+    }
+    hc.set("graft.zarr.ranged.reads", "never")
+    val (wholeRows, wholeGets, wholeBytes) = run()
+    hc.set("graft.zarr.ranged.reads", "always")
+    val (rangedRows, rangedGets, rangedBytes) = run()
+    hc.unset("graft.zarr.ranged.reads")
+
+    assert(wholeRows.length == 64)
+    assert(rangedRows == wholeRows)
+    // whole: lat + lon + 1 shard = 3 chunk GETs; ranged: lat + lon +
+    // index GET + 1 coalesced range = 4, but far fewer bytes (1 of 16
+    // inner chunks + the 260-byte index instead of the whole object)
+    assert(rangedGets == wholeGets + 1, s"gets: ranged $rangedGets vs whole $wholeGets")
+    assert(rangedBytes < wholeBytes / 2,
+      s"bytes: ranged $rangedBytes vs whole $wholeBytes")
+  }
+
+  test("unselective predicate keeps the single-GET whole-shard path") {
+    val dir = s"$base/e2e-unsel"
+    buildLatLon(dir)
+    val url = s"graftlat://${dir}"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    LatencyFileSystem.reset(0)
+    // keeps 3 of 4 lat bands (75% of inner chunks): not worth the extra
+    // index round-trip, so the reader must fall back to one whole GET
+    val rows = spark.read.format("zarr").load(url)
+      .filter("lat >= 8.0").collect()
+    hc.unset("graft.zarr.ranged.reads")
+    assert(rows.length == 24 * 32)
+    assert(LatencyFileSystem.chunkGets("e2e-unsel") == 3) // lat + lon + 1 whole shard
+  }
+
+  test("data-column predicates do not trigger inner masking (values unknown without the bytes)") {
+    val dir = s"$base/e2e-datapred"
+    buildLatLon(dir)
+    val url = s"graftlat://${dir}"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    LatencyFileSystem.reset(0)
+    val rows = spark.read.format("zarr").load(url)
+      .filter("data >= 1000.0").collect()
+    hc.unset("graft.zarr.ranged.reads")
+    assert(rows.length == 24)
+    assert(LatencyFileSystem.chunkGets("e2e-datapred") == 3)
+  }
+
+  test("edge shards: ranged reads trim to the valid extent like whole reads") {
+    val dir = s"$base/e2e-edge"
+    LatencyFileSystem.reset(0)
+    val st = ZarrStore(dir)
+    st.writeStoreRootMeta()
+    // 20 rows: shard rows of 16 → second shard row is a ragged edge
+    ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(20), Seq(16),
+      (0 until 20).map(_.toDouble), Some(Seq("lat")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(16), Seq(16),
+      (0 until 16).map(_.toDouble), Some(Seq("lon")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "data", ZarrType.Float64, Seq(20, 16), Seq(16, 16),
+      (0 until 320).map(_.toDouble), Some(Seq("lat", "lon")),
+      ZarrWriter.CodecChain.bloscLz4.sharded(Seq(4, 4)))
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    // keeps lat rows 16..19 (the ragged edge shard) and lon 0..3: 1 of
+    // the edge shard's 16 inner slots, most of which are out of extent
+    val rows = spark.read.format("zarr").load(dir)
+      .filter("lat >= 16.0 AND lon < 4.0").collect()
+    hc.unset("graft.zarr.ranged.reads")
+    assert(rows.length == 16)
+    // schema order is sorted array names: data, lat, lon
+    assert(rows.map(r => r.getDouble(0)).sorted.toSeq ==
+      (16 until 20).flatMap(r => (0 until 4).map(c => (r * 16 + c).toDouble)))
+  }
+}
