@@ -37,6 +37,37 @@ object RedactOps {
   final class RedactTable(val pattern: Pattern, val groupIdx: Array[Int],
       val tags: Array[String]) extends Serializable
 
+  /** Per-JVM cache for NON-foldable rules columns: without it every row
+    * would rebuild and Pattern.compile the whole table (O(rows ×
+    * compile)). Keyed by the rule strings themselves; bounded crudely —
+    * a rules column with >64 distinct values is already outside the
+    * function's intended use (rules are configuration, not data), and a
+    * full clear just re-pays one compile per surviving distinct value. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, RedactTable]()
+
+  /** [[buildTable]] through the cache — the eval path for a non-literal
+    * rules argument. Foldable rules keep their once-per-expression table
+    * and never touch this. */
+  def cachedTable(arr: ArrayData): RedactTable = {
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      // length-prefixed so no rule content can alias another key split
+      val s = arr.getUTF8String(i).toString
+      sb.append(s.length).append(':').append(s)
+      i += 1
+    }
+    val key = sb.toString
+    val hit = tableCache.get(key)
+    if (hit != null) hit
+    else {
+      if (tableCache.size() >= 64) tableCache.clear()
+      tableCache.computeIfAbsent(key, _ => buildTable(arr))
+    }
+  }
+
   /** Build + compile a rule table from a flat [pattern, tag, ...] pair
     * array. Pattern order is priority order at a shared match start. */
   def buildTable(arr: ArrayData): RedactTable = {
@@ -138,7 +169,7 @@ case class RedactTyped(left: Expression, right: Expression)
   override def nullSafeEval(text: Any, rules: Any): Any =
     if (right.foldable) RedactOps.redact(text.asInstanceOf[UTF8String], table)
     else RedactOps.redact(text.asInstanceOf[UTF8String],
-      RedactOps.buildTable(rules.asInstanceOf[ArrayData]))
+      RedactOps.cachedTable(rules.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (right.foldable) {
       val ref = ctx.addReferenceObj("redactTable", table,
@@ -146,7 +177,7 @@ case class RedactTyped(left: Expression, right: Expression)
       defineCodeGen(ctx, ev, (t, _) => s"graft.functions.RedactOps.redact($t, $ref)")
     } else {
       defineCodeGen(ctx, ev, (t, r) =>
-        s"graft.functions.RedactOps.redact($t, graft.functions.RedactOps.buildTable($r))")
+        s"graft.functions.RedactOps.redact($t, graft.functions.RedactOps.cachedTable($r))")
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -169,7 +200,7 @@ case class RedactReport(left: Expression, right: Expression)
   override def nullSafeEval(text: Any, rules: Any): Any =
     if (right.foldable) RedactOps.redactReport(text.asInstanceOf[UTF8String], table)
     else RedactOps.redactReport(text.asInstanceOf[UTF8String],
-      RedactOps.buildTable(rules.asInstanceOf[ArrayData]))
+      RedactOps.cachedTable(rules.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (right.foldable) {
       val ref = ctx.addReferenceObj("redactTable", table,
@@ -177,7 +208,7 @@ case class RedactReport(left: Expression, right: Expression)
       defineCodeGen(ctx, ev, (t, _) => s"graft.functions.RedactOps.redactReport($t, $ref)")
     } else {
       defineCodeGen(ctx, ev, (t, r) =>
-        s"graft.functions.RedactOps.redactReport($t, graft.functions.RedactOps.buildTable($r))")
+        s"graft.functions.RedactOps.redactReport($t, graft.functions.RedactOps.cachedTable($r))")
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -59,14 +59,51 @@ private[zarr] object ZarrDistWalk {
       idx.length != grid.length ||
         idx.zip(grid).exists { case (i, g) => i >= g })
 
-  /** Two driver LISTs deep: returns (direct non-metadata FILE names of
-    * the array dir, `c.part*` child-dir names, walk units over every
+  /** Split subtree units one LIST level at a time until at least
+    * `target` units exist (or nothing further splits): a subtree unit
+    * over a dir becomes one files-only unit for its direct files plus
+    * one subtree unit per child dir — IDENTICAL coverage, finer tasks.
+    * This is how a cube with a short dim-0 (2 chunk rows → 2 first-level
+    * units) still fans out across a cluster: the next grid dimension
+    * supplies the parallelism. Cost: one LIST per refined unit per
+    * round, bounded by `maxLevels` rounds (grids are ≤8-D and each round
+    * multiplies units by a grid dimension, so 3 rounds reach target or
+    * the file level for any realistic layout). */
+  private def refine(
+      fs: FileSystem, arrayDir: Path, array: String,
+      units: Seq[WalkUnit], target: Int, maxLevels: Int = 3): Seq[WalkUnit] = {
+    var cur = units
+    var level = 0
+    while (level < maxLevels && cur.size < target && cur.exists(_.subtree)) {
+      val (subs, rest) = cur.partition(_.subtree)
+      val refined = subs.flatMap { u =>
+        val base = new Path(arrayDir, u.rel)
+        val kids =
+          try fs.listStatus(base)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        val childDirs = kids.filter(_.isDirectory)
+        if (childDirs.isEmpty) Seq(u) // file level reached: keep as-is
+        else WalkUnit(array, u.rel, subtree = false) +: childDirs.map(d =>
+          WalkUnit(array, s"${u.rel}/${d.getPath.getName}", subtree = true)).toSeq
+      }
+      val progressed = refined.size != subs.size || refined != subs
+      cur = rest ++ refined
+      level = if (progressed) level + 1 else maxLevels // fixpoint: stop
+    }
+    cur
+  }
+
+  /** Two driver LISTs deep (more when `targetUnits` asks for finer
+    * fan-out — see [[refine]]): returns (direct non-metadata FILE names
+    * of the array dir, `c.part*` child-dir names, walk units over every
     * other child dir). Staging dirs are excluded from the units — the
     * caller owns the manifest-aware staging decision (vacuum) or adds
     * them back as subtree units (stored-object counting, which counts
     * manifest part files too). */
   def planArray(
-      fs: FileSystem, root: Path, array: String): (Seq[String], Seq[String], Seq[WalkUnit]) = {
+      fs: FileSystem, root: Path, array: String,
+      targetUnits: Int = 0): (Seq[String], Seq[String], Seq[WalkUnit]) = {
     val dir = new Path(root, array)
     val children =
       try fs.listStatus(dir)
@@ -93,7 +130,11 @@ private[zarr] object ZarrDistWalk {
             WalkUnit(array, s"$c/${g.getPath.getName}", subtree = true)
         }.toSeq
       }
-    (topFiles, staging, units)
+    val fanned =
+      if (targetUnits > 0 && units.size < targetUnits)
+        refine(fs, dir, array, units, targetUnits)
+      else units
+    (topFiles, staging, fanned)
   }
 
   /** Count the unit's stored files (metadata-document names excluded at

@@ -48,8 +48,14 @@ object ZarrInfo {
       spark: SparkSession, path: String, countStored: Boolean = false,
       distributed: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val pairs = spark.sparkContext.hadoopConfiguration
-      .iterator().asScala.map(e => e.getKey -> e.getValue)
+    // ONE configuration source for the driver plan AND the shipped unit
+    // pairs: sessionState.newHadoopConf() carries per-session overrides
+    // (e.g. credentials) that sparkContext.hadoopConfiguration lacks —
+    // deriving them separately could make the plan and the per-unit
+    // walks see different stores
+    val sessionConf = spark.sessionState.newHadoopConf()
+    val pairs = sessionConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toSeq
     val store = ZarrStore(path, pairs)
     val metas = store.readConsolidatedMetas()
@@ -67,11 +73,14 @@ object ZarrInfo {
         // shard every array's key space into units (staging dirs count
         // too — manifest part files are stored objects) and count them
         // in one job; top-level files were already listed by the plan
-        val conf = spark.sessionState.newHadoopConf()
         val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(conf)
+        val fs = root.getFileSystem(sessionConf)
+        // descend extra LIST levels when first-level units would
+        // under-fill the cluster (short dim-0 grids)
+        val fanTarget = 4 * math.max(1, spark.sparkContext.defaultParallelism)
         val planned = metas.map { m =>
-          val (topFiles, stagingDirs, units) = ZarrDistWalk.planArray(fs, root, m.name)
+          val (topFiles, stagingDirs, units) =
+            ZarrDistWalk.planArray(fs, root, m.name, fanTarget)
           (m.name, topFiles.size.toLong,
             units ++ stagingDirs.map(sd =>
               ZarrDistWalk.WalkUnit(m.name, sd, subtree = true)))

@@ -416,33 +416,44 @@ object ZarrMaintenance {
       spark: SparkSession, path: String,
       distributed: Boolean = false): org.apache.spark.sql.DataFrame = {
     import scala.jdk.CollectionConverters._
-    val hadoopPairs = spark.sparkContext.hadoopConfiguration
-      .iterator().asScala.map(e => e.getKey -> e.getValue)
+    // same-source discipline as ZarrInfo.describe: the driver plan FS and
+    // the pairs shipped to unit tasks derive from ONE configuration
+    // (sessionState.newHadoopConf carries per-session overrides)
+    val conf = spark.sessionState.newHadoopConf()
+    val hadoopPairs = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
       .filter(_._1.startsWith("fs.")).toSeq
     val store = ZarrStore(path, hadoopPairs)
     val metas = store.listArrays().map(store.readMeta)
     val partDirs: Set[String] = store.readChunkManifest().parts.map(_._2).toSet
-    val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
 
     // driver pass (two LIST levels per array): direct-file orphans, the
-    // manifest-aware staging decision, and the walk-unit plan
+    // manifest-aware staging decision, and the walk-unit plan. In
+    // distributed mode the plan descends extra LIST levels when the
+    // first-level unit count would under-fill the cluster (short dim-0
+    // grids); driver mode keeps the cheapest plan — unit shape never
+    // changes results, only task granularity.
+    val fanTarget =
+      if (distributed) 4 * math.max(1, spark.sparkContext.defaultParallelism) else 0
     val planned = metas.sortBy(_.name).map { m =>
       val grid: Seq[Long] = m.gridShape.map(_.toLong).toSeq
       val arrayDir = new Path(root, m.name)
-      val (topFiles, stagingDirs, units) = ZarrDistWalk.planArray(fs, root, m.name)
+      val (topFiles, stagingDirs, units) =
+        ZarrDistWalk.planArray(fs, root, m.name, fanTarget)
       var orphans = 0L
       var staging = 0L
+      // count only CONFIRMED deletions (fs.delete returned true), matching
+      // ZarrDistWalk.vacuumUnit — an already-absent file must report the
+      // same count from either scheduler
       topFiles.foreach { nm =>
-        if (ZarrDistWalk.orphaned(nm, grid)) {
-          fs.delete(new Path(arrayDir, nm), false); orphans += 1
-        }
+        if (ZarrDistWalk.orphaned(nm, grid) &&
+          fs.delete(new Path(arrayDir, nm), false)) orphans += 1
       }
       stagingDirs.foreach { nm =>
-        if (!partDirs.contains(nm)) {
-          fs.delete(new Path(arrayDir, nm), true); staging += 1
-        }
+        if (!partDirs.contains(nm) &&
+          fs.delete(new Path(arrayDir, nm), true)) staging += 1
       }
       (m.name, grid, units, orphans, staging)
     }
@@ -493,9 +504,8 @@ object ZarrMaintenance {
       val statsDir = new Path(root, ChunkStats.dirName)
       if (fs.exists(statsDir))
         fs.listStatus(statsDir).foreach { st =>
-          if (st.getPath.getName.startsWith("c.part")) {
-            fs.delete(st.getPath, false); phantoms += 1
-          }
+          if (st.getPath.getName.startsWith("c.part") &&
+            fs.delete(st.getPath, false)) phantoms += 1
         }
     }
 
