@@ -49,8 +49,11 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       throw new ZarrException("zarr source requires a path"))
     // carry fs.* credentials/endpoints (e.g. s3a) and graft.zarr.* reader
     // toggles (e.g. graft.zarr.ranged.reads) from the driver conf to
-    // executor-side FileSystem resolution
-    val hadoopPairs = SparkSession.active.sparkContext.hadoopConfiguration
+    // executor-side FileSystem resolution. sessionState.newHadoopConf
+    // (not sparkContext.hadoopConfiguration) so per-session overrides —
+    // runtime-set spark.hadoop.* credentials — reach executors too,
+    // the same one-source discipline the maintenance walks use.
+    val hadoopPairs = SparkSession.active.sessionState.newHadoopConf()
       .iterator().asScala
       .map(e => e.getKey -> e.getValue)
       .filter(p => p._1.startsWith("fs.") || p._1.startsWith("graft.zarr."))

@@ -202,17 +202,27 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     if (kept == inExtent || kept * 2 > inExtent) None else Some(mask)
   }
 
+  /** One chunk's fetched raw bytes plus any inner-chunk keep-masks that
+    * drove ranged reads ((innerShape, row-major mask) per masked
+    * column). The masks flow to emission: rows of mask-false regions
+    * are provably refuted by the coordinate predicates, so the reader
+    * emits only the kept-region row subset instead of fill-valued rows
+    * the residual filter would discard. */
+  private final case class Fetched(
+      bytes: Map[String, Option[Array[Byte]]],
+      masks: Seq[(Array[Int], Array[Boolean])])
+
   /** Fetch raw bytes for the resolved (name, key) pairs of chunk `o` —
     * coordinates first (their decoded values feed the inner masks and the
     * reader-lifetime cache), then data columns, ranged when a mask
     * applies. Runs on either the IO threads or the caller thread. */
-  private def fetchBytes(
-      o: Long, pairs: Seq[(String, String)]): Map[String, Option[Array[Byte]]] = {
-    if (pairs.isEmpty) return Map.empty
+  private def fetchBytes(o: Long, pairs: Seq[(String, String)]): Fetched = {
+    if (pairs.isEmpty) return Fetched(Map.empty, Nil)
     lazy val idx = geometry.chunkIndex(o)
     lazy val extent = geometry.chunkExtent(idx)
     val mayMask = rangedReads && coordOnlyFilters.nonEmpty
     val out = Map.newBuilder[String, Option[Array[Byte]]]
+    val masks = Seq.newBuilder[(Array[Int], Array[Boolean])]
     val (coordPairs, rest) = pairs.partition { case (n, _) => coordDimOf.contains(n) }
     coordPairs.foreach { case (n, k) =>
       val bytes = f.store.readChunk(n, k)
@@ -226,14 +236,70 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
         if (!mayMask) None
         else roleOf(n) match {
           case DataCol(m) => m.shardingSpec.flatMap { spec =>
-            innerMask(spec, idx, extent).map(mask =>
-              Sharding.readRanged(f.store, n, k, spec, m.chunkShape, mask))
+            innerMask(spec, idx, extent).map { mask =>
+              masks += ((spec.innerShape.toArray, mask))
+              Sharding.readRanged(f.store, n, k, spec, m.chunkShape, mask)
+            }
           }
           case _ => None
         }
       out += (n -> ranged.getOrElse(f.store.readChunk(n, k)))
     }
-    out.result()
+    Fetched(out.result(), masks.result())
+  }
+
+  /** Extent-row indices (row-major) surviving every keep-mask, or null
+    * when no mask applies. A mask-false inner region's rows are
+    * provably refuted by the coordinate-only filters over their REAL
+    * coordinate values, so dropping them here changes nothing the
+    * residual filter would keep — it only stops the reader from
+    * building (potentially shard-sized) column vectors full of fill
+    * values destined for the residual's bin. */
+  private def keptRows(masks: Seq[(Array[Int], Array[Boolean])], extent: Array[Int]): Array[Int] = {
+    if (masks.isEmpty) return null
+    val ndim = extent.length
+    // per-mask, per-dim lookup: local index along d → inner-grid stride
+    // contribution, so a row's inner-chunk ordinal is a sum of lookups
+    val tables: Array[Array[Array[Int]]] = masks.map { case (inner, _) =>
+      val grid = new Array[Int](ndim)
+      var d = 0
+      while (d < ndim) {
+        grid(d) = (geometry.targetChunk(d) + inner(d) - 1) / inner(d)
+        d += 1
+      }
+      val stride = new Array[Int](ndim)
+      var acc = 1
+      d = ndim - 1
+      while (d >= 0) { stride(d) = acc; acc *= grid(d); d -= 1 }
+      Array.tabulate(ndim)(d2 =>
+        Array.tabulate(extent(d2))(x => (x / inner(d2)) * stride(d2)))
+    }.toArray
+    val nRows = extent.product
+    val keep = new Array[Int](nRows)
+    var kept = 0
+    val idx = new Array[Int](ndim)
+    var r = 0
+    while (r < nRows) {
+      var ok = true
+      var m = 0
+      while (ok && m < tables.length) {
+        var gi = 0
+        var d = 0
+        while (d < ndim) { gi += tables(m)(d)(idx(d)); d += 1 }
+        ok = masks(m)._2(gi)
+        m += 1
+      }
+      if (ok) { keep(kept) = r; kept += 1 }
+      // row-major increment
+      var d = ndim - 1
+      var carry = true
+      while (carry && d >= 0) {
+        idx(d) += 1
+        if (idx(d) == extent(d)) { idx(d) = 0; d -= 1 } else carry = false
+      }
+      r += 1
+    }
+    if (kept == nRows) null else java.util.Arrays.copyOf(keep, kept)
   }
 
   /** Window depth AND IO thread count. The reference pipelines exactly
@@ -303,7 +369,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * BEFORE the eager `topUpPrefetch()` below. */
   private val coordInFlight = new java.util.HashSet[String]()
   private val inflightQ =
-    new java.util.ArrayDeque[(Long, JFuture[Map[String, Option[Array[Byte]]]])]()
+    new java.util.ArrayDeque[(Long, JFuture[Fetched])]()
   private var nextToSubmit: Long = part.lo
   private var current: ColumnarBatch = null
 
@@ -341,7 +407,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   }
 
   /** Fetch raw bytes for `names` of chunk `o` on the IO thread. */
-  private def submitFetch(o: Long, names: Seq[String]): JFuture[Map[String, Option[Array[Byte]]]] = {
+  private def submitFetch(o: Long, names: Seq[String]): JFuture[Fetched] = {
     val keys = resolveFetch(o, names)
     io.submit(() => fetchBytes(o, keys))
   }
@@ -353,7 +419,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * in-flight speculative phase-1 prefetches (head-of-line blocking
     * that serializes phase-2-dominated scans); inline, phase 2
     * proceeds while the pool keeps prefetching phase 1 concurrently. */
-  private def fetchNow(o: Long, names: Seq[String]): Map[String, Option[Array[Byte]]] =
+  private def fetchNow(o: Long, names: Seq[String]): Fetched =
     fetchBytes(o, resolveFetch(o, names))
 
   private def decoded(
@@ -430,28 +496,40 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       val phase1Cols: Map[String, (ChunkColumn, Array[Int])] =
         phase1.map { n =>
           val role = roleOf(n)
-          n -> (decoded(n, idx, raw1), ChunkColumn.mapping(role, geometry.targetChunk, extent))
+          n -> (decoded(n, idx, raw1.bytes), ChunkColumn.mapping(role, geometry.targetChunk, extent))
         }.toMap
 
       val passes = filters.isEmpty ||
         ChunkFilter.anyRowMatches(filters, phase1Cols, nRows)
       if (passes) {
-        val phase2Cols: Map[String, (ChunkColumn, Array[Int])] =
-          if (phase2.isEmpty) Map.empty
+        val (phase2Cols, masks2) =
+          if (phase2.isEmpty) (Map.empty[String, (ChunkColumn, Array[Int])], Nil)
           else {
             val raw2 = fetchNow(o, phase2)
-            phase2.map { n =>
+            (phase2.map { n =>
               val role = roleOf(n)
-              n -> (decoded(n, idx, raw2), ChunkColumn.mapping(role, geometry.targetChunk, extent))
-            }.toMap
+              n -> (decoded(n, idx, raw2.bytes), ChunkColumn.mapping(role, geometry.targetChunk, extent))
+            }.toMap, raw2.masks)
           }
-        pending += ((phase1Cols ++ phase2Cols, nRows))
-        pendingRows += nRows
-        emitted += nRows
-        if (pendingRows >= targetBatchRows ||
-            (f.limit >= 0 && emitted >= f.limit)) {
-          current = emitPending()
-          return true
+        // rows of mask-false inner regions are provably refuted — emit
+        // only the kept subset (composed into each column's mapping)
+        // instead of shard-sized runs of fill values
+        val kr = keptRows(raw1.masks ++ masks2, extent)
+        val allCols = phase1Cols ++ phase2Cols
+        val (outCols, outRows) =
+          if (kr == null) (allCols, nRows)
+          else (allCols.map { case (n, (c, mapping)) =>
+            n -> (c, if (mapping == null) kr else kr.map(r => mapping(r)))
+          }, kr.length)
+        if (outRows > 0) {
+          pending += ((outCols, outRows))
+          pendingRows += outRows
+          emitted += outRows
+          if (pendingRows >= targetBatchRows ||
+              (f.limit >= 0 && emitted >= f.limit)) {
+            current = emitPending()
+            return true
+          }
         }
       }
       // chunk skipped or batch not yet full: continue

@@ -307,11 +307,17 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
         // primitive on object stores) and only then delete the staged
         // source. The previous delete-then-rename fallback had a window
         // where the committed key was absent (concurrent readers saw fill
-        // values) and a crash inside it lost the committed object.
+        // values — silently wrong data) and a crash inside it lost the
+        // committed object; a crash mid-copy now leaves at worst a torn
+        // destination that decodes LOUDLY (codec/crc error) while the
+        // surviving staged source heals it on retry. Streamed copy —
+        // shards can be hundreds of MB.
         val in = fs.open(from)
-        val bytes = try in.readAllBytes() finally in.close()
-        val out = fs.create(to, true)
-        try out.write(bytes) finally out.close()
+        try {
+          val out = fs.create(to, true)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
+          finally out.close()
+        } finally in.close()
         fs.delete(from, false)
     }
   }

@@ -167,21 +167,32 @@ class ShardedRangedReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     // predicate keeps lat rows 8..15 AND lon cols 16..23: 1 inner chunk of 16
     // NOTE: no orderBy — a global sort adds a range-partitioner SAMPLING
     // pass that executes the scan twice; sort driver-side instead
-    def run(): (Seq[String], Int, Long) = {
+    def run(): (Seq[String], Int, Long, Long) = {
       LatencyFileSystem.reset(0)
-      val rows = spark.read.format("zarr").load(url)
+      val df = spark.read.format("zarr").load(url)
         .filter("lat >= 8.0 AND lat < 16.0 AND lon >= 16.0 AND lon < 24.0")
-        .collect().map(_.toString).sorted.toSeq
-      (rows, LatencyFileSystem.chunkGets("e2e"), LatencyFileSystem.chunkBytes("e2e"))
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      // rows the SCAN emitted into the residual filter (no AQE here —
+      // no exchange — so BatchScanExec sits directly in the plan)
+      val scanned = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.metrics("numOutputRows").value
+      }.head
+      (rows, LatencyFileSystem.chunkGets("e2e"), LatencyFileSystem.chunkBytes("e2e"), scanned)
     }
     hc.set("graft.zarr.ranged.reads", "never")
-    val (wholeRows, wholeGets, wholeBytes) = run()
+    val (wholeRows, wholeGets, wholeBytes, wholeScanned) = run()
     hc.set("graft.zarr.ranged.reads", "always")
-    val (rangedRows, rangedGets, rangedBytes) = run()
+    val (rangedRows, rangedGets, rangedBytes, rangedScanned) = run()
     hc.unset("graft.zarr.ranged.reads")
 
     assert(wholeRows.length == 64)
     assert(rangedRows == wholeRows)
+    // whole path emits every extent row (fill in skipped regions) for
+    // the residual to discard; the masked path emits ONLY the kept
+    // inner region's rows (8x8 lat band x lon band of one inner chunk)
+    assert(wholeScanned == 1024L, s"whole scan emitted $wholeScanned")
+    assert(rangedScanned == 64L, s"ranged scan emitted $rangedScanned")
     // whole: lat + lon + 1 shard = 3 chunk GETs; ranged: lat + lon +
     // index GET + 1 coalesced range = 4, but far fewer bytes (1 of 16
     // inner chunks + the 260-byte index instead of the whole object)
