@@ -1,0 +1,147 @@
+package graft.zarr
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property test for ranged shard reads + kept-row emission: over random
+  * sharded stores (2-D/3-D, ragged edges, random inner shapes, sparse
+  * inner chunks, non-monotonic coordinates) and random coordinate
+  * predicates (ranges, In, Or/Not combos, mixed with data predicates),
+  * a scan with `graft.zarr.ranged.reads=always` must return EXACTLY the
+  * rows of the whole-object scan — which itself must equal a driver-side
+  * reference evaluation. The core soundness claim (mask-false regions
+  * are provably refuted; kept-row emission loses nothing) rides on
+  * this. */
+class RangedReadPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ranged-read-property-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = Files.createTempDirectory("zarr-ranged-prop").toString
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) {
+      spark.sparkContext.hadoopConfiguration.unset("graft.zarr.ranged.reads")
+      spark.stop()
+    }
+  }
+
+  private def divisorsOf(n: Int): Seq[Int] = (1 to n).filter(n % _ == 0)
+
+  test("random sharded stores + random coord predicates: ranged == whole == reference") {
+    val rnd = new Random(1608202615L)
+    (0 until 25).foreach { caseNo =>
+      val ndim = 2 + rnd.nextInt(2) // 2-D or 3-D
+      // shapes 6..20 per dim; chunk (= shard) 4..12, possibly ragged
+      val shape = Array.fill(ndim)(6 + rnd.nextInt(15))
+      val chunk = shape.map(s => math.min(s, 4 + rnd.nextInt(9)))
+      val inner = chunk.map(c => {
+        val ds = divisorsOf(c)
+        ds(rnd.nextInt(ds.length))
+      })
+      val dims = Array.tabulate(ndim)(d => s"d$d")
+      val nRows = shape.product
+      // coordinate values: mostly ascending, every third case shuffled
+      // (non-monotonic coords must still mask correctly — the mask uses
+      // exact per-region min/max, not order assumptions)
+      val coordVals: Array[Array[Double]] = Array.tabulate(ndim) { d =>
+        val vs = Array.tabulate(shape(d))(i => i * 2.0 + rnd.nextInt(3))
+        if (caseNo % 3 == 2) rnd.shuffle(vs.toSeq).toArray else vs
+      }
+      val dataVals = Array.tabulate(nRows)(i => (i * 37 % 101).toDouble)
+
+      val dir = s"$base/case$caseNo"
+      val st = ZarrStore(dir)
+      st.writeStoreRootMeta()
+      dims.zipWithIndex.foreach { case (dn, d) =>
+        ZarrWriter.writeArray(st, dn, ZarrType.Float64,
+          Seq(shape(d).toLong), Seq(chunk(d)),
+          coordVals(d).toIndexedSeq.asInstanceOf[IndexedSeq[Any]],
+          Some(Seq(dn)), ZarrWriter.CodecChain.bloscLz4)
+      }
+      // every other case drops a random full CHUNK of the data array
+      // (absent object → fill value -5), exercising missing-shard paths
+      val skip: Set[Seq[Int]] =
+        if (rnd.nextBoolean()) {
+          val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+          Set(grid.map(g => rnd.nextInt(g)).toSeq)
+        } else Set.empty
+      ZarrWriter.writeArray(st, "data", ZarrType.Float64,
+        shape.map(_.toLong).toSeq, chunk.toSeq,
+        dataVals.toIndexedSeq.asInstanceOf[IndexedSeq[Any]],
+        Some(dims.toSeq), ZarrWriter.CodecChain.bloscLz4.sharded(inner.toSeq),
+        fillJson = "-5.0", skipChunks = skip)
+
+      // random predicate: 1-3 coordinate conjuncts + sometimes a data
+      // conjunct; sometimes an Or / Not shape
+      def coordPred(): String = {
+        val d = rnd.nextInt(ndim)
+        val vs = coordVals(d)
+        rnd.nextInt(4) match {
+          case 0 => s"d$d >= ${vs(rnd.nextInt(vs.length))}"
+          case 1 => s"d$d < ${vs(rnd.nextInt(vs.length))}"
+          case 2 => s"d$d IN (${Seq.fill(3)(vs(rnd.nextInt(vs.length))).mkString(",")})"
+          case _ =>
+            val a = vs(rnd.nextInt(vs.length)); val b = vs(rnd.nextInt(vs.length))
+            s"(d$d < ${math.min(a, b)} OR d$d > ${math.max(a, b)})"
+        }
+      }
+      val conjuncts = Seq.fill(1 + rnd.nextInt(2))(coordPred()) ++
+        (if (rnd.nextBoolean()) Seq(s"data >= ${rnd.nextInt(101)}") else Nil) ++
+        (if (rnd.nextInt(4) == 0) Seq(s"NOT (${coordPred()})") else Nil)
+      val pred = conjuncts.mkString(" AND ")
+
+      val hc = spark.sparkContext.hadoopConfiguration
+      def run(mode: String): Seq[String] = {
+        hc.set("graft.zarr.ranged.reads", mode)
+        try spark.read.format("zarr").load(dir).filter(pred)
+          .collect().map(_.toString).sorted.toSeq
+        finally hc.unset("graft.zarr.ranged.reads")
+      }
+      val whole = run("never")
+      val ranged = run("always")
+      assert(ranged == whole,
+        s"case $caseNo: ranged != whole\nshape=${shape.mkString("x")} " +
+          s"chunk=${chunk.mkString("x")} inner=${inner.mkString("x")}\npred=$pred\n" +
+          s"whole=${whole.size} ranged=${ranged.size}")
+      // sanity: whole path vs an in-memory DataFrame over the same rows
+      // (catches a wrong store build masking a ranged bug as "equal")
+      if (caseNo % 5 == 0) {
+        import scala.jdk.CollectionConverters._
+        val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+        def chunkOf(row: Array[Int]): Seq[Int] =
+          row.zip(chunk).map { case (x, c) => x / c }.toSeq
+        // zarr schema order is SORTED array names: d0, d1(, d2), data
+        val rows = (0 until nRows).map { r =>
+          val idx = new Array[Int](ndim)
+          var rem = r
+          var d = ndim - 1
+          while (d >= 0) { idx(d) = rem % shape(d); rem /= shape(d); d -= 1 }
+          val dv = if (skip(chunkOf(idx))) -5.0 else dataVals(r)
+          org.apache.spark.sql.Row(
+            ((0 until ndim).map(d2 => coordVals(d2)(idx(d2))) :+ dv): _*)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          (dims.toSeq :+ "data").map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.DoubleType)))
+        val ref = spark.createDataFrame(rows.asJava, schema)
+          .filter(pred).collect().map(_.toString).sorted.toSeq
+        assert(whole == ref, s"case $caseNo: whole != reference (store build wrong?)")
+      }
+    }
+  }
+}
