@@ -972,6 +972,16 @@ object ZarrCubeWrite {
     val ordHi = ((end + c0 - 1) / c0).toLong * trailingGrid
     val dataCols = t.dataMetas.map(m => fieldByName(m.name))
 
+    // per-INNER-chunk stats docs of every ordinal in the window retire
+    // the same way (a region overwrite keeps the SHAPE, so the docs'
+    // shape signature would NOT invalidate them — a stale doc would let
+    // a data-predicate mask silently drop rows that now match)
+    var iOrd = ordLo
+    while (iOrd < ordHi) {
+      store.deleteKey(ChunkStats.innerKey(iOrd))
+      iOrd += 1
+    }
+
     // every stats segment whose range INTERSECTS the region's ordinals
     // must stop describing them — after the overwrite it would describe
     // replaced bytes. Unconditional (even with stats=false on THIS

@@ -892,8 +892,14 @@ class ZarrScan(
     // and it must protect this reader too, not only generic tools.
     val mparts = ChunkManifest.requiredParts(
       store, readNames.map(n => byName(n).sourceJson))
+    // one driver-side LIST telling readers whether per-inner-chunk stats
+    // docs exist at all — a never-analyzed store must not pay a 404 GET
+    // per shard probing for them
+    val innerStats = effectiveFilters.nonEmpty &&
+      readNames.exists(n => byName(n).shardingSpec.isDefined) &&
+      (try store.hasInnerStatsDocs() catch { case _: Throwable => false })
     ZarrReaderFactory(store, metaJsons, required.fields.map(_.name).toSeq,
-      effectiveFilters, limit, segIndex, mparts)
+      effectiveFilters, limit, segIndex, mparts, innerStats)
   }
 
   /** Runtime (join-derived) filters — e.g. a broadcast join's IN-set on

@@ -36,7 +36,11 @@ final case class ZarrReaderFactory(
     statsSegmentIndex: Seq[(Long, Int)] = Nil,
     /** Ordinal → task-attempt-key mapping for rename-free staged commits
       * (read ONCE from the root doc at planning; [[graft.zarr.ChunkManifest]]). */
-    manifestParts: Seq[(Long, String, Int)] = Nil)
+    manifestParts: Seq[(Long, String, Int)] = Nil,
+    /** Whether the store carries per-inner-chunk stats docs
+      * (`_stats/i<ord>.json`) — driver-listed once, so readers on
+      * never-analyzed stores skip the per-shard doc probe entirely. */
+    innerStatsPresent: Boolean = false)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -110,11 +114,18 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   private val rangedReads = f.store.supportsRangedReads
   private val coordDimOf: Map[String, Int] =
     roleOf.collect { case (n, CoordCol(_, d)) => n -> d }
-  private val coordOnlyFilters: Seq[Filter] =
-    filters.filter { ft =>
+  /** Could ANY inner-chunk mask exist on this scan? True when some
+    * supported filter's references are all range-sourceable: coordinates
+    * always; a sharded data column only when the store carries
+    * analyze-written per-inner stats docs. */
+  private val maskingPossible: Boolean = rangedReads && filters.exists { ft =>
+    ChunkFilter.supported(ft) && {
       val refs = ChunkFilter.references(ft)
-      refs.nonEmpty && refs.forall(coordDimOf.contains)
+      refs.nonEmpty && refs.forall(r => coordDimOf.contains(r) ||
+        (f.innerStatsPresent && roleOf.get(r).exists(role =>
+          role.isInstanceOf[DataCol] && role.meta.shardingSpec.isDefined)))
     }
+  }
 
   /** Coordinate chunk values for `name` at grid position `chunkIdx` —
     * from the cache, else one (tiny) GET. Callable from IO threads. */
@@ -130,17 +141,63 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     }
   }
 
+  /** Filters usable for masking column `name`'s inner grid: every
+    * reference is a coordinate (exact per-region min/max from the coord
+    * chunks) or `name` itself (per-inner bounds from the analyze-written
+    * `_stats/i<ord>.json` doc, when present AND verifiably fresh). A
+    * filter referencing a DIFFERENT data column has no range source on
+    * this grid and never participates. */
+  private def maskableFor(name: String): Seq[Filter] =
+    filters.filter { ft =>
+      ChunkFilter.supported(ft) && {
+        val refs = ChunkFilter.references(ft)
+        refs.nonEmpty && refs.forall(r => coordDimOf.contains(r) || r == name)
+      }
+    }
+
+  /** Per-ordinal parsed+validated inner-stats doc cache (None = absent
+    * or signature mismatch). Concurrent: consulted from IO threads. */
+  private val idocCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[ChunkStats.InnerDoc]]()
+
+  private def idocFor(o: Long): Option[ChunkStats.InnerDoc] = {
+    val cached = idocCache.get(o)
+    if (cached != null) cached
+    else {
+      val ztOf: String => Option[ZarrType] =
+        n => metas.find(_.name == n).map(_.dataType)
+      // the sidecar is auxiliary: any failure here just stops masking
+      val doc =
+        try f.store.readText(ChunkStats.innerKey(o))
+          .flatMap(ChunkStats.parseInner(_, ztOf))
+          .filter(d => d.shape.sameElements(geometry.targetShape) &&
+            d.chunk.sameElements(geometry.targetChunk) &&
+            d.dims.toSeq == geometry.dimIdentity)
+        catch { case _: Throwable => None }
+      idocCache.putIfAbsent(o, doc)
+      doc
+    }
+  }
+
   /** Row-major needed-mask over the inner grid of one sharded data
     * column's outer chunk, or None when masking is not applicable or not
-    * worth the extra round-trip. An inner chunk is NOT needed iff it lies
-    * fully outside the valid extent, or the exact (min,max) of each
-    * filtered coordinate over its region refutes the coordinate-only
-    * filters ([[ChunkStats.mayMatch]] interval logic over REAL values —
-    * the same values the residual filter will see). Ranged reads pay one
-    * extra round-trip for the index, so the mask is only returned when at
+    * worth the extra round-trip. An inner chunk is NOT needed iff it
+    * lies fully outside the valid extent, or its per-region ranges —
+    * exact coordinate (min,max) from the coord chunks, plus this
+    * column's own per-inner bounds from the analyze sidecar — refute the
+    * maskable filters ([[ChunkStats.mayMatch]] interval logic). Returns
+    * the mask plus, when sidecar bounds participated, the shard object
+    * length the doc recorded — the caller MUST verify it against the
+    * live object before trusting the mask (stale data bounds would
+    * silently drop matching rows; coordinate ranges need no check, the
+    * residual filter sees the same values). Ranged reads pay one extra
+    * round-trip for the index, so the mask is only returned when at
     * least half the in-extent inner chunks drop. */
   private def innerMask(
-      spec: Sharding.Spec, idx: Array[Int], extent: Array[Int]): Option[Array[Boolean]] = {
+      name: String, spec: Sharding.Spec, o: Long, idx: Array[Int],
+      extent: Array[Int], useStats: Boolean): Option[(Array[Boolean], Option[Long])] = {
+    val maskable = maskableFor(name)
+    if (maskable.isEmpty) return None
     val ndim = geometry.ndim
     val inner = spec.innerShape.toArray
     if (inner.length != ndim) return None
@@ -152,30 +209,41 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       grid(d) = c / inner(d)
       d += 1
     }
+    val nInner = grid.product
+    val dataStats: Option[ChunkStats.InnerColStats] =
+      if (!useStats || !f.innerStatsPresent ||
+        !maskable.exists(ft => ChunkFilter.references(ft).contains(name))) None
+      else idocFor(o).flatMap(_.cols.get(name))
+        .filter(cs => cs.inner.sameElements(inner) && cs.mins.length == nInner)
+    // filters referencing `name` participate only when its bounds exist
+    val usable = maskable.filter { ft =>
+      !ChunkFilter.references(ft).contains(name) || dataStats.isDefined
+    }
+    if (usable.isEmpty) return None
     // exact per-dim, per-grid-position coordinate (min,max); None = empty
     // region (fully past the valid extent along that dim)
     val dimRanges: Map[String, Array[Option[(Any, Any)]]] =
-      coordOnlyFilters.flatMap(ChunkFilter.references).distinct.map { n =>
-        val dim = coordDimOf(n)
-        val col = coordColumnFor(n, idx(dim))
-        n -> Array.tabulate(grid(dim)) { gd =>
-          val lo = gd * inner(dim)
-          val hi = math.min((gd + 1).toLong * inner(dim), extent(dim).toLong).toInt
-          if (lo >= hi) None
-          else {
-            var mn = col.get(lo); var mx = mn
-            var i = lo + 1
-            while (i < hi) {
-              val v = col.get(i)
-              if (ChunkFilter.cmp(v, mn) < 0) mn = v
-              if (ChunkFilter.cmp(v, mx) > 0) mx = v
-              i += 1
+      usable.flatMap(ChunkFilter.references).distinct
+        .filter(coordDimOf.contains).map { n =>
+          val dim = coordDimOf(n)
+          val col = coordColumnFor(n, idx(dim))
+          n -> Array.tabulate(grid(dim)) { gd =>
+            val lo = gd * inner(dim)
+            val hi = math.min((gd + 1).toLong * inner(dim), extent(dim).toLong).toInt
+            if (lo >= hi) None
+            else {
+              var mn = col.get(lo); var mx = mn
+              var i = lo + 1
+              while (i < hi) {
+                val v = col.get(i)
+                if (ChunkFilter.cmp(v, mn) < 0) mn = v
+                if (ChunkFilter.cmp(v, mx) > 0) mx = v
+                i += 1
+              }
+              Some((mn, mx))
             }
-            Some((mn, mx))
           }
-        }
-      }.toMap
-    val nInner = grid.product
+        }.toMap
     val mask = new Array[Boolean](nInner)
     var inExtent = 0
     var kept = 0
@@ -192,14 +260,17 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       }
       if (inside) {
         inExtent += 1
-        val keep = ChunkStats.mayMatch(coordOnlyFilters,
-          n => dimRanges.get(n).flatMap(rs => rs(g(coordDimOf(n)))))
+        val giHere = gi
+        val keep = ChunkStats.mayMatch(usable,
+          n => if (n == name) dataStats.flatMap(_.range(giHere))
+          else dimRanges.get(n).flatMap(rs => rs(g(coordDimOf(n)))))
         mask(gi) = keep
         if (keep) kept += 1
       }
       gi += 1
     }
-    if (kept == inExtent || kept * 2 > inExtent) None else Some(mask)
+    if (kept == inExtent || kept * 2 > inExtent) None
+    else Some((mask, dataStats.map(_.objectLen)))
   }
 
   /** One chunk's fetched raw bytes plus any inner-chunk keep-masks that
@@ -220,27 +291,46 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     if (pairs.isEmpty) return Fetched(Map.empty, Nil)
     lazy val idx = geometry.chunkIndex(o)
     lazy val extent = geometry.chunkExtent(idx)
-    val mayMask = rangedReads && coordOnlyFilters.nonEmpty
     val out = Map.newBuilder[String, Option[Array[Byte]]]
     val masks = Seq.newBuilder[(Array[Int], Array[Boolean])]
     val (coordPairs, rest) = pairs.partition { case (n, _) => coordDimOf.contains(n) }
     coordPairs.foreach { case (n, k) =>
       val bytes = f.store.readChunk(n, k)
-      if (mayMask)
+      if (maskingPossible)
         coordCache.putIfAbsent(s"$n/${idx(coordDimOf(n))}",
           ChunkColumn.decode(roleOf(n).meta, bytes))
       out += (n -> bytes)
     }
     rest.foreach { case (n, k) =>
       val ranged: Option[Option[Array[Byte]]] =
-        if (!mayMask) None
+        if (!maskingPossible) None
         else roleOf(n) match {
-          case DataCol(m) => m.shardingSpec.flatMap { spec =>
-            innerMask(spec, idx, extent).map { mask =>
-              masks += ((spec.innerShape.toArray, mask))
-              Sharding.readRanged(f.store, n, k, spec, m.chunkShape, mask)
-            }
-          }
+          case DataCol(m) if m.shardingSpec.isDefined =>
+            val spec = m.shardingSpec.get
+            // freshness gate for sidecar-driven masks: the doc's recorded
+            // shard length must match the live object (HEAD), else the
+            // bounds may describe replaced bytes — retry with coordinate
+            // information only (always sound: the residual filter sees
+            // the same coordinate values the mask reasoned over)
+            var stale = false
+            def attempt(useStats: Boolean): Option[Option[Array[Byte]]] =
+              innerMask(n, spec, o, idx, extent, useStats).flatMap {
+                case (mask, lenCheck) =>
+                  val actualLen = lenCheck.map(_ => f.store.objectLength(n, k))
+                  val fresh = lenCheck match {
+                    case None => true
+                    case Some(expect) if expect < 0 => actualLen.get.isEmpty
+                    case Some(expect) => actualLen.get.contains(expect)
+                  }
+                  if (!fresh) { stale = true; None }
+                  else {
+                    masks += ((spec.innerShape.toArray, mask))
+                    Some(Sharding.readRanged(f.store, n, k, spec, m.chunkShape,
+                      mask, knownLen = actualLen.flatten))
+                  }
+              }
+            attempt(useStats = true).orElse(
+              if (stale) attempt(useStats = false) else None)
           case _ => None
         }
       out += (n -> ranged.getOrElse(f.store.readChunk(n, k)))

@@ -402,6 +402,12 @@ object ScanBench {
         ZarrWriter.CodecChain.bloscLz4.sharded(cubeChunks))
       graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3dshard"))
       System.err.println("[scan-bench] sharded 3-D cube built + analyzed")
+    } else if (!new java.io.File(
+      s"$latBase/cube3dshard/${graft.zarr.ChunkStats.dirName}/i0.json").exists()) {
+      // cached pre-r16 build: re-analyze so per-inner stats docs exist
+      LatencyFileSystem.reset(0)
+      graft.zarr.ZarrMaintenance.analyze(spark, latUrl("cube3dshard"))
+      System.err.println("[scan-bench] sharded 3-D cube re-analyzed (inner stats)")
     }
     // keep the LAST time chunk's slab: t >= 56 -> 16 of 128 chunks
     val cubeCutT = cubeT - cubeChunks(0)
@@ -555,11 +561,46 @@ object ScanBench {
       val a = f; val b = f
       (math.min(a._1, b._1), b._2, b._3)
     }
+    // ---- DATA-predicate inner masking (round 16): after analyze, the
+    //      per-inner-chunk stats docs let a predicate on the DATA column
+    //      itself mask inner chunks of surviving shards — the outer
+    //      sidecar prunes shards, the inner doc prunes within them, and
+    //      only matching-region rows are emitted. Keeps (t=63, lat>=192):
+    //      outer skip 16 shards -> 2, inner mask 8 inner -> 2 per shard. ----
+    val dpredCut = (63L * cubeLat + 192L) * cubeLon // ordinal threshold
+    def dpredRun(nm: String, mode: String): (Double, Int, Long) = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("graft.zarr.ranged.reads", mode)
+      try {
+        val df = spark.read.format("zarr").load(latUrl("cube3dshard"))
+          .filter($"temp" >= dpredCut)
+        LatencyFileSystem.reset(latMs, 64)
+        val t0 = System.nanoTime()
+        val s = df.agg(sum($"temp")).collect()(0).getDouble(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // temp is the row-major ordinal: matches are the contiguous tail
+        val expected = (dpredCut until cubeRows).map(_.toDouble).sum
+        require(s == expected, s"$nm: wrong sum $s != $expected")
+        val gets = LatencyFileSystem.chunkGets("cube3dshard")
+        val bytes = LatencyFileSystem.chunkBytes("cube3dshard")
+        System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs, $bytes chunk bytes " +
+          f"(${LatencyFileSystem.allGets("cube3dshard")} total)")
+        (dt, gets, bytes)
+      } finally hc.unset("graft.zarr.ranged.reads")
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("cube3dshard"))
+      .filter($"temp" >= dpredCut).agg(sum($"temp")).collect() // warm
+
     val latBytes = Map(
       "lat_shard_ranged" -> best2b(shardSelRun(
         "coord-box over big shards, RANGED (index + needed inner chunks)", "always")),
       "lat_shard_whole" -> best2b(shardSelRun(
-        "coord-box over big shards, WHOLE-object GETs", "never")))
+        "coord-box over big shards, WHOLE-object GETs", "never")),
+      "lat_shard_dpred_stats" -> best2b(dpredRun(
+        "DATA predicate over sharded cube, inner-stats masking", "always")),
+      "lat_shard_dpred_whole" -> best2b(dpredRun(
+        "DATA predicate over sharded cube, whole-shard GETs", "never")))
 
     val lat = Map(
       "lat_analyze" -> best2(analyzeRun("analyze backfill (4096 GETs, depth-4 concurrent prefetch)")),

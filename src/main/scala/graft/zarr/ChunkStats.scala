@@ -56,6 +56,127 @@ object ChunkStats {
     case _ => None
   }
 
+  // ---- per-INNER-chunk sidecar (`_stats/i<outerOrdinal>.json`) ----
+  //
+  // Written by `analyze` for SHARDED data arrays: one doc per outer
+  // chunk (= stored shard) holding each column's per-inner-chunk
+  // min/max, so a DATA-column predicate can mask inner chunks before
+  // any shard byte is fetched (the coordinate-mask machinery extended
+  // to data predicates). Staleness discipline — stale bounds here
+  // would SILENTLY DROP matching rows, the worst failure class, so
+  // three independent guards apply:
+  //  1. the doc records the array SHAPE (+ dims, chunk, inner): any
+  //     append changes the shape and invalidates every doc wholesale;
+  //  2. the region-overwrite path DELETES the docs of every ordinal in
+  //     its window before swapping chunks (same discipline as segment
+  //     retirement), and 1-D overwrite truncates the whole store;
+  //  3. the doc records each column's shard OBJECT LENGTH at analyze
+  //     time (-1 = absent): the reader compares it against the HEAD it
+  //     issues anyway before a ranged read, and on mismatch ignores
+  //     the doc's bounds for that column.
+  // Bounds are computed over the inner region's IN-EXTENT rows of the
+  // DECODED buffer, so absent inner chunks record [fill, fill] — the
+  // values a scan of those rows actually emits.
+
+  private val InnerNameRe = """i(\d+)\.json""".r
+
+  /** Key of the per-inner-chunk stats doc of outer chunk `ord`. */
+  def innerKey(ord: Long): String = s"$dirName/i$ord.json"
+
+  def parseInnerName(name: String): Option[Long] = name match {
+    case InnerNameRe(o) => Some(o.toLong)
+    case _ => None
+  }
+
+  /** One column's per-inner-chunk stats inside an [[InnerDoc]]. `mins`/
+    * `maxs` are row-major over the column's inner grid; null entries
+    * carry no bound (never-emitted fully-out-of-extent slots). */
+  final case class InnerColStats(
+      inner: Array[Int], objectLen: Long, mins: Array[Any], maxs: Array[Any]) {
+    def range(gi: Int): Option[(Any, Any)] =
+      if (gi < 0 || gi >= mins.length || mins(gi) == null || maxs(gi) == null) None
+      else Some((mins(gi), maxs(gi)))
+  }
+
+  final case class InnerDoc(
+      shape: Array[Long], dims: Array[String], chunk: Array[Int],
+      cols: Map[String, InnerColStats])
+
+  def encodeInner(
+      shape: Seq[Long], dims: Seq[String], chunk: Seq[Int],
+      cols: Seq[(String, ZarrType, Seq[Int], Long, IndexedSeq[Option[Bound]])]): String = {
+    val root = mapper.createObjectNode()
+    root.put(strOrderField, strOrderCp)
+    val sh = root.putArray("shape"); shape.foreach(sh.add)
+    val dm = root.putArray("dims"); dims.foreach(dm.add)
+    val ch = root.putArray("chunk"); chunk.foreach(ch.add)
+    val colsNode = root.putObject("cols")
+    cols.foreach { case (name, zt, inner, objectLen, bounds) =>
+      val c = colsNode.putObject(name)
+      val in = c.putArray("inner"); inner.foreach(in.add)
+      c.put("len", objectLen)
+      val mins = c.putArray("min")
+      val maxs = c.putArray("max")
+      bounds.foreach {
+        case Some(b) => putVal(mins, zt, b.lo); putVal(maxs, zt, b.hi)
+        case None => mins.addNull(); maxs.addNull()
+      }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Parse + structurally validate an inner-stats doc; None on anything
+    * malformed (the sidecar is auxiliary — a bad doc must never fail a
+    * scan, it just stops masking). String columns require the
+    * code-point order marker, like segment bounds. */
+  def parseInner(json: String, ztOf: String => Option[ZarrType]): Option[InnerDoc] =
+    try {
+      val root = mapper.readTree(json)
+      def longs(f: String): Option[Array[Long]] = Option(root.get(f))
+        .filter(_.isArray).map(a => Array.tabulate(a.size())(i => a.get(i).asLong()))
+      def strs(f: String): Option[Array[String]] = Option(root.get(f))
+        .filter(_.isArray).map(a => Array.tabulate(a.size())(i => a.get(i).asText()))
+      val shape = longs("shape").getOrElse(return None)
+      val dims = strs("dims").getOrElse(return None)
+      val chunk = longs("chunk").getOrElse(return None).map(_.toInt)
+      val cpOrdered = {
+        val n = root.get(strOrderField)
+        n != null && n.asText() == strOrderCp
+      }
+      val colsNode = root.get("cols")
+      if (colsNode == null) return None
+      val b = Map.newBuilder[String, InnerColStats]
+      val it = colsNode.fieldNames()
+      while (it.hasNext) {
+        val name = it.next()
+        ztOf(name).filter(zt => (cpOrdered || zt != ZarrType.Str)
+            && zt != ZarrType.Bytes).foreach { zt =>
+          val c = colsNode.get(name)
+          val innerN = c.get("inner")
+          val minsN = c.get("min")
+          val maxsN = c.get("max")
+          val lenN = c.get("len")
+          if (innerN != null && innerN.isArray && minsN != null && maxsN != null &&
+            lenN != null && minsN.size() == maxsN.size()) {
+            val inner = Array.tabulate(innerN.size())(i => innerN.get(i).asInt())
+            val n = minsN.size()
+            val mins = new Array[Any](n)
+            val maxs = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              if (!minsN.get(i).isNull && !maxsN.get(i).isNull) {
+                mins(i) = readVal(minsN.get(i), zt)
+                maxs(i) = readVal(maxsN.get(i), zt)
+              }
+              i += 1
+            }
+            b += name -> InnerColStats(inner, lenN.asLong(), mins, maxs)
+          }
+        }
+      }
+      Some(InnerDoc(shape, dims, chunk, b.result()))
+    } catch { case _: Exception => None }
+
   /** Strings up to this length are stored as EXACT bounds. */
   private val maxStrLen = 64
 

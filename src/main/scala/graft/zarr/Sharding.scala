@@ -159,14 +159,18 @@ object Sharding {
       key: String,
       spec: Spec,
       shardShape: Array[Int],
-      needed: Array[Boolean]): Option[Array[Byte]] = {
+      needed: Array[Boolean],
+      /** Object length a caller already HEADed (freshness checks) — saves
+        * the redundant metadata probe when the index sits at the end. */
+      knownLen: Option[Long] = None): Option[Array[Byte]] = {
     val nInner = innerCount(shardShape, spec)
     require(needed.length == nInner, s"needed mask ${needed.length} != $nInner inner chunks")
     val encSize = indexEncodedSize(spec, nInner)
     val idxOff: Long =
       if (!spec.indexAtEnd) 0L
       else {
-        val len = store.objectLength(arrayName, key).getOrElse(return None)
+        val len = knownLen.orElse(store.objectLength(arrayName, key))
+          .getOrElse(return None)
         if (len < encSize)
           throw new ZarrException(
             s"shard object too small for its index: $len < $encSize bytes")

@@ -261,6 +261,55 @@ object ZarrMaintenance {
     * through the root-doc manifest, exactly as the scan does. Sharded
     * arrays analyze per OUTER chunk (= one stored shard, decoded
     * through the same [[ChunkColumn.decode]] path the scan uses). */
+  /** Per-inner-chunk bounds of one decoded sharded outer chunk:
+    * row-major over the inner grid, each computed over the region's
+    * IN-EXTENT elements only (what a scan of those rows emits — absent
+    * inner chunks read as fill, so they record [fill, fill]); None for
+    * fully-out-of-extent slots (never emitted). */
+  private def innerBounds(
+      col: ChunkColumn, zt: ZarrType, inner: Array[Int],
+      chunkShape: Array[Int], extent: Array[Int]): IndexedSeq[Option[ChunkStats.Bound]] = {
+    val ndim = chunkShape.length
+    val grid = Array.tabulate(ndim)(d => chunkShape(d) / inner(d))
+    val stride = new Array[Int](ndim)
+    var acc = 1
+    var d = ndim - 1
+    while (d >= 0) { stride(d) = acc; acc *= chunkShape(d); d -= 1 }
+    val nInner = grid.product
+    (0 until nInner).map { gi =>
+      val g = new Array[Int](ndim)
+      var rem = gi
+      var k = ndim - 1
+      while (k >= 0) { g(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      val lo = Array.tabulate(ndim)(d2 => g(d2) * inner(d2))
+      val hi = Array.tabulate(ndim)(d2 =>
+        math.min((g(d2) + 1).toLong * inner(d2), extent(d2).toLong).toInt)
+      if ((0 until ndim).exists(d2 => lo(d2) >= hi(d2))) None
+      else {
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val idx = lo.clone()
+        var done = false
+        while (!done) {
+          var e = 0
+          var j = 0
+          while (j < ndim) { e += idx(j) * stride(j); j += 1 }
+          vals += col.get(e)
+          var m2 = ndim - 1
+          var carry = true
+          while (carry && m2 >= 0) {
+            idx(m2) += 1
+            if (idx(m2) == hi(m2)) {
+              idx(m2) = lo(m2)
+              if (m2 == 0) done = true
+              m2 -= 1
+            } else carry = false
+          }
+        }
+        ChunkStats.minMaxBound(zt, vals)
+      }
+    }
+  }
+
   def analyze(spark: SparkSession, path: String): Long = {
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
@@ -285,6 +334,7 @@ object ZarrMaintenance {
       if (geom.ndim == 1) store.readChunkManifest().parts else Vector.empty
     val numChunks = geom.numChunks
     store.cleanStatsSegmentsFrom(0L)
+    store.deleteInnerStatsDocs() // re-analyze refreshes inner stats too
     // empty store: nothing to analyze, and reduce on an empty Dataset
     // would throw rather than return 0
     if (numChunks == 0) return 0L
@@ -338,6 +388,12 @@ object ZarrMaintenance {
                 val extent = g.chunkExtent(idx)
                 val nRows = extent.product
                 val raw = pf.next()
+                // sharded data columns additionally record per-INNER-chunk
+                // bounds into one `_stats/i<ord>.json` doc per shard, so
+                // data-column predicates can mask inner chunks before any
+                // shard byte is fetched (see ChunkStats inner-doc notes)
+                val innerCols = Seq.newBuilder[
+                  (String, ZarrType, Seq[Int], Long, IndexedSeq[Option[ChunkStats.Bound]])]
                 ms.zipWithIndex.foreach { case (m, i) =>
                   val role = roleOf(m.name)
                   val col = role match {
@@ -362,7 +418,22 @@ object ZarrMaintenance {
                     else (0 until nRows).map(r => col.get(mapping(r)))
                   bounds(i) += ChunkStats.minMaxBound(m.dataType, vals)
                   sums(i) += ChunkStats.chunkSum(m.dataType, vals)
+                  role match {
+                    case DataCol(_) if m.shardingSpec.isDefined &&
+                        m.dataType != ZarrType.Bytes =>
+                      val spec = m.shardingSpec.get
+                      innerCols += ((m.name, m.dataType, spec.innerShape,
+                        raw(m.name).map(_.length.toLong).getOrElse(-1L),
+                        innerBounds(col, m.dataType, spec.innerShape.toArray,
+                          g.targetChunk, extent)))
+                    case _ => ()
+                  }
                 }
+                val ic = innerCols.result()
+                if (ic.nonEmpty)
+                  st.writeText(ChunkStats.innerKey(ord),
+                    ChunkStats.encodeInner(g.targetShape.toSeq, g.dimIdentity,
+                      g.targetChunk.toSeq, ic))
               }
             } finally pf.close()
             val cols = ms.zipWithIndex.map { case (m, i) =>
@@ -504,8 +575,25 @@ object ZarrMaintenance {
       val statsDir = new Path(root, ChunkStats.dirName)
       if (fs.exists(statsDir))
         fs.listStatus(statsDir).foreach { st =>
-          if (st.getPath.getName.startsWith("c.part") &&
-            fs.delete(st.getPath, false)) phantoms += 1
+          val nm = st.getPath.getName
+          if (nm.startsWith("c.part")) {
+            if (fs.delete(st.getPath, false)) phantoms += 1
+          } else ChunkStats.parseInnerName(nm).foreach { ord =>
+            // per-inner-chunk docs: phantom when out of grid, unreadable,
+            // or signed for a shape/grid the store no longer has (every
+            // reader already rejects them — this reclaims the bytes)
+            val ztOf: String => Option[ZarrType] =
+              n => metas.find(_.name == n).map(_.dataType)
+            val live = ord < geom.numChunks &&
+              (store.readText(s"${ChunkStats.dirName}/$nm") match {
+                case Some(doc) => ChunkStats.parseInner(doc, ztOf).exists(d =>
+                  d.shape.sameElements(geom.targetShape) &&
+                    d.chunk.sameElements(geom.targetChunk) &&
+                    d.dims.toSeq == geom.dimIdentity)
+                case None => false
+              })
+            if (!live && fs.delete(st.getPath, false)) phantoms += 1
+          }
         }
     }
 

@@ -248,6 +248,26 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     }
   }
 
+  /** Whether any per-inner-chunk stats doc (`_stats/i<ord>.json`,
+    * [[ChunkStats.innerKey]]) exists — one LIST, evaluated at scan
+    * planning so readers on never-analyzed stores don't pay a 404 GET
+    * per shard probing for docs that cannot exist. */
+  def hasInnerStatsDocs(): Boolean = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try fs.listStatus(dir).exists(st =>
+      ChunkStats.parseInnerName(st.getPath.getName).isDefined)
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Delete every per-inner-chunk stats doc (re-analyze refresh). */
+  def deleteInnerStatsDocs(): Unit = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try fs.listStatus(dir).foreach { st =>
+      if (ChunkStats.parseInnerName(st.getPath.getName).isDefined)
+        fs.delete(st.getPath, false)
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
   /** Remove leftover staged stats segments of ONE write
     * (`_stats/c.part<writeId>*`). Staging keys embed the writeId exactly
     * so concurrent jobs cannot collide — an unscoped cleanup would let a

@@ -118,6 +118,15 @@ class RangedReadPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"case $caseNo: ranged != whole\nshape=${shape.mkString("x")} " +
           s"chunk=${chunk.mkString("x")} inner=${inner.mkString("x")}\npred=$pred\n" +
           s"whole=${whole.size} ranged=${ranged.size}")
+      // after analyze, per-inner stats docs exist and DATA conjuncts can
+      // mask inner chunks too — equivalence must still hold exactly
+      ZarrMaintenance.analyze(spark, dir)
+      val rangedStats = run("always")
+      assert(rangedStats == whole,
+        s"case $caseNo: post-analyze ranged != whole\n" +
+          s"shape=${shape.mkString("x")} chunk=${chunk.mkString("x")} " +
+          s"inner=${inner.mkString("x")}\npred=$pred\n" +
+          s"whole=${whole.size} rangedStats=${rangedStats.size}")
       // sanity: whole path vs an in-memory DataFrame over the same rows
       // (catches a wrong store build masking a ranged bug as "equal")
       if (caseNo % 5 == 0) {
