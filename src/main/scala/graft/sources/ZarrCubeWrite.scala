@@ -1164,13 +1164,20 @@ object ZarrCubeWrite {
     * of promoted and staged docs, which only declines coverage (staged
     * `c.part*` names are invisible to readers and reclaimed by
     * cleanStatsStaging / vacuum). */
-  private def promoteStagedSegments(store: ZarrStore, writeId: String): Unit =
+  private def promoteStagedSegments(store: ZarrStore, writeId: String): Unit = {
     store.listCubeStagedSegments(writeId).foreach { case (first, n) =>
       val sk = ChunkStats.cubeStagingKey(writeId, first, n)
       store.readText(sk).foreach(doc =>
         store.writeText(ChunkStats.segmentKey(first, n), doc))
       store.deleteKey(sk)
     }
+    store.listCubeStagedInnerDocs(writeId).foreach { ord =>
+      val sk = ChunkStats.cubeInnerStagingKey(writeId, ord)
+      store.readText(sk).foreach(doc =>
+        store.writeText(ChunkStats.innerKey(ord), doc))
+      store.deleteKey(sk)
+    }
+  }
 
   /** Parse a stats-segment document for trimming. Returns None — caller
     * drops the doc whole — when it is not a grid-signed cube segment
@@ -1502,6 +1509,13 @@ object ZarrCubeWrite {
         throw new ZarrException(
           s"cube write: chunk ordinal $curOrd assembled $rowsInChunk rows, " +
             s"expected $nReal — density proof violated mid-write")
+      // write-time per-inner-chunk stats for sharded columns: the same
+      // `_stats/i<ord>.json` doc `analyze` backfills, emitted here so an
+      // engine-written sharded store gets data-predicate inner masking
+      // without a second full-corpus read. Slabs that stage chunk
+      // rewrites stage their docs too (promoted after the swap).
+      val innerColsB = Seq.newBuilder[
+        (String, ZarrType, Seq[Int], Long, IndexedSeq[Option[ChunkStats.Bound]])]
       var c = 0
       while (c < ncols) {
         val packed = shardSpecs(c) match {
@@ -1523,7 +1537,23 @@ object ZarrCubeWrite {
           if (curOrd < stageBelowOrd) s"$stageDir/${metas(c).chunkKey(idx)}"
           else metas(c).chunkKey(idx)
         store.writeChunk(dataNames(c), key, packed)
+        if (stats && shardSpecs(c).isDefined && zts(c) != ZarrType.Bytes) {
+          val sp = shardSpecs(c).get
+          val bc = buf(c)
+          innerColsB += ((dataNames(c), zts(c), sp.innerShape, packed.length.toLong,
+            ChunkStats.innerBounds(bc(_), zts(c), sp.innerShape.toArray,
+              chunkShape, extent)))
+        }
         c += 1
+      }
+      val innerCols = innerColsB.result()
+      if (innerCols.nonEmpty) {
+        val ikey =
+          if (stageStatsWriteId.nonEmpty)
+            ChunkStats.cubeInnerStagingKey(stageStatsWriteId, curOrd)
+          else ChunkStats.innerKey(curOrd)
+        store.writeText(ikey, ChunkStats.encodeInner(
+          shape.toSeq, dims.toSeq, chunkShape.toSeq, innerCols))
       }
       if (stats) {
         if (segFirst < 0) segFirst = curOrd

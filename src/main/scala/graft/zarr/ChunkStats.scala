@@ -88,6 +88,68 @@ object ChunkStats {
     case _ => None
   }
 
+  /** Staging key for inner docs whose CHUNKS are themselves staged
+    * (region overwrites: the shape signature cannot reject a same-shape
+    * doc, and an equal-length coincidence could defeat the length guard
+    * in the pre-swap window — so the doc stays at an invisible
+    * `c.part*` name until the caller promotes it after the chunk
+    * swap). Append slabs stage too for uniformity, though their docs
+    * are already inert pre-commit (they carry the not-yet-committed
+    * shape). */
+  def cubeInnerStagingKey(writeId: String, ord: Long): String =
+    s"$dirName/c.part$writeId-i$ord.json"
+
+  /** Per-inner-chunk bounds of one assembled outer chunk (row-major
+    * over the inner grid of `inner` inside `chunkShape`): each inner
+    * chunk's bound covers its IN-EXTENT elements only — what a scan of
+    * those rows emits — and fully-out-of-extent slots record None.
+    * `get` reads the row-major outer buffer (decoded column or write
+    * buffer). Shared by `analyze` and the cube writer's write-time
+    * emission. */
+  def innerBounds(
+      get: Int => Any, zt: ZarrType, inner: Array[Int],
+      chunkShape: Array[Int], extent: Array[Int]): IndexedSeq[Option[Bound]] = {
+    val ndim = chunkShape.length
+    val grid = Array.tabulate(ndim)(d => chunkShape(d) / inner(d))
+    val stride = new Array[Int](ndim)
+    var acc = 1
+    var d = ndim - 1
+    while (d >= 0) { stride(d) = acc; acc *= chunkShape(d); d -= 1 }
+    val nInner = grid.product
+    (0 until nInner).map { gi =>
+      val g = new Array[Int](ndim)
+      var rem = gi
+      var k = ndim - 1
+      while (k >= 0) { g(k) = rem % grid(k); rem /= grid(k); k -= 1 }
+      val lo = Array.tabulate(ndim)(d2 => g(d2) * inner(d2))
+      val hi = Array.tabulate(ndim)(d2 =>
+        math.min((g(d2) + 1).toLong * inner(d2), extent(d2).toLong).toInt)
+      if ((0 until ndim).exists(d2 => lo(d2) >= hi(d2))) None
+      else {
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+        val idx = lo.clone()
+        var done = false
+        while (!done) {
+          var e = 0
+          var j = 0
+          while (j < ndim) { e += idx(j) * stride(j); j += 1 }
+          vals += get(e)
+          var m2 = ndim - 1
+          var carry = true
+          while (carry && m2 >= 0) {
+            idx(m2) += 1
+            if (idx(m2) == hi(m2)) {
+              idx(m2) = lo(m2)
+              if (m2 == 0) done = true
+              m2 -= 1
+            } else carry = false
+          }
+        }
+        minMaxBound(zt, vals)
+      }
+    }
+  }
+
   /** One column's per-inner-chunk stats inside an [[InnerDoc]]. `mins`/
     * `maxs` are row-major over the column's inner grid; null entries
     * carry no bound (never-emitted fully-out-of-extent slots). */

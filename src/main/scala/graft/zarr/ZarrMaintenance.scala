@@ -261,55 +261,6 @@ object ZarrMaintenance {
     * through the root-doc manifest, exactly as the scan does. Sharded
     * arrays analyze per OUTER chunk (= one stored shard, decoded
     * through the same [[ChunkColumn.decode]] path the scan uses). */
-  /** Per-inner-chunk bounds of one decoded sharded outer chunk:
-    * row-major over the inner grid, each computed over the region's
-    * IN-EXTENT elements only (what a scan of those rows emits — absent
-    * inner chunks read as fill, so they record [fill, fill]); None for
-    * fully-out-of-extent slots (never emitted). */
-  private def innerBounds(
-      col: ChunkColumn, zt: ZarrType, inner: Array[Int],
-      chunkShape: Array[Int], extent: Array[Int]): IndexedSeq[Option[ChunkStats.Bound]] = {
-    val ndim = chunkShape.length
-    val grid = Array.tabulate(ndim)(d => chunkShape(d) / inner(d))
-    val stride = new Array[Int](ndim)
-    var acc = 1
-    var d = ndim - 1
-    while (d >= 0) { stride(d) = acc; acc *= chunkShape(d); d -= 1 }
-    val nInner = grid.product
-    (0 until nInner).map { gi =>
-      val g = new Array[Int](ndim)
-      var rem = gi
-      var k = ndim - 1
-      while (k >= 0) { g(k) = rem % grid(k); rem /= grid(k); k -= 1 }
-      val lo = Array.tabulate(ndim)(d2 => g(d2) * inner(d2))
-      val hi = Array.tabulate(ndim)(d2 =>
-        math.min((g(d2) + 1).toLong * inner(d2), extent(d2).toLong).toInt)
-      if ((0 until ndim).exists(d2 => lo(d2) >= hi(d2))) None
-      else {
-        val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
-        val idx = lo.clone()
-        var done = false
-        while (!done) {
-          var e = 0
-          var j = 0
-          while (j < ndim) { e += idx(j) * stride(j); j += 1 }
-          vals += col.get(e)
-          var m2 = ndim - 1
-          var carry = true
-          while (carry && m2 >= 0) {
-            idx(m2) += 1
-            if (idx(m2) == hi(m2)) {
-              idx(m2) = lo(m2)
-              if (m2 == 0) done = true
-              m2 -= 1
-            } else carry = false
-          }
-        }
-        ChunkStats.minMaxBound(zt, vals)
-      }
-    }
-  }
-
   def analyze(spark: SparkSession, path: String): Long = {
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
@@ -424,8 +375,8 @@ object ZarrMaintenance {
                       val spec = m.shardingSpec.get
                       innerCols += ((m.name, m.dataType, spec.innerShape,
                         raw(m.name).map(_.length.toLong).getOrElse(-1L),
-                        innerBounds(col, m.dataType, spec.innerShape.toArray,
-                          g.targetChunk, extent)))
+                        ChunkStats.innerBounds(col.get, m.dataType,
+                          spec.innerShape.toArray, g.targetChunk, extent)))
                     case _ => ()
                   }
                 }

@@ -391,6 +391,22 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     }
   }
 
+  /** Staged per-inner-chunk docs of ONE write: ordinals parsed from
+    * `_stats/c.part<writeId>-i<ord>.json` names
+    * ([[ChunkStats.cubeInnerStagingKey]]), for promotion to
+    * [[ChunkStats.innerKey]] after the chunk swap. */
+  def listCubeStagedInnerDocs(writeId: String): Seq[Long] = {
+    val prefix = s"c.part$writeId-i"
+    val re = "^i(\\d+)\\.json$".r
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try fs.listStatus(dir).toSeq.flatMap { st =>
+      val nm = st.getPath.getName
+      if (!nm.startsWith(prefix)) None
+      else re.findFirstMatchIn(nm.drop(prefix.length - 1)).map(_.group(1).toLong)
+    }.sorted
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
   /** Staged cube-slab segments of ONE write: the (first, n) ranges
     * parsed from `_stats/c.part<writeId>-s<first>_<n>.json` names
     * ([[ChunkStats.cubeStagingKey]]), for promotion to final keys after

@@ -140,7 +140,27 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("day", "source", "value").repartition(3)
   }
 
-  test("REGION overwrite retires the window's inner docs; queries stay exact") {
+  test("WRITE-TIME inner docs: a fresh sharded cube write masks with no analyze pass") {
+    val dir = s"$base/writetime/store"
+    cubeSlab(0, 8).write.format("zarr").mode("append")
+      .option("dims", "day,source").option("chunk_shape", "2,4")
+      .option("shard_shape", "4,8").save(dir)
+    // the write itself emitted one doc per shard (2 shards), no analyze
+    assert(new java.io.File(s"$dir/_stats/i0.json").exists())
+    assert(new java.io.File(s"$dir/_stats/i1.json").exists())
+    val hc = spark.sparkContext.hadoopConfiguration
+    def run(mode: String): Seq[String] = {
+      hc.set("graft.zarr.ranged.reads", mode)
+      try spark.read.format("zarr").load(dir)
+        .filter("value >= 600.0").collect().map(_.toString).sorted.toSeq
+      finally hc.unset("graft.zarr.ranged.reads")
+    }
+    val whole = run("never")
+    assert(whole.length == 2 * 8) // days 6,7
+    assert(run("always") == whole)
+  }
+
+  test("REGION overwrite retires the window's docs and promotes fresh ones post-swap") {
     val dir = s"$base/region/store"
     cubeSlab(0, 8).write.format("zarr").mode("append")
       .option("dims", "day,source").option("chunk_shape", "2,4")
@@ -152,7 +172,17 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     cubeSlab(4, 8, vBase = 50000.0).write.format("zarr").mode("overwrite")
       .option("region_dim", "day").save(dir)
     assert(new java.io.File(s"$dir/_stats/i0.json").exists(), "out-of-window doc kept")
-    assert(!new java.io.File(s"$dir/_stats/i1.json").exists(), "window doc retired")
+    // the stale window doc was retired and the write's own staged doc
+    // promoted after the chunk swap — its bounds describe the NEW values
+    val st = ZarrStore(dir)
+    val doc = ChunkStats.parseInner(
+      st.readText("_stats/i1.json").getOrElse(fail("window doc missing")),
+      _ => Some(ZarrType.Float64)).getOrElse(fail("window doc unparseable"))
+    val vals = doc.cols("value")
+    assert((0 until vals.mins.length).forall(gi =>
+      vals.range(gi).forall { case (lo, _) =>
+        lo.asInstanceOf[Double] >= 50000.0 }),
+      "refreshed doc must describe the overwritten values")
     val hc = spark.sparkContext.hadoopConfiguration
     def run(mode: String): Seq[String] = {
       hc.set("graft.zarr.ranged.reads", mode)
@@ -163,6 +193,9 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val whole = run("never")
     assert(whole.length == 32) // the 4 overwritten days x 8 sources
     assert(run("always") == whole)
+    // no staging leftovers in the sidecar dir
+    assert(!new java.io.File(s"$dir/_stats").listFiles()
+      .exists(_.getName.startsWith("c.part")), "staged docs must be promoted away")
   }
 
   test("APPEND changes the shape signature: old docs are ignored and vacuumed") {
@@ -183,10 +216,13 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val whole = run("never")
     assert(whole.length == 4 * 8) // days 8..11
     assert(run("always") == whole)
-    // vacuum reclaims the shape-mismatched docs as phantoms
+    // the append's own slab doc (ordinal 2, new shape) is fresh and live
+    assert(new java.io.File(s"$dir/_stats/i2.json").exists())
+    // vacuum reclaims the shape-mismatched docs as phantoms, keeps i2
     val rows = ZarrMaintenance.vacuum(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(rows("_stats") >= 2L, s"expected the stale inner docs reclaimed: $rows")
     assert(!new java.io.File(s"$dir/_stats/i0.json").exists())
+    assert(new java.io.File(s"$dir/_stats/i2.json").exists())
   }
 }
