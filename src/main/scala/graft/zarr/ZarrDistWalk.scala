@@ -156,6 +156,35 @@ private[zarr] object ZarrDistWalk {
     n
   }
 
+  /** Validate-and-reclaim a batch of per-inner-chunk stats docs
+    * (`_stats/i<ord>.json`): a doc is a PHANTOM — deleted, counted —
+    * when its ordinal is past the committed grid, it is unreadable, or
+    * its shape/chunk/dims signature no longer matches the store's
+    * geometry. One visitor for both schedulers (driver loop and the
+    * distributed vacuum job): names are driver-LISTed once, but the
+    * per-doc GET+parse is the O(shards) cost this shards out. */
+  def vacuumInnerDocsUnit(
+      root: String, pairs: Seq[(String, String)], ords: Seq[Long],
+      numChunks: Long, shape: Seq[Long], chunk: Seq[Int], dims: Seq[String],
+      colTypes: Map[String, String]): Long = {
+    val store = ZarrStore(root, pairs)
+    val ztOf: String => Option[ZarrType] =
+      n => colTypes.get(n).map(ZarrType.fromName)
+    var reclaimed = 0L
+    ords.foreach { ord =>
+      val live = ord < numChunks &&
+        (store.readText(ChunkStats.innerKey(ord)) match {
+          case Some(doc) => ChunkStats.parseInner(doc, ztOf).exists(d =>
+            d.shape.toSeq == shape && d.chunk.toSeq == chunk &&
+              d.dims.toSeq == dims)
+          case None => false
+        })
+      // count only CONFIRMED deletions (the vacuumUnit discipline)
+      if (!live && store.deleteKey(ChunkStats.innerKey(ord))) reclaimed += 1
+    }
+    reclaimed
+  }
+
   /** Delete the unit's orphan key-shaped files (slots outside `grid`);
     * returns how many were deleted. Never touches directories,
     * metadata documents, or non-key-shaped (foreign) files. */

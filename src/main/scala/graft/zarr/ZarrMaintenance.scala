@@ -524,28 +524,38 @@ object ZarrMaintenance {
         if (bad) { store.deleteKey(key); phantoms += 1 }
       }
       val statsDir = new Path(root, ChunkStats.dirName)
+      val innerOrds = Seq.newBuilder[Long]
       if (fs.exists(statsDir))
         fs.listStatus(statsDir).foreach { st =>
           val nm = st.getPath.getName
           if (nm.startsWith("c.part")) {
             if (fs.delete(st.getPath, false)) phantoms += 1
-          } else ChunkStats.parseInnerName(nm).foreach { ord =>
-            // per-inner-chunk docs: phantom when out of grid, unreadable,
-            // or signed for a shape/grid the store no longer has (every
-            // reader already rejects them — this reclaims the bytes)
-            val ztOf: String => Option[ZarrType] =
-              n => metas.find(_.name == n).map(_.dataType)
-            val live = ord < geom.numChunks &&
-              (store.readText(s"${ChunkStats.dirName}/$nm") match {
-                case Some(doc) => ChunkStats.parseInner(doc, ztOf).exists(d =>
-                  d.shape.sameElements(geom.targetShape) &&
-                    d.chunk.sameElements(geom.targetChunk) &&
-                    d.dims.toSeq == geom.dimIdentity)
-                case None => false
-              })
-            if (!live && fs.delete(st.getPath, false)) phantoms += 1
-          }
+          } else ChunkStats.parseInnerName(nm).foreach(innerOrds += _)
         }
+      // per-inner-chunk docs: phantom when out of grid, unreadable, or
+      // signed for a shape/grid the store no longer has (every reader
+      // already rejects them — this reclaims the bytes). One doc exists
+      // per analyzed SHARD, so validation is a per-doc GET the driver
+      // must not serialize at scale: the same visitor runs inline on
+      // small listings and as a Spark job under `distributed`.
+      val ords = innerOrds.result()
+      if (ords.nonEmpty) {
+        val colTypes = metas.map(m => m.name -> m.dataType.zarrName).toMap
+        val shapeSeq = geom.targetShape.toSeq
+        val chunkSeq = geom.targetChunk.toSeq
+        val dimsSeq = geom.dimIdentity
+        val total = geom.numChunks
+        phantoms +=
+          (if (distributed && ords.size > 64) {
+            val parts = math.min(ords.size,
+              math.max(1, spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(ords, parts)
+              .mapPartitions(it => Iterator.single(ZarrDistWalk.vacuumInnerDocsUnit(
+                path, hadoopPairs, it.toSeq, total, shapeSeq, chunkSeq, dimsSeq, colTypes)))
+              .sum().toLong
+          } else ZarrDistWalk.vacuumInnerDocsUnit(
+            path, hadoopPairs, ords, total, shapeSeq, chunkSeq, dimsSeq, colTypes))
+      }
     }
 
     val schema = org.apache.spark.sql.types.StructType(Seq(

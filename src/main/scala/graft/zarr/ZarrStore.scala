@@ -424,9 +424,12 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
-  def deleteKey(key: String): Unit = {
+  /** Delete one object; true iff it existed and the delete succeeded
+    * (reclaim REPORTS count only confirmed deletions — callers that
+    * just want the object gone ignore the result). */
+  def deleteKey(key: String): Boolean = {
     val p = new Path(rootPath, key)
-    if (fs.exists(p)) fs.delete(p, false)
+    fs.exists(p) && fs.delete(p, false)
   }
 
   /** Remove staging/part directories under `<arrayName>/` whose name
