@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -510,6 +510,45 @@ object ZarrRoundtrip {
     s.read.format("zarr").load(store)
       .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
       .orderBy("day", "source")
+  }
+
+  /** q136: RANGED shard reads + inner-chunk masking under the oracle
+    * gate. The q131 sharded store (written by the cube kernel, so it
+    * carries write-time `_stats/i<ord>.json` docs) is read with
+    * `graft.zarr.ranged.reads=always` and a mixed predicate: `day >= 6`
+    * masks inner chunks from the COORDINATE axis (the first shard keeps
+    * 1 of its 4 day-bands), `sum_chars > 0` consults the per-inner
+    * DATA bounds, and the scan emits only kept-region rows — all three
+    * round-16 read levers (ranged fetch, inner masks, kept-row
+    * emission) must reproduce the DuckDB closed form exactly. The conf
+    * toggle is captured at load() (storeFor reads the hadoop conf
+    * eagerly), so the finally-unset cannot race the lazy execution. */
+  private lazy val q136 = QueryDef.sql(
+    "q136_zarr_ranged_read",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s),
+      |dense AS (
+      |  SELECT g.day, g.source,
+      |    coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |    coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source)
+      |SELECT day, source, n_docs, sum_chars FROM dense
+      |WHERE day >= 6 AND sum_chars > 0
+      |ORDER BY day, source""".stripMargin) { (s, dir) =>
+    val store = ensureShardedCubeStore(s, dir)
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    try {
+      s.read.format("zarr").load(store)
+        .filter(col("day") >= 6 && col("sum_chars") > 0)
+        .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+        .orderBy("day", "source")
+    } finally hc.unset("graft.zarr.ranged.reads")
   }
 
   /** q132: store observability under the oracle gate —
