@@ -181,6 +181,25 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         store.listArrays().map(store.readMeta)).numChunks
       assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
         s"append case $caseNo: sidecar does not cover the grown grid")
+
+      // round-16: the write + append emitted per-inner stats docs for
+      // sharded columns — the base write's docs are now SHAPE-STALE
+      // (must be ignored) while the slab's are fresh; a ranged read
+      // mixing coordinate and data predicates must agree with the
+      // whole-object path exactly over this mixed doc validity
+      if (sharded) {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val cut = (tuples.length * 0.6).toLong
+        def run(mode: String): Seq[String] = {
+          hc.set("graft.zarr.ranged.reads", mode)
+          try spark.read.format("zarr").load(path)
+            .filter(s"v1 >= $cut").collect().map(_.toString).sorted.toSeq
+          finally hc.unset("graft.zarr.ranged.reads")
+        }
+        val whole = run("never")
+        assert(run("always") == whole,
+          s"append case $caseNo: ranged != whole over mixed-validity inner docs")
+      }
     }
   }
 
@@ -265,6 +284,25 @@ class CubeWritePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         store.listArrays().map(store.readMeta)).numChunks
       assert(store.listStatsSegments().map(_._2.toLong).sum == geomChunks,
         s"region case $caseNo: sidecar does not cover the grid after the swap")
+
+      // round-16: post-region the OUT-of-window inner docs from the
+      // original write are still live (same shape, untouched objects)
+      // while the window's were retired and re-emitted via staged
+      // promotion with the NEW bounds — a ranged data-predicate read
+      // over this mixed-provenance doc set must equal the whole path
+      if (sharded) {
+        val hc = spark.sparkContext.hadoopConfiguration
+        val cut = 1000000L // exactly the reprocessed-region values
+        def run(mode: String): Seq[String] = {
+          hc.set("graft.zarr.ranged.reads", mode)
+          try spark.read.format("zarr").load(path)
+            .filter(s"v1 >= $cut").collect().map(_.toString).sorted.toSeq
+          finally hc.unset("graft.zarr.ranged.reads")
+        }
+        val whole = run("never")
+        assert(whole.nonEmpty && run("always") == whole,
+          s"region case $caseNo: ranged != whole over mixed-provenance inner docs")
+      }
     }
   }
 }
