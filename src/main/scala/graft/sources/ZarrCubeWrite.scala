@@ -524,6 +524,16 @@ object ZarrCubeWrite {
         }
       }
     } else store.cleanStatsSegmentsFrom(oldNumChunks)
+    // per-INNER-chunk docs: the ragged-edge rewrite RETIRES its window's
+    // docs up front (the smaller-leading-extent acceptance keeps docs of
+    // untouched ordinals live across the append, so a rewritten chunk's
+    // doc must not survive by signature) and a failed earlier append's
+    // leftovers past the committed grid go with them; docs BELOW the
+    // edge are never touched — their shards are never rewritten, which
+    // is exactly what keeps data-predicate masking live on the
+    // daily-append ingest cube. Fresh edge docs re-emit via c.part
+    // staging, promoted only after the chunk swap and metadata commit.
+    store.cleanInnerDocsFrom(edgeStart)
     // edge chunk-row rewrites are staged under this write-scoped c.part
     // dir and swapped in only after the whole slab is durable (a c.part*
     // dir is invisible to readers, removed by abort, and reclaimed by
@@ -603,7 +613,8 @@ object ZarrCubeWrite {
       // reading the committed shape — edge-chunk bounds would include
       // rows the reader cannot see). A crash before this point only
       // declines coverage; vacuum reclaims the staged docs.
-      if (edgeStart < oldNumChunks) promoteStagedSegments(store, writeId)
+      if (edgeStart < oldNumChunks)
+        promoteStagedSegments(store, writeId, dataMetas, newGrid)
     } catch {
       case e: Throwable =>
         // mirror the 1-D aligned-append abort: phantom chunks beyond the
@@ -617,6 +628,11 @@ object ZarrCubeWrite {
         // touched (or already trimmed to end there). Staged edge objects
         // not yet swapped in are write-private — remove their c.part dir.
         try store.cleanStatsSegmentsFrom(edgeStart)
+        catch { case _: Throwable => () }
+        // aligned appends write final-keyed INNER docs from the tasks
+        // (ordinals past the committed grid) — purge them like segments,
+        // or a later append reusing the ordinals inherits stale bounds
+        try store.cleanInnerDocsFrom(edgeStart)
         catch { case _: Throwable => () }
         try store.cleanStatsStaging(writeId) catch { case _: Throwable => () }
         try {
@@ -1054,7 +1070,7 @@ object ZarrCubeWrite {
       }
       t.dataMetas.foreach(m => store.cleanStaging(m.name, stageDir))
       // chunks are all final now; promote the staged segments
-      promoteStagedSegments(store, writeId)
+      promoteStagedSegments(store, writeId, t.dataMetas, grid)
     } catch {
       case e: Throwable =>
         // stats over the region were already retired up front; fresh
@@ -1164,7 +1180,9 @@ object ZarrCubeWrite {
     * of promoted and staged docs, which only declines coverage (staged
     * `c.part*` names are invisible to readers and reclaimed by
     * cleanStatsStaging / vacuum). */
-  private def promoteStagedSegments(store: ZarrStore, writeId: String): Unit = {
+  private def promoteStagedSegments(
+      store: ZarrStore, writeId: String,
+      dataMetas: Seq[ZarrArrayMeta], grid: Seq[Int]): Unit = {
     store.listCubeStagedSegments(writeId).foreach { case (first, n) =>
       val sk = ChunkStats.cubeStagingKey(writeId, first, n)
       store.readText(sk).foreach(doc =>
@@ -1173,8 +1191,20 @@ object ZarrCubeWrite {
     }
     store.listCubeStagedInnerDocs(writeId).foreach { ord =>
       val sk = ChunkStats.cubeInnerStagingKey(writeId, ord)
-      store.readText(sk).foreach(doc =>
-        store.writeText(ChunkStats.innerKey(ord), doc))
+      store.readText(sk).foreach { doc =>
+        // stamp each column's final-object mtime: the staged doc cannot
+        // know it (the swap's copy fallback creates a new object), and
+        // without it the freshness guard degrades to length-only — the
+        // exact hole constant-length encodings exploit. One HEAD per
+        // promoted column, bounded by the staged window size.
+        val idx = new Array[Int](grid.length)
+        var rem = ord
+        var d = grid.length - 1
+        while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+        val keyOf = dataMetas.map(m => m.name -> m.chunkKey(idx)).toMap
+        store.writeText(ChunkStats.innerKey(ord), ChunkStats.withInnerMtimes(doc,
+          name => keyOf.get(name).flatMap(k => store.objectStat(name, k))))
+      }
       store.deleteKey(sk)
     }
   }
@@ -1514,8 +1544,7 @@ object ZarrCubeWrite {
       // engine-written sharded store gets data-predicate inner masking
       // without a second full-corpus read. Slabs that stage chunk
       // rewrites stage their docs too (promoted after the swap).
-      val innerColsB = Seq.newBuilder[
-        (String, ZarrType, Seq[Int], Long, IndexedSeq[Option[ChunkStats.Bound]])]
+      val innerColsB = Seq.newBuilder[ChunkStats.InnerColInput]
       var c = 0
       while (c < ncols) {
         val packed = shardSpecs(c) match {
@@ -1540,9 +1569,18 @@ object ZarrCubeWrite {
         if (stats && shardSpecs(c).isDefined && zts(c) != ZarrType.Bytes) {
           val sp = shardSpecs(c).get
           val bc = buf(c)
-          innerColsB += ((dataNames(c), zts(c), sp.innerShape, packed.length.toLong,
+          // mtime of the FINAL object: direct writes stat it here (one
+          // HEAD per shard, next to its PUT); staged chunks are stamped
+          // at promotion — the swap's copy fallback creates a new
+          // object whose mtime a pre-swap doc cannot know
+          val mt =
+            if (curOrd < stageBelowOrd) -1L
+            else store.objectStat(dataNames(c), key).map(_._2).getOrElse(-1L)
+          innerColsB += ChunkStats.InnerColInput(
+            dataNames(c), zts(c), sp.innerShape, packed.length.toLong, mt,
+            Sharding.encodedIndexSum(sp, packed, chunkShape),
             ChunkStats.innerBounds(bc(_), zts(c), sp.innerShape.toArray,
-              chunkShape, extent)))
+              chunkShape, extent))
         }
         c += 1
       }

@@ -180,13 +180,25 @@ class ZarrMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (metaJsons, manifestParts) = planned
+    // per-inner-chunk stats docs are CONSUMABLE in streaming since docs
+    // became append-surviving (smaller-leading-extent acceptance): a doc
+    // written by the append that produced this batch's slab — or any
+    // earlier one — is signature-accepted against the batch's planning
+    // snapshot, while a doc from a LATER append (larger leading extent)
+    // is rejected, so a racing ingest can only decline masking, never
+    // misdescribe. The usual length/mtime/index-checksum guards apply
+    // unchanged executor-side.
+    val innerStats = pushed.nonEmpty &&
+      metaJsons.exists { case (n, j) => ZarrMeta.parse(n, j).shardingSpec.isDefined } &&
+      (try store.hasInnerStatsDocs() catch { case _: Throwable => false })
     ZarrReaderFactory(store, metaJsons, outputNames, pushed,
       statsSegmentIndex =
         if (pushed.isEmpty) Nil
         else try store.listStatsSegments() catch { case _: Throwable => Nil },
       // SAME snapshot as the planned metadata — never a second,
       // possibly-newer root read (shape/manifest pairing must hold)
-      manifestParts = manifestParts)
+      manifestParts = manifestParts,
+      innerStatsPresent = innerStats)
   }
 
   override def commit(end: Offset): Unit = ()

@@ -128,14 +128,24 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   }
 
   /** Coordinate chunk values for `name` at grid position `chunkIdx` —
-    * from the cache, else one (tiny) GET. Callable from IO threads. */
+    * from the cache, else one (tiny) GET. Callable from IO threads.
+    * The cache-miss fetch resolves the key through the SAME manifest
+    * path [[chunkKeyFor]] applies (1-D manifest-keyed stores would
+    * otherwise decode fill values from an absent canonical key into the
+    * mask — unreachable today because 1-D coord chunks are never shared
+    * and the fetchBytes call always populates the cache first, but the
+    * invariant must not hinge on prefetch ordering). */
   private def coordColumnFor(name: String, chunkIdx: Int): ChunkColumn = {
     val key = s"$name/$chunkIdx"
     val cached = coordCache.get(key)
     if (cached != null) cached
     else {
       val m = roleOf(name).meta
-      val c = ChunkColumn.decode(m, f.store.readChunk(name, m.chunkKey(Array(chunkIdx))))
+      val storeKey =
+        if (geometry.ndim == 1 && !manifest.isEmpty)
+          manifest.keyFor(chunkIdx).getOrElse(m.chunkKey(Array(chunkIdx)))
+        else m.chunkKey(Array(chunkIdx))
+      val c = ChunkColumn.decode(m, f.store.readChunk(name, storeKey))
       coordCache.putIfAbsent(key, c)
       c
     }
@@ -170,9 +180,13 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       val doc =
         try f.store.readText(ChunkStats.innerKey(o))
           .flatMap(ChunkStats.parseInner(_, ztOf))
-          .filter(d => d.shape.sameElements(geometry.targetShape) &&
-            d.chunk.sameElements(geometry.targetChunk) &&
-            d.dims.toSeq == geometry.dimIdentity)
+          // gridCompatible's acceptance for inner docs: trailing extents,
+          // chunk and dim identity exact; smaller leading extent OK (a
+          // dim-0 append never re-addresses or rewrites a surviving
+          // doc's shard — edge-window docs are retired by the append)
+          .filter(d => ChunkStats.innerDocCompatible(d,
+            geometry.targetShape.toSeq, geometry.targetChunk.toSeq,
+            geometry.dimIdentity))
         catch { case _: Throwable => None }
       idocCache.putIfAbsent(o, doc)
       doc
@@ -186,16 +200,18 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     * exact coordinate (min,max) from the coord chunks, plus this
     * column's own per-inner bounds from the analyze sidecar — refute the
     * maskable filters ([[ChunkStats.mayMatch]] interval logic). Returns
-    * the mask plus, when sidecar bounds participated, the shard object
-    * length the doc recorded — the caller MUST verify it against the
-    * live object before trusting the mask (stale data bounds would
-    * silently drop matching rows; coordinate ranges need no check, the
-    * residual filter sees the same values). Ranged reads pay one extra
-    * round-trip for the index, so the mask is only returned when at
-    * least half the in-extent inner chunks drop. */
+    * the mask plus, when sidecar bounds participated, the doc's column
+    * stats (recorded object length, mtime, index checksum) — the caller
+    * MUST verify them against the live object before trusting the mask
+    * (stale data bounds would silently drop matching rows; coordinate
+    * ranges need no check, the residual filter sees the same values).
+    * Ranged reads pay one extra round-trip for the index, so the mask
+    * is only returned when at least half the in-extent inner chunks
+    * drop. */
   private def innerMask(
       name: String, spec: Sharding.Spec, o: Long, idx: Array[Int],
-      extent: Array[Int], useStats: Boolean): Option[(Array[Boolean], Option[Long])] = {
+      extent: Array[Int], useStats: Boolean):
+      Option[(Array[Boolean], Option[ChunkStats.InnerColStats])] = {
     val maskable = maskableFor(name)
     if (maskable.isEmpty) return None
     val ndim = geometry.ndim
@@ -270,7 +286,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
       gi += 1
     }
     if (kept == inExtent || kept * 2 > inExtent) None
-    else Some((mask, dataStats.map(_.objectLen)))
+    else Some((mask, dataStats))
   }
 
   /** One chunk's fetched raw bytes plus any inner-chunk keep-masks that
@@ -308,26 +324,42 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
           case DataCol(m) if m.shardingSpec.isDefined =>
             val spec = m.shardingSpec.get
             // freshness gate for sidecar-driven masks: the doc's recorded
-            // shard length must match the live object (HEAD), else the
-            // bounds may describe replaced bytes — retry with coordinate
-            // information only (always sound: the residual filter sees
-            // the same coordinate values the mask reasoned over)
+            // shard length AND mtime must match the live object (one
+            // HEAD; length alone is defeated by constant-length
+            // encodings, where a replaced shard packs to identical
+            // bytes), and the index checksum is verified inside the
+            // ranged read itself (the index is fetched anyway). Any
+            // mismatch → retry with coordinate information only
+            // (always sound: the residual filter sees the same
+            // coordinate values the mask reasoned over)
             var stale = false
             def attempt(useStats: Boolean): Option[Option[Array[Byte]]] =
               innerMask(n, spec, o, idx, extent, useStats).flatMap {
-                case (mask, lenCheck) =>
-                  val actualLen = lenCheck.map(_ => f.store.objectLength(n, k))
-                  val fresh = lenCheck match {
+                case (mask, statsRef) =>
+                  val live = statsRef.map(_ => f.store.objectStat(n, k))
+                  val fresh = statsRef match {
                     case None => true
-                    case Some(expect) if expect < 0 => actualLen.get.isEmpty
-                    case Some(expect) => actualLen.get.contains(expect)
+                    case Some(cs) if cs.objectLen < 0 => live.get.isEmpty
+                    case Some(cs) => live.get.exists { case (len, mt) =>
+                      len == cs.objectLen && (cs.mtime < 0 || mt == cs.mtime)
+                    }
                   }
                   if (!fresh) { stale = true; None }
-                  else {
-                    masks += ((spec.innerShape.toArray, mask))
-                    Some(Sharding.readRanged(f.store, n, k, spec, m.chunkShape,
-                      mask, knownLen = actualLen.flatten))
-                  }
+                  else
+                    try {
+                      val bytes = Sharding.readRanged(f.store, n, k, spec,
+                        m.chunkShape, mask,
+                        knownLen = live.flatten.map(_._1),
+                        expectIndexSum = statsRef.map(_.indexSum).getOrElse(-1L))
+                      // record the mask only once the ranged read
+                      // succeeded: a stale-index retry must not leave
+                      // this attempt's mask driving row emission
+                      masks += ((spec.innerShape.toArray, mask))
+                      Some(bytes)
+                    } catch {
+                      case _: Sharding.StaleShardIndexException =>
+                        stale = true; None
+                    }
               }
             attempt(useStats = true).orElse(
               if (stale) attempt(useStats = false) else None)

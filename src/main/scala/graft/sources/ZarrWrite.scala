@@ -349,9 +349,13 @@ class ZarrBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) store.delete()
     // a previously-failed aligned append may have left final-keyed stats
-    // segments at ordinals this write is about to (re)use — purge them so
-    // a stale segment can never describe the chunks written now
-    else store.cleanStatsSegmentsFrom(baseChunks)
+    // segments AND inner docs at ordinals this write is about to (re)use
+    // — purge them so a stale doc can never describe the chunks written
+    // now
+    else {
+      store.cleanStatsSegmentsFrom(baseChunks)
+      store.cleanInnerDocsFrom(baseChunks)
+    }
     ZarrWriterFactory(store, schema.json, chunkSize, colMetaJsons, rowsPerPartition,
       baseChunks, stats, writeId)
   }
@@ -401,6 +405,21 @@ class ZarrBatchWrite(
             store.writeText(ChunkStats.segmentKey(nextChunk, nChunks), doc))
           store.deleteKey(sk)
         }
+        // per-inner-chunk docs (sharded columns only): copy each task's
+        // staged docs to their final ordinals. O(chunks) metadata-sized
+        // text copies at commit — proportional to SHARD count, and a
+        // sharded layout exists precisely to keep the stored object
+        // count small; unsharded writes skip this loop entirely
+        if (c.innerDocs) {
+          var j = 0
+          while (j < nChunks) {
+            val ik = ChunkStats.tabularInnerStagingKey(writeId, c.partitionId, j)
+            store.readText(ik).foreach(doc =>
+              store.writeText(ChunkStats.innerKey(nextChunk + j), doc))
+            store.deleteKey(ik)
+            j += 1
+          }
+        }
         nextChunk += nChunks
       }
       manifestOut = existingManifest ++ newParts.result()
@@ -447,10 +466,11 @@ class ZarrBatchWrite(
       // THIS write's staging (scoped by writeId) is removed
       schema.fields.foreach(f => store.cleanStaging(f.name, s"c.part$writeId-"))
       store.cleanStatsStaging(writeId)
-      // aligned tasks write FINAL segment keys (no staging) — remove any
-      // at ordinals past the surviving base or they would describe
-      // chunks the rolled-back shape[0] does not own
+      // aligned tasks write FINAL segment keys and inner docs (no
+      // staging) — remove any at ordinals past the surviving base or
+      // they would describe chunks the rolled-back shape[0] does not own
       store.cleanStatsSegmentsFrom(baseChunks)
+      store.cleanInnerDocsFrom(baseChunks)
     }
   }
 }
@@ -514,7 +534,12 @@ object ZarrBatchWrite {
   }
 }
 
-final case class ZarrCommit(partitionId: Int, rows: Long) extends WriterCommitMessage
+final case class ZarrCommit(
+    partitionId: Int, rows: Long,
+    /** Whether the task staged per-inner-chunk stats docs (sharded
+      * columns with stats on) — lets the commit skip the per-chunk
+      * staging probe entirely for the common unsharded write. */
+    innerDocs: Boolean = false) extends WriterCommitMessage
 
 final case class ZarrWriterFactory(
     store: ZarrStore, schemaJson: String, chunkSize: Int, colMetaJsons: Seq[String],
@@ -587,6 +612,16 @@ final class ZarrDataWriter(
 
   private def flush(): Unit = {
     if (rowsInChunk == 0) return
+    val realRows = rowsInChunk
+    // per-inner-chunk stats for SHARDED columns: the same
+    // `_stats/i<ord>.json` doc analyze backfills, emitted at write time
+    // so a sharded tabular store masks data predicates with no second
+    // corpus read. Docs are grid-less (empty shape — the final shape is
+    // unknown until commit), accepted for 1-D scans like grid-less
+    // segments; the staged path parks them at task-scoped names the
+    // commit copies to final ordinals.
+    val docCols = Seq.newBuilder[ChunkStats.InnerColInput]
+    var anyDoc = false
     var c = 0
     while (c < ncols) {
       val zt = zts(c)
@@ -616,12 +651,38 @@ final class ZarrDataWriter(
           Seq("c", ord.toString).mkString(colMetas(c).chunkKeySeparator)
         } else s"c.part$writeId-$partitionId/$localChunk" // final key; commit maps it via manifest
       store.writeChunk(schema.fields(c).name, key, enc)
+      if (stats) colShards(c).foreach { sp =>
+        val name = schema.fields(c).name
+        // both key layouts are the object's FINAL resting place (the
+        // manifest maps ordinals, it never moves bytes), so the mtime
+        // freshness token can be recorded right here — one HEAD per
+        // shard, next to its PUT
+        val mt = store.objectStat(name, key).map(_._2).getOrElse(-1L)
+        docCols += ChunkStats.InnerColInput(name, zt, sp.innerShape,
+          enc.length.toLong, mt,
+          Sharding.encodedIndexSum(sp, enc, Array(chunkSize)),
+          ChunkStats.innerBounds(vals(_), zt, sp.innerShape.toArray,
+            Array(chunkSize), Array(realRows)))
+        anyDoc = true
+      }
       buf(c).clear()
       c += 1
+    }
+    if (anyDoc) {
+      val dkey =
+        if (rowsPerPartition > 0)
+          ChunkStats.innerKey(
+            baseChunks + partitionId * (rowsPerPartition / chunkSize) + localChunk)
+        else ChunkStats.tabularInnerStagingKey(writeId, partitionId, localChunk)
+      store.writeText(dkey,
+        ChunkStats.encodeInner(Nil, Nil, Seq(chunkSize), docCols.result()))
+      wroteInnerDocs = true
     }
     rowsInChunk = 0
     localChunk += 1
   }
+
+  private var wroteInnerDocs = false
 
   override def commit(): WriterCommitMessage = {
     flush()
@@ -640,7 +701,7 @@ final class ZarrDataWriter(
           ChunkStats.stagingKey(writeId, partitionId, localChunk)
       store.writeText(key, doc)
     }
-    ZarrCommit(partitionId, totalRows)
+    ZarrCommit(partitionId, totalRows, wroteInnerDocs)
   }
 
   override def abort(): Unit = ()

@@ -58,22 +58,50 @@ object ChunkStats {
 
   // ---- per-INNER-chunk sidecar (`_stats/i<outerOrdinal>.json`) ----
   //
-  // Written by `analyze` for SHARDED data arrays: one doc per outer
-  // chunk (= stored shard) holding each column's per-inner-chunk
-  // min/max, so a DATA-column predicate can mask inner chunks before
-  // any shard byte is fetched (the coordinate-mask machinery extended
-  // to data predicates). Staleness discipline — stale bounds here
-  // would SILENTLY DROP matching rows, the worst failure class, so
-  // three independent guards apply:
-  //  1. the doc records the array SHAPE (+ dims, chunk, inner): any
-  //     append changes the shape and invalidates every doc wholesale;
-  //  2. the region-overwrite path DELETES the docs of every ordinal in
-  //     its window before swapping chunks (same discipline as segment
-  //     retirement), and 1-D overwrite truncates the whole store;
-  //  3. the doc records each column's shard OBJECT LENGTH at analyze
-  //     time (-1 = absent): the reader compares it against the HEAD it
+  // Written by `analyze`, the cube write kernel and the tabular DSv2
+  // writer for SHARDED data arrays: one doc per outer chunk (= stored
+  // shard) holding each column's per-inner-chunk min/max, so a
+  // DATA-column predicate can mask inner chunks before any shard byte
+  // is fetched (the coordinate-mask machinery extended to data
+  // predicates). Staleness discipline — stale bounds here would
+  // SILENTLY DROP matching rows, the worst failure class, so
+  // independent guards apply:
+  //  1. the doc records the array SHAPE (+ dims, chunk, inner) and is
+  //     accepted under the SAME rule as grid-signed segments
+  //     ([[gridCompatible]], [[innerDocCompatible]]): trailing extents
+  //     and per-dim identity must match exactly, the LEADING extent may
+  //     be smaller than the scan's — a row-major ordinal is a function
+  //     of the trailing extents only, so dim-0 growth (append) never
+  //     re-addresses a described shard, and appends never re-sign the
+  //     sidecar. A LARGER leading extent (a failed append's leftover)
+  //     is rejected. Docs written by the 1-D tabular writer carry an
+  //     EMPTY shape (the final shape is unknown until commit) and are
+  //     accepted for 1-D scans only — 1-D ordinals are append-stable,
+  //     the same argument grid-less segments rest on;
+  //  2. every path that REWRITES a described chunk retires its docs
+  //     first: the region-overwrite path and the cube append's
+  //     ragged-edge rewrite both delete the window's docs before
+  //     swapping chunks and re-emit fresh ones via c.part staging
+  //     promoted only after the swap; 1-D overwrite truncates the
+  //     whole store, and the 1-D append path refuses unaligned bases
+  //     (no committed chunk is ever rewritten);
+  //  3. the doc records each column's shard OBJECT LENGTH and
+  //     MODIFICATION TIME (`mt`; filled at promotion for staged
+  //     swaps): the reader compares both against the one HEAD it
   //     issues anyway before a ranged read, and on mismatch ignores
-  //     the doc's bounds for that column.
+  //     the doc's bounds for that column. Length alone is defeatable
+  //     by constant-length encodings (a raw-codec shard of the same
+  //     shape packs to identical bytes), which is why mtime rides
+  //     along; `mt` < 0 (legacy docs, failed promotion stat) degrades
+  //     to the length-only check;
+  //  4. the doc records a CRC32 of the shard's encoded index bytes
+  //     (`isum`): the ranged read fetches the index anyway, so the
+  //     reader verifies it for free and falls back to coordinate-only
+  //     masking on mismatch — catching a swap that lands between the
+  //     freshness HEAD and the index GET (for encodings whose index
+  //     bytes change; a constant-length encoding's identical index is
+  //     the irreducible residue of non-transactional HEAD-then-GET,
+  //     the same residue the whole-object path has).
   // Bounds are computed over the inner region's IN-EXTENT rows of the
   // DECODED buffer, so absent inner chunks record [fill, fill] — the
   // values a scan of those rows actually emits.
@@ -98,6 +126,13 @@ object ChunkStats {
     * shape). */
   def cubeInnerStagingKey(writeId: String, ord: Long): String =
     s"$dirName/c.part$writeId-i$ord.json"
+
+  /** Staging key for the 1-D tabular writer's inner docs on the staged
+    * (manifest) path: the task's global first ordinal is only known at
+    * commit, which copies staging → [[innerKey]] (metadata-sized text).
+    * Chunk index `j` is task-local, like the chunk part files. */
+  def tabularInnerStagingKey(writeId: String, partitionId: Int, j: Int): String =
+    s"$dirName/c.part$writeId-${partitionId}_i$j.json"
 
   /** Per-inner-chunk bounds of one assembled outer chunk (row-major
     * over the inner grid of `inner` inside `chunkShape`): each inner
@@ -152,9 +187,12 @@ object ChunkStats {
 
   /** One column's per-inner-chunk stats inside an [[InnerDoc]]. `mins`/
     * `maxs` are row-major over the column's inner grid; null entries
-    * carry no bound (never-emitted fully-out-of-extent slots). */
+    * carry no bound (never-emitted fully-out-of-extent slots).
+    * `mtime`/`indexSum` < 0 = unrecorded (guards degrade, see the
+    * staleness notes above). */
   final case class InnerColStats(
-      inner: Array[Int], objectLen: Long, mins: Array[Any], maxs: Array[Any]) {
+      inner: Array[Int], objectLen: Long, mins: Array[Any], maxs: Array[Any],
+      mtime: Long = -1L, indexSum: Long = -1L) {
     def range(gi: Int): Option[(Any, Any)] =
       if (gi < 0 || gi >= mins.length || mins(gi) == null || maxs(gi) == null) None
       else Some((mins(gi), maxs(gi)))
@@ -164,28 +202,85 @@ object ChunkStats {
       shape: Array[Long], dims: Array[String], chunk: Array[Int],
       cols: Map[String, InnerColStats])
 
+  /** Writer-side input for one column of an inner doc. `mtime` is the
+    * stored object's modification time (-1 = unknown; staged swaps
+    * record -1 and promotion fills it); `indexSum` is the CRC32 of the
+    * shard's encoded index bytes (-1 = unknown/absent object). */
+  final case class InnerColInput(
+      name: String, zt: ZarrType, inner: Seq[Int], objectLen: Long,
+      mtime: Long, indexSum: Long, bounds: IndexedSeq[Option[Bound]])
+
+  /** Encode one inner doc. An EMPTY `shape` marks a grid-less 1-D doc
+    * (the tabular writer's — final shape unknown until commit),
+    * accepted for 1-D scans only, like grid-less segments. */
   def encodeInner(
       shape: Seq[Long], dims: Seq[String], chunk: Seq[Int],
-      cols: Seq[(String, ZarrType, Seq[Int], Long, IndexedSeq[Option[Bound]])]): String = {
+      cols: Seq[InnerColInput]): String = {
     val root = mapper.createObjectNode()
     root.put(strOrderField, strOrderCp)
     val sh = root.putArray("shape"); shape.foreach(sh.add)
     val dm = root.putArray("dims"); dims.foreach(dm.add)
     val ch = root.putArray("chunk"); chunk.foreach(ch.add)
     val colsNode = root.putObject("cols")
-    cols.foreach { case (name, zt, inner, objectLen, bounds) =>
-      val c = colsNode.putObject(name)
-      val in = c.putArray("inner"); inner.foreach(in.add)
-      c.put("len", objectLen)
+    cols.foreach { ci =>
+      val c = colsNode.putObject(ci.name)
+      val in = c.putArray("inner"); ci.inner.foreach(in.add)
+      c.put("len", ci.objectLen)
+      if (ci.mtime >= 0) c.put("mt", ci.mtime)
+      if (ci.indexSum >= 0) c.put("isum", ci.indexSum)
       val mins = c.putArray("min")
       val maxs = c.putArray("max")
-      bounds.foreach {
-        case Some(b) => putVal(mins, zt, b.lo); putVal(maxs, zt, b.hi)
+      ci.bounds.foreach {
+        case Some(b) => putVal(mins, ci.zt, b.lo); putVal(maxs, ci.zt, b.hi)
         case None => mins.addNull(); maxs.addNull()
       }
     }
     mapper.writeValueAsString(root)
   }
+
+  /** May `doc`'s ordinal be interpreted against a store with the given
+    * geometry? The inner-doc analogue of [[gridCompatible]], shared by
+    * the reader and vacuum so acceptance can never drift:
+    *  - empty doc shape (tabular writer): 1-D stores only, chunk must
+    *    match (1-D ordinals are append-stable; rewrite paths retire);
+    *  - else trailing extents, chunk shape and per-dim identity must
+    *    match exactly; the LEADING extent may be smaller (a doc
+    *    recorded before a dim-0 append describes exactly the same
+    *    shard afterwards — append retires/re-emits its edge window's
+    *    docs, so a surviving doc's chunk was never rewritten). A
+    *    larger leading extent is a failed append's leftover: reject. */
+  def innerDocCompatible(
+      d: InnerDoc, shape: Seq[Long], chunk: Seq[Int], dims: Seq[String]): Boolean =
+    if (d.shape.isEmpty) shape.length == 1 && d.chunk.toSeq == chunk
+    else d.shape.length == shape.length && d.shape(0) <= shape(0) &&
+      (1 until shape.length).forall(i => d.shape(i) == shape(i)) &&
+      d.chunk.toSeq == chunk && d.dims.toSeq == dims
+
+  /** Rewrite an inner doc's per-column `mt` fields from live object
+    * stats — the staged-swap promotion step: a staged doc cannot know
+    * the final object's modification time (FileContext rename preserves
+    * the staged file's mtime but the copy fallback does not), so the
+    * promoter stats each final object once and stamps the doc. `statOf`
+    * returns (len, mtime); the stamp is only applied when the live
+    * length equals the doc's recorded length (anything else leaves
+    * `mt` unset and the reader's length guard declines the mask). */
+  def withInnerMtimes(json: String, statOf: String => Option[(Long, Long)]): String =
+    try {
+      val root = mapper.readTree(json)
+      val colsNode = root.get("cols")
+      if (colsNode == null) return json
+      val it = colsNode.fieldNames()
+      while (it.hasNext) {
+        val name = it.next()
+        val c = colsNode.get(name).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val lenN = c.get("len")
+        if (lenN != null) statOf(name) match {
+          case Some((len, mt)) if len == lenN.asLong() => c.put("mt", mt)
+          case _ => c.remove("mt")
+        }
+      }
+      mapper.writeValueAsString(root)
+    } catch { case _: Exception => json }
 
   /** Parse + structurally validate an inner-stats doc; None on anything
     * malformed (the sidecar is auxiliary — a bad doc must never fail a
@@ -232,7 +327,11 @@ object ChunkStats {
               }
               i += 1
             }
-            b += name -> InnerColStats(inner, lenN.asLong(), mins, maxs)
+            val mtN = c.get("mt")
+            val isumN = c.get("isum")
+            b += name -> InnerColStats(inner, lenN.asLong(), mins, maxs,
+              if (mtN == null) -1L else mtN.asLong(),
+              if (isumN == null) -1L else isumN.asLong())
           }
         }
       }

@@ -132,6 +132,27 @@ object Sharding {
   /** Number of inner chunks of one outer chunk under `spec`. */
   def innerCount(shardShape: Array[Int], spec: Spec): Int = gridOf(shardShape, spec).product
 
+  /** CRC32 of a shard object's ENCODED index bytes — the inner-doc
+    * freshness token ([[graft.zarr.ChunkStats]] `isum`): writers record
+    * it, and [[readRanged]] verifies it against the index it fetches
+    * anyway, so a shard replaced after the freshness HEAD (but before
+    * the index GET) with different index bytes is caught for free. */
+  def encodedIndexSum(spec: Spec, shard: Array[Byte], shardShape: Array[Int]): Long = {
+    val nInner = innerCount(shardShape, spec)
+    val encSize = indexEncodedSize(spec, nInner)
+    if (shard.length < encSize) return -1L
+    val crc = new java.util.zip.CRC32()
+    if (spec.indexAtEnd) crc.update(shard, shard.length - encSize, encSize)
+    else crc.update(shard, 0, encSize)
+    crc.getValue
+  }
+
+  /** Thrown by [[readRanged]] when the fetched index bytes fail the
+    * caller's expected checksum: the mask that drove the read was
+    * computed from a stale inner-stats doc — the caller must retry
+    * with coordinate-only information (always sound). */
+  final class StaleShardIndexException(msg: String) extends ZarrException(msg)
+
   /** Fetch a shard PARTIALLY: the index plus only the inner chunks marked
     * `needed` (row-major over the inner grid), reassembled into a
     * synthetic shard object that [[decode]] accepts — non-fetched inner
@@ -162,7 +183,11 @@ object Sharding {
       needed: Array[Boolean],
       /** Object length a caller already HEADed (freshness checks) — saves
         * the redundant metadata probe when the index sits at the end. */
-      knownLen: Option[Long] = None): Option[Array[Byte]] = {
+      knownLen: Option[Long] = None,
+      /** Expected CRC32 of the encoded index bytes (inner-doc `isum`);
+        * < 0 = no expectation. On mismatch the mask that drove this
+        * read is stale — throws [[StaleShardIndexException]]. */
+      expectIndexSum: Long = -1L): Option[Array[Byte]] = {
     val nInner = innerCount(shardShape, spec)
     require(needed.length == nInner, s"needed mask ${needed.length} != $nInner inner chunks")
     val encSize = indexEncodedSize(spec, nInner)
@@ -177,6 +202,14 @@ object Sharding {
         len - encSize
       }
     val idxBytes = store.readRange(arrayName, key, idxOff, encSize).getOrElse(return None)
+    if (expectIndexSum >= 0) {
+      val crc = new java.util.zip.CRC32()
+      crc.update(idxBytes, 0, idxBytes.length)
+      if (crc.getValue != expectIndexSum)
+        throw new StaleShardIndexException(
+          s"shard $arrayName/$key index checksum ${crc.getValue} != recorded " +
+            s"$expectIndexSum — inner-stats doc is stale")
+    }
     val index = decodeIndexBytes(spec, idxBytes, nInner)
 
     // needed present inner chunks, sorted by stored offset for coalescing

@@ -159,8 +159,10 @@ private[zarr] object ZarrDistWalk {
   /** Validate-and-reclaim a batch of per-inner-chunk stats docs
     * (`_stats/i<ord>.json`): a doc is a PHANTOM — deleted, counted —
     * when its ordinal is past the committed grid, it is unreadable, or
-    * its shape/chunk/dims signature no longer matches the store's
-    * geometry. One visitor for both schedulers (driver loop and the
+    * its shape/chunk/dims signature is incompatible with the store's
+    * geometry under [[ChunkStats.innerDocCompatible]] (a smaller
+    * LEADING extent is compatible: docs survive dim-0 appends by
+    * design). One visitor for both schedulers (driver loop and the
     * distributed vacuum job): names are driver-LISTed once, but the
     * per-doc GET+parse is the O(shards) cost this shards out. */
   def vacuumInnerDocsUnit(
@@ -174,9 +176,12 @@ private[zarr] object ZarrDistWalk {
     ords.foreach { ord =>
       val live = ord < numChunks &&
         (store.readText(ChunkStats.innerKey(ord)) match {
-          case Some(doc) => ChunkStats.parseInner(doc, ztOf).exists(d =>
-            d.shape.toSeq == shape && d.chunk.toSeq == chunk &&
-              d.dims.toSeq == dims)
+          // the READER's acceptance rule, verbatim (innerDocCompatible):
+          // vacuum must never reclaim a doc a scan would still trust —
+          // in particular docs with a SMALLER leading extent, which stay
+          // live across dim-0 appends by design
+          case Some(doc) => ChunkStats.parseInner(doc, ztOf)
+            .exists(d => ChunkStats.innerDocCompatible(d, shape, chunk, dims))
           case None => false
         })
       // count only CONFIRMED deletions (the vacuumUnit discipline)

@@ -343,8 +343,7 @@ object ZarrMaintenance {
                 // bounds into one `_stats/i<ord>.json` doc per shard, so
                 // data-column predicates can mask inner chunks before any
                 // shard byte is fetched (see ChunkStats inner-doc notes)
-                val innerCols = Seq.newBuilder[
-                  (String, ZarrType, Seq[Int], Long, IndexedSeq[Option[ChunkStats.Bound]])]
+                val innerCols = Seq.newBuilder[ChunkStats.InnerColInput]
                 ms.zipWithIndex.foreach { case (m, i) =>
                   val role = roleOf(m.name)
                   val col = role match {
@@ -373,10 +372,27 @@ object ZarrMaintenance {
                     case DataCol(_) if m.shardingSpec.isDefined &&
                         m.dataType != ZarrType.Bytes =>
                       val spec = m.shardingSpec.get
-                      innerCols += ((m.name, m.dataType, spec.innerShape,
-                        raw(m.name).map(_.length.toLong).getOrElse(-1L),
+                      val bytes = raw(m.name)
+                      // freshness tokens: index checksum from the bytes
+                      // already in hand; mtime from one HEAD, recorded
+                      // only when the live length still equals the
+                      // fetched buffer's (an out-of-band swap between
+                      // the GET and this stat must not pair old bounds
+                      // with a new object's mtime)
+                      val key =
+                        if (mani.isEmpty) m.chunkKey(idx)
+                        else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                      val mt = bytes.flatMap(b =>
+                        st.objectStat(m.name, key)
+                          .filter(_._1 == b.length.toLong).map(_._2))
+                        .getOrElse(-1L)
+                      innerCols += ChunkStats.InnerColInput(
+                        m.name, m.dataType, spec.innerShape,
+                        bytes.map(_.length.toLong).getOrElse(-1L), mt,
+                        bytes.map(b => Sharding.encodedIndexSum(spec, b, g.targetChunk))
+                          .getOrElse(-1L),
                         ChunkStats.innerBounds(col.get, m.dataType,
-                          spec.innerShape.toArray, g.targetChunk, extent)))
+                          spec.innerShape.toArray, g.targetChunk, extent))
                     case _ => ()
                   }
                 }

@@ -362,7 +362,13 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     conf.get("graft.zarr.ranged.reads", "auto") match {
       case "always" | "true" => true
       case "never" | "false" => false
-      case _ => fs.getScheme != "file"
+      case _ =>
+        // FileSystem.getScheme's base implementation THROWS for
+        // filesystems that never override it — such stores read whole
+        // objects (the conservative default), they must not fail at
+        // reader construction
+        try fs.getScheme != "file"
+        catch { case _: UnsupportedOperationException => false }
     }
 
   /** Stored byte length of a chunk object, or None when absent. One
@@ -372,6 +378,16 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   def objectLength(arrayName: String, key: String): Option[Long] =
     try Some(fs.getFileStatus(new Path(rootPath, s"$arrayName/$key")).getLen)
     catch { case _: java.io.FileNotFoundException => None }
+
+  /** (byte length, modification time) of a chunk object, or None when
+    * absent — the same single HEAD as [[objectLength]]; the mtime is
+    * the inner-doc freshness token that catches same-length replacement
+    * (constant-length encodings defeat a length-only check). */
+  def objectStat(arrayName: String, key: String): Option[(Long, Long)] =
+    try {
+      val st = fs.getFileStatus(new Path(rootPath, s"$arrayName/$key"))
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** One ranged GET: `len` bytes at `off` of a chunk object, or None when
     * the object is absent. Each call opens the object once (on object
@@ -441,6 +457,23 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     if (fs.exists(dir))
       fs.listStatus(dir).filter(_.getPath.getName.startsWith(prefix))
         .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Delete committed (final-keyed) per-inner-chunk stats docs whose
+    * ordinal is at or after `fromOrd` — the inner-doc twin of
+    * [[cleanStatsSegmentsFrom]]: an aborted append's leftover docs
+    * describe chunks a later append will reuse (and the cube append's
+    * ragged-edge rewrite must retire its window's docs before the
+    * swap, since the smaller-leading-extent acceptance would otherwise
+    * keep them live over REWRITTEN chunks). */
+  def cleanInnerDocsFrom(fromOrd: Long): Unit = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        ChunkStats.parseInnerName(st.getPath.getName).foreach { ord =>
+          if (ord >= fromOrd) fs.delete(st.getPath, false)
+        }
+      }
   }
 
   /** Delete committed (final-keyed) stats segments whose range starts at

@@ -320,6 +320,44 @@ class ZarrStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.sameElements((0 until 20).map(_ * 1.0)))
   }
 
+  test("micro-batch factory consumes per-inner-chunk docs when filters are pushed") {
+    // Spark 4.1 performs NO DSv2 filter pushdown into STREAMING scans
+    // (MicroBatchExecution builds the Scan at stream start without the
+    // push rule — verified empirically: a .filter over a readStream
+    // reads every shard whole), so `pushed` is empty in real streaming
+    // queries today and the inner-doc gate stays cold. The factory
+    // plumbing must still be correct for the day upstream adds it:
+    // drive the micro-batch stream DIRECTLY with a pushed filter and
+    // pin that its reader masks inner chunks from the write-time docs.
+    val sp = spark; import sp.implicits._
+    val dir = s"$base/innerstream"
+    // the tabular writer's own commit-time inner docs — no analyze pass
+    (0 until 128).map(_.toLong).toDF("v").coalesce(1)
+      .write.format("zarr").mode("overwrite")
+      .option("chunk_size", "32").option("inner_chunk_size", "8").save(dir)
+    def rowsEmitted(mode: String): Long = {
+      val store = ZarrStore(dir, Seq("graft.zarr.ranged.reads" -> mode))
+      val stream = new graft.sources.ZarrMicroBatchStream(
+        store, Seq("v"), Seq("v"),
+        pushed = Seq(org.apache.spark.sql.sources.LessThanOrEqual("v", 7L)),
+        checkpointLocation = s"$base/is-ckpt-$mode")
+      val parts = stream.planInputPartitions(
+        stream.initialOffset(), stream.latestOffset())
+      val factory = stream.createReaderFactory()
+      var n = 0L
+      parts.foreach { p =>
+        val r = factory.createReader(p)
+        try while (r.next()) { r.get(); n += 1 } finally r.close()
+      }
+      n
+    }
+    // both modes: chunks 1..3 are segment-skipped; chunk 0 emits whole
+    // (32 rows) unmasked vs ONE inner chunk (8 rows) under the docs
+    assert(rowsEmitted("never") == 32L)
+    assert(rowsEmitted("always") == 8L,
+      "the micro-batch factory must wire innerStatsPresent into kept-row emission")
+  }
+
   test("streaming aggregation over a zarr store") {
     val dir = s"$base/agg"
     writeSeries(dir, 16)

@@ -427,4 +427,51 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("id") >= 990).select("id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == (990L until 1000L).toSeq)
   }
+
+  test("sharded write emits per-inner-chunk docs: data predicates mask with ZERO analyze") {
+    val sp = spark; import sp.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    // v <= 7 lives in ONE of four inner chunks of chunk 0 (outer
+    // segments already confine the scan to chunk 0 in both modes);
+    // numOutputRows pins that the inner-doc mask drove kept-row emission
+    def run(path: String, mode: String): (Long, Seq[Long]) = {
+      hc.set("graft.zarr.ranged.reads", mode)
+      try {
+        val df = spark.read.format("zarr").load(path).filter("v <= 7").select("v")
+        val vals = df.collect().map(_.getLong(0)).sorted.toSeq
+        val n = df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            s.metrics("numOutputRows").value
+        }.head
+        (n, vals)
+      } finally hc.unset("graft.zarr.ranged.reads")
+    }
+    def check(path: String, label: String): Unit = {
+      (0 until 4).foreach(o => assert(
+        new java.io.File(s"$path/_stats/i$o.json").exists(),
+        s"$label write must leave a committed inner doc i$o — no analyze pass ran"))
+      val (nWhole, vWhole) = run(path, "never")
+      val (nRanged, vRanged) = run(path, "always")
+      assert(vWhole == (0L to 7L).toVector && vRanged == vWhole, s"$label rows")
+      assert(nWhole == 32L, s"$label whole-read emission $nWhole (outer skip only)")
+      assert(nRanged == 8L, s"$label inner docs must mask 3 of 4 inner chunks: $nRanged")
+    }
+    // STAGED path (manifest-keyed chunks): tasks stage docs at
+    // write-scoped names, the commit copies them to final ordinals
+    val staged = s"$base/sharded-staged"
+    (0 until 128).map(_.toLong).toDF("v").coalesce(2)
+      .write.format("zarr").mode("overwrite")
+      .option("chunk_size", "32").option("inner_chunk_size", "8").save(staged)
+    assert(!new java.io.File(s"$staged/_stats").listFiles()
+      .exists(_.getName.startsWith("c.part")), "staged docs must be consumed at commit")
+    check(staged, "staged")
+    // ALIGNED fast path: tasks know their global ordinals, docs land at
+    // final keys directly
+    val aligned = s"$base/sharded-aligned"
+    ZarrWriteSupport.alignForWrite((0 until 128).map(_.toLong).toDF("v"), 64)
+      .write.format("zarr").mode("overwrite")
+      .option("chunk_size", "32").option("inner_chunk_size", "8")
+      .option("rows_per_partition", "64").save(aligned)
+    check(aligned, "aligned")
+  }
 }
