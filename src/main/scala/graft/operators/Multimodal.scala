@@ -460,8 +460,14 @@ object Multimodal {
         |    * 10000)::BIGINT AS luma_e4
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // the global sort sits BELOW the codec pass: a sort directly above
+      // the decode would run its lineage TWICE (the range partitioner's
+      // sampling job re-executes an exchange-free child), doubling every
+      // ImageIO encode+decode — sorting the two-long projection first is
+      // a cheap resample, and the per-row map preserves the order
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nc) =>
           val w = ((nc % 48) + 8).toInt
@@ -475,7 +481,6 @@ object Multimodal {
           (id, f.width.toLong, f.height.toLong, f.n_frames.toLong, luma)
         })
         .toDF("doc_id", "width", "height", "n_frames", "luma_e4")
-        .orderBy("doc_id")
     },
 
     // ---- REAL audio decode under the oracle gate: constant-amplitude
@@ -493,8 +498,11 @@ object Multimodal {
         |  (doc_id % 1000)::BIGINT AS peak_abs
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // sort below the codec pass — same double-execution avoidance as
+      // q112 (the sampling job would re-run every WAV encode+decode)
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, nc) =>
           val amp = (id % 1000).toShort
@@ -506,7 +514,6 @@ object Multimodal {
             f.peak_abs.toLong)
         })
         .toDF("doc_id", "sample_rate", "n_frames", "duration_ms", "mean_square", "peak_abs")
-        .orderBy("doc_id")
     },
 
     // ---- perceptual-hash image dedup (aHash) over REAL decoded

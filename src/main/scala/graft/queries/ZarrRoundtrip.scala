@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -550,6 +550,67 @@ object ZarrRoundtrip {
         .orderBy("day", "source")
     } finally hc.unset("graft.zarr.ranged.reads")
   }
+
+  /** q137: APPEND-SURVIVING inner-chunk stats under the oracle gate.
+    * A sharded cube is written with a RAGGED day base (7 of 12 days;
+    * day-shard extent 4, so the base's edge chunk-row is partial) and
+    * then grown to 12 via `append_dim` — the daily-ingest shape. The
+    * append RETIRES and re-emits the edge row's `_stats/i<ord>.json`
+    * docs (their shards were rewritten) while the untouched shards'
+    * docs survive by the smaller-leading-extent acceptance. The read
+    * runs with `ranged.reads=always` and a mixed predicate that spans
+    * BOTH doc populations: `day <= 4` touches shard-row 0 (pre-append
+    * docs, survived) and shard-row 1 (post-swap re-emitted docs), and
+    * `sum_chars > 0` consults their per-inner DATA bounds — so a stale
+    * surviving doc, a mis-retired edge doc, or a wrong promotion
+    * breaks the row hash against the closed form computed from the
+    * parquet that never saw the split. Conf toggle captured at load()
+    * like q136. */
+  private lazy val q137 = QueryDef.sql(
+    "q137_zarr_append_masking",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s),
+      |dense AS (
+      |  SELECT g.day, g.source,
+      |    coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |    coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source)
+      |SELECT day, source, n_docs, sum_chars FROM dense
+      |WHERE day <= 4 AND sum_chars > 0
+      |ORDER BY day, source""".stripMargin) { (s, dir) =>
+    val store = ensureAppendShardStore(s, dir)
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    try {
+      s.read.format("zarr").load(store)
+        .filter(col("day") <= 4 && col("sum_chars") > 0)
+        .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+        .orderBy("day", "source")
+    } finally hc.unset("graft.zarr.ranged.reads")
+  }
+
+  /** Build the q137 store: a RAGGED-base sharded cube (days 0-6; day
+    * shard 4 → partial edge chunk-row) grown to 12 days via a real
+    * `append_dim` append — write-time inner docs at the base, edge-row
+    * docs retired and re-emitted by the append, untouched docs
+    * surviving it. */
+  private def ensureAppendShardStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubeappendshard", "/tmp/graft_zarr_cube_appendshard") {
+      (dense, path) =>
+        dense.filter(col("day") < 7).write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "2,4")
+          .option("shard_shape", "4,8")
+          .save(path)
+        dense.filter(col("day") >= 7).write.format("zarr").mode("append")
+          .option("append_dim", "day")
+          .save(path)
+    }
 
   /** q132: store observability under the oracle gate —
     * `ZarrInfo.describe` on the q131 SHARDED store, every layout fact

@@ -715,12 +715,19 @@ object ChunkStats {
     *    rejected: it could only be a leftover of a failed append that
     *    escaped its purge, and its ordinals prove nothing here. */
   def gridCompatible(seg: Segment, geom: ScanGeometry): Boolean =
-    if (geom.ndim == 1) seg.grid.forall(_._1.length == 1)
+    gridCompatibleWith(seg, geom.ndim, geom.gridShape.toSeq, geom.dimIdentity)
+
+  /** [[gridCompatible]] against bare geometry facts — the form the
+    * distributed vacuum visitor ships to executors (a task must not
+    * capture a ScanGeometry; the rule itself must be ONE definition). */
+  def gridCompatibleWith(
+      seg: Segment, ndim: Int, gridShape: Seq[Int], dims: Seq[String]): Boolean =
+    if (ndim == 1) seg.grid.forall(_._1.length == 1)
     else seg.grid.exists { case (gs, ds) =>
-      gs.length == geom.gridShape.length &&
-        gs(0) <= geom.gridShape(0) &&
-        (1 until gs.length).forall(i => gs(i) == geom.gridShape(i)) &&
-        ds.sameElements(geom.dimIdentity)
+      gs.length == gridShape.length &&
+        gs(0) <= gridShape(0) &&
+        (1 until gs.length).forall(i => gs(i) == gridShape(i)) &&
+        ds.toSeq == dims
     }
 
   // ---- sound interval evaluation -----------------------------------------

@@ -190,6 +190,40 @@ private[zarr] object ZarrDistWalk {
     reclaimed
   }
 
+  /** Validate-and-reclaim a batch of stats SEGMENTS: a segment is a
+    * PHANTOM — deleted, counted — when its range reaches past the
+    * committed grid, it is unreadable, or its grid signature is
+    * incompatible under [[ChunkStats.gridCompatibleWith]]. The segment
+    * twin of [[vacuumInnerDocsUnit]]: segment counts scale with WRITE
+    * TASKS (a long-lived micro-batch ingest can hold 10^5), and the
+    * measured driver pass at that count is ~7 s of pure CPU locally —
+    * at object-store latency the per-segment GET serializes into
+    * minutes, so the same one-visitor-both-schedulers shape applies. */
+  def vacuumSegmentsUnit(
+      root: String, pairs: Seq[(String, String)], segs: Seq[(Long, Int)],
+      numChunks: Long, ndim: Int, gridShape: Seq[Int], dims: Seq[String],
+      colTypes: Map[String, String]): Long = {
+    val store = ZarrStore(root, pairs)
+    val ztOf: String => Option[ZarrType] =
+      n => colTypes.get(n).map(ZarrType.fromName)
+    var reclaimed = 0L
+    segs.foreach { case (first, n) =>
+      val key = ChunkStats.segmentKey(first, n)
+      val bad =
+        if (first < 0 || first + n > numChunks) true
+        else store.readText(key) match {
+          case Some(doc) =>
+            try !ChunkStats.gridCompatibleWith(
+              ChunkStats.parse(first, n, doc, ztOf), ndim, gridShape, dims)
+            catch { case _: Exception => true } // unreadable: describes nothing
+          case None => false
+        }
+      // count only CONFIRMED deletions (the vacuumUnit discipline)
+      if (bad && store.deleteKey(key)) reclaimed += 1
+    }
+    reclaimed
+  }
+
   /** Delete the unit's orphan key-shaped files (slots outside `grid`);
     * returns how many were deleted. Never touches directories,
     * metadata documents, or non-key-shaped (foreign) files. */

@@ -387,6 +387,39 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
   }
 
+  test("DISTRIBUTED vacuum shards the SEGMENT validation loop (>64 segments)") {
+    val base = Files.createTempDirectory("zarr-vacuum-segs").toString
+    val sp = spark; import sp.implicits._
+    def build(path: String): Unit = {
+      (for (t <- 0 until 5; x <- 0 until 4) yield
+        (t.toLong, x.toLong, (t * 10 + x).toDouble))
+        .toDF("t", "x", "v").write.format("zarr").mode("append")
+        .option("dims", "t,x").option("chunk_shape", "2,2").save(path)
+      // 100 phantom segments past the committed grid — crosses the
+      // distributed branch's inline threshold (64), so this pin runs
+      // the validation as a Spark job on one store and inline on the
+      // other; counts and survivors must be identical
+      (0 until 100).foreach { i =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, "_stats", s"s${1000 + i}_1.json"),
+          "{}".getBytes)
+      }
+    }
+    build(s"$base/a"); build(s"$base/b")
+    def statsRow(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().map(r => r.getString(0) -> r.getLong(3)).toMap.apply("_stats")
+    val driver = statsRow(ZarrMaintenance.vacuum(spark, s"$base/a"))
+    val dist = statsRow(ZarrMaintenance.vacuum(spark, s"$base/b", distributed = true))
+    assert(driver == 100L, s"driver reclaimed $driver")
+    assert(dist == driver, s"distributed segment vacuum diverged: $dist vs $driver")
+    def liveSegs(p: String): Seq[String] =
+      new java.io.File(s"$p/_stats").listFiles()
+        .map(_.getName).filter(_.matches("s\\d+_\\d+\\.json")).sorted.toSeq
+    assert(liveSegs(s"$base/b") == liveSegs(s"$base/a"),
+      "both schedulers must keep exactly the live segments")
+    assert(liveSegs(s"$base/a").nonEmpty, "the store's own segments must survive")
+  }
+
   test("DISTRIBUTED vacuum: same reclaim, same keeps as the driver walk") {
     // two stores polluted identically; one vacuumed driver-side, one as
     // a Spark job — identical counts, identical surviving objects
