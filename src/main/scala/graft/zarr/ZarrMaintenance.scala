@@ -260,8 +260,23 @@ object ZarrMaintenance {
     * the only shape the DSv2 writer produces) resolve chunk keys
     * through the root-doc manifest, exactly as the scan does. Sharded
     * arrays analyze per OUTER chunk (= one stored shard, decoded
-    * through the same [[ChunkColumn.decode]] path the scan uses). */
-  def analyze(spark: SparkSession, path: String): Long = {
+    * through the same [[ChunkColumn.decode]] path the scan uses).
+    *
+    * `incremental = true` analyzes ONLY the ordinals the existing
+    * sidecar does not validly cover — the daily-foreign-ingest lever:
+    * segments and inner docs both survive dim-0 appends (the
+    * smaller-leading-extent acceptance), so after an xarray append only
+    * the NEW slab's ordinals lack coverage, and incremental analyze
+    * pays one metadata sweep (a GET per existing segment, one `_stats`
+    * LIST) plus the data read of exactly those ordinals — O(day), not
+    * O(corpus). Suppressed-overlap, grid-incompatible and unreadable
+    * segments are DELETED and their ranges re-analyzed (they prove
+    * nothing and would otherwise overlap-suppress the fresh segments);
+    * on stores with sharded data columns an ordinal also needs a
+    * committed `i<ord>.json` doc to count as covered (presence by
+    * name — freshness is the reader's length/mtime/checksum guard
+    * domain; run a FULL analyze to refresh bounds). */
+  def analyze(spark: SparkSession, path: String, incremental: Boolean = false): Long = {
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
@@ -284,20 +299,103 @@ object ZarrMaintenance {
     val manifestParts =
       if (geom.ndim == 1) store.readChunkManifest().parts else Vector.empty
     val numChunks = geom.numChunks
-    store.cleanStatsSegmentsFrom(0L)
-    store.deleteInnerStatsDocs() // re-analyze refreshes inner stats too
-    // empty store: nothing to analyze, and reduce on an empty Dataset
-    // would throw rather than return 0
-    if (numChunks == 0) return 0L
+    // bound each segment DOCUMENT: a reader GETs whole overlapping
+    // segments, so one giant per-task segment (1M chunks / few tasks)
+    // would turn every scan task's metadata read into megabytes — cap
+    // matches the write path's task-sized docs
+    val maxSegChunks = 4096
+    // unit size balances two costs: units are both the SEGMENT documents
+    // (bounded at maxSegChunks so a scan task's metadata read stays
+    // small) and the TASKS of the analysis job (so a small store still
+    // fans out across the cluster instead of one whole-grid unit)
+    def splitRuns(runs: Seq[(Long, Long)]): Seq[(Long, Int)] = {
+      val total = runs.map { case (lo, hi) => hi - lo }.sum
+      val goal = 2L * math.max(1, spark.sparkContext.defaultParallelism)
+      val unit = math.max(1L, math.min(maxSegChunks.toLong,
+        (total + goal - 1) / goal)).toInt
+      runs.flatMap { case (lo, hi) =>
+        Iterator.iterate(lo)(_ + unit).takeWhile(_ < hi)
+          .map(f => (f, math.min(hi - f, unit.toLong).toInt)).toSeq
+      }
+    }
+    // the contiguous segment ranges to (re)analyze: full mode purges the
+    // sidecar and covers the whole grid; incremental keeps every VALID
+    // segment/doc and covers only the complement
+    val targets: Seq[(Long, Int)] =
+      if (!incremental) {
+        store.cleanStatsSegmentsFrom(0L)
+        store.deleteInnerStatsDocs() // re-analyze refreshes inner stats too
+        splitRuns(Seq((0L, numChunks)))
+      } else {
+        val ztOf: String => Option[ZarrType] =
+          n => metas.find(_.name == n).map(_.dataType)
+        val unsuppressed = store.listStatsSegments().toSet
+        val covered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        store.listStatsSegmentsRaw().foreach { case (first, n) =>
+          val key = ChunkStats.segmentKey(first, n)
+          val valid = unsuppressed((first, n)) &&
+            first >= 0 && first + n <= numChunks &&
+            (store.readText(key) match {
+              case Some(doc) =>
+                try ChunkStats.gridCompatible(
+                  ChunkStats.parse(first, n, doc, ztOf), geom)
+                catch { case _: Exception => false }
+              case None => false
+            })
+          if (valid) covered += ((first, first + n))
+          else store.deleteKey(key)
+        }
+        // merge valid coverage into disjoint sorted runs
+        val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        covered.sortBy(_._1).foreach { case (lo, hi) =>
+          if (merged.nonEmpty && lo <= merged.last._2)
+            merged(merged.length - 1) =
+              (merged.last._1, math.max(merged.last._2, hi))
+          else merged += ((lo, hi))
+        }
+        // sharded data columns additionally need a committed inner doc
+        // per covered ordinal (O(shards) name lookups — sharded grids
+        // are small by design, that being sharding's whole point)
+        val needDocs = metas.zip(geom.roles).exists {
+          case (m, DataCol(_)) =>
+            m.shardingSpec.isDefined && m.dataType != ZarrType.Bytes
+          case _ => false
+        }
+        val docOrds: Set[Long] =
+          if (needDocs) store.listInnerStatsDocOrds().toSet else Set.empty
+        val fullyCovered: Seq[(Long, Long)] =
+          if (!needDocs) merged.toSeq
+          else merged.toSeq.flatMap { case (lo, hi) =>
+            val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            var runLo = -1L
+            var o = lo
+            while (o < hi) {
+              if (docOrds.contains(o)) { if (runLo < 0) runLo = o }
+              else if (runLo >= 0) { runs += ((runLo, o)); runLo = -1L }
+              o += 1
+            }
+            if (runLo >= 0) runs += ((runLo, hi))
+            runs
+          }
+        // uncovered = grid minus fully-covered
+        val uncovered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var cursor = 0L
+        fullyCovered.foreach { case (lo, hi) =>
+          if (lo > cursor) uncovered += ((cursor, lo))
+          cursor = math.max(cursor, hi)
+        }
+        if (cursor < numChunks) uncovered += ((cursor, numChunks))
+        splitRuns(uncovered.toSeq)
+      }
+    if (numChunks == 0 || targets.isEmpty) return 0L
     val metaJsons = metas.map(m => m.name -> m.sourceJson)
     val gridShape = geom.gridShape.toSeq
     val dimIdent = geom.dimIdentity
-    import spark.implicits._
-    spark.range(0, numChunks) // partitions are contiguous ordinal ranges
-      .mapPartitions { it =>
-        val ords = it.toArray
-        if (ords.isEmpty) Iterator.empty
-        else {
+    val parts = math.min(targets.size,
+      math.max(1, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(targets, parts)
+      .mapPartitions { ranges =>
+        {
           val st = ZarrStore(path, hadoopPairs)
           val mani = ChunkManifest(manifestParts)
           val ms = metaJsons.map { case (nm, j) => ZarrMeta.parse(nm, j) }
@@ -306,13 +404,9 @@ object ZarrMaintenance {
           // a coordinate chunk is shared by every target chunk in its
           // row/column — decode it once per task, not once per ordinal
           val coordCache = new java.util.HashMap[String, ChunkColumn]()
-          // bound each segment DOCUMENT: a reader GETs whole overlapping
-          // segments, so one giant per-task segment (1M chunks / few
-          // tasks) would turn every scan task's metadata read into
-          // megabytes — cap matches the write path's task-sized docs
-          val maxSegChunks = 4096
           var written = 0L
-          ords.grouped(maxSegChunks).foreach { seg =>
+          ranges.map { case (segFirst, segLen) => (segFirst until segFirst + segLen).toArray }
+            .foreach { seg =>
             val bounds = ms.map(_ => Vector.newBuilder[Option[ChunkStats.Bound]])
             val sums = ms.map(_ => Vector.newBuilder[Option[Long]])
             // data-column bytes ride a depth-bounded prefetch window so

@@ -259,6 +259,15 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     catch { case _: java.io.FileNotFoundException => false }
   }
 
+  /** Ordinals of every committed per-inner-chunk stats doc — one LIST
+    * of `_stats/` (incremental analyze's coverage sweep). */
+  def listInnerStatsDocOrds(): Seq[Long] = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try fs.listStatus(dir).toSeq
+      .flatMap(st => ChunkStats.parseInnerName(st.getPath.getName))
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+  }
+
   /** Delete every per-inner-chunk stats doc (re-analyze refresh). */
   def deleteInnerStatsDocs(): Unit = {
     val dir = new Path(rootPath, ChunkStats.dirName)

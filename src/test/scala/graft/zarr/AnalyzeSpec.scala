@@ -266,4 +266,60 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val segs = ZarrStore(url).listStatsSegments()
     assert(segs.map(_._2).sum == 3, s"re-analyze must not double segments: $segs")
   }
+
+  test("INCREMENTAL analyze: a foreign append pays the slab, not the corpus") {
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/incr"
+    def slab(dFrom: Int, dUntil: Int) =
+      (for (d <- dFrom until dUntil; x <- 0 until 8)
+        yield (d.toLong, x.toLong, d * 100.0 + x)).toDF("day", "x", "v")
+    // foreign-like base: a sharded cube written WITHOUT the sidecar
+    // (stats=false), then fully analyzed — 8 days, day-shard 4 →
+    // shard ordinals 0,1 (day-grid 2, x-grid 1)
+    slab(0, 8).write.format("zarr").mode("append")
+      .option("dims", "day,x").option("chunk_shape", "2,4")
+      .option("shard_shape", "4,8").option("stats", "false").save(url)
+    assert(ZarrMaintenance.analyze(spark, url) == 2)
+    val segsBefore = ZarrStore(url).listStatsSegments()
+    val i0Before = Files.readAllBytes(Paths.get(s"$base/incr/_stats/i0.json"))
+    // foreign-like append: days 8..11 with stats=false — the sidecar
+    // now covers ordinals 0,1 but not the new shard 2
+    slab(8, 12).write.format("zarr").mode("append")
+      .option("append_dim", "day").option("stats", "false").save(url)
+    // plus an out-of-grid junk segment the sweep must retire
+    ZarrStore(url).writeText(ChunkStats.segmentKey(500, 4), "{}")
+    RecordingFileSystem.opened.clear()
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 1,
+      "incremental must analyze exactly the appended shard")
+    // data reads touched ONLY the new shard's object (ordinal 2 = grid
+    // index (2,0) → key c/2/0); the covered shards were never fetched
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/incr/v/c/\\d+/\\d+$")).distinct
+    assert(dataOpens.nonEmpty && dataOpens.forall(_.endsWith("/c/2/0")),
+      s"incremental must not re-read covered shards: ${dataOpens.mkString(", ")}")
+    // surviving artifacts untouched; junk retired; coverage whole
+    assert(Files.readAllBytes(Paths.get(s"$base/incr/_stats/i0.json"))
+      .sameElements(i0Before), "covered docs must survive byte-identical")
+    assert(!Files.exists(Paths.get(s"$base/incr/_stats/s500_4.json")))
+    val segsAfter = ZarrStore(url).listStatsSegments()
+    assert(segsBefore.toSet.subsetOf(segsAfter.toSet), s"$segsBefore vs $segsAfter")
+    assert(segsAfter.map(_._2).sum == 3 && segsAfter.head._1 == 0L,
+      s"coverage must be whole after incremental: $segsAfter")
+    assert(Files.exists(Paths.get(s"$base/incr/_stats/i2.json")))
+    // fully covered → the next incremental run is a data-free no-op
+    RecordingFileSystem.opened.clear()
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 0L)
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/incr/v/c/\\d+/\\d+$")) == 0,
+      "a covered store's incremental analyze must read no chunk bytes")
+    // and the restored coverage serves: data-predicate masking on the
+    // appended shard, metadata-only aggregates over the whole store
+    val df = spark.read.format("zarr").load(url)
+    RecordingFileSystem.opened.clear()
+    val r = df.agg(count(lit(1)), min("v"), max("v")).collect()(0)
+    assert(r.getLong(0) == 96 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1107.0)
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/incr/(day|x|v)/c/.*")) == 0,
+      "post-incremental metadata-only aggregate must read no chunks")
+  }
 }
