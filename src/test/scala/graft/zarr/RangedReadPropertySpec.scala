@@ -153,4 +153,99 @@ class RangedReadPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("random APPENDED sharded stores: survived+re-emitted docs stay exact (ranged == whole == reference)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new Random(1708202617L)
+    (0 until 12).foreach { caseNo =>
+      val ndim = 2 + rnd.nextInt(2)
+      // dim-0 grows; inner chunks 1..4 per dim, shard = inner × mult
+      val shape = Array.fill(ndim)(5 + rnd.nextInt(8))
+      val ic = shape.map(s => 1 + rnd.nextInt(math.min(4, s)))
+      val shardShape = shape.indices.map { d =>
+        val mult = 1 + rnd.nextInt(3)
+        math.min(shape(d), ic(d) * mult) match {
+          // shard must be a multiple of inner; clamp down to one
+          case v => math.max(ic(d), (v / ic(d)) * ic(d))
+        }
+      }.toArray
+      val dims = Array.tabulate(ndim)(d => s"d$d")
+      // strictly ascending coordinates (append requires it on every axis)
+      val coordVals: Array[Array[Double]] =
+        Array.tabulate(ndim)(d => Array.tabulate(shape(d))(i => i * 3.0 + d))
+      def cell(idx: Array[Int]): Double = {
+        var r = 0
+        var d = 0
+        while (d < ndim) { r = r * shape(d) + idx(d); d += 1 }
+        (r * 37 % 101).toDouble
+      }
+      val allRows: Seq[org.apache.spark.sql.Row] = {
+        val idx = new Array[Int](ndim)
+        (0 until shape.product).map { r =>
+          var rem = r
+          var d = ndim - 1
+          while (d >= 0) { idx(d) = rem % shape(d); rem /= shape(d); d -= 1 }
+          org.apache.spark.sql.Row(
+            ((0 until ndim).map(d2 => coordVals(d2)(idx(d2))) :+ cell(idx)): _*)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(
+        (dims.toSeq :+ "v").map(n => org.apache.spark.sql.types.StructField(
+          n, org.apache.spark.sql.types.DoubleType)))
+      val df = spark.createDataFrame(allRows.asJava, schema)
+      // RAGGED or aligned base at random: days [0, baseDays) then append
+      val baseDays = 1 + rnd.nextInt(shape(0) - 1)
+      val baseCut = coordVals(0)(baseDays - 1)
+      val dir = s"$base/appcase$caseNo"
+      // half the cases write sidecar-less (foreign-like) and restore
+      // coverage via INCREMENTAL analyze after the append — the other
+      // half rides the write-time docs through retire/re-emit
+      val writeStats = caseNo % 2 == 0
+      df.filter(org.apache.spark.sql.functions.col("d0") <= baseCut)
+        .write.format("zarr").mode("append")
+        .option("dims", dims.mkString(","))
+        .option("chunk_shape", ic.mkString(","))
+        .option("shard_shape", shardShape.mkString(","))
+        .option("stats", writeStats.toString)
+        .save(dir)
+      df.filter(org.apache.spark.sql.functions.col("d0") > baseCut)
+        .write.format("zarr").mode("append")
+        .option("append_dim", "d0")
+        .option("stats", writeStats.toString)
+        .save(dir)
+      if (!writeStats) ZarrMaintenance.analyze(spark, dir, incremental = true)
+      def coordPred(): String = {
+        val d = rnd.nextInt(ndim)
+        val vs = coordVals(d)
+        rnd.nextInt(3) match {
+          case 0 => s"d$d >= ${vs(rnd.nextInt(vs.length))}"
+          case 1 => s"d$d < ${vs(rnd.nextInt(vs.length))}"
+          case _ => s"d$d IN (${Seq.fill(2)(vs(rnd.nextInt(vs.length))).mkString(",")})"
+        }
+      }
+      val pred = (Seq.fill(1 + rnd.nextInt(2))(coordPred()) ++
+        (if (rnd.nextBoolean()) Seq(s"v >= ${rnd.nextInt(101)}") else Nil))
+        .mkString(" AND ")
+      val hc = spark.sparkContext.hadoopConfiguration
+      def run(mode: String): Seq[String] = {
+        hc.set("graft.zarr.ranged.reads", mode)
+        try spark.read.format("zarr").load(dir).filter(pred)
+          .collect().map(_.toString).sorted.toSeq
+        finally hc.unset("graft.zarr.ranged.reads")
+      }
+      val whole = run("never")
+      val ranged = run("always")
+      val ref = df.filter(pred).collect().map(_.toString).sorted.toSeq
+      assert(whole == ref,
+        s"appcase $caseNo: whole != reference\nshape=${shape.mkString("x")} " +
+          s"inner=${ic.mkString("x")} shard=${shardShape.mkString("x")} " +
+          s"baseDays=$baseDays stats=$writeStats\npred=$pred")
+      assert(ranged == whole,
+        s"appcase $caseNo: ranged != whole after append\n" +
+          s"shape=${shape.mkString("x")} inner=${ic.mkString("x")} " +
+          s"shard=${shardShape.mkString("x")} baseDays=$baseDays " +
+          s"stats=$writeStats\npred=$pred\nwhole=${whole.size} ranged=${ranged.size}")
+    }
+  }
 }
