@@ -195,11 +195,23 @@ object Bench {
     // the stdout digest reaches the driver prefixed with sbt's "[info] "
     // logger tag, which defeats a strict JSON parse — the same line is
     // also written UNPREFIXED to BENCH_DIGEST.json so any consumer that
-    // can read a file gets a clean record (see README)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$repoRoot/BENCH_DIGEST.json"),
-      (digestLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] digest write failed: ${e.getMessage}") }
+    // can read a file gets a clean record (see README). FULL sweeps
+    // only: a filtered A/B invocation's 1-query "total" must not
+    // clobber the committed full-sweep digest (same rule as
+    // BENCH_LOCAL.json below), and a guard-rejected sweep restores the
+    // pre-sweep digest alongside it.
+    val digestPath = java.nio.file.Paths.get(s"$repoRoot/BENCH_DIGEST.json")
+    val digestSnapshot: Option[Array[Byte]] =
+      try {
+        if (java.nio.file.Files.exists(digestPath))
+          Some(java.nio.file.Files.readAllBytes(digestPath))
+        else None
+      } catch { case _: Throwable => None }
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(digestPath,
+        (digestLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] digest write failed: ${e.getMessage}") }
+    }
     // durable copy of the FULL sweep: the driver's stdout capture has
     // truncated the per-query map two rounds running (BENCH_r7/r8 held
     // 43/108 entries, parsed:null) — the repo file is the inspectable
@@ -281,6 +293,11 @@ object Bench {
               java.nio.file.Files.deleteIfExists(localPath)
               System.err.println(
                 "[bench] BENCH_LOCAL removed (guard-rejected sweep; no pre-sweep record)")
+          } catch { case _: Throwable => () }
+          // the digest artifact tracks the same record semantics
+          try digestSnapshot match {
+            case Some(bytes) => java.nio.file.Files.write(digestPath, bytes)
+            case None => java.nio.file.Files.deleteIfExists(digestPath)
           } catch { case _: Throwable => () }
         }
       } catch { case e: Throwable => System.err.println(s"[bench] best write failed: ${e.getMessage}") }

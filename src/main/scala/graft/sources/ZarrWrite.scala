@@ -651,7 +651,10 @@ final class ZarrDataWriter(
           Seq("c", ord.toString).mkString(colMetas(c).chunkKeySeparator)
         } else s"c.part$writeId-$partitionId/$localChunk" // final key; commit maps it via manifest
       store.writeChunk(schema.fields(c).name, key, enc)
-      if (stats) colShards(c).foreach { sp =>
+      // the Bytes exclusion mirrors the cube kernel and analyze —
+      // unreachable today (zarrTypeFor maps no Spark type to Bytes)
+      // but the three emitters must share one rule
+      if (stats && zt != ZarrType.Bytes) colShards(c).foreach { sp =>
         val name = schema.fields(c).name
         // both key layouts are the object's FINAL resting place (the
         // manifest maps ordinals, it never moves bytes), so the mtime

@@ -329,12 +329,31 @@ object ZarrMaintenance {
       } else {
         val ztOf: String => Option[ZarrType] =
           n => metas.find(_.name == n).map(_.dataType)
+        // sharded data columns additionally need a committed inner doc
+        // per covered ordinal (O(shards) name lookups — sharded grids
+        // are small by design, that being sharding's whole point)
+        val needDocs = metas.zip(geom.roles).exists {
+          case (m, DataCol(_)) =>
+            m.shardingSpec.isDefined && m.dataType != ZarrType.Bytes
+          case _ => false
+        }
+        val docOrds: Set[Long] =
+          if (needDocs) store.listInnerStatsDocOrds().toSet else Set.empty
         val unsuppressed = store.listStatsSegments().toSet
         val covered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         store.listStatsSegmentsRaw().foreach { case (first, n) =>
           val key = ChunkStats.segmentKey(first, n)
+          // a segment counts as covering ONLY when every ordinal it
+          // describes also has its inner doc (when docs are needed):
+          // re-analyzing a doc-less ordinal writes a NEW segment over
+          // its range, and an overlapping retained segment would make
+          // listStatsSegments suppress BOTH sides — the run must
+          // retire the partial segment and re-analyze its whole range,
+          // the same all-or-nothing discipline the append's edge
+          // retirement applies
           val valid = unsuppressed((first, n)) &&
             first >= 0 && first + n <= numChunks &&
+            (!needDocs || (first until first + n).forall(docOrds.contains)) &&
             (store.readText(key) match {
               case Some(doc) =>
                 try ChunkStats.gridCompatible(
@@ -353,34 +372,10 @@ object ZarrMaintenance {
               (merged.last._1, math.max(merged.last._2, hi))
           else merged += ((lo, hi))
         }
-        // sharded data columns additionally need a committed inner doc
-        // per covered ordinal (O(shards) name lookups — sharded grids
-        // are small by design, that being sharding's whole point)
-        val needDocs = metas.zip(geom.roles).exists {
-          case (m, DataCol(_)) =>
-            m.shardingSpec.isDefined && m.dataType != ZarrType.Bytes
-          case _ => false
-        }
-        val docOrds: Set[Long] =
-          if (needDocs) store.listInnerStatsDocOrds().toSet else Set.empty
-        val fullyCovered: Seq[(Long, Long)] =
-          if (!needDocs) merged.toSeq
-          else merged.toSeq.flatMap { case (lo, hi) =>
-            val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            var runLo = -1L
-            var o = lo
-            while (o < hi) {
-              if (docOrds.contains(o)) { if (runLo < 0) runLo = o }
-              else if (runLo >= 0) { runs += ((runLo, o)); runLo = -1L }
-              o += 1
-            }
-            if (runLo >= 0) runs += ((runLo, hi))
-            runs
-          }
-        // uncovered = grid minus fully-covered
+        // uncovered = grid minus covered
         val uncovered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var cursor = 0L
-        fullyCovered.foreach { case (lo, hi) =>
+        merged.foreach { case (lo, hi) =>
           if (lo > cursor) uncovered += ((cursor, lo))
           cursor = math.max(cursor, hi)
         }
@@ -412,7 +407,8 @@ object ZarrMaintenance {
             // data-column bytes ride a depth-bounded prefetch window so
             // decode overlaps IO — a blocking GET per chunk per column
             // would serialize the whole range at object-store latency
-            val pf = new ChunkPrefetcher[Long, Map[String, Option[Array[Byte]]]](
+            val pf = new ChunkPrefetcher[Long,
+                Map[String, (Option[Array[Byte]], Option[(Long, Long)])]](
               seg.toIndexedSeq.map(_.toLong),
               ord => {
                 val idx = g.chunkIndex(ord)
@@ -422,7 +418,18 @@ object ZarrMaintenance {
                       val key =
                         if (mani.isEmpty) m.chunkKey(idx)
                         else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-                      Some(m.name -> st.readChunk(m.name, key))
+                      // PRE-GET stat for sharded stats columns: the
+                      // mtime freshness token must BRACKET the data
+                      // read — a same-length (constant-length codec)
+                      // swap between this GET and the emission-time
+                      // HEAD would otherwise pair the OLD bytes'
+                      // bounds with the NEW object's mtime, defeating
+                      // exactly the guard the token exists for
+                      val pre =
+                        if (m.shardingSpec.isDefined && m.dataType != ZarrType.Bytes)
+                          st.objectStat(m.name, key)
+                        else None
+                      Some(m.name -> ((st.readChunk(m.name, key), pre)))
                     case CoordCol(_, _) => None // tiny + cached below
                   }
                 }.toMap
@@ -451,7 +458,7 @@ object ZarrMaintenance {
                         coordCache.put(ck, c)
                         c
                       }
-                    case DataCol(_) => ChunkColumn.decode(m, raw(m.name))
+                    case DataCol(_) => ChunkColumn.decode(m, raw(m.name)._1)
                   }
                   // bounds/sums over the chunk's OUTPUT rows: the mapping
                   // realizes edge truncation and coordinate broadcast, so
@@ -466,27 +473,40 @@ object ZarrMaintenance {
                     case DataCol(_) if m.shardingSpec.isDefined &&
                         m.dataType != ZarrType.Bytes =>
                       val spec = m.shardingSpec.get
-                      val bytes = raw(m.name)
+                      val (bytes, preStat) = raw(m.name)
                       // freshness tokens: index checksum from the bytes
-                      // already in hand; mtime from one HEAD, recorded
-                      // only when the live length still equals the
-                      // fetched buffer's (an out-of-band swap between
-                      // the GET and this stat must not pair old bounds
-                      // with a new object's mtime)
+                      // already in hand; mtime from a HEAD that must
+                      // AGREE with the pre-GET stat captured in the
+                      // prefetch lambda — a swap anywhere inside the
+                      // GET..HEAD bracket (same-length encodings
+                      // included) makes pre != post, and the column is
+                      // then SKIPPED for this ordinal: its bounds
+                      // describe bytes the store no longer holds, and
+                      // even a length-only record would let a
+                      // constant-length rewrite pass the guard
                       val key =
                         if (mani.isEmpty) m.chunkKey(idx)
                         else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
-                      val mt = bytes.flatMap(b =>
-                        st.objectStat(m.name, key)
-                          .filter(_._1 == b.length.toLong).map(_._2))
-                        .getOrElse(-1L)
-                      innerCols += ChunkStats.InnerColInput(
-                        m.name, m.dataType, spec.innerShape,
-                        bytes.map(_.length.toLong).getOrElse(-1L), mt,
-                        bytes.map(b => Sharding.encodedIndexSum(spec, b, g.targetChunk))
-                          .getOrElse(-1L),
-                        ChunkStats.innerBounds(col.get, m.dataType,
-                          spec.innerShape.toArray, g.targetChunk, extent))
+                      val postStat = st.objectStat(m.name, key)
+                      bytes match {
+                        case Some(b) if postStat == preStat &&
+                            postStat.exists(_._1 == b.length.toLong) =>
+                          innerCols += ChunkStats.InnerColInput(
+                            m.name, m.dataType, spec.innerShape,
+                            b.length.toLong, postStat.get._2,
+                            Sharding.encodedIndexSum(spec, b, g.targetChunk),
+                            ChunkStats.innerBounds(col.get, m.dataType,
+                              spec.innerShape.toArray, g.targetChunk, extent))
+                        case None if preStat.isEmpty && postStat.isEmpty =>
+                          // stably absent shard: fill-value bounds, and
+                          // the reader's guard requires live absence
+                          innerCols += ChunkStats.InnerColInput(
+                            m.name, m.dataType, spec.innerShape,
+                            -1L, -1L, -1L,
+                            ChunkStats.innerBounds(col.get, m.dataType,
+                              spec.innerShape.toArray, g.targetChunk, extent))
+                        case _ => () // swapped/appeared mid-analyze: decline
+                      }
                     case _ => ()
                   }
                 }

@@ -267,6 +267,31 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segs.map(_._2).sum == 3, s"re-analyze must not double segments: $segs")
   }
 
+  test("INCREMENTAL analyze retires a doc-less segment instead of overlapping it") {
+    // a VALID segment whose range lost an inner doc (e.g. a crash
+    // between the promotion's segment and doc loops) must be RETIRED
+    // and its whole range re-analyzed: writing a fresh segment over a
+    // retained one would make listStatsSegments suppress BOTH sides —
+    // the run would silently DESTROY the coverage it exists to restore
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/incrseg"
+    (0 until 64).map(i => (i.toLong, 1.5 * i)).toDF("id", "x")
+      .coalesce(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").option("inner_chunk_size", "4")
+      .option("stats", "false").save(url)
+    assert(ZarrMaintenance.analyze(spark, url) == 4)
+    val st = ZarrStore(url)
+    assert(st.deleteKey(ChunkStats.innerKey(2)))
+    val n = ZarrMaintenance.analyze(spark, url, incremental = true)
+    assert(n >= 1, s"the doc-less range must be re-analyzed, got $n")
+    assert(Files.exists(Paths.get(s"$base/incrseg/_stats/i2.json")))
+    val segs = st.listStatsSegments()
+    assert(segs.map(_._2).sum == 4 && segs.head._1 == 0L,
+      s"coverage must stay whole with no overlap suppression: $segs")
+    assert(st.listStatsSegmentsRaw() == segs,
+      s"no suppressed segment files may remain: ${st.listStatsSegmentsRaw()}")
+  }
+
   test("INCREMENTAL analyze: a foreign append pays the slab, not the corpus") {
     val sp = spark; import sp.implicits._
     val url = s"graftstat://$base/incr"
