@@ -1569,18 +1569,20 @@ object ZarrCubeWrite {
         if (stats && shardSpecs(c).isDefined && zts(c) != ZarrType.Bytes) {
           val sp = shardSpecs(c).get
           val bc = buf(c)
-          // mtime of the FINAL object: direct writes stat it here (one
-          // HEAD per shard, next to its PUT); staged chunks are stamped
-          // at promotion — the swap's copy fallback creates a new
-          // object whose mtime a pre-swap doc cannot know
-          val mt =
-            if (curOrd < stageBelowOrd) -1L
-            else store.objectStat(dataNames(c), key).map(_._2).getOrElse(-1L)
+          // mtime/etag of the FINAL object: direct writes stat it here
+          // (one HEAD per shard, next to its PUT); staged chunks are
+          // stamped at promotion — the swap's copy fallback creates a
+          // new object whose mtime/etag a pre-swap doc cannot know
+          val ost =
+            if (curOrd < stageBelowOrd) None
+            else store.objectStat(dataNames(c), key)
           innerColsB += ChunkStats.InnerColInput(
-            dataNames(c), zts(c), sp.innerShape, packed.length.toLong, mt,
+            dataNames(c), zts(c), sp.innerShape, packed.length.toLong,
+            ost.map(_.mtime).getOrElse(-1L),
             Sharding.encodedIndexSum(sp, packed, chunkShape),
             ChunkStats.innerBounds(bc(_), zts(c), sp.innerShape.toArray,
-              chunkShape, extent))
+              chunkShape, extent),
+            etag = ost.map(_.etag).getOrElse(""))
         }
         c += 1
       }

@@ -340,8 +340,16 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
                   val fresh = statsRef match {
                     case None => true
                     case Some(cs) if cs.objectLen < 0 => live.get.isEmpty
-                    case Some(cs) => live.get.exists { case (len, mt) =>
-                      len == cs.objectLen && (cs.mtime < 0 || mt == cs.mtime)
+                    case Some(cs) => live.get.exists { st =>
+                      st.len == cs.objectLen &&
+                        (cs.mtime < 0 || st.mtime == cs.mtime) &&
+                        // etag closes the mtime-GRANULARITY residue on
+                        // stores exposing one (content-derived; coarse
+                        // second-granularity mtimes let a same-length
+                        // same-granule rewrite pass len+mt) — absent on
+                        // either side degrades to the len+mt check
+                        (cs.etag.isEmpty || st.etag.isEmpty ||
+                          st.etag == cs.etag)
                     }
                   }
                   if (!fresh) { stale = true; None }
@@ -349,7 +357,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
                     try {
                       val bytes = Sharding.readRanged(f.store, n, k, spec,
                         m.chunkShape, mask,
-                        knownLen = live.flatten.map(_._1),
+                        knownLen = live.flatten.map(_.len),
                         expectIndexSum = statsRef.map(_.indexSum).getOrElse(-1L))
                       // record the mask only once the ranged read
                       // succeeded: a stale-index retry must not leave

@@ -657,15 +657,16 @@ final class ZarrDataWriter(
       if (stats && zt != ZarrType.Bytes) colShards(c).foreach { sp =>
         val name = schema.fields(c).name
         // both key layouts are the object's FINAL resting place (the
-        // manifest maps ordinals, it never moves bytes), so the mtime
-        // freshness token can be recorded right here — one HEAD per
-        // shard, next to its PUT
-        val mt = store.objectStat(name, key).map(_._2).getOrElse(-1L)
+        // manifest maps ordinals, it never moves bytes), so the
+        // mtime/etag freshness tokens can be recorded right here — one
+        // HEAD per shard, next to its PUT
+        val st = store.objectStat(name, key)
         docCols += ChunkStats.InnerColInput(name, zt, sp.innerShape,
-          enc.length.toLong, mt,
+          enc.length.toLong, st.map(_.mtime).getOrElse(-1L),
           Sharding.encodedIndexSum(sp, enc, Array(chunkSize)),
           ChunkStats.innerBounds(vals(_), zt, sp.innerShape.toArray,
-            Array(chunkSize), Array(realRows)))
+            Array(chunkSize), Array(realRows)),
+          etag = st.map(_.etag).getOrElse(""))
         anyDoc = true
       }
       buf(c).clear()

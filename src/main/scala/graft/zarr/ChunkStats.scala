@@ -85,22 +85,30 @@ object ChunkStats {
   //     promoted only after the swap; 1-D overwrite truncates the
   //     whole store, and the 1-D append path refuses unaligned bases
   //     (no committed chunk is ever rewritten);
-  //  3. the doc records each column's shard OBJECT LENGTH and
-  //     MODIFICATION TIME (`mt`; filled at promotion for staged
-  //     swaps): the reader compares both against the one HEAD it
+  //  3. the doc records each column's shard OBJECT LENGTH, MODIFICATION
+  //     TIME (`mt`) and ETAG (`et`; mt and et filled at promotion for
+  //     staged swaps): the reader compares them against the one HEAD it
   //     issues anyway before a ranged read, and on mismatch ignores
   //     the doc's bounds for that column. Length alone is defeatable
   //     by constant-length encodings (a raw-codec shard of the same
   //     shape packs to identical bytes), which is why mtime rides
-  //     along; `mt` < 0 (legacy docs, failed promotion stat) degrades
-  //     to the length-only check;
+  //     along — but mtime inherits the store's modification-time
+  //     GRANULARITY (one second on S3-style object stores, so a
+  //     same-length rewrite landing inside the same granule passes
+  //     it); the etag (content-derived — S3A/ABFS statuses implement
+  //     Hadoop 3.4's EtagSource, local FS does not) closes that
+  //     granularity residue where the store exposes one. `mt` < 0
+  //     (legacy docs, failed promotion stat) degrades to the
+  //     length-only check; an empty `et` on either side degrades to
+  //     the length+mtime check;
   //  4. the doc records a CRC32 of the shard's encoded index bytes
   //     (`isum`): the ranged read fetches the index anyway, so the
   //     reader verifies it for free and falls back to coordinate-only
   //     masking on mismatch — catching a swap that lands between the
   //     freshness HEAD and the index GET (for encodings whose index
-  //     bytes change; a constant-length encoding's identical index is
-  //     the irreducible residue of non-transactional HEAD-then-GET,
+  //     bytes change; a constant-length encoding's identical index,
+  //     on an etag-less store within one mtime granule, is the
+  //     irreducible residue of non-transactional HEAD-then-GET,
   //     the same residue the whole-object path has).
   // Bounds are computed over the inner region's IN-EXTENT rows of the
   // DECODED buffer, so absent inner chunks record [fill, fill] — the
@@ -192,7 +200,7 @@ object ChunkStats {
     * staleness notes above). */
   final case class InnerColStats(
       inner: Array[Int], objectLen: Long, mins: Array[Any], maxs: Array[Any],
-      mtime: Long = -1L, indexSum: Long = -1L) {
+      mtime: Long = -1L, indexSum: Long = -1L, etag: String = "") {
     def range(gi: Int): Option[(Any, Any)] =
       if (gi < 0 || gi >= mins.length || mins(gi) == null || maxs(gi) == null) None
       else Some((mins(gi), maxs(gi)))
@@ -205,10 +213,13 @@ object ChunkStats {
   /** Writer-side input for one column of an inner doc. `mtime` is the
     * stored object's modification time (-1 = unknown; staged swaps
     * record -1 and promotion fills it); `indexSum` is the CRC32 of the
-    * shard's encoded index bytes (-1 = unknown/absent object). */
+    * shard's encoded index bytes (-1 = unknown/absent object); `etag`
+    * is the store's content-derived object tag ("" where the FileSystem
+    * exposes none — staged swaps record "" and promotion fills it). */
   final case class InnerColInput(
       name: String, zt: ZarrType, inner: Seq[Int], objectLen: Long,
-      mtime: Long, indexSum: Long, bounds: IndexedSeq[Option[Bound]])
+      mtime: Long, indexSum: Long, bounds: IndexedSeq[Option[Bound]],
+      etag: String = "")
 
   /** Encode one inner doc. An EMPTY `shape` marks a grid-less 1-D doc
     * (the tabular writer's — final shape unknown until commit),
@@ -228,6 +239,7 @@ object ChunkStats {
       c.put("len", ci.objectLen)
       if (ci.mtime >= 0) c.put("mt", ci.mtime)
       if (ci.indexSum >= 0) c.put("isum", ci.indexSum)
+      if (ci.etag.nonEmpty) c.put("et", ci.etag)
       val mins = c.putArray("min")
       val maxs = c.putArray("max")
       ci.bounds.foreach {
@@ -256,15 +268,17 @@ object ChunkStats {
       (1 until shape.length).forall(i => d.shape(i) == shape(i)) &&
       d.chunk.toSeq == chunk && d.dims.toSeq == dims
 
-  /** Rewrite an inner doc's per-column `mt` fields from live object
-    * stats — the staged-swap promotion step: a staged doc cannot know
-    * the final object's modification time (FileContext rename preserves
-    * the staged file's mtime but the copy fallback does not), so the
-    * promoter stats each final object once and stamps the doc. `statOf`
-    * returns (len, mtime); the stamp is only applied when the live
-    * length equals the doc's recorded length (anything else leaves
-    * `mt` unset and the reader's length guard declines the mask). */
-  def withInnerMtimes(json: String, statOf: String => Option[(Long, Long)]): String =
+  /** Rewrite an inner doc's per-column `mt`/`et` freshness tokens from
+    * live object stats — the staged-swap promotion step: a staged doc
+    * cannot know the final object's modification time or etag
+    * (FileContext rename preserves the staged file's mtime but the copy
+    * fallback does not, and object-store etags are assigned at PUT), so
+    * the promoter stats each final object once and stamps the doc. The
+    * stamp is only applied when the live length equals the doc's
+    * recorded length (anything else leaves the tokens unset and the
+    * reader's length guard declines the mask). */
+  def withInnerMtimes(
+      json: String, statOf: String => Option[ZarrStore.ObjStat]): String =
     try {
       val root = mapper.readTree(json)
       val colsNode = root.get("cols")
@@ -275,8 +289,12 @@ object ChunkStats {
         val c = colsNode.get(name).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         val lenN = c.get("len")
         if (lenN != null) statOf(name) match {
-          case Some((len, mt)) if len == lenN.asLong() => c.put("mt", mt)
-          case _ => c.remove("mt")
+          case Some(st) if st.len == lenN.asLong() =>
+            c.put("mt", st.mtime)
+            if (st.etag.nonEmpty) c.put("et", st.etag) else c.remove("et"): Unit
+          case _ =>
+            c.remove("mt")
+            c.remove("et"): Unit
         }
       }
       mapper.writeValueAsString(root)
@@ -329,9 +347,11 @@ object ChunkStats {
             }
             val mtN = c.get("mt")
             val isumN = c.get("isum")
+            val etN = c.get("et")
             b += name -> InnerColStats(inner, lenN.asLong(), mins, maxs,
               if (mtN == null) -1L else mtN.asLong(),
-              if (isumN == null) -1L else isumN.asLong())
+              if (isumN == null) -1L else isumN.asLong(),
+              if (etN == null) "" else etN.asText())
           }
         }
       }

@@ -224,6 +224,125 @@ private[zarr] object ZarrDistWalk {
     reclaimed
   }
 
+  /** Coverage-validate a batch of per-inner-chunk stats docs for
+    * INCREMENTAL analyze. Name-presence is NOT coverage: a
+    * signature-incompatible or guard-stale doc keeps masking silently
+    * declined on its shard while the run reports success — exactly the
+    * degradation the sweep exists to repair. An ordinal COVERS iff a
+    * full analyze of it would produce nothing better:
+    *  - the doc parses and is [[ChunkStats.innerDocCompatible]] with the
+    *    store's live geometry;
+    *  - EVERY currently-sharded non-binary data column has an entry
+    *    whose inner shape matches the live sharding spec (with the
+    *    expected per-inner bound count), and whose recorded object
+    *    length/mtime match one live HEAD under the READER's exact rule
+    *    (recorded len < 0 requires live absence; mt < 0 degrades to
+    *    length-only — legacy docs, matching what the reader will
+    *    actually accept).
+    * Non-covering docs are DELETED — re-analysis of the uncovered range
+    * re-emits them fresh (same retire-then-rewrite discipline as the
+    * append's edge window). Returns the covering ordinals. Metas ride
+    * as (name, sourceJson) pairs and the 1-D manifest as raw parts so
+    * the unit is a plain-strings task closure, like every walk unit;
+    * one visitor serves both schedulers (driver loop ≤ the inline
+    * threshold, Spark job above), so results cannot drift. */
+  def analyzeDocsUnit(
+      root: String, pairs: Seq[(String, String)], ords: Seq[Long],
+      metaJsons: Seq[(String, String)],
+      manifestParts: Vector[(Long, String, Int)]): Seq[Long] = {
+    val store = ZarrStore(root, pairs)
+    val ms = metaJsons.map { case (nm, j) => ZarrMeta.parse(nm, j) }
+    val g = ScanGeometry.resolve(ms)
+    val mani = ChunkManifest(manifestParts)
+    val ztOf: String => Option[ZarrType] =
+      n => ms.find(_.name == n).map(_.dataType)
+    val roleOf: Map[String, ColumnRole] = ms.map(_.name).zip(g.roles).toMap
+    // the columns a fresh analyze of a covered ordinal would record
+    val statCols = ms.filter(m => roleOf(m.name) match {
+      case DataCol(_) => m.shardingSpec.isDefined && m.dataType != ZarrType.Bytes
+      case _ => false
+    })
+    val numChunks = g.numChunks
+    val covered = Seq.newBuilder[Long]
+    ords.foreach { ord =>
+      val ok = ord >= 0 && ord < numChunks &&
+        (store.readText(ChunkStats.innerKey(ord)) match {
+          case Some(json) => ChunkStats.parseInner(json, ztOf).exists { d =>
+            ChunkStats.innerDocCompatible(d, g.targetShape.toSeq,
+              g.targetChunk.toSeq, g.dimIdentity) &&
+              statCols.forall { m =>
+                d.cols.get(m.name).exists { cs =>
+                  val spec = m.shardingSpec.get
+                  val inner = spec.innerShape.toArray
+                  // expected bound count under the live spec (the
+                  // reader's nInner); non-dividing specs cannot occur
+                  // in a readable store, but degrade to shape-only
+                  val nInner =
+                    if (inner.exists(i => i <= 0) || g.targetChunk.zip(inner)
+                      .exists { case (c, i) => c % i != 0 }) -1
+                    else g.targetChunk.zip(inner).map { case (c, i) => c / i }.product
+                  cs.inner.sameElements(inner) &&
+                    (nInner < 0 || cs.mins.length == nInner) && {
+                      // the reader's freshness rule, verbatim (one HEAD)
+                      val key =
+                        if (mani.isEmpty) m.chunkKey(g.chunkIndex(ord))
+                        else mani.keyFor(ord)
+                          .getOrElse(m.chunkKey(g.chunkIndex(ord)))
+                      val live = store.objectStat(m.name, key)
+                      if (cs.objectLen < 0) live.isEmpty
+                      else live.exists { st =>
+                        st.len == cs.objectLen &&
+                          (cs.mtime < 0 || st.mtime == cs.mtime) &&
+                          (cs.etag.isEmpty || st.etag.isEmpty ||
+                            st.etag == cs.etag)
+                      }
+                    }
+                }
+              }
+          }
+          case None => false
+        })
+      if (ok) covered += ord
+      else store.deleteKey(ChunkStats.innerKey(ord)): Unit
+    }
+    covered.result()
+  }
+
+  /** Coverage-validate a batch of stats SEGMENTS for INCREMENTAL
+    * analyze: `presumed` carries the driver's LIST-derived verdict
+    * (unsuppressed, range inside the grid, every ordinal's inner doc
+    * covering — all decidable from listings + the doc sweep, no GET).
+    * A presumed-live segment covers iff its document GETs, parses and
+    * is grid-compatible; everything else is DELETED up front — an
+    * invalid segment proves nothing and, left in place, would
+    * overlap-suppress the fresh segments re-analysis writes over its
+    * range. Returns the covered `[first, end)` ranges. The segment twin
+    * of [[analyzeDocsUnit]] and the analyze-side twin of
+    * [[vacuumSegmentsUnit]]: segment counts scale with WRITE TASKS
+    * (10^5 for a long-lived micro-batch ingest), where a driver-serial
+    * GET-per-segment sweep is minutes at object-store latency. */
+  def analyzeSegmentsUnit(
+      root: String, pairs: Seq[(String, String)],
+      segs: Seq[(Long, Int, Boolean)], ndim: Int, gridShape: Seq[Int],
+      dims: Seq[String], colTypes: Map[String, String]): Seq[(Long, Long)] = {
+    val store = ZarrStore(root, pairs)
+    val ztOf: String => Option[ZarrType] =
+      n => colTypes.get(n).map(ZarrType.fromName)
+    val covered = Seq.newBuilder[(Long, Long)]
+    segs.foreach { case (first, n, presumed) =>
+      val ok = presumed && (store.readText(ChunkStats.segmentKey(first, n)) match {
+        case Some(doc) =>
+          try ChunkStats.gridCompatibleWith(
+            ChunkStats.parse(first, n, doc, ztOf), ndim, gridShape, dims)
+          catch { case _: Exception => false }
+        case None => false
+      })
+      if (ok) covered += ((first, first + n))
+      else store.deleteKey(ChunkStats.segmentKey(first, n)): Unit
+    }
+    covered.result()
+  }
+
   /** Delete the unit's orphan key-shaped files (slots outside `grid`);
     * returns how many were deleted. Never touches directories,
     * metadata documents, or non-key-shaped (foreign) files. */

@@ -273,10 +273,43 @@ object ZarrMaintenance {
     * segments are DELETED and their ranges re-analyzed (they prove
     * nothing and would otherwise overlap-suppress the fresh segments);
     * on stores with sharded data columns an ordinal also needs a
-    * committed `i<ord>.json` doc to count as covered (presence by
-    * name — freshness is the reader's length/mtime/checksum guard
-    * domain; run a FULL analyze to refresh bounds). */
-  def analyze(spark: SparkSession, path: String, incremental: Boolean = false): Long = {
+    * COVERING `i<ord>.json` doc — parseable, signature-compatible and
+    * guard-fresh against one live HEAD ([[ZarrDistWalk.analyzeDocsUnit]]
+    * carries the exact rule), so a foreign in-place shard rewrite gets
+    * its bounds refreshed by the next incremental run instead of
+    * leaving masking silently declined until a FULL analyze. The sweep
+    * itself (one GET per segment + one GET/HEAD per doc) runs through
+    * the same one-visitor-both-schedulers walk units as vacuum's —
+    * inline on the driver up to 64 objects, one Spark job above (the
+    * 10^5-segment micro-batch-ingest scale, where a driver-serial
+    * sweep is minutes of GETs at object-store latency). */
+  def analyze(spark: SparkSession, path: String, incremental: Boolean = false): Long =
+    analyzeImpl(spark, path, incremental, sweepInlineMax = 64)
+
+  /** Incremental analyze with FORCED re-analysis of the given ordinal
+    * ranges (`[first, until)` pairs) — the bounds-freshness middle
+    * between "covered is covered" and a full analyze. Sharded stores
+    * self-heal from foreign in-place rewrites (the doc sweep's
+    * length/mtime/etag guard detects them), but an UNSHARDED store
+    * records no per-object token, so a foreign tool rewriting a known
+    * window in place leaves segment bounds silently stale until a full
+    * analyze. The caller that ran the foreign rewrite knows its window;
+    * this retires every segment (and sharded doc) OVERLAPPING the given
+    * ranges and re-analyzes their full extents plus everything else
+    * uncovered — same all-or-nothing discipline as the append's edge
+    * retirement, so coverage stays whole and unsuppressed. */
+  def analyzeRefresh(
+      spark: SparkSession, path: String, refresh: Seq[(Long, Long)]): Long =
+    analyzeImpl(spark, path, incremental = true, sweepInlineMax = 64, refresh)
+
+  /** [[analyze]] with the sweep's inline/distributed threshold exposed —
+    * spec seam only, pinning driver == distributed on one store. */
+  private[zarr] def analyzeImpl(
+      spark: SparkSession, path: String, incremental: Boolean,
+      sweepInlineMax: Int, refresh: Seq[(Long, Long)] = Nil): Long = {
+    if (refresh.nonEmpty && !incremental)
+      throw new ZarrException(
+        "analyze: refresh ranges require incremental mode (a full analyze already refreshes everything)")
     import scala.jdk.CollectionConverters._
     val hadoopPairs = spark.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue)
@@ -299,6 +332,7 @@ object ZarrMaintenance {
     val manifestParts =
       if (geom.ndim == 1) store.readChunkManifest().parts else Vector.empty
     val numChunks = geom.numChunks
+    val metaJsons = metas.map(m => m.name -> m.sourceJson)
     // bound each segment DOCUMENT: a reader GETs whole overlapping
     // segments, so one giant per-task segment (1M chunks / few tasks)
     // would turn every scan task's metadata read into megabytes — cap
@@ -327,43 +361,83 @@ object ZarrMaintenance {
         store.deleteInnerStatsDocs() // re-analyze refreshes inner stats too
         splitRuns(Seq((0L, numChunks)))
       } else {
-        val ztOf: String => Option[ZarrType] =
-          n => metas.find(_.name == n).map(_.dataType)
-        // sharded data columns additionally need a committed inner doc
-        // per covered ordinal (O(shards) name lookups — sharded grids
-        // are small by design, that being sharding's whole point)
+        // ---- sidecar sweep: docs first, then segments, both through
+        // the ZarrDistWalk visitors (inline ≤ sweepInlineMax objects,
+        // one Spark job above — the vacuum discipline; a driver-serial
+        // GET per segment is minutes at the 10^5-segment ingest scale)
+        def sweep[A: scala.reflect.ClassTag, B: scala.reflect.ClassTag](
+            items: Seq[A])(visit: Seq[A] => Seq[B]): Seq[B] =
+          if (items.isEmpty) Seq.empty
+          else if (items.size <= sweepInlineMax) visit(items)
+          else {
+            val parts = math.min(items.size,
+              math.max(1, spark.sparkContext.defaultParallelism))
+            spark.sparkContext.parallelize(items, parts)
+              .mapPartitions(it => visit(it.toSeq).iterator)
+              .collect().toSeq
+          }
+        // sharded data columns additionally need a COVERING inner doc
+        // per ordinal: parseable, signature-compatible AND guard-fresh
+        // against the live object (analyzeDocsUnit — name-presence
+        // alone would leave a stale doc's shard silently unmasked
+        // forever while every run reports success). Non-covering docs
+        // are deleted and their ordinals re-analyzed. O(shards) GETs +
+        // HEADs, sharded grids are small by design — but the sweep
+        // still shards out with everything else.
         val needDocs = metas.zip(geom.roles).exists {
           case (m, DataCol(_)) =>
             m.shardingSpec.isDefined && m.dataType != ZarrType.Bytes
           case _ => false
         }
-        val docOrds: Set[Long] =
-          if (needDocs) store.listInnerStatsDocOrds().toSet else Set.empty
-        val unsuppressed = store.listStatsSegments().toSet
-        val covered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        store.listStatsSegmentsRaw().foreach { case (first, n) =>
-          val key = ChunkStats.segmentKey(first, n)
-          // a segment counts as covering ONLY when every ordinal it
-          // describes also has its inner doc (when docs are needed):
-          // re-analyzing a doc-less ordinal writes a NEW segment over
-          // its range, and an overlapping retained segment would make
-          // listStatsSegments suppress BOTH sides — the run must
-          // retire the partial segment and re-analyze its whole range,
-          // the same all-or-nothing discipline the append's edge
-          // retirement applies
-          val valid = unsuppressed((first, n)) &&
-            first >= 0 && first + n <= numChunks &&
-            (!needDocs || (first until first + n).forall(docOrds.contains)) &&
-            (store.readText(key) match {
-              case Some(doc) =>
-                try ChunkStats.gridCompatible(
-                  ChunkStats.parse(first, n, doc, ztOf), geom)
-                catch { case _: Exception => false }
-              case None => false
-            })
-          if (valid) covered += ((first, first + n))
-          else store.deleteKey(key)
+        refresh.foreach { case (lo, hi) =>
+          if (lo < 0 || hi <= lo || hi > numChunks)
+            throw new ZarrException(
+              s"analyze refresh range [$lo, $hi) outside the chunk grid [0, $numChunks)")
         }
+        def inRefresh(first: Long, n: Long): Boolean =
+          refresh.exists { case (lo, hi) => first < hi && first + n > lo }
+        val docOrdsValid: Set[Long] =
+          if (!needDocs) Set.empty
+          else sweep(store.listInnerStatsDocOrds())(ords =>
+            ZarrDistWalk.analyzeDocsUnit(
+              path, hadoopPairs, ords, metaJsons, manifestParts)).toSet
+        // forced-refresh windows: retire their docs up front (the
+        // retire-then-rewrite discipline — a declined column during
+        // re-analysis must not leave a half-old doc behind) and treat
+        // their ordinals as uncovered; windows are caller-sized (the
+        // rewritten slab), so this driver loop is O(window)
+        val docOrds: Set[Long] =
+          if (refresh.isEmpty) docOrdsValid
+          else {
+            docOrdsValid.filter(o => inRefresh(o, 1L)).foreach(o =>
+              store.deleteKey(ChunkStats.innerKey(o)): Unit)
+            docOrdsValid.filterNot(o => inRefresh(o, 1L))
+          }
+        // a segment counts as covering ONLY when every ordinal it
+        // describes also has its COVERING inner doc (when docs are
+        // needed): re-analyzing a doc-less ordinal writes a NEW segment
+        // over its range, and an overlapping retained segment would
+        // make listStatsSegments suppress BOTH sides — the run must
+        // retire the partial segment and re-analyze its whole range,
+        // the same all-or-nothing discipline the append's edge
+        // retirement applies. Presumed-liveness (suppression, range,
+        // doc coverage) is decidable from the listings + doc sweep, so
+        // it rides the unit args; the per-segment GET+parse is the
+        // distributed part.
+        val unsuppressed = store.listStatsSegments().toSet
+        val tagged = store.listStatsSegmentsRaw().map { case (first, n) =>
+          (first, n, unsuppressed((first, n)) &&
+            first >= 0 && first + n <= numChunks &&
+            !inRefresh(first, n.toLong) &&
+            (!needDocs || (first until first + n).forall(docOrds.contains)))
+        }
+        val colTypes = metas.map(m => m.name -> m.dataType.zarrName).toMap
+        val segNdim = geom.ndim
+        val segGrid = geom.gridShape.toSeq
+        val segDims = geom.dimIdentity
+        val covered = sweep(tagged)(segs =>
+          ZarrDistWalk.analyzeSegmentsUnit(
+            path, hadoopPairs, segs, segNdim, segGrid, segDims, colTypes))
         // merge valid coverage into disjoint sorted runs
         val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         covered.sortBy(_._1).foreach { case (lo, hi) =>
@@ -383,7 +457,6 @@ object ZarrMaintenance {
         splitRuns(uncovered.toSeq)
       }
     if (numChunks == 0 || targets.isEmpty) return 0L
-    val metaJsons = metas.map(m => m.name -> m.sourceJson)
     val gridShape = geom.gridShape.toSeq
     val dimIdent = geom.dimIdentity
     val parts = math.min(targets.size,
@@ -408,7 +481,7 @@ object ZarrMaintenance {
             // decode overlaps IO — a blocking GET per chunk per column
             // would serialize the whole range at object-store latency
             val pf = new ChunkPrefetcher[Long,
-                Map[String, (Option[Array[Byte]], Option[(Long, Long)])]](
+                Map[String, (Option[Array[Byte]], Option[ZarrStore.ObjStat])]](
               seg.toIndexedSeq.map(_.toLong),
               ord => {
                 val idx = g.chunkIndex(ord)
@@ -490,13 +563,14 @@ object ZarrMaintenance {
                       val postStat = st.objectStat(m.name, key)
                       bytes match {
                         case Some(b) if postStat == preStat &&
-                            postStat.exists(_._1 == b.length.toLong) =>
+                            postStat.exists(_.len == b.length.toLong) =>
                           innerCols += ChunkStats.InnerColInput(
                             m.name, m.dataType, spec.innerShape,
-                            b.length.toLong, postStat.get._2,
+                            b.length.toLong, postStat.get.mtime,
                             Sharding.encodedIndexSum(spec, b, g.targetChunk),
                             ChunkStats.innerBounds(col.get, m.dataType,
-                              spec.innerShape.toArray, g.targetChunk, extent))
+                              spec.innerShape.toArray, g.targetChunk, extent),
+                            etag = postStat.get.etag)
                         case None if preStat.isEmpty && postStat.isEmpty =>
                           // stably absent shard: fill-value bounds, and
                           // the reader's guard requires live absence

@@ -388,14 +388,22 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     try Some(fs.getFileStatus(new Path(rootPath, s"$arrayName/$key")).getLen)
     catch { case _: java.io.FileNotFoundException => None }
 
-  /** (byte length, modification time) of a chunk object, or None when
-    * absent — the same single HEAD as [[objectLength]]; the mtime is
-    * the inner-doc freshness token that catches same-length replacement
-    * (constant-length encodings defeat a length-only check). */
-  def objectStat(arrayName: String, key: String): Option[(Long, Long)] =
+  /** (byte length, modification time, etag) of a chunk object, or None
+    * when absent — the same single HEAD as [[objectLength]]. The mtime
+    * is the inner-doc freshness token that catches same-length
+    * replacement (constant-length encodings defeat a length-only
+    * check), but it inherits the underlying store's modification-time
+    * GRANULARITY — one second on S3-style object stores — so a
+    * same-length foreign rewrite landing inside the same granule passes
+    * it. The etag closes that residue where the FileSystem exposes one
+    * (Hadoop 3.4 [[org.apache.hadoop.fs.EtagSource]]: S3A, ABFS —
+    * content-derived, so ANY rewrite changes it); empty string where it
+    * does not (local FS), degrading to the length+mtime check. */
+  def objectStat(arrayName: String, key: String): Option[ZarrStore.ObjStat] =
     try {
       val st = fs.getFileStatus(new Path(rootPath, s"$arrayName/$key"))
-      Some((st.getLen, st.getModificationTime))
+      Some(ZarrStore.ObjStat(st.getLen, st.getModificationTime,
+        ZarrStore.etagOf(st)))
     } catch { case _: java.io.FileNotFoundException => None }
 
   /** One ranged GET: `len` bytes at `off` of a chunk object, or None when
@@ -525,6 +533,19 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
 }
 
 object ZarrStore {
+  /** One object HEAD's freshness-relevant facts. `etag` is "" when the
+    * FileSystem's status does not implement
+    * [[org.apache.hadoop.fs.EtagSource]] (local FS; Hadoop < 3.4). */
+  final case class ObjStat(len: Long, mtime: Long, etag: String)
+
+  /** The status's etag when it exposes one (S3A, ABFS), else "". */
+  def etagOf(st: org.apache.hadoop.fs.FileStatus): String = st match {
+    case e: org.apache.hadoop.fs.EtagSource =>
+      val t = e.getEtag
+      if (t == null) "" else t
+    case _ => ""
+  }
+
   /** JSON string literal for `s` (quotes, backslashes, control chars) —
     * an array name containing `"` must not corrupt the root document. */
   def jsonQuote(s: String): String = {

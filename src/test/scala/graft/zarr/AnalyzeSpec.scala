@@ -347,4 +347,167 @@ class AnalyzeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_.matches(".*/incr/(day|x|v)/c/.*")) == 0,
       "post-incremental metadata-only aggregate must read no chunks")
   }
+
+  test("INCREMENTAL analyze refreshes guard-stale and unreadable docs, not just missing ones") {
+    // name-presence is NOT coverage: a foreign in-place shard rewrite
+    // leaves the doc's recorded mtime stale — the reader declines its
+    // mask forever, so incremental analyze must count the ordinal as
+    // UNCOVERED and refresh it (else masking stays silently degraded
+    // on that shard until a full analyze, while every run reports
+    // success)
+    val sp = spark; import sp.implicits._
+    val url = s"graftstat://$base/stale"
+    (for (d <- 0 until 8; x <- 0 until 8)
+      yield (d.toLong, x.toLong, d * 100.0 + x)).toDF("day", "x", "v")
+      .write.format("zarr").mode("append")
+      .option("dims", "day,x").option("chunk_shape", "2,4")
+      .option("shard_shape", "4,8").option("stats", "false").save(url)
+    assert(ZarrMaintenance.analyze(spark, url) == 2)
+    val i0Path = Paths.get(s"$base/stale/_stats/i0.json")
+    val i1Path = Paths.get(s"$base/stale/_stats/i1.json")
+    val i0Before = Files.readAllBytes(i0Path)
+    val i1Before = Files.readAllBytes(i1Path)
+    // foreign same-length in-place rewrite of shard 1, simulated by its
+    // observable effect: the object's mtime moved past the doc's token
+    val shard1 = Paths.get(s"$base/stale/v/c/1/0")
+    Files.setLastModifiedTime(shard1, java.nio.file.attribute.FileTime
+      .fromMillis(Files.getLastModifiedTime(shard1).toMillis + 2000))
+    RecordingFileSystem.opened.clear()
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 1,
+      "the guard-stale doc's ordinal must be re-analyzed")
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/stale/v/c/\\d+/\\d+$")).distinct
+    assert(dataOpens.nonEmpty && dataOpens.forall(_.endsWith("/c/1/0")),
+      s"only the stale shard may be re-read: ${dataOpens.mkString(", ")}")
+    assert(Files.readAllBytes(i0Path).sameElements(i0Before),
+      "the fresh doc must survive byte-identical")
+    assert(!Files.readAllBytes(i1Path).sameElements(i1Before),
+      "the stale doc must be re-emitted with a fresh mtime token")
+    var segs = ZarrStore(url).listStatsSegments()
+    assert(segs.map(_._2).sum == 2 && segs.head._1 == 0L,
+      s"coverage must stay whole: $segs")
+    // an unreadable doc is equally non-covering: corrupt i0 and the
+    // next incremental run must re-analyze ordinal 0 and restore it
+    Files.write(i0Path, "{}".getBytes)
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 1,
+      "the unreadable doc's ordinal must be re-analyzed")
+    assert(ChunkStats.parseInner(
+      new String(Files.readAllBytes(i0Path)),
+      n => if (n == "v") Some(ZarrType.Float64) else None).isDefined,
+      "the corrupt doc must be re-emitted parseable")
+    segs = ZarrStore(url).listStatsSegments()
+    assert(segs.map(_._2).sum == 2 && segs.head._1 == 0L, s"$segs")
+    // fully covered and fresh: the next run is a data-free no-op
+    RecordingFileSystem.opened.clear()
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 0L)
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/stale/v/c/\\d+/\\d+$")) == 0,
+      "a fresh covered store's incremental analyze must read no chunks")
+  }
+
+  test("analyzeRefresh: forced window re-analysis heals an UNSHARDED store's stale segment bounds") {
+    // unsharded stores record no per-object freshness token (only
+    // sharded inner docs carry len/mtime/etag), so a foreign tool
+    // rewriting chunk values in place leaves segment bounds stale and
+    // UNDETECTABLE by any metadata sweep: plain incremental analyze is
+    // rightly a no-op. The caller that ran the rewrite knows its
+    // window; analyzeRefresh(window) must retire exactly the
+    // overlapping segments, re-analyze only their extents, and restore
+    // metadata-only aggregates to the live values
+    val url = s"graftstat://$base/refresh"
+    val st = ZarrStore(url,
+      Seq("fs.graftstat.impl" -> classOf[RecordingFileSystem].getName))
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "id", ZarrType.Int64, Seq(64), Seq(16),
+      (0 until 64).map(_.toLong), None, ZarrWriter.CodecChain.raw,
+      fillJson = "0")
+    ZarrWriter.writeArray(st, "v", ZarrType.Float64, Seq(64), Seq(16),
+      (0 until 64).map(_.toDouble), None, ZarrWriter.CodecChain.raw)
+    assert(ZarrMaintenance.analyze(spark, url) == 4)
+    // foreign in-place rewrite: chunk 2's window (ordinals 32..47)
+    // shifted +1000, everything else unchanged
+    ZarrWriter.writeArray(st, "v", ZarrType.Float64, Seq(64), Seq(16),
+      (0 until 64).map(i => if (i >= 32 && i < 48) i + 1000.0 else i.toDouble),
+      None, ZarrWriter.CodecChain.raw)
+    // plain incremental: rightly a no-op (nothing detectable moved)
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 0L)
+    // the surgical middle: refresh exactly the rewritten window
+    RecordingFileSystem.opened.clear()
+    assert(ZarrMaintenance.analyzeRefresh(spark, url, Seq((2L, 3L))) == 1,
+      "exactly the refreshed window must be re-analyzed")
+    val dataOpens = RecordingFileSystem.opened.toArray.map(_.toString)
+      .filter(_.matches(".*/refresh/v/c/\\d+$")).distinct
+    assert(dataOpens.nonEmpty && dataOpens.forall(_.endsWith("/v/c/2")),
+      s"only the refreshed window may be re-read: ${dataOpens.mkString(", ")}")
+    val segs = ZarrStore(url).listStatsSegments()
+    assert(segs.map(_._2).sum == 4 && segs.head._1 == 0L,
+      s"coverage must stay whole: $segs")
+    // metadata-only max now sees the rewritten values (47 + 1000)
+    RecordingFileSystem.opened.clear()
+    val r = spark.read.format("zarr").load(url)
+      .agg(max("v"), min("v")).collect()(0)
+    assert(r.getDouble(0) == 1047.0 && r.getDouble(1) == 0.0,
+      s"refreshed bounds must serve the live values: $r")
+    assert(RecordingFileSystem.opened.toArray.map(_.toString)
+      .count(_.matches(".*/refresh/(id|v)/c/\\d+$")) == 0,
+      "post-refresh metadata-only aggregate must read no chunks")
+    // refusals stay loud: full mode rejects refresh, ranges must be in-grid
+    intercept[ZarrException](ZarrMaintenance.analyzeImpl(
+      spark, url, incremental = false, sweepInlineMax = 64, Seq((0L, 1L))))
+    intercept[ZarrException](
+      ZarrMaintenance.analyzeRefresh(spark, url, Seq((3L, 9L))))
+  }
+
+  test("INCREMENTAL sweep: driver and distributed schedulers agree on a >64-segment store") {
+    // the sweep distributes above 64 objects (the 10^5-segment
+    // micro-batch-ingest shape): pin that both schedulers retire the
+    // same junk and keep the same coverage — one visitor, so drift is
+    // impossible by construction, and this pin keeps it that way
+    val sp = spark; import sp.implicits._
+    def build(url: String): Unit = {
+      // 66 aligned one-chunk write tasks -> 66 segments + 66 inner docs
+      sp.range(0L, 66L * 16, 1L, 66)
+        .select(col("id"), (col("id") * 1.5).as("x"))
+        .write.format("zarr").mode("append")
+        .option("chunk_size", "16").option("inner_chunk_size", "4")
+        .option("rows_per_partition", "16") // aligned path: final keys
+        .save(url)
+      val st = ZarrStore(url)
+      assert(st.listStatsSegmentsRaw().size > 64,
+        s"fixture must exceed the inline threshold: ${st.listStatsSegmentsRaw().size}")
+      assert(st.listInnerStatsDocOrds().size > 64)
+      // junk every failure class: out-of-grid segment, unreadable doc,
+      // guard-stale doc (mtime bumped past the recorded token)
+      st.writeText(ChunkStats.segmentKey(500, 4), "{}")
+      Files.write(Paths.get(s"${url.stripPrefix("graftstat://")}/_stats/i3.json"),
+        "{}".getBytes)
+      val shard5 = Paths.get(s"${url.stripPrefix("graftstat://")}/x/c/5")
+      Files.setLastModifiedTime(shard5, java.nio.file.attribute.FileTime
+        .fromMillis(Files.getLastModifiedTime(shard5).toMillis + 2000))
+    }
+    def sidecar(url: String): (Seq[(Long, Int)], Seq[Long]) = {
+      val st = ZarrStore(url)
+      (st.listStatsSegmentsRaw(), st.listInnerStatsDocOrds().sorted)
+    }
+    val urlA = s"graftstat://$base/abdrv"
+    val urlB = s"graftstat://$base/abdist"
+    build(urlA); build(urlB)
+    val nA = ZarrMaintenance.analyzeImpl(spark, urlA,
+      incremental = true, sweepInlineMax = Int.MaxValue) // force driver
+    val nB = ZarrMaintenance.analyzeImpl(spark, urlB,
+      incremental = true, sweepInlineMax = 0)            // force Spark job
+    assert(nA == nB, s"schedulers must analyze the same ordinals: $nA vs $nB")
+    assert(nA >= 2, s"the corrupt and stale ordinals must be re-analyzed: $nA")
+    val (segA, docA) = sidecar(urlA)
+    val (segB, docB) = sidecar(urlB)
+    assert(segA == segB, s"segment sidecars diverged: $segA vs $segB")
+    assert(docA == docB, s"doc sidecars diverged: $docA vs $docB")
+    assert(segA.map(_._2).sum == 66 && !segA.exists(_._1 == 500L),
+      s"coverage whole, junk retired: $segA")
+    // both stores still answer identically
+    val a = spark.read.format("zarr").load(urlA).agg(
+      count(lit(1)), min("x"), max("x")).collect()(0)
+    assert(a.getLong(0) == 66 * 16 && a.getDouble(1) == 0.0 &&
+      a.getDouble(2) == (66 * 16 - 1) * 1.5)
+  }
 }

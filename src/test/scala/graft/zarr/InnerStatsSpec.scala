@@ -274,7 +274,7 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // promotion stamped the FINAL object's mtime (the graftlat swap takes
     // the copy fallback, where the staged file's mtime would be wrong)
     val liveStat = st.objectStat("value", "c/1/0").getOrElse(fail("edge shard missing"))
-    assert(v1.mtime == liveStat._2 && v1.objectLen == liveStat._1,
+    assert(v1.mtime == liveStat.mtime && v1.objectLen == liveStat.len,
       s"promoted doc must carry the live object's stat: doc=(${v1.objectLen},${v1.mtime}) live=$liveStat")
     // no staged docs left behind
     assert(!new java.io.File(s"$dir/_stats").listFiles()
@@ -320,7 +320,7 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val doc0 = ChunkStats.parseInner(st.readText("_stats/i0.json").get,
       _ => Some(ZarrType.Float64)).get
     assert(doc0.cols("data").mtime >= 0, "analyze must record the mtime token")
-    val lenBefore = st.objectStat("data", "c/0/0").get._1
+    val lenBefore = st.objectStat("data", "c/0/0").get.len
     // out-of-band same-shape rewrite with the values REVERSED: same
     // global min/max (the outer segment stays un-refuting for any
     // in-range predicate), SAME object length, SAME index bytes — only
@@ -330,7 +330,7 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ZarrWriter.writeArray(st, "data", ZarrType.Float64, Seq(32, 32), Seq(32, 32),
       (0 until 1024).map(i => (1023 - i).toDouble), Some(Seq("lat", "lon")),
       ZarrWriter.CodecChain.raw.sharded(Seq(8, 8)))
-    assert(st.objectStat("data", "c/0/0").get._1 == lenBefore,
+    assert(st.objectStat("data", "c/0/0").get.len == lenBefore,
       "test premise: the rewrite must be length-preserving")
     java.nio.file.Files.setLastModifiedTime(
       java.nio.file.Paths.get(s"$dir/data/c/0/0"),
@@ -346,6 +346,62 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rows = spark.read.format("zarr").load(url)
         .filter("data >= 1000.0").select("data").collect()
       assert(rows.length == 24, s"stale doc dropped rows: ${rows.length}")
+    } finally hc.unset("graft.zarr.ranged.reads")
+  }
+
+  test("ETAG guard: a same-length SAME-MTIME-GRANULE rewrite is caught on stores exposing etags") {
+    // the mtime token inherits the store's modification-time
+    // granularity (one second on S3-style stores): a same-length
+    // foreign rewrite landing inside the same granule passes len+mt.
+    // Where the FileSystem exposes a content-derived etag (S3A/ABFS,
+    // Hadoop 3.4 EtagSource — EtagFileSystem is the local stand-in),
+    // the doc records it and the reader's freshness HEAD must refute
+    // the mask. Simulated at its worst: the rewrite RESTORES the
+    // original mtime exactly (perfect granule alias), same length,
+    // same index bytes (raw codec), values reversed.
+    val dir = s"$base/etguard"
+    val pairs = Seq("fs.graftetag.impl" ->
+      classOf[graft.tools.EtagFileSystem].getName)
+    val st = ZarrStore(dir, pairs)
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(32), Seq(32),
+      (0 until 32).map(_.toDouble), Some(Seq("lat")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(32), Seq(32),
+      (0 until 32).map(_.toDouble), Some(Seq("lon")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "data", ZarrType.Float64, Seq(32, 32), Seq(32, 32),
+      (0 until 1024).map(_.toDouble), Some(Seq("lat", "lon")),
+      ZarrWriter.CodecChain.raw.sharded(Seq(8, 8)))
+    val url = s"graftetag://$dir"
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftetag.impl", classOf[graft.tools.EtagFileSystem].getName)
+    ZarrMaintenance.analyze(spark, url)
+    val doc0 = ChunkStats.parseInner(st.readText("_stats/i0.json").get,
+      _ => Some(ZarrType.Float64)).get
+    assert(doc0.cols("data").etag.nonEmpty,
+      "analyze must record the etag token on an etag-exposing store")
+    val mtBefore = st.objectStat("data", "c/0/0").get.mtime
+    val lenBefore = st.objectStat("data", "c/0/0").get.len
+    ZarrWriter.writeArray(st, "data", ZarrType.Float64, Seq(32, 32), Seq(32, 32),
+      (0 until 1024).map(i => (1023 - i).toDouble), Some(Seq("lat", "lon")),
+      ZarrWriter.CodecChain.raw.sharded(Seq(8, 8)))
+    // perfect granule alias: force the ORIGINAL mtime back
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/data/c/0/0"),
+      java.nio.file.attribute.FileTime.fromMillis(mtBefore))
+    val after = st.objectStat("data", "c/0/0").get
+    assert(after.len == lenBefore && after.mtime == mtBefore,
+      "test premise: length and mtime must alias the recorded tokens")
+    assert(after.etag != doc0.cols("data").etag,
+      "test premise: the content rewrite must move the etag")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    try {
+      // identical adversary to the MTIME guard, with mtime aliased:
+      // only the etag can refute the stale doc — trusting it emits
+      // ZERO rows; the whole-read fallback emits 24 (values 1000..1023)
+      val rows = spark.read.format("zarr").load(url)
+        .filter("data >= 1000.0").select("data").collect()
+      assert(rows.length == 24, s"granule-aliased rewrite dropped rows: ${rows.length}")
     } finally hc.unset("graft.zarr.ranged.reads")
   }
 }
