@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -593,6 +593,73 @@ object ZarrRoundtrip {
         .orderBy("day", "source")
     } finally hc.unset("graft.zarr.ranged.reads")
   }
+
+  /** q138: the FOREIGN-REWRITE-then-REFRESH lifecycle under the oracle
+    * gate. An UNSHARDED cube (no per-object freshness token exists for
+    * its chunks) is written with its stats sidecar, then a foreign tool
+    * rewrites the `sum_chars` array IN PLACE — same shape, chunks and
+    * dims, so no metadata sweep can detect it — boosting days 4..7 by
+    * 10^9. `ZarrMaintenance.analyzeRefresh` re-analyzes exactly that
+    * window (the caller that ran the rewrite knows it). The read then
+    * pushes `sum_chars >= 10^9`, a predicate the STALE segment bounds
+    * would refute on every chunk: a refresh that failed to retire the
+    * window's segments, re-analyze it, or record the boosted bounds
+    * emits ZERO rows against the oracle's 80 — the silent-row-drop
+    * failure class this surface exists to prevent, under the hash. */
+  private lazy val q138 = QueryDef.sql(
+    "q138_zarr_refresh_bounds",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s),
+      |dense AS (
+      |  SELECT g.day, g.source,
+      |    coalesce(c.sum_chars, 0)::BIGINT
+      |      + CASE WHEN g.day BETWEEN 4 AND 7
+      |             THEN 1000000000 ELSE 0 END AS sum_chars
+      |  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source)
+      |SELECT day, source, sum_chars FROM dense
+      |WHERE sum_chars >= 1000000000
+      |ORDER BY day, source""".stripMargin) { (s, dir) =>
+    val store = ensureRefreshStore(s, dir)
+    s.read.format("zarr").load(store)
+      .filter(col("sum_chars") >= 1000000000L)
+      .select(col("day"), col("source"), col("sum_chars"))
+      .orderBy("day", "source")
+  }
+
+  /** Build the q138 store: plain cube write (stats sidecar on), then a
+    * FOREIGN in-place rewrite of `sum_chars` via the fixture writer —
+    * identical shape/chunk/dims (undetectable by the sidecar sweep, as
+    * an out-of-engine tool would be), days 4..7 boosted by 10^9 —
+    * followed by `analyzeRefresh` of exactly the rewritten chunk rows.
+    * Chunk 2x4 over the 12x20 grid → 6x5 chunk grid; days 4..7 are
+    * chunk-rows 2..3 = ordinals [10, 20). Source axis order matches the
+    * cube writer's sorted-ascending coordinate rebuild (ASCII source
+    * names, so Spark's binary sort and Scala's string sort agree). */
+  private def ensureRefreshStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cuberefresh", "/tmp/graft_zarr_cube_refresh") {
+      (dense, path) =>
+        dense.write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "2,4")
+          .save(path)
+        val cells = dense.select("day", "source", "sum_chars").collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        val srcOrder = cells.keySet.map(_._2).toSeq.sorted
+        val boosted: IndexedSeq[Any] =
+          (for (d <- 0L until 12L; src <- srcOrder) yield
+            cells((d, src)) + (if (d >= 4 && d <= 7) 1000000000L else 0L))
+            .toIndexedSeq
+        graft.zarr.ZarrWriter.writeArray(
+          graft.zarr.ZarrStore(path), "sum_chars", graft.zarr.ZarrType.Int64,
+          Seq(12L, 20L), Seq(2, 4), boosted, Some(Seq("day", "source")),
+          graft.zarr.ZarrWriter.CodecChain.bloscLz4, fillJson = "0")
+        graft.zarr.ZarrMaintenance.analyzeRefresh(s, path, Seq((10L, 20L))): Unit
+    }
 
   /** Build the q137 store: a RAGGED-base sharded cube (days 0-6; day
     * shard 4 → partial edge chunk-row) grown to 12 days via a real
