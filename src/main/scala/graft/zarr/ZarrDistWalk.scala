@@ -158,30 +158,55 @@ private[zarr] object ZarrDistWalk {
 
   /** Validate-and-reclaim a batch of per-inner-chunk stats docs
     * (`_stats/i<ord>.json`): a doc is a PHANTOM — deleted, counted —
-    * when its ordinal is past the committed grid, it is unreadable, or
+    * when its ordinal is past the committed grid, it is unreadable,
     * its shape/chunk/dims signature is incompatible with the store's
     * geometry under [[ChunkStats.innerDocCompatible]] (a smaller
     * LEADING extent is compatible: docs survive dim-0 appends by
-    * design). One visitor for both schedulers (driver loop and the
-    * distributed vacuum job): names are driver-LISTed once, but the
-    * per-doc GET+parse is the O(shards) cost this shards out. */
+    * design), or EVERY recorded column fails the reader's
+    * length/mtime/etag freshness rule against one live HEAD — object
+    * mtimes only move forward, so an all-stale doc is PERMANENTLY
+    * declined by every reader and is dead weight each scan re-HEADs
+    * forever. A doc with ANY fresh column stays live (the reader still
+    * uses that column's bounds). One visitor for both schedulers
+    * (driver loop and the distributed vacuum job): names are
+    * driver-LISTed once, but the per-doc GET+parse+HEAD is the
+    * O(shards) cost this shards out. */
   def vacuumInnerDocsUnit(
       root: String, pairs: Seq[(String, String)], ords: Seq[Long],
-      numChunks: Long, shape: Seq[Long], chunk: Seq[Int], dims: Seq[String],
-      colTypes: Map[String, String]): Long = {
+      metaJsons: Seq[(String, String)],
+      manifestParts: Vector[(Long, String, Int)]): Long = {
     val store = ZarrStore(root, pairs)
+    val ms = metaJsons.map { case (nm, j) => ZarrMeta.parse(nm, j) }
+    val g = ScanGeometry.resolve(ms)
+    val mani = ChunkManifest(manifestParts)
     val ztOf: String => Option[ZarrType] =
-      n => colTypes.get(n).map(ZarrType.fromName)
+      n => ms.find(_.name == n).map(_.dataType)
+    val byName: Map[String, ZarrArrayMeta] = ms.map(m => m.name -> m).toMap
+    val numChunks = g.numChunks
     var reclaimed = 0L
     ords.foreach { ord =>
       val live = ord < numChunks &&
         (store.readText(ChunkStats.innerKey(ord)) match {
-          // the READER's acceptance rule, verbatim (innerDocCompatible):
-          // vacuum must never reclaim a doc a scan would still trust —
-          // in particular docs with a SMALLER leading extent, which stay
-          // live across dim-0 appends by design
+          // the READER's acceptance rule, verbatim (innerDocCompatible
+          // + the per-column freshness guard): vacuum must never
+          // reclaim a doc a scan would still trust — in particular
+          // docs with a SMALLER leading extent, which stay live across
+          // dim-0 appends by design
           case Some(doc) => ChunkStats.parseInner(doc, ztOf)
-            .exists(d => ChunkStats.innerDocCompatible(d, shape, chunk, dims))
+            .exists(d => ChunkStats.innerDocCompatible(d,
+              g.targetShape.toSeq, g.targetChunk.toSeq, g.dimIdentity) &&
+              (d.cols.isEmpty || d.cols.exists { case (name, cs) =>
+                byName.get(name).exists { m =>
+                  val key =
+                    if (mani.isEmpty) m.chunkKey(g.chunkIndex(ord))
+                    else mani.keyFor(ord).getOrElse(m.chunkKey(g.chunkIndex(ord)))
+                  val st = store.objectStat(m.name, key)
+                  if (cs.objectLen < 0) st.isEmpty
+                  else st.exists(o => o.len == cs.objectLen &&
+                    (cs.mtime < 0 || o.mtime == cs.mtime) &&
+                    (cs.etag.isEmpty || o.etag.isEmpty || o.etag == cs.etag))
+                }
+              }))
           case None => false
         })
       // count only CONFIRMED deletions (the vacuumUnit discipline)

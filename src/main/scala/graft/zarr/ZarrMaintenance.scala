@@ -745,29 +745,30 @@ object ZarrMaintenance {
             if (fs.delete(st.getPath, false)) phantoms += 1
           } else ChunkStats.parseInnerName(nm).foreach(innerOrds += _)
         }
-      // per-inner-chunk docs: phantom when out of grid, unreadable, or
-      // signed for a shape/grid the store no longer has (every reader
-      // already rejects them — this reclaims the bytes). One doc exists
-      // per analyzed SHARD, so validation is a per-doc GET the driver
-      // must not serialize at scale: the same visitor runs inline on
-      // small listings and as a Spark job under `distributed`.
+      // per-inner-chunk docs: phantom when out of grid, unreadable,
+      // signed for a shape/grid the store no longer has, or ALL-STALE
+      // against the live objects' length/mtime/etag (every reader
+      // already rejects all of these — this reclaims the bytes and the
+      // per-scan HEAD-and-decline they'd otherwise cost forever). One
+      // doc exists per analyzed SHARD, so validation is a per-doc
+      // GET+HEAD the driver must not serialize at scale: the same
+      // visitor runs inline on small listings and as a Spark job under
+      // `distributed`.
       val ords = innerOrds.result()
       if (ords.nonEmpty) {
-        val colTypes = metas.map(m => m.name -> m.dataType.zarrName).toMap
-        val shapeSeq = geom.targetShape.toSeq
-        val chunkSeq = geom.targetChunk.toSeq
-        val dimsSeq = geom.dimIdentity
-        val total = geom.numChunks
+        val metaJsons = metas.sortBy(_.name).map(m => m.name -> m.sourceJson)
+        val maniParts =
+          if (geom.ndim == 1) store.readChunkManifest().parts else Vector.empty
         phantoms +=
           (if (distributed && ords.size > 64) {
             val parts = math.min(ords.size,
               math.max(1, spark.sparkContext.defaultParallelism))
             spark.sparkContext.parallelize(ords, parts)
               .mapPartitions(it => Iterator.single(ZarrDistWalk.vacuumInnerDocsUnit(
-                path, hadoopPairs, it.toSeq, total, shapeSeq, chunkSeq, dimsSeq, colTypes)))
+                path, hadoopPairs, it.toSeq, metaJsons, maniParts)))
               .sum().toLong
           } else ZarrDistWalk.vacuumInnerDocsUnit(
-            path, hadoopPairs, ords, total, shapeSeq, chunkSeq, dimsSeq, colTypes))
+            path, hadoopPairs, ords, metaJsons, maniParts))
       }
     }
 

@@ -307,6 +307,42 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.mkString(","))
   }
 
+  test("vacuum reclaims an ALL-STALE inner doc, keeps a partially-fresh one") {
+    // object mtimes only move forward, so a doc whose EVERY recorded
+    // column fails the reader's len/mtime/etag rule is PERMANENTLY
+    // declined — dead weight each scan re-HEADs forever: phantom. A doc
+    // with ANY fresh column is still serving that column's bounds: live
+    val base = Files.createTempDirectory("zarr-vacuum-stale").toString
+    val path = s"$base/cube"
+    val sp = spark; import sp.implicits._
+    (for (d <- 0 until 8; x <- 0 until 8) yield
+      (d.toLong, x.toLong, (d * 10 + x).toDouble, (d - x).toDouble))
+      .toDF("day", "x", "v", "w").write.format("zarr").mode("append")
+      .option("dims", "day,x").option("chunk_shape", "2,4")
+      .option("shard_shape", "4,8").save(path)
+    def bump(rel: String): Unit = {
+      val p = java.nio.file.Paths.get(path, rel)
+      java.nio.file.Files.setLastModifiedTime(p, java.nio.file.attribute
+        .FileTime.fromMillis(java.nio.file.Files.getLastModifiedTime(p)
+          .toMillis + 2000))
+    }
+    // doc i0: BOTH data columns' shards rewritten (simulated by the
+    // mtime moving) -> all-stale -> phantom; doc i1: only v's shard
+    // moved, w still fresh -> live
+    bump("v/c/0/0"); bump("w/c/0/0"); bump("v/c/1/0")
+    val counts = ZarrMaintenance.vacuum(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(counts("_stats") == 1L, counts.toString)
+    assert(!Files.exists(java.nio.file.Paths.get(path, "_stats", "i0.json")),
+      "the all-stale doc must be reclaimed")
+    assert(Files.exists(java.nio.file.Paths.get(path, "_stats", "i1.json")),
+      "a doc with one fresh column still serves it: keep")
+    // values untouched; a second vacuum finds nothing
+    assert(spark.read.format("zarr").load(path).count() == 64)
+    val again = ZarrMaintenance.vacuum(spark, path).collect()
+    assert(again.forall(_.getLong(3) == 0L), again.mkString(","))
+  }
+
   test("vacuum on a SHARDED cube: orphan shard beyond the grid deleted, live edge shards kept") {
     // a deleting walk must know that a sharded array's stored grid is
     // the SHARD grid: judging shard keys against the inner-chunk grid
