@@ -302,6 +302,13 @@ object ZarrMaintenance {
       spark: SparkSession, path: String, refresh: Seq[(Long, Long)]): Long =
     analyzeImpl(spark, path, incremental = true, sweepInlineMax = 64, refresh)
 
+  /** Single-window [[analyzeRefresh]] — the Java/Python-gateway form
+    * (primitive longs; a py4j caller cannot build `Seq[(Long, Long)]`
+    * without boxing surprises). */
+  def analyzeRefresh(
+      spark: SparkSession, path: String, first: Long, until: Long): Long =
+    analyzeRefresh(spark, path, Seq((first, until)))
+
   /** [[analyze]] with the sweep's inline/distributed threshold exposed —
     * spec seam only, pinning driver == distributed on one store. */
   private[zarr] def analyzeImpl(

@@ -46,14 +46,22 @@ class InnerStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(ChunkStats.InnerColInput("data", ZarrType.Float64, Seq(8, 8), 1234L,
         5555L, 42L,
         IndexedSeq(Some(ChunkStats.Bound(0.0, 7.5)), None,
-          Some(ChunkStats.Bound(-1.0, 2.0))))))
+          Some(ChunkStats.Bound(-1.0, 2.0))),
+        etag = "ab12cd")))
     val doc = ChunkStats.parseInner(json, _ => Some(ZarrType.Float64)).get
     assert(doc.shape.toSeq == Seq(32L, 32L))
     assert(doc.dims.toSeq == Seq("lat", "lon"))
     assert(doc.chunk.toSeq == Seq(32, 32))
     val cs = doc.cols("data")
     assert(cs.inner.toSeq == Seq(8, 8) && cs.objectLen == 1234L)
-    assert(cs.mtime == 5555L && cs.indexSum == 42L)
+    assert(cs.mtime == 5555L && cs.indexSum == 42L && cs.etag == "ab12cd")
+    // empty etag is OMITTED from the doc and parses back empty (legacy
+    // docs and etag-less stores degrade to the len+mt check)
+    val noTag = ChunkStats.parseInner(ChunkStats.encodeInner(
+      Seq(32L), Seq("i"), Seq(32),
+      Seq(ChunkStats.InnerColInput("data", ZarrType.Float64, Seq(8), 1L,
+        -1L, -1L, IndexedSeq(None)))), _ => Some(ZarrType.Float64)).get
+    assert(noTag.cols("data").etag.isEmpty && noTag.cols("data").mtime == -1L)
     assert(cs.range(0).contains((0.0, 7.5)))
     assert(cs.range(1).isEmpty)
     assert(cs.range(2).contains((-1.0, 2.0)))

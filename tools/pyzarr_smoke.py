@@ -133,6 +133,14 @@ assert _vrows["v"]["orphan_chunks"] == 1, f"vacuum from Python: {_vrows}"
 assert spark.read.format("zarr").load(sh_path).count() == 36, \
     "vacuum from Python must not change readable contents"
 
+# analyzeRefresh (round 18): forced window re-analysis through the same
+# gateway — a PySpark pipeline that just rewrote a window in place with
+# a foreign tool calls this to refresh the sidecar's bounds
+assert _ZM.analyzeRefresh(spark._jsparkSession, sh_path, 0, 1) >= 1, \
+    "analyzeRefresh from Python must re-analyze the window"
+assert spark.read.format("zarr").load(sh_path).count() == 36, \
+    "analyzeRefresh must not change readable contents"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
