@@ -7,27 +7,50 @@ import org.apache.spark.sql.SparkSession
   * every output column (no projection pruning), so timings reflect the
   * full operator cost. */
 object Bench {
-  /** BENCH_BEST replacement rule. `stored` = (worst probe, query count)
-    * of the current record, or None when no guarded record exists.
-    * A same-registry sweep must be at least as quiet as the record.
-    * A registry-CHANGED sweep (the record's total is stale — different
-    * query set) may reset the record, but only from a box at most 15%
-    * noisier than the one that set it: the r14 driver sweep (worst
-    * probe 2.43) walked through an unconditional registry-changed
-    * branch and displaced a probe-1.69 record, poisoning all 136
-    * per-query comparators with contended numbers. Since the registry
-    * grows almost every round, that hole made every growth round a
-    * record reset on whatever machine the driver was sharing. Known
-    * trade-off: if the box's quiet floor permanently worsens past the
-    * band, a count-stale record can pin — the deliberate escape hatch
-    * is deleting BENCH_BEST.json (a missing record is always replaced),
-    * an explicit human action rather than an automatic hole. */
+  /** BENCH_BEST replacement rule. `stored` = (worst probe, query count,
+    * per-query medians) of the current record, or None when no guarded
+    * record exists.
+    *
+    * QUIETNESS (the calibration probes) is necessary but not
+    * sufficient: the two probes bracket a sweep but cannot see a
+    * co-tenant wave in its MIDDLE — r18's first qualifying sweep
+    * (worst probe 1.87 vs stored 1.90) was 9.4% slower per query
+    * (median over 138 common queries) than the record it displaced.
+    * The sweep's own queries are the only witness of mid-sweep
+    * contention, so replacement also requires the median ratio over
+    * the COMMON queries to be consistent with the probes:
+    *  - same registry: probe at least as quiet AND median ratio ≤ 1.0
+    *    (the record is the BEST-known clean sweep — a quieter box must
+    *    not be slower per query);
+    *  - registry CHANGED (the record's total is stale — different
+    *    query set): probe within 15% of the record's AND median ratio
+    *    over the common queries ≤ max(1, probe ratio) + 0.05 — the
+    *    count-stale record stays replaceable from a comparably quiet
+    *    box, but not by a sweep whose own queries say it was
+    *    contended. (The 1.15 band is the r14 fix: an unconditional
+    *    registry-changed branch let a worst-probe-2.43 sweep displace
+    *    a probe-1.69 record.)
+    * No common queries (full registry swap) degrades to probe-only.
+    * Known trade-off: if the box's quiet floor permanently worsens
+    * past the band, a count-stale record can pin — the deliberate
+    * escape hatch is deleting BENCH_BEST.json (a missing record is
+    * always replaced), an explicit human action rather than an
+    * automatic hole. */
   def shouldReplaceBest(
-      stored: Option[(Double, Int)], newCal: Double, nQueries: Int): Boolean =
+      stored: Option[(Double, Int, Map[String, Double])],
+      newCal: Double, nQueries: Int,
+      newQueries: Map[String, Double]): Boolean =
     stored match {
       case None => true
-      case Some((cal, n)) if n != nQueries => newCal <= cal * 1.15
-      case Some((cal, _)) => newCal <= cal
+      case Some((cal, n, oldQ)) =>
+        val ratios = newQueries.collect {
+          case (q, t) if oldQ.get(q).exists(_ > 0) => t / oldQ(q)
+        }.toSeq.sorted
+        val medianOk: Double => Boolean = bound =>
+          ratios.isEmpty || ratios(ratios.size / 2) <= bound
+        if (n != nQueries)
+          newCal <= cal * 1.15 && medianOk(math.max(1.0, newCal / cal) + 0.05)
+        else newCal <= cal && medianOk(1.0)
     }
 
   def main(args: Array[String]): Unit = {
@@ -255,7 +278,7 @@ object Bench {
         // shrank) is stale — its total is not comparable to the current
         // sweep's — but it may only be reset from a comparably quiet
         // box (see shouldReplaceBest)
-        val stored: Option[(Double, Int)] =
+        val stored: Option[(Double, Int, Map[String, Double])] =
           if (java.nio.file.Files.exists(bestPath)) {
             try {
               val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -265,13 +288,22 @@ object Bench {
               // format / hand edit) — treat as absent so the current
               // sweep replaces it, rather than defaulting one side and
               // disabling the comparison
-              if (cal.path("start").isNumber && cal.path("end").isNumber)
+              if (cal.path("start").isNumber && cal.path("end").isNumber) {
+                val qn = root.path("queries")
+                val qm = Map.newBuilder[String, Double]
+                val it = qn.fieldNames()
+                while (it.hasNext) {
+                  val k = it.next()
+                  if (qn.get(k).isNumber) qm += k -> qn.get(k).asDouble()
+                }
                 Some((math.max(cal.path("start").asDouble,
-                  cal.path("end").asDouble), root.path("queries").size()))
-              else None
+                  cal.path("end").asDouble), qn.size(), qm.result()))
+              } else None
             } catch { case _: Throwable => None }
           } else None
-        val replace = shouldReplaceBest(stored, newCal, ok.size)
+        val newMedians: Map[String, Double] =
+          ok.map { case (k, t) => k -> t(runs / 2) }.toMap
+        val replace = shouldReplaceBest(stored, newCal, ok.size, newMedians)
         if (replace) {
           java.nio.file.Files.write(bestPath,
             (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
