@@ -248,4 +248,114 @@ class RangedReadPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"stats=$writeStats\npred=$pred\nwhole=${whole.size} ranged=${ranged.size}")
     }
   }
+
+  test("random FOREIGN REWRITES on an etag store: stale masks always refuted, rows exact") {
+    // the silent-row-drop adversary, randomized: after analyze records
+    // inner-doc bounds, a foreign tool rewrites the data array by
+    // MIRRORING values within each shard — per-shard value sets are
+    // preserved (outer segment bounds stay TRUE, so whole-mode reads
+    // stay ground truth) while the per-INNER-chunk distribution moves
+    // (every doc's bounds go stale). Codec is randomized (raw keeps
+    // length AND index bytes identical), and half the cases RESTORE
+    // every shard's pre-rewrite mtime — the perfect granule alias where
+    // only the content-derived etag can refute the mask. On an
+    // etag-exposing store (EtagFileSystem = the S3A/ABFS stand-in), a
+    // ranged read with sidecar masking must equal the whole read must
+    // equal an in-memory reference of the NEW values, for every case.
+    val rnd = new Random(1808202618L)
+    val etagPairs = Seq("fs.graftetag.impl" ->
+      classOf[graft.tools.EtagFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftetag.impl", classOf[graft.tools.EtagFileSystem].getName)
+    (0 until 10).foreach { caseNo =>
+      val ndim = 2
+      val shape = Array.fill(ndim)(8 + rnd.nextInt(9))        // 8..16
+      val chunk = shape.map(s => math.min(s, 4 + rnd.nextInt(5))) // 4..8
+      val inner = chunk.map { c =>
+        val ds = divisorsOf(c).filter(_ < c) // strictly smaller: >1 inner
+        ds(rnd.nextInt(ds.length))
+      }
+      val dims = Array("d0", "d1")
+      val nRows = shape.product
+      val coordVals = Array.tabulate(ndim)(d =>
+        Array.tabulate(shape(d))(i => i * 2.0))
+      def rowOf(idx: Array[Int]): Int = idx(0) * shape(1) + idx(1)
+      val dataVals = Array.tabulate(nRows)(i => (i * 37 % 101).toDouble)
+      val dir = s"$base/frw$caseNo"
+      val st = ZarrStore(dir, etagPairs)
+      st.writeStoreRootMeta()
+      dims.zipWithIndex.foreach { case (dn, d) =>
+        ZarrWriter.writeArray(st, dn, ZarrType.Float64,
+          Seq(shape(d).toLong), Seq(chunk(d)),
+          coordVals(d).toIndexedSeq.asInstanceOf[IndexedSeq[Any]],
+          Some(Seq(dn)), ZarrWriter.CodecChain.bloscLz4)
+      }
+      val codec =
+        if (rnd.nextBoolean()) ZarrWriter.CodecChain.raw
+        else ZarrWriter.CodecChain.bloscLz4
+      def writeData(vals: Array[Double]): Unit =
+        ZarrWriter.writeArray(st, "data", ZarrType.Float64,
+          shape.map(_.toLong).toSeq, chunk.toSeq,
+          vals.toIndexedSeq.asInstanceOf[IndexedSeq[Any]],
+          Some(dims.toSeq), codec.sharded(inner.toSeq))
+      writeData(dataVals)
+      val url = s"graftetag://$dir"
+      ZarrMaintenance.analyze(spark, url)
+      val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+      val shardKeys =
+        for (a <- 0 until grid(0); b <- 0 until grid(1)) yield s"c/$a/$b"
+      val preMt = shardKeys
+        .flatMap(k => st.objectStat("data", k).map(k -> _.mtime)).toMap
+      // the foreign rewrite: mirror within each shard
+      val newVals = Array.tabulate(nRows) { r =>
+        val idx = Array(r / shape(1), r % shape(1))
+        val mirrored = Array.tabulate(ndim) { d =>
+          val c0 = (idx(d) / chunk(d)) * chunk(d)
+          val hi = math.min(c0 + chunk(d), shape(d)) - 1
+          hi - (idx(d) - c0)
+        }
+        dataVals(rowOf(mirrored))
+      }
+      writeData(newVals)
+      val aliasMt = rnd.nextBoolean()
+      if (aliasMt) preMt.foreach { case (k, mt) =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(s"$dir/data/$k"),
+          java.nio.file.attribute.FileTime.fromMillis(mt))
+      }
+      // data conjunct always present — that is the stale-doc trap
+      val pred = s"data >= ${rnd.nextInt(101)}" +
+        (if (rnd.nextBoolean())
+          s" AND d0 >= ${coordVals(0)(rnd.nextInt(shape(0)))}" else "")
+      val hc = spark.sparkContext.hadoopConfiguration
+      def run(mode: String): Seq[String] = {
+        hc.set("graft.zarr.ranged.reads", mode)
+        try spark.read.format("zarr").load(url).filter(pred)
+          .collect().map(_.toString).sorted.toSeq
+        finally hc.unset("graft.zarr.ranged.reads")
+      }
+      val whole = run("never")
+      val ranged = run("always")
+      assert(ranged == whole,
+        s"case $caseNo: ranged != whole after foreign rewrite\n" +
+          s"shape=${shape.mkString("x")} chunk=${chunk.mkString("x")} " +
+          s"inner=${inner.mkString("x")} raw=${codec.specs.isEmpty} " +
+          s"aliasMt=$aliasMt\npred=$pred\n" +
+          s"whole=${whole.size} ranged=${ranged.size}")
+      // ground truth from the NEW values (every case: arrays are tiny)
+      import scala.jdk.CollectionConverters._
+      val rows = (0 until nRows).map { r =>
+        val idx = Array(r / shape(1), r % shape(1))
+        org.apache.spark.sql.Row(
+          coordVals(0)(idx(0)), coordVals(1)(idx(1)), newVals(r))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        (dims.toSeq :+ "data").map(n => org.apache.spark.sql.types
+          .StructField(n, org.apache.spark.sql.types.DoubleType)))
+      val ref = spark.createDataFrame(rows.asJava, schema)
+        .filter(pred).collect().map(_.toString).sorted.toSeq
+      assert(whole == ref,
+        s"case $caseNo: whole != reference of the rewritten values")
+    }
+  }
 }
