@@ -337,21 +337,11 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
               innerMask(n, spec, o, idx, extent, useStats).flatMap {
                 case (mask, statsRef) =>
                   val live = statsRef.map(_ => f.store.objectStat(n, k))
-                  val fresh = statsRef match {
-                    case None => true
-                    case Some(cs) if cs.objectLen < 0 => live.get.isEmpty
-                    case Some(cs) => live.get.exists { st =>
-                      st.len == cs.objectLen &&
-                        (cs.mtime < 0 || st.mtime == cs.mtime) &&
-                        // etag closes the mtime-GRANULARITY residue on
-                        // stores exposing one (content-derived; coarse
-                        // second-granularity mtimes let a same-length
-                        // same-granule rewrite pass len+mt) — absent on
-                        // either side degrades to the len+mt check
-                        (cs.etag.isEmpty || st.etag.isEmpty ||
-                          st.etag == cs.etag)
-                    }
-                  }
+                  // InnerColStats.freshAgainst is THE rule (len + mtime
+                  // + etag, with the documented degradations) — shared
+                  // with vacuum's doc walk and incremental analyze's
+                  // doc sweep so acceptance can never drift
+                  val fresh = statsRef.forall(_.freshAgainst(live.get))
                   if (!fresh) { stale = true; None }
                   else
                     try {

@@ -52,6 +52,16 @@ final case class ChunkManifest(parts: Vector[(Long, String, Int)]) {
     None
   }
 
+  /** Storage key of array `m`'s chunk at row-major ordinal `ord` under
+    * geometry `g` — manifest-mapped when an entry exists, else the
+    * canonical key. ONE resolver for every ordinal-addressed consumer
+    * (the analyze job, vacuum's doc walk, incremental analyze's doc
+    * sweep), mirroring the scan's own resolution so a maintenance pass
+    * can never stat a different object than the reader fetches. */
+  def chunkKeyOf(m: ZarrArrayMeta, g: ScanGeometry, ord: Long): String =
+    if (isEmpty) m.chunkKey(g.chunkIndex(ord))
+    else keyFor(ord).getOrElse(m.chunkKey(g.chunkIndex(ord)))
+
   /** JSON value for the root document attribute: `[[first,"dir",n],…]`. */
   def toJsonValue: String =
     parts.map { case (f, d, n) => s"[$f,${ZarrStore.jsonQuote(d)},$n]" }

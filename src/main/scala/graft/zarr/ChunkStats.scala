@@ -204,6 +204,21 @@ object ChunkStats {
     def range(gi: Int): Option[(Any, Any)] =
       if (gi < 0 || gi >= mins.length || mins(gi) == null || maxs(gi) == null) None
       else Some((mins(gi), maxs(gi)))
+
+    /** THE freshness rule — the one definition the reader, vacuum's doc
+      * walk and incremental analyze's doc sweep all consume, so the
+      * three can never drift: recorded length < 0 requires live
+      * absence; otherwise the live length must match, the mtime must
+      * match when recorded (mt < 0 = legacy doc, degrades to
+      * length-only), and the etag must match when BOTH sides carry one
+      * (the content-derived token closing the mtime-granularity
+      * residue; empty on either side degrades to len+mt). */
+    def freshAgainst(live: Option[ZarrStore.ObjStat]): Boolean =
+      if (objectLen < 0) live.isEmpty
+      else live.exists { st =>
+        st.len == objectLen && (mtime < 0 || st.mtime == mtime) &&
+          (etag.isEmpty || st.etag.isEmpty || st.etag == etag)
+      }
   }
 
   final case class InnerDoc(

@@ -196,16 +196,9 @@ private[zarr] object ZarrDistWalk {
             .exists(d => ChunkStats.innerDocCompatible(d,
               g.targetShape.toSeq, g.targetChunk.toSeq, g.dimIdentity) &&
               (d.cols.isEmpty || d.cols.exists { case (name, cs) =>
-                byName.get(name).exists { m =>
-                  val key =
-                    if (mani.isEmpty) m.chunkKey(g.chunkIndex(ord))
-                    else mani.keyFor(ord).getOrElse(m.chunkKey(g.chunkIndex(ord)))
-                  val st = store.objectStat(m.name, key)
-                  if (cs.objectLen < 0) st.isEmpty
-                  else st.exists(o => o.len == cs.objectLen &&
-                    (cs.mtime < 0 || o.mtime == cs.mtime) &&
-                    (cs.etag.isEmpty || o.etag.isEmpty || o.etag == cs.etag))
-                }
+                // the reader's freshness rule (ONE shared definition)
+                byName.get(name).exists(m => cs.freshAgainst(
+                  store.objectStat(m.name, mani.chunkKeyOf(m, g, ord))))
               }))
           case None => false
         })
@@ -307,21 +300,12 @@ private[zarr] object ZarrDistWalk {
                       .exists { case (c, i) => c % i != 0 }) -1
                     else g.targetChunk.zip(inner).map { case (c, i) => c / i }.product
                   cs.inner.sameElements(inner) &&
-                    (nInner < 0 || cs.mins.length == nInner) && {
-                      // the reader's freshness rule, verbatim (one HEAD)
-                      val key =
-                        if (mani.isEmpty) m.chunkKey(g.chunkIndex(ord))
-                        else mani.keyFor(ord)
-                          .getOrElse(m.chunkKey(g.chunkIndex(ord)))
-                      val live = store.objectStat(m.name, key)
-                      if (cs.objectLen < 0) live.isEmpty
-                      else live.exists { st =>
-                        st.len == cs.objectLen &&
-                          (cs.mtime < 0 || st.mtime == cs.mtime) &&
-                          (cs.etag.isEmpty || st.etag.isEmpty ||
-                            st.etag == cs.etag)
-                      }
-                    }
+                    (nInner < 0 || cs.mins.length == nInner) &&
+                    // the reader's freshness rule (ONE shared
+                    // definition, one HEAD through the scan's own key
+                    // resolution)
+                    cs.freshAgainst(store.objectStat(m.name,
+                      mani.chunkKeyOf(m, g, ord)))
                 }
               }
           }

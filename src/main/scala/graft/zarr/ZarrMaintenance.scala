@@ -403,23 +403,24 @@ object ZarrMaintenance {
         }
         def inRefresh(first: Long, n: Long): Boolean =
           refresh.exists { case (lo, hi) => first < hi && first + n > lo }
-        val docOrdsValid: Set[Long] =
-          if (!needDocs) Set.empty
-          else sweep(store.listInnerStatsDocOrds())(ords =>
-            ZarrDistWalk.analyzeDocsUnit(
-              path, hadoopPairs, ords, metaJsons, manifestParts)).toSet
-        // forced-refresh windows: retire their docs up front (the
-        // retire-then-rewrite discipline — a declined column during
-        // re-analysis must not leave a half-old doc behind) and treat
-        // their ordinals as uncovered; windows are caller-sized (the
-        // rewritten slab), so this driver loop is O(window)
+        // forced-refresh windows: their docs are retired UNVALIDATED
+        // (the retire-then-rewrite discipline — a declined column
+        // during re-analysis must not leave a half-old doc behind), so
+        // they are split out of the sweep input up front: validating a
+        // doc only to delete it would waste a GET + per-column HEAD per
+        // windowed shard. Deletion runs through the same scheduler.
+        val (windowOrds, sweepOrds) =
+          if (!needDocs) (Seq.empty[Long], Seq.empty[Long])
+          else store.listInnerStatsDocOrds().partition(o => inRefresh(o, 1L))
+        if (windowOrds.nonEmpty)
+          sweep(windowOrds) { ords =>
+            val st = ZarrStore(path, hadoopPairs)
+            ords.foreach(o => st.deleteKey(ChunkStats.innerKey(o)): Unit)
+            Seq.empty[Long]
+          }: Unit
         val docOrds: Set[Long] =
-          if (refresh.isEmpty) docOrdsValid
-          else {
-            docOrdsValid.filter(o => inRefresh(o, 1L)).foreach(o =>
-              store.deleteKey(ChunkStats.innerKey(o)): Unit)
-            docOrdsValid.filterNot(o => inRefresh(o, 1L))
-          }
+          sweep(sweepOrds)(ords => ZarrDistWalk.analyzeDocsUnit(
+            path, hadoopPairs, ords, metaJsons, manifestParts)).toSet
         // a segment counts as covering ONLY when every ordinal it
         // describes also has its COVERING inner doc (when docs are
         // needed): re-analyzing a doc-less ordinal writes a NEW segment
@@ -495,9 +496,7 @@ object ZarrMaintenance {
                 ms.flatMap { m =>
                   roleOf(m.name) match {
                     case DataCol(_) =>
-                      val key =
-                        if (mani.isEmpty) m.chunkKey(idx)
-                        else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                      val key = mani.chunkKeyOf(m, g, ord)
                       // PRE-GET stat for sharded stats columns: the
                       // mtime freshness token must BRACKET the data
                       // read — a same-length (constant-length codec)
@@ -564,9 +563,7 @@ object ZarrMaintenance {
                       // describe bytes the store no longer holds, and
                       // even a length-only record would let a
                       // constant-length rewrite pass the guard
-                      val key =
-                        if (mani.isEmpty) m.chunkKey(idx)
-                        else mani.keyFor(ord).getOrElse(m.chunkKey(idx))
+                      val key = mani.chunkKeyOf(m, g, ord)
                       val postStat = st.objectStat(m.name, key)
                       bytes match {
                         case Some(b) if postStat == preStat &&
