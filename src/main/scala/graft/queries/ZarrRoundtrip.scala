@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138 :+ q139
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -630,6 +630,57 @@ object ZarrRoundtrip {
       .select(col("day"), col("source"), col("sum_chars"))
       .orderBy("day", "source")
   }
+
+  /** q139: SIDECAR COMPACTION under the oracle gate. The ingest shape
+    * (base write + append → multiple task-sized stats segments) is
+    * compacted with `ZarrMaintenance.compactStats` — merged documents,
+    * sources deleted, zero chunk reads — and the read then pushes a
+    * predicate whose chunk-skip serves from the MERGED bounds. A merge
+    * that corrupts a bound skips chunks whose rows the oracle expects
+    * (the silent-row-drop class, under the hash); StatsCompactionSpec
+    * pins the byte-for-value bound survival and the crash window. */
+  private lazy val q139 = QueryDef.sql(
+    "q139_zarr_stats_compaction",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s),
+      |dense AS (
+      |  SELECT g.day, g.source,
+      |    coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |    coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source)
+      |SELECT day, source, n_docs, sum_chars FROM dense
+      |WHERE day >= 8 AND sum_chars > 0
+      |ORDER BY day, source""".stripMargin) { (s, dir) =>
+    val store = ensureCompactedStatsStore(s, dir)
+    s.read.format("zarr").load(store)
+      .filter(col("day") >= 8 && col("sum_chars") > 0)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
+  }
+
+  /** Build the q139 store: base cube write (days 0-7) + a real append
+    * (8-11), both emitting task-sized stats segments, then
+    * `compactStats` merges them (asserted: the segment count strictly
+    * drops and coverage math still serves the metadata path). */
+  private def ensureCompactedStatsStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubestatscompact", "/tmp/graft_zarr_statscompact") {
+      (dense, path) =>
+        dense.filter(col("day") < 8).write.format("zarr").mode("append")
+          .option("dims", "day,source")
+          .option("chunk_shape", "2,4")
+          .save(path)
+        dense.filter(col("day") >= 8).write.format("zarr").mode("append")
+          .option("append_dim", "day").save(path)
+        val (before, after) =
+          graft.zarr.ZarrMaintenance.compactStats(s, path)
+        require(after < before,
+          s"q139 store build: compaction must merge segments ($before -> $after)")
+    }
 
   /** Build the q138 store: plain cube write (stats sidecar on), then a
     * FOREIGN in-place rewrite of `sum_chars` via the fixture writer —

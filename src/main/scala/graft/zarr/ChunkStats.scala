@@ -26,6 +26,12 @@ object ChunkStats {
 
   val dirName = "_stats"
 
+  /** Ceiling on the chunk count one segment DOCUMENT describes: a
+    * reader GETs whole overlapping segments, so one giant document
+    * would turn every scan task's metadata read into megabytes. Shared
+    * by analyze's unit sizing and sidecar compaction's group packing. */
+  val maxSegmentChunks = 4096
+
   /** Final segment key. The ordinal range lives in the NAME so a listing
     * alone tells a reader which segments its chunk range needs. */
   def segmentKey(first: Long, chunks: Int): String =
@@ -721,6 +727,53 @@ object ChunkStats {
       }
     }
     Segment(first, chunks, b.result(), sb.result(), ab.result(), gridSig)
+  }
+
+  /** Re-encode a CONTIGUOUS run of parsed segments as ONE document
+    * covering `[first, first + total)` — the sidecar-compaction merge.
+    * Bounds, sums and clamped-bound (approx) markers are preserved
+    * per ordinal exactly; a column absent from a source segment is
+    * simply unrecorded over that range (null bounds — the same shape a
+    * reader sees today across two documents). String columns a source
+    * dropped at parse time (pre-code-point-order legacy docs) stay
+    * dropped — they were unsound as bounds and unusable anyway. The
+    * merged doc is signed with the CURRENT grid (`grid`/`dims`):
+    * ordinals are append-stable, so a current signature stays valid
+    * across future dim-0 growth under the smaller-leading-extent
+    * acceptance, exactly like an analyze-written segment. */
+  def mergeSegments(
+      first: Long, total: Int, sources: Seq[Segment],
+      ztOf: String => Option[ZarrType],
+      grid: Seq[Int], dims: Seq[String]): String = {
+    val names = sources.flatMap(_.cols.keys).distinct.sorted
+    val cols = names.flatMap { nm =>
+      ztOf(nm).map { zt =>
+        val bounds = Array.fill[Option[Bound]](total)(None)
+        val sums = Array.fill[Option[Long]](total)(None)
+        sources.foreach { s =>
+          val off = (s.first - first).toInt
+          s.cols.get(nm).foreach { case (mins, maxs) =>
+            var i = 0
+            while (i < s.chunks) {
+              if (mins(i) != null)
+                bounds(off + i) = Some(Bound(mins(i), maxs(i),
+                  exact = !s.approx.get(nm).exists(_.contains(i))))
+              i += 1
+            }
+          }
+          s.sums.get(nm).foreach { ss =>
+            var i = 0
+            while (i < s.chunks) {
+              if (ss(i) != null) sums(off + i) = Some(ss(i).longValue)
+              i += 1
+            }
+          }
+        }
+        (nm, zt, bounds.toIndexedSeq: IndexedSeq[Option[Bound]],
+          sums.toIndexedSeq: IndexedSeq[Option[Long]])
+      }
+    }
+    encodeBounds(cols, grid, dims)
   }
 
   /** May `seg`'s ordinals be interpreted against `geom`'s grid?

@@ -352,6 +352,51 @@ private[zarr] object ZarrDistWalk {
     covered.result()
   }
 
+  /** Merge a batch of segment GROUPS for sidecar compaction: each group
+    * is a contiguous run of committed segments to be rewritten as ONE
+    * document. A group is merged only when EVERY source GETs, parses
+    * and is grid-compatible — anything else skips the whole group
+    * untouched (a compaction must never destroy information; junk is
+    * incremental analyze's and vacuum's job). Returns the keys of the
+    * source documents each successful merge superseded — the caller
+    * deletes them only after ALL merged documents are committed, so a
+    * crash mid-compaction leaves overlap-suppressed (degraded, never
+    * wrong) coverage that the next incremental analyze heals. */
+  def compactStatsUnit(
+      root: String, pairs: Seq[(String, String)],
+      groups: Seq[Seq[(Long, Int)]], ndim: Int, gridShape: Seq[Int],
+      dims: Seq[String], colTypes: Map[String, String]): Seq[String] = {
+    val store = ZarrStore(root, pairs)
+    val ztOf: String => Option[ZarrType] =
+      n => colTypes.get(n).map(ZarrType.fromName)
+    val superseded = Seq.newBuilder[String]
+    groups.foreach { group =>
+      val first = group.head._1
+      val total = group.map(_._2).sum
+      val parsed: Option[Seq[ChunkStats.Segment]] =
+        try {
+          val ss = group.map { case (f, n) =>
+            val doc = store.readText(ChunkStats.segmentKey(f, n))
+              .getOrElse(throw new ZarrException(s"segment s${f}_$n vanished"))
+            val s = ChunkStats.parse(f, n, doc, ztOf)
+            if (!ChunkStats.gridCompatibleWith(s, ndim, gridShape, dims))
+              throw new ZarrException(s"segment s${f}_$n grid-incompatible")
+            s
+          }
+          Some(ss)
+        } catch { case _: Exception => None } // skip group untouched
+      parsed.foreach { ss =>
+        store.writeText(ChunkStats.segmentKey(first, total),
+          ChunkStats.mergeSegments(first, total, ss, ztOf, gridShape, dims))
+        // the merged doc's own key may coincide with the first source's
+        // (same first, same total single-source groups are not planned,
+        // so total always differs) — every SOURCE key is superseded
+        superseded ++= group.map { case (f, n) => ChunkStats.segmentKey(f, n) }
+      }
+    }
+    superseded.result()
+  }
+
   /** Delete the unit's orphan key-shaped files (slots outside `grid`);
     * returns how many were deleted. Never touches directories,
     * metadata documents, or non-key-shaped (foreign) files. */

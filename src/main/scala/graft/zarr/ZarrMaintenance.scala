@@ -340,11 +340,9 @@ object ZarrMaintenance {
       if (geom.ndim == 1) store.readChunkManifest().parts else Vector.empty
     val numChunks = geom.numChunks
     val metaJsons = metas.map(m => m.name -> m.sourceJson)
-    // bound each segment DOCUMENT: a reader GETs whole overlapping
-    // segments, so one giant per-task segment (1M chunks / few tasks)
-    // would turn every scan task's metadata read into megabytes — cap
-    // matches the write path's task-sized docs
-    val maxSegChunks = 4096
+    // bound each segment DOCUMENT (one shared ceiling with sidecar
+    // compaction's group packing — see ChunkStats.maxSegmentChunks)
+    val maxSegChunks = ChunkStats.maxSegmentChunks
     // unit size balances two costs: units are both the SEGMENT documents
     // (bounded at maxSegChunks so a scan task's metadata read stays
     // small) and the TASKS of the analysis job (so a small store still
@@ -606,6 +604,92 @@ object ZarrMaintenance {
           Iterator.single(written)
         }
       }.reduce(_ + _)
+  }
+
+  /** SIDECAR compaction: merge contiguous runs of committed stats
+    * segments into documents of up to [[ChunkStats]]' task-doc size
+    * (4096 chunks), preserving every per-ordinal bound, sum and
+    * clamped-bound marker exactly. A long-lived micro-batch ingest
+    * accumulates one segment per WRITE TASK — 10^5 for a year of
+    * 5-minute triggers — and every scan PLAN pays the `_stats/` LIST
+    * (O(segments/1000) paginated requests on object stores) while scan
+    * tasks GET each overlapping document: compaction collapses both to
+    * O(chunks / 4096). Metadata-only — no chunk bytes are read.
+    *
+    * Crash-safe by ORDER, not staging: merged documents are all
+    * committed BEFORE any superseded source is deleted. A crash in the
+    * window leaves the merged document overlapping its sources, which
+    * the reader's overlap suppression DEGRADES (those chunks
+    * decode-and-test; never wrong) and the next incremental analyze
+    * heals (it retires suppressed segments and re-analyzes their
+    * range). Only groups of ≥2 fully-valid segments are touched; junk
+    * and singletons are left for vacuum/analyze. Same scheduling as
+    * vacuum: inline on the driver for small sidecars, one Spark job
+    * under `distributed` (the 10^5-segment shape). Returns
+    * (segments before, segments after). Single-maintainer contract,
+    * like every commit path. */
+  def compactStats(
+      spark: SparkSession, path: String,
+      distributed: Boolean = false): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val hadoopPairs = spark.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, hadoopPairs)
+    val metas = store.listArrays().map(store.readMeta).sortBy(_.name)
+    val geom =
+      try ScanGeometry.resolve(metas)
+      catch { case e: ZarrException =>
+        throw new ZarrException(s"compactStats: ${e.getMessage}") }
+    val before = store.listStatsSegmentsRaw().size.toLong
+    // committed, unsuppressed, in-grid segments only — sorted by first
+    val live = store.listStatsSegments()
+      .filter { case (f, n) => f >= 0 && f + n <= geom.numChunks }
+    // greedy packing of CONTIGUOUS runs into ≤4096-chunk groups; only
+    // groups that actually merge ≥2 documents are worth a rewrite
+    val groups = Seq.newBuilder[Seq[(Long, Int)]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var curTotal = 0
+    def flush(): Unit = {
+      if (cur.size >= 2) groups += cur.toSeq
+      cur.clear(); curTotal = 0
+    }
+    live.foreach { case (f, n) =>
+      val contiguous = cur.nonEmpty && cur.last._1 + cur.last._2 == f
+      if (!contiguous || curTotal + n > ChunkStats.maxSegmentChunks) flush()
+      cur += ((f, n)); curTotal += n
+    }
+    flush()
+    val plan = groups.result()
+    if (plan.isEmpty) return (before, before)
+    val colTypes = metas.map(m => m.name -> m.dataType.zarrName).toMap
+    val ndim = geom.ndim
+    val gridShape = geom.gridShape.toSeq
+    val dims = geom.dimIdentity
+    // phase 1: commit every merged document (inline or one Spark job)
+    val superseded: Seq[String] =
+      if (distributed && plan.size > 8) {
+        val parts = math.min(plan.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(plan, parts)
+          .mapPartitions(it => ZarrDistWalk.compactStatsUnit(
+            path, hadoopPairs, it.toSeq, ndim, gridShape, dims,
+            colTypes).iterator)
+          .collect().toSeq
+      } else ZarrDistWalk.compactStatsUnit(
+        path, hadoopPairs, plan, ndim, gridShape, dims, colTypes)
+    // phase 2: delete the superseded sources — only now, so the merge
+    // is all-or-degrade (see the crash-window note above)
+    if (distributed && superseded.size > 64) {
+      val parts = math.min(superseded.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(superseded, parts)
+        .foreachPartition { it =>
+          val st = ZarrStore(path, hadoopPairs)
+          it.foreach(k => st.deleteKey(k): Unit)
+        }
+    } else superseded.foreach(k => store.deleteKey(k): Unit)
+    (before, store.listStatsSegmentsRaw().size.toLong)
   }
 
   /** Reclaim objects no committed state references — the garbage a

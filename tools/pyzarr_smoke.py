@@ -141,6 +141,13 @@ assert _ZM.analyzeRefresh(spark._jsparkSession, sh_path, 0, 1) >= 1, \
 assert spark.read.format("zarr").load(sh_path).count() == 36, \
     "analyzeRefresh must not change readable contents"
 
+# compactStats (round 18): sidecar compaction through the gateway —
+# the maintenance call a long-lived PySpark micro-batch ingest schedules
+_cmp = _ZM.compactStats(spark._jsparkSession, sh_path, False)
+assert _cmp._2() <= _cmp._1(), f"compactStats from Python: {_cmp}"
+assert spark.read.format("zarr").load(sh_path).count() == 36, \
+    "compactStats must not change readable contents"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
