@@ -59,8 +59,13 @@ final case class ChunkManifest(parts: Vector[(Long, String, Int)]) {
     * sweep), mirroring the scan's own resolution so a maintenance pass
     * can never stat a different object than the reader fetches. */
   def chunkKeyOf(m: ZarrArrayMeta, g: ScanGeometry, ord: Long): String =
-    if (isEmpty) m.chunkKey(g.chunkIndex(ord))
-    else keyFor(ord).getOrElse(m.chunkKey(g.chunkIndex(ord)))
+    chunkKeyOf(m, g.chunkIndex(ord), ord)
+
+  /** [[chunkKeyOf]] with the chunk index already in hand — per-ordinal
+    * loops compute it once and resolve keys for many columns. */
+  def chunkKeyOf(m: ZarrArrayMeta, idx: Array[Int], ord: Long): String =
+    if (isEmpty) m.chunkKey(idx)
+    else keyFor(ord).getOrElse(m.chunkKey(idx))
 
   /** JSON value for the root document attribute: `[[first,"dir",n],…]`. */
   def toJsonValue: String =

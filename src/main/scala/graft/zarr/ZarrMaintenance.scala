@@ -494,7 +494,7 @@ object ZarrMaintenance {
                 ms.flatMap { m =>
                   roleOf(m.name) match {
                     case DataCol(_) =>
-                      val key = mani.chunkKeyOf(m, g, ord)
+                      val key = mani.chunkKeyOf(m, idx, ord)
                       // PRE-GET stat for sharded stats columns: the
                       // mtime freshness token must BRACKET the data
                       // read — a same-length (constant-length codec)
@@ -561,7 +561,7 @@ object ZarrMaintenance {
                       // describe bytes the store no longer holds, and
                       // even a length-only record would let a
                       // constant-length rewrite pass the guard
-                      val key = mani.chunkKeyOf(m, g, ord)
+                      val key = mani.chunkKeyOf(m, idx, ord)
                       val postStat = st.objectStat(m.name, key)
                       bytes match {
                         case Some(b) if postStat == preStat &&
@@ -641,10 +641,18 @@ object ZarrMaintenance {
       try ScanGeometry.resolve(metas)
       catch { case e: ZarrException =>
         throw new ZarrException(s"compactStats: ${e.getMessage}") }
-    val before = store.listStatsSegmentsRaw().size.toLong
-    // committed, unsuppressed, in-grid segments only — sorted by first
-    val live = store.listStatsSegments()
-      .filter { case (f, n) => f >= 0 && f + n <= geom.numChunks }
+    // ONE raw LIST serves both the before-count and the live set (a
+    // second `_stats/` LIST is O(segments/1000) paginated requests at
+    // the scale this op targets)
+    val raw = store.listStatsSegmentsRaw()
+    val before = raw.size.toLong
+    // committed, unsuppressed, in-grid, NON-EMPTY segments only —
+    // sorted by first. The n > 0 filter is load-bearing: a zero-length
+    // segment (foreign junk; s<f>_0 parses) in a group would make the
+    // merged document's key collide with a SOURCE key (same first,
+    // same total), and phase 2 would then delete the merge's own output
+    val live = ZarrStore.unsuppressedSegments(raw)
+      .filter { case (f, n) => f >= 0 && n > 0 && f + n <= geom.numChunks }
     // greedy packing of CONTIGUOUS runs into ≤4096-chunk groups; only
     // groups that actually merge ≥2 documents are worth a rewrite
     val groups = Seq.newBuilder[Seq[(Long, Int)]]

@@ -218,35 +218,9 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * nChunks), sorted, overlaps suppressed. One LIST of `_stats/` —
     * segment ordinal ranges live in the names, so a reader learns which
     * segments cover its chunk range without a read. */
-  def listStatsSegments(): Seq[(Long, Int)] = {
-    val raw = listStatsSegmentsRaw()
-    // drop BOTH sides of any range overlap: two segments claiming one
-    // chunk ordinal means one is stale (e.g. left by a failed write whose
-    // ordinals a later append reused) and there is no way to tell which
-    // describes the bytes on disk — those chunks just decode-and-test,
-    // the scan stays exact. Linear sweep over the first-sorted list (the
-    // list is driver-side on EVERY scan plan; a long-lived micro-batch
-    // ingest can hold 10k+ segments, where an all-pairs check is 10^8
-    // comparisons): segment i overlaps something iff its start is below
-    // the max end of any earlier segment, or its end reaches past the
-    // next segment's start.
-    if (raw.isEmpty) raw
-    else {
-      val n = raw.length
-      val bad = new Array[Boolean](n)
-      var maxEndBefore = Long.MinValue
-      var i = 0
-      while (i < n) {
-        val (first, len) = raw(i)
-        val end = first + len
-        if (first < maxEndBefore) bad(i) = true
-        if (i + 1 < n && end > raw(i + 1)._1) bad(i) = true
-        if (end > maxEndBefore) maxEndBefore = end
-        i += 1
-      }
-      raw.indices.collect { case i if !bad(i) => raw(i) }
-    }
-  }
+  def listStatsSegments(): Seq[(Long, Int)] =
+    ZarrStore.unsuppressedSegments(listStatsSegmentsRaw())
+
 
   /** Whether any per-inner-chunk stats doc (`_stats/i<ord>.json`,
     * [[ChunkStats.innerKey]]) exists — one LIST, evaluated at scan
@@ -533,6 +507,48 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
 }
 
 object ZarrStore {
+
+  /** Overlap suppression over a raw (first-sorted) segment listing —
+    * the rule [[ZarrStore.listStatsSegments]] applies; exposed so a
+    * caller already holding the raw listing (sidecar compaction, which
+    * also needs the raw COUNT) does not pay a second `_stats/` LIST —
+    * O(segments/1000) paginated requests on object stores. */
+  def unsuppressedSegments(raw0: Seq[(Long, Int)]): Seq[(Long, Int)] = {
+    // zero-length entries claim NO ordinals: they can neither serve a
+    // reader nor conflict with one, but left in the sweep they would
+    // order-dependently trip the end-past-next-start check and suppress
+    // a REAL neighbor sharing their first ordinal — inert junk must not
+    // cost coverage. (They are reclaimed like suppressed files: the
+    // incremental-analyze raw walk retires what this listing excludes.)
+    val raw = raw0.filter(_._2 > 0)
+    // drop BOTH sides of any range overlap: two segments claiming one
+    // chunk ordinal means one is stale (e.g. left by a failed write whose
+    // ordinals a later append reused) and there is no way to tell which
+    // describes the bytes on disk — those chunks just decode-and-test,
+    // the scan stays exact. Linear sweep over the first-sorted list (the
+    // list is driver-side on EVERY scan plan; a long-lived micro-batch
+    // ingest can hold 10k+ segments, where an all-pairs check is 10^8
+    // comparisons): segment i overlaps something iff its start is below
+    // the max end of any earlier segment, or its end reaches past the
+    // next segment's start.
+    if (raw.isEmpty) raw
+    else {
+      val n = raw.length
+      val bad = new Array[Boolean](n)
+      var maxEndBefore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        val (first, len) = raw(i)
+        val end = first + len
+        if (first < maxEndBefore) bad(i) = true
+        if (i + 1 < n && end > raw(i + 1)._1) bad(i) = true
+        if (end > maxEndBefore) maxEndBefore = end
+        i += 1
+      }
+      raw.indices.collect { case i if !bad(i) => raw(i) }
+    }
+  }
+
   /** One object HEAD's freshness-relevant facts. `etag` is "" when the
     * FileSystem's status does not implement
     * [[org.apache.hadoop.fs.EtagSource]] (local FS; Hadoop < 3.4). */

@@ -151,6 +151,37 @@ class StatsCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 96 && r.getDouble(1) == 0.0 && r.getDouble(2) == 1107.0)
   }
 
+  test("a ZERO-LENGTH junk segment cannot make the merge delete its own output") {
+    // s<f>_0 parses, never overlaps (empty range), and survives the
+    // suppression sweep — if it joined a group, the merged document's
+    // key (same first, same total) would COLLIDE with a source key and
+    // phase 2 would delete the merge's own output, silently destroying
+    // the run's coverage. The n > 0 filter keeps it out; compaction
+    // must merge around it and leave it untouched.
+    val url = s"graftstat://$base/zero"
+    buildTabular(url)
+    val st = ZarrStore(url)
+    st.writeText(ChunkStats.segmentKey(16, 0), "{}")
+    val rangesBefore = allRanges(url)
+    val (before, after) = ZarrMaintenance.compactStats(spark, url)
+    assert(before == 67L && after == 2L, s"$before -> $after")
+    assert(st.readText(ChunkStats.segmentKey(0, 66)).isDefined,
+      "the merged document must exist at its own key")
+    assert(st.readText(ChunkStats.segmentKey(16, 0)).isDefined,
+      "junk is not compaction's to delete")
+    assert(allRanges(url) == rangesBefore,
+      "coverage must survive the merge with the junk present")
+    val segs = st.listStatsSegments()
+    assert(segs.map(_._2).sum == 66,
+      s"the merged document must cover the whole grid: $segs")
+    // the empty junk is inert to readers (claims no ordinals, must not
+    // suppress a real neighbor) and is reclaimed by the incremental
+    // analyze raw walk, like suppressed files
+    assert(ZarrMaintenance.analyze(spark, url, incremental = true) == 0L)
+    assert(st.readText(ChunkStats.segmentKey(16, 0)).isEmpty,
+      "incremental analyze must retire the empty junk segment")
+  }
+
   test("crash window (merged committed, sources not yet deleted): reads degrade, analyze heals") {
     val url = s"graftstat://$base/crash"
     buildTabular(url)
