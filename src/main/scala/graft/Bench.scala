@@ -19,20 +19,27 @@ object Bench {
     * The sweep's own queries are the only witness of mid-sweep
     * contention, so replacement also requires the median ratio over
     * the COMMON queries to be consistent with the probes:
-    *  - same registry: probe at least as quiet AND median ratio ≤ 1.0
-    *    (the record is the BEST-known clean sweep — a quieter box must
-    *    not be slower per query);
+    *  - same registry (the record's query NAMES equal the sweep's —
+    *    name equality, not count equality: a registry churn that
+    *    happens to preserve the count is still a different query set,
+    *    and the count-keyed test once let such a sweep silently bypass
+    *    the 1.15 band rationale): probe at least as quiet AND median
+    *    ratio ≤ 1.0 (the record is the BEST-known clean sweep — a
+    *    quieter box must not be slower per query);
     *  - registry CHANGED (the record's total is stale — different
     *    query set): probe within 15% of the record's AND median ratio
     *    over the common queries ≤ max(1, probe ratio) + 0.05 — the
-    *    count-stale record stays replaceable from a comparably quiet
+    *    name-stale record stays replaceable from a comparably quiet
     *    box, but not by a sweep whose own queries say it was
     *    contended. (The 1.15 band is the r14 fix: an unconditional
     *    registry-changed branch let a worst-probe-2.43 sweep displace
     *    a probe-1.69 record.)
-    * No common queries (full registry swap) degrades to probe-only.
+    * No common queries (full registry swap) degrades to probe-only
+    * WITHIN the 1.15 band — a full swap always takes the
+    * registry-changed branch, so the band applies even when the
+    * median gate has nothing to witness with.
     * Known trade-off: if the box's quiet floor permanently worsens
-    * past the band, a count-stale record can pin — the deliberate
+    * past the band, a name-stale record can pin — the deliberate
     * escape hatch is deleting BENCH_BEST.json (a missing record is
     * always replaced), an explicit human action rather than an
     * automatic hole. */
@@ -48,7 +55,11 @@ object Bench {
         }.toSeq.sorted
         val medianOk: Double => Boolean = bound =>
           ratios.isEmpty || ratios(ratios.size / 2) <= bound
-        if (n != nQueries)
+        // n (the stored record's query COUNT, which includes any
+        // non-numeric entries oldQ dropped) must also agree, so a
+        // record with unparseable timings can't pass as same-registry
+        val sameRegistry = n == nQueries && oldQ.keySet == newQueries.keySet
+        if (!sameRegistry)
           newCal <= cal * 1.15 && medianOk(math.max(1.0, newCal / cal) + 0.05)
         else newCal <= cal && medianOk(1.0)
     }

@@ -3,6 +3,7 @@ package graft.tools
 import java.net.URI
 
 import org.apache.hadoop.fs.{EtagSource, FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
 
 /** Local FileSystem whose file statuses expose a CONTENT-DERIVED etag
   * (Hadoop 3.4 [[EtagSource]]) — an S3A/ABFS stand-in for the inner-doc
@@ -36,12 +37,29 @@ object EtagFileSystem {
   }
 
   // plain-field construction: the FileStatus COPY constructor calls
-  // getPermission, whose RawLocal lazy loader resolves the path through
-  // java.io.File and rejects any scheme but file://
-  private final class TaggedStatus(st: FileStatus, tag: String)
+  // getPermission, whose RawLocal LAZY loader (non-native path) does
+  // `new File(getPath().toUri())` and throws on any scheme but file://
+  // — the same trap fires later for any caller that touches
+  // getOwner/getGroup/getPermission on a status we hand out, so the
+  // three fields are resolved EAGERLY here from the local file's POSIX
+  // attributes (never null, never lazily re-resolved through the
+  // graftetag:// path). Tiny test fixtures — the extra stat is a test
+  // cost, like the content hash above.
+  private def posixOf(st: FileStatus): (FsPermission, String, String) = {
+    val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
+    val attrs = java.nio.file.Files.readAttributes(
+      p, classOf[java.nio.file.attribute.PosixFileAttributes])
+    val perm = FsPermission.valueOf("-" +
+      java.nio.file.attribute.PosixFilePermissions.toString(attrs.permissions()))
+    (perm, attrs.owner().getName, attrs.group().getName)
+  }
+
+  private final class TaggedStatus(st: FileStatus, tag: String,
+      posix: (FsPermission, String, String))
       extends FileStatus(st.getLen, st.isDirectory, st.getReplication,
         st.getBlockSize, st.getModificationTime, st.getAccessTime,
-        null, null, null, st.getPath) with EtagSource {
+        posix._1, posix._2, posix._3, st.getPath) with EtagSource {
+    def this(st: FileStatus, tag: String) = this(st, tag, posixOf(st))
     override def getEtag: String = tag
   }
 }

@@ -385,13 +385,20 @@ private[zarr] object ZarrDistWalk {
           }
           Some(ss)
         } catch { case _: Exception => None } // skip group untouched
+      // the merge+commit sits under its own guard too: an unexpected
+      // encode error or transient write failure must skip THIS group
+      // (leaving its sources untouched — the promise above) rather
+      // than abort the whole compaction job with the other groups'
+      // merges half-committed
       parsed.foreach { ss =>
-        store.writeText(ChunkStats.segmentKey(first, total),
-          ChunkStats.mergeSegments(first, total, ss, ztOf, gridShape, dims))
-        // the merged doc's own key may coincide with the first source's
-        // (same first, same total single-source groups are not planned,
-        // so total always differs) — every SOURCE key is superseded
-        superseded ++= group.map { case (f, n) => ChunkStats.segmentKey(f, n) }
+        try {
+          store.writeText(ChunkStats.segmentKey(first, total),
+            ChunkStats.mergeSegments(first, total, ss, ztOf, gridShape, dims))
+          // the merged doc's own key may coincide with the first source's
+          // (same first, same total single-source groups are not planned,
+          // so total always differs) — every SOURCE key is superseded
+          superseded ++= group.map { case (f, n) => ChunkStats.segmentKey(f, n) }
+        } catch { case _: Exception => () } // skip group untouched
       }
     }
     superseded.result()

@@ -697,7 +697,17 @@ object ZarrMaintenance {
           it.foreach(k => st.deleteKey(k): Unit)
         }
     } else superseded.foreach(k => store.deleteKey(k): Unit)
-    (before, store.listStatsSegmentsRaw().size.toLong)
+    // 'after' is DERIVED, not re-listed: the single raw LIST above must
+    // serve both counts (a second `_stats/` LIST is O(segments/1000)
+    // paginated requests at the scale this op targets). A group either
+    // merged completely (all its source keys superseded, one merged doc
+    // written) or was skipped whole, so the successful-group count is
+    // exact — and the single-maintainer contract rules out concurrent
+    // sidecar writes between the LIST and here.
+    val supSet = superseded.toSet
+    val mergedDocs = plan.count(_.forall { case (f, n) =>
+      supSet.contains(ChunkStats.segmentKey(f, n)) })
+    (before, before - superseded.size + mergedDocs)
   }
 
   /** Reclaim objects no committed state references — the garbage a

@@ -38,11 +38,11 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("registry changed: reset needs the quietness band AND probe-consistent medians") {
-    val stored = Some((1.69, 2, oldQ)) // count differs from the sweep's 3
+    val stored = Some((1.69, 2, qmap("q1" -> 1.0, "q2" -> 2.0)))
     // comparably quiet box, per-query medians consistent: reset OK
     assert(Bench.shouldReplaceBest(stored, 1.69, 3, oldQ))
     assert(Bench.shouldReplaceBest(stored, 1.90, 3,
-      qmap("q1" -> 1.1, "q2" -> 2.2, "q3" -> 0.55, "q4" -> 9.0)))
+      qmap("q1" -> 1.1, "q2" -> 2.2, "q4" -> 9.0)))
     // the r14 incident: worst probe 2.43 vs stored 1.69 must NOT reset
     assert(!Bench.shouldReplaceBest(stored, 2.43, 3, oldQ))
     // the r18 incident: quieter probe (ratio ~0.98) but 9.4% slower
@@ -50,7 +50,33 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.shouldReplaceBest(stored, 1.66, 3,
       qmap("q1" -> 1.094, "q2" -> 2.19, "q3" -> 0.547)))
     // no common queries (full registry swap): degrades to probe-only
+    // WITHIN the band
     assert(Bench.shouldReplaceBest(stored, 1.90, 3,
       qmap("qx" -> 1.0, "qy" -> 2.0, "qz" -> 3.0)))
+    assert(!Bench.shouldReplaceBest(stored, 2.43, 3,
+      qmap("qx" -> 1.0, "qy" -> 2.0, "qz" -> 3.0)),
+      "full swap must still respect the 1.15 band")
+  }
+
+  test("same COUNT, different names is a changed registry, not a same-registry pass") {
+    val stored = Some((1.69, 3, oldQ))
+    // a churned registry that preserves the count: the name-keyed test
+    // must route it through the registry-changed branch — under the
+    // old count-keyed test this sweep (probe noisier than the record
+    // but inside the band, zero common queries so the median gate is
+    // blind) was REJECTED as same-registry for the wrong reason, and
+    // a probe-equal variant would have RESET the record with the band
+    // rationale silently bypassed
+    assert(Bench.shouldReplaceBest(stored, 1.75, 3,
+      qmap("qx" -> 1.0, "qy" -> 2.0, "qz" -> 3.0)),
+      "disjoint names take the registry-changed branch (band, not probe-only)")
+    assert(!Bench.shouldReplaceBest(stored, 2.00, 3,
+      qmap("qx" -> 1.0, "qy" -> 2.0, "qz" -> 3.0)),
+      "disjoint names outside the band must not reset")
+    // partial overlap at the same count: the common queries' medians
+    // still witness contention through the registry-changed gate
+    assert(!Bench.shouldReplaceBest(stored, 1.69, 3,
+      qmap("q1" -> 1.2, "q2" -> 2.4, "q4" -> 1.0)),
+      "churned registry with contended common queries must not reset")
   }
 }
