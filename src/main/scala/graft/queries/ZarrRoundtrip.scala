@@ -638,7 +638,12 @@ object ZarrRoundtrip {
     * predicate whose chunk-skip serves from the MERGED bounds. A merge
     * that corrupts a bound skips chunks whose rows the oracle expects
     * (the silent-row-drop class, under the hash); StatsCompactionSpec
-    * pins the byte-for-value bound survival and the crash window. */
+    * pins the byte-for-value bound survival and the crash window. The
+    * micro-batch ingest this op exists for no longer needs an external
+    * scheduler: `ZarrCubeSink.appendBatch(compactEvery = Some(n))`
+    * runs the same compaction post-commit every n-th batch
+    * (ZarrCubeSinkSpec pins the bounded sidecar and replay
+    * byte-equality; q140 gates the composed lifecycle). */
   private lazy val q139 = QueryDef.sql(
     "q139_zarr_stats_compaction",
     """WITH cells AS (
@@ -688,9 +693,9 @@ object ZarrRoundtrip {
     * an out-of-engine tool would be), days 4..7 boosted by 10^9 —
     * followed by `analyzeRefresh` of exactly the rewritten chunk rows.
     * Chunk 2x4 over the 12x20 grid → 6x5 chunk grid; days 4..7 are
-    * chunk-rows 2..3 = ordinals [10, 20). Source axis order matches the
-    * cube writer's sorted-ascending coordinate rebuild (ASCII source
-    * names, so Spark's binary sort and Scala's string sort agree). */
+    * chunk-rows 2..3 = ordinals [10, 20). Source axis order is READ
+    * BACK from the committed store, so the fixture matches the cube
+    * writer's coordinate rebuild whatever collation produced it. */
   private def ensureRefreshStore(s: SparkSession, dir: String): String =
     ensureDayGridStore(s, dir, "cuberefresh", "/tmp/graft_zarr_cube_refresh") {
       (dense, path) =>
@@ -700,7 +705,11 @@ object ZarrRoundtrip {
           .save(path)
         val cells = dense.select("day", "source", "sum_chars").collect()
           .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
-        val srcOrder = cells.keySet.map(_._2).toSeq.sorted
+        val zs = graft.zarr.ZarrStore(path)
+        val srcOrder: Seq[String] = graft.sources.ZarrCubeWrite
+          .readAscendingAxis(zs, zs.readMeta("source"), path,
+            "q138 fixture reads the committed source axis")
+          .map(String.valueOf).toSeq
         val boosted: IndexedSeq[Any] =
           (for (d <- 0L until 12L; src <- srcOrder) yield
             cells((d, src)) + (if (d >= 4 && d <= 7) 1000000000L else 0L))

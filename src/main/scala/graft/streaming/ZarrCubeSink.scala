@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.ZarrCubeWrite
-import graft.zarr.{ChunkFilter, ZarrException, ZarrStore}
+import graft.zarr.{ChunkFilter, ZarrException, ZarrMaintenance, ZarrStore}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
@@ -47,7 +47,27 @@ object ZarrCubeSink {
   /** foreachBatch body. `dims` names the cube layout (first = the
     * append/growth dim); `chunkShape`/`shardShape`/`codec` apply only
     * to the FIRST batch (store creation) — afterwards the store's
-    * layout wins, exactly like the DSv2 option surface. */
+    * layout wins, exactly like the DSv2 option surface.
+    *
+    * `compactEvery = Some(n)` folds SIDECAR COMPACTION into the ingest
+    * lifecycle: every n-th batch (by batch id, so the cadence survives
+    * restarts without any sink-side state) runs
+    * [[graft.zarr.ZarrMaintenance.compactStats]] AFTER the batch
+    * commits, merging the one-segment-per-write-task stats documents
+    * this very workload accumulates (10^5 for a year of 5-minute
+    * triggers) into ≤4096-chunk documents — without it the `_stats/`
+    * LIST every scan PLAN pays grows with write-task count forever.
+    * The compaction is metadata-only and crash-safe by commit order
+    * (merged docs commit before sources delete; a crash between leaves
+    * overlap-suppressed degraded-never-wrong coverage), so it composes
+    * with the replay semantics above: the cadence fires on REPLAYED
+    * batches too, which heals a crash that struck the original batch's
+    * compaction rather than waiting for the next cadence hit. A
+    * compaction failure never fails the batch — the data committed;
+    * fragmentation is a deferred cost, not an error — it is logged and
+    * retried at the next cadence. Large backlogs (a store that
+    * pre-dates the option) distribute automatically; steady-state
+    * cadence hits stay inline on the driver. */
   // scalastyle:off parameter.number
   def appendBatch(
       batch: DataFrame,
@@ -58,13 +78,17 @@ object ZarrCubeSink {
       shardShape: Option[Seq[Int]] = None,
       codec: String = "blosc",
       stats: Boolean = true,
-      maxAxisLen: Int = 1 << 22): Unit = {
+      maxAxisLen: Int = 1 << 22,
+      compactEvery: Option[Int] = None): Unit = {
     // scalastyle:on parameter.number
     if (dims.isEmpty)
       throw new ZarrException("ZarrCubeSink: dims must name the cube layout")
     if (maxAxisLen > (1 << 30))
       throw new ZarrException(
         s"max_axis_len $maxAxisLen exceeds 2^30 (grid-index arithmetic bound)")
+    if (compactEvery.exists(_ < 1))
+      throw new ZarrException(
+        s"compact_every ${compactEvery.get} must be >= 1 (batches per compaction)")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import scala.jdk.CollectionConverters._
@@ -121,6 +145,25 @@ object ZarrCubeSink {
               s"'${dims.head}' coordinates already exist in $path — neither a " +
               "fresh slab nor a replay; slabs must not reuse or interleave " +
               "coordinates")
+    }
+    // post-commit cadence: by this point the batch is fully committed
+    // (create, append, or already-committed replay), so compaction can
+    // never take a batch's data with it — and its own failure must not
+    // fail a batch that already committed
+    compactEvery.foreach { n =>
+      if (stats && (batchId + 1) % n == 0) {
+        try {
+          // distributed=true self-degrades to inline below compactStats'
+          // group threshold — steady-state cadence hits run on the
+          // driver, a pre-option backlog gets one Spark job
+          ZarrMaintenance.compactStats(spark, path, distributed = true): Unit
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[zarr-cube-sink] batch $batchId: stats compaction failed " +
+                s"(will retry at the next cadence): ${e.getMessage}")
+        }
+      }
     }
   }
 }

@@ -117,4 +117,64 @@ object ZarrInfo {
     }
     spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
   }
+
+  private val statsSchema = StructType(Seq(
+    StructField("n_arrays", LongType, nullable = false),
+    StructField("n_grid_chunks", LongType, nullable = false),
+    StructField("n_stats_segments", LongType, nullable = false),
+    StructField("n_live_segments", LongType, nullable = false),
+    StructField("min_segments", LongType, nullable = false),
+    StructField("n_inner_docs", LongType, nullable = false),
+    StructField("covered_chunks", LongType, nullable = false),
+    StructField("covered_fraction", DoubleType, nullable = false)))
+
+  /** ONE store-level row describing the `_stats/` SIDECAR — the
+    * fragmentation/coverage visibility an operator needs to decide
+    * WHEN to run `ZarrMaintenance.compactStats` or an incremental
+    * analyze (per-array `describe` rows clamp coverage to each array's
+    * own grid, which makes a store-wide count unreadable from them).
+    * `n_stats_segments` is the RAW segment-document count — exactly
+    * what every scan PLAN's `_stats/` LIST pays for, one per write
+    * task since the last compaction; `n_live_segments` drops
+    * overlap-suppressed and out-of-grid documents (the gap between the
+    * two is junk that vacuum reclaims); `min_segments` is the floor
+    * compaction can reach for the current coverage
+    * (ceil(covered / 4096)) — compact when `n_live_segments` is a
+    * multiple of it you no longer want to pay per plan;
+    * `covered_chunks`/`covered_fraction` say how much of the grid the
+    * zero-GET aggregate/chunk-skip surface serves, i.e. whether an
+    * incremental analyze is due. Cost: ONE metadata GET (consolidated
+    * stores) + the `_stats/` LISTs — never a chunk read, 100 TB costs
+    * the same as 1 GB. */
+  def describeStats(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val sessionConf = spark.sessionState.newHadoopConf()
+    val pairs = sessionConf.iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+    val store = ZarrStore(path, pairs)
+    val metas = store.readConsolidatedMetas()
+      .getOrElse(store.listArrays().map(store.readMeta))
+    val geom =
+      try ScanGeometry.resolve(metas)
+      catch { case e: ZarrException =>
+        throw new ZarrException(s"describeStats: ${e.getMessage}") }
+    val raw = store.listStatsSegmentsRaw()
+    val live = ZarrStore.unsuppressedSegments(raw)
+      .filter { case (f, n) => f >= 0 && n > 0 && f + n <= geom.numChunks }
+    val covered = math.min(live.map(_._2.toLong).sum, geom.numChunks)
+    val minSegs =
+      (covered + ChunkStats.maxSegmentChunks - 1) / ChunkStats.maxSegmentChunks
+    val row = Row(
+      metas.size.toLong,
+      geom.numChunks,
+      raw.size.toLong,
+      live.size.toLong,
+      minSegs,
+      store.listInnerStatsDocOrds().size.toLong,
+      covered,
+      if (geom.numChunks == 0) 0.0 else covered.toDouble / geom.numChunks)
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](Seq(row).asJava), statsSchema)
+  }
 }

@@ -163,6 +163,40 @@ class ZarrCubeSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeBytes(path) == committed, "ragged replay must not touch the store")
   }
 
+  test("compactEvery bounds the sidecar across batches; replay with it stays byte-equal") {
+    val path = s"$base/compact-cadence"
+    // six single-day triggers, one write task per batch (chunk 1x4 over
+    // a 4-sensor grid) → one stats segment per batch without the
+    // cadence; compactEvery=2 merges the backlog every second batch
+    def batch(d: Int): Unit =
+      ZarrCubeSink.appendBatch(slab(d, d + 1), d.toLong, path,
+        Seq("day", "sensor"), chunkShape = Some(Seq(1, 4)),
+        compactEvery = Some(2))
+    (0 until 6).foreach(batch)
+    val store = graft.zarr.ZarrStore(path)
+    val segs = store.listStatsSegmentsRaw()
+    assert(segs == Seq((0L, 6)),
+      s"six ingested segments must have compacted into one ($segs)")
+    // the merged document still serves the metadata path: full coverage
+    assert(store.listStatsSegments().map(_._2).sum == 6)
+    // a replayed batch with the cadence enabled is STILL a no-op —
+    // including its compaction pass (nothing left to merge)
+    val committed = storeBytes(path)
+    batch(5)
+    assert(storeBytes(path) == committed,
+      "replay with compactEvery must not touch the store")
+    // and the data reads back exactly
+    val exp = for (t <- 0L until 6L; x <- 0L until 4L)
+      yield (t, 100L + x, (t * 10 + x).toDouble)
+    assert(readBack(path) == exp.toSeq)
+    // cadence misuse refuses loudly
+    val e = intercept[Exception] {
+      ZarrCubeSink.appendBatch(slab(6, 7), 6L, path, Seq("day", "sensor"),
+        compactEvery = Some(0))
+    }
+    assert(e.getMessage.contains("compact_every"), e.getMessage)
+  }
+
   test("shard_shape without chunk_shape refuses on every entry point") {
     // a sink caller sharding over the DERIVED default chunking would pin
     // an arbitrary inner layout into the store permanently — the DSv2

@@ -543,6 +543,51 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("describeStats: fragmentation visibility through ingest, compaction, vacuum") {
+    val base = Files.createTempDirectory("zarr-desc-stats").toString
+    val path = s"$base/cube"
+    // deterministic write-task count: six single-day sink batches over
+    // a 1x4-chunk grid are ONE write task (one chunk) each → exactly
+    // one stats segment per batch, environment-independent
+    val sp = spark
+    import sp.implicits._
+    def slab(d: Int) =
+      (0 until 4).map(x => (d.toLong, 100L + x, (d * 10 + x).toDouble))
+        .toDF("day", "sensor", "temp")
+    (0 until 6).foreach(d => graft.streaming.ZarrCubeSink.appendBatch(
+      slab(d), d.toLong, path, Seq("day", "sensor"),
+      chunkShape = Some(Seq(1, 4))))
+    def statsRow() = {
+      val r = ZarrInfo.describeStats(spark, path).collect()
+      assert(r.length == 1)
+      r.head
+    }
+    val ingested = statsRow()
+    // (n_arrays, grid, raw segs, live segs, min, inner docs, covered, fraction)
+    assert(ingested.toSeq == Seq(3L, 6L, 6L, 6L, 1L, 0L, 6L, 1.0),
+      s"post-ingest: $ingested")
+    // junk the sidecar: a phantom segment past the grid is RAW but not
+    // LIVE — the gap between the two columns is vacuum's work queue
+    val store = ZarrStore(path)
+    store.writeText(ChunkStats.segmentKey(99L, 1), "{\"junk\":1}")
+    val junked = statsRow()
+    assert(junked.getLong(2) == 7L && junked.getLong(3) == 6L,
+      s"phantom must count raw-only: $junked")
+    // compaction collapses the six live segments to min_segments; the
+    // out-of-grid phantom is not compaction's to touch
+    ZarrMaintenance.compactStats(spark, path)
+    val compacted = statsRow()
+    assert(compacted.getLong(2) == 2L && compacted.getLong(3) == 1L &&
+      compacted.getLong(6) == 6L && compacted.getDouble(7) == 1.0,
+      s"post-compaction: $compacted")
+    // vacuum reclaims the phantom: raw == live == min_segments — the
+    // steady state an operator schedules maintenance to restore
+    ZarrMaintenance.vacuum(spark, path)
+    val cleaned = statsRow()
+    assert(cleaned.toSeq == Seq(3L, 6L, 1L, 1L, 1L, 0L, 6L, 1.0),
+      s"post-vacuum: $cleaned")
+  }
+
   test("vacuum keeps manifest-referenced part dirs of a staged tabular store") {
     val base = Files.createTempDirectory("zarr-vacuum-tab").toString
     val path = s"$base/tab"

@@ -148,6 +148,14 @@ assert _cmp._2() <= _cmp._1(), f"compactStats from Python: {_cmp}"
 assert spark.read.format("zarr").load(sh_path).count() == 36, \
     "compactStats must not change readable contents"
 
+# describeStats (round 19): the store-level sidecar summary a PySpark
+# operator polls to decide WHEN to compact / re-analyze
+_dst = _PyDF(_ZI.describeStats(spark._jsparkSession, sh_path), spark).collect()
+assert len(_dst) == 1 and _dst[0]["n_stats_segments"] >= \
+    _dst[0]["n_live_segments"] >= _dst[0]["min_segments"] >= 1 and \
+    0.0 <= _dst[0]["covered_fraction"] <= 1.0, \
+    f"describeStats from Python: {_dst}"
+
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
 spark._jvm.graft.functions.VectorFunctions.register(spark._jsparkSession)
