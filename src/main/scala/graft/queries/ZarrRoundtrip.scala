@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138 :+ q139
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138 :+ q139 :+ q140
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -719,6 +719,103 @@ object ZarrRoundtrip {
           Seq(12L, 20L), Seq(2, 4), boosted, Some(Seq("day", "source")),
           graft.zarr.ZarrWriter.CodecChain.bloscLz4, fillJson = "0")
         graft.zarr.ZarrMaintenance.analyzeRefresh(s, path, Seq((10L, 20L))): Unit
+    }
+
+  /** q140: the OPERATOR'S DAY under ONE oracle gate — the maintenance
+    * lifecycle the individual gates (q133 sink, q134 vacuum, q137
+    * inner docs, q138 analyze, q139 compaction) certify pairwise,
+    * COMPOSED on a single store: (1) sharded micro-batch INGEST
+    * through the cube sink with the in-lifecycle compaction cadence
+    * (ragged 3-day slabs over day-chunk 2 — edge folds, shard edge
+    * swaps, and compaction BETWEEN appends, which exercises the
+    * straddling-segment trim), (2) crash junk seeded and VACUUMED,
+    * (3) residual fragmentation COMPACTED to the floor, (4) an inner
+    * doc deleted and healed by INCREMENTAL ANALYZE, then (5) a RANGED
+    * predicate read whose chunk skips and inner masks serve from the
+    * merged+trimmed+healed sidecar — hashed against the closed form
+    * from the parquet that saw none of it. Each transition is
+    * require-gated on `describeStats`/doc listings so the fixture
+    * fails loudly AT the broken step, not as an opaque hash diff. */
+  private lazy val q140 = QueryDef.sql(
+    "q140_zarr_lifecycle",
+    """WITH cells AS (
+      |  SELECT (doc_id % 12)::BIGINT AS day, source,
+      |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT d.range::BIGINT AS day, s.source
+      |  FROM range(12) d, (SELECT DISTINCT source FROM documents) s),
+      |dense AS (
+      |  SELECT g.day, g.source,
+      |    coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |    coalesce(c.sum_chars, 0)::BIGINT AS sum_chars
+      |  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.source = c.source)
+      |SELECT day, source, n_docs, sum_chars FROM dense
+      |WHERE day BETWEEN 3 AND 9 AND sum_chars > 0
+      |ORDER BY day, source""".stripMargin) { (s, dir) =>
+    val store = ensureLifecycleStore(s, dir)
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    try {
+      s.read.format("zarr").load(store)
+        .filter(col("day").between(3, 9) && col("sum_chars") > 0)
+        .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+        .orderBy("day", "source")
+    } finally hc.unset("graft.zarr.ranged.reads")
+  }
+
+  /** Build the q140 store — see [[q140]]'s step list. The junk-seed +
+    * vacuum happens on the memoized store's BUILD directory, so the
+    * committed fixture is the clean post-maintenance state. */
+  private def ensureLifecycleStore(s: SparkSession, dir: String): String =
+    ensureDayGridStore(s, dir, "cubelifecycle|c2x4|s4x8", "/tmp/graft_zarr_lifecycle") {
+      (dense, path) =>
+        // (1) ingest: four ragged 3-day slabs; the cadence compacts at
+        // batches 1 and 3, so batch 3's edge fold retires coverage that
+        // a PRIOR compaction may have merged
+        def batch(lo: Int, hi: Int, id: Long): Unit =
+          graft.streaming.ZarrCubeSink.appendBatch(
+            dense.filter(col("day") >= lo && col("day") < hi), id, path,
+            Seq("day", "source"), chunkShape = Some(Seq(2, 4)),
+            shardShape = Some(Seq(4, 8)), compactEvery = Some(2))
+        batch(0, 3, 0L); batch(3, 6, 1L); batch(6, 9, 2L); batch(9, 12, 3L)
+        def stat(): org.apache.spark.sql.Row =
+          graft.zarr.ZarrInfo.describeStats(s, path).collect().head
+        val ingested = stat()
+        require(ingested.getDouble(7) == 1.0,
+          s"q140 ingest: sidecar coverage incomplete ($ingested)")
+        // (2) the crash-garbage set, then vacuum: raw == live afterwards
+        Files.createDirectories(Paths.get(path, "n_docs", "c", "9"))
+        Files.write(Paths.get(path, "n_docs", "c", "9", "0"), Array[Byte](1, 2, 3))
+        Files.createDirectories(Paths.get(path, "n_docs", "c.part-life-0"))
+        Files.write(Paths.get(path, "n_docs", "c.part-life-0", "0"), Array[Byte](4))
+        Files.write(Paths.get(path, "_stats", "s999_4.json"), "{}".getBytes)
+        val junked = stat()
+        require(junked.getLong(2) > junked.getLong(3),
+          s"q140 junk: phantom segment must count raw-only ($junked)")
+        graft.zarr.ZarrMaintenance.vacuum(s, path).collect(): Unit
+        val vacuumed = stat()
+        require(vacuumed.getLong(2) == vacuumed.getLong(3),
+          s"q140 vacuum: junk must be reclaimed ($vacuumed)")
+        // (3) compact any residue down to the floor the cadence already
+        // targets (idempotent when the cadence got there first)
+        graft.zarr.ZarrMaintenance.compactStats(s, path): Unit
+        val compacted = stat()
+        require(compacted.getLong(3) == compacted.getLong(4),
+          s"q140 compaction: live segments must reach the floor ($compacted)")
+        // (4) lose an inner doc (a foreign deletion / partial sync);
+        // incremental analyze must re-cover and re-emit it
+        val zs = graft.zarr.ZarrStore(path)
+        val ords = zs.listInnerStatsDocOrds()
+        require(ords.nonEmpty, "q140: sharded store must carry inner docs")
+        zs.deleteKey(graft.zarr.ChunkStats.innerKey(ords.head)): Unit
+        require(graft.zarr.ZarrMaintenance.analyze(s, path, incremental = true) >= 1,
+          "q140 analyze: the doc hole must trigger re-analysis")
+        require(zs.listInnerStatsDocOrds().contains(ords.head),
+          "q140 analyze: the deleted inner doc must be re-emitted")
+        val healed = stat()
+        require(healed.getDouble(7) == 1.0,
+          s"q140 analyze: coverage must be whole again ($healed)")
     }
 
   /** Build the q137 store: a RAGGED-base sharded cube (days 0-6; day
