@@ -89,6 +89,11 @@ object ZarrCubeSink {
     if (compactEvery.exists(_ < 1))
       throw new ZarrException(
         s"compact_every ${compactEvery.get} must be >= 1 (batches per compaction)")
+    if (compactEvery.isDefined && !stats)
+      throw new ZarrException(
+        "compact_every requires stats=true — with the sidecar disabled there " +
+          "is nothing to compact, and a silent no-op cadence would read as " +
+          "bounded fragmentation that never happens")
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     import scala.jdk.CollectionConverters._
@@ -151,7 +156,7 @@ object ZarrCubeSink {
     // never take a batch's data with it — and its own failure must not
     // fail a batch that already committed
     compactEvery.foreach { n =>
-      if (stats && (batchId + 1) % n == 0) {
+      if ((batchId + 1) % n == 0) {
         try {
           // distributed=true self-degrades to inline below compactStats'
           // group threshold — steady-state cadence hits run on the

@@ -20,11 +20,20 @@ class EtagFileSystem extends RawLocalFileSystem {
   override def getScheme: String = "graftetag"
   override def getUri: URI = URI.create("graftetag:///")
 
-  override def getFileStatus(f: Path): FileStatus = {
-    val st = super.getFileStatus(f)
-    if (st.isDirectory) st
+  // directories get the same eager-POSIX treatment (no etag — a dir is
+  // not an object): handing the RawLocal status through unwrapped would
+  // leave ITS lazy permission loader to throw on this scheme
+  private def wrap(st: FileStatus): FileStatus =
+    if (st.isDirectory) EtagFileSystem.plainStatus(st)
     else new EtagFileSystem.TaggedStatus(st, EtagFileSystem.contentTag(st))
-  }
+
+  override def getFileStatus(f: Path): FileStatus = wrap(super.getFileStatus(f))
+
+  // LIST results carry etags too — matching S3A/ABFS, whose listings
+  // return the etag for free (the property the production comment on
+  // contentTag refers to)
+  override def listStatus(f: Path): Array[FileStatus] =
+    super.listStatus(f).map(wrap)
 }
 
 object EtagFileSystem {
@@ -49,9 +58,18 @@ object EtagFileSystem {
     val p = java.nio.file.Paths.get(st.getPath.toUri.getPath)
     val attrs = java.nio.file.Files.readAttributes(
       p, classOf[java.nio.file.attribute.PosixFileAttributes])
-    val perm = FsPermission.valueOf("-" +
+    val perm = FsPermission.valueOf((if (st.isDirectory) "d" else "-") +
       java.nio.file.attribute.PosixFilePermissions.toString(attrs.permissions()))
     (perm, attrs.owner().getName, attrs.group().getName)
+  }
+
+  /** Eager-POSIX copy of a directory status (plain-field construction,
+    * same rationale as TaggedStatus). */
+  private def plainStatus(st: FileStatus): FileStatus = {
+    val posix = posixOf(st)
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      posix._1, posix._2, posix._3, st.getPath)
   }
 
   private final class TaggedStatus(st: FileStatus, tag: String,

@@ -370,6 +370,13 @@ private[zarr] object ZarrDistWalk {
     val ztOf: String => Option[ZarrType] =
       n => colTypes.get(n).map(ZarrType.fromName)
     val superseded = Seq.newBuilder[String]
+    // skipped groups are EXPECTED to be rare and must not be silent: a
+    // persistently failing store (permissions, disk-full) would
+    // otherwise fragment forever behind a compaction that "succeeds" —
+    // one bounded stderr line per unit keeps the signal without a
+    // per-group log flood at the 10^5-segment scale
+    var skipped = 0
+    var lastSkip: String = ""
     groups.foreach { group =>
       val first = group.head._1
       val total = group.map(_._2).sum
@@ -384,7 +391,9 @@ private[zarr] object ZarrDistWalk {
             s
           }
           Some(ss)
-        } catch { case _: Exception => None } // skip group untouched
+        } catch { case e: Exception => // skip group untouched
+          skipped += 1; lastSkip = String.valueOf(e.getMessage); None
+        }
       // the merge+commit sits under its own guard too: an unexpected
       // encode error or transient write failure must skip THIS group
       // (leaving its sources untouched — the promise above) rather
@@ -398,9 +407,14 @@ private[zarr] object ZarrDistWalk {
           // (same first, same total single-source groups are not planned,
           // so total always differs) — every SOURCE key is superseded
           superseded ++= group.map { case (f, n) => ChunkStats.segmentKey(f, n) }
-        } catch { case _: Exception => () } // skip group untouched
+        } catch { case e: Exception => // skip group untouched
+          skipped += 1; lastSkip = String.valueOf(e.getMessage)
+        }
       }
     }
+    if (skipped > 0)
+      System.err.println(s"[zarr-compact] $skipped group(s) skipped " +
+        s"unmerged under $root (sources untouched; last cause: $lastSkip)")
     superseded.result()
   }
 

@@ -44,19 +44,24 @@ object ZarrInfo {
     * `stats_covered_chunks` is the store-level sidecar coverage clamped
     * to each array's own grid (coverage counts grid ordinals, which can
     * exceed a 1-D coordinate's chunk count on an N-D store). */
+  // ONE configuration source for the driver plan AND the shipped unit
+  // pairs: sessionState.newHadoopConf() carries per-session overrides
+  // (e.g. credentials) that sparkContext.hadoopConfiguration lacks —
+  // deriving them separately could make the plan and the per-unit
+  // walks see different stores
+  private def fsPairs(spark: SparkSession): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter(_._1.startsWith("fs.")).toSeq
+  }
+
   def describe(
       spark: SparkSession, path: String, countStored: Boolean = false,
       distributed: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
-    // ONE configuration source for the driver plan AND the shipped unit
-    // pairs: sessionState.newHadoopConf() carries per-session overrides
-    // (e.g. credentials) that sparkContext.hadoopConfiguration lacks —
-    // deriving them separately could make the plan and the per-unit
-    // walks see different stores
     val sessionConf = spark.sessionState.newHadoopConf()
-    val pairs = sessionConf.iterator().asScala
-      .map(e => e.getKey -> e.getValue)
-      .filter(_._1.startsWith("fs.")).toSeq
+    val pairs = fsPairs(spark)
     val store = ZarrStore(path, pairs)
     val metas = store.readConsolidatedMetas()
       .getOrElse(store.listArrays().map(store.readMeta))
@@ -148,20 +153,21 @@ object ZarrInfo {
     * the same as 1 GB. */
   def describeStats(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val sessionConf = spark.sessionState.newHadoopConf()
-    val pairs = sessionConf.iterator().asScala
-      .map(e => e.getKey -> e.getValue)
-      .filter(_._1.startsWith("fs.")).toSeq
-    val store = ZarrStore(path, pairs)
+    val store = ZarrStore(path, fsPairs(spark))
     val metas = store.readConsolidatedMetas()
       .getOrElse(store.listArrays().map(store.readMeta))
+    // a typo'd path / empty store fails inside geometry resolution with
+    // a bare requirement message — the operator-facing dashboard call
+    // must name itself and the store it could not describe
     val geom =
       try ScanGeometry.resolve(metas)
-      catch { case e: ZarrException =>
-        throw new ZarrException(s"describeStats: ${e.getMessage}") }
-    val raw = store.listStatsSegmentsRaw()
-    val live = ZarrStore.unsuppressedSegments(raw)
-      .filter { case (f, n) => f >= 0 && n > 0 && f + n <= geom.numChunks }
+      catch { case e: Exception =>
+        throw new ZarrException(s"describeStats($path): ${e.getMessage}") }
+    // ONE `_stats/` LIST serves segments AND inner docs — this poll
+    // exists for the 10^5-segment store, where the LIST is the cost
+    val (raw, innerOrds) = store.listStatsSidecarRaw()
+    // the same live rule compaction merges by — never a private copy
+    val live = ZarrStore.liveSegments(raw, geom.numChunks)
     val covered = math.min(live.map(_._2.toLong).sum, geom.numChunks)
     val minSegs =
       (covered + ChunkStats.maxSegmentChunks - 1) / ChunkStats.maxSegmentChunks
@@ -171,7 +177,7 @@ object ZarrInfo {
       raw.size.toLong,
       live.size.toLong,
       minSegs,
-      store.listInnerStatsDocOrds().size.toLong,
+      innerOrds.size.toLong,
       covered,
       if (geom.numChunks == 0) 0.0 else covered.toDouble / geom.numChunks)
     spark.createDataFrame(

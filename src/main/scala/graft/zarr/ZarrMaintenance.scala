@@ -647,12 +647,13 @@ object ZarrMaintenance {
     val raw = store.listStatsSegmentsRaw()
     val before = raw.size.toLong
     // committed, unsuppressed, in-grid, NON-EMPTY segments only —
-    // sorted by first. The n > 0 filter is load-bearing: a zero-length
-    // segment (foreign junk; s<f>_0 parses) in a group would make the
-    // merged document's key collide with a SOURCE key (same first,
-    // same total), and phase 2 would then delete the merge's own output
-    val live = ZarrStore.unsuppressedSegments(raw)
-      .filter { case (f, n) => f >= 0 && n > 0 && f + n <= geom.numChunks }
+    // sorted by first (ZarrStore.liveSegments, the ONE rule this op
+    // shares with the describeStats dashboard). The n > 0 leg is
+    // load-bearing here: a zero-length segment (foreign junk; s<f>_0
+    // parses) in a group would make the merged document's key collide
+    // with a SOURCE key (same first, same total), and phase 2 would
+    // then delete the merge's own output
+    val live = ZarrStore.liveSegments(raw, geom.numChunks)
     // greedy packing of CONTIGUOUS runs into ≤4096-chunk groups; only
     // groups that actually merge ≥2 documents are worth a rewrite
     val groups = Seq.newBuilder[Seq[(Long, Int)]]
@@ -687,27 +688,35 @@ object ZarrMaintenance {
       } else ZarrDistWalk.compactStatsUnit(
         path, hadoopPairs, plan, ndim, gridShape, dims, colTypes)
     // phase 2: delete the superseded sources — only now, so the merge
-    // is all-or-degrade (see the crash-window note above)
-    if (distributed && superseded.size > 64) {
-      val parts = math.min(superseded.size,
-        math.max(1, spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(superseded, parts)
-        .foreachPartition { it =>
-          val st = ZarrStore(path, hadoopPairs)
-          it.foreach(k => st.deleteKey(k): Unit)
-        }
-    } else superseded.foreach(k => store.deleteKey(k): Unit)
+    // is all-or-degrade (see the crash-window note above). Deletions
+    // are COUNTED, not assumed: a false-returning deleteKey must not
+    // be reported as reclaimed.
+    val deleted: Long =
+      if (distributed && superseded.size > 64) {
+        val parts = math.min(superseded.size,
+          math.max(1, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(superseded, parts)
+          .mapPartitions { it =>
+            val st = ZarrStore(path, hadoopPairs)
+            Iterator.single(it.count(k => st.deleteKey(k)).toLong)
+          }.reduce(_ + _)
+      } else superseded.count(k => store.deleteKey(k)).toLong
     // 'after' is DERIVED, not re-listed: the single raw LIST above must
     // serve both counts (a second `_stats/` LIST is O(segments/1000)
     // paginated requests at the scale this op targets). A group either
     // merged completely (all its source keys superseded, one merged doc
     // written) or was skipped whole, so the successful-group count is
-    // exact — and the single-maintainer contract rules out concurrent
-    // sidecar writes between the LIST and here.
+    // exact in every committed state. The one divergence is the
+    // documented crash window's sibling: a writeText that dies AFTER
+    // creating the merged doc counts its group as skipped while the doc
+    // exists — that doc overlaps its undeleted sources, reads as
+    // suppressed (degraded, never wrong), and the next incremental
+    // analyze retires it; until then the derived count is low by at
+    // most the failed-group count.
     val supSet = superseded.toSet
     val mergedDocs = plan.count(_.forall { case (f, n) =>
       supSet.contains(ChunkStats.segmentKey(f, n)) })
-    (before, before - superseded.size + mergedDocs)
+    (before, before - deleted + mergedDocs)
   }
 
   /** Reclaim objects no committed state references — the garbage a

@@ -221,6 +221,20 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   def listStatsSegments(): Seq[(Long, Int)] =
     ZarrStore.unsuppressedSegments(listStatsSegmentsRaw())
 
+  /** ONE `_stats/` LIST serving BOTH sidecar populations — the raw
+    * segment listing (first-sorted) and the inner-doc ordinals. A
+    * caller that needs both (the describeStats fragmentation poll)
+    * must not pay the directory's O(segments/1000) paginated LIST
+    * twice at the 10^5-segment scale the poll exists to expose. */
+  def listStatsSidecarRaw(): (Seq[(Long, Int)], Seq[Long]) = {
+    val dir = new Path(rootPath, ChunkStats.dirName)
+    try {
+      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      (names.flatMap(ChunkStats.parseSegmentName).sortBy(_._1),
+        names.flatMap(ChunkStats.parseInnerName))
+    } catch { case _: java.io.FileNotFoundException => (Seq.empty, Seq.empty) }
+  }
+
 
   /** Whether any per-inner-chunk stats doc (`_stats/i<ord>.json`,
     * [[ChunkStats.innerKey]]) exists — one LIST, evaluated at scan
@@ -548,6 +562,15 @@ object ZarrStore {
       raw.indices.collect { case i if !bad(i) => raw(i) }
     }
   }
+
+  /** THE live-segment rule, shared by sidecar compaction (what may be
+    * merged) and the describeStats dashboard (what coverage may trust):
+    * committed/unsuppressed, non-empty, and wholly inside the grid.
+    * One definition so the operator's fragmentation visibility can
+    * never desynchronize from what maintenance actually touches. */
+  def liveSegments(raw: Seq[(Long, Int)], numChunks: Long): Seq[(Long, Int)] =
+    unsuppressedSegments(raw).filter { case (f, n) =>
+      f >= 0 && n > 0 && f + n <= numChunks }
 
   /** One object HEAD's freshness-relevant facts. `etag` is "" when the
     * FileSystem's status does not implement

@@ -189,12 +189,19 @@ class ZarrCubeSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exp = for (t <- 0L until 6L; x <- 0L until 4L)
       yield (t, 100L + x, (t * 10 + x).toDouble)
     assert(readBack(path) == exp.toSeq)
-    // cadence misuse refuses loudly
+    // cadence misuse refuses loudly — both the degenerate interval and
+    // the contradictory stats=false (a silent no-op cadence would read
+    // as bounded fragmentation that never happens)
     val e = intercept[Exception] {
       ZarrCubeSink.appendBatch(slab(6, 7), 6L, path, Seq("day", "sensor"),
         compactEvery = Some(0))
     }
     assert(e.getMessage.contains("compact_every"), e.getMessage)
+    val e2 = intercept[Exception] {
+      ZarrCubeSink.appendBatch(slab(6, 7), 6L, path, Seq("day", "sensor"),
+        stats = false, compactEvery = Some(2))
+    }
+    assert(e2.getMessage.contains("requires stats=true"), e2.getMessage)
   }
 
   test("shard_shape without chunk_shape refuses on every entry point") {
