@@ -628,6 +628,38 @@ object ZarrMaintenance {
     * under `distributed` (the 10^5-segment shape). Returns
     * (segments before, segments after). Single-maintainer contract,
     * like every commit path. */
+  /** Compaction PLANNING, pure over a first-sorted live-segment
+    * listing ([[ZarrStore.liveSegments]]): greedy packing of
+    * CONTIGUOUS ordinal runs into groups of ≤
+    * [[ChunkStats.maxSegmentChunks]] total chunks; only groups that
+    * actually merge ≥2 documents are worth a rewrite (singletons and
+    * gaps are analyze's/vacuum's concern). Invariants
+    * (property-pinned in StatsCompactionSpec): every group's members
+    * are contiguous and input-ordered, group totals respect the doc
+    * bound unless a single source already exceeds it (an analyze-
+    * written full doc passes through untouched — it forms no ≥2
+    * group), groups are pairwise disjoint, every group size ≥ 2, and
+    * a group's merged key (first, total) never collides with a LIVE
+    * source key — contiguity makes total strictly greater than the
+    * first member's own length for ≥2 groups. */
+  private[zarr] def planCompaction(
+      live: Seq[(Long, Int)]): Seq[Seq[(Long, Int)]] = {
+    val groups = Seq.newBuilder[Seq[(Long, Int)]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var curTotal = 0
+    def flush(): Unit = {
+      if (cur.size >= 2) groups += cur.toSeq
+      cur.clear(); curTotal = 0
+    }
+    live.foreach { case (f, n) =>
+      val contiguous = cur.nonEmpty && cur.last._1 + cur.last._2 == f
+      if (!contiguous || curTotal + n > ChunkStats.maxSegmentChunks) flush()
+      cur += ((f, n)); curTotal += n
+    }
+    flush()
+    groups.result()
+  }
+
   def compactStats(
       spark: SparkSession, path: String,
       distributed: Boolean = false): (Long, Long) = {
@@ -654,22 +686,7 @@ object ZarrMaintenance {
     // with a SOURCE key (same first, same total), and phase 2 would
     // then delete the merge's own output
     val live = ZarrStore.liveSegments(raw, geom.numChunks)
-    // greedy packing of CONTIGUOUS runs into ≤4096-chunk groups; only
-    // groups that actually merge ≥2 documents are worth a rewrite
-    val groups = Seq.newBuilder[Seq[(Long, Int)]]
-    val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-    var curTotal = 0
-    def flush(): Unit = {
-      if (cur.size >= 2) groups += cur.toSeq
-      cur.clear(); curTotal = 0
-    }
-    live.foreach { case (f, n) =>
-      val contiguous = cur.nonEmpty && cur.last._1 + cur.last._2 == f
-      if (!contiguous || curTotal + n > ChunkStats.maxSegmentChunks) flush()
-      cur += ((f, n)); curTotal += n
-    }
-    flush()
-    val plan = groups.result()
+    val plan = planCompaction(live)
     if (plan.isEmpty) return (before, before)
     val colTypes = metas.map(m => m.name -> m.dataType.zarrName).toMap
     val ndim = geom.ndim

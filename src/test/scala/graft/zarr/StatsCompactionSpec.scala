@@ -211,4 +211,66 @@ class StatsCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.listStatsSegmentsRaw() == segs,
       "no suppressed segment files may remain after the heal")
   }
+
+  // deterministic-seed property driver (the CodecsSpec idiom)
+  private def checkAll[A](g: org.scalacheck.Gen[A], n: Int = 120)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      f(g.pureApply(org.scalacheck.Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  /** First-sorted, pairwise-disjoint, positive-length live listings —
+    * the exact input shape `ZarrStore.liveSegments` guarantees. Gaps
+    * break contiguity; occasional oversize lengths model analyze-
+    * written full documents that must pass through ungrouped. */
+  private val liveListings: org.scalacheck.Gen[Seq[(Long, Int)]] = {
+    import org.scalacheck.Gen
+    for {
+      k <- Gen.choose(0, 40)
+      gaps <- Gen.listOfN(k, Gen.frequency(
+        5 -> Gen.const(0L), 1 -> Gen.choose(1L, 3L)))
+      lens <- Gen.listOfN(k, Gen.frequency(
+        8 -> Gen.choose(1, 64),
+        2 -> Gen.choose(1000, 3000),
+        1 -> Gen.choose(ChunkStats.maxSegmentChunks + 1,
+          ChunkStats.maxSegmentChunks + 2000)))
+    } yield {
+      var pos = 0L
+      gaps.zip(lens).map { case (g, n) =>
+        val f = pos + g; pos = f + n; (f, n)
+      }
+    }
+  }
+
+  test("PROPERTY: planCompaction groups are contiguous, bounded, disjoint, collision-free") {
+    checkAll(liveListings) { live =>
+      val liveSet = live.toSet
+      val plan = ZarrMaintenance.planCompaction(live)
+      val flat = plan.flatten
+      // members are real live segments, used at most once across groups
+      assert(flat.forall(liveSet.contains), s"foreign member in $plan")
+      assert(flat.distinct.size == flat.size, s"segment reused across groups: $plan")
+      plan.foreach { g =>
+        assert(g.size >= 2, s"singleton group is never worth a rewrite: $g")
+        // contiguity: each member starts where the previous ends — the
+        // invariant that makes the merged doc's ordinal range exact
+        g.sliding(2).foreach { case Seq((f1, n1), (f2, _)) =>
+          assert(f1 + n1 == f2, s"gap inside group $g")
+        }
+        // the merged document obeys the same size bound task docs do
+        assert(g.map(_._2).sum <= ChunkStats.maxSegmentChunks,
+          s"group exceeds the doc bound: $g")
+        // the merged key (first, total) collides with no LIVE key: phase
+        // 2 deletes source keys, so a collision would delete the output
+        assert(!liveSet.contains((g.head._1, g.map(_._2).sum)),
+          s"merged key collides with a live segment: $g")
+      }
+      // an oversize (analyze-written full) doc passes through untouched
+      live.filter(_._2 > ChunkStats.maxSegmentChunks).foreach { big =>
+        assert(!flat.contains(big), s"oversize doc must not be grouped: $big")
+      }
+    }
+  }
 }
