@@ -82,6 +82,12 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   private val geometry = ScanGeometry.resolve(metas)
   private val roleOf: Map[String, ColumnRole] =
     metas.map(_.name).zip(geometry.roles).toMap
+  // one name->meta map for every per-chunk lookup: the previous
+  // per-column metas.find scans were O(columns) each and three private
+  // re-derivations of the same fact
+  private val metaOf: Map[String, ZarrArrayMeta] =
+    metas.map(m => m.name -> m).toMap
+  private val ztOf: String => Option[ZarrType] = n => metaOf.get(n).map(_.dataType)
 
   private val predicateNames: Seq[String] =
     filters.flatMap(ChunkFilter.references).distinct.filter(roleOf.contains)
@@ -174,8 +180,6 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
     val cached = idocCache.get(o)
     if (cached != null) cached
     else {
-      val ztOf: String => Option[ZarrType] =
-        n => metas.find(_.name == n).map(_.dataType)
       // the sidecar is auxiliary: any failure here just stops masking
       val doc =
         try f.store.readText(ChunkStats.innerKey(o))
@@ -343,6 +347,18 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
                   // doc sweep so acceptance can never drift
                   val fresh = statsRef.forall(_.freshAgainst(live.get))
                   if (!fresh) { stale = true; None }
+                  else if (!mask.exists(identity)) {
+                    // EVERY in-extent inner chunk refuted: the all-false
+                    // mask already forces zero emitted rows, so the
+                    // index GET and the synthetic-shard decode buy
+                    // nothing — skip the object outright. Sound by the
+                    // same proofs that built the mask: live-decoded
+                    // coordinates, and data bounds gated by the
+                    // freshness HEAD above (fill-value semantics for
+                    // the never-read bytes are irrelevant at 0 rows).
+                    masks += ((spec.innerShape.toArray, mask))
+                    Some(None)
+                  }
                   else
                     try {
                       val bytes = Sharding.readRanged(f.store, n, k, spec,
@@ -455,7 +471,6 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   private val statsSegments: Seq[ChunkStats.Segment] =
     if (filters.isEmpty || segIndex.isEmpty) Seq.empty
     else {
-      val ztOf: String => Option[ZarrType] = n => metas.find(_.name == n).map(_.dataType)
       segIndex
         .filter { case (first, n) => first < part.hi && first + n > part.lo }
         .flatMap { case (first, n) =>
@@ -545,7 +560,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   private def decoded(
       name: String, idx: Array[Int],
       raw: Map[String, Option[Array[Byte]]]): ChunkColumn = {
-    val meta = metas.find(_.name == name).get
+    val meta = metaOf(name)
     roleOf(name) match {
       case CoordCol(_, dim) =>
         val key = s"$name/${idx(dim)}"
@@ -574,7 +589,7 @@ final class ZarrPartitionReader(f: ZarrReaderFactory, part: ZarrInputPartition)
   private def emitPending(): ColumnarBatch = {
     val total = pendingRows
     val vectors: Array[ColumnVector] = f.outputNames.map { n =>
-      val meta = metas.find(_.name == n).get
+      val meta = metaOf(n)
       val vec = new OnHeapColumnVector(total, meta.dataType.sparkType)
       var off = 0
       pending.foreach { case (cols, nRows) =>

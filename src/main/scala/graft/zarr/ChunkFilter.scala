@@ -89,14 +89,26 @@ object ChunkFilter {
     case (a, b: java.math.BigDecimal) => toBigDec(a).compareTo(b)
     case (a: Number, b: Number) =>
       (a, b) match {
-        case (x1: java.lang.Float, _) => java.lang.Double.compare(x1.doubleValue(), b.doubleValue())
-        case (x1: java.lang.Double, _) => java.lang.Double.compare(x1.doubleValue(), b.doubleValue())
-        case (_, y1: java.lang.Float) => java.lang.Double.compare(a.doubleValue(), y1.doubleValue())
-        case (_, y1: java.lang.Double) => java.lang.Double.compare(a.doubleValue(), y1.doubleValue())
+        case (x1: java.lang.Float, _) => cmpDouble(x1.doubleValue(), b.doubleValue())
+        case (x1: java.lang.Double, _) => cmpDouble(x1.doubleValue(), b.doubleValue())
+        case (_, y1: java.lang.Float) => cmpDouble(a.doubleValue(), y1.doubleValue())
+        case (_, y1: java.lang.Double) => cmpDouble(a.doubleValue(), y1.doubleValue())
         case _ => java.lang.Long.compare(a.longValue(), b.longValue())
       }
     case (a, b) => if (a == b) 0 else 1 // incomparable: only equality meaningful
   }
+
+  /** Spark SQL's floating order EXCEPT that -0.0 and 0.0 are EQUAL
+    * (primitive `==` in codegen'd comparisons; DuckDB agrees) —
+    * `Double.compare` alone orders -0.0 < 0.0, and a skip verdict in
+    * that order REFUTES a chunk of -0.0s against `EqualTo(0.0)` (or
+    * `GreaterThanOrEqual(0.0)`): a silent row drop through every skip
+    * layer this comparator feeds (segment bounds, inner-chunk masks,
+    * decode-and-test). `+ 0.0` normalizes -0.0 to 0.0 and is identity
+    * on every other value including NaN, whose Double.compare order
+    * (largest, self-equal) already matches Spark's. */
+  private def cmpDouble(x: Double, y: Double): Int =
+    java.lang.Double.compare(x + 0.0d, y + 0.0d)
 
   /** Code-point order — identical to the UTF-8 binary order Spark's own
     * `UTF8String` comparisons use. `String.compareTo` (UTF-16 code-unit

@@ -490,8 +490,6 @@ object ChunkStats {
 
   private val mapper = new ObjectMapper()
 
-  /** Encode one segment: per column, parallel min/max arrays with `null`
-    * for chunks without a recorded range. */
   /** Exact sum of one chunk's values for integer-typed columns, or None
     * when the type is not exactly summable (strings, bools, floats —
     * float summation is order-dependent, so a stored float sum could not
@@ -517,6 +515,8 @@ object ChunkStats {
     } catch { case _: ArithmeticException => None }
   }
 
+  /** Encode one segment: per column, parallel min/max arrays with `null`
+    * for chunks without a recorded range. */
   def encode(cols: Seq[(String, ZarrType, IndexedSeq[Option[(Any, Any)]],
       IndexedSeq[Option[Long]])]): String =
     encodeBounds(cols.map { case (n, zt, rs, ss) =>

@@ -680,6 +680,19 @@ object Codecs {
       throw new ZarrException(
         s"transpose alongside sharding_indexed is not supported for $ctx " +
           "(nest the transpose inside the shard's codecs)")
+    // spec-legal bytes→bytes codecs AFTER sharding_indexed apply to the
+    // whole shard object; this reader's shard path slices the stored
+    // bytes directly (ranged reads depend on stored offsets being
+    // shard offsets), so accepting such a chain would decode garbage
+    // (trailing gzip) or misalign the index (trailing crc32c with
+    // index_location=end). Refuse loudly instead of silently ignoring —
+    // the same degraded-never-wrong posture as every unknown codec.
+    val shardIdx = specs.indexWhere(_.name == "sharding_indexed")
+    if (shardIdx >= 0 && shardIdx != specs.length - 1)
+      throw new ZarrException(
+        s"codecs after sharding_indexed are not supported for $ctx " +
+          "(this reader addresses stored shard bytes directly; nest " +
+          "bytes->bytes codecs inside the shard's codecs)")
     transposeOrder(specs, ndim) // validates the permutation as a side effect
     ()
   }

@@ -353,6 +353,16 @@ object Sharding {
   /** Decode a whole shard into a [[ChunkColumn]] covering the outer
     * chunk's elements row-major (absent inner chunks → fill value). */
   def decode(meta: ZarrArrayMeta, spec: Spec, shard: Array[Byte]): ChunkColumn = {
+    // binary ('bytes') columns are supported UNSHARDED (vlen-bytes
+    // decode); inside a shard their inner chunks are variable-length,
+    // which the fixed-width run copy below cannot address — without
+    // this guard the -1 byte width crashes as a raw
+    // NegativeArraySizeException mid-scan instead of naming the
+    // unsupported layout
+    if (meta.dataType == ZarrType.Bytes)
+      throw new ZarrException(
+        s"sharded binary array '${meta.name}' is not supported — store " +
+          "binary ('bytes') columns unsharded")
     val runs = new Runs(meta.chunkShape, spec)
     import runs.{nInner, rowLenElems, outerElems}
     val index = decodeIndex(spec, shard, nInner)

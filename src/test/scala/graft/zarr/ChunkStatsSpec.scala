@@ -202,6 +202,37 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ChunkStats.mayMatch(Seq(StringEndsWith("s", "zzz")), sr)) // no range logic
   }
 
+  test("-0.0 equals 0.0 through every skip layer (Spark/DuckDB float equality)") {
+    // Double.compare alone orders -0.0 < 0.0; Spark's codegen'd
+    // comparisons use primitive == (equal), so a skip verdict in
+    // Double.compare order REFUTES a chunk of -0.0s against
+    // EqualTo(0.0) — the silent-row-drop class
+    assert(ChunkFilter.cmp(java.lang.Double.valueOf(-0.0), java.lang.Double.valueOf(0.0)) == 0)
+    assert(ChunkFilter.cmp(java.lang.Float.valueOf(-0.0f), java.lang.Double.valueOf(0.0)) == 0)
+    // NaN ordering stays Spark's: largest, self-equal
+    assert(ChunkFilter.cmp(java.lang.Double.valueOf(Double.NaN), java.lang.Double.valueOf(Double.NaN)) == 0)
+    assert(ChunkFilter.cmp(java.lang.Double.valueOf(Double.NaN), java.lang.Double.valueOf(1e308)) > 0)
+    // sidecar bounds recorded from an all-negative-zero chunk must not
+    // refute predicates 0.0 satisfies
+    val nz: String => Option[(Any, Any)] = _ => Some((-0.0d, -0.0d))
+    assert(ChunkStats.mayMatch(Seq(EqualTo("v", 0.0d)), nz))
+    assert(ChunkStats.mayMatch(Seq(GreaterThanOrEqual("v", 0.0d)), nz))
+    assert(ChunkStats.mayMatch(Seq(LessThanOrEqual("v", 0.0d)), nz))
+    assert(!ChunkStats.mayMatch(Seq(GreaterThan("v", 0.0d)), nz))
+
+    // end-to-end: a chunk holding only -0.0 must emit its rows for
+    // `= 0.0` through the stats skip AND the decode-and-test pass
+    val sp = spark; import sp.implicits._
+    val url = s"file://$base/negzero"
+    (0 until 32).map(i => (i.toLong, if (i < 16) -0.0d else 5.0d))
+      .toDF("id", "v").coalesce(1)
+      .write.format("zarr").mode("overwrite")
+      .option("chunk_size", "16").save(url)
+    val got = spark.read.format("zarr").load(url).filter("v = 0.0")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 16L), s"negative-zero rows dropped: $got")
+  }
+
   test("minMax skips unsummarizable values") {
     assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.NaN)).isEmpty)
     assert(ChunkStats.minMax(ZarrType.Float64, Seq(1.0, Double.PositiveInfinity)).isEmpty)

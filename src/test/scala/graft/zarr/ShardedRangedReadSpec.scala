@@ -201,6 +201,24 @@ class ShardedRangedReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bytes: ranged $rangedBytes vs whole $wholeBytes")
   }
 
+  test("fully-refuted shard skips the object outright: coordinate GETs only") {
+    val dir = s"$base/e2e-allref"
+    buildLatLon(dir)
+    val url = s"graftlat://$dir"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.zarr.ranged.reads", "always")
+    LatencyFileSystem.reset(0)
+    // every inner chunk's lat box refutes the predicate: the all-false
+    // mask already forces zero emitted rows, so the index GET and the
+    // synthetic-shard decode the reader used to pay bought nothing
+    val rows = spark.read.format("zarr").load(url)
+      .filter("lat >= 100.0 AND lon >= 16.0").collect()
+    hc.unset("graft.zarr.ranged.reads")
+    assert(rows.isEmpty)
+    assert(LatencyFileSystem.chunkGets("e2e-allref") == 2,
+      s"lat + lon only — got ${LatencyFileSystem.chunkGets("e2e-allref")}")
+  }
+
   test("unselective predicate keeps the single-GET whole-shard path") {
     val dir = s"$base/e2e-unsel"
     buildLatLon(dir)

@@ -151,6 +151,48 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == (10L until 18L))
   }
 
+  test("unsupported sharded layouts refuse loudly, never raw JVM errors or silent garbage") {
+    // sharded BINARY arrays: inner chunks are variable-length, which the
+    // fixed-width run copy cannot address — must name the layout, not
+    // crash with NegativeArraySizeException mid-scan
+    val bytesMeta = ZarrMeta.parse("b",
+      s"""{
+         |  "zarr_format": 3, "node_type": "array",
+         |  "shape": [8], "data_type": "bytes",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": null,
+         |  "codecs": [{"name":"sharding_indexed","configuration":{
+         |    "chunk_shape":[2],
+         |    "codecs":[{"name":"vlen-bytes"}]}}]
+         |}""".stripMargin)
+    val spec = Sharding.specOf(bytesMeta.codecs).get
+    val e = intercept[ZarrException] {
+      Sharding.decode(bytesMeta, spec, new Array[Byte](64))
+    }
+    assert(e.getMessage.contains("sharded binary"), e.getMessage)
+
+    // spec-legal bytes->bytes codecs AFTER sharding_indexed apply to the
+    // whole shard object; this reader slices stored bytes directly, so
+    // accepting such a chain would misalign the index (trailing crc32c)
+    // or decode garbage (trailing gzip) — refuse at validation
+    val e2 = intercept[ZarrException] {
+      ZarrMeta.parse("v",
+        s"""{
+           |  "zarr_format": 3, "node_type": "array",
+           |  "shape": [8], "data_type": "int64",
+           |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+           |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+           |  "fill_value": 0,
+           |  "codecs": [{"name":"sharding_indexed","configuration":{
+           |    "chunk_shape":[2],
+           |    "codecs":[{"name":"bytes","configuration":{"endian":"little"}}]}},
+           |    {"name":"gzip","configuration":{"level":5}}]
+           |}""".stripMargin)
+    }
+    assert(e2.getMessage.contains("after sharding_indexed"), e2.getMessage)
+  }
+
   test("DSv2 write with inner_chunk_size produces a sharded store and reads back") {
     val sp = spark; import sp.implicits._
     val url = s"$base/dsv2-sharded"
