@@ -71,6 +71,15 @@ object ZarrCubeWrite {
     c.toSeq
   }
 
+  /** KNOWN HAZARD (shared with Spark's own non-file-source overwrites):
+    * `mode("overwrite")` deletes the target BEFORE the lazy input
+    * DataFrame runs its first job, so overwriting a store with data
+    * read FROM that same store destroys the source unread. Spark's
+    * self-overwrite lineage guard covers only its built-in file
+    * sources; a DSv2 writer cannot see the reader's lineage. Write to
+    * a fresh path instead (the read-transform-rewrite pattern is
+    * `ZarrMaintenance.compact`'s job, which refuses a non-empty
+    * destination for this reason). */
   // scalastyle:off method.length
   def write(
       df: DataFrame,
@@ -111,6 +120,11 @@ object ZarrCubeWrite {
     val dimZts = dims.map(d => ZarrWriteSupport.zarrTypeFor(fieldByName(d).dataType))
     val dataZts = dataCols.map(f => ZarrWriteSupport.zarrTypeFor(f.dataType))
     val chain = ZarrWriteSupport.chainFor(codec)
+    // statically-decidable layout-option validation runs BEFORE any job:
+    // a wrong-arity chunk_shape must refuse here, not after the axis
+    // collection and density proof already made full passes over
+    // TB-scale input
+    validateLayoutOptions(dims, chunkShapeOpt, shardShapeOpt)
 
     // fresh-store-only: a cube's shape is a global property of one
     // dataset; "appending" would need coordinate re-alignment — refuse
@@ -177,16 +191,9 @@ object ZarrCubeWrite {
             s"cells but $nRows rows (${totalCells - nRows} missing); densify " +
             "(cross join the axes and fill) before writing")
 
-      val chunkShape: Seq[Int] = chunkShapeOpt match {
-        case Some(cs) =>
-          if (cs.length != dims.length)
-            throw new ZarrException(
-              s"chunk_shape has ${cs.length} entries for ${dims.length} dims")
-          if (cs.exists(_ < 1))
-            throw new ZarrException(s"chunk_shape entries must be >= 1: ${cs.mkString(",")}")
-          cs
-        case None => defaultChunkShape(shape)
-      }
+      // arity/value/divisibility of the explicit options were validated
+      // pre-job by validateLayoutOptions
+      val chunkShape: Seq[Int] = chunkShapeOpt.getOrElse(defaultChunkShape(shape))
       // sharding (ZEP 2): `shard_shape` makes the STORED object a shard
       // of inner `chunk_shape` chunks — at 100 TB the object-count lever
       // (a million-chunk cube becomes thousands of shards; listing and
@@ -195,32 +202,17 @@ object ZarrCubeWrite {
       // chunk-skip stats — all key on the OUTER (stored) shape; only the
       // per-object encode branches (Sharding.encode packs the inner
       // chunks + index into one object).
-      shardShapeOpt.foreach { ss =>
-        // same contract as the DSv2 option surface, enforced HERE so
-        // every entry point (ZarrCubeSink included) shares it: sharding
-        // without an explicit inner chunk_shape would silently pin the
-        // derived default as the store's permanent inner layout (or fail
-        // later with a confusing divisibility error)
-        if (chunkShapeOpt.isEmpty)
-          throw new ZarrException(
-            "shard_shape requires an explicit chunk_shape (the inner chunk " +
-              "layout is a permanent property of the store — it must not be " +
-              "derived implicitly)")
-        if (ss.length != dims.length)
-          throw new ZarrException(
-            s"shard_shape has ${ss.length} entries for ${dims.length} dims")
-        ss.zip(chunkShape).zipWithIndex.foreach { case ((sh, c), i) =>
-          if (sh < c || sh % c != 0)
-            throw new ZarrException(
-              s"shard_shape entry $sh (dim $i) must be a positive multiple of " +
-                s"chunk_shape $c — a shard holds whole inner chunks")
-        }
-      }
       val outerShape: Seq[Int] = shardShapeOpt.getOrElse(chunkShape)
       val grid: Seq[Int] = shape.zip(outerShape)
         .map { case (s, c) => ((s + c - 1) / c).toInt }
+      // numChunks cannot overflow (grid_i <= shape_i and the cell product
+      // was multiplyExact-checked above); chunkElems CAN — the entries
+      // are user-given, and a wrapped product would pass this bound and
+      // crash executors on Int-truncated allocations deep in the job
       val numChunks: Long = grid.foldLeft(1L)(_ * _.toLong)
-      val chunkElems: Long = outerShape.foldLeft(1L)(_ * _.toLong)
+      val chunkElems: Long =
+        try outerShape.foldLeft(1L)((a, c) => Math.multiplyExact(a, c.toLong))
+        catch { case _: ArithmeticException => Long.MaxValue }
       if (chunkElems > Int.MaxValue / 2)
         throw new ZarrException(
           s"${shardShapeOpt.map(_ => "shard_shape").getOrElse("chunk_shape")} " +
@@ -566,12 +558,10 @@ object ZarrCubeWrite {
       // leaves each edge object either old or new — both read identically
       // over the committed extent, whose positions the rewrite preserves
       if (edgeStart < oldNumChunks) {
+        val newGridArr = newGrid.toArray
         var ord = edgeStart
         while (ord < oldNumChunks) {
-          val idx = new Array[Int](newGrid.length)
-          var rem = ord
-          var d = newGrid.length - 1
-          while (d >= 0) { idx(d) = (rem % newGrid(d)).toInt; rem /= newGrid(d); d -= 1 }
+          val idx = ScanGeometry.indexOf(ord, newGridArr)
           dataMetas.foreach { m =>
             val key = m.chunkKey(idx)
             store.replaceKey(s"${m.name}/$stageDir/$key", s"${m.name}/$key")
@@ -658,6 +648,39 @@ object ZarrCubeWrite {
     * arrays this writer can encode. Shared by [[append]] and
     * [[overwriteRegion]]; every refusal is prefixed with the option
     * name (`opName`) the caller surfaced. */
+  /** Layout-option validation that needs NOTHING from the data — the
+    * contract every entry point (DSv2 options, ZarrCubeSink,
+    * ZarrMaintenance.compact) shares, enforced before any Spark job:
+    * sharding without an explicit chunk_shape would silently pin the
+    * derived default as the store's permanent inner layout. */
+  private def validateLayoutOptions(
+      dims: Seq[String], chunkShapeOpt: Option[Seq[Int]],
+      shardShapeOpt: Option[Seq[Int]]): Unit = {
+    chunkShapeOpt.foreach { cs =>
+      if (cs.length != dims.length)
+        throw new ZarrException(
+          s"chunk_shape has ${cs.length} entries for ${dims.length} dims")
+      if (cs.exists(_ < 1))
+        throw new ZarrException(s"chunk_shape entries must be >= 1: ${cs.mkString(",")}")
+    }
+    shardShapeOpt.foreach { ss =>
+      if (chunkShapeOpt.isEmpty)
+        throw new ZarrException(
+          "shard_shape requires an explicit chunk_shape (the inner chunk " +
+            "layout is a permanent property of the store — it must not be " +
+            "derived implicitly)")
+      if (ss.length != dims.length)
+        throw new ZarrException(
+          s"shard_shape has ${ss.length} entries for ${dims.length} dims")
+      ss.zip(chunkShapeOpt.get).zipWithIndex.foreach { case ((sh, c), i) =>
+        if (sh < c || sh % c != 0)
+          throw new ZarrException(
+            s"shard_shape entry $sh (dim $i) must be a positive multiple of " +
+              s"chunk_shape $c — a shard holds whole inner chunks")
+      }
+    }
+  }
+
   private def resolveCubeTarget(
       store: ZarrStore, path: String, dimsOpt: Option[Seq[String]],
       opName: String): CubeTarget = {
@@ -735,6 +758,16 @@ object ZarrCubeWrite {
       // with a top-level transpose store each chunk permuted
       ZarrBatchWrite.validateEncodable(m, store.root)
     }
+    // same per-chunk volume bound the fresh write enforces: a foreign
+    // store with an enormous stored chunk_shape must refuse HERE, on the
+    // driver, not as an Int-truncated allocation inside the slab kernel
+    val storedElems: Long =
+      try targetChunk.foldLeft(1L)((a, c) => Math.multiplyExact(a, c.toLong))
+      catch { case _: ArithmeticException => Long.MaxValue }
+    if (storedElems > Int.MaxValue / 2)
+      throw new ZarrException(
+        s"$opName: stored chunk_shape ${targetChunk.mkString("x")} of $path " +
+          s"is too large to assemble ($storedElems elements per chunk)")
     CubeTarget(metasH, dims, coordMetas, dataMetas, targetShape, targetChunk)
   }
 
@@ -1056,12 +1089,10 @@ object ZarrCubeWrite {
         // describe staged bytes (metadata aggregates answering with the
         // new values while rows still read the old)
         stageStatsWriteId = writeId)
+      val gridA = grid.toArray
       var ord = ordLo
       while (ord < ordHi) {
-        val idx = new Array[Int](grid.length)
-        var rem = ord
-        var d = grid.length - 1
-        while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+        val idx = ScanGeometry.indexOf(ord, gridA)
         t.dataMetas.foreach { m =>
           val key = m.chunkKey(idx)
           store.replaceKey(s"${m.name}/$stageDir/$key", s"${m.name}/$key")
@@ -1197,10 +1228,7 @@ object ZarrCubeWrite {
         // without it the freshness guard degrades to length-only — the
         // exact hole constant-length encodings exploit. One HEAD per
         // promoted column, bounded by the staged window size.
-        val idx = new Array[Int](grid.length)
-        var rem = ord
-        var d = grid.length - 1
-        while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+        val idx = ScanGeometry.indexOf(ord, grid.toArray)
         val keyOf = dataMetas.map(m => m.name -> m.chunkKey(idx)).toMap
         store.writeText(ChunkStats.innerKey(ord), ChunkStats.withInnerMtimes(doc,
           name => keyOf.get(name).flatMap(k => store.objectStat(name, k))))
@@ -1511,13 +1539,7 @@ object ZarrCubeWrite {
       segLen = 0
     }
 
-    def chunkIndex(ord: Long): Array[Int] = {
-      val idx = new Array[Int](ndim)
-      var rem = ord
-      var d = ndim - 1
-      while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
-      idx
-    }
+    def chunkIndex(ord: Long): Array[Int] = ScanGeometry.indexOf(ord, grid)
 
     var rows = 0L
     var chunks = 0L

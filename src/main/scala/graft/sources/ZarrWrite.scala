@@ -291,6 +291,18 @@ class ZarrBatchWrite(
             s"append: store has arrays ${existing.map(_.name).mkString(",")} but " +
               s"dataframe has columns ${schema.fieldNames.mkString(",")}")
         val m0 = byName(schema.fields.head.name)
+        // the appender flushes ONE row layout (shape(0), chunk_size) for
+        // every column; a legal store whose 1-D arrays are chunked or
+        // sized differently would get chunks written at ordinals its own
+        // metadata addresses elsewhere — refuse, never corrupt
+        byName.values.foreach { m =>
+          if (m.shape(0) != m0.shape(0) || m.chunkShape(0) != m0.chunkShape(0))
+            throw new ZarrException(
+              s"append: arrays disagree on row layout — ${m.name} has " +
+                s"${m.shape(0)} rows in chunks of ${m.chunkShape(0)} vs " +
+                s"${m0.name}'s ${m0.shape(0)} in ${m0.chunkShape(0)}; this " +
+                "appender requires a uniform 1-D layout across columns")
+        }
         val cs = m0.chunkShape(0)
         if (m0.shape(0) % cs != 0)
           throw new ZarrException(
@@ -314,8 +326,13 @@ class ZarrBatchWrite(
   /** Manifest parts committed by earlier staged writes to this store —
     * they must survive this commit's root-doc rewrite. */
   private val existingManifest: ChunkManifest =
-    if (truncate || baseRows == 0L) ChunkManifest.empty
-    else try store.readChunkManifest() catch { case _: Throwable => ChunkManifest.empty }
+    if (truncate || existingMetas.isEmpty) ChunkManifest.empty
+    // NO failure fallback: readChunkManifest already maps an absent root
+    // doc to empty, so anything thrown here is a REAL error (transient
+    // IO, corrupt root) — swallowing it into an empty manifest would let
+    // this commit rewrite the root without the prior manifest parts,
+    // permanently orphaning chunks earlier staged commits own
+    else store.readChunkManifest()
 
   if (rowsPerPartition > 0 && rowsPerPartition % chunkSize != 0)
     throw new ZarrException(
@@ -332,7 +349,10 @@ class ZarrBatchWrite(
     * document the commit will persist. */
   private val colMetaJsons: Seq[String] = schema.fields.toSeq.map { f =>
     existingMetas.find(_.name == f.name) match {
-      case Some(m) if baseRows > 0 =>
+      // ANY existing array wins, including a committed ZERO-row store
+      // (created by writing an empty frame): regenerating from defaults
+      // would silently replace its dtype/codec/sharding/separator
+      case Some(m) =>
         ZarrBatchWrite.validateEncodable(m, store.root)
         m.sourceJson
       case _ =>
@@ -347,6 +367,10 @@ class ZarrBatchWrite(
     }
   }
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // KNOWN HAZARD (same as ZarrCubeWrite.write and Spark's own
+    // non-file-source overwrites): this delete runs before the lazy
+    // input scans, so overwriting a store with data read FROM it
+    // destroys the source unread — write to a fresh path instead
     if (truncate) store.delete()
     // a previously-failed aligned append may have left final-keyed stats
     // segments AND inner docs at ordinals this write is about to (re)use
@@ -460,7 +484,10 @@ class ZarrBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    if (baseRows == 0L) store.delete() // fresh store: remove partial output
+    // 'this write created the store' is keyed on the metadata snapshot,
+    // NOT baseRows: a pre-existing committed ZERO-row store has
+    // baseRows == 0, and a failed append to it must not wipe it
+    if (existingMetas.isEmpty) store.delete() // fresh store: remove partial output
     else { // append: keep base data — including manifest parts of EARLIER
       // staged commits, which live under their own c.part<id>- dirs; only
       // THIS write's staging (scoped by writeId) is removed

@@ -100,6 +100,20 @@ final case class ScanGeometry(
 
 object ScanGeometry {
 
+  /** Row-major chunk index of `ord` over an explicit grid — the static
+    * twin of [[ScanGeometry.chunkIndex]] for write/maintenance kernels
+    * that hold a grid array rather than a resolved geometry. ONE
+    * definition of the ordinal arithmetic: the same loop was inlined at
+    * five call sites, which any future hardening would have to find. */
+  def indexOf(ord: Long, grid: Array[Int]): Array[Int] = {
+    val idx = new Array[Int](grid.length)
+    var rem = ord
+    var d = grid.length - 1
+    while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+    idx
+  }
+
+
   /** Resolve geometry for a selection of arrays, enforcing the reference's
     * consistency rules (`resolve_vector` `zarr_data_stream.rs:48-96` +
     * `ZarrCoordinates::new` `108-215`):

@@ -68,15 +68,19 @@ object ZarrWriter {
           s""""index_location":"end"}}"""
       case None => flatChain
     }
+    // dimension names are USER column names — JSON-escape them, or a
+    // quote/backslash in a (legal) Spark column name either breaks the
+    // document at write time or, worse, parses as EXTRA entries
+    // (lat\",\"lon) and persists corrupt metadata
     val dims = dimensionNames
-      .map(ns => s""","dimension_names":[${ns.map(n => s""""$n"""").mkString(",")}]""")
+      .map(ns => s""","dimension_names":[${ns.map(ZarrStore.jsonQuote).mkString(",")}]""")
       .getOrElse("")
     // a migrated v2 datetime64/timedelta64 axis keeps its kind/unit as
     // v3 attributes — the annotation a downstream xarray-style reader
     // needs to re-interpret the raw int64 counts (ZarrMeta.parse
     // surfaces them back as timeMeta)
     val attrs = timeMeta.map { case (k, u) =>
-      s""","attributes":{"zarr_time_kind":"$k","zarr_time_unit":"$u"}"""
+      s""","attributes":{"zarr_time_kind":${ZarrStore.jsonQuote(k)},"zarr_time_unit":${ZarrStore.jsonQuote(u)}}"""
     }.getOrElse("")
     s"""{
        |  "zarr_format": 3,
@@ -126,10 +130,7 @@ object ZarrWriter {
     val nChunks = grid.map(_.toLong).product
     var ord = 0L
     while (ord < nChunks) {
-      val idx = new Array[Int](ndim)
-      var rem = ord
-      var d = ndim - 1
-      while (d >= 0) { idx(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+      val idx = ScanGeometry.indexOf(ord, grid)
 
       if (!skipChunks(idx.toSeq)) {
         val chunkVals = extractChunk(values, shape.toArray, chunkShape.toArray, idx, meta.fillValue)

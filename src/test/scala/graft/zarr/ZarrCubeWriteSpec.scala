@@ -157,6 +157,25 @@ class ZarrCubeWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataOpens.length <= 12, s"slab scan read ${dataOpens.length}: ${dataOpens.mkString(", ")}")
   }
 
+  test("JSON-special column names roundtrip: dimension_names are escaped, not spliced") {
+    val sp = spark; import sp.implicits._
+    // a legal Spark column name carrying a quote and a backslash: unescaped
+    // interpolation would either break the document or — the worse
+    // failure — parse as EXTRA dimension_names entries
+    val dim = """t"i\m"""
+    val path = s"$base/quoted-dims"
+    (0L until 6L).map(t => (t, t * 2.0)).toDF(dim, "v")
+      .write.format("zarr").mode("append")
+      .option("dims", dim).option("chunk_shape", "3").save(path)
+    val meta = ZarrStore(path, Nil).readMeta("v")
+    assert(meta.dimensionNames.contains(Seq(dim)),
+      s"dimension_names mangled: ${meta.dimensionNames}")
+    val back = spark.read.format("zarr").load(path)
+      .orderBy(col(s"`$dim`")).collect()
+    assert(back.map(_.getLong(0)).toSeq == (0L until 6L))
+    assert(back.map(_.getDouble(1)).toSeq == (0L until 6L).map(_ * 2.0))
+  }
+
   test("2-D and 1-D cubes roundtrip") {
     val sp = spark; import sp.implicits._
     val df2 = (for (i <- 0 until 8; j <- 0 until 8)

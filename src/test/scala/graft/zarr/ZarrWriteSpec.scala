@@ -215,6 +215,57 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("append")), msgs(e).mkString(" | "))
   }
 
+  test("a committed ZERO-row store keeps its metadata across append and failed-append abort") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/zero"
+    // committed zero-row store with a non-default layout (gzip + sharding)
+    sp.range(0).selectExpr("id", "cast(id as double) as v").coalesce(1)
+      .write.format("zarr").mode("append")
+      .option("chunk_size", "8").option("inner_chunk_size", "4")
+      .option("codec", "gzip").save(p)
+    val st = ZarrStore(p)
+    val before = st.readMeta("v")
+    assert(before.shape(0) == 0L)
+    assert(Sharding.specOf(before.codecs).isDefined, before.sourceJson)
+    // a FAILED append must not wipe the pre-existing store (abort used
+    // to key 'this write created the store' on baseRows == 0)
+    intercept[Exception] {
+      sp.range(5).selectExpr("id", "cast(null as double) as v").coalesce(1)
+        .write.format("zarr").mode("append").save(p) // nulls refuse mid-task
+    }
+    assert(st.readMeta("v").sourceJson == before.sourceJson,
+      "failed append to a zero-row store must leave it intact")
+    // a SUCCESSFUL append must reuse the stored documents, not regenerate
+    // defaults (which would drop the sharding and reset the codec)
+    sp.range(8).selectExpr("id", "cast(id as double) as v").coalesce(1)
+      .write.format("zarr").mode("append").save(p)
+    val after = st.readMeta("v")
+    assert(after.shape(0) == 8L)
+    assert(Sharding.specOf(after.codecs).isDefined,
+      s"append regenerated metadata, sharding lost: ${after.sourceJson}")
+    assert(after.codecs.map(_.name) == before.codecs.map(_.name),
+      s"codec chain changed: ${before.codecs.map(_.name)} -> ${after.codecs.map(_.name)}")
+  }
+
+  test("append refuses a store whose 1-D arrays disagree on row layout") {
+    val sp = spark; import sp.implicits._
+    val p = s"$base/mixed-layout"
+    val st = ZarrStore(p)
+    st.writeStoreRootMeta()
+    // legal store, illegal for this appender: same rows, different chunking
+    ZarrWriter.writeArray(st, "a", ZarrType.Int64, Seq(8), Seq(4),
+      (0L until 8L).toIndexedSeq)
+    ZarrWriter.writeArray(st, "b", ZarrType.Int64, Seq(8), Seq(8),
+      (0L until 8L).toIndexedSeq)
+    val e = intercept[Exception] {
+      sp.range(4).selectExpr("id as a", "id as b").coalesce(1)
+        .write.format("zarr").mode("append").save(p)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("row layout")), msgs(e).mkString(" | "))
+  }
+
   test("append preserves the store's original fill value and codecs") {
     val pth = s"$base/appfill"
     // store created externally with a non-default fill value
