@@ -215,6 +215,17 @@ object ChunkColumn {
               val bufs = decodeVlenBytes(plain)
               new BytesColumn(tperm.map(untransposeObjects(bufs, _)).getOrElse(bufs))
             } else {
+              // LOUD length check on the straight primitive path (the
+              // transpose path already validates inside untransposeBytes):
+              // a truncated object would otherwise reach the columnar
+              // bulk copy, whose Unsafe puts have no source bounds check
+              // — short buffers read past the array end into garbage rows
+              // and long buffers silently decode only a prefix
+              val expected = meta.chunkShape.foldLeft(1L)(_ * _.toLong) * ts
+              if (tperm.isEmpty && plain.length != expected)
+                throw new ZarrException(
+                  s"chunk of ${meta.name}: decoded ${plain.length} bytes, " +
+                    s"expected $expected (${meta.chunkShape.mkString("x")} x $ts)")
               val ordered = tperm.map(Codecs.untransposeBytes(plain, _, ts)).getOrElse(plain)
               new PrimColumn(meta.dataType, ordered, Codecs.endianness(meta.codecs))
             }
@@ -308,8 +319,13 @@ object ChunkColumn {
     * per code point in the dtype's byte order), NUL-padded on the
     * right. */
   def decodeFixedUcs4(b: Array[Byte], width: Int, big: Boolean): Array[String] = {
+    // metadata-supplied width: bound it BEFORE the *4, or an overflowing
+    // value reaches the modulus as zero (raw ArithmeticException) or
+    // negative (misleading message) instead of the ZarrException contract
+    if (width <= 0 || width > Int.MaxValue / 4)
+      throw new ZarrException(s"Bad fixed-width U string width: $width")
     val elemBytes = width * 4
-    if (width <= 0 || b.length % elemBytes != 0)
+    if (b.length % elemBytes != 0)
       throw new ZarrException(
         s"fixed-width U chunk of ${b.length} bytes is not a multiple of ${elemBytes}")
     val bb = ByteBuffer.wrap(b)

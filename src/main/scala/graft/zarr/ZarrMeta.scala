@@ -150,8 +150,13 @@ object ZarrMeta {
     val md = cm.path("metadata")
     if (!md.isObject) return Seq.empty
     import scala.jdk.CollectionConverters._
+    // only root-level arrays (no '/' in the key): zarr-python
+    // consolidates recursively, and a nested 'grp/arr' entry would make
+    // the schema depend on WHICH metadata path ran — the listArrays
+    // fallback (and parseV2Consolidated) only surface root-level arrays
     md.fields().asScala.toSeq.collect {
-      case e if e.getValue.path("node_type").asText("") == "array" =>
+      case e if !e.getKey.contains("/") &&
+          e.getValue.path("node_type").asText("") == "array" =>
         parse(e.getKey, mapper.writeValueAsString(e.getValue))
     }
   }
@@ -202,7 +207,16 @@ object ZarrMeta {
     if (grid.path("name").asText("") != "regular")
       throw new ZarrException(s"Unsupported chunk grid: ${grid.path("name").asText("")}")
     val chunkShape = iter(grid.path("configuration").path("chunk_shape"))
-      .map(_.asInt()).toArray
+      .map { n =>
+        // canConvertToInt guards Jackson's silent asInt truncation: a
+        // chunk_shape entry past Int range would otherwise wrap and the
+        // array would decode with a WRONG grid — garbage, not an error
+        if (!n.canConvertToInt || n.asInt() < 1)
+          throw new ZarrException(
+            s"chunk_shape entry ${n.asText()} of $arrayName must be a " +
+              "positive 32-bit integer")
+        n.asInt()
+      }.toArray
     if (chunkShape.length != shape.length)
       throw new ZarrException(s"chunk_shape rank != shape rank for $arrayName")
 
@@ -210,7 +224,14 @@ object ZarrMeta {
     val sep = keyEnc.path("name").asText("default") match {
       case "default" =>
         val s = keyEnc.path("configuration").path("separator")
-        if (s.isMissingNode) "/" else s.asText("/")
+        val sep0 = if (s.isMissingNode) "/" else s.asText("/")
+        // the spec allows exactly '/' and '.'; any other value would
+        // build keys the chunks do not live at — every read silently
+        // fill-valued (the v2 path already refuses loudly)
+        if (sep0 != "/" && sep0 != ".")
+          throw new ZarrException(
+            s"Bad chunk_key_encoding separator '$sep0' for $arrayName (use '/' or '.')")
+        sep0
       case other => throw new ZarrException(s"Unsupported chunk_key_encoding: $other")
     }
 
@@ -768,9 +789,19 @@ object ZarrMeta {
     case ZarrType.Int32 | ZarrType.UInt16 => java.lang.Integer.valueOf(n.asInt(0))
     case ZarrType.Int64 | ZarrType.UInt32 => java.lang.Long.valueOf(n.asLong(0L))
     case ZarrType.UInt64 =>
-      // may exceed Long.MaxValue; keep as unsigned via BigDecimal
+      // may exceed Long.MaxValue; keep as unsigned via BigDecimal. Some
+      // writers emit big uint64 fills as JSON STRINGS (above 2^53) —
+      // parse those too; anything unparseable must fail LOUDLY, never
+      // coerce to zero (absent chunks would silently read a wrong fill)
       if (n.isNumber) new java.math.BigDecimal(n.asText("0"))
-      else java.math.BigDecimal.ZERO
+      else if (n.isTextual) {
+        try new java.math.BigDecimal(n.asText())
+        catch { case _: NumberFormatException =>
+          throw new ZarrException(s"Bad uint64 fill_value: ${n.asText()}")
+        }
+      }
+      else if (n.isNull || n.isMissingNode) java.math.BigDecimal.ZERO
+      else throw new ZarrException(s"Bad uint64 fill_value: $n")
     case ZarrType.Float32 => java.lang.Float.valueOf(floatish(n).toFloat)
     case ZarrType.Float64 => java.lang.Double.valueOf(floatish(n))
     case ZarrType.Str => n.asText("")

@@ -25,7 +25,16 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   @transient private lazy val fs: FileSystem = {
     val f = rootPath.getFileSystem(conf)
     // chunk integrity is covered by the zarr codec chain (crc32c codec);
-    // Hadoop's local .crc sidecar files only add IO + rename hazards
+    // Hadoop's local .crc sidecar files only add IO + rename hazards —
+    // and they would pollute every store LISTING this engine reasons
+    // over (rootInventory foreign-file refusals, vacuum's orphan walk,
+    // describe's stored-object counts). KNOWN TRADE-OFF: getFileSystem
+    // returns the JVM-wide CACHED instance per (scheme, authority), so
+    // these flags apply to other users of the same FileSystem in this
+    // JVM. newInstance() would confine them but leaks one unclosed FS
+    // (threads, buffers) per ZarrStore — which is constructed per TASK
+    // on executors. Object stores (S3A/ABFS) have no client-side .crc
+    // sidecars, so the flags are no-ops exactly where sharing is real.
     f.setVerifyChecksum(false)
     f.setWriteChecksum(false)
     f
@@ -141,22 +150,28 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
     * and pairing a new shape with a stale manifest resolves fresh
     * ordinals to canonical keys that do not exist (silent fill values). */
   def readRootSnapshot(): Option[(Seq[ZarrArrayMeta], ChunkManifest)] =
-    readText("zarr.json").flatMap { doc =>
-      ZarrMeta.parseConsolidated(doc) match {
-        case metas if metas.nonEmpty =>
-          Some((metas.sortBy(_.name), ChunkManifest.parse(doc)))
-        case _ => None
-      }
-    }.orElse {
-      // Zarr v2 consolidated metadata (one-GET inference for v2 stores;
-      // v2 has no chunk manifest — canonical keys only)
-      readText(".zmetadata").flatMap { doc =>
-        ZarrMeta.parseV2Consolidated(doc) match {
+    readText("zarr.json") match {
+      case Some(doc) =>
+        // a v3 root EXISTS: it is the authority. Returning None here
+        // (uninlined consolidated metadata) sends callers to the live
+        // per-array fallback — it must NOT fall through to a leftover
+        // v2 `.zmetadata` sidecar, whose stale shapes/dtypes would
+        // silently override the v3 store after a v2→v3 migration
+        ZarrMeta.parseConsolidated(doc) match {
           case metas if metas.nonEmpty =>
-            Some((metas.sortBy(_.name), ChunkManifest.empty))
+            Some((metas.sortBy(_.name), ChunkManifest.parse(doc)))
           case _ => None
         }
-      }
+      case None =>
+        // Zarr v2 consolidated metadata (one-GET inference for v2
+        // stores; v2 has no chunk manifest — canonical keys only)
+        readText(".zmetadata").flatMap { doc =>
+          ZarrMeta.parseV2Consolidated(doc) match {
+            case metas if metas.nonEmpty =>
+              Some((metas.sortBy(_.name), ChunkManifest.empty))
+            case _ => None
+          }
+        }
     }
 
   def delete(): Unit = if (fs.exists(rootPath)) fs.delete(rootPath, true)
@@ -274,7 +289,11 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   def cleanStatsStaging(writeId: String): Unit = {
     val dir = new Path(rootPath, ChunkStats.dirName)
     if (fs.exists(dir))
-      fs.listStatus(dir).filter(_.getPath.getName.startsWith(s"c.part$writeId"))
+      // the trailing '-' is load-bearing: every staged stats key is
+      // c.part<writeId>-..., and without the delimiter one write's
+      // cleanup matches any CONCURRENT write whose longer id extends
+      // this one — exactly the cross-write deletion scoping forbids
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith(s"c.part$writeId-"))
         .foreach(st => fs.delete(st.getPath, false))
   }
 
