@@ -41,6 +41,35 @@ object BpeOps {
   /** Build + validate a merges table from "a b" strings. Rejects tables
     * where the priority-BPE == rank-order-sweep equivalence (and the SQL
     * oracle construction) would not hold. */
+  /** Per-JVM cache for NON-foldable merges columns (the RedactOps
+    * pattern): without it every row rebuilds and re-validates the whole
+    * table — O(rows x table build) on a one-distinct-value column.
+    * Length-prefixed key so no merge string can alias another split;
+    * crudely bounded — a merges column with >64 distinct values is
+    * outside the function's intended use (merges are configuration). */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeTable]()
+
+  def cachedTable(arr: ArrayData): BpeTable = {
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      sb.append(s.length).append(':').append(s)
+      i += 1
+    }
+    val key = sb.toString
+    val hit = tableCache.get(key)
+    if (hit != null) hit
+    else {
+      if (tableCache.size > 64) tableCache.clear()
+      val t = buildTable(arr)
+      tableCache.put(key, t)
+      t
+    }
+  }
+
   def buildTable(arr: ArrayData): BpeTable = {
     val n = arr.numElements()
     val as = new Array[String](n)
@@ -151,14 +180,17 @@ case class BpeCount(left: Expression, right: Expression)
   override def nullSafeEval(text: Any, merges: Any): Any =
     if (right.foldable) BpeOps.bpeCount(text.asInstanceOf[UTF8String], table)
     else BpeOps.bpeCount(text.asInstanceOf[UTF8String],
-      BpeOps.buildTable(merges.asInstanceOf[ArrayData]))
+      BpeOps.cachedTable(merges.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (right.foldable) {
+    // the non-null guard keeps a foldable NULL table on the generic
+    // branch, where nullSafeCodeGen yields NULL per row (nullIntolerant)
+    // — the literal branch would force the lazy at PLAN time and NPE
+    if (right.foldable && right.eval(null) != null) {
       val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeOps.BpeTable].getName)
       defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeOps.bpeCount($t, $ref)")
     } else {
       defineCodeGen(ctx, ev, (t, m) =>
-        s"graft.functions.BpeOps.bpeCount($t, graft.functions.BpeOps.buildTable($m))")
+        s"graft.functions.BpeOps.bpeCount($t, graft.functions.BpeOps.cachedTable($m))")
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -180,14 +212,17 @@ case class BpeSegment(left: Expression, right: Expression)
   override def nullSafeEval(word: Any, merges: Any): Any =
     if (right.foldable) BpeOps.bpeSegment(word.asInstanceOf[UTF8String], table)
     else BpeOps.bpeSegment(word.asInstanceOf[UTF8String],
-      BpeOps.buildTable(merges.asInstanceOf[ArrayData]))
+      BpeOps.cachedTable(merges.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (right.foldable) {
+    // the non-null guard keeps a foldable NULL table on the generic
+    // branch, where nullSafeCodeGen yields NULL per row (nullIntolerant)
+    // — the literal branch would force the lazy at PLAN time and NPE
+    if (right.foldable && right.eval(null) != null) {
       val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeOps.BpeTable].getName)
       defineCodeGen(ctx, ev, (t, _) => s"graft.functions.BpeOps.bpeSegment($t, $ref)")
     } else {
       defineCodeGen(ctx, ev, (t, m) =>
-        s"graft.functions.BpeOps.bpeSegment($t, graft.functions.BpeOps.buildTable($m))")
+        s"graft.functions.BpeOps.bpeSegment($t, graft.functions.BpeOps.cachedTable($m))")
     }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

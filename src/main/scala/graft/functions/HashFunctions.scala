@@ -28,6 +28,9 @@ object HashOps {
       if (hs.isNullAt(i)) { i += 1 }
       else {
       val h = hs.getUTF8String(i).getBytes // 32 ascii hex chars
+      if (h.length != 32)
+        throw new IllegalArgumentException(
+          s"simhash64: elements must be 32-char lowercase md5 hex, got length ${h.length}")
       var b = 0
       while (b < 64) {
         val c = h(b >> 2)
@@ -55,6 +58,9 @@ object HashOps {
       if (hs.isNullAt(i)) { i += 1 }
       else {
       val h32 = hs.getUTF8String(i).toString
+      if (h32.length != 32)
+        throw new IllegalArgumentException(
+          s"minhash16: elements must be 32-char lowercase md5 hex, got length ${h32.length}")
       val h = h32 + h32
       var j = 0
       while (j < 16) {
@@ -65,7 +71,12 @@ object HashOps {
       i += 1
       }
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+    // empty / all-null input: the oracle's `min over shingles` is NULL —
+    // sixteen empty-string slots would make every such row
+    // minhash-IDENTICAL, turning unrelated empty documents into
+    // band-join duplicates
+    if (mins(0) == null) null
+    else new GenericArrayData(mins.map(m => UTF8String.fromString(m)))
   }
   /** Distinct word 3-gram shingles — the exact arithmetic of
     * `array_distinct(transform(sequence(1, greatest(n-2, 1)),
@@ -352,7 +363,14 @@ object HashOps {
   def hamming(a: UTF8String, b: UTF8String): Int = {
     val x = a.getBytes
     val y = b.getBytes
-    val n = math.min(x.length, y.length)
+    // equal length is the CONTRACT: silently truncating to the shorter
+    // input made a length mismatch (comparing a signature against a
+    // truncated or non-signature column) read as a spuriously SMALL
+    // distance — false duplicates under a `hamming64(..) <= k` threshold
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"hamming64: inputs must be equal-length bit strings, got ${x.length} and ${y.length}")
+    val n = x.length
     var d = 0
     var i = 0
     while (i < n) { if (x(i) != y(i)) d += 1; i += 1 }
@@ -431,10 +449,18 @@ case class NormalizeText(child: Expression) extends UnaryExpression with Seriali
 case class MinHash16(child: Expression) extends UnaryExpression with Serializable {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // an empty / all-null shingle set has NO minimum — the result is NULL
+  // even for a NON-null input array (the oracle's min-over-empty), so
+  // nullability cannot follow the child and codegen must carry the
+  // null-result branch explicitly
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any =
     HashOps.minhash16(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, x => s"graft.functions.HashOps.minhash16($x)")
+    nullSafeCodeGen(ctx, ev, x => s"""
+      |${ev.value} = graft.functions.HashOps.minhash16($x);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -447,7 +473,9 @@ case class ShinglesK(left: Expression, right: Expression)
   override def prettyName: String = "shingles_k"
   @transient private lazy val k: Int = {
     require(right.foldable, "shingles_k: k must be a literal")
-    val kv = right.eval(null).asInstanceOf[Number].intValue()
+    val kRaw = right.eval(null)
+    require(kRaw != null, "shingles_k: k must be a non-null literal")
+    val kv = kRaw.asInstanceOf[Number].intValue()
     require(kv >= 1, s"shingles_k: k must be >= 1, got $kv")
     kv
   }
@@ -472,7 +500,9 @@ case class GramHashes(left: Expression, right: Expression)
   override def prettyName: String = "gram_hashes"
   @transient private lazy val k: Int = {
     require(right.foldable, "gram_hashes: k must be a literal")
-    val kv = right.eval(null).asInstanceOf[Number].intValue()
+    val kRaw = right.eval(null)
+    require(kRaw != null, "gram_hashes: k must be a non-null literal")
+    val kv = kRaw.asInstanceOf[Number].intValue()
     require(kv >= 1, s"gram_hashes: k must be >= 1, got $kv")
     kv
   }
@@ -527,7 +557,10 @@ case class CountIn(left: Expression, right: Expression)
     else HashOps.countIn(arr.asInstanceOf[ArrayData],
       HashOps.buildSet(setv.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (right.foldable) {
+    // the non-null guard keeps a foldable NULL set on the generic branch,
+    // where nullSafeCodeGen yields NULL per row (nullIntolerant) — the
+    // literal branch would force the lazy at PLAN time and NPE
+    if (right.foldable && right.eval(null) != null) {
       val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
       defineCodeGen(ctx, ev, (a, _) => s"graft.functions.HashOps.countIn($a, $ref)")
     } else {

@@ -171,7 +171,10 @@ case class RedactTyped(left: Expression, right: Expression)
     else RedactOps.redact(text.asInstanceOf[UTF8String],
       RedactOps.cachedTable(rules.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (right.foldable) {
+    // the non-null guard keeps a foldable NULL table on the generic
+    // branch, where nullSafeCodeGen yields NULL per row (nullIntolerant)
+    // — the literal branch would force the lazy at PLAN time and NPE
+    if (right.foldable && right.eval(null) != null) {
       val ref = ctx.addReferenceObj("redactTable", table,
         classOf[RedactOps.RedactTable].getName)
       defineCodeGen(ctx, ev, (t, _) => s"graft.functions.RedactOps.redact($t, $ref)")
@@ -202,7 +205,10 @@ case class RedactReport(left: Expression, right: Expression)
     else RedactOps.redactReport(text.asInstanceOf[UTF8String],
       RedactOps.cachedTable(rules.asInstanceOf[ArrayData]))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (right.foldable) {
+    // the non-null guard keeps a foldable NULL table on the generic
+    // branch, where nullSafeCodeGen yields NULL per row (nullIntolerant)
+    // — the literal branch would force the lazy at PLAN time and NPE
+    if (right.foldable && right.eval(null) != null) {
       val ref = ctx.addReferenceObj("redactTable", table,
         classOf[RedactOps.RedactTable].getName)
       defineCodeGen(ctx, ev, (t, _) => s"graft.functions.RedactOps.redactReport($t, $ref)")

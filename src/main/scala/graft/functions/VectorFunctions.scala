@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for embedding math.
@@ -16,11 +17,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `aggregate(zip_with(...))` lambda chain and usable from SQL after
   * [[VectorFunctions.register]].
   */
+
+/** Element-type gate for the vector kernels: the generated getFloat /
+  * getDouble reads interpret the Unsafe array buffer AT ITS DECLARED
+  * STRIDE, so an array<double> fed to a float32 kernel (the natural SQL
+  * literal `array(1.0, 2.0)` is array<double>) would read garbage
+  * across word boundaries with no error — exactly the silent-wrong-
+  * similarity class the analyzer must refuse. */
+private[functions] object VectorTypeCheck {
+  def requireElem(
+      name: String, elem: DataType, args: Seq[Expression]): TypeCheckResult = {
+    val bad = args.find(a => a.dataType match {
+      case ArrayType(e, _) => e != elem
+      case _ => true
+    })
+    bad match {
+      case Some(a) => TypeCheckResult.TypeCheckFailure(
+        s"$name expects array<${elem.simpleString}> arguments, got ${a.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
+
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.requireElem("dot_f32", FloatType, Seq(left, right))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -59,6 +84,8 @@ case class NormF32(child: Expression) extends UnaryExpression with Serializable 
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.requireElem("norm_f32", FloatType, Seq(child))
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -105,6 +132,20 @@ case class SqDist64(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // float32 OR float64 in either position; anything else (array<int>,
+  // non-array) would be getDouble-read at the wrong stride — refuse at
+  // analysis like the f32 kernels
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).find(a => a.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => false
+      case _ => true
+    })
+    bad match {
+      case Some(a) => TypeCheckResult.TypeCheckFailure(
+        s"sq_dist expects array<float> or array<double> arguments, got ${a.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -125,23 +125,21 @@ object BandJoinRule extends Rule[LogicalPlan] {
       // and rewriting would only triple one side through the candidate
       // explode and widen the shuffle (plan pessimization, not a rescue
       // from a nested loop)
+      def crossSides(l: Expression, r: Expression): Boolean =
+        l.references.nonEmpty && r.references.nonEmpty &&
+          ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+            (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet)))
       val hasCrossEqui = conjuncts.exists {
-        case EqualTo(l, r) =>
-          l.references.nonEmpty && r.references.nonEmpty &&
-            ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
-              (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet)))
-        case EqualNullSafe(l, r) =>
-          l.references.nonEmpty && r.references.nonEmpty &&
-            ((l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
-              (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet)))
+        case EqualTo(l, r) => crossSides(l, r)
+        case EqualNullSafe(l, r) => crossSides(l, r)
         case _ => false
       }
-      val uppers = if (hasCrossEqui) Nil else conjuncts.flatMap(c => upperOf(c).map(c -> _))
-      val lowers = if (hasCrossEqui) Nil else conjuncts.flatMap(c => lowerOf(c).map(c -> _))
+      val uppers = if (hasCrossEqui) Nil else conjuncts.flatMap(upperOf)
+      val lowers = if (hasCrossEqui) Nil else conjuncts.flatMap(lowerOf)
       // find a matching (a, b) pair with both bounds
       val band = (for {
-        (_, (ua, ub, c1, c1L)) <- uppers.iterator
-        (_, (la, lb, c2, c2L)) <- lowers.iterator
+        (ua, ub, c1, c1L) <- uppers.iterator
+        (la, lb, c2, c2L) <- lowers.iterator
         if sameRef(ua, la) && sameRef(ub, lb)
         if c1 >= 0 && c2 >= 0 && c1 + c2 > 0
         // a strictly from one side, b strictly from the other

@@ -126,4 +126,56 @@ class KernelEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("weight table")), msgs(e).mkString(" | "))
   }
+
+  private def msgsOf(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgsOf(t.getCause)
+
+  test("vector kernels refuse wrong element types at analysis, never read garbage") {
+    // array(1.0, 2.0) is array<double>: getFloat over an 8-byte stride
+    // would return garbage similarities with no error
+    val e = intercept[Exception](
+      spark.sql("SELECT dot_f32(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect())
+    assert(msgsOf(e).exists(_.contains("dot_f32")), msgsOf(e).mkString(" | "))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT norm_f32(array(1.0D))").collect())
+    assert(msgsOf(e2).exists(_.contains("norm_f32")), msgsOf(e2).mkString(" | "))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT sqdist64(array(1, 2), array(3, 4))").collect())
+    assert(msgsOf(e3).exists(_.contains("sq_dist")), msgsOf(e3).mkString(" | "))
+    // the legitimate widths still work, mixed
+    val ok = spark.sql(
+      "SELECT sqdist64(array(1.0F, 2.0F), array(3.0D, 4.0D)) AS d").collect()(0)
+    assert(ok.getDouble(0) == 8.0)
+  }
+
+  test("a foldable NULL table/set argument yields NULL rows, not a codegen NPE") {
+    val r = spark.sql(
+      """SELECT count_in(array('a'), CAST(NULL AS ARRAY<STRING>)) AS c,
+        |       bpe_count('ab', CAST(NULL AS ARRAY<STRING>)) AS b,
+        |       redact_typed('x', CAST(NULL AS ARRAY<STRING>)) AS t""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), r.toString)
+  }
+
+  test("malformed signature inputs refuse loudly instead of raw index errors") {
+    val e = intercept[Exception](
+      spark.sql("SELECT simhash64(array('abc'))").collect())
+    assert(msgsOf(e).exists(_.contains("md5 hex")), msgsOf(e).mkString(" | "))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT minhash16(array('x'))").collect())
+    assert(msgsOf(e2).exists(_.contains("md5 hex")), msgsOf(e2).mkString(" | "))
+    val e3 = intercept[Exception](
+      spark.sql("SELECT hamming64('0101', '01')").collect())
+    assert(msgsOf(e3).exists(_.contains("equal-length")), msgsOf(e3).mkString(" | "))
+  }
+
+  test("minhash16 over an EMPTY shingle set is NULL (the oracle's min-over-empty)") {
+    // sixteen empty-string slots would make every empty document
+    // minhash-identical — unrelated rows become band-join duplicates
+    val r = spark.sql(
+      """SELECT minhash16(CAST(array() AS ARRAY<STRING>)) AS m,
+        |       minhash16(array(CAST(NULL AS STRING))) AS n,
+        |       minhash16(array(md5('x'))) AS ok""".stripMargin).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && !r.isNullAt(2), r.toString)
+  }
 }
