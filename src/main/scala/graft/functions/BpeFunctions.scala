@@ -63,9 +63,13 @@ object BpeOps {
     val hit = tableCache.get(key)
     if (hit != null) hit
     else {
-      if (tableCache.size > 64) tableCache.clear()
       val t = buildTable(arr)
-      tableCache.put(key, t)
+      // past the bound, KEEP the hot entries and serve overflow values
+      // uncached: the documented use is one (or a handful of) distinct
+      // merges tables, so the first 64 are the workload's hot set —
+      // clearing here would let a pathological >64-distinct-values
+      // column thrash every thread's hot entries into rebuild-per-row
+      if (tableCache.size < 64) tableCache.put(key, t)
       t
     }
   }

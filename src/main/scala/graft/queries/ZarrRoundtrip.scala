@@ -520,9 +520,9 @@ object ZarrRoundtrip {
     * 1 of its 4 day-bands), `sum_chars > 0` consults the per-inner
     * DATA bounds, and the scan emits only kept-region rows — all three
     * round-16 read levers (ranged fetch, inner masks, kept-row
-    * emission) must reproduce the DuckDB closed form exactly. The conf
-    * toggle is captured at load() (storeFor reads the hadoop conf
-    * eagerly), so the finally-unset cannot race the lazy execution. */
+    * emission) must reproduce the DuckDB closed form exactly. The
+    * policy rides the SCAN-scoped `ranged_reads` option (r20) — no
+    * shared-conf mutation for a concurrent query runner to race. */
   private lazy val q136 = QueryDef.sql(
     "q136_zarr_ranged_read",
     """WITH cells AS (
@@ -541,14 +541,10 @@ object ZarrRoundtrip {
       |WHERE day >= 6 AND sum_chars > 0
       |ORDER BY day, source""".stripMargin) { (s, dir) =>
     val store = ensureShardedCubeStore(s, dir)
-    val hc = s.sparkContext.hadoopConfiguration
-    hc.set("graft.zarr.ranged.reads", "always")
-    try {
-      s.read.format("zarr").load(store)
-        .filter(col("day") >= 6 && col("sum_chars") > 0)
-        .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
-        .orderBy("day", "source")
-    } finally hc.unset("graft.zarr.ranged.reads")
+    s.read.format("zarr").option("ranged_reads", "always").load(store)
+      .filter(col("day") >= 6 && col("sum_chars") > 0)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
   }
 
   /** q137: APPEND-SURVIVING inner-chunk stats under the oracle gate.
@@ -564,8 +560,8 @@ object ZarrRoundtrip {
     * `sum_chars > 0` consults their per-inner DATA bounds — so a stale
     * surviving doc, a mis-retired edge doc, or a wrong promotion
     * breaks the row hash against the closed form computed from the
-    * parquet that never saw the split. Conf toggle captured at load()
-    * like q136. */
+    * parquet that never saw the split. Scan-scoped `ranged_reads`
+    * option like q136. */
   private lazy val q137 = QueryDef.sql(
     "q137_zarr_append_masking",
     """WITH cells AS (
@@ -584,14 +580,10 @@ object ZarrRoundtrip {
       |WHERE day <= 4 AND sum_chars > 0
       |ORDER BY day, source""".stripMargin) { (s, dir) =>
     val store = ensureAppendShardStore(s, dir)
-    val hc = s.sparkContext.hadoopConfiguration
-    hc.set("graft.zarr.ranged.reads", "always")
-    try {
-      s.read.format("zarr").load(store)
-        .filter(col("day") <= 4 && col("sum_chars") > 0)
-        .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
-        .orderBy("day", "source")
-    } finally hc.unset("graft.zarr.ranged.reads")
+    s.read.format("zarr").option("ranged_reads", "always").load(store)
+      .filter(col("day") <= 4 && col("sum_chars") > 0)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
   }
 
   /** q138: the FOREIGN-REWRITE-then-REFRESH lifecycle under the oracle
@@ -754,14 +746,10 @@ object ZarrRoundtrip {
       |WHERE day BETWEEN 3 AND 9 AND sum_chars > 0
       |ORDER BY day, source""".stripMargin) { (s, dir) =>
     val store = ensureLifecycleStore(s, dir)
-    val hc = s.sparkContext.hadoopConfiguration
-    hc.set("graft.zarr.ranged.reads", "always")
-    try {
-      s.read.format("zarr").load(store)
-        .filter(col("day").between(3, 9) && col("sum_chars") > 0)
-        .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
-        .orderBy("day", "source")
-    } finally hc.unset("graft.zarr.ranged.reads")
+    s.read.format("zarr").option("ranged_reads", "always").load(store)
+      .filter(col("day").between(3, 9) && col("sum_chars") > 0)
+      .select(col("day"), col("source"), col("n_docs"), col("sum_chars"))
+      .orderBy("day", "source")
   }
 
   /** Build the q140 store — see [[q140]]'s step list. The junk-seed +

@@ -118,6 +118,14 @@ object ZarrCubeWrite {
       throw new ZarrException(
         "column names starting with __zarr_ collide with cube-write internals")
     val dimZts = dims.map(d => ZarrWriteSupport.zarrTypeFor(fieldByName(d).dataType))
+    // a coordinate axis must carry a total order (sorted distinct
+    // collection, binary-search containment, range pushdown); opaque
+    // binary payloads have none — they are data-column material only
+    dims.zip(dimZts).find(_._2 == ZarrType.Bytes).foreach { case (d, _) =>
+      throw new ZarrException(
+        s"dims column '$d' is binary; binary columns cannot be coordinate " +
+          "axes (no order) — keep them as data columns")
+    }
     val dataZts = dataCols.map(f => ZarrWriteSupport.zarrTypeFor(f.dataType))
     val chain = ZarrWriteSupport.chainFor(codec)
     // statically-decidable layout-option validation runs BEFORE any job:

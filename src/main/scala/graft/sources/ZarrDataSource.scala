@@ -58,7 +58,20 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       .map(e => e.getKey -> e.getValue)
       .filter(p => p._1.startsWith("fs.") || p._1.startsWith("graft.zarr."))
       .toSeq
-    ZarrStore(path, hadoopPairs)
+    // per-SCAN override of the ranged-read policy: appended LAST so it
+    // wins over any session-level `graft.zarr.ranged.reads` hadoop conf
+    // (ZarrStore applies pairs in order). A scan-scoped option lets
+    // concurrent readers of DIFFERENT stores disagree (object store vs
+    // local mirror) without racing a shared session conf mutation.
+    val rangedPairs = Option(options.get("ranged_reads")).map { v =>
+      v match {
+        case "always" | "never" | "auto" | "true" | "false" => ()
+        case other => throw new ZarrException(
+          s"ranged_reads option '$other' is not one of always|never|auto")
+      }
+      "graft.zarr.ranged.reads" -> v
+    }.toSeq
+    ZarrStore(path, hadoopPairs ++ rangedPairs)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {

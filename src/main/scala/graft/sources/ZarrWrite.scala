@@ -33,6 +33,9 @@ object ZarrWriteSupport {
     case FloatType => ZarrType.Float32
     case DoubleType => ZarrType.Float64
     case StringType => ZarrType.Str
+    // opaque multimodal payloads: vlen-bytes element framing, usable
+    // unsharded or packed into shards (offset-addressed inner chunks)
+    case BinaryType => ZarrType.Bytes
     case d: DecimalType if d.precision == 20 && d.scale == 0 => ZarrType.UInt64
     case other =>
       throw new ZarrException(s"Cannot write ${other.sql} to zarr (no Zarr v3 mapping)")
@@ -505,6 +508,9 @@ class ZarrBatchWrite(
 object ZarrBatchWrite {
   def defaultFillJson(zt: ZarrType): String = zt match {
     case ZarrType.Str => "\"\""
+    // binary arrays have no declared fill beyond null → empty payload
+    // (ZarrMeta.parseFill refuses anything else for Bytes)
+    case ZarrType.Bytes => "null"
     case ZarrType.Bool => "false"
     case ZarrType.Float32 | ZarrType.Float64 => "0.0"
     case _ => "0"
@@ -531,6 +537,7 @@ object ZarrBatchWrite {
             s"append: array $name in $root uses a big-endian bytes codec inside " +
               "sharding_indexed, which this writer cannot encode")
       case CodecSpec("vlen-utf8", _) => () // array→bytes
+      case CodecSpec("vlen-bytes", _) => () // array→bytes (binary columns)
       // append targets are strictly 1-D, where any legal transpose order
       // is [0] = identity (ZarrMeta.parse rejects non-permutations), so
       // reproducing the chain without an explicit gather is byte-exact;
@@ -678,9 +685,10 @@ final class ZarrDataWriter(
           Seq("c", ord.toString).mkString(colMetas(c).chunkKeySeparator)
         } else s"c.part$writeId-$partitionId/$localChunk" // final key; commit maps it via manifest
       store.writeChunk(schema.fields(c).name, key, enc)
-      // the Bytes exclusion mirrors the cube kernel and analyze —
-      // unreachable today (zarrTypeFor maps no Spark type to Bytes)
-      // but the three emitters must share one rule
+      // the Bytes exclusion mirrors the cube kernel and analyze (one
+      // rule across all three emitters): binary payloads carry no order,
+      // so per-inner bounds would be garbage — sharded binary columns
+      // are masked by COORDINATE predicates only
       if (stats && zt != ZarrType.Bytes) colShards(c).foreach { sp =>
         val name = schema.fields(c).name
         // both key layouts are the object's FINAL resting place (the
@@ -745,6 +753,12 @@ object ZarrDataWriter {
     import java.nio.ByteBuffer
     if (zt == ZarrType.Str)
       return ChunkColumn.encodeVlenUtf8(vals.map(v => if (v == null) "" else v.toString).toArray)
+    if (zt == ZarrType.Bytes)
+      return ChunkColumn.encodeVlenBytes(vals.map {
+        case b: Array[Byte] => b
+        case other => throw new ZarrException(
+          s"binary array element is not Array[Byte]: $other")
+      }.toArray)
     val bb = ByteBuffer.allocate(vals.length * zt.byteWidth).order(order)
     zt match {
       case ZarrType.Bool => vals.foreach(v => bb.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))

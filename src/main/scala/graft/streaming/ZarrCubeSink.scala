@@ -44,6 +44,8 @@ import org.apache.spark.sql.functions.col
   * costs the day, not the store, and stays so as the store ages. */
 object ZarrCubeSink {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** foreachBatch body. `dims` names the cube layout (first = the
     * append/growth dim); `chunkShape`/`shardShape`/`codec` apply only
     * to the FIRST batch (store creation) — afterwards the store's
@@ -62,7 +64,9 @@ object ZarrCubeSink {
     * overlap-suppressed degraded-never-wrong coverage), so it composes
     * with the replay semantics above: the cadence fires on REPLAYED
     * batches too, which heals a crash that struck the original batch's
-    * compaction rather than waiting for the next cadence hit. A
+    * compaction rather than waiting for the next cadence hit — and on
+    * EMPTY triggers (once a store exists), so quiet ingest windows
+    * aligned with the cadence cannot defer compaction indefinitely. A
     * compaction failure never fails the batch — the data committed;
     * fragmentation is a deferred cost, not an error — it is logged and
     * retried at the next cadence. Large backlogs (a store that
@@ -94,12 +98,46 @@ object ZarrCubeSink {
         "compact_every requires stats=true — with the sidecar disabled there " +
           "is nothing to compact, and a silent no-op cadence would read as " +
           "bounded fragmentation that never happens")
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
     import scala.jdk.CollectionConverters._
     val pairs = spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).filter(_._1.startsWith("fs.")).toSeq
     val store = ZarrStore(path, pairs)
+
+    // post-commit cadence body, shared by the normal exit and the
+    // empty-trigger early return below: keyed on batch id alone so the
+    // cadence survives restarts with zero sink state, and a cadence hit
+    // landing on an EMPTY trigger still compacts — quiet ingest windows
+    // aligned with the cadence (every n-th trigger empty) must not defer
+    // compaction indefinitely
+    def runCadence(): Unit = compactEvery.foreach { n =>
+      if ((batchId + 1) % n == 0) {
+        try {
+          // distributed=true self-degrades to inline below compactStats'
+          // group threshold — steady-state cadence hits run on the
+          // driver, a pre-option backlog gets one Spark job
+          ZarrMaintenance.compactStats(spark, path, distributed = true): Unit
+        } catch {
+          // a compaction failure must never fail a batch that already
+          // committed (fragmentation is a deferred cost, not an error);
+          // logged through slf4j so the signal survives a real cluster's
+          // log aggregation, unlike a bare stderr line
+          case e: Exception =>
+            log.warn("[zarr-cube-sink] batch {}: stats compaction failed " +
+              "(will retry at the next cadence): {}", batchId, e.getMessage)
+        }
+      }
+    }
+
+    if (batch.isEmpty) {
+      // nothing to commit — but only skip the cadence when no store
+      // exists yet (a first-ever empty trigger has nothing to compact)
+      val storeExists =
+        try store.listArrays().nonEmpty
+        catch { case _: ZarrException => false }
+      if (storeExists) runCadence()
+      return
+    }
 
     // only an ABSENT store/array is "no store yet" (the r9 ZarrWrite
     // posture): a transient IO error, unreadable metadata, or a
@@ -153,22 +191,7 @@ object ZarrCubeSink {
     }
     // post-commit cadence: by this point the batch is fully committed
     // (create, append, or already-committed replay), so compaction can
-    // never take a batch's data with it — and its own failure must not
-    // fail a batch that already committed
-    compactEvery.foreach { n =>
-      if ((batchId + 1) % n == 0) {
-        try {
-          // distributed=true self-degrades to inline below compactStats'
-          // group threshold — steady-state cadence hits run on the
-          // driver, a pre-option backlog gets one Spark job
-          ZarrMaintenance.compactStats(spark, path, distributed = true): Unit
-        } catch {
-          case e: Exception =>
-            System.err.println(
-              s"[zarr-cube-sink] batch $batchId: stats compaction failed " +
-                s"(will retry at the next cadence): ${e.getMessage}")
-        }
-      }
-    }
+    // never take a batch's data with it
+    runCadence()
   }
 }

@@ -361,6 +361,22 @@ object ChunkColumn {
     bb.array()
   }
 
+  /** Inverse of [[decodeVlenBytes]] — the numcodecs VLenBytes framing
+    * (u32-LE item count, then u32-LE length + raw bytes per item): the
+    * write-side twin that makes binary columns a full read/write
+    * surface (multimodal blob payloads, [[BytesColumn]]). */
+  def encodeVlenBytes(values: Array[Array[Byte]]): Array[Byte] = {
+    val total = 4 + values.map(_.length.toLong + 4).sum
+    if (total > Int.MaxValue)
+      throw new ZarrException(
+        s"vlen-bytes chunk of $total bytes exceeds the 2 GiB object bound; " +
+          "use a smaller (inner) chunk size for large binary payloads")
+    val bb = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(values.length)
+    values.foreach { b => bb.putInt(b.length); bb.put(b) }
+    bb.array()
+  }
+
   /** Row→source-element mappings for one target chunk.
     *
     * Output rows enumerate the chunk's valid extent row-major

@@ -849,6 +849,9 @@ object Codecs {
   def isVlenUtf8(specs: Seq[CodecSpec]): Boolean =
     specs.exists(_.name == "vlen-utf8")
 
+  def isVlenBytes(specs: Seq[CodecSpec]): Boolean =
+    specs.exists(_.name == "vlen-bytes")
+
   /** Fixed-width v2 string element layout, if this codec list carries
     * one: (width, isUcs4, bigEndian). Width is bytes/element for `S`,
     * code points/element for `U`. */

@@ -353,16 +353,13 @@ object Sharding {
   /** Decode a whole shard into a [[ChunkColumn]] covering the outer
     * chunk's elements row-major (absent inner chunks → fill value). */
   def decode(meta: ZarrArrayMeta, spec: Spec, shard: Array[Byte]): ChunkColumn = {
-    // binary ('bytes') columns are supported UNSHARDED (vlen-bytes
-    // decode); inside a shard their inner chunks are variable-length,
-    // which the fixed-width run copy below cannot address — without
-    // this guard the -1 byte width crashes as a raw
-    // NegativeArraySizeException mid-scan instead of naming the
-    // unsupported layout
-    if (meta.dataType == ZarrType.Bytes)
+    // binary inner chunks carry the numcodecs VLenBytes element framing;
+    // a binary shard declared with a fixed-width inner codec has no
+    // addressable elements — refuse by name BEFORE touching the index so
+    // hostile metadata cannot steer the failure into a bytes-level error
+    if (meta.dataType == ZarrType.Bytes && !Codecs.isVlenBytes(spec.innerCodecs))
       throw new ZarrException(
-        s"sharded binary array '${meta.name}' is not supported — store " +
-          "binary ('bytes') columns unsharded")
+        s"sharded binary array ${meta.name} requires vlen-bytes inner codec")
     val runs = new Runs(meta.chunkShape, spec)
     import runs.{nInner, rowLenElems, outerElems}
     val index = decodeIndex(spec, shard, nInner)
@@ -383,7 +380,9 @@ object Sharding {
         val enc = java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt)
         val plain = innerChain.foldLeft(enc)((b, c) => c.decode(b))
         Some(
-          if (meta.dataType == ZarrType.Str) plain // strings permute post-vlen decode
+          // vlen element layouts (strings, binary) permute post-decode —
+          // a byte-level untranspose cannot address their elements
+          if (meta.dataType == ZarrType.Str || meta.dataType == ZarrType.Bytes) plain
           else innerPerm.map(Codecs.untransposeBytes(plain, _, bw0)).getOrElse(plain))
       }
     }
@@ -408,6 +407,29 @@ object Sharding {
         }
       }
       new StrColumn(out)
+    } else if (meta.dataType == ZarrType.Bytes) {
+      // variable-length binary inner chunks: the shard index addresses
+      // each inner chunk by (offset, nbytes), so vlen payloads slice out
+      // like any other — only the IN-MEMORY element copy differs (object
+      // references, the Str shape, instead of the fixed-width run copy);
+      // the vlen-bytes inner-codec requirement was checked at the top
+      val out = new Array[Array[Byte]](outerElems)
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]],
+        meta.fillValue.asInstanceOf[Array[Byte]])
+      parallelInner(nInner) { gi =>
+        innerBytes(gi).foreach { plain =>
+          val decoded = ChunkColumn.decodeVlenBytes(plain)
+          val bufs = innerPerm.map(ChunkColumn.untransposeObjects(decoded, _))
+            .getOrElse(decoded)
+          if (bufs.length != innerElems)
+            throw new ZarrException(
+              s"inner chunk $gi of ${meta.name}: ${bufs.length} payloads != $innerElems")
+          forEachRun(gi) { (r, flat) =>
+            System.arraycopy(bufs, r * rowLenElems, out, flat, rowLenElems)
+          }
+        }
+      }
+      new BytesColumn(out)
     } else {
       val bw = meta.dataType.byteWidth
       val order = Codecs.endianness(spec.innerCodecs)
@@ -473,7 +495,10 @@ object Sharding {
       skipInner: Set[Int] = Set.empty): Array[Byte] = {
     val shard = shardShape.toArray
     require(vals.length == shard.product, s"vals ${vals.length} != shard ${shard.product}")
-    if (dtype != ZarrType.Str && Codecs.endianness(spec.innerCodecs) != ByteOrder.LITTLE_ENDIAN)
+    // vlen layouts (Str/Bytes) have no endianness; fixed-width types
+    // must match the LE the engine's encode paths emit
+    if (dtype != ZarrType.Str && dtype != ZarrType.Bytes &&
+      Codecs.endianness(spec.innerCodecs) != ByteOrder.LITTLE_ENDIAN)
       throw new ZarrException("sharding encode supports little-endian inner bytes codec only")
     val runs = new Runs(shard, spec)
     import runs.{nInner, rowLenElems}

@@ -97,10 +97,14 @@ object ZarrType {
   case object Float32 extends ZarrType("float32", FloatType, 4)
   case object Float64 extends ZarrType("float64", DoubleType, 8)
   case object Str extends ZarrType("string", StringType, -1)
-  /** Variable-length raw bytes (v2 `|O` + numcodecs `vlen-bytes`):
-    * Spark BinaryType — array-native storage for opaque multimodal
-    * payloads (image/audio blobs co-located with their features).
-    * Read-only: the v3 writer has no registered vlen-bytes codec. */
+  /** Variable-length raw bytes (v2 `|O` + numcodecs `vlen-bytes`, and
+    * on the write side zarr-python's experimental v3 `bytes` dtype with
+    * the `vlen-bytes` object codec): Spark BinaryType — array-native
+    * storage for opaque multimodal payloads (image/audio blobs
+    * co-located with their features). Full read/write surface since
+    * r20, including sharded layouts (inner chunks are offset-addressed
+    * through the ZEP 2 shard index, so variable-length elements shard
+    * like any other — the layout big-shard multimodal stores need). */
   case object Bytes extends ZarrType("bytes", org.apache.spark.sql.types.BinaryType, -1)
 
   val all: Seq[ZarrType] = Seq(Bool, Int8, Int16, Int32, Int64,
@@ -800,7 +804,11 @@ object ZarrMeta {
           throw new ZarrException(s"Bad uint64 fill_value: ${n.asText()}")
         }
       }
-      else if (n.isNull || n.isMissingNode) java.math.BigDecimal.ZERO
+      // JSON null / absent is NOT a defined v3 uint64 fill — refuse like
+      // any other garbage (the v2 null-means-undefined case never reaches
+      // here: parseV2 maps it to the type's zero BEFORE calling parseFill,
+      // so a null arriving here is a malformed v3 document whose absent
+      // chunks would otherwise silently read a fill the writer never chose)
       else throw new ZarrException(s"Bad uint64 fill_value: $n")
     case ZarrType.Float32 => java.lang.Float.valueOf(floatish(n).toFloat)
     case ZarrType.Float64 => java.lang.Double.valueOf(floatish(n))

@@ -52,6 +52,9 @@ object ZarrWriter {
       timeMeta: Option[(String, String)] = None): String = {
     val arrayBytesCodec =
       if (dtype == ZarrType.Str) """{"name":"vlen-utf8"}"""
+      // binary: zarr-python's v3 name for the numcodecs VLenBytes object
+      // codec (the same element framing the v2 |O read path decodes)
+      else if (dtype == ZarrType.Bytes) """{"name":"vlen-bytes"}"""
       else """{"name":"bytes","configuration":{"endian":"little"}}"""
     // array→array codecs (transpose) precede the array→bytes codec
     val flatChain = (chain.transposeJson.toSeq ++ Seq(arrayBytesCodec) ++
@@ -185,6 +188,12 @@ object ZarrWriter {
   private[zarr] def encodeArray(dtype: ZarrType, vals: Array[Any]): Array[Byte] = {
     if (dtype == ZarrType.Str)
       return ChunkColumn.encodeVlenUtf8(vals.map(_.toString))
+    if (dtype == ZarrType.Bytes)
+      return ChunkColumn.encodeVlenBytes(vals.map {
+        case b: Array[Byte] => b
+        case other => throw new ZarrException(
+          s"binary array element is not Array[Byte]: $other")
+      })
     val bb = ByteBuffer.allocate(vals.length * dtype.byteWidth)
       .order(ByteOrder.LITTLE_ENDIAN)
     dtype match {
@@ -196,11 +205,7 @@ object ZarrWriter {
         vals.foreach(v => bb.putLong(num(v).longValue()))
       case ZarrType.Float32 => vals.foreach(v => bb.putFloat(num(v).floatValue()))
       case ZarrType.Float64 => vals.foreach(v => bb.putDouble(num(v).doubleValue()))
-      case ZarrType.Str => ()
-      case ZarrType.Bytes =>
-        // the v3 writer has no registered vlen-bytes codec; binary
-        // columns are a read-only (v2 object-array) surface
-        throw new ZarrException("binary columns are not writable")
+      case ZarrType.Str | ZarrType.Bytes => () // handled above (vlen framings)
     }
     bb.array()
   }

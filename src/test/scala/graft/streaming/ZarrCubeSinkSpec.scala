@@ -204,6 +204,32 @@ class ZarrCubeSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("requires stats=true"), e2.getMessage)
   }
 
+  test("cadence fires on an EMPTY trigger once a store exists; first-ever empty trigger is a no-op") {
+    val path = s"$base/empty-cadence"
+    // first-ever trigger empty WITH a cadence: no store yet, nothing to
+    // compact — must be a silent no-op, not a failure or a store create
+    ZarrCubeSink.appendBatch(slab(0, 0), 0L, path, Seq("day", "sensor"),
+      chunkShape = Some(Seq(1, 4)), compactEvery = Some(1))
+    assert(!new java.io.File(path).exists(), "empty first trigger must not create a store")
+    // three real batches WITHOUT the cadence fragment the sidecar
+    (0 until 3).foreach(d =>
+      ZarrCubeSink.appendBatch(slab(d, d + 1), d.toLong, path,
+        Seq("day", "sensor"), chunkShape = Some(Seq(1, 4))))
+    val store = graft.zarr.ZarrStore(path)
+    assert(store.listStatsSegmentsRaw().size == 3)
+    // a cadence hit landing on an EMPTY trigger still compacts: quiet
+    // ingest windows aligned with the cadence (every n-th trigger empty)
+    // must not defer compaction indefinitely
+    ZarrCubeSink.appendBatch(slab(0, 0), 3L, path, Seq("day", "sensor"),
+      compactEvery = Some(2)) // (3+1) % 2 == 0 → fires
+    assert(store.listStatsSegmentsRaw() == Seq((0L, 3)),
+      s"empty-trigger cadence must compact the backlog (${store.listStatsSegmentsRaw()})")
+    // data untouched by the empty trigger
+    val exp = for (t <- 0L until 3L; x <- 0L until 4L)
+      yield (t, 100L + x, (t * 10 + x).toDouble)
+    assert(readBack(path) == exp.toSeq)
+  }
+
   test("shard_shape without chunk_shape refuses on every entry point") {
     // a sink caller sharding over the DERIVED default chunking would pin
     // an arbitrary inner layout into the store permanently — the DSv2

@@ -274,4 +274,65 @@ class ShardedRangedReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => r.getDouble(0)).sorted.toSeq ==
       (16 until 20).flatMap(r => (0 until 4).map(c => (r * 16 + c).toDouble)))
   }
+
+  test("per-scan ranged_reads option drives the policy and beats the session conf (r20)") {
+    val dir = s"$base/e2e-opt"
+    buildLatLon(dir)
+    val url = s"graftlat://$dir"
+    val hc = spark.sparkContext.hadoopConfiguration
+    // session conf says NEVER; the scan-scoped option says ALWAYS — the
+    // option must win (appended last into the store's conf pairs), so
+    // concurrent readers of different stores can disagree without racing
+    // a shared conf mutation
+    hc.set("graft.zarr.ranged.reads", "never")
+    try {
+      LatencyFileSystem.reset(0)
+      val df = spark.read.format("zarr").option("ranged_reads", "always").load(url)
+        .filter("lat >= 8.0 AND lat < 16.0 AND lon >= 16.0 AND lon < 24.0")
+      val rows = df.collect()
+      assert(rows.length == 64)
+      // the masked kept-row emission is the ranged path's signature: the
+      // whole-object path would emit all 1024 extent rows to the residual
+      val scanned = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.metrics("numOutputRows").value
+      }.head
+      assert(scanned == 64L, s"option did not force ranged reads (scan emitted $scanned)")
+    } finally hc.unset("graft.zarr.ranged.reads")
+    // an unknown policy value refuses by name at scan construction
+    val e = intercept[Exception] {
+      spark.read.format("zarr").option("ranged_reads", "sometimes").load(url).collect()
+    }
+    assert(e.getMessage.contains("ranged_reads"), e.getMessage)
+  }
+
+  test("readRanged on a vlen BINARY shard slices inner chunks by stored offsets (r20)") {
+    val st = ZarrStore(s"$base/vlenranged")
+    st.writeStoreRootMeta()
+    // 16 variable-length payloads, one shard of 4 inner chunks of 4
+    val payloads = (0 until 16).map(i =>
+      Array.tabulate(3 + (i % 5) * 7)(j => ((i * 31 + j) % 251).toByte))
+    val metaJson = ZarrWriter.metaJson(ZarrType.Bytes, Seq(16), Seq(16), "null", None,
+      ZarrWriter.CodecChain.zstd.sharded(Seq(4)))
+    st.writeMeta("blob", metaJson)
+    val meta = ZarrMeta.parse("blob", metaJson)
+    val spec = meta.shardingSpec.get
+    val key = meta.chunkKey(Array(0))
+    st.writeChunk("blob", key,
+      Sharding.encode(ZarrType.Bytes, Seq(16), spec, payloads))
+    val masks = Seq(
+      Array(true, false, true, false),
+      Array(false, false, false, true),
+      Array.fill(4)(true))
+    masks.foreach { mask =>
+      val col = ChunkColumn.decode(meta,
+        Sharding.readRanged(st, "blob", key, spec, meta.chunkShape, mask))
+      (0 until 16).foreach { i =>
+        val expect: Array[Byte] =
+          if (mask(i / 4)) payloads(i) else Array.emptyByteArray
+        assert(java.util.Arrays.equals(col.get(i).asInstanceOf[Array[Byte]], expect),
+          s"element $i under mask ${mask.mkString(",")}")
+      }
+    }
+  }
 }

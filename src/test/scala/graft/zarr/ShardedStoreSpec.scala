@@ -152,9 +152,10 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unsupported sharded layouts refuse loudly, never raw JVM errors or silent garbage") {
-    // sharded BINARY arrays: inner chunks are variable-length, which the
-    // fixed-width run copy cannot address — must name the layout, not
-    // crash with NegativeArraySizeException mid-scan
+    // sharded BINARY arrays (supported since r20) require the vlen-bytes
+    // inner element framing; a binary array declared with a FIXED-WIDTH
+    // inner bytes codec has no addressable elements — must name the
+    // layout BEFORE touching the shard's bytes, never a bytes-level error
     val bytesMeta = ZarrMeta.parse("b",
       s"""{
          |  "zarr_format": 3, "node_type": "array",
@@ -164,13 +165,14 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
          |  "fill_value": null,
          |  "codecs": [{"name":"sharding_indexed","configuration":{
          |    "chunk_shape":[2],
-         |    "codecs":[{"name":"vlen-bytes"}]}}]
+         |    "codecs":[{"name":"bytes","configuration":{"endian":"little"}}]}}]
          |}""".stripMargin)
     val spec = Sharding.specOf(bytesMeta.codecs).get
     val e = intercept[ZarrException] {
       Sharding.decode(bytesMeta, spec, new Array[Byte](64))
     }
-    assert(e.getMessage.contains("sharded binary"), e.getMessage)
+    assert(e.getMessage.contains("sharded binary array") &&
+      e.getMessage.contains("vlen-bytes"), e.getMessage)
 
     // spec-legal bytes->bytes codecs AFTER sharding_indexed apply to the
     // whole shard object; this reader slices stored bytes directly, so
@@ -296,5 +298,89 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         ZarrWriter.CodecChain.raw.sharded(Seq(3)), fillJson = "0")
     }
     assert(err.getMessage.contains("does not divide"), err.getMessage)
+  }
+
+  // ---- variable-length BINARY inner chunks (r20): the shard index
+  //      addresses inner chunks by (offset, nbytes), so vlen payloads
+  //      shard like fixed-width types — the big-shard multimodal layout ----
+
+  private def blobOf(i: Int): Array[Byte] =
+    Array.tabulate(i % 9)(j => ((i * 31 + j) % 251).toByte)
+
+  test("sharded BINARY array roundtrips byte-exactly; absent inner chunks read as empty fill") {
+    val st = ZarrStore(s"$base/vlenshard")
+    st.writeStoreRootMeta()
+    val payloads = (0 until 16).map(blobOf)
+    ZarrWriter.writeArray(st, "id", ZarrType.Int64, Seq(16), Seq(8),
+      (0 until 16).map(_.toLong), None,
+      ZarrWriter.CodecChain.raw.sharded(Seq(2)), fillJson = "0")
+    ZarrWriter.writeArray(st, "blob", ZarrType.Bytes, Seq(16), Seq(8),
+      payloads, None,
+      ZarrWriter.CodecChain.zstd.sharded(Seq(2)), fillJson = "null")
+    val got = spark.read.format("zarr").load(s"$base/vlenshard")
+      .orderBy("id").collect()
+    assert(got.length == 16)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("blob"), payloads(i)),
+        s"payload $i")
+    }
+
+    // absent inner chunks (2 → elements 4,5 of shard 0) decode to the
+    // empty payload, exactly like an absent whole chunk
+    val st2 = ZarrStore(s"$base/vlenshard-fill")
+    st2.writeStoreRootMeta()
+    val metaJson = ZarrWriter.metaJson(ZarrType.Bytes, Seq(8), Seq(8), "null", None,
+      ZarrWriter.CodecChain.zstd.sharded(Seq(2)))
+    st2.writeMeta("blob", metaJson)
+    val meta = ZarrMeta.parse("blob", metaJson)
+    val spec = meta.shardingSpec.get
+    st2.writeChunk("blob", meta.chunkKey(Array(0)),
+      Sharding.encode(ZarrType.Bytes, Seq(8), spec, (0 until 8).map(blobOf),
+        skipInner = Set(2)))
+    val col = ChunkColumn.decode(meta, st2.readChunk("blob", meta.chunkKey(Array(0))))
+    (0 until 8).foreach { i =>
+      val expect = if (i == 4 || i == 5) Array.emptyByteArray else blobOf(i)
+      assert(java.util.Arrays.equals(col.get(i).asInstanceOf[Array[Byte]], expect),
+        s"element $i")
+    }
+  }
+
+  test("DSv2 tabular write shards BinaryType via inner_chunk_size; append keeps the layout") {
+    val dir = s"$base/dsv2vlen"
+    val df = spark.createDataFrame(
+      (0 until 40).map(i => org.apache.spark.sql.Row(i.toLong, blobOf(i))).asJavaRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("blob", org.apache.spark.sql.types.BinaryType))))
+    df.repartition(1).write.format("zarr").mode("overwrite")
+      .option("chunk_size", "8").option("inner_chunk_size", "2").save(dir)
+    val meta = ZarrStore(dir).readMeta("blob")
+    assert(meta.shardingSpec.isDefined, "blob array must be sharded")
+    assert(meta.dataType == ZarrType.Bytes)
+    val got = spark.read.format("zarr").load(dir).orderBy("id").collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val i = r.getAs[Long]("id").toInt
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("blob"), blobOf(i)), s"row $i")
+    }
+    // append reproduces the existing sharded vlen chain
+    val df2 = spark.createDataFrame(
+      (40 until 56).map(i => org.apache.spark.sql.Row(i.toLong, blobOf(i))).asJavaRows,
+      df.schema)
+    df2.repartition(1).write.format("zarr").mode("append").save(dir)
+    val all = spark.read.format("zarr").load(dir).orderBy("id").collect()
+    assert(all.length == 56)
+    all.foreach { r =>
+      val i = r.getAs[Long]("id").toInt
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("blob"), blobOf(i)), s"row $i")
+    }
+  }
+
+  private implicit class RowsOps(rows: Seq[org.apache.spark.sql.Row]) {
+    def asJavaRows: java.util.List[org.apache.spark.sql.Row] = {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+      rows.foreach(l.add)
+      l
+    }
   }
 }

@@ -518,18 +518,28 @@ class ZarrV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ZarrStore(dst).readMeta("s").formatVersion == 3)
   }
 
-  test("compact refuses a v2 store with BINARY columns with a clear error") {
-    // binary columns are read-only (no v3 vlen-bytes writer); the
-    // migration must fail loudly, not produce a partial store
-    val e = intercept[Exception] {
-      ZarrMaintenance.compact(spark, storeTyped,
-        java.nio.file.Files.createTempDirectory("v2binmig").toString + "/out",
-        chunkSize = 8, innerChunkSize = 4)
+  test("compact migrates v2 BINARY columns to v3 vlen-bytes, value-identical (r20)") {
+    // until r20 binary columns were read-only and this migration refused;
+    // the v3 writer now emits the vlen-bytes object codec, so the typed
+    // store (incl. its |O+vlen-bytes blob column) migrates whole —
+    // SHARDED on the way out (innerChunkSize), pinning the vlen
+    // inner-chunk write path through the migration too
+    val dst = java.nio.file.Files.createTempDirectory("v2binmig").toString + "/out"
+    ZarrMaintenance.compact(spark, storeTyped, dst, chunkSize = 8, innerChunkSize = 4)
+    val mMig = ZarrStore(dst).readMeta("blob")
+    assert(mMig.formatVersion == 3)
+    assert(mMig.dataType == ZarrType.Bytes)
+    assert(mMig.shardingSpec.isDefined, "migrated blob column must be sharded")
+    val src = spark.read.format("zarr").load(storeTyped)
+      .select("ds", "blob").orderBy("ds").collect()
+    val mig = spark.read.format("zarr").load(dst)
+      .select("ds", "blob").orderBy("ds").collect()
+    assert(mig.length == src.length)
+    src.zip(mig).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(java.util.Arrays.equals(a.getAs[Array[Byte]](1), b.getAs[Array[Byte]](1)),
+        s"blob at ds=${a.getLong(0)}")
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.toLowerCase.contains("binary")),
-      s"got: ${messages(e)}")
   }
 
   test("v2 numcodecs-blosc metadata maps onto the c-blosc container decode") {
