@@ -149,7 +149,7 @@ object ZarrRoundtrip {
           col("dv"), col("dd"), col("ds"), col("bzv"), col("xzv"), col("lzv"),
           col("ts"))
         .orderBy("ds")
-    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138 :+ q139 :+ q140
+    }) :+ q119 :+ q120 :+ q124 :+ q125 :+ q127 :+ q128 :+ q129 :+ q131 :+ q132 :+ q133 :+ q134 :+ q135 :+ q136 :+ q137 :+ q138 :+ q139 :+ q140 :+ q141 :+ q142
 
   /** q124: the CANONICAL xarray climate layout through the oracle gate —
     * a 3-D time×lat×lon cube (edge chunks on every dimension) whose
@@ -805,6 +805,207 @@ object ZarrRoundtrip {
         require(healed.getDouble(7) == 1.0,
           s"q140 analyze: coverage must be whole again ($healed)")
     }
+
+  /** q141: SHARDED BINARY (vlen-bytes) arrays under the oracle gate —
+    * the round-20 layout for multimodal blob payloads at 100 TB. Each
+    * document's blob is a deterministic UTF-8 slice of its text
+    * (`substr(text, 1, doc_id % 97)`, computable identically in DuckDB),
+    * written through the DSv2 tabular writer with `inner_chunk_size` so
+    * the binary column lands as variable-length inner chunks behind a
+    * ZEP 2 shard index (offset-addressed, not width-multiplied —
+    * `Sharding.decode`/`encode`), alongside a sharded vlen-utf8 string
+    * axis and a fixed-width int64. The read-back aggregates per source:
+    * count, BYTE length sum (UTF-8, not characters), md5 extrema over
+    * the blob BYTES, and the id sum — so a mis-sliced inner chunk, a
+    * wrong shard-index offset, a vlen-framing defect, or a lost empty
+    * payload (doc_id % 97 == 0 → zero-length blob) breaks the hash
+    * against the closed form DuckDB computes from the parquet that
+    * never saw the store. The store build REQUIRE-gates that the blob
+    * array really is sharded — a silent fallback to unsharded chunks
+    * would pass the value compare while proving nothing.
+    *
+    * Scale shape: one pass to write (chunk-aligned parallel append),
+    * chunked scan + narrow per-source partial+final agg to read; blob
+    * bytes never shuffle (md5/length reduce scan-side). */
+  private lazy val q141 = QueryDef.sql(
+    "q141_zarr_sharded_blobs",
+    """WITH b AS (
+      |  SELECT source, doc_id, substr(text, 1, (doc_id % 97)::INT) AS s
+      |  FROM documents)
+      |SELECT source, count(*) AS n_blobs,
+      |  sum(strlen(s))::BIGINT AS blob_bytes,
+      |  min(md5(s)) AS blob_md5_min,
+      |  max(md5(s)) AS blob_md5_max,
+      |  sum(doc_id)::BIGINT AS id_sum
+      |FROM b GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val store = ensureShardedBlobStore(s, dir)
+    s.read.format("zarr").load(store)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(length(col("blob"))).as("blob_bytes"),
+        min(md5(col("blob"))).as("blob_md5_min"),
+        max(md5(col("blob"))).as("blob_md5_max"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source")
+  }
+
+  /** Build the q141 store: documents → (doc_id, source, blob) with the
+    * blob column BinaryType, written sharded (chunk 4096 / inner 512).
+    * Memoized per SF like [[ensureStore]]. */
+  private def ensureShardedBlobStore(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${src.length}|${src.lastModified}|blobs".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = s"/tmp/graft_zarr_blobs/$key/documents"
+    if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) rm(storeDir)
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(Paths.get(store).getParent)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          encode(expr("substring(text, 1, cast(doc_id % 97 as int))"), "UTF-8")
+            .as("blob"))
+        .write.format("zarr").mode("append")
+        .option("chunk_size", "4096")
+        .option("inner_chunk_size", "512")
+        .save(build.getPath)
+      // the gate is only meaningful if the layout under test is real:
+      // the blob column must be SHARDED vlen-bytes, not a fallback
+      val m = graft.zarr.ZarrStore(build.getPath).readMeta("blob")
+      require(m.shardingSpec.isDefined && m.dataType == graft.zarr.ZarrType.Bytes,
+        s"q141 store: blob must be a sharded binary array (${m.codecs.map(_.name)})")
+      if (!build.renameTo(storeDir)) rm(build)
+    }
+    store
+  }
+
+  /** q142: the TABULAR write surface's maintenance lifecycle under ONE
+    * oracle gate — q140's composition for the OTHER half of the write
+    * path. Three staged DSv2 appends (doc_id thirds → manifest parts,
+    * one stats segment per write task) build a SHARDED 1-D store; then
+    * the operator's day runs on it: crash garbage seeded (an orphan
+    * chunk past the grid, an unreferenced staging dir, a phantom stats
+    * segment) → vacuum reclaims exactly that set (raw == live
+    * afterwards) → sidecar compaction merges the ingest's segments to
+    * the coverage floor — every transition require-gated on
+    * describeStats. The surviving store then serves a FILTERED
+    * aggregate whose predicate consults the compacted chunk-skip
+    * bounds, and the DuckDB closed form from the parquet that never
+    * saw the store must hash-match: a vacuum that eats a live chunk, a
+    * compaction that mangles a merged segment's bounds (wrongly
+    * skipping a chunk), or an append whose manifest lost a part all
+    * break the row hash, not just a spec.
+    *
+    * Scale shape: appends are parallel staged commits; maintenance is
+    * LIST+GET-bounded (never a chunk read); the final read is the
+    * chunked scan with predicate pushdown + a narrow per-lang agg. */
+  private lazy val q142 = QueryDef.sql(
+    "q142_zarr_tabular_lifecycle",
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars,
+      |  min(md5(text)) AS md5_min,
+      |  max(md5(text)) AS md5_max,
+      |  sum(doc_id)::BIGINT AS id_sum
+      |FROM documents WHERE n_chars >= 200
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val store = ensureTabularLifecycleStore(s, dir)
+    s.read.format("zarr").load(store)
+      .filter(col("n_chars") >= 200)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text"))).as("md5_min"),
+        max(md5(col("text"))).as("md5_max"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  }
+
+  /** Build the q142 store — see [[q142]]'s step list. All maintenance
+    * runs on the BUILD directory, so the memoized fixture is the clean
+    * post-lifecycle state. */
+  private def ensureTabularLifecycleStore(s: SparkSession, dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${src.length}|${src.lastModified}|tablife".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val store = s"/tmp/graft_zarr_tablife/$key/documents"
+    if (!Files.exists(Paths.get(store, "zarr.json"))) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val storeDir = new java.io.File(store)
+      if (storeDir.exists()) rm(storeDir)
+      val build = new java.io.File(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(Paths.get(store).getParent)
+      val path = build.getPath
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      // (1) ingest: three staged appends. Appends extend whole chunks
+      // (the writer refuses a partial last chunk), so the first two
+      // batches are chunk-ALIGNED doc_id-ranked thirds and the final
+      // batch carries the remainder — the natural shape of batched
+      // ingest, where only the tail is ragged. The rank window is
+      // build-fixture code (one pass, store built once per SF).
+      val n = docs.count()
+      val chunk = 128L
+      val third = math.max(chunk, n / 3 / chunk * chunk)
+      val ranked = docs.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))).cast("long"))
+      Seq((1L, third), (third + 1, 2 * third), (2 * third + 1, n)).foreach {
+        case (lo, hi) =>
+          ranked.filter(col("__rn").between(lo, hi)).drop("__rn")
+            .write.format("zarr").mode("append")
+            .option("chunk_size", chunk.toString)
+            .option("inner_chunk_size", "32")
+            .save(path)
+      }
+      val zs = graft.zarr.ZarrStore(path)
+      require(zs.readChunkManifest().parts.nonEmpty,
+        "q142 ingest: staged appends must accumulate manifest parts")
+      require(zs.readMeta("text").shardingSpec.isDefined,
+        "q142 ingest: the store must be sharded (inner_chunk_size)")
+      def stat(): org.apache.spark.sql.Row =
+        graft.zarr.ZarrInfo.describeStats(s, path).collect().head
+      val ingested = stat()
+      require(ingested.getDouble(7) == 1.0 && ingested.getLong(3) >= 3,
+        s"q142 ingest: expected full fragmented coverage ($ingested)")
+      // (2) crash garbage: orphan chunk past the grid, unreferenced
+      // staging dir, phantom stats segment — then vacuum reclaims it
+      Files.createDirectories(Paths.get(path, "text", "c"))
+      Files.write(Paths.get(path, "text", "c", "999999"), Array[Byte](1, 2, 3))
+      Files.createDirectories(Paths.get(path, "n_chars", "c.part-junk-0"))
+      Files.write(Paths.get(path, "n_chars", "c.part-junk-0", "0"), Array[Byte](4))
+      Files.write(Paths.get(path, "_stats", "s999999_4.json"), "{}".getBytes)
+      val junked = stat()
+      require(junked.getLong(2) > junked.getLong(3),
+        s"q142 junk: phantom segment must count raw-only ($junked)")
+      val reclaimed = graft.zarr.ZarrMaintenance.vacuum(s, path).collect()
+      require(reclaimed.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum == 3,
+        s"q142 vacuum: exactly the seeded garbage (${reclaimed.mkString(",")})")
+      val vacuumed = stat()
+      require(vacuumed.getLong(2) == vacuumed.getLong(3),
+        s"q142 vacuum: raw must equal live ($vacuumed)")
+      // (3) sidecar compaction to the coverage floor
+      graft.zarr.ZarrMaintenance.compactStats(s, path): Unit
+      val compacted = stat()
+      require(compacted.getLong(3) == compacted.getLong(4) &&
+        compacted.getDouble(7) == 1.0,
+        s"q142 compaction: live segments must reach the floor ($compacted)")
+      if (!build.renameTo(storeDir)) rm(build)
+    }
+    store
+  }
 
   /** Build the q137 store: a RAGGED-base sharded cube (days 0-6; day
     * shard 4 → partial edge chunk-row) grown to 12 days via a real

@@ -156,6 +156,41 @@ private[zarr] object ZarrDistWalk {
     n
   }
 
+  /** Stream the `_stats/` sidecar listing and reduce it to the
+    * dashboard's counts: (raw segment docs, live segments, inner docs,
+    * covered chunks). One implementation, two schedulers
+    * ([[graft.zarr.ZarrInfo.describeStats]]): inline on the driver for
+    * small stores, or as the single task of a Spark job when the
+    * LISTING itself is the cost (10⁶+ segments pre-compaction) — the
+    * paginated requests and the O(segments) name materialization then
+    * live in an executor, and only four longs return to the driver.
+    * The live rule is [[ZarrStore.liveSegments]] — shared with sidecar
+    * compaction, never a private copy. */
+  def describeStatsUnit(
+      root: String, pairs: Seq[(String, String)],
+      numChunks: Long): (Long, Long, Long, Long) = {
+    val (fs, rp) = openFs(root, pairs)
+    val dir = new Path(rp, ChunkStats.dirName)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var nInner = 0L
+    try {
+      // RemoteIterator: pages stream through a bounded buffer instead of
+      // materializing every FileStatus up front (S3A lists lazily here)
+      val it = fs.listStatusIterator(dir)
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        ChunkStats.parseSegmentName(name) match {
+          case Some(p) => segs += p
+          case None => if (ChunkStats.parseInnerName(name).isDefined) nInner += 1
+        }
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
+    val raw = segs.sortBy(_._1).toSeq
+    val live = ZarrStore.liveSegments(raw, numChunks)
+    val covered = math.min(live.map(_._2.toLong).sum, numChunks)
+    (raw.size.toLong, live.size.toLong, nInner, covered)
+  }
+
   /** Validate-and-reclaim a batch of per-inner-chunk stats docs
     * (`_stats/i<ord>.json`): a doc is a PHANTOM — deleted, counted —
     * when its ordinal is past the committed grid, it is unreadable,

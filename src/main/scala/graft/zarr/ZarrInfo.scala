@@ -150,10 +150,19 @@ object ZarrInfo {
     * zero-GET aggregate/chunk-skip surface serves, i.e. whether an
     * incremental analyze is due. Cost: ONE metadata GET (consolidated
     * stores) + the `_stats/` LISTs — never a chunk read, 100 TB costs
-    * the same as 1 GB. */
-  def describeStats(spark: SparkSession, path: String): DataFrame = {
+    * the same as 1 GB. `distributed = true` runs the sidecar LIST as
+    * ONE task of a Spark job instead of on the driver — for the store
+    * that never ran the compaction cadence (10⁶+ raw segments), where
+    * the paginated listing and its name materialization ARE the cost;
+    * only four reduced longs return to the driver. Both modes execute
+    * the same [[ZarrDistWalk.describeStatsUnit]] visitor, so their
+    * rows are identical by construction (and spec-pinned). */
+  def describeStats(
+      spark: SparkSession, path: String,
+      distributed: Boolean = false): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val store = ZarrStore(path, fsPairs(spark))
+    val pairs = fsPairs(spark)
+    val store = ZarrStore(path, pairs)
     val metas = store.readConsolidatedMetas()
       .getOrElse(store.listArrays().map(store.readMeta))
     // a typo'd path / empty store fails inside geometry resolution with
@@ -165,19 +174,22 @@ object ZarrInfo {
         throw new ZarrException(s"describeStats($path): ${e.getMessage}") }
     // ONE `_stats/` LIST serves segments AND inner docs — this poll
     // exists for the 10^5-segment store, where the LIST is the cost
-    val (raw, innerOrds) = store.listStatsSidecarRaw()
-    // the same live rule compaction merges by — never a private copy
-    val live = ZarrStore.liveSegments(raw, geom.numChunks)
-    val covered = math.min(live.map(_._2.toLong).sum, geom.numChunks)
+    val numChunks = geom.numChunks
+    val (nRaw, nLive, nInner, covered) =
+      if (distributed)
+        spark.sparkContext.parallelize(Seq(path), 1)
+          .map(p => ZarrDistWalk.describeStatsUnit(p, pairs, numChunks))
+          .collect().head
+      else ZarrDistWalk.describeStatsUnit(path, pairs, numChunks)
     val minSegs =
       (covered + ChunkStats.maxSegmentChunks - 1) / ChunkStats.maxSegmentChunks
     val row = Row(
       metas.size.toLong,
       geom.numChunks,
-      raw.size.toLong,
-      live.size.toLong,
+      nRaw,
+      nLive,
       minSegs,
-      innerOrds.size.toLong,
+      nInner,
       covered,
       if (geom.numChunks == 0) 0.0 else covered.toDouble / geom.numChunks)
     spark.createDataFrame(

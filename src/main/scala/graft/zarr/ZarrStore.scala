@@ -236,20 +236,6 @@ final case class ZarrStore(root: String, hadoopConfPairs: Seq[(String, String)] 
   def listStatsSegments(): Seq[(Long, Int)] =
     ZarrStore.unsuppressedSegments(listStatsSegmentsRaw())
 
-  /** ONE `_stats/` LIST serving BOTH sidecar populations — the raw
-    * segment listing (first-sorted) and the inner-doc ordinals. A
-    * caller that needs both (the describeStats fragmentation poll)
-    * must not pay the directory's O(segments/1000) paginated LIST
-    * twice at the 10^5-segment scale the poll exists to expose. */
-  def listStatsSidecarRaw(): (Seq[(Long, Int)], Seq[Long]) = {
-    val dir = new Path(rootPath, ChunkStats.dirName)
-    try {
-      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      (names.flatMap(ChunkStats.parseSegmentName).sortBy(_._1),
-        names.flatMap(ChunkStats.parseInnerName))
-    } catch { case _: java.io.FileNotFoundException => (Seq.empty, Seq.empty) }
-  }
-
 
   /** Whether any per-inner-chunk stats doc (`_stats/i<ord>.json`,
     * [[ChunkStats.innerKey]]) exists — one LIST, evaluated at scan

@@ -573,6 +573,12 @@ class ZarrMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val junked = statsRow()
     assert(junked.getLong(2) == 7L && junked.getLong(3) == 6L,
       s"phantom must count raw-only: $junked")
+    // distributed LIST mode (r20): the same describeStatsUnit visitor
+    // runs as one Spark task instead of on the driver — rows must be
+    // identical, pinned at the most asymmetric state (raw != live)
+    assert(ZarrInfo.describeStats(spark, path, distributed = true)
+      .collect().toSeq == Seq(junked),
+      "distributed describeStats must equal the driver row")
     // compaction collapses the six live segments to min_segments; the
     // out-of-grid phantom is not compaction's to touch
     ZarrMaintenance.compactStats(spark, path)
