@@ -50,7 +50,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[graft.queries.ZarrRoundtrip]] — the zarr connector in the
   *    oracle gate: write documents → zarr store → DSv2 read → agg
   *    (q99), cube write/append/region/shard/describe/sink
-  *    (q125, q128, q129, q131, q132, q133, q134, q135)
+  *    (q125, q128, q129, q131, q132, q133, q134, q135), ranged/stats
+  *    lifecycle (q136-q140), sharded vlen-binary blobs (q141), the
+  *    tabular maintenance lifecycle (q142)
   */
 object SparkEntry {
 
