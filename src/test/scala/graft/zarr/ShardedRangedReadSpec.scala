@@ -306,6 +306,53 @@ class ShardedRangedReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("ranged_reads"), e.getMessage)
   }
 
+  test("e2e: coordinate-masked ranged scan over a sharded BINARY data column (r20)") {
+    // the q120 payload class at the r16 read altitude: a vlen blob
+    // column rides the SAME coordinate-driven inner masks as fixed-width
+    // data (binary itself never carries stats — no order), and the
+    // ranged fetch must slice its variable-length inner chunks by the
+    // shard index's stored offsets, byte-exactly, with fewer bytes
+    val dir = s"$base/e2e-vlen"
+    LatencyFileSystem.reset(0)
+    val st = ZarrStore(dir,
+      Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+    st.writeStoreRootMeta()
+    ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(32), Seq(32),
+      (0 until 32).map(_.toDouble), Some(Seq("lat")), ZarrWriter.CodecChain.bloscLz4)
+    ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(32), Seq(32),
+      (0 until 32).map(_.toDouble), Some(Seq("lon")), ZarrWriter.CodecChain.bloscLz4)
+    def payload(i: Int, j: Int): Array[Byte] =
+      Array.tabulate(1 + (i * 32 + j) % 13)(k => ((i * 131 + j * 31 + k) % 251).toByte)
+    ZarrWriter.writeArray(st, "blob", ZarrType.Bytes, Seq(32, 32), Seq(32, 32),
+      for (i <- 0 until 32; j <- 0 until 32) yield payload(i, j),
+      Some(Seq("lat", "lon")), ZarrWriter.CodecChain.zstd.sharded(Seq(8, 8)),
+      fillJson = "null")
+    val url = s"graftlat://$dir"
+    def run(mode: String): (Seq[(Double, Double, Array[Byte])], Int, Long) = {
+      LatencyFileSystem.reset(0)
+      val rows = spark.read.format("zarr").option("ranged_reads", mode).load(url)
+        .filter("lat >= 8.0 AND lat < 16.0 AND lon >= 16.0 AND lon < 24.0")
+        .collect()
+        .map(r => (r.getAs[Double]("lat"), r.getAs[Double]("lon"),
+          r.getAs[Array[Byte]]("blob")))
+        .sortBy(t => (t._1, t._2)).toSeq
+      (rows, LatencyFileSystem.chunkGets("e2e-vlen"), LatencyFileSystem.chunkBytes("e2e-vlen"))
+    }
+    val (wholeRows, wholeGets, wholeBytes) = run("never")
+    val (rangedRows, rangedGets, rangedBytes) = run("always")
+    assert(wholeRows.length == 64)
+    assert(rangedRows.map(t => (t._1, t._2)) == wholeRows.map(t => (t._1, t._2)))
+    rangedRows.foreach { case (lat, lon, blob) =>
+      assert(java.util.Arrays.equals(blob, payload(lat.toInt, lon.toInt)),
+        s"payload at ($lat,$lon)")
+    }
+    // ranged = lat + lon + index GET + 1 coalesced inner range; whole =
+    // lat + lon + the full shard object — one extra GET, far fewer bytes
+    assert(rangedGets == wholeGets + 1, s"gets: ranged $rangedGets vs whole $wholeGets")
+    assert(rangedBytes < wholeBytes / 2,
+      s"bytes: ranged $rangedBytes vs whole $wholeBytes")
+  }
+
   test("readRanged on a vlen BINARY shard slices inner chunks by stored offsets (r20)") {
     val st = ZarrStore(s"$base/vlenranged")
     st.writeStoreRootMeta()

@@ -148,13 +148,33 @@ assert _cmp._2() <= _cmp._1(), f"compactStats from Python: {_cmp}"
 assert spark.read.format("zarr").load(sh_path).count() == 36, \
     "compactStats must not change readable contents"
 
-# describeStats (round 19): the store-level sidecar summary a PySpark
-# operator polls to decide WHEN to compact / re-analyze
-_dst = _PyDF(_ZI.describeStats(spark._jsparkSession, sh_path), spark).collect()
+# describeStats (round 19; round 20 adds the distributed LIST mode):
+# the store-level sidecar summary a PySpark operator polls to decide
+# WHEN to compact / re-analyze — Py4J passes the `distributed` flag
+# explicitly (Scala default args are invisible through the gateway)
+_dst = _PyDF(_ZI.describeStats(spark._jsparkSession, sh_path, False), spark).collect()
 assert len(_dst) == 1 and _dst[0]["n_stats_segments"] >= \
     _dst[0]["n_live_segments"] >= _dst[0]["min_segments"] >= 1 and \
     0.0 <= _dst[0]["covered_fraction"] <= 1.0, \
     f"describeStats from Python: {_dst}"
+_dsd = _PyDF(_ZI.describeStats(spark._jsparkSession, sh_path, True), spark).collect()
+assert _dsd == _dst, \
+    f"distributed describeStats must match driver: {_dsd} != {_dst}"
+
+# SHARDED BINARY blobs from Python (round 20): BinaryType lands as
+# vlen-bytes inner chunks behind a ZEP 2 shard index, and the per-scan
+# ranged_reads option rides the reader options, not shared session conf
+bl_path = "/tmp/pyzarr-blobs"
+bdf = spark.range(0, 64).selectExpr(
+    "id",
+    "encode(repeat(char(65 + id % 26), CAST(id % 7 AS INT)), 'UTF-8') AS blob"
+).coalesce(1)
+bdf.write.format("zarr").mode("overwrite").option("chunk_size", "16") \
+    .option("inner_chunk_size", "4").save(bl_path)
+bb = spark.read.format("zarr").option("ranged_reads", "always").load(bl_path)
+assert bb.count() == 64, "sharded blob rows"
+assert bb.agg(F.sum(F.length("blob"))).collect()[0][0] == \
+    sum(i % 7 for i in range(64)), "sharded blob byte lengths"
 
 # zarr_timestamp: the datetime64 -> TIMESTAMP ergonomics helper is a
 # registered SQL function (native expression), callable from Python SQL
