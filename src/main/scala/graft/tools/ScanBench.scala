@@ -592,7 +592,71 @@ object ScanBench {
     spark.read.format("zarr").load(latUrl("cube3dshard"))
       .filter($"temp" >= dpredCut).agg(sum($"temp")).collect() // warm
 
+    // ---- SHARDED BINARY blobs (round 20): the multimodal payload
+    //      layout — vlen-bytes inner chunks behind the ZEP 2 index.
+    //      A coordinate box over one inner chunk of 4 must fetch ONLY
+    //      that chunk's byte range (offset-addressed, no fixed width to
+    //      multiply); the control row pays the whole ~multi-MB shard.
+    //      Uses the per-scan `ranged_reads` option, not session conf. ----
+    val blobSide = 512
+    def blobLen(i: Int): Int = 8 + (i % 29)
+    if (!new java.io.File(s"$latBase/blobbox/blob/zarr.json").exists()) {
+      System.err.println("[scan-bench] building blob-shard store (one-time)...")
+      LatencyFileSystem.reset(0)
+      val st = ZarrStore(latUrl("blobbox"),
+        Seq("fs.graftlat.impl" -> classOf[LatencyFileSystem].getName))
+      st.writeStoreRootMeta()
+      ZarrWriter.writeArray(st, "lat", ZarrType.Float64, Seq(blobSide), Seq(blobSide),
+        (0 until blobSide).map(_.toDouble: Any), Some(Seq("lat")),
+        ZarrWriter.CodecChain.bloscLz4)
+      ZarrWriter.writeArray(st, "lon", ZarrType.Float64, Seq(blobSide), Seq(blobSide),
+        (0 until blobSide).map(_.toDouble: Any), Some(Seq("lon")),
+        ZarrWriter.CodecChain.bloscLz4)
+      val blobVals = new IndexedSeq[Any] {
+        def length: Int = blobSide * blobSide
+        def apply(i: Int): Any =
+          Array.tabulate[Byte](blobLen(i))(k => ((i * 131 + k) % 251).toByte)
+      }
+      ZarrWriter.writeArray(st, "blob", ZarrType.Bytes,
+        Seq(blobSide, blobSide), Seq(blobSide, blobSide), blobVals,
+        Some(Seq("lat", "lon")),
+        ZarrWriter.CodecChain.zstd.sharded(Seq(blobSide / 2, blobSide / 2)),
+        fillJson = "null")
+      System.err.println("[scan-bench] blob-shard store built")
+    }
+    def blobRun(nm: String, mode: String): (Double, Int, Long) = {
+      // the box hits exactly inner chunk (1, 0) of the 2x2 inner grid
+      val df = spark.read.format("zarr").option("ranged_reads", mode)
+        .load(latUrl("blobbox"))
+        .filter($"lat" >= 256 && $"lon" < 256)
+      LatencyFileSystem.reset(latMs, 64)
+      val t0 = System.nanoTime()
+      val s = df.agg(sum(length($"blob"))).collect()(0).getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      var expected = 0L
+      var i = 256
+      while (i < blobSide) {
+        var j = 0
+        while (j < 256) { expected += blobLen(i * blobSide + j); j += 1 }
+        i += 1
+      }
+      require(s == expected, s"$nm: wrong byte sum $s != $expected")
+      val gets = LatencyFileSystem.chunkGets("blobbox")
+      val bytes = LatencyFileSystem.chunkBytes("blobbox")
+      System.err.println(f"[scan-bench] $nm: $dt%.2f s, $gets chunk GETs, $bytes chunk bytes " +
+        f"(${LatencyFileSystem.allGets("blobbox")} total)")
+      (dt, gets, bytes)
+    }
+    LatencyFileSystem.reset(0)
+    spark.read.format("zarr").load(latUrl("blobbox"))
+      .filter($"lat" >= 256 && $"lon" < 256)
+      .agg(sum(length($"blob"))).collect() // warm
+
     val latBytes = Map(
+      "lat_blob_shard_ranged" -> best2b(blobRun(
+        "coord-box over a sharded BINARY column, RANGED (vlen inner chunk)", "always")),
+      "lat_blob_shard_whole" -> best2b(blobRun(
+        "coord-box over a sharded BINARY column, WHOLE-object GETs", "never")),
       "lat_shard_ranged" -> best2b(shardSelRun(
         "coord-box over big shards, RANGED (index + needed inner chunks)", "always")),
       "lat_shard_whole" -> best2b(shardSelRun(
