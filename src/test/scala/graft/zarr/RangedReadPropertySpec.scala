@@ -154,6 +154,116 @@ class RangedReadPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("random sharded BINARY stores: ranged == whole == reference byte-exactly (r20)") {
+    // the vlen inner-chunk surface under the same adversary as the
+    // fixed-width case: random shapes/inner grids, random payload
+    // lengths INCLUDING empty, absent chunks (fill = empty payload),
+    // random coordinate predicates — and the post-analyze run proves
+    // analyze both SKIPS the binary array (no order → no stats) and
+    // leaves the coordinate-driven masks exact. Blob bytes compare via
+    // hex() so equality is content, not array identity.
+    val rnd = new Random(2008202620L)
+    (0 until 15).foreach { caseNo =>
+      val ndim = 2 + rnd.nextInt(2)
+      val shape = Array.fill(ndim)(6 + rnd.nextInt(9))
+      val chunk = shape.map(s => math.min(s, 4 + rnd.nextInt(7)))
+      val inner = chunk.map { c =>
+        val ds = divisorsOf(c)
+        ds(rnd.nextInt(ds.length))
+      }
+      val dims = Array.tabulate(ndim)(d => s"d$d")
+      val nRows = shape.product
+      val coordVals: Array[Array[Double]] =
+        Array.tabulate(ndim)(d => Array.tabulate(shape(d))(i => i * 2.0 + d))
+      val payloads: Array[Array[Byte]] = Array.tabulate(nRows) { i =>
+        Array.tabulate[Byte](rnd.nextInt(13))(k => ((i * 131 + k * 17) % 251).toByte)
+      }
+      val skip: Set[Seq[Int]] =
+        if (rnd.nextBoolean()) {
+          val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+          Set(grid.map(g => rnd.nextInt(g)).toSeq)
+        } else Set.empty
+
+      val dir = s"$base/vlencase$caseNo"
+      val st = ZarrStore(dir)
+      st.writeStoreRootMeta()
+      dims.zipWithIndex.foreach { case (dn, d) =>
+        ZarrWriter.writeArray(st, dn, ZarrType.Float64,
+          Seq(shape(d).toLong), Seq(chunk(d)),
+          coordVals(d).toIndexedSeq.asInstanceOf[IndexedSeq[Any]],
+          Some(Seq(dn)), ZarrWriter.CodecChain.bloscLz4)
+      }
+      ZarrWriter.writeArray(st, "blob", ZarrType.Bytes,
+        shape.map(_.toLong).toSeq, chunk.toSeq,
+        payloads.toIndexedSeq.asInstanceOf[IndexedSeq[Any]],
+        Some(dims.toSeq), ZarrWriter.CodecChain.zstd.sharded(inner.toSeq),
+        fillJson = "null", skipChunks = skip)
+
+      def coordPred(): String = {
+        val d = rnd.nextInt(ndim)
+        val vs = coordVals(d)
+        rnd.nextInt(3) match {
+          case 0 => s"d$d >= ${vs(rnd.nextInt(vs.length))}"
+          case 1 => s"d$d < ${vs(rnd.nextInt(vs.length))}"
+          case _ => s"d$d IN (${Seq.fill(3)(vs(rnd.nextInt(vs.length))).mkString(",")})"
+        }
+      }
+      val pred = Seq.fill(1 + rnd.nextInt(2))(coordPred()).mkString(" AND ")
+
+      val hc = spark.sparkContext.hadoopConfiguration
+      def run(mode: String): Seq[String] = {
+        hc.set("graft.zarr.ranged.reads", mode)
+        try spark.read.format("zarr").load(dir).filter(pred)
+          .select((dims.map(org.apache.spark.sql.functions.col).toSeq :+
+            org.apache.spark.sql.functions.hex(
+              org.apache.spark.sql.functions.col("blob")).as("h")): _*)
+          .collect().map(_.toString).sorted.toSeq
+        finally hc.unset("graft.zarr.ranged.reads")
+      }
+      val whole = run("never")
+      val ranged = run("always")
+      assert(ranged == whole,
+        s"vlencase $caseNo: ranged != whole\nshape=${shape.mkString("x")} " +
+          s"chunk=${chunk.mkString("x")} inner=${inner.mkString("x")}\npred=$pred\n" +
+          s"whole=${whole.size} ranged=${ranged.size}")
+      // analyze must SKIP the binary array (no stats) yet keep coverage
+      // semantics for the coordinate masks — equivalence still exact
+      ZarrMaintenance.analyze(spark, dir)
+      val rangedStats = run("always")
+      assert(rangedStats == whole,
+        s"vlencase $caseNo: post-analyze ranged != whole\npred=$pred")
+      // driver-side reference over the same payloads (catches a wrong
+      // store build masking a read bug as "equal")
+      if (caseNo % 5 == 0) {
+        import scala.jdk.CollectionConverters._
+        val grid = shape.zip(chunk).map { case (s, c) => (s + c - 1) / c }
+        def chunkOf(row: Array[Int]): Seq[Int] =
+          row.zip(chunk).map { case (x, c) => x / c }.toSeq
+        val rows = (0 until nRows).map { r =>
+          val idx = new Array[Int](ndim)
+          var rem = r
+          var d = ndim - 1
+          while (d >= 0) { idx(d) = rem % shape(d); rem /= shape(d); d -= 1 }
+          val pv: Array[Byte] =
+            if (skip(chunkOf(idx))) Array.emptyByteArray else payloads(r)
+          org.apache.spark.sql.Row(
+            ((0 until ndim).map(d2 => coordVals(d2)(idx(d2))) :+ pv): _*)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          dims.toSeq.map(n => org.apache.spark.sql.types.StructField(
+            n, org.apache.spark.sql.types.DoubleType)) :+
+            org.apache.spark.sql.types.StructField(
+              "blob", org.apache.spark.sql.types.BinaryType))
+        val ref = spark.createDataFrame(rows.asJava, schema).filter(pred)
+          .select((dims.map(org.apache.spark.sql.functions.col).toSeq :+
+            org.apache.spark.sql.functions.hex(
+              org.apache.spark.sql.functions.col("blob")).as("h")): _*)
+          .collect().map(_.toString).sorted.toSeq
+        assert(whole == ref, s"vlencase $caseNo: whole != reference (store build wrong?)")
+      }
+    }
+  }
+
   test("random APPENDED sharded stores: survived+re-emitted docs stay exact (ranged == whole == reference)") {
     val sp = spark; import sp.implicits._
     val rnd = new Random(1708202617L)
