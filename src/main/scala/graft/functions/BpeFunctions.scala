@@ -64,12 +64,19 @@ object BpeOps {
     if (hit != null) hit
     else {
       val t = buildTable(arr)
-      // past the bound, KEEP the hot entries and serve overflow values
-      // uncached: the documented use is one (or a handful of) distinct
-      // merges tables, so the first 64 are the workload's hot set —
-      // clearing here would let a pathological >64-distinct-values
-      // column thrash every thread's hot entries into rebuild-per-row
-      if (tableCache.size < 64) tableCache.put(key, t)
+      // at the bound, evict ONE arbitrary entry before admitting: the
+      // documented use is one (or a handful of) distinct merges tables,
+      // so the bound is never reached in practice — but a >64-distinct
+      // prelude must neither thrash every thread's hot set (the old
+      // clear()) nor lock the cache to its first 64 residents for the
+      // executor's lifetime (a later steady-state table would then
+      // rebuild per ROW, permanently). Single-entry eviction recovers
+      // within one lookup per displaced table.
+      if (tableCache.size >= 64) {
+        val it = tableCache.keys()
+        if (it.hasMoreElements) tableCache.remove(it.nextElement()): Unit
+      }
+      tableCache.put(key, t)
       t
     }
   }

@@ -27,41 +27,51 @@ import org.apache.spark.sql.functions._
   */
 object ZarrRoundtrip {
 
-  /** Write `documents` of `dir` to a deterministic temp zarr store once;
-    * subsequent calls (bench re-runs, verify) reuse it. */
-  private def ensureStore(s: SparkSession, dir: String): String = {
-    // key on path + source size/mtime so regenerated testdata can never
-    // be served from a stale store
+  /** Build-once memoization skeleton shared by every ensure* fixture
+    * builder below. Keyed on the source parquet's (path, size, mtime)
+    * plus `keyTag`, so regenerated testdata can never be served from a
+    * stale store. The root document (`zarr.json`) is the writer's
+    * commit point — a store dir without it is a crashed half-write and
+    * is cleared before rebuilding. The build runs under a unique
+    * sibling, then atomically renames into place: concurrent builders
+    * (e.g. a bench run racing a verify) each build privately and
+    * exactly one rename wins; losers discard their build and use the
+    * winner's store. */
+  private def ensureMemoizedStore(
+      dir: String, keyTag: String, root: String, name: String)(
+      build: String => Unit): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .digest(s"$keyTag|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_roundtrip/$key/documents"
+    val store = s"$root/$key/$name"
     if (!Files.exists(Paths.get(store, "zarr.json"))) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(): Unit
       }
-      // the root document is the writer's commit point — a store dir
-      // without it is a crashed half-write; clear it before rebuilding
       val storeDir = new java.io.File(store)
       if (storeDir.exists()) rm(storeDir)
-      // build under a unique sibling, then atomically rename into
-      // place — concurrent builders (e.g. a bench run racing a verify)
-      // each build privately and exactly one rename wins; losers
-      // discard their build and use the winner's store
-      val build = new java.io.File(
+      val buildDir = new java.io.File(
         s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(Paths.get(store).getParent)
+      build(buildDir.getPath)
+      if (!buildDir.renameTo(storeDir)) rm(buildDir)
+    }
+    store
+  }
+
+  /** Write `documents` of `dir` to a deterministic temp zarr store once;
+    * subsequent calls (bench re-runs, verify) reuse it. */
+  private def ensureStore(s: SparkSession, dir: String): String =
+    ensureMemoizedStore(dir, "roundtrip", "/tmp/graft_zarr_roundtrip",
+      "documents") { path =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
         .write.format("zarr").mode("append")
         .option("chunk_size", "4096")
-        .save(build.getPath)
-      if (!build.renameTo(storeDir)) rm(build)
+        .save(path)
     }
-    store
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql(
@@ -442,27 +452,10 @@ object ZarrRoundtrip {
     * [[ensureCubeStore]]. */
   private def ensureDayGridStore(
       s: SparkSession, dir: String, keyTag: String, root: String)(
-      write: (DataFrame, String) => Unit): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$keyTag|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = s"$root/$key/day_cells"
-    if (!Files.exists(Paths.get(store, "zarr.json"))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val storeDir = new java.io.File(store)
-      if (storeDir.exists()) rm(storeDir)
-      val build = new java.io.File(
-        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(Paths.get(store).getParent)
-      write(denseDayCells(s, dir), build.getPath)
-      if (!build.renameTo(storeDir)) rm(build)
+      write: (DataFrame, String) => Unit): String =
+    ensureMemoizedStore(dir, keyTag, root, "day_cells") { path =>
+      write(denseDayCells(s, dir), path)
     }
-    store
-  }
 
   /** Build the q128 store: fresh cube of days 0-7, then a REAL
     * `append_dim` append of days 8-11 (both slabs share the source axis
@@ -853,22 +846,8 @@ object ZarrRoundtrip {
   /** Build the q141 store: documents → (doc_id, source, blob) with the
     * blob column BinaryType, written sharded (chunk 4096 / inner 512).
     * Memoized per SF like [[ensureStore]]. */
-  private def ensureShardedBlobStore(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.length}|${src.lastModified}|blobs".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_blobs/$key/documents"
-    if (!Files.exists(Paths.get(store, "zarr.json"))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val storeDir = new java.io.File(store)
-      if (storeDir.exists()) rm(storeDir)
-      val build = new java.io.File(
-        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(Paths.get(store).getParent)
+  private def ensureShardedBlobStore(s: SparkSession, dir: String): String =
+    ensureMemoizedStore(dir, "blobs", "/tmp/graft_zarr_blobs", "documents") { path =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           encode(expr("substring(text, 1, cast(doc_id % 97 as int))"), "UTF-8")
@@ -876,16 +855,13 @@ object ZarrRoundtrip {
         .write.format("zarr").mode("append")
         .option("chunk_size", "4096")
         .option("inner_chunk_size", "512")
-        .save(build.getPath)
+        .save(path)
       // the gate is only meaningful if the layout under test is real:
       // the blob column must be SHARDED vlen-bytes, not a fallback
-      val m = graft.zarr.ZarrStore(build.getPath).readMeta("blob")
+      val m = graft.zarr.ZarrStore(path).readMeta("blob")
       require(m.shardingSpec.isDefined && m.dataType == graft.zarr.ZarrType.Bytes,
         s"q141 store: blob must be a sharded binary array (${m.codecs.map(_.name)})")
-      if (!build.renameTo(storeDir)) rm(build)
     }
-    store
-  }
 
   /** q142: the TABULAR write surface's maintenance lifecycle under ONE
     * oracle gate — q140's composition for the OTHER half of the write
@@ -931,23 +907,9 @@ object ZarrRoundtrip {
   /** Build the q142 store — see [[q142]]'s step list. All maintenance
     * runs on the BUILD directory, so the memoized fixture is the clean
     * post-lifecycle state. */
-  private def ensureTabularLifecycleStore(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${src.length}|${src.lastModified}|tablife".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_tablife/$key/documents"
-    if (!Files.exists(Paths.get(store, "zarr.json"))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val storeDir = new java.io.File(store)
-      if (storeDir.exists()) rm(storeDir)
-      val build = new java.io.File(
-        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(Paths.get(store).getParent)
-      val path = build.getPath
+  private def ensureTabularLifecycleStore(s: SparkSession, dir: String): String =
+    ensureMemoizedStore(dir, "tablife", "/tmp/graft_zarr_tablife",
+      "documents") { path =>
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       // (1) ingest: three staged appends. Appends extend whole chunks
@@ -962,13 +924,17 @@ object ZarrRoundtrip {
       val ranked = docs.withColumn("__rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("doc_id"))).cast("long"))
-      Seq((1L, third), (third + 1, 2 * third), (2 * third + 1, n)).foreach {
-        case (lo, hi) =>
-          ranked.filter(col("__rn").between(lo, hi)).drop("__rn")
-            .write.format("zarr").mode("append")
-            .option("chunk_size", chunk.toString)
-            .option("inner_chunk_size", "32")
-            .save(path)
+      // a tiny corpus (n <= 2*third) degenerates trailing ranges to
+      // empty — drop them rather than append zero rows, and gate the
+      // segment require on the batches that actually ran
+      val bounds = Seq((1L, third), (third + 1, 2 * third), (2 * third + 1, n))
+        .filter { case (lo, hi) => lo <= hi }
+      bounds.foreach { case (lo, hi) =>
+        ranked.filter(col("__rn").between(lo, hi)).drop("__rn")
+          .write.format("zarr").mode("append")
+          .option("chunk_size", chunk.toString)
+          .option("inner_chunk_size", "32")
+          .save(path)
       }
       val zs = graft.zarr.ZarrStore(path)
       require(zs.readChunkManifest().parts.nonEmpty,
@@ -978,7 +944,7 @@ object ZarrRoundtrip {
       def stat(): org.apache.spark.sql.Row =
         graft.zarr.ZarrInfo.describeStats(s, path).collect().head
       val ingested = stat()
-      require(ingested.getDouble(7) == 1.0 && ingested.getLong(3) >= 3,
+      require(ingested.getDouble(7) == 1.0 && ingested.getLong(3) >= bounds.size,
         s"q142 ingest: expected full fragmented coverage ($ingested)")
       // (2) crash garbage: orphan chunk past the grid, unreferenced
       // staging dir, phantom stats segment — then vacuum reclaims it
@@ -1002,10 +968,7 @@ object ZarrRoundtrip {
       require(compacted.getLong(3) == compacted.getLong(4) &&
         compacted.getDouble(7) == 1.0,
         s"q142 compaction: live segments must reach the floor ($compacted)")
-      if (!build.renameTo(storeDir)) rm(build)
     }
-    store
-  }
 
   /** Build the q137 store: a RAGGED-base sharded cube (days 0-6; day
     * shard 4 → partial edge chunk-row) grown to 12 days via a real
@@ -1305,22 +1268,8 @@ object ZarrRoundtrip {
   /** Build the q125 cube store once per (dir, source size/mtime);
     * bench/verify re-runs reuse it. Same memoize-and-rename discipline
     * as [[ensureStore]]. */
-  private def ensureCubeStore(s: SparkSession, dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"cube|$dir|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val store = s"/tmp/graft_zarr_cube/$key/doc_cells"
-    if (!Files.exists(Paths.get(store, "zarr.json"))) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      val storeDir = new java.io.File(store)
-      if (storeDir.exists()) rm(storeDir)
-      val build = new java.io.File(
-        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Files.createDirectories(Paths.get(store).getParent)
+  private def ensureCubeStore(s: SparkSession, dir: String): String =
+    ensureMemoizedStore(dir, "cube", "/tmp/graft_zarr_cube", "doc_cells") { path =>
       val docs = Tables.load(s, dir, "documents")
       val cells = docs
         .groupBy(col("source"), pmod(col("doc_id"), lit(8L)).as("bucket"))
@@ -1337,11 +1286,8 @@ object ZarrRoundtrip {
       dense.write.format("zarr").mode("append")
         .option("dims", "source,bucket")
         .option("chunk_shape", "6,5")
-        .save(build.getPath)
-      if (!build.renameTo(storeDir)) rm(build)
+        .save(path)
     }
-    store
-  }
 
   /** Locate a checked-in fixture store without assuming a container
     * path: explicit override (`-Dgraft.fixture.dir` / `GRAFT_FIXTURE_DIR`)

@@ -67,7 +67,8 @@ class ZarrDataSource extends TableProvider with DataSourceRegister {
       v match {
         case "always" | "never" | "auto" | "true" | "false" => ()
         case other => throw new ZarrException(
-          s"ranged_reads option '$other' is not one of always|never|auto")
+          s"ranged_reads option '$other' is not one of always|never|auto" +
+            " (true/false accepted as aliases of always/never)")
       }
       "graft.zarr.ranged.reads" -> v
     }.toSeq

@@ -130,12 +130,26 @@ object ZarrCubeSink {
     }
 
     if (batch.isEmpty) {
-      // nothing to commit — but only skip the cadence when no store
-      // exists yet (a first-ever empty trigger has nothing to compact)
-      val storeExists =
-        try store.listArrays().nonEmpty
-        catch { case _: ZarrException => false }
-      if (storeExists) runCadence()
+      // nothing to commit — the cadence still fires on a hit (quiet
+      // windows must not defer compaction), but ONLY a hit touches the
+      // filesystem at all: an idle stream on 1 s empty triggers with no
+      // cadence (or between hits) must stay zero-I/O, and the existence
+      // probe itself must never fail a no-op batch (a transient LIST
+      // error here means compaction defers to the next hit, not that a
+      // committed-nothing batch dies)
+      val cadenceHit = compactEvery.exists(n => (batchId + 1) % n == 0)
+      if (cadenceHit) {
+        val storeExists = // a first-ever empty trigger has nothing to compact
+          try store.listArrays().nonEmpty
+          catch {
+            case _: ZarrException => false
+            case e: Exception =>
+              log.warn("[zarr-cube-sink] batch {}: store probe on empty " +
+                "trigger failed (cadence deferred): {}", batchId, e.getMessage)
+              false
+          }
+        if (storeExists) runCadence()
+      }
       return
     }
 

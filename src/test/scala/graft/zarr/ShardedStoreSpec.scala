@@ -2,6 +2,8 @@ package graft.zarr
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -348,7 +350,7 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("DSv2 tabular write shards BinaryType via inner_chunk_size; append keeps the layout") {
     val dir = s"$base/dsv2vlen"
     val df = spark.createDataFrame(
-      (0 until 40).map(i => org.apache.spark.sql.Row(i.toLong, blobOf(i))).asJavaRows,
+      (0 until 40).map(i => org.apache.spark.sql.Row(i.toLong, blobOf(i))).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("blob", org.apache.spark.sql.types.BinaryType))))
@@ -365,7 +367,7 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // append reproduces the existing sharded vlen chain
     val df2 = spark.createDataFrame(
-      (40 until 56).map(i => org.apache.spark.sql.Row(i.toLong, blobOf(i))).asJavaRows,
+      (40 until 56).map(i => org.apache.spark.sql.Row(i.toLong, blobOf(i))).asJava,
       df.schema)
     df2.repartition(1).write.format("zarr").mode("append").save(dir)
     val all = spark.read.format("zarr").load(dir).orderBy("id").collect()
@@ -376,11 +378,4 @@ class ShardedStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  private implicit class RowsOps(rows: Seq[org.apache.spark.sql.Row]) {
-    def asJavaRows: java.util.List[org.apache.spark.sql.Row] = {
-      val l = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
-      rows.foreach(l.add)
-      l
-    }
-  }
 }
