@@ -594,9 +594,14 @@ object Dedup {
         .filter(col("df") > 1 &&
           !(col("doc_id") === col("fst.doc_id") && col("pos") === col("fst.pos")))
         .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
+      // sort below, span-removal projection above: the terminal global
+      // sort range-samples its child, and the kept-token filter + md5 is
+      // the most expensive scan-local piece of this plan — q30's
+      // single-execution rationale
       d.join(spans, Seq("doc_id"), "left")
         .select(col("doc_id"), col("ws"),
           coalesce(col("spans"), expr("array()").cast("array<int>")).as("spans"))
+        .orderBy("doc_id")
         .withColumn("kept", expr(
           "filter(transform(ws, (w, i) -> named_struct('w', w, 'p', i + 1)), " +
             "x -> !exists(spans, sp -> sp <= x.p AND x.p <= sp + 19))"))
@@ -604,7 +609,6 @@ object Dedup {
           size(col("ws")).cast("long").as("n_tokens"),
           (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tokens"),
           md5(array_join(expr("transform(kept, x -> x.w)"), " ")).as("clean_md5"))
-        .orderBy("doc_id")
     },
 
     // ---- dedup observability (round 11): per-source duplication rate —

@@ -192,7 +192,14 @@ object Mining {
         .orderBy(col("c").desc, col("word"))
         .limit(10)
         .agg(collect_list(col("word")).as("wl"))
-      d.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      // sort below, scoring above: the terminal global sort range-samples
+      // its child, so the count_in scoring (and the broadcast probe)
+      // below the exchange would run twice — q30's single-execution
+      // rationale. The 1-row broadcast join above the sort is a narrow
+      // stream-side append, so row order is preserved.
+      d.select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         .withColumn("n_words", size(col("ws")))
         .crossJoin(broadcast(top10))
         .select(col("doc_id"), col("n_words"),
@@ -200,7 +207,6 @@ object Mining {
             call_function("count_in", col("ws"), col("wl"))) *
             lit(1.0) / col("n_words"), 6)
             .as("rare_frac"))
-        .orderBy("doc_id")
     },
 
     // ---- ANN recall evaluation: recall@5 of the LSH index (q40) against
@@ -390,7 +396,12 @@ object Mining {
       // accumulator carries (previous word, run length, entropy sum);
       // each run closes with its (c/n) ln(c/n) term in sorted-word
       // order — the same terms, same order as the oracle's ordered list
+      // sort below, run-length fold above: a terminal global sort
+      // range-samples its child, so the fold below the exchange would run
+      // twice (sampling + sort) — q30's single-execution rationale
       docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         .select(col("doc_id"), size(col("ws")).as("n_words"),
           expr(
@@ -405,7 +416,6 @@ object Mining {
               |                 ln(st.run * CAST(1.0 AS double) / size(ws)))
               |""".stripMargin).as("negent"))
         .select(col("doc_id"), col("n_words"), round(-col("negent"), 6).as("entropy"))
-        .orderBy("doc_id")
     },
 
     // ---- PMI collocation mining: word pairs that co-occur in documents

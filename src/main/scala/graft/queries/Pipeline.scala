@@ -63,7 +63,12 @@ object Pipeline {
         |  round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4)
         |    AS mean_word_len
         |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // sort below, array derivations above: a terminal global sort
+      // range-samples its child, so everything below the exchange would
+      // run twice (sampling + sort) — q30's single-execution rationale
       docs(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         // bigrams without a 1-past-end guard: zip the array with itself
         // shifted by one — empty when size(ws) < 2
@@ -80,7 +85,6 @@ object Pipeline {
             .otherwise(lit(0.0)).as("dup_bigram_frac"),
           round(expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) /
             size(col("ws")), 4).as("mean_word_len"))
-        .orderBy("doc_id")
     },
 
     // ---- batch sessionization: 30-minute inactivity gap, the batch twin
