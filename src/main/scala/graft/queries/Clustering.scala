@@ -30,6 +30,17 @@ object Clustering {
   private val K = 8
   private val Iters = 2
 
+  /** First-k data-point centroids (vec_id < k), collected UNSORTED and
+    * ordered driver-side: a global orderBy before a collect plans a
+    * range exchange whose partitioner SAMPLES its child, so the
+    * filtered scan would execute twice (two jobs) for a k-row result.
+    * Shared by q56/q88/q91 here and q95's PQ codebook. */
+  private[queries] def centroidSeed(emb: DataFrame, k: Int): Array[Array[Double]] =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
   /** transform(<centroid literal>, c -> round(sqdist64(embedding, c), 6)) */
   private def distsExpr(cents: Array[Array[Double]]): String = {
     val centSql = cents
@@ -101,9 +112,7 @@ object Clustering {
       val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // init: the first K embeddings are the centroids (deterministic, and
       // they are real data points, so no cluster starts empty)
-      var cents: Array[Array[Double]] = emb.filter(col("vec_id") < K)
-        .orderBy("vec_id").select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var cents: Array[Array[Double]] = centroidSeed(emb, K)
       for (_ <- 1 to Iters) {
         val recomputed = assign(emb, cents)
           .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -171,9 +180,7 @@ object Clustering {
         |FROM a ORDER BY vec_id""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val cents: Array[Array[Double]] = emb.filter(col("vec_id") < K)
-        .orderBy("vec_id").select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents: Array[Array[Double]] = centroidSeed(emb, K)
       // (vec_id, embedding, nrm, cluster): norm computed once per row, not
       // once per pair
       val assigned = assign(emb, cents)
@@ -243,9 +250,7 @@ object Clustering {
         |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
       val emb = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val cents: Array[Array[Double]] = emb.filter(col("vec_id") < K)
-        .orderBy("vec_id").select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cents: Array[Array[Double]] = centroidSeed(emb, K)
       val m = 8
       val subDim = 64 / m
       // d$j = 8 rounded sub-distances for subspace j; all scan-local

@@ -449,25 +449,46 @@ object Mining {
         |        CROSS JOIN n
         |WHERE cp >= 25
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+      // ONE document scan and ONE exchange feed all three counts the PMI
+      // needs: each doc emits its word pairs, a (w, NULL) marker per
+      // distinct word, and a single (NULL, NULL) marker — so pair
+      // support, word doc-frequency and the corpus doc count fall out of
+      // the same partial-agg'd groupBy. The old shape scanned documents
+      // once per count family (pair scan + word scan + a count() job),
+      // recomputing the sort/distinct each time.
+      // coalesce: a null-text doc has no words but still counts in nd
+      // (the oracle's count(*)), so its (NULL, NULL) marker must emit
       val d = docs(s, dir)
         .select(col("doc_id"),
-          array_sort(array_distinct(split(col("text"), " ", -1))).as("us"))
-      val nd = d.count() // metadata-cheap; pins N as a literal like q62
-      val wc = d.select(explode(col("us")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
-      // per-doc unordered pairs of distinct words via one higher-order
-      // expression (vocab-bounded quadratic per row, no self-join)
-      val pairs = d.select(explode(expr(
-        "flatten(transform(us, (x, i) -> " +
-          "transform(slice(us, i + 2, size(us)), y -> struct(x AS w1, y AS w2))))"))
+          coalesce(array_sort(array_distinct(split(col("text"), " ", -1))),
+            expr("CAST(array() AS array<string>)")).as("us"))
+      val emitted = d.select(explode(expr(
+        "concat(" +
+          "flatten(transform(us, (x, i) -> " +
+          "  transform(slice(us, i + 2, size(us)), y -> struct(x AS w1, y AS w2)))), " +
+          "transform(us, x -> struct(x AS w1, CAST(NULL AS string) AS w2)), " +
+          "array(struct(CAST(NULL AS string) AS w1, CAST(NULL AS string) AS w2)))"))
         .as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val pc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
-        .filter(col("cp") >= 25)
+      // persisted: the count table is vocab-bounded (distinct pairs +
+      // vocab + 1 marker row), and without the persist each of the three
+      // consumers below re-plans the scan+explode+exchange — the filter
+      // pushed below each branch's partial agg differs, so ReuseExchange
+      // cannot fire across them and the expensive pair explode would run
+      // three times
+      val counts = graft.CacheRegistry.track(
+        emitted.groupBy("w1", "w2").agg(count(lit(1)).as("c")).persist())
+      val nd = counts.filter(col("w1").isNull && col("w2").isNull)
+        .select(col("c").as("nd"))
+      val wc = counts.filter(col("w1").isNotNull && col("w2").isNull)
+        .select(col("w1").as("w"), col("c").as("cw"))
+      val pc = counts.filter(col("w2").isNotNull && col("c") >= 25)
+        .select(col("w1"), col("w2"), col("c").as("cp"))
       pc.join(broadcast(wc.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cwa")), "w1")
         .join(broadcast(wc.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cwb")), "w2")
+        .join(broadcast(nd))
         .select(col("w1"), col("w2"), col("cp"),
-          round(log(col("cp") * lit(1.0) * lit(nd) / (col("cwa") * lit(1.0) * col("cwb"))), 6)
+          round(log(col("cp") * lit(1.0) * col("nd") / (col("cwa") * lit(1.0) * col("cwb"))), 6)
             .as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(50)
@@ -729,22 +750,11 @@ object Mining {
     val deg = graft.CacheRegistry.track(
       edgesRaw.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist())
     // the integer constants are a bounded driver sync (the q56 k-means
-    // discipline): n = node count, known once deg is cached. The sync
-    // is also the edge-build phase boundary, so time it: two rounds of
-    // sweep outliers (r7 7.4 s, r8 8.2 s max) were adjudicated as
-    // machine contention post-hoc — the phase log plus Bench's
-    // [bench-stage] per-stage wall/GC trace (each iteration's aggregate
-    // is its own stage) makes the next one attributable in-line
-    def gcMs(): Long = {
-      val it = java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans.iterator()
-      var t = 0L
-      while (it.hasNext) t += it.next().getCollectionTime
-      t
-    }
-    val (tEdge0, gEdge0) = (System.nanoTime(), gcMs())
+    // discipline): n = node count, known once deg is cached. Bench's
+    // [bench-stage] per-stage wall/GC trace already attributes any
+    // edge-build outlier (each iteration's aggregate is its own stage),
+    // so no query-body instrumentation is needed here.
     val n = deg.count()
-    System.err.println(f"[q97] edge-build wall=${(System.nanoTime() - tEdge0) / 1e9}%.3fs gcMs=${gcMs() - gEdge0} nodes=$n")
     require(n > 0, "q97: no co-purchase edges in the ship window")
     val bcastState = n <= broadcastNodeLimit
     val rInit = 1000000000L / n

@@ -807,18 +807,29 @@ object Pipeline {
             "(a, b) -> concat(a, '_', b)), x -> x IS NOT NULL))"))
       def bucket(e: String): String =
         s"cast(conv(substring(md5($e), 1, 4), 16, 10) as int) % 256"
-      // pass 1: target source (1 row) + bucket distributions (256 rows) —
-      // bounded plan literals independent of corpus size
-      val target = docs(s, dir).agg(min(col("source"))).head.getString(0)
-      val counts = d.select(col("source"), explode(col("feats")).as("f"))
-        .select(col("source"), expr(bucket("f")).as("b"))
-        .groupBy("b")
-        .agg(count(lit(1)).as("cr"),
-          count(when(col("source") === target, lit(1))).as("ct"))
+      // pass 1: ONE job computes both the target source and the bucket
+      // distributions — per-(source, bucket) counts (≤ sources×257 rows,
+      // bounded plan literals independent of corpus size) with a per-doc
+      // b = -1 marker so every source appears even with zero features;
+      // target = min(source) then falls out driver-side. The old shape
+      // ran a separate min(source) aggregation job first.
+      val counts = d.select(col("source"),
+          explode(expr(
+            "concat(transform(coalesce(feats, CAST(array() AS array<string>)), " +
+              s"f -> ${bucket("f")}), array(-1))")).as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("n"))
         .collect()
+      val target = counts.iterator.map(_.getString(0)).filter(_ != null).min
       val cr = new Array[Long](256)
       val ct = new Array[Long](256)
-      counts.foreach { r => val b = r.getInt(0); cr(b) = r.getLong(1); ct(b) = r.getLong(2) }
+      counts.foreach { r =>
+        val b = r.getInt(1)
+        if (b >= 0) {
+          val n = r.getLong(2)
+          cr(b) += n
+          if (r.getString(0) == target) ct(b) += n
+        }
+      }
       val rTot = cr.sum
       val tTot = ct.sum
       val lrs = Array.tabulate(256)(i =>

@@ -288,10 +288,15 @@ object Quality {
           "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
             "(a, b) -> concat(a, ' ', b))")).as("bigram"))
       val bcnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
-      val ucnt = bcnt.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
-        .agg(sum(col("cb")).as("cu"))
+      // head totals via a WINDOW over the vocab-bounded count table: the
+      // old groupBy(w1) + join-back re-planned the whole bigram-count
+      // subtree (ReuseExchange did not fire across the two consumers), so
+      // the corpus was scanned and exploded twice just to re-derive cb.
+      // One window exchange of (bigram, cb) rows replaces that; per-w1
+      // bucket size is vocab-bounded, never corpus-bounded.
+      val wHead = Window.partitionBy(substring_index(col("bigram"), " ", 1))
       val bstats = bcnt
-        .join(ucnt, substring_index(bcnt("bigram"), " ", 1) === ucnt("w1"))
+        .withColumn("cu", sum(col("cb")).over(wHead))
         .select(col("bigram"), log(col("cb") * lit(1.0) / col("cu")).as("logp"))
       bg.join(bstats, "bigram")
         .groupBy(col("doc_id"))

@@ -79,9 +79,17 @@ object Relational {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin) { (s, dir) =>
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      t(s, dir, "orders")
+      // lineitem STREAMS; the segment-filtered order keys broadcast.
+      // Unhinted, Catalyst size estimates picked lineitem — the fact
+      // table — as the broadcast build side (collect + hash-relation
+      // over every lineitem row); at scale the fact side must never
+      // build. The semi-filtered orders key set is the small side by
+      // construction (one segment's orders, one bigint column).
+      val ords = t(s, dir, "orders")
         .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(ords), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

@@ -355,9 +355,7 @@ object Similarity {
       // PQ codebook: fixed data-point sub-centroids (vec_id < 8), one
       // k-vector array literal per subspace — same training discipline
       // as q91 so codes agree across the two queries.
-      val cb: Array[Array[Double]] = e.filter(col("vec_id") < 8)
-        .orderBy("vec_id").select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val cb: Array[Array[Double]] = Clustering.centroidSeed(e, 8)
       def centSql(j: Int): String = cb
         .map(c => c.slice(subDim * j, subDim * (j + 1))
           .map(v => s"${v}D").mkString("array(", ",", ")"))

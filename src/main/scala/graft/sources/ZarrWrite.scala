@@ -754,7 +754,11 @@ object ZarrDataWriter {
     if (zt == ZarrType.Str)
       return ChunkColumn.encodeVlenUtf8(vals.map(v => if (v == null) "" else v.toString).toArray)
     if (zt == ZarrType.Bytes)
+      // null binary → empty payload: the Bytes fill semantics, mirroring
+      // the null-StringType → "" handling above (Spark binary columns
+      // are nullable by default; a per-element throw aborted the write)
       return ChunkColumn.encodeVlenBytes(vals.map {
+        case null => Array.emptyByteArray
         case b: Array[Byte] => b
         case other => throw new ZarrException(
           s"binary array element is not Array[Byte]: $other")

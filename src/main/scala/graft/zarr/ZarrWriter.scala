@@ -189,7 +189,9 @@ object ZarrWriter {
     if (dtype == ZarrType.Str)
       return ChunkColumn.encodeVlenUtf8(vals.map(_.toString))
     if (dtype == ZarrType.Bytes)
+      // null → empty payload (Bytes fill semantics), as on the Str path
       return ChunkColumn.encodeVlenBytes(vals.map {
+        case null => Array.emptyByteArray
         case b: Array[Byte] => b
         case other => throw new ZarrException(
           s"binary array element is not Array[Byte]: $other")

@@ -361,4 +361,23 @@ class CodecsSpec extends AnyFunSuite {
     val enc = Codecs.V2Shuffle(2).encode(Array[Byte](1, 2, 3, 4, 5))
     assert(enc.toSeq == Seq[Byte](1, 3, 2, 4, 5))
   }
+
+  test("null binary elements encode as the empty payload (Bytes fill), like null Str -> \"\"") {
+    // ADVICE r20: a null element must map to the Bytes fill (empty
+    // payload), mirroring the Str path — not throw per-element
+    val viaWriter = ZarrWriter.encodeArray(ZarrType.Bytes,
+      Array[Any](null, Array[Byte](1, 2, 3)))
+    val viaDsv2 = graft.sources.ZarrDataWriter.encode(ZarrType.Bytes,
+      Seq(null, Array[Byte](1, 2, 3)))
+    for (framed <- Seq(viaWriter, viaDsv2)) {
+      val back = ChunkColumn.decodeVlenBytes(framed)
+      assert(back.length == 2)
+      assert(back(0).isEmpty, "null must decode as the empty payload")
+      assert(back(1).toSeq == Seq[Byte](1, 2, 3))
+    }
+    // a non-binary element still refuses loudly
+    intercept[ZarrException] {
+      ZarrWriter.encodeArray(ZarrType.Bytes, Array[Any]("nope"))
+    }
+  }
 }
