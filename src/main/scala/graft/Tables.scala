@@ -16,15 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects; read it as a raw nanosecond long instead (queries bucket it
-    // arithmetically, which matches DuckDB's native-ns date_trunc).
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(spark, df) else df
-  }
+  // Memoized per (session, dir, table): `spark.read.parquet` builds a
+  // fresh InMemoryFileIndex and re-reads the footer schema on EVERY
+  // call, which costs a small listing/footer job per query construction
+  // (x3 timed runs x queries x tables in a bench sweep). The DataFrame
+  // is an immutable plan — only file metadata is cached here, never
+  // results (the guide's file-listing-cache point, applied at the one
+  // shared read boundary). Session-keyed like ShingleBase's memo.
+  private val memo = scala.collection.mutable.Map
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    synchronized {
+      memo.getOrElseUpdate((spark, sfDir, name), {
+        // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+        // reader rejects; read it as a raw nanosecond long instead
+        // (queries bucket it arithmetically, which matches DuckDB's
+        // native-ns date_trunc).
+        if (name == "events")
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        if (name == "events") normalizeEventTs(spark, df) else df
+      })
+    }
 
   /** The `events.ts` column arrives in two physical shapes depending on
     * how the driver generated the parquet: TIMESTAMP(NANOS) — which the

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * cliques or short chains, so a handful of rounds converge). Lineage is
   * cut with lazy `localCheckpoint`s every round so the plan does not
   * grow exponentially, while convergence detection (a label-sum compare)
-  * shares the materializing job. For billion-node graphs the
-  * same loop holds — swap min-propagation for the large-star/small-star
-  * variant if diameters ever get deep.
+  * shares the materializing job. The loop only runs when the CONTRACTED
+  * root graph exceeds [[DriverSolveEdgeLimit]]; below it the residual is
+  * solved exactly on the driver (a bounded sync — see [[label]]). For
+  * billion-node graphs the same loop holds — swap min-propagation for
+  * the large-star/small-star variant if diameters ever get deep.
   *
   * Determinism: the min-label fixpoint is unique regardless of join or
   * iteration order, so results hash-match a DuckDB recursive-CTE oracle.
@@ -100,15 +102,22 @@ object ConnectedComponents {
     * Final labels compose the two: comp(v) = loop-comp of v's minimal
     * local root (contraction preserves components, so the fixpoint is
     * still the unique per-component min node id). */
-  def label(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  /** Contracted-graph edge budget for the exact driver union-find
+    * below: 2^18 edges ≈ 4 MB of longs — the q56/q97 bounded-driver-
+    * sync discipline. Past it, the distributed hop+jump loop runs. */
+  private[operators] val DriverSolveEdgeLimit = 1 << 18
+
+  def label(edges: DataFrame, maxIters: Int = 30,
+      driverSolveEdgeLimit: Int = DriverSolveEdgeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // materialize the edge PIPELINE once — everything below reads it
-    // through the contraction, and an uncached plan would re-run the
-    // (expensive) edge producer per downstream job
+    // the edge pipeline feeds EXACTLY ONE consumer (the contraction,
+    // whose grouped output is eagerly checkpointed below), so it is read
+    // once with or without its own checkpoint — the previous eager
+    // localCheckpoint here materialized the full edge list in a separate
+    // job for nothing
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].localCheckpoint()
-    graft.CacheRegistry.trackCheckpoint(e)
+      .as[(Long, Long)]
     val roots = e.mapPartitions { it =>
       val parent = new LongLongMap()
       def find(x: Long): Long = {
@@ -142,8 +151,39 @@ object ConnectedComponents {
     val cEdges = grouped
       .select(col("mr").as("a"), explode(col("rs")).as("b"))
       .where(col("a") =!= col("b"))
-    val cLab = loopLabel(cEdges, maxIters)
-      .select(col("node").as("cn"), col("comp"))
+    // The contracted root graph is orders of magnitude smaller than the
+    // input (only nodes seen by SEVERAL partitions with different local
+    // roots survive). Up to DriverSolveEdgeLimit edges it is solved
+    // EXACTLY on the driver with the same union-find — one small collect
+    // replaces the loop's per-round global barriers and convergence-sum
+    // jobs (the q56-centroid/q97-node-count bounded-sync discipline; the
+    // fixpoint is the same unique per-component min either way). The
+    // limit+1 collect is itself the gate: an oversized result falls back
+    // to the distributed hop+jump loop, so scale safety is unchanged.
+    val sample = cEdges.limit(driverSolveEdgeLimit + 1).collect()
+    val cLab =
+      if (sample.length <= driverSolveEdgeLimit) {
+        val parent = new LongLongMap()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (c != r) { val nx = parent.getOrElse(c, c); parent.put(c, r); c = nx }
+          r
+        }
+        sample.foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          if (!parent.contains(a)) parent.put(a, a)
+          if (!parent.contains(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = Seq.newBuilder[(Long, Long)]
+        out.sizeHint(parent.size)
+        parent.foreachEntry((k, _) => out += ((k, find(k))))
+        out.result().toDF("cn", "comp")
+      } else loopLabel(cEdges, maxIters)
+        .select(col("node").as("cn"), col("comp"))
     grouped.join(cLab, grouped("mr") === cLab("cn"), "left")
       .select(grouped("node"),
         coalesce(col("comp"), col("mr")).as("comp"))

@@ -56,6 +56,17 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the distributed loop path (driverSolveEdgeLimit = 0) matches the driver solve") {
+    val sp = spark; import sp.implicits._
+    // a chain across partitions leaves residual contracted edges, so the
+    // forced loop genuinely iterates; fixpoints must agree exactly
+    val edges = (1L until 40L).map(i => (i, i + 1))
+    val viaLoop = ConnectedComponents
+      .label(edges.toDF("a", "b").repartition(8), driverSolveEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
   test("random graphs match a reference union-find (seeded)") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(42)
