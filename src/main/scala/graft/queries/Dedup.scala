@@ -135,6 +135,11 @@ object Dedup {
               size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
           graft.CacheRegistry.onRelease(() =>
             PostingIndex.synchronized { memo.remove((s, dir, normalized)): Unit })
+          // NOT persisted, deliberately (re-measured r21): caching the
+          // exploded postings costs a full materialization (explode +
+          // columnar cache write) that exceeds what the join sides save
+          // by not re-exploding the already-cached ShingleBase arrays —
+          // measured q35 1.93 -> 2.43 s with a persist here.
           dropHotPostings(sized, Seq("source", "shingle"))
         })
       }

