@@ -292,3 +292,111 @@ case class MgHeavy(
 
   override def prettyName: String = "mg_heavy"
 }
+
+/** `dsir_hist(feats, n)` — per-group histogram of DSIR hash buckets as a
+  * native Catalyst aggregate: for every element of every input feature
+  * array, bucket = int(first 4 md5 hex digits of the element's UTF-8
+  * bytes) mod n — the exact [[HashOps.dsirScore]] / q109-oracle bucket
+  * identity — and the output is the n-long count array.
+  *
+  * This replaces the explode + groupBy(bucket) shape for DSIR's pass 1:
+  * aggregation state is one long[n] per group per partition (mergeable
+  * by element-wise add, so map-side partial aggregation reduces each
+  * partition to n longs per group before the shuffle), and the feature
+  * arrays never fan out into per-feature rows — the md5 runs in one
+  * tight loop per array. Null arrays and null elements contribute
+  * nothing, but their GROUP still exists (so a source whose docs have
+  * no features still appears with a zero histogram).
+  */
+case class DsirHist(
+    left: Expression,
+    right: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with BinaryLike[Expression] {
+
+  private lazy val n: Int = right.eval().asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (!ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("dsir_hist input must be ARRAY<STRING>")
+    else if (!right.foldable || right.dataType != IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("dsir_hist bucket count must be an INT literal")
+    else if (right.eval() == null || right.eval().asInstanceOf[Number].intValue() < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("dsir_hist bucket count must be >= 1")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](n)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = left.eval(input)
+    if (v != null) {
+      val feats = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val m = feats.numElements()
+      var i = 0
+      while (i < m) {
+        if (!feats.isNullAt(i)) {
+          val d = md.digest(feats.getUTF8String(i).getBytes)
+          // first 4 hex digits = first 2 bytes — the dsirScore identity
+          buf((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % n) += 1L
+          md.reset()
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < n) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * n)
+    var i = 0
+    while (i < n) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): DsirHist =
+    copy(mutableAggBufferOffset = offset)
+
+  override def withNewInputAggBufferOffset(offset: Int): DsirHist =
+    copy(inputAggBufferOffset = offset)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DsirHist =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dsir_hist"
+}

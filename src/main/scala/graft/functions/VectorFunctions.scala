@@ -253,6 +253,9 @@ object VectorFunctions {
       (FunctionIdentifier("mg_heavy"),
         new ExpressionInfo(classOf[MgHeavy].getName, "mg_heavy"),
         (children: Seq[Expression]) => MgHeavy(children(0), children(1))),
+      (FunctionIdentifier("dsir_hist"),
+        new ExpressionInfo(classOf[DsirHist].getName, "dsir_hist"),
+        (children: Seq[Expression]) => DsirHist(children(0), children(1))),
       (FunctionIdentifier("zarr_timestamp"),
         new ExpressionInfo(classOf[ZarrTimestampExpr].getName, "zarr_timestamp"),
         (children: Seq[Expression]) => ZarrTimestampExpr(children(0), children(1))),

@@ -805,29 +805,28 @@ object Pipeline {
         .withColumn("feats", expr(
           "concat(ws, filter(zip_with(ws, slice(ws, 2, greatest(size(ws) - 1, 0)), " +
             "(a, b) -> concat(a, '_', b)), x -> x IS NOT NULL))"))
-      def bucket(e: String): String =
-        s"cast(conv(substring(md5($e), 1, 4), 16, 10) as int) % 256"
       // pass 1: ONE job computes both the target source and the bucket
-      // distributions — per-(source, bucket) counts (≤ sources×257 rows,
-      // bounded plan literals independent of corpus size) with a per-doc
-      // b = -1 marker so every source appears even with zero features;
-      // target = min(source) then falls out driver-side. The old shape
-      // ran a separate min(source) aggregation job first.
-      val counts = d.select(col("source"),
-          explode(expr(
-            "concat(transform(coalesce(feats, CAST(array() AS array<string>)), " +
-              s"f -> ${bucket("f")}), array(-1))")).as("b"))
-        .groupBy("source", "b").agg(count(lit(1)).as("n"))
+      // distributions, with NO per-feature fan-out — the native
+      // `dsir_hist` aggregate (same md5-bucket identity as dsir_score)
+      // keeps one long[256] per (source, partition) and merges map-side,
+      // so the feature arrays never explode into rows and the shuffle
+      // carries sources×256 longs. Groups exist even for zero-feature
+      // sources, so target = min(source) falls out of the same collect
+      // (the old shape ran a separate min(source) job, then exploded
+      // every feature through a Generate + groupBy(bucket)).
+      val counts = d.groupBy("source")
+        .agg(expr("dsir_hist(feats, 256)").as("h"))
         .collect()
       val target = counts.iterator.map(_.getString(0)).filter(_ != null).min
       val cr = new Array[Long](256)
       val ct = new Array[Long](256)
       counts.foreach { r =>
-        val b = r.getInt(1)
-        if (b >= 0) {
-          val n = r.getLong(2)
-          cr(b) += n
-          if (r.getString(0) == target) ct(b) += n
+        val h = r.getSeq[Long](1)
+        var b = 0
+        while (b < 256) {
+          cr(b) += h(b)
+          if (r.getString(0) == target) ct(b) += h(b)
+          b += 1
         }
       }
       val rTot = cr.sum

@@ -75,4 +75,37 @@ class MgHeavySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(heavy.subsetOf(cands), s"group $g missed ${heavy.diff(cands)}")
     }
   }
+
+  test("dsir_hist matches the exploded md5-bucket counts, any partitioning") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val g = s"s${i % 3}"
+      // include empty arrays and unicode so the md5 runs over real bytes
+      val feats =
+        if (i % 41 == 0) Seq.empty[String]
+        else Seq.fill(rnd.nextInt(20) + 1)(s"tok${rnd.nextInt(500)}_é")
+      (g, feats)
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("g", "feats").repartition(parts)
+      val got = df.groupBy("g").agg(expr("dsir_hist(feats, 256)").as("h"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      // reference: the q109 oracle's bucket expression, exploded
+      val want = df.select(col("g"), explode(col("feats")).as("f"))
+        .select(col("g"),
+          expr("cast(conv(substring(md5(f), 1, 4), 16, 10) as int) % 256").as("b"))
+        .groupBy("g", "b").count().collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+      assert(got.keySet == rows.map(_._1).toSet, s"parts=$parts: groups with empty arrays must survive")
+      got.foreach { case (g, h) =>
+        assert(h.size == 256)
+        val w = want.getOrElse(g, Map.empty[Int, Long])
+        (0 until 256).foreach { b =>
+          assert(h(b) == w.getOrElse(b, 0L), s"parts=$parts g=$g b=$b")
+        }
+      }
+    }
+  }
 }
