@@ -292,9 +292,13 @@ object ConnectedComponents {
         |  count(DISTINCT b) AS n_linked
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      // SimHash pairs exactly as q37 (same kernels, same band join)
-      val shDf = Tables.load(s, dir, "documents").select(col("doc_id"),
-        expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
+      // SimHash pairs exactly as q37 (same kernels, same band join);
+      // persisted for the same reason as q37 — the band self-join would
+      // otherwise run the per-word-md5 kernel once per side
+      val shDf = graft.CacheRegistry.track(
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
+          .persist())
       val bands = shDf.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), j -> named_struct(" +

@@ -320,8 +320,14 @@ object Dedup {
         |FROM cand
         |WHERE len(list_filter(generate_series(1, 64), i -> substr(ha, i, 1) != substr(hb, i, 1))) <= 6
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val sh = docs(s, dir).select(col("doc_id"),
-        expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
+      // persisted: the band SELF-join would otherwise plan the simhash
+      // kernel (one md5 per word) once per side — two full document
+      // scans + two kernel passes (seen in plans/r21). The fingerprint
+      // table is 1 long + 64-char string per doc, so the cache is tiny.
+      val sh = graft.CacheRegistry.track(
+        docs(s, dir).select(col("doc_id"),
+          expr("simhash64(md5_array(split(text, ' ')))").as("simhash"))
+          .persist())
       val bands = sh.select(col("doc_id"), col("simhash"),
         explode(expr(
           "transform(sequence(0, 3), j -> named_struct(" +
