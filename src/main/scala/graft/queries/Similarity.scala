@@ -158,13 +158,25 @@ object Similarity {
          |  FROM scored)
          |SELECT qid, vec_id, cos, rk FROM ranked WHERE rk <= 5
          |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
-      val signExpr =
-        """array_join(transform(sequence(0, 3), p ->
-          |  CASE WHEN aggregate(zip_with(embedding, sequence(1, 64), (x, j) ->
-          |    CAST(x AS double) *
-          |    (2 * ((instr('0123456789abcdef',
-          |                 substr(md5(concat(cast(p AS string), '-', cast(j AS string))), 1, 1)) - 1) % 2) - 1)),
-          |    CAST(0 AS double), (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END), '')""".stripMargin
+      // The hyperplane signs depend only on (p, j) — 4x64 CONSTANTS the
+      // oracle derives from md5 hex. The old expression computed those
+      // 256 md5s per ROW through interpreted higher-order lambdas (no
+      // codegen for zip_with/aggregate); here the same signs are md5'd
+      // ONCE driver-side into float ±1 literals and each plane is one
+      // codegen'd dot_f32. Bit-exact: dot_f32 sums (double)x * (double)s
+      // left-to-right, and x * ±1.0 is exact — the identical terms in
+      // the identical order as the oracle's list_sum.
+      val signArr: IndexedSeq[String] = (0 until 4).map { p =>
+        (1 to 64).map { j =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p-$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val firstHexDigit = (d(0) >> 4) & 0xf
+          if (firstHexDigit % 2 == 1) "CAST(1 AS float)" else "CAST(-1 AS float)"
+        }.mkString("array(", ",", ")")
+      }
+      val signExpr = (0 until 4)
+        .map(p => s"CASE WHEN dot_f32(embedding, ${signArr(p)}) > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
       val b = emb(s, dir).select(col("vec_id"), col("embedding"), expr(signExpr).as("bucket"))
       val q = b.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
