@@ -372,16 +372,18 @@ object Similarity {
         .map(c => c.slice(subDim * j, subDim * (j + 1))
           .map(v => s"${v}D").mkString("array(", ",", ")"))
         .mkString("array(", ",", ")")
-      // corpus → (vec_id, label, c0..c7): scan-local encode, 1-based codes
+      // corpus → (vec_id, label, c0..c7): scan-local encode, 1-based
+      // codes. The sub-distance array is computed ONCE per subspace into
+      // d$j and the argmin reads it twice — the previous shape inlined
+      // the interpreted transform(8 × sqdist64) both as array_position's
+      // argument and under array_min, doubling the per-row encode work
+      // (q91 already hoists the same way).
       val encoded = (0 until m).foldLeft(e) { (df, j) =>
-        df.withColumn(s"c$j", expr(
-          s"""array_position(
-             |  transform(${centSql(j)}, c ->
-             |    round(sqdist64(slice(embedding, ${subDim * j + 1}, $subDim), c), 6)),
-             |  array_min(transform(${centSql(j)}, c ->
-             |    round(sqdist64(slice(embedding, ${subDim * j + 1}, $subDim), c), 6))))""".stripMargin)
-          .cast("int"))
-      }.select(col("vec_id") +: col("label") +: (0 until m).map(j => col(s"c$j")): _*)
+        df.withColumn(s"d$j", expr(
+          s"""transform(${centSql(j)}, c ->
+             |  round(sqdist64(slice(embedding, ${subDim * j + 1}, $subDim), c), 6))""".stripMargin))
+      }.select(col("vec_id") +: col("label") +: (0 until m).map(j =>
+        expr(s"cast(array_position(d$j, array_min(d$j)) as int)").as(s"c$j")): _*)
       // coarse probe: identical discipline to q42 (dot vs per-label
       // centroid, rounded, top-2)
       val cent = perLabelCentroids(e).withColumnRenamed("cent", "cv")
