@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: sbt's default logged
+// output strategy re-tags every stdout line with "[info] ", which breaks
+// any strict JSON parse of the bench's one-line digest (every
+// BENCH_r*.json since ~r10 recorded parsed:null for exactly this
+// reason). StdoutOutput inherits the parent process's stdout instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
