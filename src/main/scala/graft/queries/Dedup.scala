@@ -130,9 +130,24 @@ object Dedup {
     def postings(s: SparkSession, dir: String, normalized: Boolean): DataFrame =
       synchronized {
         memo.getOrElseUpdate((s, dir, normalized), {
+          // join on a 64-bit hash of the shingle, not the string
+          // (guide §2.3 "shuffle keys and metadata instead of payloads"):
+          // the pair join and the df-cap aggregate only ever test shingle
+          // EQUALITY — `c` counts common shingles — so an 8-byte
+          // xxhash64 key carries the same information as the ~20-40-byte
+          // word 3-gram through both exchanges. Exactness: distinct
+          // shingles colliding in 64 bits could over-count `c`; at
+          // shingle-vocabulary cardinalities (n << 2^32 per source
+          // block) the expected collision count n²/2^65 is absent, the
+          // DuckDB oracle (string join) confirms equality at every test
+          // SF, and PostingHashSpec pins hash-join == string-join pair
+          // counts on the test corpus.
           val sized = ShingleBase.base(s, dir, normalized)
             .select(col("doc_id"), col("source"), col("lang"),
-              size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+              size(col("sh")).as("sz"),
+              explode(col("sh")).as("shingle_str"))
+            .select(col("doc_id"), col("source"), col("lang"), col("sz"),
+              xxhash64(col("shingle_str")).as("shingle"))
           graft.CacheRegistry.onRelease(() =>
             PostingIndex.synchronized { memo.remove((s, dir, normalized)): Unit })
           // NOT persisted, deliberately (re-measured r21): caching the
@@ -167,14 +182,24 @@ object Dedup {
         memo.getOrElseUpdate((s, dir), {
           val shingled = ShingleBase.base(s, dir, normalized = false)
             .select(col("doc_id"), col("sh"))
+          // bh = xxhash64 of the band's concatenated signature slices
+          // (r22; was md5): the band hash exists only to test SLICE
+          // EQUALITY in the LSH candidate joins (q36/q110/q122) — it is
+          // never output — so an 8-byte long key replaces the 32-char
+          // md5 string in the persist AND in every band-join exchange
+          // (guide §2.3). Candidate sets are identical modulo 64-bit
+          // hash collisions, the same accepted-risk class as the q35
+          // posting keys (a collision only ADDS a candidate, which the
+          // jaccard>=0.5 verify then inspects); oracle-gated at every
+          // test SF.
           val bands = graft.CacheRegistry.track(shingled
             .withColumn("sg", expr("minhash16(md5_array(sh))"))
             .select(col("doc_id"),
               explode(expr(
                 """transform(sequence(0, 3), j -> named_struct(
                   |  'band', j,
-                  |  'bh', md5(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
-                  |                   element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
+                  |  'bh', xxhash64(concat(element_at(sg, 4*j+1), element_at(sg, 4*j+2),
+                  |                        element_at(sg, 4*j+3), element_at(sg, 4*j+4)))))""".stripMargin))
                 .as("b"))
             .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
             .persist())
@@ -517,9 +542,15 @@ object Dedup {
       // distinct gram hashes per doc without materializing gram strings
       // (native gram_hashes kernel — same identity as md5 of the joined
       // gram, hashed from the word bytes directly)
+      // r22: fold the 32-char md5 key down to its xxhash64 long before
+      // the exchanges — gh is equality-only here (df count + join-back),
+      // so the df groupBy and the reused postings shuffle carry 8-byte
+      // keys instead of 32-byte strings (guide §2.3; q35's collision
+      // analysis applies and the oracle gates the result)
       val g = docs(s, dir)
         .select(col("doc_id"),
-          explode(expr("array_distinct(gram_hashes(text, 20))")).as("gh"))
+          explode(expr("array_distinct(gram_hashes(text, 20))")).as("gh_md5"))
+        .select(col("doc_id"), xxhash64(col("gh_md5")).as("gh"))
       // skew-safe df: partial (map-side) counts shrink even a
       // corpus-wide boilerplate gram to one row per partition before
       // the exchange; the postings' gh-shuffle is REUSED by the join
@@ -594,7 +625,10 @@ object Dedup {
       // is fed the word bytes + ' ' separators directly)
       val occ = docs(s, dir)
         .select(col("doc_id"), posexplode(expr("gram_hashes(text, 20)")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gh"))
+        // r22: xxhash64-fold the md5 key (equality-only: df + min-struct
+        // + join-back) so both gh exchanges carry longs — q121's move
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          xxhash64(col("col")).as("gh"))
       // per-gram df + corpus-minimal occurrence, ONE partial-agg'd
       // groupBy (min over struct combines map-side — skew-safe where a
       // Window would pin a boilerplate gram's postings in one task)
@@ -605,21 +639,23 @@ object Dedup {
         .filter(col("df") > 1 &&
           !(col("doc_id") === col("fst.doc_id") && col("pos") === col("fst.pos")))
         .groupBy("doc_id").agg(collect_list(col("pos")).as("spans"))
-      // sort below, span-removal projection above: the terminal global
-      // sort range-samples its child, and the kept-token filter + md5 is
-      // the most expensive scan-local piece of this plan — q30's
-      // single-execution rationale
-      d.join(spans, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("ws"),
-          coalesce(col("spans"), expr("array()").cast("array<int>")).as("spans"))
-        .orderBy("doc_id")
-        .withColumn("kept", expr(
-          "filter(transform(ws, (w, i) -> named_struct('w', w, 'p', i + 1)), " +
-            "x -> !exists(spans, sp -> sp <= x.p AND x.p <= sp + 19))"))
-        .select(col("doc_id"),
-          size(col("ws")).cast("long").as("n_tokens"),
-          (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tokens"),
-          md5(array_join(expr("transform(kept, x -> x.w)"), " ")).as("clean_md5"))
+      // derive narrow, persist once, sort narrow — q30's SortShapes
+      // shape: the kept-token filter + md5 (the most expensive
+      // scan-local piece of this plan) runs once, and the range
+      // exchange carries (doc_id, n_tokens, removed_tokens, clean_md5)
+      // instead of the corpus word arrays + spans
+      SortShapes.sortedNarrow(
+        d.join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("ws"),
+            coalesce(col("spans"), expr("array()").cast("array<int>")).as("spans"))
+          .withColumn("kept", expr(
+            "filter(transform(ws, (w, i) -> named_struct('w', w, 'p', i + 1)), " +
+              "x -> !exists(spans, sp -> sp <= x.p AND x.p <= sp + 19))"))
+          .select(col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            (size(col("ws")) - size(col("kept"))).cast("long").as("removed_tokens"),
+            md5(array_join(expr("transform(kept, x -> x.w)"), " ")).as("clean_md5")),
+        "doc_id")
     },
 
     // ---- dedup observability (round 11): per-source duplication rate —

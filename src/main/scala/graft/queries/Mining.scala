@@ -192,21 +192,20 @@ object Mining {
         .orderBy(col("c").desc, col("word"))
         .limit(10)
         .agg(collect_list(col("word")).as("wl"))
-      // sort below, scoring above: the terminal global sort range-samples
-      // its child, so the count_in scoring (and the broadcast probe)
-      // below the exchange would run twice — q30's single-execution
-      // rationale. The 1-row broadcast join above the sort is a narrow
-      // stream-side append, so row order is preserved.
-      d.select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-        .withColumn("n_words", size(col("ws")))
-        .crossJoin(broadcast(top10))
-        .select(col("doc_id"), col("n_words"),
-          round((col("n_words") -
-            call_function("count_in", col("ws"), col("wl"))) *
-            lit(1.0) / col("n_words"), 6)
-            .as("rare_frac"))
+      // derive narrow, persist once, sort narrow — q30's SortShapes
+      // shape: the split + count_in scoring (and the broadcast probe)
+      // run once, and the range exchange carries (doc_id, n_words,
+      // rare_frac) instead of the corpus word arrays
+      SortShapes.sortedNarrow(
+        d.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+          .withColumn("n_words", size(col("ws")))
+          .crossJoin(broadcast(top10))
+          .select(col("doc_id"), col("n_words"),
+            round((col("n_words") -
+              call_function("count_in", col("ws"), col("wl"))) *
+              lit(1.0) / col("n_words"), 6)
+              .as("rare_frac")),
+        "doc_id")
     },
 
     // ---- ANN recall evaluation: recall@5 of the LSH index (q40) against
@@ -396,12 +395,11 @@ object Mining {
       // accumulator carries (previous word, run length, entropy sum);
       // each run closes with its (c/n) ln(c/n) term in sorted-word
       // order — the same terms, same order as the oracle's ordered list
-      // sort below, run-length fold above: a terminal global sort
-      // range-samples its child, so the fold below the exchange would run
-      // twice (sampling + sort) — q30's single-execution rationale
+      // derive narrow, persist once, sort narrow — q30's SortShapes
+      // shape: the run-length fold runs once and the range exchange
+      // carries (doc_id, n_words, entropy), not the word arrays
+      SortShapes.sortedNarrow(
       docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
         .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         .select(col("doc_id"), size(col("ws")).as("n_words"),
           expr(
@@ -415,7 +413,8 @@ object Mining {
               |  st -> st.acc + (st.run * CAST(1.0 AS double) / size(ws)) *
               |                 ln(st.run * CAST(1.0 AS double) / size(ws)))
               |""".stripMargin).as("negent"))
-        .select(col("doc_id"), col("n_words"), round(-col("negent"), 6).as("entropy"))
+        .select(col("doc_id"), col("n_words"), round(-col("negent"), 6).as("entropy")),
+      "doc_id")
     },
 
     // ---- PMI collocation mining: word pairs that co-occur in documents

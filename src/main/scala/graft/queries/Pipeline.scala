@@ -38,8 +38,16 @@ object Pipeline {
     *   i -> array_to_string(ws[i:i+3], ' ')))`. */
   private def fourGrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      // every consumer (q48 pair join, q54 decontamination semi join,
+      // q57 source-mask groupBy) tests gram EQUALITY only — none emits
+      // the gram string — so ship an 8-byte xxhash64 key through their
+      // exchanges instead of the ~25-byte word 4-gram (guide §2.3; the
+      // q35 PostingIndex argument, incl. the collision analysis —
+      // PostingHashSpec pins collision absence on the test corpus, the
+      // DuckDB oracle gates all three queries)
       .select(col("doc_id"), col("source"),
-        explode(expr("shingles_k(text, 4)")).as("gram"))
+        explode(expr("shingles_k(text, 4)")).as("gram_str"))
+      .select(col("doc_id"), col("source"), xxhash64(col("gram_str")).as("gram"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -63,12 +71,11 @@ object Pipeline {
         |  round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4)
         |    AS mean_word_len
         |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // sort below, array derivations above: a terminal global sort
-      // range-samples its child, so everything below the exchange would
-      // run twice (sampling + sort) — q30's single-execution rationale
+      // derive narrow, persist once, sort narrow — q30's SortShapes
+      // shape: the array derivations run once and the range exchange
+      // carries four small columns, not the word/bigram arrays
+      SortShapes.sortedNarrow(
       docs(s, dir)
-        .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
         .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
         // bigrams without a 1-past-end guard: zip the array with itself
         // shifted by one — empty when size(ws) < 2
@@ -84,7 +91,8 @@ object Pipeline {
             round(lit(1.0) - size(array_distinct(col("bg"))) * lit(1.0) / size(col("bg")), 4))
             .otherwise(lit(0.0)).as("dup_bigram_frac"),
           round(expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))") * lit(1.0) /
-            size(col("ws")), 4).as("mean_word_len"))
+            size(col("ws")), 4).as("mean_word_len")),
+      "doc_id")
     },
 
     // ---- batch sessionization: 30-minute inactivity gap, the batch twin
@@ -817,7 +825,10 @@ object Pipeline {
       val counts = d.groupBy("source")
         .agg(expr("dsir_hist(feats, 256)").as("h"))
         .collect()
-      val target = counts.iterator.map(_.getString(0)).filter(_ != null).min
+      val targetOpt = counts.iterator.map(_.getString(0)).filter(_ != null).minOption
+      require(targetOpt.isDefined,
+        "q109_dsir_weights: documents table has no non-null source — no DSIR target exists")
+      val target = targetOpt.get
       val cr = new Array[Long](256)
       val ct = new Array[Long](256)
       counts.foreach { r =>

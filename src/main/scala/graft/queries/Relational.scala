@@ -85,11 +85,26 @@ object Relational {
       // over every lineitem row); at scale the fact side must never
       // build. The semi-filtered orders key set is the small side by
       // construction (one segment's orders, one bigint column).
-      val ords = t(s, dir, "orders")
-        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
-        .select(col("o_orderkey"))
+      //
+      // Gated, not unconditional (r22, ADVICE): one segment's order
+      // keys still grow linearly with SF, and a broadcast HINT bypasses
+      // autoBroadcastJoinThreshold — at a large enough SF the driver
+      // would OOM collecting the hash relation. The key set is
+      // localCheckpointed (it is the build side either way, so the
+      // materialization is not an extra pass), counted from the
+      // checkpoint blocks, and broadcast only under the cap — else the
+      // join falls back to Catalyst's shuffled strategy, mirroring the
+      // DriverSolveEdgeLimit discipline in ConnectedComponents.
+      val ords = graft.CacheRegistry.trackCheckpoint(
+        t(s, dir, "orders")
+          .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+          .select(col("o_orderkey"))
+          .localCheckpoint())
+      // ~48 bytes/key in a LongHashedRelation → cap ≈ 400 MB broadcast
+      val keySide =
+        if (ords.count() <= 8L * 1000 * 1000) broadcast(ords) else ords
       t(s, dir, "lineitem")
-        .join(broadcast(ords), col("o_orderkey") === col("l_orderkey"))
+        .join(keySide, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"))
         .agg(
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

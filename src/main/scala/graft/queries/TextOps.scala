@@ -28,19 +28,17 @@ object TextOps {
         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens,
         |  length(text) AS n_chars2
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // ORDER BY first, heavy projection above it: a terminal global sort
-      // range-samples its child, so a projection below the exchange runs
-      // TWICE (sampling + sort). Sorting the narrow (doc_id, text) scan
-      // and deriving above the Sort keeps the regex pass single-execution
-      // (order is preserved by the narrow per-row projection).
-      docs(s, dir).select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .select(
+      // derive narrow, persist once, sort the narrow rows (SortShapes):
+      // the regex passes run once AND the range exchange carries four
+      // small columns instead of the corpus text
+      SortShapes.sortedNarrow(
+        docs(s, dir).select(
           col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
           size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)"))
             .as("bpe_tokens"),
-          length(col("text")).as("n_chars2"))
+          length(col("text")).as("n_chars2")),
+        "doc_id")
     },
 
     // ---- quality scoring: length / punctuation / stopword ratios ----
@@ -59,23 +57,24 @@ object TextOps {
         |  CASE WHEN n_words BETWEEN 20 AND 1000
         |        AND n_stop * 1.0 / n_words >= 0.01 THEN 1 ELSE 0 END AS quality_ok
         |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // sort below, regex passes above — q30's single-execution rationale
-      docs(s, dir).select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .select(
-          col("doc_id"),
-          length(col("text")).as("n"),
-          size(split(col("text"), " ", -1)).as("n_words"),
-          size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("n_punct"),
-          size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is|that)\\\\b', 0)"))
-            .as("n_stop"))
-        .select(
-          col("doc_id"),
-          round(col("n_punct") * 1.0 / col("n_words"), 4).as("punct_ratio"),
-          round(col("n_stop") * 1.0 / col("n_words"), 4).as("stop_ratio"),
-          round(col("n") * 1.0 / col("n_words"), 4).as("avg_word_len"),
-          when(col("n_words").between(20, 1000) &&
-            col("n_stop") * 1.0 / col("n_words") >= 0.01, 1).otherwise(0).as("quality_ok"))
+      // derive narrow, persist once, sort narrow — q30's SortShapes shape
+      SortShapes.sortedNarrow(
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n"),
+            size(split(col("text"), " ", -1)).as("n_words"),
+            size(expr("regexp_extract_all(text, '[.,;:!?]', 0)")).as("n_punct"),
+            size(expr("regexp_extract_all(lower(text), '\\\\b(the|a|of|and|to|in|is|that)\\\\b', 0)"))
+              .as("n_stop"))
+          .select(
+            col("doc_id"),
+            round(col("n_punct") * 1.0 / col("n_words"), 4).as("punct_ratio"),
+            round(col("n_stop") * 1.0 / col("n_words"), 4).as("stop_ratio"),
+            round(col("n") * 1.0 / col("n_words"), 4).as("avg_word_len"),
+            when(col("n_words").between(20, 1000) &&
+              col("n_stop") * 1.0 / col("n_words") >= 0.01, 1).otherwise(0).as("quality_ok")),
+        "doc_id")
     },
 
     // ---- language ID: marker-token + script heuristic (deterministic
@@ -101,25 +100,26 @@ object TextOps {
         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       def hits(pat: String) =
         size(expr(s"regexp_extract_all(lower(text), '\\\\b($pat)\\\\b', 0)"))
-      // sort below, regex passes above — q30's single-execution rationale
-      docs(s, dir).select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .select(
-          col("doc_id"),
-          hits("the|of|and|is|to").as("en_hits"),
-          hits("der|die|das|und|ist").as("de_hits"),
-          hits("el|la|los|es|y").as("es_hits"),
-          hits("le|la|les|est|et").as("fr_hits"),
-          size(expr("regexp_extract_all(text, '[\\\\u4e00-\\\\u9fff]', 0)")).as("cjk_chars"))
-        .select(
-          col("doc_id"),
-          when(col("cjk_chars") > 0, "zh")
-            .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
-              col("en_hits") >= col("fr_hits"), "en")
-            .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
-            .when(col("es_hits") >= col("fr_hits"), "es")
-            .otherwise("fr").as("pred_lang"),
-          col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"), col("cjk_chars"))
+      // derive narrow, persist once, sort narrow — q30's SortShapes shape
+      SortShapes.sortedNarrow(
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            hits("the|of|and|is|to").as("en_hits"),
+            hits("der|die|das|und|ist").as("de_hits"),
+            hits("el|la|los|es|y").as("es_hits"),
+            hits("le|la|les|est|et").as("fr_hits"),
+            size(expr("regexp_extract_all(text, '[\\\\u4e00-\\\\u9fff]', 0)")).as("cjk_chars"))
+          .select(
+            col("doc_id"),
+            when(col("cjk_chars") > 0, "zh")
+              .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits") &&
+                col("en_hits") >= col("fr_hits"), "en")
+              .when(col("de_hits") >= col("es_hits") && col("de_hits") >= col("fr_hits"), "de")
+              .when(col("es_hits") >= col("fr_hits"), "es")
+              .otherwise("fr").as("pred_lang"),
+            col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits"), col("cjk_chars")),
+        "doc_id")
     },
 
     // ---- document fingerprinting: content hash of the normalized text
@@ -130,14 +130,14 @@ object TextOps {
         |  md5(lower(trim(text))) AS content_fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS vocab_fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // sort below, hash derivations above — q30's single-execution rationale
-      docs(s, dir).select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .select(
+      // derive narrow, persist once, sort narrow — q30's SortShapes shape
+      SortShapes.sortedNarrow(
+        docs(s, dir).select(
           col("doc_id"),
           md5(lower(trim(col("text")))).as("content_fp"),
           md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))
-            .as("vocab_fp"))
+            .as("vocab_fp")),
+        "doc_id")
     },
 
     // ---- winnowing fingerprints: Rabin-Karp rolling hash (k=8, base 31,
@@ -163,18 +163,20 @@ object TextOps {
         |  list_sum(fps)::BIGINT % 1000000007 AS fp_digest
         |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.functions.VectorFunctions.register(s)
-      // sort below, rolling-hash kernel above — q30's single-execution
-      // rationale
-      docs(s, dir).select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
-        .select(col("doc_id"), expr("winnow64(text)").as("fps"))
-        .select(
-          col("doc_id"),
-          size(col("fps")).as("n_fp"),
-          expr("array_min(fps)").as("fp_min"),
-          expr("array_max(fps)").as("fp_max"),
-          expr("aggregate(fps, CAST(0 AS bigint), (a, x) -> a + x) % 1000000007")
-            .as("fp_digest"))
+      // derive narrow, persist once, sort narrow — q30's SortShapes shape
+      // (the intermediate fps array stays below the persist; only the
+      // four stats ride the cache and the exchange)
+      SortShapes.sortedNarrow(
+        docs(s, dir)
+          .select(col("doc_id"), expr("winnow64(text)").as("fps"))
+          .select(
+            col("doc_id"),
+            size(col("fps")).as("n_fp"),
+            expr("array_min(fps)").as("fp_min"),
+            expr("array_max(fps)").as("fp_max"),
+            expr("aggregate(fps, CAST(0 AS bigint), (a, x) -> a + x) % 1000000007")
+              .as("fp_digest")),
+        "doc_id")
     },
 
     // ---- exact deduplication: hash-groupBy on the content fingerprint.
@@ -238,12 +240,12 @@ object TextOps {
            |FROM bpe WHERE i = $m + 1
            |ORDER BY doc_id""".stripMargin) { (s, dir) =>
         graft.functions.VectorFunctions.register(s)
-        // sort below, BPE kernel above — q30's single-execution rationale
-        docs(s, dir).select(col("doc_id"), col("text"))
-          .orderBy("doc_id")
-          .select(col("doc_id"),
+        // derive narrow, persist once, sort narrow — q30's SortShapes shape
+        SortShapes.sortedNarrow(
+          docs(s, dir).select(col("doc_id"),
             expr(s"cast(bpe_count(text, array($mergeArr)) as bigint)")
-              .as("n_bpe_tokens"))
+              .as("n_bpe_tokens")),
+          "doc_id")
       }
     },
 
@@ -529,12 +531,14 @@ object TextOps {
       }.mkString(", ")
       def nOf(re: String) =
         expr(s"size(filter(rep.toks, x -> x RLIKE '^(?:${esc(re)})$$'))")
-      // sort below, augmentation + fused matcher above — q30's
-      // single-execution rationale (the redact pass is the most expensive
-      // scan-local kernel in the registry; running it in the range
-      // sampler too roughly doubled the query)
-      docs(s, dir).select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
+      // derive narrow, persist once, sort narrow — q30's SortShapes shape
+      // (the redact pass is the most expensive scan-local kernel in the
+      // registry: running it in the range sampler too roughly doubled
+      // the query in r20, and shipping the augmented text through the
+      // range exchange — the r21 hoist — moved the corpus to order
+      // eight derived columns)
+      SortShapes.sortedNarrow(
+      docs(s, dir)
         .select(col("doc_id"), concat(
           col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
@@ -565,7 +569,8 @@ object TextOps {
             .cast("long").as("n_cc_luhn"),
           nOf(idRe).as("n_id"),
           nOf(phoneRe).as("n_phone"),
-          md5(col("rep.clean")).as("clean_fp"))
+          md5(col("rep.clean")).as("clean_fp")),
+      "doc_id")
     })
 
   /** Full-form IPv6 (8 hextets) — grouped bounded repetition, identical
