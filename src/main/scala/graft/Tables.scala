@@ -26,8 +26,18 @@ object Tables {
   private val memo = scala.collection.mutable.Map
     .empty[(SparkSession, String, String), DataFrame]
 
+  /** Visible for tests: live entry count after the stopped-session sweep. */
+  private[graft] def memoSize: Int = synchronized { memo.size }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     synchronized {
+      // Bounded (r22, ADVICE): drop entries owned by STOPPED sessions on
+      // every access, so a long-lived multi-session driver cannot pin
+      // dead sessions' plans + file indexes forever. Within a live
+      // session the entries stay for the JVM's lifetime — dataset dirs
+      // are immutable for a process (TESTDATA contract), so staleness
+      // cannot arise. TablesSpec pins the sweep.
+      memo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
       memo.getOrElseUpdate((spark, sfDir, name), {
         // events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
         // reader rejects; read it as a raw nanosecond long instead

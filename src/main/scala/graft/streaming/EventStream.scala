@@ -46,8 +46,14 @@ object EventStream {
   private val schemaMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
 
+  /** Visible for tests: live entry count after the stopped-session sweep. */
+  private[graft] def schemaMemoSize: Int = schemaMemo.size
+
   def fromFilesRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bounded like Tables.load's memo (r22, ADVICE): stopped sessions'
+    // entries are swept on every access
+    schemaMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     val probed = schemaMemo.getOrElseUpdate((spark, sfDir),
       spark.read.parquet(s"$sfDir/events.parquet").schema)
     // events.parquet is a single file; stream its parent directory with a

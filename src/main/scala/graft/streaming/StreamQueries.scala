@@ -56,6 +56,16 @@ object StreamQueries {
     val prevNoData = spark.conf.get(noData)
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("GRAFT_STREAM_STATE_PARTS", "4"))
+    // state-store provider, env-parameterised (r22): the default
+    // HDFS-backed provider won the A/B for these bounded replays
+    // (RocksDB pays JNI + WAL/snapshot setup per store with no offset —
+    // measured in OPTIMIZATION_r22.md); a long-running production
+    // pipeline with large state would flip this to the RocksDB provider
+    // for its incremental snapshots and off-heap state.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    sys.env.get("GRAFT_STREAM_STATE_PROVIDER")
+      .foreach(p => spark.conf.set(providerKey, p))
     // every query run here emits on DATA batches (complete-mode agg,
     // NoTimeout mapGroupsWithState, inner interval join emitting on
     // match) — the trailing no-data batch would only evict state, at the
@@ -87,6 +97,7 @@ object StreamQueries {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set(noData, prevNoData)
+      spark.conf.set(providerKey, prevProvider)
     }
     spark.table(name)
   }
