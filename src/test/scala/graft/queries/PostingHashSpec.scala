@@ -87,13 +87,6 @@ class PostingHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.count() == g.selectExpr("xxhash64(gram)").distinct().count())
   }
 
-  test("per-source word vocabulary (q60 keys): no xxhash64 collisions") {
-    val w = graft.Tables.load(spark, dir, "documents")
-      .selectExpr("source", "explode(split(text, ' ', -1)) AS word").distinct()
-    assert(w.count() ==
-      w.selectExpr("source", "xxhash64(word)").distinct().count())
-  }
-
   test("the posting key is an 8-byte long (what the exchanges now carry)") {
     val p = Dedup.PostingIndex.postings(spark, dir, normalized = false)
     assert(p.schema("shingle").dataType == LongType, p.schema.treeString)
