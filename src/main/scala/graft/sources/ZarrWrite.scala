@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object ZarrWriteSupport {
 
+  /** Warn sink for commit-path diagnostics — slf4j by default (r22:
+    * was a bare System.err.println bypassing the logging config).
+    * Overridable because log4j2's console appender pins the original
+    * System.err at init, so a setErr-capturing spec cannot observe
+    * logger output. */
+  private[graft] var warnSink: String => Unit =
+    msg => org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+
   def zarrTypeFor(dt: DataType): ZarrType = dt match {
     case BooleanType => ZarrType.Bool
     case ByteType => ZarrType.Int8
@@ -457,7 +465,7 @@ class ZarrBatchWrite(
       // threshold — compaction rewrites to canonical keys and resets the
       // manifest to zero entries
       if (manifestWarnParts > 0 && manifestOut.parts.length >= manifestWarnParts)
-        System.err.println(
+        ZarrWriteSupport.warnSink(
           s"[zarr] store ${store.root}: chunk manifest has ${manifestOut.parts.length} " +
             s"parts (threshold $manifestWarnParts, ~${manifestOut.parts.length * 30}B " +
             "of root-document JSON fetched by every reader). Run " +

@@ -448,8 +448,9 @@ private[zarr] object ZarrDistWalk {
       }
     }
     if (skipped > 0)
-      System.err.println(s"[zarr-compact] $skipped group(s) skipped " +
-        s"unmerged under $root (sources untouched; last cause: $lastSkip)")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"[zarr-compact] $skipped group(s) skipped " +
+          s"unmerged under $root (sources untouched; last cause: $lastSkip)")
     superseded.result()
   }
 

@@ -130,9 +130,12 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 6 staged appends of ONE task each: the manifest must hold exactly
     // one part per task — commit count, not chunk count (each append is
     // 2 chunks; 12 chunks but only 6 parts)
-    val errBuf = new java.io.ByteArrayOutputStream()
-    val realErr = System.err
-    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    // capture via the warn sink (r22: the warning goes through slf4j
+    // now, whose console appender pins the original System.err — a
+    // setErr capture cannot see it)
+    val warnings = new java.lang.StringBuilder
+    val realSink = ZarrWriteSupport.warnSink
+    ZarrWriteSupport.warnSink = msg => warnings.append(msg).append('\n'): Unit
     try {
       (0 until 6).foreach { b =>
         batch(b * 20).write.format("zarr").mode(if (b == 0) "overwrite" else "append")
@@ -140,12 +143,12 @@ class ZarrWriteSpec extends AnyFunSuite with BeforeAndAfterAll {
           .option("manifest_warn_parts", "5")
           .save(p)
       }
-    } finally System.setErr(realErr)
+    } finally ZarrWriteSupport.warnSink = realSink
     val store = ZarrStore(p)
     assert(store.readChunkManifest().parts.length == 6)
     // the 5th and 6th commits crossed the threshold (5 parts) — the
     // commit recommends compaction instead of growing silently
-    val err = errBuf.toString("UTF-8")
+    val err = warnings.toString
     assert(err.contains("chunk manifest has 5 parts") ||
       err.contains("chunk manifest has 6 parts"), s"no threshold warning in: $err")
     assert(err.contains("ZarrMaintenance.compact"), err)
